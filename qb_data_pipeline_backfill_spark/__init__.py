@@ -1,0 +1,30 @@
+"""qb_data_pipeline_backfill_spark — a PySpark-native analytics engine.
+
+A from-scratch rebuild of the capabilities of the reference repo
+``Crescendum429/qb-data-pipeline-backfill`` (a QuickBooks-Online →
+Postgres batch ETL/backfill pipeline), re-expressed Spark-first:
+
+- the *raw envelope* ingestion core (validate → dedup → idempotent
+  load) as declarative DataFrame transforms (``operators.ingest``,
+  ``operators.sink``),
+- the reference's verification-SQL surface (counts, distinct counts,
+  filtered aggregates, group-by-having, union-all reports) as
+  Catalyst-planned queries (``plans.queries``),
+- a paginated/OAuth REST source as a Spark 4 Python DataSource
+  (``sources.rest``),
+- plus the LLM-data-pipeline operators a 100 TB training-data
+  pipeline needs: dedup (exact/MinHash-LSH/SimHash/n-gram-Jaccard),
+  similarity search, text analysis, and multimodal column plumbing
+  (``operators.dedup`` / ``operators.similarity`` /
+  ``operators.text`` / ``operators.multimodal``).
+
+Everything is built on the public PySpark 4 DataFrame/SQL API; no
+code is copied from the reference (which is a Mage-AI + pandas +
+Postgres stack — see SURVEY.md for the file:line derivation of each
+operator).
+"""
+
+from qb_data_pipeline_backfill_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,14 @@
+"""Query plans: named (spark, sf_dir) -> DataFrame callables + DuckDB oracles.
+
+Importing this package populates the registry; each submodule groups
+one slice of the engine's surface.
+"""
+
+from qb_data_pipeline_backfill_spark.plans import relational  # noqa: F401
+from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
+    REGISTRY,
+    oracle_sql,
+    queries,
+)
+
+__all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,34 @@
+"""Shared pytest fixtures: one SparkSession per test session."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qb_data_pipeline_backfill_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("pytest", shuffle_partitions=8)
+    yield s
+    # leave the session up; the JVM teardown is slower than the suite
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    from qb_data_pipeline_backfill_spark.oracle import duckdb_connection
+
+    return duckdb_connection(SF_SMOKE)

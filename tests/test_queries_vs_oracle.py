@@ -1,0 +1,46 @@
+"""Every registered query with an oracle must hash-match DuckDB at sf0.001.
+
+This is the same comparison the driver runs at sf0.01 — running it in
+pytest at the smallest scale keeps the suite fast while catching
+semantic drift the moment an operator lands.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from qb_data_pipeline_backfill_spark import plans
+from qb_data_pipeline_backfill_spark.oracle import compare
+
+
+def _cases():
+    return [(q.name, q) for q in plans.REGISTRY.values()]
+
+
+@pytest.mark.parametrize("name,query", _cases(), ids=[n for n, _ in _cases()])
+def test_query_matches_oracle(spark, sf_dir, oracle_con, name, query):
+    df = query.spark(spark, sf_dir)
+    if query.oracle is None:
+        # rows-only contract: must run and produce a stable schema
+        assert df.columns, f"{name}: no columns"
+        assert df.count() >= 0
+        return
+    ok, detail = compare(df, oracle_con, query.oracle)
+    assert ok, f"{name}: {detail}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns
+
+
+def test_contract_shape():
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    unknown = set(oracles) - set(qs)
+    assert not unknown, f"oracle_sql has keys not in queries(): {unknown}"
