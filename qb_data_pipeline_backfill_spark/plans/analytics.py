@@ -7,9 +7,12 @@ each chosen so its physical plan is the scalable one (partial
 aggregation before shuffle, broadcast for small dims, single shuffle
 per window partition key).
 
-Float policy: every double aggregate is rounded identically on both
-engines (sums → 2dp, averages → 4dp) so partial-aggregation order
-cannot flip the value hash.
+Float policy: every SUM over a double is computed as an exact
+DECIMAL(18,6) sum on BOTH engines (partial-aggregation order can flip
+the 2nd decimal of a double sum near a .005 boundary), rounded to 2dp,
+and cast back to double; averages stay double rounded to 4dp. Every
+DuckDB integer SUM is CAST back to BIGINT (DuckDB widens to HUGEINT,
+which survives neither Arrow nor pandas conversion losslessly).
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from qb_data_pipeline_backfill_spark.functions import decimal_sum
 from qb_data_pipeline_backfill_spark.plans.registry import register
 from qb_data_pipeline_backfill_spark.tables import load_table
 
@@ -27,10 +31,10 @@ from qb_data_pipeline_backfill_spark.tables import load_table
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -48,10 +52,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.to_date("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            decimal_sum("l_quantity").alias("sum_qty"),
+            decimal_sum("l_extendedprice").alias("sum_base_price"),
+            decimal_sum(disc_price).alias("sum_disc_price"),
+            decimal_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -66,7 +70,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey,
            CAST(o.o_orderdate AS DATE) AS order_date,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -99,9 +103,9 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -115,7 +119,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -140,7 +144,7 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("region_name").alias("g_region"),
             F.grouping("nation_name").alias("g_nation"),
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            decimal_sum("c_acctbal").alias("sum_acctbal"),
         )
         .select(
             "region_name", "nation_name", "g_region", "g_nation",
@@ -207,11 +211,11 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_spend
+           ), 2) AS DOUBLE) AS running_spend
     FROM orders
     """,
     doc="Cumulative spend per customer (ordered ROWS frame).",
@@ -226,7 +230,9 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
     )
 
 
@@ -237,7 +243,7 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -253,7 +259,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        decimal_sum("value").alias("sum_value"),
     )
 
 
@@ -262,7 +268,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_windows_events",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -270,15 +276,15 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -287,10 +293,13 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # Both windows tie-break on event_id: ordering by ts alone makes
+    # session assignment nondeterministic whenever a user has two
+    # events at the same timestamp.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = e.withColumn(
@@ -306,5 +315,5 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        decimal_sum("value").alias("sum_value"),
     )

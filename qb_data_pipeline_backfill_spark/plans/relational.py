@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qb_data_pipeline_backfill_spark.functions import decimal_sum
 from qb_data_pipeline_backfill_spark.plans.registry import register
 from qb_data_pipeline_backfill_spark.tables import load_table
 
@@ -152,7 +153,7 @@ def dup_detection_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
            COUNT(*) FILTER (WHERE CAST(o_orderdate AS DATE) = DATE '1996-06-01') AS n_pivot_day,
-           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS sum_f_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS sum_f_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -167,8 +168,8 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(
             F.when(F.to_date("o_orderdate") == F.to_date(F.lit("1996-06-01")), 1)
         ).alias("n_pivot_day"),
-        F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+        decimal_sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
         ).alias("sum_f_price"),
     )
 
@@ -233,7 +234,7 @@ def date_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(NULLIF(event_type, 'view'),
                     SUBSTRING(CAST(ts AS VARCHAR), 1, 10)) AS filter_key,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -247,7 +248,7 @@ def coalesce_filter_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("filter_key")
     return e.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        decimal_sum("value").alias("sum_value"),
     )
 
 
@@ -261,7 +262,7 @@ def coalesce_filter_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) FILTER (WHERE json_valid(props)) AS valid_json,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -272,8 +273,12 @@ def coalesce_filter_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
-    # from_json returns null on corrupt input -> null-check == json_valid
-    valid = F.from_json("props", "map<string,string>").isNotNull()
+    # try_parse_json matches DuckDB json_valid for ALL JSON types —
+    # null only on malformed input. (from_json(map<..>) is NOT a
+    # validity proxy: it rejects valid non-object JSON like `[1]`.)
+    # The oracle's integer SUM is cast back to BIGINT: DuckDB widens
+    # SUM(BIGINT) to HUGEINT, which pandas/Arrow degrade lossily.
+    valid = F.try_parse_json("props").isNotNull()
     return e.groupBy("event_type").agg(
         F.count(F.when(valid, 1)).alias("valid_json"),
         F.sum(k).alias("sum_k"),
@@ -330,8 +335,11 @@ def semi_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_idempotence",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderstatus = 'P' AND o.o_custkey = c.c_custkey
+    )
     """,
     doc="Anti-join: batch keys minus already-loaded keys (op #21).",
 )
