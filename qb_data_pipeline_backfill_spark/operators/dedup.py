@@ -1,0 +1,298 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Generalizes the reference's keyed relational dedup
+(``drop_duplicates(subset=['id'])``,
+reference: data_exporters/save_to_raw_customers_py.py:20) to the
+content-level dedup a training-data pipeline runs over billions of
+documents. Design rules for the 100 TB posture:
+
+- **Never all-pairs.** Every fuzzy-dedup path generates candidates by
+  bucketing (LSH bands / SimHash chunks / shared n-grams) and only
+  compares within buckets. No cartesian products anywhere.
+- **Signatures are computed narrow.** MinHash/SimHash signatures are
+  per-row higher-order-function expressions (no explode, no shuffle);
+  the only shuffle is the bucket groupBy.
+- **Skew guard.** Pathological buckets (boilerplate shingles shared by
+  millions of docs) are capped by ``max_bucket`` — at 100 TB an
+  uncapped hot bucket turns one task into a quadratic straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators.text import (
+    normalize_text,
+    tokens,
+    word_ngrams,
+)
+
+
+# --------------------------------------------------------------------------
+# exact content dedup
+# --------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per normalized text content.
+
+    The shuffle key is a 256-bit content hash, not the text itself, so
+    at scale the exchange carries 32 bytes per row instead of the
+    document body. min_by keeps the winner in a single aggregate
+    (map-side partial, one shuffle).
+    """
+    key = F.sha2(normalize_text(text_col), 256).alias("content_key")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# character shingles + MinHash-LSH
+# --------------------------------------------------------------------------
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text."""
+    c = normalize_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``).
+
+    Hash family = xxhash64 seeded by the function index; the min over
+    the shingle set per seed approximates a random permutation. Pure
+    expression — evaluated inside the scan stage, no shuffle.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def _bucket_pairs(
+    with_sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    band_exprs: list[Column],
+    max_bucket: int,
+    est_fn,
+) -> DataFrame:
+    """Shared band→bucket→within-bucket-pairs plumbing.
+
+    ``band_exprs`` yields one (band_idx, band_hash) per band; docs
+    colliding in ANY band become candidate pairs. One shuffle on the
+    band hash; pairs are generated inside each bucket (bounded by
+    ``max_bucket``), then deduped across bands.
+    """
+    bands = with_sig.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(F.array(*band_exprs)).alias("band"),
+    ).select(id_col, sig_col, "band.band_idx", "band.band_hash")
+
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(sig_col).alias("s")))
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(members.alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("members"), i + F.lit(2), F.size(F.col("members"))
+                        ),
+                        lambda y: F.struct(
+                            x.getField("i").alias("doc_a"),
+                            y.getField("i").alias("doc_b"),
+                            est_fn(x.getField("s"), y.getField("s")).alias("est"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.est")
+    # The same pair can collide in several bands — keep one row.
+    return pairs.groupBy("doc_a", "doc_b").agg(F.first("est").alias("est"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    shingle → minhash → band → bucket-join, never all-pairs. With 16
+    bands × 4 rows the S-curve midpoint is ≈ (1/16)^(1/4) ≈ 0.5
+    Jaccard, so 0.7+ near-dups are caught with high probability.
+    ``est`` is the signature-agreement Jaccard estimate; pairs below
+    ``threshold`` are dropped after estimation.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(char_shingles(text_col, shingle_k), num_hashes)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), F.lit(b)
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+
+    def est_jaccard(sa: Column, sb: Column) -> Column:
+        eq = F.zip_with(sa, sb, lambda x, y: (x == y).cast("int"))
+        return F.round(
+            F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+            / F.lit(num_hashes),
+            4,
+        )
+
+    out = _bucket_pairs(with_sig, id_col, "sig", band_exprs, max_bucket, est_jaccard)
+    return out.filter(F.col("est") >= threshold).select(
+        "doc_a", "doc_b", F.col("est").alias("est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash_chunks(toks: Column, chunk_bits: int = 16, n_chunks: int = 4) -> Column:
+    """SimHash of the token multiset as ``n_chunks`` ints of
+    ``chunk_bits`` bits each (chunked so banding and Hamming distance
+    need no unsigned-64 gymnastics).
+
+    Classic construction: each token votes ±1 per bit position of its
+    64-bit hash; a simhash bit is 1 where the vote sum is positive.
+    """
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    chunks = []
+    for c in range(n_chunks):
+        bit_terms = []
+        for j in range(chunk_bits):
+            pos = c * chunk_bits + j
+            # Mask test; bit 63 is the sign bit (no unsigned 2^63
+            # literal exists in a signed long).
+            def bit_set(h, pos=pos):
+                return h < 0 if pos == 63 else h.bitwiseAND(F.lit(1 << pos)) != 0
+
+            vote = F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(bit_set(h), 1).otherwise(-1),
+            )
+            bit_terms.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        chunk = bit_terms[0]
+        for t in bit_terms[1:]:
+            chunk = chunk + t
+        chunks.append(chunk.cast("int"))
+    return F.array(*chunks)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: with 4 chunks, any pair within Hamming 3 must
+    agree on at least one whole chunk — bucket by (chunk_idx, chunk
+    value), compare within buckets only.
+    """
+    with_sig = df.select(
+        F.col(id_col), simhash_chunks(tokens(text_col)).alias("sig")
+    )
+    band_exprs = [
+        F.struct(
+            F.lit(c).alias("band_idx"),
+            F.get(F.col("sig"), c).cast("bigint").alias("band_hash"),
+        )
+        for c in range(4)
+    ]
+
+    def hamming(sa: Column, sb: Column) -> Column:
+        x = F.zip_with(sa, sb, lambda a, b: F.bit_count(a.bitwiseXOR(b)))
+        return F.aggregate(x, F.lit(0), lambda acc, v: acc + v).cast("double")
+
+    out = _bucket_pairs(with_sig, id_col, "sig", band_exprs, max_bucket, hamming)
+    return out.filter(F.col("est") <= max_hamming).select(
+        "doc_a", "doc_b", F.col("est").cast("int").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (index-join, SQL-expressible)
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for pairs sharing ≥ 1 gram.
+
+    An inverted-index self-join: explode distinct grams, join on the
+    gram, count shared grams per pair, Jaccard = shared/(|A|+|B|−shared).
+    Exact — and therefore quadratic in the worst case; at 100 TB run it
+    only on LSH candidates (``minhash_lsh_pairs``), not the full corpus.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

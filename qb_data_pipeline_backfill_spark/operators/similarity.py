@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query
+  set against the corpus, compute cosine with JVM-side higher-order
+  functions, rank per query. Linear in |corpus|×|queries|; the
+  correctness baseline and the right answer whenever the query set is
+  small enough to broadcast.
+- ``rp_lsh_ann_topk`` — random-hyperplane (SimHash-for-vectors) LSH:
+  bucket the corpus by sign-pattern signatures under deterministic
+  pseudo-random planes, probe only colliding buckets. The 100 TB path:
+  one shuffle on the bucket key, candidate set ≪ corpus.
+
+All vector math runs in double precision via zip_with/aggregate —
+no Python UDFs, no MLlib vector objects, no collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    The query side is broadcast (shuffle-free scan of the corpus);
+    ranking shuffles only (query_id, candidate) rows — at 100 TB the
+    scan dominates and parallelizes perfectly. Ties broken by
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    Deliberately quadratic — the oracle baseline. At scale, generate
+    candidates with ``rp_lsh_buckets`` first and verify only bucket
+    collisions (same shape as dedup.minhash_lsh_pairs).
+    """
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH (approximate, the scale path)
+# --------------------------------------------------------------------------
+def _plane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: md5-seeded uniform in
+    [-0.5, 0.5) per coordinate. Stable across runs and engines."""
+    return [
+        int(hashlib.md5(f"rp:{table}:{plane}:{d}".encode()).hexdigest()[:8], 16)
+        / 2**32
+        - 0.5
+        for d in range(dim)
+    ]
+
+
+def rp_signature(vec: Column, table: int, n_planes: int, dim: int) -> Column:
+    """Sign-pattern bucket id (0 .. 2^n_planes − 1) of a vector under
+    ``n_planes`` deterministic hyperplanes."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane(table, p, dim)])
+        sig = sig + F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def rp_lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-table
+    random-hyperplane LSH.
+
+    Corpus and queries are bucketed under the same planes; candidates
+    are bucket collisions in ANY table (union via explode), then
+    exact-cosine ranked. Recall is tunable with n_planes/n_tables;
+    misses are possible by construction. One shuffle on the bucket
+    key, one on query_id for ranking — never all-pairs.
+    """
+    def buckets(df: DataFrame, ident: str, vec_alias: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    rp_signature(F.col(vec_col), t, n_planes, dim).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(sigs).alias("sig"),
+        ).select(ident, vec_alias, "sig.table_id", "sig.bucket")
+
+    cb = buckets(corpus, "neighbor_id", "c_vec")
+    qb = buckets(queries, "query_id", "q_vec")
+    candidates = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,240 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+The reference pipeline stops at landing raw JSON (SURVEY.md §0); a
+100 TB training-data pipeline additionally needs per-document text
+statistics, n-gram/TF-IDF features, language identification, quality
+scoring, and content fingerprinting. All operators here are pure
+DataFrame expressions (JVM-side, whole-stage-codegen-friendly): token
+arrays are built with `split`/`transform`/`filter`/`aggregate` higher-
+order functions, so every per-document computation is narrow (no
+shuffle) and the only shuffles are the final aggregations the caller
+asks for (e.g. global n-gram counts).
+
+No Python UDFs anywhere — at 100 TB a row-at-a-time UDF on the token
+path would dominate the job cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny public stopword profiles (top function words per language) used
+# by the n-gram-free language-ID heuristic and the quality score.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+# the shape GPT-2-style tokenizers split on before byte-pair merging.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower → trim → collapse internal whitespace (the canonical form
+    every dedup/fingerprint operator keys on)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) from a token array.
+
+    Built with sequence+transform so it stays inside codegen; documents
+    shorter than ``n`` tokens yield an empty array.
+    """
+    return F.array_distinct(
+        F.when(F.size(toks) >= n,
+               F.transform(
+                   F.sequence(F.lit(0), F.size(toks) - n),
+                   lambda i: F.concat_ws(
+                       " ", *[F.get(toks, i + j) for j in range(n)]
+                   ),
+               ))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, mean
+    token length, BPE-ish token count. Narrow (no shuffle)."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.size(t),
+            4,
+        ).alias("avg_token_len"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+    )
+
+
+def ngram_topk(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Global top-k word n-grams by document frequency (distinct per
+    doc, so a gram repeated within one document counts once).
+
+    One shuffle (groupBy gram) with map-side partial counts; the top-k
+    is a TakeOrdered, not a global sort.
+    """
+    grams = df.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(k)
+    )
+
+
+def tfidf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, term) TF-IDF with the smooth formula
+    ``tf * (ln((1 + N) / (1 + df)) + 1)``.
+
+    Hand-rolled on DataFrames (no MLlib pipeline objects): term counts
+    explode once, document frequency is a groupBy over distinct
+    (doc, term), and N is a scalar broadcast join. Two shuffles total,
+    both on the term key.
+    """
+    term_counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = term_counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_total"))
+    return (
+        term_counts.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (F.log((1 + F.col("n_total")) / (1 + F.col("df"))) + 1)
+            ).alias("tfidf"),
+        )
+    )
+
+
+def language_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-profile language scores + argmax prediction.
+
+    score(lang) = fraction of tokens that are in that language's
+    stopword profile. Prediction = highest score, ties broken by
+    language code. Purely narrow column expressions.
+    """
+    t = tokens(text_col)
+    cols = [F.col(id_col)]
+    score_structs = []
+    for lang, profile in sorted(LANG_PROFILES.items()):
+        prof = F.array(*[F.lit(w) for w in profile])
+        hits = F.size(F.filter(t, lambda x: F.array_contains(prof, x)))
+        score = F.round(hits.cast("double") / F.size(t), 4)
+        cols.append(score.alias(f"score_{lang}"))
+        # negative score first => array_sort ranks best score, then
+        # alphabetical language for ties.
+        score_structs.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang")))
+    cols.append(
+        F.array_sort(F.array(*score_structs)).getItem(0).getField("lang").alias(
+            "predicted_lang"
+        )
+    )
+    return df.select(*cols)
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division of two non-negative integer columns.
+
+    floor(a / b) on a correctly-rounded double quotient equals true
+    integer division for operands < 2^53 — and unlike float ratios it
+    is bit-identical across engines.
+    """
+    return F.floor(a.cast("double") / b.cast("double")).cast("long")
+
+
+def quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document-quality components + composite score.
+
+    Components: token count, punctuation ratio, English-stopword
+    ratio — the standard cheap pre-filters a training-data pipeline
+    applies before expensive model scoring. Composite =
+    0.4·min(n_tokens/50, 1) + 0.3·(1 − punct_ratio)
+    + 0.3·min(5·stop_ratio, 1), in [0, 1].
+
+    All ratios are computed in integer BASIS POINTS (×10⁴, truncating
+    division) and divided by 10⁴ only at the end: float rounding of a
+    composite like 0.86875 sits exactly on the 4dp boundary and
+    engines disagree on which side the accumulated double lands —
+    integer arithmetic has no such boundary.
+    """
+    t = tokens(text_col)
+    raw = F.col(text_col)
+    n_tok = F.size(t)
+    bp = F.lit(10000)
+    punct_bp = _idiv(
+        F.length(F.regexp_replace(raw, r"[A-Za-z0-9\s]", "")) * bp,
+        F.greatest(F.length(raw), F.lit(1)),
+    )
+    prof = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_bp = _idiv(
+        F.size(F.filter(t, lambda x: F.array_contains(prof, x))) * bp,
+        F.greatest(n_tok, F.lit(1)),
+    )
+    tok_bp = F.least(n_tok * 200, bp)  # min(n_tokens/50, 1) in bp
+    quality_bp = _idiv(
+        4 * tok_bp + 3 * (bp - punct_bp) + 3 * F.least(5 * stop_bp, bp),
+        F.lit(10),
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (punct_bp / 10000.0).alias("punct_ratio"),
+        (stop_bp / 10000.0).alias("stopword_ratio"),
+        (quality_bp / 10000.0).alias("quality"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_words: int = 5
+) -> DataFrame:
+    """Content fingerprints: whole-document md5 plus a shingle
+    fingerprint (lexicographic min of per-shingle md5 hex digests —
+    a 1-hash MinHash, stable under local edits away from the minimum
+    shingle). Hex-string min avoids any engine-specific int casts, so
+    the same fingerprint is computable in ANSI SQL.
+    """
+    t = tokens(text_col)
+    grams = word_ngrams(t, shingle_words)
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_text(text_col)).alias("content_fp"),
+        F.array_min(F.transform(grams, F.md5)).alias("shingle_fp"),
+    )

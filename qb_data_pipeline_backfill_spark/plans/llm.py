@@ -1,0 +1,365 @@
+r"""LLM-training-data-pipeline queries: dedup, similarity, text, multimodal.
+
+The reference has no analog for these (SURVEY.md §2C); they are the
+operators a 100 TB training-data pipeline runs over its document and
+embedding corpora. Exact/SQL-expressible variants carry DuckDB oracles
+(full hash gate); LSH/SimHash/Arrow-UDF variants are rows-only (their
+hash families are engine-specific by design).
+
+Shared float policy: similarity scores and ratios are single
+double-precision divisions or 64-element fold sums — identical
+operation order on both engines — rounded to 4dp in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from qb_data_pipeline_backfill_spark.operators import dedup as D
+from qb_data_pipeline_backfill_spark.operators import multimodal as M
+from qb_data_pipeline_backfill_spark.operators import similarity as S
+from qb_data_pipeline_backfill_spark.operators import text as X
+from qb_data_pipeline_backfill_spark.plans.registry import register
+from qb_data_pipeline_backfill_spark.tables import load_table
+
+# DuckDB fragment: whitespace tokens of normalized text, as `ts`.
+_TOKS = r"""
+    SELECT doc_id, text,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+    FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_text",
+    oracle=r"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    )
+    GROUP BY norm
+    """,
+    doc="Exact content dedup: lowest doc_id per normalized text + copy count "
+    "(generalizes op #17 to content identity).",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (%s),
+    grams AS (
+        SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
+    """
+    % _TOKS,
+    doc="Exact word-trigram Jaccard near-dup pairs via inverted-index join "
+    "(never a cartesian product).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signature family is engine-specific → rows-only
+    doc="MinHash-LSH near-dup candidates: char-5-shingles → 64-hash signature "
+    "→ 16 banded buckets → within-bucket pairs (est. Jaccard ≥ 0.7).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based → rows-only
+    doc="SimHash near-dup pairs: 64-bit token-vote fingerprint, 4×16-bit "
+    "pigeonhole banding, Hamming distance ≤ 3.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS t(i))
+               / (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))
+                        FROM generate_series(1, 64) AS t(i)))
+                  * sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                          FROM generate_series(1, 64) AS t(i)))) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+    FROM pairs WHERE ROUND(cos, 4) >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs (exact baseline; quadratic by design "
+    "— the LSH path in similarity_ann_lsh is the 100 TB variant).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+@register(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               (SELECT SUM(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS t(i))
+               / (sqrt((SELECT SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))
+                        FROM generate_series(1, 64) AS t(i)))
+                  * sqrt((SELECT SUM(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))
+                          FROM generate_series(1, 64) AS t(i)))) AS cos
+        FROM q, c WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, rnk, ROUND(cos, 4) AS cos
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Exact brute-force cosine top-3 for 5 query vectors (broadcast "
+    "queries, shuffle-free corpus scan).",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate by construction → rows-only
+    doc="Approximate top-3 cosine neighbors via 4-table random-hyperplane "
+    "LSH (bucketed candidates, never all-pairs).",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.rp_lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=r"""
+    WITH toks AS (%s)
+    SELECT doc_id,
+           len(ts) AS n_tokens,
+           len(list_distinct(ts)) AS n_unique_tokens,
+           ROUND(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts), 4)
+               AS avg_token_len,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
+    FROM toks
+    """
+    % _TOKS,
+    doc="Per-document token statistics incl. BPE-ish pre-tokenizer count "
+    "(narrow, shuffle-free).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_ngram_topk",
+    oracle=r"""
+    WITH toks AS (%s),
+    grams AS (
+        SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS t(i)
+    )
+    SELECT gram, COUNT(*) AS n_docs
+    FROM grams GROUP BY gram
+    ORDER BY n_docs DESC, gram
+    LIMIT 20
+    """
+    % _TOKS,
+    doc="Global top-20 word bigrams by document frequency (one shuffle + "
+    "TakeOrdered).",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.ngram_topk(load_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=r"""
+    WITH toks AS (%s),
+    tc AS (
+        SELECT doc_id, t.term, COUNT(*) AS tf
+        FROM toks, LATERAL unnest(ts) AS t(term)
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents),
+    scored AS (
+        SELECT tc.doc_id, tc.term, tc.tf,
+               tc.tf * (ln((1.0 + n.n_total) / (1.0 + dfreq.df)) + 1) AS tfidf
+        FROM tc JOIN dfreq ON tc.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, rnk, ROUND(tfidf, 4) AS tfidf
+    FROM (
+        SELECT doc_id, term, tf, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    """
+    % _TOKS,
+    doc="Top-3 TF-IDF terms per document (smooth idf; hand-rolled on "
+    "DataFrames — broadcast df/N joins, shuffles only on the term key).",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = X.tfidf(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "rnk", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
+_Q_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+@register(
+    "text_quality_scores",
+    oracle=r"""
+    SELECT doc_id,
+           n_tokens,
+           punct_bp / 10000.0 AS punct_ratio,
+           stop_bp / 10000.0 AS stopword_ratio,
+           ((4 * least(n_tokens * 200, 10000)
+             + 3 * (10000 - punct_bp)
+             + 3 * least(5 * stop_bp, 10000)) // 10) / 10000.0 AS quality
+    FROM (
+        SELECT doc_id, len(ts) AS n_tokens,
+               (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 10000)
+                   // greatest(length(text), 1) AS punct_bp,
+               (len(list_filter(ts, t -> list_contains(%s, t))) * 10000)
+                   // greatest(len(ts), 1) AS stop_bp
+        FROM (%s)
+    )
+    """
+    % (_Q_STOPS, _TOKS),
+    doc="Heuristic quality pre-filter: token count, punctuation ratio, "
+    "stopword ratio, composite score in [0,1] — all ratios in integer "
+    "basis points so no float-rounding boundary can split the engines.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str, words: list[str]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"ROUND(CAST(len(list_filter(ts, t -> list_contains({arr}, t))) AS DOUBLE)"
+        f" / len(ts), 4) AS score_{lang}"
+    )
+
+
+@register(
+    "text_language_scores",
+    oracle=r"""
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM (
+        SELECT doc_id, %s
+        FROM (%s)
+    )
+    """
+    % (
+        ", ".join(
+            _lang_score_sql(lang, words)
+            for lang, words in sorted(X.LANG_PROFILES.items())
+        ),
+        _TOKS,
+    ),
+    doc="Stopword-profile language-ID scores + argmax prediction "
+    "(alphabetical tie-break). The synthetic corpus is English word-salad "
+    "regardless of its lang label, so this grades the scoring operator, "
+    "not label recovery.",
+)
+def text_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.language_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    WITH toks AS (%s)
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fp,
+           (SELECT MIN(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]))
+            FROM unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS t(i)) AS shingle_fp
+    FROM toks
+    """
+    % _TOKS,
+    doc="Content fingerprints: whole-document md5 + min-shingle-md5 "
+    "(a 1-hash MinHash, stable under local edits).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_byte_features",
+    oracle=None,  # Arrow mapInPandas path → rows-only
+    doc="Binary-column plumbing end-to-end: synthesize deterministic media "
+    "bytes + typed metadata, extract byte-level features via Arrow-batched "
+    "mapInPandas (the template every real decoder plugs into).",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return M.byte_features(media).orderBy("media_id")

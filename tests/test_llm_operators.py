@@ -1,0 +1,206 @@
+"""Unit tests for the LLM-pipeline operators: dedup, similarity, text,
+multimodal. Uses small constructed inputs so expected values are known
+in closed form; the synthetic-table oracle queries are covered by
+tests/test_queries_vs_oracle.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators import dedup as D
+from qb_data_pipeline_backfill_spark.operators import multimodal as M
+from qb_data_pipeline_backfill_spark.operators import similarity as S
+from qb_data_pipeline_backfill_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "  the QUICK brown   fox jumps over the lazy dog near the river bank today "),
+        (3, "The quick brown fox jumps over the lazy cat near the river bank today"),
+        (4, "completely different content about spark query engines and shuffles here"),
+        (5, "le chat est sur la table et le chien est dans le jardin pour la nuit"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+def test_exact_dedup_collapses_whitespace_and_case(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in D.exact_dedup(docs).collect()}
+    # docs 1 and 2 normalize to the same content → one survivor (min id)
+    assert out[1] == 2
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_lsh_finds_near_dup_and_skips_unrelated(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after normalize
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # one-word edit
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_minhash_lsh_plan_has_no_cartesian_product(docs):
+    plan = D.minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical normalized tokens
+    assert (1, 3) in pairs  # one-word edit stays within hamming 10
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: tokens a b c d → bigrams {ab, bc, cd}; doc2: a b c e → {ab, bc, ce}
+    # shared = 2, union = 4 → jaccard = 0.5
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    rows = D.ngram_jaccard_pairs(df, n=2, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["shared"], r["jaccard"]) == (1, 2, 2, 0.5)
+
+
+# --------------------------------------------------------------------------
+# similarity
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [1.0, 0.0, 0.0]),   # duplicate of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_ordering(vectors):
+    out = S.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [(r["rank"], r["neighbor_id"], r["cos"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == (1, 4, 1.0)       # exact duplicate first
+    assert ranked[1][1] == 1              # then the near vector
+    assert ranked[2] == (3, 2, 0.0)       # then orthogonal
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos"] for r in
+             S.embedding_near_dup_pairs(vectors, threshold=0.999).collect()}
+    assert pairs == {(0, 4): 1.0}
+
+
+def test_rp_lsh_finds_exact_duplicates(vectors):
+    out = S.rp_lsh_ann_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2, dim=3
+    ).collect()
+    # an identical vector has an identical signature in every table —
+    # it MUST collide and rank first.
+    best = min(out, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 4 and best["cos"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# text
+# --------------------------------------------------------------------------
+def test_token_stats_known_counts(spark):
+    df = spark.createDataFrame([(1, "Hello world, hello Spark 3!")], ["doc_id", "text"])
+    r = X.token_stats(df).collect()[0]
+    assert r["n_tokens"] == 5
+    # normalized tokens: hello world, hello spark 3! → "hello" repeats
+    assert r["n_unique_tokens"] == 4
+    # BPE-ish: Hello | world | , | hello | Spark | 3 | ! → 7
+    assert r["n_bpe_tokens"] == 7
+
+
+def test_language_scores_prefers_matching_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "le chien est dans le jardin et la maison est grande"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.language_scores(df).collect()}
+    assert out[1]["predicted_lang"] == "en"
+    assert out[2]["predicted_lang"] == "fr"
+    assert out[1]["score_en"] > out[1]["score_fr"]
+
+
+def test_quality_scores_bounds_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [(1, "the of and to in is it that for a " * 5), (2, "!!! ??? ***")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.quality_scores(df).collect()}
+    for r in out.values():
+        assert 0.0 <= r["quality"] <= 1.0
+    assert out[1]["quality"] > out[2]["quality"]
+    assert out[2]["punct_ratio"] > 0.5
+
+
+def test_fingerprints_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, " ALPHA  beta gamma delta epsilon zeta ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.fingerprints(df).collect()}
+    assert out[1]["content_fp"] == out[2]["content_fp"]
+    assert out[1]["shingle_fp"] == out[2]["shingle_fp"]
+    expected = hashlib.md5(b"alpha beta gamma delta epsilon zeta").hexdigest()
+    assert out[1]["content_fp"] == expected
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+def test_synthesize_media_schema_and_determinism(docs):
+    media = M.synthesize_media(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "media_type", "content", "meta",
+    ]
+    rows = {r["media_id"]: r for r in media.collect()}
+    text1 = docs.filter(F.col("doc_id") == 1).collect()[0]["text"]
+    expected = (
+        hashlib.md5(text1.encode()).digest()
+        + hashlib.md5(text1[::-1].encode()).digest()
+        + hashlib.md5(f"salt:{text1}".encode()).digest()
+    )
+    assert bytes(rows[1]["content"]) == expected
+    assert rows[1]["meta"]["n_bytes"] == 48
+    assert 1 <= rows[1]["meta"]["width"] <= 1920
+
+
+def test_byte_features_match_python(docs):
+    media = M.synthesize_media(docs)
+    feats = {r["media_id"]: r for r in M.byte_features(media).collect()}
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for mid, b in raw.items():
+        r = feats[mid]
+        assert r["n_bytes"] == len(b) == 48
+        assert r["byte_mean"] == round(sum(b) / len(b), 4)
+        hist = [0] * 16
+        for byte in b:
+            hist[byte * 16 // 256] += 1
+        assert list(r["byte_histogram"]) == hist
+
+
+def test_decode_media_is_explicit_stub(docs):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(M.synthesize_media(docs))
