@@ -51,6 +51,10 @@ def get_spark(
         # which vanilla Spark rejects; read it as long and convert in
         # tables.load_table (DuckDB truncates ns→us the same way).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (the qbo_rest source
+        # implements pushFilters); runtime-settable, also pinned at
+        # read time for driver-supplied sessions.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- Arrow for the Pandas-UDF slow paths ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
