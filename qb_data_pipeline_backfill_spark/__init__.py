@@ -6,17 +6,21 @@ Postgres batch ETL/backfill pipeline), re-expressed Spark-first:
 
 - the *raw envelope* ingestion core (validate → dedup → idempotent
   load) as declarative DataFrame transforms (``operators.ingest``,
-  ``operators.sink``),
+  ``operators.sink``), composed end-to-end by ``pipeline.run_backfill``
+  with a partition-pruned idempotence probe,
 - the reference's verification-SQL surface (counts, distinct counts,
   filtered aggregates, group-by-having, union-all reports) as
   Catalyst-planned queries (``plans.queries``),
-- a paginated/OAuth REST source as a Spark 4 Python DataSource
-  (``sources.rest``),
-- plus the LLM-data-pipeline operators a 100 TB training-data
-  pipeline needs: dedup (exact/MinHash-LSH/SimHash/n-gram-Jaccard),
-  similarity search, text analysis, and multimodal column plumbing
-  (``operators.dedup`` / ``operators.similarity`` /
-  ``operators.text`` / ``operators.multimodal``).
+- a paginated/OAuth REST source as a Spark 4 Python DataSource with
+  page partitions, 429 retry, and filter pushdown (``sources.rest``),
+  plus the CSV-over-HTTP template loader (``pipeline.load_csv_http``),
+- the LLM-data-pipeline operators a 100 TB training-data pipeline
+  needs: dedup (exact/MinHash-LSH/SimHash/n-gram-Jaccard), similarity
+  search (exact cosine top-k + random-hyperplane LSH), text analysis
+  (tokens/n-grams/TF-IDF/lang-ID/quality/fingerprints), and multimodal
+  binary-column plumbing (``operators.dedup`` /
+  ``operators.similarity`` / ``operators.text`` /
+  ``operators.multimodal``).
 
 Everything is built on the public PySpark 4 DataFrame/SQL API; no
 code is copied from the reference (which is a Mage-AI + pandas +

@@ -5,43 +5,74 @@ numeric columns, then per column: sort the non-null values, take
 ``sorted_vals[len // 2]`` (the UPPER median — NOT the interpolated
 median), and fill nulls with it.
 
-Two paths:
-- ``upper_median``: exact reference semantics via ORDER BY + OFFSET
-  (a global sort per column — fine for the template's use; at 100 TB
-  you would switch to ``approx_quantile``).
-- ``median_impute``: the full projection + fillna transform.
+Single-pass design: all columns are melted into (column_name, value)
+rows and ranked in ONE window job — one shuffle on the column-name key
+regardless of how many columns are imputed. The reference (and the
+naive port) runs a full sort per column; at 6 template columns that is
+12 jobs where this is 1. At 100 TB you would swap the exact rank for
+``approx_quantile`` — kept exact here because the reference's
+semantics (and the oracle) are exact.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
-def upper_median(df: DataFrame, col: str) -> float | None:
-    """sorted(non-null values)[n // 2], computed distributed.
+def upper_medians(df: DataFrame, cols: list[str]) -> dict[str, float | int]:
+    """All upper medians (``sorted(non-null)[n // 2]``) in one job.
 
-    ORDER BY + OFFSET(n//2) + LIMIT 1: Catalyst plans a global sort
-    but the limit keeps the driver-side result to one row.
+    Melt → per-column window rank → pick rank n//2+1. The collect is
+    one row per column (bounded, driver-safe).
     """
-    non_null = df.select(col).filter(F.col(col).isNotNull())
-    n = non_null.count()
-    if n == 0:
-        return None
-    row = non_null.orderBy(col).offset(n // 2).limit(1).collect()
-    return row[0][0]
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.col_name", "m.value").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("col_name").orderBy("value")
+    wn = Window.partitionBy("col_name")
+    picked = (
+        melted.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        .select("col_name", "value")
+        .collect()
+    )
+    # restore integral dtype where the source column was integral
+    return {
+        r["col_name"]: (
+            int(r["value"])
+            if isinstance(df.schema[r["col_name"]].dataType, _INTEGRAL)
+            else r["value"]
+        )
+        for r in picked
+    }
+
+
+def upper_median(df: DataFrame, col: str) -> float | int | None:
+    """Single-column upper median (same one-job path)."""
+    return upper_medians(df, [col]).get(col)
 
 
 def median_impute(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Project ``cols`` and fill each column's nulls with its upper median.
-
-    Matches the reference transform end-to-end (projection at
-    fill_in_missing_values.py:9-10, imputation at :13-18).
+    """Project ``cols`` and fill each column's nulls with its upper
+    median — the reference transform end-to-end (projection at
+    fill_in_missing_values.py:9-10, imputation at :13-18) with one
+    aggregation job instead of 2×len(cols).
     """
     out = df.select(*cols)
-    fill = {}
-    for c in cols:
-        m = upper_median(out, c)
-        if m is not None:
-            fill[c] = m
-    return out.na.fill(fill)
+    return out.na.fill(upper_medians(out, cols))

@@ -8,11 +8,14 @@ and — a bug we deliberately do NOT replicate — blind-appends the whole
 batch on any error (:63-65), risking duplicates.
 
 The Spark-native shape is a LEFT ANTI join against the target's key
-projection followed by an append. The anti-join broadcasts whichever
-side is small (AQE decides at runtime); the target scan reads only the
-key column (column pruning) and only the partitions the batch's
-ingest-date range touches. This scales where the reference's
-driver-side IN-list (bounded by SQL statement size) cannot.
+projection followed by an append. At 100 TB the decisive design point
+is the PROBE, not the join: an unpartitioned target makes the
+existing-key scan grow with the table's full history. ``partition_col``
+fixes that — the analog of the reference's B-tree index on
+``ingested_at_utc`` (init_qb_schema.sql:36-38): the target is laid out
+by (e.g.) ingest date, the batch's own partition values are collected
+(bounded — a backfill window touches a handful of dates), and the
+probe reads ONLY those directories via partition pruning.
 
 True transactional exactly-once needs a table format with atomic
 commits (Delta/Iceberg `MERGE INTO`) — not available in this image, so
@@ -21,7 +24,7 @@ commits (Delta/Iceberg `MERGE INTO`) — not available in this image, so
 
 from __future__ import annotations
 
-import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,19 +41,32 @@ def write_idempotent(
     batch: DataFrame,
     target_path: str,
     key: str = "id",
-    partition_by: list[str] | None = None,
+    partition_col: str | None = None,
 ) -> int:
     """Append only not-yet-loaded rows to a Parquet target; returns the
     number of rows written.
 
     Implements the reference's idempotent-load contract (ops #20-#23):
-    re-running the same batch inserts 0 rows. Single-writer discipline:
-    concurrent writers can still race between the anti-join read and
-    the append (the reference has the same race); a transactional
-    format (Delta MERGE) is the at-scale answer.
+    re-running the same batch inserts 0 rows.
+
+    With ``partition_col`` the target is written partitioned by that
+    column AND the existing-key probe is restricted to the partitions
+    the batch actually touches (op #40) — the probe cost is bounded by
+    the batch's window, not the target's lifetime size. Single-writer
+    discipline: concurrent writers can still race between the
+    anti-join read and the append (the reference has the same race); a
+    transactional format (Delta MERGE) is the at-scale answer.
     """
     if _target_exists(spark, target_path):
-        existing = spark.read.parquet(target_path).select(key)
+        if partition_col:
+            # Bounded collect: a backfill batch spans few partition
+            # values (window dates).
+            values = [
+                r[0] for r in batch.select(partition_col).distinct().collect()
+            ]
+        else:
+            values = None
+        existing = existing_keys_probe(spark, target_path, key, partition_col, values)
         batch = new_rows_only(batch, existing, key)
     # Materialize once: we both count and write. At scale you would
     # skip the count (or read the committed files' row count) — kept
@@ -60,12 +76,40 @@ def write_idempotent(
         n = batch.count()
         if n > 0:
             writer = batch.write.mode("append")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
             writer.parquet(target_path)
         return n
     finally:
         batch.unpersist()
+
+
+def existing_keys_probe(
+    spark: SparkSession,
+    target_path: str,
+    key: str,
+    partition_col: str | None = None,
+    values: list | None = None,
+) -> DataFrame:
+    """Key projection of the target, partition-pruned to ``values`` of
+    ``partition_col`` when given — the probe reads only the directories
+    the batch's window touches (verify with ``.inputFiles()``)."""
+    existing = spark.read.parquet(target_path)
+    if partition_col and values is not None:
+        existing = existing.filter(F.col(partition_col).isin(values))
+    return existing.select(key)
+
+
+_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _check_identifier(name: str, what: str) -> str:
+    """SQL-identifier allowlist for values interpolated into the JDBC
+    probe query (``schema.table`` / column). Raises on anything else —
+    these come from pipeline config, but defense-in-depth is free."""
+    if not _IDENTIFIER_RE.match(name):
+        raise ValueError(f"invalid SQL identifier for {what}: {name!r}")
+    return name
 
 
 def write_jdbc_idempotent(
@@ -75,38 +119,82 @@ def write_jdbc_idempotent(
     table: str,
     key: str = "id",
     properties: dict[str, str] | None = None,
-) -> None:
+    probe_partitions: tuple[str, int] | None = None,
+    _read_existing=None,
+    _append=None,
+) -> int:
     """JDBC variant of the idempotent append (reference's actual sink:
-    Postgres ``raw.*`` via io_config.yaml:84-91).
+    Postgres ``raw.*`` via io_config.yaml:84-91); returns rows written.
 
     The existing-key probe pushes a key-only projection down to the
-    database (Spark JDBC source prunes columns server-side). No JDBC
-    database ships in this container, so this is exercised only when a
-    reachable ``url`` is configured.
+    database. ``probe_partitions=(partition_column, n)`` splits the
+    probe read across ``n`` parallel JDBC partitions (the reference
+    reads the whole key set over one connection — unbounded at scale).
+
+    ``_read_existing``/``_append`` are injection seams so the logic is
+    unit-testable without a database; by default they run real JDBC.
     """
+    _check_identifier(table, "table")
+    _check_identifier(key, "key column")
     props = {"driver": "org.postgresql.Driver", **(properties or {})}
-    existing = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", f"(SELECT {key} FROM {table}) AS existing_keys")
-        .options(**props)
-        .load()
-    )
-    new_rows = new_rows_only(batch, existing, key)
-    (
-        new_rows.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .options(**props)
-        .mode("append")
-        .save()
-    )
+
+    def default_read_existing() -> DataFrame:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", f"(SELECT {key} FROM {table}) AS existing_keys")
+            .options(**props)
+        )
+        if probe_partitions:
+            part_col, n = probe_partitions
+            _check_identifier(part_col, "probe partition column")
+            bounds = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option(
+                    "dbtable",
+                    f"(SELECT MIN({part_col}) lo, MAX({part_col}) hi FROM {table}) b",
+                )
+                .options(**props)
+                .load()
+                .collect()[0]
+            )
+            if bounds["lo"] is not None:
+                reader = (
+                    reader.option("partitionColumn", part_col)
+                    .option("lowerBound", str(bounds["lo"]))
+                    .option("upperBound", str(bounds["hi"]))
+                    .option("numPartitions", str(n))
+                )
+        return reader.load()
+
+    def default_append(df: DataFrame) -> None:
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .options(**props)
+            .mode("append")
+            .save()
+        )
+
+    existing = (_read_existing or default_read_existing)()
+    new_rows = new_rows_only(batch, existing, key).persist()
+    try:
+        n = new_rows.count()
+        if n > 0:
+            (_append or default_append)(new_rows)
+        return n
+    finally:
+        new_rows.unpersist()
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:
-    # Local-fs fast path; falls back to Hadoop FS for cluster URIs.
-    if "://" not in path:
-        return os.path.exists(path)
+    """Existence check through the Hadoop FileSystem of the path —
+    scheme-less paths resolve against fs.defaultFS exactly as the
+    write will, so the probe and the append always agree on the
+    filesystem (a driver-local os.path check would not, on a cluster
+    whose defaultFS is HDFS/S3)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
