@@ -68,17 +68,47 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _mix_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pair per hash function for the universal
+    family ``(a·h + b) mod p``, md5-derived (stable across runs).
+    Operands stay < 2^31 so the mix never overflows a signed long
+    under ANSI arithmetic."""
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        h = hashlib.md5(f"minhash:{j}".encode()).hexdigest()
+        a = int(h[:8], 16) % (_MERSENNE_P - 1) + 1  # 1 .. p-1
+        b = int(h[8:16], 16) % _MERSENNE_P  # 0 .. p-1
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature (array<bigint>, length ``num_hashes``).
 
-    Hash family = xxhash64 seeded by the function index; the min over
-    the shingle set per seed approximates a random permutation. Pure
+    Each shingle is xxhash64'd once per evaluation; the k-function
+    family is the universal mix ``(a_j·h + b_j) mod (2³¹−1)`` — k
+    multiply-adds per shingle instead of k full string hashes. Pure
     expression — evaluated inside the scan stage, no shuffle.
+    (``minhash_lsh_pairs`` uses the aggregate form instead, which
+    shares the base hash across all k functions.)
     """
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-            for j in range(num_hashes)
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h, a=a, b=b: F.pmod(
+                        h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)
+                    ),
+                )
+            )
+            for (a, b) in _mix_constants(num_hashes)
         ]
     )
 
@@ -154,8 +184,26 @@ def minhash_lsh_pairs(
     ``threshold`` are dropped after estimation.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(char_shingles(text_col, shingle_k), num_hashes)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    # Hash each shingle ONCE (explode → xxhash64), then take the k
+    # affine-mix minima as 64 map-side-combined aggregates — Catalyst's
+    # projection collapse would re-evaluate a per-row expression form
+    # k times, so the agg form is the one that actually shares the
+    # base hash. One shuffle of 64 longs per doc.
+    shingled = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("s")
+    ).select(F.col(id_col), F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
+    mins = shingled.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+            ).alias(f"_m{j}")
+            for j, (a, b) in enumerate(_mix_constants(num_hashes))
+        ]
+    )
+    with_sig = mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+    )
     band_exprs = [
         F.struct(
             F.lit(b).alias("band_idx"),

@@ -62,11 +62,18 @@ def cosine_topk(
     scan dominates and parallelizes perfectly. Ties broken by
     neighbor id.
     """
+    # Norms are computed ONCE per row on each side (a narrow
+    # projection) instead of per candidate pair — same doubles, 3×
+    # less fold work in the pair loop.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -74,7 +81,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -94,18 +104,30 @@ def embedding_near_dup_pairs(
     """Exact embedding-cosine near-duplicate pairs (cos ≥ threshold).
 
     Deliberately quadratic — the oracle baseline. At scale, generate
-    candidates with ``rp_lsh_buckets`` first and verify only bucket
-    collisions (same shape as dedup.minhash_lsh_pairs).
+    candidates with ``rp_signature`` buckets first and verify only
+    bucket collisions (same shape as dedup.minhash_lsh_pairs). Norms
+    are precomputed per side so the pair loop folds one dot product,
+    not three.
     """
-    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -32,6 +32,29 @@ _TOKS = r"""
 """
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count.
+
+    The synthetic corpus tables are single parquet files, so the scan
+    yields ONE input partition and every per-row expression (shingling,
+    hashing, vector math) runs single-threaded; the broadcast
+    nested-loop join inherits the same parallelism. One cheap shuffle
+    of the (small) corpus buys full-core parallelism. On a real
+    cluster the input already has thousands of splits and the ingest
+    layout (not this helper) sets parallelism — this matches the
+    local/bench topology.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, load_table(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -50,7 +73,7 @@ _TOKS = r"""
     "(generalizes op #17 to content identity).",
 )
 def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+    return D.exact_dedup(_docs(spark, sf_dir))
 
 
 @register(
@@ -80,7 +103,7 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+        _docs(spark, sf_dir), n=3, threshold=0.8
     )
 
 
@@ -92,7 +115,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.7
+        _docs(spark, sf_dir), threshold=0.7
     ).orderBy("doc_a", "doc_b")
 
 
@@ -104,7 +127,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=3
+        _docs(spark, sf_dir), max_hamming=3
     ).orderBy("doc_a", "doc_b")
 
 
@@ -130,7 +153,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+        _embs(spark, sf_dir), threshold=0.45
     )
 
 
@@ -164,7 +187,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "queries, shuffle-free corpus scan).",
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
     return out.withColumnRenamed("rank", "rnk")
 
@@ -176,7 +199,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH (bucketed candidates, never all-pairs).",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return S.rp_lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).orderBy(
         "query_id", "rank"
     )
@@ -202,7 +225,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(narrow, shuffle-free).",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.token_stats(load_table(spark, sf_dir, "documents"))
+    return X.token_stats(_docs(spark, sf_dir))
 
 
 @register(
@@ -223,7 +246,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrdered).",
 )
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.ngram_topk(load_table(spark, sf_dir, "documents"), n=2, k=20)
+    return X.ngram_topk(_docs(spark, sf_dir), n=2, k=20)
 
 
 @register(
@@ -255,7 +278,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DataFrames — broadcast df/N joins, shuffles only on the term key).",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = X.tfidf(load_table(spark, sf_dir, "documents"))
+    scored = X.tfidf(_docs(spark, sf_dir))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -292,7 +315,7 @@ _Q_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
     "basis points so no float-rounding boundary can split the engines.",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.quality_scores(load_table(spark, sf_dir, "documents"))
+    return X.quality_scores(_docs(spark, sf_dir))
 
 
 def _lang_score_sql(lang: str, words: list[str]) -> str:
@@ -329,7 +352,7 @@ def _lang_score_sql(lang: str, words: list[str]) -> str:
     "not label recovery.",
 )
 def text_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.language_scores(load_table(spark, sf_dir, "documents"))
+    return X.language_scores(_docs(spark, sf_dir))
 
 
 @register(
@@ -347,7 +370,7 @@ def text_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a 1-hash MinHash, stable under local edits).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.fingerprints(load_table(spark, sf_dir, "documents"))
+    return X.fingerprints(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -361,5 +384,5 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInPandas (the template every real decoder plugs into).",
 )
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = M.synthesize_media(load_table(spark, sf_dir, "documents"))
+    media = M.synthesize_media(_docs(spark, sf_dir))
     return M.byte_features(media).orderBy("media_id")

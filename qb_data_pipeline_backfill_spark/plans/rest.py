@@ -33,6 +33,7 @@ def _scan(spark: SparkSession, sf_dir: str, **extra) -> DataFrame:
         entity="Customer",
         page_size="100",
         page_pause_s="0.0",
+        pages_per_partition="8",
         **extra,
     )
     return df.select(

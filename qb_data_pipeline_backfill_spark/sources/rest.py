@@ -123,7 +123,8 @@ class OAuth2TokenClient:
 
 @dataclass
 class _Page(InputPartition):
-    page_number: int  # 1-based; -1 = sequential fallback (all pages)
+    page_number: int  # 1-based first page; -1 = sequential fallback (all pages)
+    n_pages: int = 1  # contiguous pages this partition fetches serially
 
 
 class _QboRestReader(DataSourceReader):
@@ -141,6 +142,9 @@ class _QboRestReader(DataSourceReader):
         self.use_count_pushdown = (
             options.get("count_pushdown", "true").lower() == "true"
         )
+        # Pages grouped per input partition: amortizes per-task (and
+        # Python-worker) overhead while keeping pages the pacing unit.
+        self.pages_per_partition = int(options.get("pages_per_partition", "1"))
         self.where: str | None = options.get("where")
         client_id = options.get("client_id", "")
         client_secret = options.get("client_secret", "")
@@ -237,7 +241,11 @@ class _QboRestReader(DataSourceReader):
                 data = self._get(self._query_url(self._entity_query("COUNT(*)")))
                 total = data["QueryResponse"]["totalCount"]
                 n_pages = max((total + self.page_size - 1) // self.page_size, 1)
-                return [_Page(p) for p in range(1, n_pages + 1)]
+                step = max(self.pages_per_partition, 1)
+                return [
+                    _Page(p, min(step, n_pages - p + 1))
+                    for p in range(1, n_pages + 1, step)
+                ]
             except (urllib.error.HTTPError, KeyError):
                 pass  # remote dialect lacks COUNT → sequential fallback
         return [_Page(-1)]
@@ -254,8 +262,11 @@ class _QboRestReader(DataSourceReader):
                 )
 
         if partition.page_number > 0:
-            time.sleep(self.page_pause_s)
-            yield from rows(partition.page_number, self._fetch_page(partition.page_number))
+            for p in range(
+                partition.page_number, partition.page_number + partition.n_pages
+            ):
+                time.sleep(self.page_pause_s)
+                yield from rows(p, self._fetch_page(p))
             return
         # Sequential fallback: page until empty or short page (op #5).
         page = 1
