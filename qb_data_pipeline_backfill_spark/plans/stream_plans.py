@@ -1,0 +1,91 @@
+"""Streaming plans registered in the correctness gate.
+
+Each query builds a STREAMING plan over the bounded events source,
+executes it with Trigger.AvailableNow into a memory sink, and returns
+the materialized result — so the driver hash-compares actual
+Structured Streaming execution (watermarks, state store, session
+merge) against the same DuckDB oracles as the batch twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qb_data_pipeline_backfill_spark.plans.registry import register
+from qb_data_pipeline_backfill_spark.streaming import (
+    events_stream,
+    run_available_now,
+    session_aggregates,
+    stateful_user_counts,
+    tumbling_counts,
+)
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hourly tumbling window with watermark, executed through the "
+    "Structured Streaming engine (AvailableNow) — same oracle as the "
+    "batch twin tumbling_window_events.",
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(tumbling_counts(events_stream(spark, sf_dir)))
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Native session_window sessionization (30-min gap) through the "
+    "streaming engine's session-merge state store; oracle is the "
+    "gaps-and-islands CTE (identical semantics for gap > 30min).",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(session_aggregates(events_stream(spark, sf_dir)))
+
+
+@register(
+    "streaming_stateful_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState): per-user "
+    "running accumulator in integer cents (order-insensitive); with a "
+    "single AvailableNow micro-batch the final update per user equals "
+    "the batch aggregate.",
+)
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        stateful_user_counts(events_stream(spark, sf_dir)), output_mode="update"
+    )

@@ -1,0 +1,18 @@
+"""Structured Streaming surface: streaming twins of the windowed
+analytics plus a custom stateful operator."""
+
+from qb_data_pipeline_backfill_spark.streaming.jobs import (
+    events_stream,
+    run_available_now,
+    session_aggregates,
+    stateful_user_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "events_stream",
+    "run_available_now",
+    "session_aggregates",
+    "stateful_user_counts",
+    "tumbling_counts",
+]

@@ -1,0 +1,155 @@
+"""Structured Streaming jobs over the events table.
+
+The reference is batch-only (SURVEY.md §2C: no streaming, watermarks,
+or stateful ops) — this module is the engine's incremental path: the
+same windowed aggregations the batch plans answer, expressed as
+streaming plans with watermarks, so continuous ingest gets them for
+free. Each job is a *plan builder* over any streaming DataFrame;
+``run_available_now`` executes one against bounded input (the file
+source) and returns the materialized result — which is how the
+driver's correctness gate hash-checks the STREAMING plans against the
+same DuckDB oracles as their batch twins.
+
+Custom stateful operator: ``stateful_user_counts`` shows the
+``applyInPandasWithState`` template (Arrow-batched per-key state) that
+any bespoke accumulator (fraud counters, CDC merge, feature windows)
+plugs into.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_counter_lock = threading.Lock()
+_counter = 0
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table.
+
+    Same session pinning as tables.load_table (UTC + nanos-as-long for
+    the TIMESTAMP(NANOS) parquet column), with the ns→µs normalization
+    applied to the stream; a real deployment points this at a landing
+    directory that grows, and every job below runs unchanged.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch ``tumbling_window_events`` plan:
+    1-hour tumbling windows with a late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native ``session_window`` sessionization (30-minute inactivity
+    gap) — the streaming-first form of the batch gaps-and-islands plan
+    in plans/analytics.py:session_windows_events."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def stateful_user_counts(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, value-sum) accumulator emitting one update
+    per user per micro-batch. Arrow-batched per key group — the
+    template for bespoke streaming state the built-in aggregates can't
+    express."""
+    import pandas as pd  # noqa: F401 (executor-side)
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        # Accumulate 2dp currency values as integer cents: addition
+        # order (pandas pairwise vs sequential) can flip the last
+        # digit of a float sum; integer accumulation cannot.
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+        )
+
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
+def run_available_now(
+    result: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan against its bounded source with
+    Trigger.AvailableNow into a memory sink; block until done and
+    return the materialized table."""
+    global _counter
+    with _counter_lock:
+        _counter += 1
+        name = f"stream_result_{_counter}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

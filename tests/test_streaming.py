@@ -1,0 +1,124 @@
+"""Structured Streaming tests: the streaming plans must agree with
+their batch twins on bounded input, and the custom stateful operator
+must carry state across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.streaming import (
+    events_stream,
+    run_available_now,
+    session_aggregates,
+    stateful_user_counts,
+    tumbling_counts,
+)
+from qb_data_pipeline_backfill_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_source_is_streaming(spark):
+    assert events_stream(spark, SF).isStreaming
+
+
+def test_tumbling_matches_batch(spark):
+    got = run_available_now(tumbling_counts(events_stream(spark, SF)))
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert _rowset(got) == _rowset(batch)
+
+
+def test_session_window_matches_islands(spark):
+    got = run_available_now(session_aggregates(events_stream(spark, SF)))
+    # batch gaps-and-islands twin (same shape as plans/analytics.py)
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"), 1
+            )
+            .when(F.lag("ts").over(w).isNull(), 1)
+            .otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .drop("sid")
+    )
+    assert _rowset(got) == _rowset(batch)
+
+
+def test_stateful_counts_match_batch_aggregate(spark):
+    got = run_available_now(
+        stateful_user_counts(events_stream(spark, SF)), output_mode="update"
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    assert _rowset(got) == _rowset(batch)
+
+
+def test_stateful_state_carries_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1 over two files): the
+    second batch's updates must include the first batch's counts."""
+    src = str(tmp_path / "stream_src")
+    e = load_table(spark, SF, "events").select("user_id", "value", "event_id")
+    # split so (almost) every user appears in BOTH files — state from
+    # batch 1 must be read back when batch 2 updates the same user
+    e.filter(F.col("event_id") % 2 == 0).write.parquet(src + "/f1.parquet")
+    e.filter(F.col("event_id") % 2 == 1).write.parquet(src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema(e.drop("event_id").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    got = run_available_now(stateful_user_counts(stream), output_mode="update")
+    # update mode emits one running-total row per user per batch; the
+    # count is monotone, so the max-n row per user is the final state.
+    final = {}
+    for r in got.collect():
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    batch = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert final == batch
