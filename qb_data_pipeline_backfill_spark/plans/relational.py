@@ -119,6 +119,48 @@ def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- op #31 at 100 TB: approx_count_distinct with tolerance gate -----------
+# SURVEY §7 risk register: exact COUNT(DISTINCT) is the correctness
+# gate, but at 100 TB the engine offers the HLL++ sketch instead (one
+# pass, constant memory, no dedup shuffle). The two engines' sketches
+# differ, so the gate checks the TOLERANCE CONTRACT — the estimate
+# must be within 5% of exact — which is oracle-expressible.
+@register(
+    "approx_distinct_report",
+    oracle="""
+    SELECT 'customer' AS table_name, COUNT(DISTINCT c_custkey) AS exact_distinct,
+           TRUE AS approx_within_5pct FROM customer
+    UNION ALL
+    SELECT 'orders', COUNT(DISTINCT o_orderkey), TRUE FROM orders
+    UNION ALL
+    SELECT 'part', COUNT(DISTINCT p_partkey), TRUE FROM part
+    UNION ALL
+    SELECT 'supplier', COUNT(DISTINCT s_suppkey), TRUE FROM supplier
+    """,
+    doc="approx_count_distinct (HLL++) alongside exact COUNT(DISTINCT): the "
+    "hash gate verifies the sketch honors its 5% tolerance contract.",
+)
+def approx_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for name, key in _KEYED.items():
+        t = load_table(spark, sf_dir, name)
+        exact = F.countDistinct(F.col(key))
+        approx = F.approx_count_distinct(key, rsd=0.02)
+        parts.append(
+            t.agg(
+                F.lit(name).alias("table_name"),
+                exact.alias("exact_distinct"),
+                (
+                    F.abs(approx - exact) / F.greatest(exact, F.lit(1)) <= 0.05
+                ).alias("approx_within_5pct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --- op #33: GROUP BY … HAVING COUNT(*) > 1 (duplicate detection) ----------
 # Reference: README.md:180-187. lineitem has multiple lines per order, so
 # the HAVING path actually returns rows here.

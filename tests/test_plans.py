@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the properties that make the
+headline queries scale (pushdown, pruning, broadcast, map-side partial
+aggregation) must survive refactors. A query that silently loses its
+pushed filter still passes the value gate — these tests catch the
+plan, not the answer."""
+
+from __future__ import annotations
+
+import pytest
+
+from qb_data_pipeline_backfill_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = plans.REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_date_filter_reaches_parquet_scan(spark):
+    plan = _plan(spark, "date_window_filter")
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan and "o_orderdate" in scan[0]
+    # the BETWEEN bounds are evaluated at the scan, not post-scan
+    assert "DataFilters: [isnotnull(o_orderdate" in scan[0]
+
+
+def test_pricing_summary_prunes_columns_and_partials(spark):
+    plan = _plan(spark, "pricing_summary")
+    # column pruning: comment/name columns never leave the reader
+    assert "l_comment" not in plan
+    # partial aggregation before the single exchange
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_revenue_orders_broadcasts_filtered_dim(spark):
+    plan = _plan(spark, "top_revenue_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the segment filter runs at the customer scan, pre-broadcast
+    scan = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "c_mktsegment" in ln
+    ]
+    assert scan and "BUILDING" in scan[0]
+
+
+def test_fuzzy_dedup_paths_have_no_cartesian_product(spark):
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ann_lsh_has_no_cartesian_product(spark):
+    plan = _plan(spark, "similarity_ann_lsh")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["semi_join_probe", "anti_join_idempotence"])
+def test_probe_joins_are_hash_joins(spark, name):
+    plan = _plan(spark, name)
+    assert "Join" in plan and "CartesianProduct" not in plan
