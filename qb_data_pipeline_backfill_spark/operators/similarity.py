@@ -157,6 +157,54 @@ def rp_signature(vec: Column, table: int, n_planes: int, dim: int) -> Column:
     return sig.cast("int")
 
 
+def rp_lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane buckets — the
+    100 TB path for ``embedding_near_dup_pairs``: candidate pairs are
+    bucket collisions (any table), verified with exact cosine. Linear
+    bucketing + within-bucket pairs; recall < 1 by construction
+    (P[collision] = (1 − θ/π)^n_planes per table for angle θ)."""
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                rp_signature(F.col(vec_col), t, n_planes, dim).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.explode(sigs).alias("sig"),
+    ).select("vid", "vec", "nrm", "sig.table_id", "sig.bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return pairs.filter(F.col("cos") >= threshold).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cos")
+    )
+
+
 def rp_lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -193,6 +193,19 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_lsh",
+    oracle=None,  # approximate recall by construction → rows-only
+    doc="Embedding near-dup via random-hyperplane LSH buckets — the "
+    "100 TB path of dedup_embedding_cosine: linear bucketing, exact "
+    "cosine only on bucket collisions.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.rp_lsh_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.45
+    ).orderBy("vec_a", "vec_b")
+
+
+@register(
     "similarity_ann_lsh",
     oracle=None,  # approximate by construction → rows-only
     doc="Approximate top-3 cosine neighbors via 4-table random-hyperplane "
@@ -385,4 +398,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(_docs(spark, sf_dir))
-    return M.byte_features(media).orderBy("media_id")
+    return M.byte_features(media)
+
+
+# --------------------------------------------------------------------------
+# composite curation pipeline
+# --------------------------------------------------------------------------
+_CURATION_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+@register(
+    "corpus_curation",
+    oracle=r"""
+    WITH toks AS (%s),
+    q AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+               len(ts) AS n_tokens,
+               (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 10000)
+                   // greatest(length(text), 1) AS punct_bp,
+               (len(list_filter(ts, t -> list_contains(%s, t))) * 10000)
+                   // greatest(len(ts), 1) AS stop_bp
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, norm,
+               ((4 * least(n_tokens * 200, 10000)
+                 + 3 * (10000 - punct_bp)
+                 + 3 * least(5 * stop_bp, 10000)) // 10) / 10000.0 AS quality
+        FROM q
+    ),
+    good AS (SELECT * FROM scored WHERE quality >= 0.7),
+    kept AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM good GROUP BY norm)
+    SELECT k.doc_id, k.n_copies, g.quality, d.lang
+    FROM kept k
+    JOIN good g ON g.doc_id = k.doc_id
+    JOIN documents d ON d.doc_id = k.doc_id
+    """
+    % (_TOKS, _CURATION_STOPS),
+    doc="Composite curation pipeline: quality pre-filter (≥ 0.7) → exact "
+    "content dedup → surviving corpus with provenance — the batch shape "
+    "of a training-data cleaning job, fully oracle-checked. (Fuzzy "
+    "stages chain the same way via dedup_minhash_lsh.)",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    quality = X.quality_scores(docs).select("doc_id", "quality")
+    good = docs.join(quality.filter(F.col("quality") >= 0.7), "doc_id")
+    kept = D.exact_dedup(good)  # doc_id (min per content), n_copies
+    return (
+        kept.join(quality, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "n_copies", "quality", "lang")
+    )
