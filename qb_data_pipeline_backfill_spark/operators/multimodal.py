@@ -111,6 +111,46 @@ def byte_features(media: DataFrame, n_buckets: int = 16) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 16, every_nth: int = 2
+) -> DataFrame:
+    """Deterministic frame sampling over a video-like binary payload.
+
+    The payload is treated as concatenated fixed-size frames (real
+    codecs expose the same iterator shape through their demuxer); every
+    ``every_nth`` frame is emitted as its own row. One input row fans
+    out to ceil(n_frames / every_nth) output rows inside the Arrow
+    batch — the exact fan-out pattern a real ffmpeg-backed sampler
+    plugs into, with no codec required.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                for idx in range(0, len(b) // frame_bytes, every_nth):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "frame": b[idx * frame_bytes : (idx + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def decode_media(media: DataFrame, target_width: int = 224, target_height: int = 224) -> DataFrame:
     """Decode + resize the binary payload into pixel arrays.
 

@@ -134,6 +134,108 @@ def embedding_near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization + cell probing
+# --------------------------------------------------------------------------
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine) —
+    the IVF coarse quantizer. Centroids are broadcast; assignment is a
+    narrow argmax per row, so building the inverted file is one linear
+    pass + one small shuffle if the caller repartitions by cell."""
+    cents = centroids.select(
+        F.col("centroid_id"), F.col("c_vec"), F.col("c_norm")
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("v_norm"),
+    ).crossJoin(F.broadcast(cents))
+    sim = dot(F.col(vec_col), F.col("c_vec")) / (
+        F.col("v_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
+    return (
+        scored.select(id_col, vec_col, "v_norm", "centroid_id", sim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "v_norm", F.col("centroid_id").alias("cell"))
+    )
+
+
+def deterministic_centroids(
+    df: DataFrame, stride: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Training-free coarse quantizer: every ``stride``-th vector by id
+    is a centroid. (A k-means refinement would plug in here; selection
+    must stay deterministic for reproducible layouts.)"""
+    return df.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    stride: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` nearest cells
+    per query, exact-cosine rank within them.
+
+    The inverted file bounds the scanned fraction to ~nprobe/n_cells
+    of the corpus — the classic recall/cost dial. A query's true
+    neighbor is missed iff it quantized into an unprobed cell.
+    """
+    centroids = deterministic_centroids(corpus, stride, id_col, vec_col)
+    inv = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    # nprobe nearest cells per query (same broadcast quantizer)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    ).crossJoin(F.broadcast(centroids))
+    qsim = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), "centroid_id")
+    probed = (
+        q.select("query_id", "q_vec", "q_norm", "centroid_id", qsim.alias("qsim"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", F.col("centroid_id").alias("cell"))
+    )
+
+    candidates = (
+        inv.join(F.broadcast(probed), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                dot(F.col(vec_col), F.col("q_vec"))
+                / (F.col("v_norm") * F.col("q_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
 # random-hyperplane LSH (approximate, the scale path)
 # --------------------------------------------------------------------------
 def _plane(table: int, plane: int, dim: int) -> list[float]:

@@ -218,6 +218,20 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate recall by construction → rows-only
+    doc="Approximate top-3 cosine neighbors via IVF: deterministic coarse "
+    "quantizer, inverted file by cell, nprobe-cell probing — scans "
+    "~nprobe/n_cells of the corpus per query.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

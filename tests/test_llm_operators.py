@@ -106,6 +106,24 @@ def test_embedding_near_dup_pairs(vectors):
     assert pairs == {(0, 4): 1.0}
 
 
+def test_ivf_finds_exact_duplicate_in_probed_cell(spark):
+    # 12 vectors; stride 6 → centroids {0, 6}. vec 11 duplicates vec 1,
+    # so both quantize into the SAME cell — IVF must find it at rank 1.
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.5), math.sin(i * 0.5), 0.1 * (i % 3)])
+        for i in range(11)
+    ]
+    rows.append((11, rows[1][1]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.ivf_ann_topk(
+        df, df.filter(F.col("vec_id") == 1), k=2, stride=6, nprobe=1
+    ).collect()
+    best = min(out, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 11 and best["cos"] == 1.0
+
+
 def test_rp_lsh_finds_exact_duplicates(vectors):
     out = S.rp_lsh_ann_topk(
         vectors, vectors.filter(F.col("vec_id") == 0), k=2, dim=3
@@ -199,6 +217,20 @@ def test_byte_features_match_python(docs):
         for byte in b:
             hist[byte * 16 // 256] += 1
         assert list(r["byte_histogram"]) == hist
+
+
+def test_sample_frames_fan_out(docs):
+    media = M.synthesize_media(docs)  # 48 bytes → 3 frames of 16
+    frames = M.sample_frames(media, frame_bytes=16, every_nth=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for mid, rs in by_media.items():
+        assert sorted(r["frame_idx"] for r in rs) == [0, 2]  # every 2nd of 3
+        for r in rs:
+            start = r["frame_idx"] * 16
+            assert bytes(r["frame"]) == raw[mid][start : start + 16]
 
 
 def test_decode_media_is_explicit_stub(docs):
