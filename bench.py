@@ -45,6 +45,19 @@ def main() -> None:
             timings[name] = -1.0
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+    # The round-1 query set, for like-for-like round-over-round
+    # comparison (the full total grows every round as coverage grows).
+    r01 = {
+        "pricing_summary", "top_revenue_orders", "region_nation_rollup",
+        "pivot_status_by_priority", "topk_orders_per_customer",
+        "running_total_per_customer", "tumbling_window_events",
+        "session_windows_events", "envelope_projection",
+        "ingest_validate_dedup", "upper_median_by_segment",
+        "volumetry_unionall", "integrity_report", "dup_detection_having",
+        "filtered_aggregates", "minmax_dates", "date_window_filter",
+        "coalesce_filter_key", "json_extract_props", "isin_predicate",
+        "semi_join_probe", "anti_join_idempotence", "validate_dedup_first_wins",
+    }
     print(
         json.dumps(
             {
@@ -53,6 +66,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "r01_subset_sec": round(
+                    sum(v for k, v in ok.items() if k in r01), 4
+                ),
             }
         )
     )
