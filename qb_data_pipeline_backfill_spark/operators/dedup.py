@@ -98,16 +98,16 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     shares the base hash across all k functions.)
     """
     hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+
+    def mix(a: int, b: int):
+        # closure factory: PySpark infers higher-order-function arity
+        # from the lambda's parameter count, so captured constants must
+        # NOT appear as default parameters.
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    hashes,
-                    lambda h, a=a, b=b: F.pmod(
-                        h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)
-                    ),
-                )
-            )
+            F.array_min(F.transform(hashes, mix(a, b)))
             for (a, b) in _mix_constants(num_hashes)
         ]
     )

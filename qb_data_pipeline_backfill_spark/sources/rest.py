@@ -214,7 +214,7 @@ class _QboRestReader(DataSourceReader):
                     continue
                 raise
 
-    def _entity_query(self, select: str, paged: tuple[int, int] | None = None) -> str:
+    def _entity_query(self, select: str) -> str:
         q = f"SELECT {select} FROM {self.entity}"
         if self.where:
             q += f" WHERE {self.where}"

@@ -6,6 +6,7 @@ from qb_data_pipeline_backfill_spark.streaming.jobs import (
     run_available_now,
     session_aggregates,
     stateful_user_counts,
+    stream_backfill,
     tumbling_counts,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "run_available_now",
     "session_aggregates",
     "stateful_user_counts",
+    "stream_backfill",
     "tumbling_counts",
 ]

@@ -134,6 +134,57 @@ def stateful_user_counts(stream: DataFrame, timeout: str = "NoTimeout") -> DataF
     )
 
 
+def stream_backfill(
+    source: DataFrame,
+    target_path: str,
+    *,
+    id_col: str,
+    entity_type: str,
+    window_start: str,
+    window_end: str,
+    checkpoint_dir: str,
+    payload_cols: list[str] | None = None,
+):
+    """Continuous ingestion: the batch ``pipeline.run_backfill`` shape
+    driven by a stream, with the idempotent sink applied per
+    micro-batch via foreachBatch.
+
+    Exactly-once story: the streaming checkpoint deduplicates
+    micro-batch REPLAYS (a restarted query re-offers the same batch id)
+    and the anti-join probe deduplicates re-EXTRACTED keys — the same
+    two failure modes the reference's check-then-insert covers, minus
+    its blind-append-on-error bug. Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as FF
+
+    from qb_data_pipeline_backfill_spark.operators.ingest import to_envelope
+    from qb_data_pipeline_backfill_spark.operators.sink import write_idempotent
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        env = to_envelope(
+            batch_df,
+            id_col=id_col,
+            payload_cols=payload_cols,
+            entity_type=entity_type,
+            window_start=window_start,
+            window_end=window_end,
+        ).withColumn("window_date", FF.to_date("extract_window_start_utc"))
+        write_idempotent(
+            batch_df.sparkSession,
+            env,
+            target_path,
+            key="id",
+            partition_col="window_date",
+        )
+
+    return (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

@@ -56,6 +56,27 @@ def test_minhash_lsh_plan_has_no_cartesian_product(docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_signature_expression_form(docs):
+    """The narrow expression form of the signature (used where an extra
+    shuffle is unwanted) must agree with itself across rows: identical
+    normalized texts → identical signatures; near-dups agree on most
+    positions."""
+    from pyspark.sql import functions as F
+
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id",
+            D.minhash_signature(D.char_shingles("text", 5), 32).alias("sig"),
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]  # whitespace/case variants normalize equal
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    agree_14 = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert agree_13 > 16  # one-word edit: high signature agreement
+    assert agree_14 < 8  # unrelated doc: low agreement
+
+
 def test_simhash_near_dup(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

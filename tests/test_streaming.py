@@ -90,6 +90,45 @@ def test_stateful_counts_match_batch_aggregate(spark):
     assert _rowset(got) == _rowset(batch)
 
 
+def test_stream_backfill_is_idempotent(spark, tmp_path):
+    """Streaming ingest into the partitioned idempotent sink: two
+    micro-batches land disjoint keys; a RE-RUN of the same source (new
+    checkpoint — a re-extraction, not a replay) inserts nothing."""
+    from qb_data_pipeline_backfill_spark.streaming import stream_backfill
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "raw_stream")
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    rows.filter(F.col("k") <= 2).write.parquet(src + "/f1.parquet")
+    rows.filter(F.col("k") == 3).write.parquet(src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+
+    def run(ckpt: str):
+        q = stream_backfill(
+            stream,
+            target,
+            id_col="k",
+            entity_type="things",
+            window_start="2024-01-01",
+            window_end="2024-12-31",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    loaded = spark.read.parquet(target)
+    assert loaded.count() == loaded.select("id").distinct().count() == 3
+    run("ckpt2")  # fresh checkpoint = full re-extraction
+    loaded = spark.read.parquet(target)
+    assert loaded.count() == loaded.select("id").distinct().count() == 3
+
+
 def test_stateful_state_carries_across_batches(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1 over two files): the
     second batch's updates must include the first batch's counts."""
