@@ -251,12 +251,49 @@ def _plane(table: int, plane: int, dim: int) -> list[float]:
 
 def rp_signature(vec: Column, table: int, n_planes: int, dim: int) -> Column:
     """Sign-pattern bucket id (0 .. 2^n_planes − 1) of a vector under
-    ``n_planes`` deterministic hyperplanes."""
+    ``n_planes`` deterministic hyperplanes (pure-expression form)."""
     sig = F.lit(0)
     for p in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _plane(table, p, dim)])
         sig = sig + F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig.cast("int")
+
+
+def rp_buckets_vectorized(n_tables: int, n_planes: int, dim: int):
+    """Arrow-vectorized bucket assignment: ALL tables' sign-pattern
+    buckets in one numpy matmul per batch (``(batch, dim) @ (dim,
+    tables·planes)``), returned as array<int> of length ``n_tables``.
+
+    This is the sanctioned Pandas-UDF slow path: per-element
+    higher-order-function folds are interpreted (~µs each), so 32
+    plane projections per vector cost more than a BLAS matmul over the
+    whole Arrow batch by orders of magnitude. Same planes as
+    ``rp_signature`` — identical buckets.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _plane(t, p, dim)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    ).T  # (dim, n_tables * n_planes)
+    weights = np.tile(1 << np.arange(n_planes), n_tables)  # per-bit weights
+
+    def buckets(emb):
+        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) >= 0  # (batch, n_tables * n_planes)
+        weighted = (bits * weights).reshape(len(mat), n_tables, n_planes)
+        return pd.Series(list(weighted.sum(axis=2).astype("int32")))
+
+    # set real (non-stringified) annotations: `from __future__ import
+    # annotations` would otherwise leave pandas_udf unable to infer
+    # the eval type from string hints.
+    buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf(buckets, "array<int>")
 
 
 def rp_lsh_near_dup_pairs(
@@ -273,21 +310,18 @@ def rp_lsh_near_dup_pairs(
     bucket collisions (any table), verified with exact cosine. Linear
     bucketing + within-bucket pairs; recall < 1 by construction
     (P[collision] = (1 − θ/π)^n_planes per table for angle θ)."""
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                rp_signature(F.col(vec_col), t, n_planes, dim).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    bucket_udf = rp_buckets_vectorized(n_tables, n_planes, dim)
     bucketed = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-        F.explode(sigs).alias("sig"),
-    ).select("vid", "vec", "nrm", "sig.table_id", "sig.bucket")
+        bucket_udf(F.col(vec_col)).alias("bks"),
+    ).select(
+        "vid",
+        "vec",
+        "nrm",
+        F.posexplode("bks").alias("table_id", "bucket"),
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = (
         a.join(b, ["table_id", "bucket"])
@@ -326,21 +360,16 @@ def rp_lsh_ann_topk(
     misses are possible by construction. One shuffle on the bucket
     key, one on query_id for ranking — never all-pairs.
     """
+    bucket_udf = rp_buckets_vectorized(n_tables, n_planes, dim)
+
     def buckets(df: DataFrame, ident: str, vec_alias: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    rp_signature(F.col(vec_col), t, n_planes, dim).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(ident),
             F.col(vec_col).alias(vec_alias),
-            F.explode(sigs).alias("sig"),
-        ).select(ident, vec_alias, "sig.table_id", "sig.bucket")
+            bucket_udf(F.col(vec_col)).alias("bks"),
+        ).select(
+            ident, vec_alias, F.posexplode("bks").alias("table_id", "bucket")
+        )
 
     cb = buckets(corpus, "neighbor_id", "c_vec")
     qb = buckets(queries, "query_id", "q_vec")
