@@ -263,6 +263,41 @@ def simhash_chunks(toks: Column, chunk_bits: int = 16, n_chunks: int = 4) -> Col
     return F.array(*chunks)
 
 
+def _simhash_chunks_agg(
+    df: DataFrame, text_col: str, id_col: str, chunk_bits: int = 16, n_chunks: int = 4
+) -> DataFrame:
+    """SimHash chunks via explode + codegen'd aggregates: hash each
+    token ONCE, then 64 conditional-SUM bit votes inside whole-stage
+    codegen (the array-expression form in ``simhash_chunks`` is
+    interpreted per element). One shuffle, map-side combined."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).select(F.col(id_col), F.xxhash64("t").alias("h"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), pos).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{pos}")
+            for pos in range(chunk_bits * n_chunks)
+        ]
+    )
+    chunks = []
+    for c in range(n_chunks):
+        bit_terms = [
+            F.when(F.col(f"_v{c * chunk_bits + j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(chunk_bits)
+        ]
+        chunk = bit_terms[0]
+        for t in bit_terms[1:]:
+            chunk = chunk + t
+        chunks.append(chunk.cast("int"))
+    return votes.select(F.col(id_col), F.array(*chunks).alias("sig"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -276,9 +311,7 @@ def simhash_near_dup_pairs(
     agree on at least one whole chunk — bucket by (chunk_idx, chunk
     value), compare within buckets only.
     """
-    with_sig = df.select(
-        F.col(id_col), simhash_chunks(tokens(text_col)).alias("sig")
-    )
+    with_sig = _simhash_chunks_agg(df, text_col, id_col)
     band_exprs = [
         F.struct(
             F.lit(c).alias("band_idx"),
