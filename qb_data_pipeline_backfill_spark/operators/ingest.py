@@ -122,15 +122,22 @@ def validate_batch(
     order", so determinism requires an explicit ordering — pass
     ``order_cols`` to pick the winner (min over those columns), else
     an arbitrary-but-single row per key via dropDuplicates.
+
+    The winner is selected with ``min_by(struct(all), struct(order))``
+    rather than a ROW_NUMBER window: the aggregate gets a map-side
+    partial combine, so the shuffle carries at most one full row
+    (payload included) per key per map partition — a window would
+    shuffle EVERY duplicate's payload and only then rank. Struct
+    ordering is lexicographic over ``order_cols``, identical to
+    ``ORDER BY`` for the non-null keys this runs on.
     """
     out = df.filter(F.col(key).isNotNull())
     if not order_cols:
         return out.dropDuplicates([key])
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    winner = out.groupBy(key).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in out.columns]),
+            F.struct(*[F.col(c) for c in order_cols]),
+        ).alias("__w")
     )
+    return winner.select("__w.*")
