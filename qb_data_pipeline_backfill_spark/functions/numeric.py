@@ -22,6 +22,14 @@ def decimal_sum(col: Column | str, scale: int = 2) -> Column:
 
     Spark widens the accumulator (DECIMAL(28,6) for a DECIMAL(18,6)
     input), so 100 TB of partials cannot overflow for values < 1e12.
+
+    Rejected alternative: a scaled-integer sum
+    (``SUM(CAST(ROUND(x*1e6) AS BIGINT))/1e6``) compiles ~1 s faster
+    per query locally (long adds vs BigDecimal), but its accumulator
+    caps at 2^63 micro-units ≈ 9e12 in value — a 100 TB fact table's
+    grand totals (~1e17) overflow it, where the decimal accumulator
+    still has 5 orders of headroom and fails loudly under ANSI beyond
+    that.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
