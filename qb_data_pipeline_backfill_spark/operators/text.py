@@ -238,3 +238,34 @@ def fingerprints(
         F.md5(normalize_text(text_col)).alias("content_fp"),
         F.array_min(F.transform(grams, F.md5)).alias("shingle_fp"),
     )
+
+
+def lang_corpus_stats(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-language corpus rollup: doc/token/char volume, source
+    diversity, mean document length — the summary a curation run emits
+    per language shard. One map-side-combined shuffle on the language
+    key (cardinality ~dozens, so the final aggregate is tiny at any
+    corpus size); the mean is an exact integer-sum ratio, so it is
+    engine-stable without decimal gymnastics."""
+    t = tokens(text_col)
+    pre = df.select(
+        F.col(lang_col).alias("lang"),
+        F.size(t).alias("__nt"),
+        F.col(chars_col).alias("__nc"),
+        F.col(source_col).alias("__src"),
+    )
+    return pre.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.sum("__nc").alias("total_chars"),
+        F.countDistinct("__src").alias("n_sources"),
+        F.round(
+            F.sum("__nt").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_tokens_per_doc"),
+    )

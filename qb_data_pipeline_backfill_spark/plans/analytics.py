@@ -317,3 +317,54 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         decimal_sum("value").alias("sum_value"),
     )
+
+
+# --- as-of (backward temporal) join ------------------------------------------
+@register(
+    "asof_join_last_order",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id,
+           e.user_id,
+           CAST(e.ts AS TIMESTAMP) AS ts,
+           r.last_orderkey,
+           r.o_orderdate AS last_order_ts,
+           CAST(date_diff('day', CAST(r.o_orderdate AS DATE), CAST(e.ts AS DATE)) AS INT)
+               AS days_since_order
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    doc="Point-in-time lookup: each event joined to the user's most recent "
+    "order at-or-before the event (LEFT as-of). Spark side is the "
+    "union+window carry-forward plan (one shuffle, no range explosion); "
+    "oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # The as-of contract needs a unique right row per (key, time):
+    # collapse same-day orders to the highest orderkey.
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").alias("last_order_ts"))
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join_backward(
+        e, r, left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="last_order_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_orderkey",
+        "last_order_ts",
+        F.datediff(F.to_date("ts"), F.to_date("last_order_ts")).alias(
+            "days_since_order"
+        ),
+    )

@@ -465,3 +465,26 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "n_copies", "quality", "lang")
     )
+
+
+@register(
+    "text_lang_corpus_stats",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang, source, n_chars,
+               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_toks
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4) AS avg_tokens_per_doc
+    FROM t GROUP BY lang
+    """,
+    doc="Per-language corpus rollup (docs, tokens, chars, source diversity, "
+    "mean doc length) — the per-shard summary of a curation run.",
+)
+def text_lang_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_corpus_stats(_docs(spark, sf_dir))
