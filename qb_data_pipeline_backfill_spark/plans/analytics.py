@@ -368,3 +368,58 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_order"
         ),
     )
+
+
+# --- range (point-in-interval) join ------------------------------------------
+@register(
+    "range_join_attribution",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           CAST(e.ts AS TIMESTAMP) AS ts,
+           e.event_type,
+           w.anchor_id,
+           w.w_start
+    FROM events e
+    JOIN (
+        SELECT event_id AS anchor_id,
+               user_id AS anchor_user,
+               CAST(ts AS TIMESTAMP) AS w_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS w_end
+        FROM events WHERE event_type = 'purchase'
+    ) w
+      ON e.user_id = w.anchor_user
+     AND CAST(e.ts AS TIMESTAMP) > w.w_start
+     AND CAST(e.ts AS TIMESTAMP) <= w.w_end
+    """,
+    doc="Attribution-window range join: every event that lands within the "
+    "hour after a same-user purchase, paired with that purchase. Spark "
+    "side is the bucketized interval join (explode intervals to 1-hour "
+    "cells, equi-join on (user, cell), re-check exact bounds) — a plain "
+    "distributable hash join, never a nested loop; oracle is DuckDB's "
+    "native inequality join.",
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.range_join import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "ts", "event_type")
+    w = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("anchor_user"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    out = interval_join(
+        e,
+        w,
+        point_time="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=3600,
+        point_key="user_id",
+        interval_key="anchor_user",
+        include_start=False,
+        include_end=True,
+    )
+    return out.select("event_id", "user_id", "ts", "event_type", "anchor_id", "w_start")
