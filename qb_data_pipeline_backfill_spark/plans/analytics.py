@@ -423,3 +423,46 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         include_end=True,
     )
     return out.select("event_id", "user_id", "ts", "event_type", "anchor_id", "w_start")
+
+
+# --- hypertable rollup (continuous aggregate) --------------------------------
+@register(
+    "hypertable_rollup_daily",
+    oracle="""
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Continuous-aggregate rollup: hourly algebraic partials (count, "
+    "decimal sum, min, max) re-aggregated to daily WITHOUT re-reading raw "
+    "events. The oracle is DuckDB's DIRECT daily aggregate, so the hash "
+    "match proves the two-level rollup is exactly equivalent — the "
+    "property that lets 100 TB dashboards serve every grain from one "
+    "fine-grain materialization.",
+)
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.rollup import (
+        continuous_aggregate,
+        finalize,
+        rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = continuous_aggregate(ev, "ts", ["event_type"], ["value"], 3600)
+    daily = rollup(hourly, ["event_type"], ["value"], 86400)
+    return finalize(daily, ["event_type"], ["value"]).select(
+        F.to_date("bucket").alias("day"),
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        F.col("sum_value"),
+        F.col("avg_value"),
+        F.col("min_value"),
+        F.col("max_value"),
+    )
