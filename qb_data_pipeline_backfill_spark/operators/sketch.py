@@ -1,0 +1,85 @@
+"""Count-Min sketch as a pure DataFrame plan — frequency estimation
+whose shuffle volume is bounded by the SKETCH size, not the key
+cardinality.
+
+The 100 TB problem: "how often does key X occur" over a column with
+billions of distinct values. An exact ``groupBy(col).count()``
+shuffles every distinct key; the Count-Min sketch (Cormode &
+Muthukrishnan 2005) replaces that with a ``depth × width`` counter
+grid — each row increments one counter per hash row, an estimate
+reads the MIN of its counters, and grids merge by element-wise sum.
+
+Spark-first realization, no UDFs anywhere:
+
+- ``cms_sketch``: explode each row to its ``depth`` (row, bucket)
+  cells via ``xxhash64(seed, key)`` and ``groupBy(d, b).count()``.
+  HashAggregate's map-side combine collapses every partition to at
+  most ``depth × width`` cells before the exchange, so the shuffle
+  ships ~``depth × width × partitions`` counters regardless of input
+  size — and the same groupBy IS the merge operator (sketches of
+  unions = sums of sketches, proven in ``tests/test_sketch.py``).
+- ``cms_estimate``: expand probe keys the same way, broadcast-join
+  the (tiny) grid, take ``min`` per key; absent cells count 0.
+
+Guarantees (deterministic given data + seeds): estimate ≥ true count
+always; estimate ≤ true + ⌈(e/width)·N⌉ with probability
+1 − e^{−depth} per key. ``cms_frequency_contract`` in
+``plans.analytics`` hash-gates both properties against DuckDB's
+exact counts, mirroring
+the ``approx_distinct_report`` tolerance-contract pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cells(col: Column | str, depth: int, width: int) -> Column:
+    """Array of ``depth`` structs (d, b): the key's counter cells."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.lit(d), c), F.lit(width)).alias("b"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 4096) -> DataFrame:
+    """Build the counter grid: rows ``(d, b, n)``, at most depth*width."""
+    return (
+        df.select(F.explode(_cells(col, depth, width)).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge grids built with identical (depth, width, key type)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "b").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, depth: int = 4, width: int = 4096
+) -> DataFrame:
+    """Estimated count per probe key: MIN over the key's cells.
+
+    ``probes`` rows should be distinct keys. The grid side is tiny by
+    construction — broadcast it so probing never shuffles the probes.
+    """
+    expanded = probes.select(
+        F.col(col), F.explode(_cells(col, depth, width)).alias("c")
+    ).select(col, F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+    return (
+        expanded.join(F.broadcast(sketch), ["d", "b"], "left")
+        .fillna(0, subset=["n"])
+        .groupBy(col)
+        .agg(F.min("n").alias("estimate"))
+    )

@@ -466,3 +466,50 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value"),
         F.col("max_value"),
     )
+
+
+# --- Count-Min sketch frequency contract -------------------------------------
+@register(
+    "cms_frequency_contract",
+    oracle="""
+    SELECT l_orderkey AS key,
+           COUNT(*) AS true_n,
+           TRUE AS never_underestimates,
+           TRUE AS within_bound
+    FROM lineitem
+    WHERE l_orderkey % 997 = 0
+    GROUP BY 1
+    """,
+    doc="Count-Min sketch tolerance contract: build a 5x8192 counter grid "
+    "over all lineitem order keys (shuffle bounded by sketch size, not "
+    "key cardinality), probe every 997th key, and assert the CMS "
+    "guarantees — estimate >= exact always, and estimate <= exact + "
+    "ceil((e/width)*N) — against DuckDB's exact counts. Same "
+    "tolerance-contract pattern as approx_distinct_report.",
+)
+def cms_frequency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.sketch import cms_estimate, cms_sketch
+
+    depth, width = 5, 8192
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sketch = cms_sketch(li, "l_orderkey", depth=depth, width=width)
+    probes = (
+        li.filter(F.col("l_orderkey") % 997 == 0)
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    est = cms_estimate(
+        sketch, probes.select(F.col("key")), "key", depth=depth, width=width
+    )
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    bound = F.ceil(F.lit(2.718281828459045) / width * F.col("n_total"))
+    return (
+        probes.join(est, "key")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "true_n",
+            (F.col("estimate") >= F.col("true_n")).alias("never_underestimates"),
+            (F.col("estimate") <= F.col("true_n") + bound).alias("within_bound"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Count-Min sketch: CMS guarantees + mergeability + bounded size.
+
+Mirrors the reference's verification-query posture (exact counts as
+the oracle) but for the sketch path the reference has no analog of —
+the 100 TB frequency-estimation story from SURVEY.md's scale notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators.sketch import (
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+)
+
+DEPTH, WIDTH = 4, 1024
+
+
+def _keys_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "k bigint")
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    # 100 distinct keys in a 4x1024 grid: collisions possible but the
+    # >= guarantee must hold for every key regardless.
+    values = [i % 100 for i in range(5000)]
+    df = _keys_df(spark, values)
+    sketch = cms_sketch(df, "k", depth=DEPTH, width=WIDTH)
+    probes = df.select("k").distinct()
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(sketch, probes, "k", depth=DEPTH, width=WIDTH).collect()
+    }
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, f"CMS underestimated key {k}: {est[k]} < {t}"
+
+
+def test_cms_grid_size_bounded(spark):
+    # The sketch never exceeds depth*width rows no matter the input —
+    # this is the whole point: shuffle volume bounded by the grid.
+    df = _keys_df(spark, range(20000))
+    sketch = cms_sketch(df, "k", depth=DEPTH, width=WIDTH)
+    assert sketch.count() <= DEPTH * WIDTH
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    a = _keys_df(spark, [1, 2, 3, 3, 5] * 10)
+    b = _keys_df(spark, [3, 4, 5, 5, 9] * 10)
+    merged = cms_merge(
+        cms_sketch(a, "k", depth=DEPTH, width=WIDTH),
+        cms_sketch(b, "k", depth=DEPTH, width=WIDTH),
+    )
+    direct = cms_sketch(a.unionByName(b), "k", depth=DEPTH, width=WIDTH)
+    # Element-wise identical grids (mergeability = algebraic aggregate).
+    diff = merged.join(direct, ["d", "b"], "full").where(
+        ~(merged["n"].eqNullSafe(direct["n"]))
+    )
+    assert diff.count() == 0
+
+
+def test_cms_absent_key_estimates_small(spark):
+    df = _keys_df(spark, [7] * 100)
+    sketch = cms_sketch(df, "k", depth=DEPTH, width=WIDTH)
+    probes = _keys_df(spark, [123456789])
+    est = cms_estimate(sketch, probes, "k", depth=DEPTH, width=WIDTH).collect()
+    # Absent key: min over its cells; with one hot key, at most that
+    # key's count on a full collision, usually 0.
+    assert est[0]["estimate"] <= 100
+
+
+def test_cms_plan_is_aggregate_only(spark):
+    # No sort, no cartesian product; grid probe join is broadcast.
+    df = _keys_df(spark, range(1000))
+    sketch = cms_sketch(df, "k", depth=DEPTH, width=WIDTH)
+    est = cms_estimate(sketch, df.distinct(), "k", depth=DEPTH, width=WIDTH)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
