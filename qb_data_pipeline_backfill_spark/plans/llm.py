@@ -488,3 +488,96 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lang_corpus_stats(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling / split (operators/sample.py)
+# --------------------------------------------------------------------------
+from qb_data_pipeline_backfill_spark.operators import sample as SA  # noqa: E402
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_FRACTIONS = {"en": 0.25, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
+
+
+@register(
+    "sample_eval_holdout",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE {SA.hash_prefix_sql(['doc_id'], salt='eval')} < '{SA.threshold_hex(0.1)}'
+    GROUP BY lang
+    """,
+    doc="Deterministic ~10% eval holdout of the corpus by md5(doc_id) hex "
+    "prefix — reproducible across runs, engines, and partitionings (the "
+    "full hash gate here PROVES cross-engine sample identity, row for "
+    "row). Pure narrow filter fused into the scan: no RNG, no shuffle, "
+    "no count-first pass; the same expression at 100 TB samples in one "
+    "map-side pass.",
+)
+def sample_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    held = SA.deterministic_sample(docs, ["doc_id"], 0.1, salt="eval")
+    return held.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@register(
+    "sample_train_val_test",
+    oracle=f"""
+    SELECT {SA.split_column_sql(['doc_id'], _SPLIT_WEIGHTS, salt='split')} AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="80/10/10 train/val/test assignment by salted key hash: every row "
+    "gets exactly one split, the same split in every run and engine, and "
+    "independently of the 'eval' holdout (different salt = independent "
+    "hash stream). The label is a pure Column expression (CASE over a "
+    "hex prefix) — at 100 TB the split is free metadata on the scan, "
+    "never a shuffle or a persisted random column.",
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "split", SA.split_column(["doc_id"], _SPLIT_WEIGHTS, salt="split")
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "sample_stratified_rebalance",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE {SA.hash_prefix_sql(['doc_id'], salt='rebalance')}
+          < {SA.stratified_threshold_sql('lang', _STRATA_FRACTIONS)}
+    GROUP BY lang
+    """,
+    doc="Corpus rebalancing: downsample the over-represented language "
+    "(en -> 25%) while keeping rare ones whole, via per-stratum hash "
+    "thresholds in one narrow CASE filter — no join, no shuffle, no "
+    "per-stratum jobs. The standard de-skewing step before training-"
+    "mix assembly; thresholds broadcast-join instead when the strata "
+    "map is open-ended.",
+)
+def sample_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SA.stratified_sample(
+        docs, "lang", _STRATA_FRACTIONS, ["doc_id"], salt="rebalance"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -1,0 +1,89 @@
+"""Deterministic sampling: reproducibility, partition-independence,
+split totality, stratified fractions, and narrow-plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators import sample as SA
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "k")
+
+
+def test_sample_reproducible_and_partition_independent(spark):
+    df = _ids(spark)
+    a = set(r["k"] for r in SA.deterministic_sample(df, ["k"], 0.2).collect())
+    b = set(
+        r["k"]
+        for r in SA.deterministic_sample(df.repartition(13), ["k"], 0.2).collect()
+    )
+    assert a == b
+    assert 0.1 < len(a) / 2000 < 0.3
+
+
+def test_sample_nested_fractions(spark):
+    # A 10% sample is a subset of the 20% sample at the same salt —
+    # thresholds nest, so growing a sample never resamples.
+    df = _ids(spark)
+    s10 = set(r["k"] for r in SA.deterministic_sample(df, ["k"], 0.1).collect())
+    s20 = set(r["k"] for r in SA.deterministic_sample(df, ["k"], 0.2).collect())
+    assert s10 <= s20
+
+
+def test_salts_give_independent_samples(spark):
+    df = _ids(spark)
+    a = set(r["k"] for r in SA.deterministic_sample(df, ["k"], 0.5, salt="a").collect())
+    b = set(r["k"] for r in SA.deterministic_sample(df, ["k"], 0.5, salt="b").collect())
+    overlap = len(a & b) / max(len(a), 1)
+    # Independent 50% samples overlap ~50%, not ~100% / ~0%.
+    assert 0.3 < overlap < 0.7
+    assert a != b
+
+
+def test_split_column_total_and_disjoint(spark):
+    df = _ids(spark)
+    labeled = df.withColumn(
+        "split", SA.split_column(["k"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row exactly one label
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+    assert counts["train"] > counts["test"]
+
+
+def test_split_weights_must_sum_to_one():
+    import pytest
+
+    with pytest.raises(ValueError):
+        SA.split_assignments({"a": 0.5, "b": 0.1})
+
+
+def test_stratified_fractions_respected(spark):
+    df = _ids(spark).withColumn(
+        "stratum", F.when(F.col("k") % 2 == 0, "big").otherwise("small")
+    )
+    kept = SA.stratified_sample(df, "stratum", {"big": 0.1, "small": 1.0}, ["k"])
+    counts = {r["stratum"]: r["n"] for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 1000  # fraction 1.0 keeps everything
+    assert 40 < counts["big"] < 200  # ~10% of 1000
+
+
+def test_sample_plan_is_narrow(spark):
+    # The filter must not introduce an exchange: sampling is map-side.
+    df = _ids(spark)
+    plan = (
+        SA.deterministic_sample(df, ["k"], 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_threshold_hex_edges():
+    assert SA.threshold_hex(0.0) == "00000000"
+    assert SA.threshold_hex(1.0) == "ffffffff"
+    assert len(SA.threshold_hex(0.1)) == 8
