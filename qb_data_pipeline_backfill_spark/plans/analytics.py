@@ -513,3 +513,63 @@ def cms_frequency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("estimate") <= F.col("true_n") + bound).alias("within_bound"),
         )
     )
+
+
+# --- Quantile sketch tolerance contract --------------------------------------
+@register(
+    "quantile_sketch_contract",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           quantile_disc(l_quantity, 0.25) AS p25,
+           quantile_disc(l_quantity, 0.50) AS p50,
+           quantile_disc(l_quantity, 0.90) AS p90,
+           TRUE AS approx_p50_in_bound,
+           TRUE AS approx_p90_in_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Quantile contract completing the sketch family (HLL=distinct, "
+    "CMS=frequency, KLL-style=quantile): exact discrete quantiles per "
+    "group hash-gated against DuckDB quantile_disc (both engines pick "
+    "the smallest element with CDF >= p, returning a raw data value — "
+    "bit-identical, no float arithmetic to diverge), plus Spark's "
+    "mergeable approx_percentile sketch asserted within its rank-error "
+    "guarantee (+-n/accuracy ranks), bracketed by exact disc quantiles "
+    "at p +- 1/accuracy. At 100 TB the approx path is the one you run: "
+    "one pass, fixed-size mergeable state, no global sort; the exact "
+    "path here exists to certify it.",
+)
+def quantile_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acc = 1000
+    eps = 1.0 / acc
+
+    def disc(p: float) -> str:
+        return f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_quantity)"
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(disc(0.25)).alias("p25"),
+        F.expr(disc(0.50)).alias("p50"),
+        F.expr(disc(0.90)).alias("p90"),
+        F.expr(disc(0.50 - eps)).alias("p50_lo"),
+        F.expr(disc(0.50 + eps)).alias("p50_hi"),
+        F.expr(disc(0.90 - eps)).alias("p90_lo"),
+        F.expr(disc(0.90 + eps)).alias("p90_hi"),
+        F.percentile_approx("l_quantity", 0.50, acc).alias("a50"),
+        F.percentile_approx("l_quantity", 0.90, acc).alias("a90"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        "p25",
+        "p50",
+        "p90",
+        F.col("a50").between(F.col("p50_lo"), F.col("p50_hi")).alias(
+            "approx_p50_in_bound"
+        ),
+        F.col("a90").between(F.col("p90_lo"), F.col("p90_hi")).alias(
+            "approx_p90_in_bound"
+        ),
+    )
