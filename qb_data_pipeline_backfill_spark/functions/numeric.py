@@ -33,3 +33,52 @@ def decimal_sum(col: Column | str, scale: int = 2) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
+
+
+def _exact_int_div(a: Column, b: Column) -> Column:
+    """Exact integer quotient of non-negative decimal integers.
+
+    ``(a - pmod(a, b)) / b``: the numerator is exactly divisible, so
+    the decimal division lands on an integer and Catalyst's quotient-
+    scale rounding (HALF_UP at the adjusted scale) has nothing to
+    round — exact at any magnitude, unlike ``floor(a / b)`` whose
+    pre-floor rounding can cross an integer when the true quotient is
+    within 5e-7 of it (live risk once group counts pass ~2e6 rows).
+    """
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def decimal_avg(col: Column | str, scale: int = 4) -> Column:
+    """Order- and engine-independent mean of a non-negative double
+    column, truncated to ``scale`` decimals.
+
+    Why not ``ROUND(AVG(x), s)``: Spark rounds a double through Java's
+    shortest-decimal string (``BigDecimal.valueOf``), DuckDB rounds
+    the binary value — on a half boundary (e.g. a true mean of
+    38.37875) they flip opposite ways. And the double SUM inside AVG
+    is partial-order dependent to begin with. Fix: exact
+    DECIMAL(18,6) sum -> integer micro-units -> exact integer
+    division at 1e-``scale`` units (truncation, == floor for
+    non-negatives, matching DuckDB's ``//``) -> small-int / 10^scale,
+    which is exact in a double. No rounding of an inexact value ever
+    happens on either engine.
+
+    DuckDB oracle shape (scale=4):
+    ``CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+    // (100 * COUNT(x)) AS DOUBLE) / 10000.0``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    micro = (F.sum(c.cast("decimal(18,6)")) * F.lit(10**6)).cast("decimal(38,0)")
+    div = (F.count(c) * F.lit(10 ** (6 - scale))).cast("decimal(38,0)")
+    return (_exact_int_div(micro, div) / F.lit(float(10**scale))).alias("avg")
+
+
+def int_ratio(num: Column, den: Column, scale: int = 4) -> Column:
+    """num/den for non-negative integer columns, truncated to ``scale``
+    decimals, exact on both engines at any magnitude.
+
+    DuckDB oracle shape (scale=4):
+    ``CAST(CAST(num AS HUGEINT) * 10000 // den AS DOUBLE) / 10000.0``
+    """
+    scaled = (num.cast("decimal(38,0)") * F.lit(10**scale)).cast("decimal(38,0)")
+    return _exact_int_div(scaled, den.cast("decimal(38,0)")) / F.lit(float(10**scale))

@@ -92,9 +92,16 @@ def finalize(partials: DataFrame, keys: list[str], values: list[str]) -> DataFra
     cols = [F.col("bucket"), *[F.col(k) for k in keys], F.col("n_rows")]
     for v in values:
         s = F.col(f"sum_{v}")
+        # Mean via exact micro-unit integer division (functions.numeric
+        # rationale): dividing the decimal sum as a double and rounding
+        # flips against DuckDB on half boundaries (Spark rounds the
+        # shortest-decimal string, DuckDB the binary value).
+        micro = (s * F.lit(10**6)).cast("decimal(38,0)")
+        div = (F.col("n_rows") * F.lit(100)).cast("decimal(38,0)")
+        avg = ((micro - F.pmod(micro, div)) / div).cast("long") / F.lit(1e4)
         cols += [
             F.round(s, 2).cast("double").alias(f"sum_{v}"),
-            F.round(s.cast("double") / F.col("n_rows"), 4).alias(f"avg_{v}"),
+            avg.alias(f"avg_{v}"),
             F.col(f"min_{v}"),
             F.col(f"max_{v}"),
         ]

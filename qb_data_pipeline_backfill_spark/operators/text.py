@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from qb_data_pipeline_backfill_spark.functions import int_ratio
+
 # Tiny public stopword profiles (top function words per language) used
 # by the n-gram-free language-ID heuristic and the quality score.
 LANG_PROFILES: dict[str, list[str]] = {
@@ -77,10 +79,8 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_unique_tokens"),
-        F.round(
-            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
-            / F.size(t),
-            4,
+        int_ratio(
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)), F.size(t)
         ).alias("avg_token_len"),
         bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
     )
@@ -265,7 +265,5 @@ def lang_corpus_stats(
         F.sum("__nt").alias("total_tokens"),
         F.sum("__nc").alias("total_chars"),
         F.countDistinct("__src").alias("n_sources"),
-        F.round(
-            F.sum("__nt").cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_tokens_per_doc"),
+        int_ratio(F.sum("__nt"), F.count(F.lit(1))).alias("avg_tokens_per_doc"),
     )

@@ -10,7 +10,10 @@ per window partition key).
 Float policy: every SUM over a double is computed as an exact
 DECIMAL(18,6) sum on BOTH engines (partial-aggregation order can flip
 the 2nd decimal of a double sum near a .005 boundary), rounded to 2dp,
-and cast back to double; averages stay double rounded to 4dp. Every
+and cast back to double; averages are exact micro-unit integer
+divisions truncated to 4dp (functions.numeric.decimal_avg — Spark and
+DuckDB round an identical double differently on half boundaries, so no
+inexact value is ever rounded on either engine). Every
 DuckDB integer SUM is CAST back to BIGINT (DuckDB widens to HUGEINT,
 which survives neither Arrow nor pandas conversion losslessly).
 """
@@ -21,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from qb_data_pipeline_backfill_spark.functions import decimal_sum
+from qb_data_pipeline_backfill_spark.functions import decimal_avg, decimal_sum
 from qb_data_pipeline_backfill_spark.plans.registry import register
 from qb_data_pipeline_backfill_spark.tables import load_table
 
@@ -35,9 +38,12 @@ from qb_data_pipeline_backfill_spark.tables import load_table
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+                // (100 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+                // (100 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+                // (100 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
@@ -56,9 +62,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_sum("l_extendedprice").alias("sum_base_price"),
             decimal_sum(disc_price).alias("sum_disc_price"),
             decimal_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            decimal_avg("l_quantity").alias("avg_qty"),
+            decimal_avg("l_extendedprice").alias("avg_price"),
+            decimal_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -433,8 +439,8 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
-               AS avg_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+                // (100 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events
@@ -572,4 +578,73 @@ def quantile_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a90").between(F.col("p90_lo"), F.col("p90_hi")).alias(
             "approx_p90_in_bound"
         ),
+    )
+
+
+# --- Skew-salted operators, oracle-certified ---------------------------------
+@register(
+    "salted_collect_stats",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Certifies functions.skew.salted_collect_list: collect_list has no "
+    "partial-combine form, so a hot key funnels every value through one "
+    "reducer; the salted two-phase plan collects per (key, salt) then "
+    "flattens <= n_salts partial lists per key. This query projects the "
+    "salted result back to scalar aggregates (size / first / last of "
+    "the sorted list = COUNT / MIN / MAX of raw data values — "
+    "bit-identical doubles, no float arithmetic) and hash-gates them "
+    "against DuckDB's direct aggregate: the salted plan IS the plain "
+    "aggregate, key by key.",
+)
+def salted_collect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.functions.skew import salted_collect_list
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    lists = salted_collect_list(orders, "o_custkey", "o_totalprice", n_salts=8)
+    arr = F.col("o_totalprices")
+    return lists.select(
+        "o_custkey",
+        F.size(arr).cast("bigint").alias("n_orders"),
+        F.element_at(arr, 1).alias("min_price"),
+        F.element_at(arr, -1).alias("max_price"),
+    )
+
+
+@register(
+    "salted_join_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Certifies functions.skew.salted_join: the fact side is salted "
+    "deterministically (xxhash64 of row content — retried tasks re-salt "
+    "identically), the dim side is replicated once per salt, and the "
+    "equi-join on (key, salt) spreads any hot key over n_salts "
+    "reducers. Hash-gated against DuckDB's plain join+aggregate to "
+    "prove salt-replicate-join-drop changes nothing but the shuffle "
+    "distribution. Revenue summed as exact DECIMAL(18,6).",
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.functions.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    joined = salted_join(orders, cust, "o_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        decimal_sum("o_totalprice").alias("total_revenue"),
     )

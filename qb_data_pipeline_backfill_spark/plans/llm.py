@@ -242,8 +242,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(ts) AS n_tokens,
            len(list_distinct(ts)) AS n_unique_tokens,
-           ROUND(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts), 4)
-               AS avg_token_len,
+           CAST(CAST(list_sum(list_transform(ts, t -> length(t))) AS HUGEINT) * 10000
+                // len(ts) AS DOUBLE) / 10000.0 AS avg_token_len,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
     FROM toks
     """
@@ -480,7 +480,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT source) AS n_sources,
-           ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4) AS avg_tokens_per_doc
+           CAST(CAST(SUM(n_toks) AS HUGEINT) * 10000 // COUNT(*) AS DOUBLE) / 10000.0
+               AS avg_tokens_per_doc
     FROM t GROUP BY lang
     """,
     doc="Per-language corpus rollup (docs, tokens, chars, source diversity, "

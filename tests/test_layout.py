@@ -60,3 +60,50 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         F.count(F.lit(1)), F.sum("l_quantity")
     )
     assert got.collect() == want.collect()
+
+
+def test_compaction_partition_count_scales_with_input(spark, tmp_path):
+    from qb_data_pipeline_backfill_spark.operators.layout import (
+        compact,
+        compaction_partitions,
+    )
+
+    src = str(tmp_path / "fragmented")
+    # Simulate a fragmented append history: many tiny files.
+    spark.range(50_000).repartition(40).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    # A generous target compacts to a single file; a tiny target fans out.
+    assert compaction_partitions(df, target_file_bytes=1 << 30) == 1
+    small = compaction_partitions(df, target_file_bytes=64 * 1024)
+    assert small > 1
+
+    out = str(tmp_path / "compacted")
+    n = compact(df, out, target_file_bytes=1 << 30)
+    assert n == 1
+    files = [p for p in __import__("os").listdir(out) if p.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(out).count() == 50_000
+
+
+def test_compact_partitioned_writes_few_files_per_dir(spark, tmp_path):
+    import os
+
+    from qb_data_pipeline_backfill_spark.operators.layout import compact
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10_000)
+        .withColumn("day", (F.col("id") % 3).cast("string"))
+        .repartition(24)  # fragmented input
+    )
+    out = str(tmp_path / "by_day")
+    compact(df, out, target_file_bytes=1 << 30, partition_col="day")
+    for d in os.listdir(out):
+        if not d.startswith("day="):
+            continue
+        files = [p for p in os.listdir(os.path.join(out, d)) if p.endswith(".parquet")]
+        # Hash-repartitioned by day first: one task owns each day, so
+        # each directory holds 1 file instead of 24.
+        assert len(files) == 1, (d, files)

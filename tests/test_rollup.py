@@ -9,6 +9,8 @@ import random
 
 from pyspark.sql import functions as F
 
+from qb_data_pipeline_backfill_spark.functions import decimal_avg
+
 from qb_data_pipeline_backfill_spark.operators.rollup import (
     continuous_aggregate,
     finalize,
@@ -82,13 +84,7 @@ def test_avg_finalizes_from_partials(spark):
         (r.bucket, r.kind): r.avg_value
         for r in df.withColumn("bucket", time_bucket("ts", 86400))
         .groupBy("bucket", "kind")
-        .agg(
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_value")
-        )
+        .agg(decimal_avg("value").alias("avg_value"))
         .collect()
     }
     got = {(r.bucket, r.kind): r.avg_value for r in daily.collect()}
