@@ -10,9 +10,11 @@ merge) against the same DuckDB oracles as the batch twins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from qb_data_pipeline_backfill_spark.plans.registry import register
 from qb_data_pipeline_backfill_spark.streaming import (
+    dedup_exactly_once,
     events_stream,
     run_available_now,
     session_aggregates,
@@ -88,4 +90,36 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stateful_user_counts(events_stream(spark, sf_dir)), output_mode="update"
+    )
+
+
+@register(
+    "streaming_dedup_exactly_once",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="At-least-once -> exactly-once: the event stream unioned with "
+    "itself (every event delivered twice, the redelivery shape of any "
+    "replayed source) is deduplicated by event_id via "
+    "dropDuplicatesWithinWatermark (bounded per-key state), then "
+    "aggregated. The oracle is the plain aggregate over the ORIGINAL "
+    "events — hash-equality proves dedup restored exactly-once "
+    "delivery, the streaming twin of the batch sink's anti-join "
+    "idempotence.",
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    redelivered = s.unionByName(events_stream(spark, sf_dir))
+    deduped = run_available_now(
+        dedup_exactly_once(redelivered), output_mode="append"
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )

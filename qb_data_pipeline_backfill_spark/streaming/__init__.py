@@ -2,6 +2,7 @@
 analytics plus a custom stateful operator."""
 
 from qb_data_pipeline_backfill_spark.streaming.jobs import (
+    dedup_exactly_once,
     events_stream,
     run_available_now,
     session_aggregates,
@@ -11,6 +12,7 @@ from qb_data_pipeline_backfill_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "dedup_exactly_once",
     "events_stream",
     "run_available_now",
     "session_aggregates",

@@ -204,3 +204,19 @@ def run_available_now(
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def dedup_exactly_once(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once semantics over an at-least-once delivery: drop
+    redelivered events by key inside the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the key's first-seen event time, so state is
+    bounded by (arrival rate × watermark) — the streaming analog of
+    the batch sink's anti-join idempotence probe (operators/sink.py),
+    which the reference approximates with a Postgres PK
+    (init_qb_schema.sql:4). At 100 TB/day the bounded-state property
+    is the whole design: an unbounded seen-keys set would OOM."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -161,3 +161,18 @@ def test_stateful_state_carries_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_dedup_restores_exactly_once(spark, sf_dir):
+    from qb_data_pipeline_backfill_spark.streaming import (
+        dedup_exactly_once,
+        events_stream,
+        run_available_now,
+    )
+
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionByName(events_stream(spark, sf_dir))
+    deduped = run_available_now(dedup_exactly_once(doubled), output_mode="append")
+    n_orig = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert deduped.count() == n_orig
+    assert deduped.select("event_id").distinct().count() == n_orig
