@@ -20,7 +20,14 @@ Postgres batch ETL/backfill pipeline), re-expressed Spark-first:
   (tokens/n-grams/TF-IDF/lang-ID/quality/fingerprints), and multimodal
   binary-column plumbing (``operators.dedup`` /
   ``operators.similarity`` / ``operators.text`` /
-  ``operators.multimodal``).
+  ``operators.multimodal``), deterministic hash-based sampling and
+  train/val/test splits (``operators.sample``), and sketches —
+  Count-Min frequency, HLL distinct, mergeable quantiles
+  (``operators.sketch`` + tolerance-contract queries),
+- a Structured Streaming surface (``streaming``): watermarked
+  tumbling/session windows, exactly-once dedup over at-least-once
+  delivery, a custom ``applyInPandasWithState`` operator, and the
+  streaming twin of the backfill sink.
 
 Everything is built on the public PySpark 4 DataFrame/SQL API; no
 code is copied from the reference (which is a Mage-AI + pandas +
