@@ -648,3 +648,43 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         decimal_sum("o_totalprice").alias("total_revenue"),
     )
+
+
+# --- CDC latest-state compaction ---------------------------------------------
+@register(
+    "cdc_latest_state",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Last-wins changelog compaction: the events table read as a CDC "
+    "stream keyed by user_id, compacted to latest state via "
+    "MAX_BY(row, struct(ts, event_id)) — an algebraic aggregate whose "
+    "map-side partial collapses each input partition to one candidate "
+    "per key before the exchange, so the shuffle carries keys, not "
+    "history (vs the oracle's ROW_NUMBER formulation, which shuffles "
+    "and sorts every version). (ts, event_id) is a total order, so "
+    "the result is deterministic under at-least-once replay. The "
+    "append-only analog of the reference's re-extracted-entity "
+    "problem (save_to_raw_customers_py.py:30-45).",
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.cdc import latest_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return latest_state(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
