@@ -688,3 +688,85 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+# --- window-function breadth --------------------------------------------------
+@register(
+    "window_function_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER w,
+               CAST(o_orderdate AS DATE)) AS days_since_prev,
+           date_diff('day',
+               CAST(o_orderdate AS DATE),
+               lead(CAST(o_orderdate AS DATE)) OVER w) AS days_until_next,
+           ntile(4) OVER w AS recency_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS first_order,
+           last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+    doc="Navigation/distribution window functions over a total order "
+    "(orderdate, orderkey — ties broken, so lead/lag/ntile are "
+    "deterministic): inter-order gap days, quartile bucketing, "
+    "percent_rank/cume_dist (exact k/n integer-ratio doubles — "
+    "bit-identical across engines, no rounding involved), and "
+    "explicit-frame first/last. One shuffle on the partition key; all "
+    "functions share the single sorted pass.",
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select("o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("od"), F.lag("od").over(w)).alias("days_since_prev"),
+        F.datediff(F.lead("od").over(w), F.col("od")).alias("days_until_next"),
+        F.ntile(4).over(w).alias("recency_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wfull).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
+
+
+# --- set operations -----------------------------------------------------------
+@register(
+    "set_ops_report",
+    oracle="""
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000)
+    SELECT 'both' AS cohort, k FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM rich)
+    UNION ALL
+    SELECT 'rich_no_orders' AS cohort, k FROM (SELECT k FROM rich EXCEPT SELECT k FROM with_orders)
+    """,
+    doc="INTERSECT / EXCEPT set algebra over two derived key sets "
+    "(customers with orders x high-balance customers), labeled and "
+    "unioned — the cohort-splitting shape. Both operators hash-"
+    "aggregate to distinct keys before combining; no sort anywhere.",
+)
+def set_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_orders = (
+        load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    )
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    both = with_orders.intersect(rich).select(F.lit("both").alias("cohort"), "k")
+    rich_only = rich.exceptAll(with_orders.select("k")).select(
+        F.lit("rich_no_orders").alias("cohort"), "k"
+    )
+    return both.unionByName(rich_only)
