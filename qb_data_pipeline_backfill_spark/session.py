@@ -55,6 +55,13 @@ def get_spark(
         # implements pushFilters); runtime-settable, also pinned at
         # read time for driver-supplied sessions.
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Runtime join pruning (spark.sql.optimizer.runtime.bloomFilter
+        # .enabled / runtimeFilter.semiJoinReduction.enabled) was tried
+        # and REJECTED: on this query surface it re-planned one of the
+        # self-join-heavy queries into a >5x slower shape (full gate
+        # went from ~6 min to >30 min). On a real cluster with selective
+        # dim-filtered fact joins, enable bloomFilter per-job after
+        # measuring — not globally.
         # --- Arrow for the Pandas-UDF slow paths ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
