@@ -124,8 +124,13 @@ def tfidf(
         F.count(F.lit(1)).alias("df")
     )
     n_docs = df.select(F.countDistinct(id_col).alias("n_total"))
+    # doc_freq is the full term dictionary — unbounded cardinality at
+    # corpus scale, so it must NOT be broadcast. Both sides are already
+    # hash-partitioned on `term` by their groupBys, so the shuffle join
+    # co-partitions with no extra exchange on the term_counts side.
+    # (The 1-row n_docs crossJoin broadcast below IS correct.)
     return (
-        term_counts.join(F.broadcast(doc_freq), "term")
+        term_counts.join(doc_freq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -230,13 +235,27 @@ def fingerprints(
     a 1-hash MinHash, stable under local edits away from the minimum
     shingle). Hex-string min avoids any engine-specific int casts, so
     the same fingerprint is computable in ANSI SQL.
+
+    Plan shape: explode + min aggregate rather than a per-row
+    ``array_min(transform(..., md5))`` fold — higher-order functions
+    evaluate interpreted (one md5 call per array element outside
+    codegen), while the exploded form hashes each shingle inside
+    whole-stage codegen and reduces with a map-side-combined MIN.
+    Same trick as ``dedup.minhash_lsh_pairs``; the exchange carries
+    one partially-min-reduced digest per (doc, partition), not one
+    per shingle. ``explode_outer`` keeps documents shorter than
+    ``shingle_words`` (empty gram array → null shingle_fp), matching
+    the fold form's semantics.
     """
-    t = tokens(text_col)
-    grams = word_ngrams(t, shingle_words)
-    return df.select(
+    exploded = df.select(
         F.col(id_col),
         F.md5(normalize_text(text_col)).alias("content_fp"),
-        F.array_min(F.transform(grams, F.md5)).alias("shingle_fp"),
+        F.explode_outer(word_ngrams(tokens(text_col), shingle_words)).alias("gram"),
+    )
+    return (
+        exploded.groupBy(id_col, "content_fp")
+        .agg(F.min(F.md5("gram")).alias("shingle_fp"))
+        .select(id_col, "content_fp", "shingle_fp")
     )
 
 

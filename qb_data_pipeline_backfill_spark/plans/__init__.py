@@ -14,7 +14,45 @@ from qb_data_pipeline_backfill_spark.plans import stream_plans  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
     REGISTRY,
     oracle_sql,
+    prioritize,
     queries,
 )
 
-__all__ = ["REGISTRY", "queries", "oracle_sql"]
+# The driver's correctness gate covers the first 50 registry entries;
+# put queries WITHOUT a green CORRECTNESS_r02 row first — the 12 that
+# fell past last round's window (REST + streaming + the tail of the
+# relational surface) and everything new in round 3 — so the signal of
+# record covers the unproven surface. Previously-green queries keep
+# their r02 artifact even if they fall outside this round's window.
+prioritize(
+    [
+        # --- unchecked in CORRECTNESS_r02 (registry-order overflow) ---
+        "coalesce_filter_key",
+        "json_extract_props",
+        "isin_predicate",
+        "semi_join_probe",
+        "anti_join_idempotence",
+        "validate_dedup_first_wins",
+        "rest_source_scan",
+        "rest_source_filtered",
+        "streaming_tumbling_window",
+        "streaming_session_window",
+        "streaming_stateful_counts",
+        "streaming_dedup_exactly_once",
+        # --- fixed gate entry (r02 row was a canonicalizer error) ---
+        "multimodal_byte_features",
+        # --- new in round 3 ---
+        "csv_http_scan",
+        "contract_minhash_recall",
+        "contract_simhash_recall",
+        "contract_embedding_lsh_recall",
+        "contract_ann_lsh_recall",
+        "contract_ann_ivf_recall",
+        "approx_median_contract",
+        # --- operators whose plans changed this round (re-prove) ---
+        "text_fingerprint",
+        "text_tfidf_topk",
+    ]
+)
+
+__all__ = ["REGISTRY", "queries", "oracle_sql", "prioritize"]

@@ -405,14 +405,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "multimodal_byte_features",
-    oracle=None,  # Arrow mapInPandas path → rows-only
+    # The fake media bytes are md5-derived, so DuckDB can recompute the
+    # byte histogram from the hex digests: with 16 buckets, a byte's
+    # bucket IS its high nibble = the odd-position hex characters.
+    oracle="""
+    WITH h AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(reverse(text)) || md5('salt:' || text) AS hx
+        FROM documents
+    ),
+    nib AS (
+        SELECT media_id,
+               strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1 AS bucket
+        FROM h, LATERAL unnest(generate_series(1, 48)) AS t(i)
+    )
+    SELECT media_id, 48 AS n_bytes, bucket, COUNT(*) AS n
+    FROM nib
+    GROUP BY media_id, bucket
+    """,
     doc="Binary-column plumbing end-to-end: synthesize deterministic media "
     "bytes + typed metadata, extract byte-level features via Arrow-batched "
-    "mapInPandas (the template every real decoder plugs into).",
+    "mapInPandas (the template every real decoder plugs into). The gate "
+    "output explodes the histogram to (media_id, bucket, n) scalar rows — "
+    "array cells crash the driver's pandas canonicalizer — and drops "
+    "zero-count buckets so both engines emit the same row set.",
 )
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(_docs(spark, sf_dir))
-    return M.byte_features(media)
+    feats = M.byte_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("byte_histogram").alias("bucket", "n"),
+    ).filter(F.col("n") > 0)
 
 
 # --------------------------------------------------------------------------

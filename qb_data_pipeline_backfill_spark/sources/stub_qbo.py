@@ -166,8 +166,56 @@ class StubQboServer:
         self._httpd.server_close()
 
 
+class StubFileServer:
+    """Minimal HTTP server for byte payloads at fixed paths — the
+    CSV-over-HTTP fixture (op #24). Like the QBO stub, this is test
+    infrastructure: the engine only sees the HTTP contract."""
+
+    def __init__(self, files: dict[str, bytes], content_type: str = "text/csv"):
+        server_self = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_GET(self):
+                body = server_self.files.get(urlparse(self.path).path)
+                if body is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.files = dict(files)
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._httpd.server_address[1]
+        self.base_url = f"http://127.0.0.1:{self.port}"
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
 _SERVERS: dict[str, StubQboServer] = {}
+_FILE_SERVERS: dict[str, StubFileServer] = {}
 _SERVERS_LOCK = threading.Lock()
+
+
+def shared_file_server(key: str, files: dict[str, bytes]) -> StubFileServer:
+    """Process-wide file server per key (daemon thread, lives until
+    process exit) — used by the registered csv_http_scan query."""
+    with _SERVERS_LOCK:
+        srv = _FILE_SERVERS.get(key)
+        if srv is None:
+            srv = StubFileServer(files)
+            _FILE_SERVERS[key] = srv
+        return srv
 
 
 def shared_stub_server(parquet_path: str) -> StubQboServer:

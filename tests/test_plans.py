@@ -63,3 +63,23 @@ def test_ann_lsh_has_no_cartesian_product(spark):
 def test_probe_joins_are_hash_joins(spark, name):
     plan = _plan(spark, name)
     assert "Join" in plan and "CartesianProduct" not in plan
+
+
+def test_tfidf_vocabulary_join_is_not_hint_broadcast(spark):
+    """The doc_freq side of the TF-IDF term join is the full term
+    dictionary — unbounded cardinality at corpus scale, so it must
+    never carry a broadcast HINT (Catalyst may still auto-broadcast
+    below spark.sql.autoBroadcastJoinThreshold, which is size-aware
+    and correct). With the threshold disabled, only hinted joins can
+    broadcast — so the term join must plan as a shuffle join, while
+    the 1-row corpus-size crossJoin keeps its explicit hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "text_tfidf_topk")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan, "term join must not be hint-forced"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the scalar n_total side stays broadcast (1 row, explicit hint)
+    assert "BroadcastNestedLoopJoin" in plan
