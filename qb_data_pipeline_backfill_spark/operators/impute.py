@@ -68,11 +68,52 @@ def upper_median(df: DataFrame, col: str) -> float | int | None:
     return upper_medians(df, [col]).get(col)
 
 
-def median_impute(df: DataFrame, cols: list[str]) -> DataFrame:
+def approx_upper_medians(
+    df: DataFrame, cols: list[str], accuracy: int = 10_000
+) -> dict[str, float | int]:
+    """The 100 TB path: approximate medians via ``percentile_approx``
+    (Greenwald-Khanna sketch) — one aggregate-only job, no per-column
+    global sort, rank error bounded by n/``accuracy`` per column.
+
+    The exact path (``upper_medians``) window-sorts EVERY value of a
+    column inside one task — semantically required by the reference's
+    exact upper median and fine at template scale, but a straggler at
+    100 TB. This variant keeps the same call shape so ``median_impute``
+    can swap it in; the registered ``approx_median_contract`` query
+    pins its rank-error bound against the exact path cross-engine.
+    """
+    row = (
+        df.select(
+            *[
+                F.percentile_approx(
+                    F.col(c).cast("double"), 0.5, accuracy
+                ).alias(c)
+                for c in cols
+            ]
+        )
+        .collect()[0]
+        .asDict()
+    )
+    return {
+        c: (
+            int(row[c])
+            if isinstance(df.schema[c].dataType, _INTEGRAL) and row[c] is not None
+            else row[c]
+        )
+        for c in cols
+    }
+
+
+def median_impute(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
     """Project ``cols`` and fill each column's nulls with its upper
     median — the reference transform end-to-end (projection at
     fill_in_missing_values.py:9-10, imputation at :13-18) with one
     aggregation job instead of 2×len(cols).
+
+    ``exact=False`` swaps in ``approx_upper_medians`` — the sketch-
+    based path to use once a column's value count makes a single-task
+    sort a straggler.
     """
     out = df.select(*cols)
-    return out.na.fill(upper_medians(out, cols))
+    medians = upper_medians(out, cols) if exact else approx_upper_medians(out, cols)
+    return out.na.fill({k: v for k, v in medians.items() if v is not None})

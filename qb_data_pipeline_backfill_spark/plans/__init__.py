@@ -5,6 +5,7 @@ one slice of the engine's surface.
 """
 
 from qb_data_pipeline_backfill_spark.plans import analytics  # noqa: F401
+from qb_data_pipeline_backfill_spark.plans import contracts  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import ingestion  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import llm  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import nested  # noqa: F401

@@ -8,6 +8,7 @@ from qb_data_pipeline_backfill_spark.streaming.jobs import (
     session_aggregates,
     stateful_user_counts,
     stream_backfill,
+    stream_to_jdbc_idempotent,
     tumbling_counts,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "session_aggregates",
     "stateful_user_counts",
     "stream_backfill",
+    "stream_to_jdbc_idempotent",
     "tumbling_counts",
 ]

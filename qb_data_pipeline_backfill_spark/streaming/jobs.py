@@ -185,6 +185,49 @@ def stream_backfill(
     )
 
 
+def stream_to_jdbc_idempotent(
+    source: DataFrame,
+    url: str,
+    table: str,
+    *,
+    key: str,
+    checkpoint_dir: str,
+    properties: dict[str, str] | None = None,
+):
+    """Streaming twin of the batch JDBC sink (op #22): each micro-batch
+    runs through ``write_jdbc_idempotent`` via foreachBatch.
+
+    Exactly-once story, layered like ``stream_backfill``: the streaming
+    checkpoint absorbs micro-batch REPLAYS (a restarted query re-offers
+    the same batch id) and the sink's existing-key anti-join probe
+    absorbs re-EXTRACTED keys — so a crash between "append committed"
+    and "checkpoint advanced" cannot double-insert: the replayed batch
+    finds its keys already present and appends 0. This is the
+    correctness contract a plain ``foreachBatch(df.write.jdbc(...))``
+    lacks. Returns the started StreamingQuery.
+    """
+    from qb_data_pipeline_backfill_spark.operators.sink import (
+        write_jdbc_idempotent,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc_idempotent(
+            batch_df.sparkSession,
+            batch_df,
+            url=url,
+            table=table,
+            key=key,
+            properties=properties,
+        )
+
+    return (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

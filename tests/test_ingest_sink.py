@@ -113,3 +113,33 @@ def test_median_impute_fills_nulls(spark):
     # Age non-null sorted=[1,3,4], [3//2]=3.0 ; Fare [10,20,40], [3//2]=20.0
     assert ages == [1.0, 3.0, 3.0, 4.0]
     assert fares == [10.0, 20.0, 20.0, 40.0]
+
+
+def test_approx_upper_medians_rank_error_bound(spark):
+    """The sketch path must land within its guaranteed rank window of
+    the exact upper median: |rank(approx) − (n//2 + 1)| ≤ n/accuracy
+    (+1 for the upper-median offset vs the sketch's interpolated-rank
+    target)."""
+    from qb_data_pipeline_backfill_spark.operators.impute import (
+        approx_upper_medians,
+    )
+
+    n, acc = 5000, 1000
+    vals = [(float(i % 997),) for i in range(n)]  # repeated values too
+    df = spark.createDataFrame(vals, ["x"])
+    approx = approx_upper_medians(df, ["x"], accuracy=acc)["x"]
+    svals = sorted(v for (v,) in vals)
+    target = n // 2 + 1
+    lo = svals.index(approx) + 1  # lowest rank of the value
+    hi = len(svals) - svals[::-1].index(approx)  # highest rank
+    slack = n // acc + 1
+    assert lo - slack <= target <= hi + slack
+    # exact path agrees with the reference semantics on the same data
+    assert upper_median(df, "x") == svals[n // 2]
+
+
+def test_median_impute_approx_variant_fills_all_nulls(spark):
+    rows = [(float(i), float(i) if i % 7 else None) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = median_impute(df, ["a", "b"], exact=False)
+    assert out.filter("a IS NULL OR b IS NULL").count() == 0

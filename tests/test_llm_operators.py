@@ -87,6 +87,36 @@ def test_simhash_near_dup(docs):
     assert (1, 4) not in pairs
 
 
+def test_simhash_pigeonhole_banding_is_exhaustive_at_hamming_3(spark):
+    """With 4 chunks, any pair within Hamming ≤ 3 must agree on at
+    least one whole chunk — so the banded join may not drop ANY such
+    pair. Certify against a brute-force Hamming over the full
+    signature set (the property the contract_simhash_recall floor
+    relies on)."""
+    import itertools
+
+    rows = [
+        (i, f"shared common prefix tokens for everyone plus word{i % 4} and word{i % 7}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in D._simhash_chunks_agg(df, "text", "doc_id").collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])) <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert brute, "fixture must produce at least one Hamming ≤ 3 pair"
+    assert brute == banded
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc1: tokens a b c d → bigrams {ab, bc, cd}; doc2: a b c e → {ab, bc, ce}
     # shared = 2, union = 4 → jaccard = 0.5
