@@ -331,6 +331,48 @@ def simhash_near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# train-vs-eval decontamination (n-gram collision report)
+# --------------------------------------------------------------------------
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination report: training documents sharing ≥ 1 distinct
+    word-``n``-gram with any held-out evaluation document, with the
+    shared-gram and matched-eval-doc counts — the standard pre-training
+    hygiene pass that keeps benchmark text out of the training mix.
+
+    Inverted-index join on the gram (never doc×doc). At 100 TB, join
+    on ``xxhash64(gram)`` instead of the string to shrink the shuffle
+    width (collision-tolerant: a 64-bit collision can only ADD a
+    candidate, and candidates are reviewed/dropped anyway); the string
+    join is kept here for exact cross-engine parity with the oracle.
+    Hot boilerplate grams are naturally bounded because per-doc grams
+    are DISTINCT; add a gram-document-frequency cap before the join if
+    an eval set ever contains giant boilerplate.
+    """
+    tg = train.select(
+        F.col(id_col).alias("train_doc_id"),
+        F.explode(word_ngrams(tokens(text_col), n)).alias("gram"),
+    )
+    eg = eval_df.select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.explode(word_ngrams(tokens(text_col), n)).alias("gram"),
+    )
+    return (
+        tg.join(eg, "gram")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard (index-join, SQL-expressible)
 # --------------------------------------------------------------------------
 def ngram_jaccard_pairs(

@@ -1,0 +1,122 @@
+"""Graph operators: connected components for dedup-cluster resolution.
+
+Near-dup detection (``operators/dedup.py``) emits PAIRS; to actually
+drop duplicates a pipeline must resolve pairs into CLUSTERS and keep
+one canonical document per cluster — transitive closure, since near-dup
+is not transitive (A~B, B~C does not imply A~C, yet all three are one
+redundancy group). This generalizes the reference's keyed dedup
+(reference: data_exporters/save_to_raw_customers_py.py:20 —
+``drop_duplicates`` on an id) to content-level duplicate GROUPS.
+
+100 TB posture: min-label propagation with pointer jumping — the
+classic O(log d) MapReduce connected-components shape (Kiveris et al.,
+"Connected Components in MapReduce and Beyond"). Each iteration is a
+bounded number of hash-partitioned joins on the node id; no step ever
+materializes a neighborhood in one task, so skew is bounded by the
+hottest single node's degree (and dup-cluster edge lists are capped
+upstream by the candidate generators' ``max_bucket`` guards).
+``localCheckpoint`` truncates lineage each round so the plan does not
+grow exponentially with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve an undirected edge list into components.
+
+    Returns ``(node, cluster_id)`` where ``cluster_id`` is the minimum
+    node id reachable from ``node`` — deterministic and oracle-checkable
+    (a recursive-CTE transitive closure computes the same fixpoint).
+
+    Per iteration: (1) every node takes the min label among itself and
+    its neighbors (one shuffle join + map-side-combined min aggregate);
+    (2) pointer jumping — every node re-reads the label OF its label
+    (one self-join), halving chain depth, which is what turns a
+    diameter-d chain from d rounds into O(log d). Convergence is an
+    exact fixpoint check (count of improved labels == 0), so the result
+    is the true closure, not an iteration-capped approximation;
+    ``max_iter`` only bounds pathological inputs and raises if hit.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # (1) hook: min label over self + neighbors.
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        hooked = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer jump: label <- label(label).  Nodes whose label is
+        # already a root (label(label) == label) pass through unchanged.
+        parent = hooked.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        jumped = (
+            hooked.join(parent, "label", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label2"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") < F.col("label"))
+            .count()
+        )
+        labels = jumped
+        if improved == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs → cluster assignment + keep/drop decision.
+
+    Output: ``(doc_id, cluster_id, cluster_size, keep)`` for every
+    document that appears in at least one pair; ``keep`` marks the
+    canonical (minimum-id) member. Documents in no pair are trivially
+    their own cluster and are omitted (at 100 TB the pair set is
+    vastly smaller than the corpus — joining the full corpus back in
+    is the caller's cheap left-anti/left join).
+    """
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).alias("keep"),
+        )
+    )

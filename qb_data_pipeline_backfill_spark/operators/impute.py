@@ -79,7 +79,7 @@ def approx_upper_medians(
     column inside one task — semantically required by the reference's
     exact upper median and fine at template scale, but a straggler at
     100 TB. This variant keeps the same call shape so ``median_impute``
-    can swap it in; the registered ``approx_median_contract`` query
+    can swap it in; the registered ``contract_approx_median`` query
     pins its rank-error bound against the exact path cross-engine.
     """
     row = (

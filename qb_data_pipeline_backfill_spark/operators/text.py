@@ -259,6 +259,44 @@ def fingerprints(
     )
 
 
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family):
+    duplicate-n-gram fraction and most-frequent-n-gram fraction, in
+    integer basis points. High values mark boilerplate/spam documents
+    a curation pass drops before training.
+
+    Plan: explode NON-distinct n-grams → (doc, gram) counts → per-doc
+    rollup — two map-side-combined shuffles, no HOF quadratics.
+    Documents shorter than ``n`` tokens have no n-grams and are
+    excluded (matching SQL semantics of the oracle).
+    """
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    per_gram = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        _idiv(
+            (F.col("n_ngrams") - F.col("n_distinct")) * 10000, F.col("n_ngrams")
+        ).alias("dup_ngram_bp"),
+        _idiv(F.col("top_c") * 10000, F.col("n_ngrams")).alias("top_ngram_bp"),
+    )
+
+
 def lang_corpus_stats(
     df: DataFrame,
     lang_col: str = "lang",

@@ -49,7 +49,10 @@ prioritize(
         "contract_embedding_lsh_recall",
         "contract_ann_lsh_recall",
         "contract_ann_ivf_recall",
-        "approx_median_contract",
+        "contract_approx_median",
+        "text_repetition_scores",
+        "decontamination_overlap",
+        "dedup_cluster_resolution",
         # --- operators whose plans changed this round (re-prove) ---
         "text_fingerprint",
         "text_tfidf_topk",

@@ -279,7 +279,7 @@ _MEDIAN_ACC = 10_000  # percentile_approx accuracy → rank error ≤ n/acc
 
 
 @register(
-    "approx_median_contract",
+    "contract_approx_median",
     oracle="""
     WITH melted AS (
         SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value
@@ -306,7 +306,7 @@ _MEDIAN_ACC = 10_000  # percentile_approx accuracy → rank error ≤ n/acc
     "window (±n/accuracy) of the upper-median rank. The exact value is "
     "fully hash-checked; the approx path is bound-checked.",
 )
-def approx_median_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contract_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     melted = (
         li.select(

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from qb_data_pipeline_backfill_spark.operators import dedup as D
 from qb_data_pipeline_backfill_spark.operators import multimodal as M
+from qb_data_pipeline_backfill_spark.operators import sample as SA
 from qb_data_pipeline_backfill_spark.operators import similarity as S
 from qb_data_pipeline_backfill_spark.operators import text as X
 from qb_data_pipeline_backfill_spark.plans.registry import register
@@ -105,6 +106,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.8
     )
+
+
+@register(
+    "dedup_cluster_resolution",
+    oracle=r"""
+    WITH RECURSIVE toks AS (%s),
+    grams AS (
+        SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM p0
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+           cc.doc_id = cc.cluster_id AS keep
+    FROM cc JOIN sz ON cc.cluster_id = sz.cluster_id
+    """
+    % _TOKS,
+    doc="Near-dup pairs resolved to duplicate CLUSTERS (transitive closure "
+    "via O(log d) pointer-jumping label propagation) with canonical-doc "
+    "keep/drop decisions — the step that turns pair detection into an "
+    "actual dedup. Oracle: recursive-CTE closure over the same exact "
+    "trigram-Jaccard pairs.",
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.graph import dedup_clusters
+
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+    return dedup_clusters(pairs.select("doc_a", "doc_b"))
 
 
 @register(
@@ -400,6 +452,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprints(_docs(spark, sf_dir))
 
 
+@register(
+    "text_repetition_scores",
+    oracle=r"""
+    WITH toks AS (%s),
+    grams AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+        WHERE len(ts) >= 2
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    pd AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_ngrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_c
+        FROM pg GROUP BY 1
+    )
+    SELECT doc_id, n_ngrams,
+           (n_ngrams - n_distinct) * 10000 // n_ngrams AS dup_ngram_bp,
+           top_c * 10000 // n_ngrams AS top_ngram_bp
+    FROM pd
+    """
+    % _TOKS,
+    doc="Within-document repetition quality signals (Gopher-rule family): "
+    "duplicate-bigram and top-bigram fractions in integer basis points — "
+    "the boilerplate/spam pre-filter of a curation pass.",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "decontamination_overlap",
+    oracle=r"""
+    WITH toks AS (%s),
+    marked AS (
+        SELECT doc_id, ts, %s < '%s' AS is_eval
+        FROM toks
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, is_eval,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
+        FROM marked, LATERAL unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS t(i)
+    ),
+    j AS (
+        SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id, t.gram
+        FROM grams t JOIN grams e ON t.gram = e.gram
+        WHERE NOT t.is_eval AND e.is_eval
+    )
+    SELECT train_doc_id,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT eval_doc_id) AS BIGINT) AS n_eval_docs
+    FROM j GROUP BY 1
+    """
+    % (
+        _TOKS,
+        SA.hash_prefix_sql(["doc_id"], salt="eval"),
+        SA.threshold_hex(0.1),
+    ),
+    doc="Pre-training decontamination: training documents sharing a distinct "
+    "word-5-gram with the deterministic 10% eval holdout (same salted hash "
+    "as sample_eval_holdout), via an inverted-index gram join — benchmark "
+    "hygiene as a first-class engine op.",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_eval = SA.hash_prefix(["doc_id"], salt="eval") < F.lit(SA.threshold_hex(0.1))
+    return D.ngram_contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), n=5
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal
 # --------------------------------------------------------------------------
@@ -519,8 +643,6 @@ def text_lang_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # deterministic sampling / split (operators/sample.py)
 # --------------------------------------------------------------------------
-from qb_data_pipeline_backfill_spark.operators import sample as SA  # noqa: E402
-
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _STRATA_FRACTIONS = {"en": 0.25, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
 

@@ -1,0 +1,61 @@
+"""Connected components / dedup-cluster resolution (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from qb_data_pipeline_backfill_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+
+
+def test_cc_two_components_and_isolated_edge(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (5, 6)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_cc_long_chain_needs_pointer_jumping(spark):
+    # Diameter-9 path: naive propagation needs 9 rounds; pointer
+    # jumping must converge well under max_iter and still hit the
+    # exact fixpoint (every node labeled 0).
+    chain = [(i, i + 1) for i in range(9)]
+    got = _cc(spark, chain)
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_cc_merges_via_high_id_bridge(spark):
+    # Two low-id stars bridged through a high-id node: the min label
+    # must flow across the bridge in both directions.
+    got = _cc(spark, [(10, 1), (10, 2), (20, 11), (20, 12), (2, 20)])
+    assert set(got.values()) == {1}
+
+
+def test_cc_duplicate_and_reversed_edges_are_harmless(spark):
+    got = _cc(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_dedup_clusters_keep_flag_and_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (100, 101)], ["doc_a", "doc_b"]
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[3]["cluster_id"] == 3 and rows[3]["keep"] is True
+    assert rows[7]["cluster_id"] == 3 and rows[7]["keep"] is False
+    assert rows[9]["cluster_size"] == 3
+    assert rows[100]["keep"] is True and rows[100]["cluster_size"] == 2
+    assert sum(1 for r in rows.values() if r["keep"]) == 2
+
+
+def test_cc_raises_when_iteration_capped(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)

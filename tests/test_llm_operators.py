@@ -224,6 +224,40 @@ def test_quality_scores_bounds_and_monotonicity(spark):
     assert out[2]["punct_ratio"] > 0.5
 
 
+def test_repetition_scores_known_values(spark):
+    rows = [
+        (1, "a b a b a b"),   # bigrams: ab ba ab ba ab → 5 grams, 2 distinct, top=3
+        (2, "w x y z"),       # 3 grams, all distinct
+        (3, "solo"),          # < 2 tokens → excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in X.repetition_scores(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_ngrams"] == 5
+    assert got[1]["dup_ngram_bp"] == (5 - 2) * 10000 // 5
+    assert got[1]["top_ngram_bp"] == 3 * 10000 // 5
+    assert got[2]["dup_ngram_bp"] == 0 and got[2]["top_ngram_bp"] == 10000 // 3
+
+
+def test_ngram_contamination_flags_shared_grams_only(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated training text goes here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    holdout = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon eta theta")],
+        ["doc_id", "text"],
+    )
+    got = {r["train_doc_id"]: r for r in D.ngram_contamination(train, holdout, n=5).collect()}
+    # doc 1 shares exactly one distinct 5-gram: "alpha beta gamma delta epsilon"
+    assert set(got) == {1}
+    assert got[1]["n_shared_grams"] == 1
+    assert got[1]["n_eval_docs"] == 1
+
+
 def test_fingerprints_stable_under_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"), (2, " ALPHA  beta gamma delta epsilon zeta ")],
