@@ -51,12 +51,28 @@ def connected_components(
         F.col("u") != F.col("v")
     )
     sym = sym.distinct().localCheckpoint(eager=True)
+    # Right-size the iteration working set from the MEASURED edge count
+    # (free: the checkpoint already materialized it). Candidate-pair
+    # edge lists are usually tiny relative to the corpus; iterating a
+    # few hundred edges across the session's full shuffle width pays
+    # fixed per-task cost every round. ~2M edges per partition keeps
+    # one task's working set in memory at any scale.
+    n_edges = sym.count()
+    parts = max(1, min(n_edges // 2_000_000 + 1, sym.rdd.getNumPartitions()))
+    if parts < sym.rdd.getNumPartitions():
+        sym = sym.repartition(parts, "v").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # Labels are monotone non-increasing, so the exact-fixpoint test
+    # "did any label improve" is equivalent to "did the label sum
+    # drop" — a scalar aggregate instead of a join per round.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
 
     for _ in range(max_iter):
         # (1) hook: min label over self + neighbors.
@@ -81,15 +97,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        improved = (
-            jumped.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") < F.col("label"))
-            .count()
-        )
+        cur_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = jumped
-        if improved == 0:
+        if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )

@@ -1,0 +1,82 @@
+"""Dataset profiling: one-pass numeric column statistics.
+
+The data-quality report an ingestion pipeline runs before accepting a
+batch: per-column row/null/distinct counts, range, exact sum/mean, and
+population variance. Generalizes the reference's ad-hoc volumetry and
+integrity checks (reference: mage_data/.../integrity queries — COUNT/
+COUNT(DISTINCT) per table) into a reusable per-COLUMN profile.
+
+Cross-engine determinism: doubles are cast to exact DECIMAL(18,6) and
+then to integer micro-units, so sums, means, and the variance
+numerator ``n·Σm² − (Σm)²`` are integer arithmetic on both engines —
+no float accumulation order anywhere (see functions/numeric.py for
+why ``ROUND(double_sum)`` is never safe). Variance is truncated to
+4dp by exact integer division.
+
+100 TB posture: the melt (explode to (col_name, value)) multiplies
+rows by the column count but keeps the scan single-pass; the aggregate
+is map-side combinable on a low-cardinality key (one group per
+column). COUNT(DISTINCT) adds Spark's expand-based exact path —
+swap ``approx_count_distinct`` in at corpus scale (the engine's
+``approx_distinct_report`` query shows that path gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.functions.numeric import (
+    _exact_int_div,
+    decimal_avg,
+    decimal_sum,
+)
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per column: counts, range, exact sum/mean/variance."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.value")
+
+    # Exact integer micro-units (values carry ≤ 6 decimals of intent;
+    # the decimal cast is exact for them, unlike value * 1e6 in double).
+    m = (F.col("value").cast("decimal(18,6)") * F.lit(10**6)).cast("decimal(38,0)")
+    agg = melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        decimal_sum("value").alias("sum_value"),
+        decimal_avg("value").alias("mean_value"),
+        F.count("value").alias("_n"),
+        F.sum(m).cast("decimal(38,0)").alias("_s1"),
+        F.sum(m * m).cast("decimal(38,0)").alias("_s2"),
+    )
+    n = F.col("_n").cast("decimal(38,0)")
+    # Population variance, exact: (n·Σm² − (Σm)²) / n² in micro²-units,
+    # floor-truncated to 4dp of value² via one exact integer division.
+    var_num = (n * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast("decimal(38,0)")
+    var_den = (n * n * F.lit(10**8)).cast("decimal(38,0)")
+    return agg.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "sum_value",
+        "mean_value",
+        (_exact_int_div(var_num, var_den) / F.lit(1e4)).alias("var_pop"),
+    )

@@ -53,6 +53,9 @@ prioritize(
         "text_repetition_scores",
         "decontamination_overlap",
         "dedup_cluster_resolution",
+        "timeseries_gap_fill",
+        "pii_scrub",
+        "numeric_profile",
         # --- operators whose plans changed this round (re-prove) ---
         "text_fingerprint",
         "text_tfidf_topk",

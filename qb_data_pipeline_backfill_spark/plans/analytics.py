@@ -474,6 +474,96 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- time-series regularization: resample + gap-fill -------------------------
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1),
+    grid AS (
+        SELECT spans.user_id, g.bucket
+        FROM spans, LATERAL unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(bucket)
+    ),
+    j AS (
+        SELECT grid.user_id, grid.bucket, b.n_events, b.sum_value
+        FROM grid LEFT JOIN b ON b.user_id = grid.user_id AND b.bucket = grid.bucket
+    )
+    SELECT user_id, bucket,
+           COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events,
+           n_events IS NULL AS is_gap,
+           sum_value,
+           LAST_VALUE(sum_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM j
+    """,
+    doc="Per-user hourly series regularized over each user's observed span: "
+    "missing buckets materialized (is_gap, zero counts) and the bucket "
+    "aggregate carried forward (LOCF) — the step that turns an irregular "
+    "event stream into model-ready features. Grid size is bounded by "
+    "span/step per key, independent of event count.",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.timeseries import (
+        resample_gap_fill,
+    )
+
+    return resample_gap_fill(load_table(spark, sf_dir, "events"))
+
+
+# --- dataset profiling: per-column numeric statistics ------------------------
+@register(
+    "numeric_profile",
+    oracle="""
+    WITH melted AS (
+        SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    ),
+    a AS (
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+                    // (100 * COUNT(value)) AS DOUBLE) / 10000.0 AS mean_value,
+               CAST(COUNT(value) AS HUGEINT) AS _n,
+               SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS _s1,
+               SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   * CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS _s2
+        FROM melted GROUP BY col_name
+    )
+    SELECT col_name, n_rows, n_null, n_distinct, min_value, max_value,
+           sum_value, mean_value,
+           CAST((_n * _s2 - _s1 * _s1) // (_n * _n * 100000000) AS DOUBLE)
+               / 10000.0 AS var_pop
+    FROM a
+    """,
+    doc="Per-column data-quality profile (counts, nulls, distinct, range, "
+    "exact sum/mean, population variance) in ONE pass over the table. "
+    "Variance is exact integer micro-unit arithmetic on both engines "
+    "(n*S2 - S1^2 over n^2) — no float accumulation order anywhere, so "
+    "the hash gate holds bit-for-bit. Generalizes the reference's "
+    "volumetry/integrity checks to per-column statistics.",
+)
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.profile import profile_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 # --- Count-Min sketch frequency contract -------------------------------------
 @register(
     "cms_frequency_contract",

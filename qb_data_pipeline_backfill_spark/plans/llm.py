@@ -524,6 +524,72 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pii_scrub",
+    oracle=r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                    || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-800-555-0199' ELSE '' END
+               AS text
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id, text,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssn,
+               CAST(len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ipv4
+        FROM aug
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+                   '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS redacted,
+           n_email, n_ssn, n_phone, n_ipv4,
+           n_email > 0 OR n_ssn > 0 OR n_phone > 0 OR n_ipv4 > 0 AS has_pii
+    FROM counted
+    """,
+    doc="PII scrub: ordered regex redaction (email, SSN-shaped id, phone, "
+    "IPv4) + per-pattern detection counts, all JVM-side codegen'd "
+    "expressions. The corpus is word-salad with no PII, so the gate "
+    "injects deterministic doc_id-derived PII identically on both engines; "
+    "the hash match proves detection AND redaction parity, including the "
+    "ordered-application policy.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.scrub import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" call +1-800-555-0199")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(aug).select(
+        "doc_id", "redacted", "n_email", "n_ssn", "n_phone", "n_ipv4", "has_pii"
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal
 # --------------------------------------------------------------------------
