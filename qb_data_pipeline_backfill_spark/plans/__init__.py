@@ -56,6 +56,8 @@ prioritize(
         "timeseries_gap_fill",
         "pii_scrub",
         "numeric_profile",
+        "constraint_report",
+        "zorder_clustering_key",
         # --- operators whose plans changed this round (re-prove) ---
         "text_fingerprint",
         "text_tfidf_topk",

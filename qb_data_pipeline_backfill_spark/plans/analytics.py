@@ -516,6 +516,99 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_gap_fill(load_table(spark, sf_dir, "events"))
 
 
+# --- z-order (Morton) clustering key -----------------------------------------
+def _zorder_oracle() -> str:
+    from qb_data_pipeline_backfill_spark.operators.zorder import zorder_sql
+
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        + zorder_sql(["l_partkey", "l_suppkey"], bits=21)
+        + " AS zkey FROM lineitem"
+    )
+
+
+@register(
+    "zorder_clustering_key",
+    oracle=_zorder_oracle(),
+    doc="Morton (z-order) clustering key over (l_partkey, l_suppkey): the "
+    "bit-interleave expression behind multi-dimensional file clustering "
+    "(OPTIMIZE ZORDER BY without a table format). Pure shift/AND/OR "
+    "expression tree — whole-stage codegen, no UDF; the oracle replays "
+    "the identical arithmetic rendered by the same generator "
+    "(operators/zorder.py:zorder_sql), proving bit parity. The layout "
+    "effect itself (every partition bounding every dimension) is "
+    "asserted in test_zorder.py.",
+)
+def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.zorder import zvalue
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zvalue(["l_partkey", "l_suppkey"], bits=21).alias("zkey"),
+    )
+
+
+# --- declarative constraint validation ---------------------------------------
+@register(
+    "constraint_report",
+    oracle="""
+    WITH r AS (
+        SELECT 'quantity_range' AS rule, CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)) AS BIGINT) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_positive', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE NOT COALESCE(l_extendedprice > 0, FALSE)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_policy', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE NOT COALESCE(l_discount <= 0.05, FALSE)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_present', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'returnflag_enum', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orderkey_exists', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+        FROM lineitem
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed FROM r
+    """,
+    doc="Declarative data-quality gate: named row rules (range, positivity, "
+    "policy threshold, not-null, enum) evaluated in ONE scan as "
+    "conditional-count aggregates, plus a broadcast anti-join referential "
+    "rule — the contract check an ingestion pipeline runs before "
+    "accepting a batch. The discount_policy rule has real violations, "
+    "proving the counting path, not just the all-pass path.",
+)
+def constraint_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.validate import (
+        constraint_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    report = constraint_report(
+        li,
+        rules={
+            "quantity_range": F.col("l_quantity").between(1, 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_policy": F.col("l_discount") <= 0.05,
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+            "returnflag_enum": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+        ref_rules={"orderkey_exists": ("l_orderkey", orders, "o_orderkey")},
+    )
+    return report
+
+
 # --- dataset profiling: per-column numeric statistics ------------------------
 @register(
     "numeric_profile",
