@@ -73,6 +73,39 @@ def decimal_avg(col: Column | str, scale: int = 4) -> Column:
     return (_exact_int_div(micro, div) / F.lit(float(10**scale))).alias("avg")
 
 
+def dyadic_mean(col: Column | str, bits: int = 20) -> Column:
+    """Engine-exact mean of a float/double column of ANY sign, in
+    dyadic (power-of-two) units.
+
+    The decimal-cast helpers above round a double to decimal digits —
+    and a float whose exact binary expansion sits ON a decimal half
+    boundary (e.g. multiples of 1/128 at 6dp) rounds HALF_UP through
+    Java's string path but away-from-zero on the binary value in
+    DuckDB: a real one-unit divergence hit by the k-means gate (safe
+    for this repo's business doubles, which carry <=2 true decimals,
+    but NOT for full-precision floats like embeddings). Also note
+    DuckDB's integer ``//`` truncates toward zero while
+    ``_exact_int_div`` floors — they agree only for non-negative
+    numerators, so the sign is handled explicitly here. Dyadic
+    quantization has no rounding boundary at all: ``x * 2^bits`` is
+    EXACT in binary (pure exponent shift) and ``floor`` of an exact
+    double is unambiguous, so both engines produce identical integers;
+    the truncated integer mean over those is then exact, and dividing
+    by ``2^bits`` is again exact in a double.
+
+    DuckDB oracle shape (bits=20):
+    ``CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS HUGEINT))
+    // COUNT(x) AS DOUBLE) / 1048576.0`` (``//`` truncates there).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.floor(c.cast("double") * F.lit(float(2**bits))).cast("decimal(38,0)")
+    s1 = F.sum(m)
+    n = F.count(c).cast("decimal(38,0)")
+    mag = _exact_int_div(F.abs(s1), n)
+    signed = F.when(s1 < 0, -mag).otherwise(mag)
+    return signed / F.lit(float(2**bits))
+
+
 def int_ratio(num: Column, den: Column, scale: int = 4) -> Column:
     """num/den for non-negative integer columns, truncated to ``scale``
     decimals, exact on both engines at any magnitude.

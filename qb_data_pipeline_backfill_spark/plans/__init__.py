@@ -58,6 +58,7 @@ prioritize(
         "numeric_profile",
         "constraint_report",
         "zorder_clustering_key",
+        "kmeans_codebook",
         # --- operators whose plans changed this round (re-prove) ---
         "text_fingerprint",
         "text_tfidf_topk",

@@ -524,6 +524,29 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle() -> str:
+    from qb_data_pipeline_backfill_spark.operators.kmeans import kmeans_sql
+
+    return kmeans_sql(stride=50, iters=2, n_dims=64)
+
+
+@register(
+    "kmeans_codebook",
+    oracle=_kmeans_oracle(),
+    doc="Deterministic Lloyd k-means refinement of the IVF codebook "
+    "(2 rounds, strided init, argmax-cosine assignment, per-dimension "
+    "means in exact decimal micro-units). The oracle replays the "
+    "IDENTICAL iteration rendered by the same generator "
+    "(operators/kmeans.py:kmeans_sql), so the hash gate certifies a "
+    "full iterative ML training loop bit-for-bit across engines — "
+    "the reproducibility property a production index build needs.",
+)
+def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.kmeans import kmeans_refine
+
+    return kmeans_refine(_embs(spark, sf_dir), stride=50, iters=2)
+
+
 @register(
     "pii_scrub",
     oracle=r"""
