@@ -27,7 +27,17 @@ Postgres batch ETL/backfill pipeline), re-expressed Spark-first:
 - a Structured Streaming surface (``streaming``): watermarked
   tumbling/session windows, exactly-once dedup over at-least-once
   delivery, a custom ``applyInPandasWithState`` operator, and the
-  streaming twin of the backfill sink.
+  streaming twin of the backfill sink,
+- curation/layout extensions, each oracle-gated: dedup-cluster
+  resolution via pointer-jumping connected components
+  (``operators.graph``), deterministic Lloyd k-means codebook
+  refinement (``operators.kmeans``), PII redaction
+  (``operators.scrub``), train-vs-eval decontamination and
+  repetition scoring (``operators.dedup`` / ``operators.text``),
+  time-series gap-fill with LOCF (``operators.timeseries``),
+  per-column profiling (``operators.profile``), declarative
+  constraint validation (``operators.validate``), and Morton
+  z-order clustering (``operators.zorder``).
 
 Everything is built on the public PySpark 4 DataFrame/SQL API; no
 code is copied from the reference (which is a Mage-AI + pandas +

@@ -50,6 +50,26 @@ def kmeans_refine(
     (dim is 1-based) — the long form keeps the result oracle-hashable
     and trivially pivotable back to vectors.
     """
+    means, _ = _refine(df, stride, iters, id_col, vec_col)
+    return means
+
+
+def refined_codebook(
+    df: DataFrame,
+    stride: int = 50,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The same refinement in quantizer form: ``(centroid_id, c_vec,
+    c_norm)`` — drop-in for ``similarity.ivf_ann_topk(centroids=...)``."""
+    _, centroids = _refine(df, stride, iters, id_col, vec_col)
+    return centroids
+
+
+def _refine(
+    df: DataFrame, stride: int, iters: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
     centroids = deterministic_centroids(df, stride, id_col, vec_col)
     means: DataFrame | None = None
     for _ in range(iters):
@@ -77,7 +97,10 @@ def kmeans_refine(
             "centroid_id", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm")
         )
     assert means is not None
-    return means.select(F.col("cell").alias("centroid_id"), "dim", "value")
+    return (
+        means.select(F.col("cell").alias("centroid_id"), "dim", "value"),
+        centroids,
+    )
 
 
 def kmeans_sql(

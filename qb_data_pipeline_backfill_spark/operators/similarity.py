@@ -187,6 +187,7 @@ def ivf_ann_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` nearest cells
     per query, exact-cosine rank within them.
@@ -194,8 +195,12 @@ def ivf_ann_topk(
     The inverted file bounds the scanned fraction to ~nprobe/n_cells
     of the corpus — the classic recall/cost dial. A query's true
     neighbor is missed iff it quantized into an unprobed cell.
+    Pass ``centroids`` (``centroid_id, c_vec, c_norm``) to use a
+    trained codebook — e.g. ``kmeans.refined_codebook`` — instead of
+    the training-free strided quantizer.
     """
-    centroids = deterministic_centroids(corpus, stride, id_col, vec_col)
+    if centroids is None:
+        centroids = deterministic_centroids(corpus, stride, id_col, vec_col)
     inv = ivf_assign(corpus, centroids, id_col, vec_col)
 
     # nprobe nearest cells per query (same broadcast quantizer)

@@ -59,6 +59,9 @@ prioritize(
         "constraint_report",
         "zorder_clustering_key",
         "kmeans_codebook",
+        "status_priority_cube",
+        "scd2_intervals",
+        "funnel_conversion",
         # --- operators whose plans changed this round (re-prove) ---
         "text_fingerprint",
         "text_tfidf_topk",

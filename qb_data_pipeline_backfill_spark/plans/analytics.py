@@ -159,6 +159,39 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (all four dimension combinations in one pass, "
+    "GROUPING() flags disambiguating natural NULLs) — the dashboard "
+    "companion to region_nation_rollup's ROLLUP. One expand + one "
+    "shuffle regardless of how many grouping sets.",
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+            "n_orders", "sum_price",
+        )
+    )
+
+
 # --- pivot ---------------------------------------------------------------------
 @register(
     "pivot_status_by_priority",
@@ -870,6 +903,100 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
+    )
+
+
+# --- SCD2 validity intervals from the changelog -------------------------------
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current,
+           event_type, value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Slowly-changing-dimension type-2 build: every change event "
+    "becomes a version row with a [valid_from, valid_to) interval and "
+    "an is_current flag — one LEAD window over the (ts, event_id) total "
+    "order per key, the standard warehouse companion to "
+    "cdc_latest_state's last-wins compaction. One shuffle on the key; "
+    "as-of lookups against the result are the range/as-of joins this "
+    "engine already ships.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        "event_type",
+        "value",
+    )
+
+
+# --- sessionless funnel conversion --------------------------------------------
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+    doc="Ordered funnel (view -> click -> purchase): each stage keeps users "
+    "whose stage event strictly follows their FIRST event of the prior "
+    "stage. Three co-partitioned aggregate+join rounds on user_id — no "
+    "sort of full event history per user, no collect; the product-"
+    "analytics primitive over the event stream.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
 
 

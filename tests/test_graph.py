@@ -55,6 +55,13 @@ def test_dedup_clusters_keep_flag_and_sizes(spark):
     assert sum(1 for r in rows.values() if r["keep"]) == 2
 
 
+def test_cc_empty_edges_yield_empty_result(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_clusters(pairs).count() == 0
+
+
 def test_cc_raises_when_iteration_capped(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):

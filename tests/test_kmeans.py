@@ -46,6 +46,22 @@ def test_second_round_is_stable_here_and_deterministic(spark):
     assert sorted(map(tuple, two)) == sorted(map(tuple, again))
 
 
+def test_refined_codebook_plugs_into_ivf(spark):
+    from qb_data_pipeline_backfill_spark.operators.kmeans import refined_codebook
+    from qb_data_pipeline_backfill_spark.operators.similarity import ivf_ann_topk
+
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.1 * (i % 3), 0.5]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = refined_codebook(df, stride=4, iters=1)
+    assert set(cb.columns) == {"centroid_id", "c_vec", "c_norm"}
+    out = ivf_ann_topk(df, df.limit(3), k=2, nprobe=3, centroids=cb)
+    got = {r["query_id"] for r in out.collect()}
+    assert got == {0, 1, 2}
+    assert out.groupBy("query_id").count().filter("count != 2").count() == 0
+
+
 def test_empty_cells_drop_out(spark):
     # Perfectly collinear vectors: every cosine is exactly 1.0, so the
     # tie-break sends every vector to the lowest-id seed and the other
