@@ -83,3 +83,47 @@ def test_tfidf_vocabulary_join_is_not_hint_broadcast(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # the scalar n_total side stays broadcast (1 row, explicit hint)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_constraint_report_referential_rule_is_hint_broadcast(spark):
+    """The referential rule's dimension side is an explicit broadcast
+    (projected key column only) — the anti join must never shuffle the
+    fact table against a sorted dimension."""
+    plan = _plan(spark, "constraint_report")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_reuses_key_partitioning_for_window(spark):
+    """grid -> left join -> LOCF window: the window's user_id
+    partitioning must be satisfied by the aggregate's exchange, not a
+    fresh shuffle — hashpartitioning exchanges appear only under the
+    two aggregates (one per side), never between join and window."""
+    plan = _plan(spark, "timeseries_gap_fill")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" in plan
+
+
+def test_funnel_stage_aggregates_are_partial(spark):
+    plan = _plan(spark, "funnel_conversion")
+    assert "partial_min" in plan  # stage MINs combine map-side
+    assert "CartesianProduct" not in plan  # scalar joins are BNLJ on 1-row sides
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key must be a scan + project — no exchange, no
+    aggregate, no join, and no Python evaluation anywhere."""
+    plan = _plan(spark, "zorder_clustering_key")
+    for op in ("Exchange", "Join", "Aggregate", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan, op
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Every Lloyd round's assignment joins the corpus against the
+    (tiny) codebook — all joins must be broadcast nested-loop over the
+    broadcast codebook; the corpus must never shuffle for assignment
+    (the only exchanges belong to the per-dimension mean aggregates
+    and the codebook rebuild)."""
+    plan = _plan(spark, "kmeans_codebook")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
