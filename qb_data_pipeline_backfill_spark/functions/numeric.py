@@ -73,6 +73,15 @@ def decimal_avg(col: Column | str, scale: int = 4) -> Column:
     return (_exact_int_div(micro, div) / F.lit(float(10**scale))).alias("avg")
 
 
+def trunc_int_div(num: Column, den: Column) -> Column:
+    """Exact integer quotient TRUNCATED toward zero for a possibly-
+    negative numerator (positive denominator) — matching DuckDB's
+    integer ``//``, which truncates where ``_exact_int_div``'s pmod
+    construction floors."""
+    mag = _exact_int_div(F.abs(num), den)
+    return F.when(num < 0, -mag).otherwise(mag)
+
+
 def dyadic_mean(col: Column | str, bits: int = 20) -> Column:
     """Engine-exact mean of a float/double column of ANY sign, in
     dyadic (power-of-two) units.
@@ -101,9 +110,7 @@ def dyadic_mean(col: Column | str, bits: int = 20) -> Column:
     m = F.floor(c.cast("double") * F.lit(float(2**bits))).cast("decimal(38,0)")
     s1 = F.sum(m)
     n = F.count(c).cast("decimal(38,0)")
-    mag = _exact_int_div(F.abs(s1), n)
-    signed = F.when(s1 < 0, -mag).otherwise(mag)
-    return signed / F.lit(float(2**bits))
+    return trunc_int_div(s1, n) / F.lit(float(2**bits))
 
 
 def int_ratio(num: Column, den: Column, scale: int = 4) -> Column:

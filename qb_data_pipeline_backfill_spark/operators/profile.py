@@ -30,6 +30,7 @@ from qb_data_pipeline_backfill_spark.functions.numeric import (
     _exact_int_div,
     decimal_avg,
     decimal_sum,
+    trunc_int_div,
 )
 
 
@@ -79,4 +80,53 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         "sum_value",
         "mean_value",
         (_exact_int_div(var_num, var_den) / F.lit(1e4)).alias("var_pop"),
+    )
+
+
+def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise population covariances, exact cross-engine.
+
+    One aggregate over the table computes every Σmᵃ and Σmᵃmᵇ in
+    integer micro-units (values carry ≤ 6 true decimals), then
+    cov = (n·Σmᵃmᵇ − Σmᵃ·Σmᵇ) / n² — truncated to 4dp by exact
+    integer division (truncation, matching DuckDB ``//``, because a
+    covariance is signed). One row per unordered pair (a < b by
+    position). Rows with a null in either column are the caller's
+    concern (the synthetic profile columns are non-null); listwise
+    deletion would need per-pair counts.
+    """
+    m = {
+        c: (F.col(c).cast("decimal(18,6)") * F.lit(10**6)).cast("decimal(38,0)")
+        for c in cols
+    }
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(m[c]).cast("decimal(38,0)").alias(f"_s_{c}") for c in cols],
+        *[
+            F.sum(m[a] * m[b]).cast("decimal(38,0)").alias(f"_p_{a}_{b}")
+            for a, b in pairs
+        ],
+    )
+    n = F.col("_n").cast("decimal(38,0)")
+    den = (n * n * F.lit(10**8)).cast("decimal(38,0)")
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            (
+                trunc_int_div(
+                    (
+                        n * F.col(f"_p_{a}_{b}")
+                        - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+                    ).cast("decimal(38,0)"),
+                    den,
+                )
+                / F.lit(1e4)
+            ).alias("cov_pop"),
+        )
+        for a, b in pairs
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.col_a", "s.col_b", "s.cov_pop"
     )

@@ -62,6 +62,7 @@ prioritize(
         "status_priority_cube",
         "scd2_intervals",
         "funnel_conversion",
+        "numeric_covariance",
         # --- operators whose plans changed this round (re-prove) ---
         "text_fingerprint",
         "text_tfidf_topk",

@@ -690,6 +690,50 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _covariance_oracle() -> str:
+    mk = "CAST(CAST({c} AS DECIMAL(18,6)) * 1000000 AS HUGEINT)"
+    sums = ", ".join(f"SUM({mk.format(c=c)}) AS s_{c}" for c in _COV_COLS)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_COV_COLS)
+        for b in _COV_COLS[i + 1 :]
+    ]
+    prods = ", ".join(
+        f"SUM({mk.format(c=a)} * {mk.format(c=b)}) AS p_{a}_{b}" for a, b in pairs
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"CAST((n * p_{a}_{b} - s_{a} * s_{b}) // (n * n * 100000000) AS DOUBLE)"
+        f" / 10000.0 AS cov_pop FROM agg"
+        for a, b in pairs
+    )
+    return (
+        f"WITH agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, {sums}, {prods} "
+        f"FROM lineitem) {rows}"
+    )
+
+
+@register(
+    "numeric_covariance",
+    oracle=_covariance_oracle(),
+    doc="Pairwise population covariance matrix over the lineitem measures "
+    "in ONE aggregate pass — every Σm and Σm·m in exact integer "
+    "micro-units, cov = (n·Σmab − Σma·Σmb)/n² truncated to 4dp by exact "
+    "integer division (truncating, because covariance is signed). "
+    "Companion to numeric_profile's per-column variance; no float "
+    "accumulation order anywhere, so the hash gate holds bit-for-bit.",
+)
+def numeric_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.profile import (
+        covariance_matrix,
+    )
+
+    return covariance_matrix(load_table(spark, sf_dir, "lineitem"), _COV_COLS)
+
+
 # --- Count-Min sketch frequency contract -------------------------------------
 @register(
     "cms_frequency_contract",

@@ -29,3 +29,22 @@ def test_profile_constant_column_zero_variance(spark):
     r = profile_numeric(df, ["x"]).collect()[0]
     assert r["var_pop"] == 0.0 and r["n_distinct"] == 1
     assert r["mean_value"] == 5.5
+
+
+def test_covariance_known_values_and_sign(spark):
+    from qb_data_pipeline_backfill_spark.operators.profile import covariance_matrix
+
+    # x = [1,2,3], y = [2,4,6] (perfectly correlated), z = [3,2,1] (anti)
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)], ["x", "y", "z"]
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["cov_pop"]
+        for r in covariance_matrix(df, ["x", "y", "z"]).collect()
+    }
+    # cov_pop(x,y) = E[xy] - E[x]E[y] = 28/3 - 8 = 4/3 -> trunc 1.3333
+    assert got[("x", "y")] == 1.3333
+    # cov_pop(x,z) = 10/3 - 4 = -2/3 -> trunc toward zero -0.6666
+    assert got[("x", "z")] == -0.6666
+    assert got[("y", "z")] == -1.3333
+    assert len(got) == 3
