@@ -63,6 +63,7 @@ prioritize(
         "scd2_intervals",
         "funnel_conversion",
         "numeric_covariance",
+        "streaming_enriched_rollup",
         # --- operators whose plans changed this round (re-prove) ---
         "text_fingerprint",
         "text_tfidf_topk",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from qb_data_pipeline_backfill_spark.plans.registry import register
 from qb_data_pipeline_backfill_spark.streaming import (
     dedup_exactly_once,
+    enriched_segment_rollup,
     events_stream,
     run_available_now,
     session_aggregates,
@@ -39,6 +40,34 @@ from qb_data_pipeline_backfill_spark.streaming import (
 )
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(tumbling_counts(events_stream(spark, sf_dir)))
+
+
+@register(
+    "streaming_enriched_rollup",
+    oracle="""
+    SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment: the event stream broadcast-joined to the "
+    "static customer dimension (re-read per micro-batch — dimension "
+    "refreshes are picked up without restart) then rolled up hourly per "
+    "market segment through the streaming engine. The stream never "
+    "shuffles for the join; only the windowed aggregate keeps state.",
+)
+def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return run_available_now(
+        enriched_segment_rollup(events_stream(spark, sf_dir), dim)
+    )
 
 
 @register(

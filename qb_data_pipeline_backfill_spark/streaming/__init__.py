@@ -3,6 +3,7 @@ analytics plus a custom stateful operator."""
 
 from qb_data_pipeline_backfill_spark.streaming.jobs import (
     dedup_exactly_once,
+    enriched_segment_rollup,
     events_stream,
     run_available_now,
     session_aggregates,
@@ -14,6 +15,7 @@ from qb_data_pipeline_backfill_spark.streaming.jobs import (
 
 __all__ = [
     "dedup_exactly_once",
+    "enriched_segment_rollup",
     "events_stream",
     "run_available_now",
     "session_aggregates",

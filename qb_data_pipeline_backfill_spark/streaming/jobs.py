@@ -72,6 +72,34 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def enriched_segment_rollup(
+    stream: DataFrame, dim: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static
+    dimension (broadcast — re-read per micro-batch by the engine, so a
+    slowly-refreshed dimension table is picked up without restarts)
+    and roll up hourly per segment. The canonical streaming-enrichment
+    shape: the stream never shuffles for the join; only the windowed
+    aggregate keeps state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native ``session_window`` sessionization (30-minute inactivity
     gap) — the streaming-first form of the batch gaps-and-islands plan

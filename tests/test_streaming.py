@@ -43,6 +43,32 @@ def test_tumbling_matches_batch(spark):
     assert _rowset(got) == _rowset(batch)
 
 
+def test_enriched_rollup_matches_batch_join(spark):
+    from qb_data_pipeline_backfill_spark.streaming import enriched_segment_rollup
+
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    got = run_available_now(
+        enriched_segment_rollup(events_stream(spark, SF), dim)
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .join(dim, "user_id")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "segment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert _rowset(got) == _rowset(batch)
+
+
 def test_session_window_matches_islands(spark):
     got = run_available_now(session_aggregates(events_stream(spark, SF)))
     # batch gaps-and-islands twin (same shape as plans/analytics.py)
