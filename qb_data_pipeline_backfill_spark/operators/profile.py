@@ -83,6 +83,40 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_sigmas: int = 3,
+) -> DataFrame:
+    """Per-group z-score outlier flags with an EXACT integer test.
+
+    ``|x − mean| > k·sigma`` is equivalent to
+    ``(n·m − S1)² > k²·(n·S2 − S1²)`` with m, S1, S2 in integer
+    micro-units — both sides are exact integers on both engines, so
+    the flag is bit-reproducible (a float formulation would wobble on
+    values near the fence). Plan: one map-side-combinable aggregate
+    per group + a broadcast join back (group cardinality is small by
+    construction of a grouping) + a narrow flag expression.
+    """
+    m = (F.col(value_col).cast("decimal(18,6)") * F.lit(10**6)).cast(
+        "decimal(38,0)"
+    )
+    stats = df.groupBy(*group_cols).agg(
+        F.count(value_col).cast("decimal(38,0)").alias("_n"),
+        F.sum(m).cast("decimal(38,0)").alias("_s1"),
+        F.sum(m * m).cast("decimal(38,0)").alias("_s2"),
+    )
+    joined = df.withColumn("_m", m).join(F.broadcast(stats), group_cols)
+    dev = (F.col("_n") * F.col("_m") - F.col("_s1")).cast("decimal(38,0)")
+    var_n2 = (
+        F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    ).cast("decimal(38,0)")
+    return joined.withColumn(
+        "is_outlier", dev * dev > F.lit(n_sigmas**2) * var_n2
+    ).drop("_m", "_n", "_s1", "_s2")
+
+
 def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise population covariances, exact cross-engine.
 

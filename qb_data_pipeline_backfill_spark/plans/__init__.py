@@ -64,6 +64,7 @@ prioritize(
         "funnel_conversion",
         "numeric_covariance",
         "streaming_enriched_rollup",
+        "outlier_report",
         # --- operators whose plans changed this round (re-prove) ---
         "text_fingerprint",
         "text_tfidf_topk",

@@ -690,6 +690,42 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact z-score outlier detection ------------------------------------------
+@register(
+    "outlier_report",
+    oracle="""
+    WITH m_rows AS (
+        SELECT event_id, event_type, value,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS m
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(m) AS s1,
+               SUM(m * m) AS s2
+        FROM m_rows GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           (s.n * r.m - s.s1) * (s.n * r.m - s.s1)
+               > 9 * (s.n * s.s2 - s.s1 * s.s1) AS is_outlier
+    FROM m_rows r JOIN stats s ON r.event_type = s.event_type
+    """,
+    doc="Per-group 3-sigma outlier flags with an EXACT integer fence: "
+    "|x-mean| > 3*sigma rewritten as (n*m - S1)^2 > 9*(n*S2 - S1^2) in "
+    "micro-units, so rows near the fence cannot flip between engines "
+    "(a float z-score would). One partial aggregate per group + a "
+    "broadcast join back — the monitoring primitive over any measure.",
+)
+def outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.profile import outlier_flags
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return outlier_flags(ev, "value", ["event_type"], n_sigmas=3)
+
+
 _COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

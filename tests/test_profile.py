@@ -48,3 +48,17 @@ def test_covariance_known_values_and_sign(spark):
     assert got[("x", "z")] == -0.6666
     assert got[("y", "z")] == -1.3333
     assert len(got) == 3
+
+
+def test_outlier_flags_exact_fence(spark):
+    from qb_data_pipeline_backfill_spark.operators.profile import outlier_flags
+
+    # group g: nine 10s and one 100 -> mean 19, var_pop 729, sigma 27.
+    # |100-19| = 81 = 3*sigma EXACTLY -> strict > must NOT flag at k=3
+    # but must flag at k=2. A float z-score could wobble on this fence.
+    rows = [(i, "g", 10.0) for i in range(9)] + [(99, "g", 100.0)]
+    df = spark.createDataFrame(rows, ["id", "grp", "value"])
+    k3 = {r["id"]: r["is_outlier"] for r in outlier_flags(df, "value", ["grp"], 3).collect()}
+    assert k3[99] is False and not any(k3.values())
+    k2 = {r["id"]: r["is_outlier"] for r in outlier_flags(df, "value", ["grp"], 2).collect()}
+    assert k2[99] is True and sum(k2.values()) == 1
