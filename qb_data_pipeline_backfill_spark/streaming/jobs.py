@@ -48,6 +48,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # TIMESTAMP(MICROS) without a tz annotation infers as NTZ;
+        # watermarks require LTZ. UTC session tz makes the cast a
+        # wall-clock no-op that matches the DuckDB oracle's epoch.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

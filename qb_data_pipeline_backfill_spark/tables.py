@@ -47,15 +47,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it scans as int64
-        # nanoseconds. Truncate to micros (integer div, matching
-        # DuckDB's ns→us cast) and restore TimestampType.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (scanned as
+        # int64 under nanosAsLong) and as TIMESTAMP(MICROS) without a
+        # timezone annotation (inferred as TIMESTAMP_NTZ). Normalize
+        # both to TimestampType: with the session pinned to UTC the
+        # NTZ→LTZ cast preserves the wall clock and gives the same
+        # epoch DuckDB assigns its UTC-naive timestamps, and watermarks
+        # / epoch arithmetic require the LTZ type.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
