@@ -5,13 +5,16 @@ one slice of the engine's surface.
 """
 
 from qb_data_pipeline_backfill_spark.plans import analytics  # noqa: F401
+from qb_data_pipeline_backfill_spark.plans import behavioral  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import contracts  # noqa: F401
+from qb_data_pipeline_backfill_spark.plans import curation  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import ingestion  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import llm  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import nested  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import relational  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import rest  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import stream_plans  # noqa: F401
+from qb_data_pipeline_backfill_spark.plans import subqueries  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
     REGISTRY,
     oracle_sql,
@@ -20,54 +23,73 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries;
-# put queries WITHOUT a green CORRECTNESS_r02 row first — the 12 that
-# fell past last round's window (REST + streaming + the tail of the
-# relational surface) and everything new in round 3 — so the signal of
-# record covers the unproven surface. Previously-green queries keep
-# their r02 artifact even if they fall outside this round's window.
+# put queries WITHOUT a green artifact of record first: the 6 red in
+# CORRECTNESS_r03 (TIMESTAMP_NTZ breakage, fixed in tables/jobs), the
+# 5 rows-only fuzzy operators that have never landed a driver row,
+# everything new in round 4, then the r02-green queries that fell past
+# r03's window (oldest artifacts, refresh while space remains).
+# Queries green in r03 keep that artifact outside this round's window.
 prioritize(
     [
-        # --- unchecked in CORRECTNESS_r02 (registry-order overflow) ---
-        "coalesce_filter_key",
-        "json_extract_props",
-        "isin_predicate",
-        "semi_join_probe",
-        "anti_join_idempotence",
-        "validate_dedup_first_wins",
-        "rest_source_scan",
-        "rest_source_filtered",
+        # --- red in CORRECTNESS_r03: fixed, must re-prove ---
         "streaming_tumbling_window",
         "streaming_session_window",
-        "streaming_stateful_counts",
         "streaming_dedup_exactly_once",
-        # --- fixed gate entry (r02 row was a canonicalizer error) ---
-        "multimodal_byte_features",
-        # --- new in round 3 ---
-        "csv_http_scan",
-        "contract_minhash_recall",
-        "contract_simhash_recall",
-        "contract_embedding_lsh_recall",
-        "contract_ann_lsh_recall",
-        "contract_ann_ivf_recall",
-        "contract_approx_median",
-        "text_repetition_scores",
-        "decontamination_overlap",
-        "dedup_cluster_resolution",
-        "timeseries_gap_fill",
-        "pii_scrub",
-        "numeric_profile",
-        "constraint_report",
-        "zorder_clustering_key",
-        "kmeans_codebook",
-        "status_priority_cube",
-        "scd2_intervals",
-        "funnel_conversion",
-        "numeric_covariance",
         "streaming_enriched_rollup",
-        "outlier_report",
-        # --- operators whose plans changed this round (re-prove) ---
-        "text_fingerprint",
-        "text_tfidf_topk",
+        "range_join_attribution",
+        "hypertable_rollup_daily",
+        # --- rows-only fuzzy ops with no driver row yet ---
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_lsh",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        # --- new in round 4 ---
+        "doc_chunking",
+        "sequence_packing",
+        "vocab_build",
+        "quality_band_filter",
+        "retention_cohorts",
+        "rolling_user_window",
+        "group_percentiles",
+        "exists_correlated_orders",
+        "scalar_subquery_max_qty",
+        "having_fraction_of_total",
+        "streaming_sliding_window",
+        "streaming_stream_stream_join",
+        "incremental_rollup_merge",
+        "value_histogram",
+        "contract_bloom_prune",
+        # --- r02-green queries that fell past r03's 50-entry window ---
+        "salted_collect_stats",
+        "salted_join_segment_revenue",
+        "cdc_latest_state",
+        "window_function_suite",
+        "set_ops_report",
+        "dedup_exact_text",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "similarity_cosine_topk",
+        "text_token_stats",
+        "text_ngram_topk",
+        "text_quality_scores",
+        "text_language_scores",
+        "corpus_curation",
+        "text_lang_corpus_stats",
+        "sample_eval_holdout",
+        "sample_train_val_test",
+        "sample_stratified_rebalance",
+        "envelope_projection",
+        "ingest_validate_dedup",
+        "upper_median_by_segment",
+        "invoice_line_explode",
+        "volumetry_unionall",
+        "integrity_report",
+        "approx_distinct_report",
+        "dup_detection_having",
+        "filtered_aggregates",
+        "minmax_dates",
+        "date_window_filter",
     ]
 )
 

@@ -507,6 +507,87 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Incremental-view maintenance: daily partials computed over two "
+    "DISJOINT event slices (the materialized state and a late-arriving "
+    "delta batch), merged by re-aggregating the algebraic partials — "
+    "never re-reading the already-aggregated slice. The oracle is the "
+    "direct aggregate over ALL events, so the hash match proves partial "
+    "merge is exact — the property that lets a 100 TB rollup absorb a "
+    "delta batch at delta cost instead of full-scan cost.",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.rollup import (
+        continuous_aggregate,
+        finalize,
+        rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) < 2)
+    delta = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2)
+    p_base = continuous_aggregate(base, "ts", ["event_type"], ["value"], 86400)
+    p_delta = continuous_aggregate(delta, "ts", ["event_type"], ["value"], 86400)
+    merged = rollup(
+        p_base.unionByName(p_delta), ["event_type"], ["value"], 86400
+    )
+    return finalize(merged, ["event_type"], ["value"]).select(
+        F.to_date("bucket").alias("day"),
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT), 0), 19)
+               AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width 20-bucket histogram of order totals (clamped "
+    "overflow bucket): one map-side-combined aggregate over a narrow "
+    "bucket expression — the distribution profile a curation pipeline "
+    "computes per score column before choosing filter thresholds.",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long"), F.lit(0)
+        ),
+        F.lit(19),
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 # --- time-series regularization: resample + gap-fill -------------------------
 @register(
     "timeseries_gap_fill",

@@ -429,3 +429,50 @@ def _csv_values_sql() -> str:
 def csv_http_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = SQ.shared_file_server("template_csv", {"/template.csv": _csv_bytes()})
     return load_csv_http(spark, f"{srv.base_url}/template.csv")
+
+
+# --------------------------------------------------------------------------
+# bloom-filter join pruning: no-false-negative contract
+# --------------------------------------------------------------------------
+@register(
+    "contract_bloom_prune",
+    oracle="""
+    SELECT DISTINCT l.l_orderkey AS o_orderkey, TRUE AS caught
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+    doc="Bloom-prune soundness: every lineitem key that truly joins a "
+    "high-value order MUST survive the bloom probe (false negatives "
+    "would silently drop join rows; false positives only cost shuffle "
+    "volume). The oracle recomputes the exact semi-join key set and "
+    "asserts caught=TRUE for all of it.",
+)
+def contract_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    bloom = bloom_build(dim, "o_orderkey")
+    kept = (
+        bloom_probe(fact, "l_orderkey", bloom)
+        .select("l_orderkey")
+        .dropDuplicates(["l_orderkey"])
+        .withColumn("caught", F.lit(True))
+    )
+    exact = fact.join(
+        dim, fact["l_orderkey"] == dim["o_orderkey"], "left_semi"
+    ).select(F.col("l_orderkey")).dropDuplicates(["l_orderkey"])
+    out = exact.join(kept, "l_orderkey", "left").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.coalesce("caught", F.lit(False)).alias("caught"),
+    )
+    return out

@@ -17,8 +17,10 @@ from qb_data_pipeline_backfill_spark.streaming import (
     dedup_exactly_once,
     enriched_segment_rollup,
     events_stream,
+    interval_attribution_join,
     run_available_now,
     session_aggregates,
+    sliding_counts,
     stateful_user_counts,
     tumbling_counts,
 )
@@ -67,6 +69,52 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_available_now(
         enriched_segment_rollup(events_stream(spark, sf_dir), dim)
+    )
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '15 minutes' AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events, LATERAL unnest(generate_series(0, 3)) AS g(k)
+    GROUP BY 1, 2
+    """,
+    doc="Hopping windows (1-hour window, 15-minute slide) through the "
+    "streaming engine: every event lands in 4 overlapping windows. The "
+    "oracle replays the window assignment with generate_series(0,3) "
+    "over 15-minute buckets.",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(sliding_counts(events_stream(spark, sf_dir)))
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    doc="Stream-stream interval join (watermarks on both sides; the "
+    "range predicate bounds join state to O(rate x horizon)): purchases "
+    "attributed to same-user clicks within the preceding hour, executed "
+    "through the streaming engine's symmetric hash join.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    ev2 = events_stream(spark, sf_dir)
+    return run_available_now(
+        interval_attribution_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev2.filter(F.col("event_type") == "click"),
+        ),
+        output_mode="append",
     )
 
 

@@ -5,8 +5,10 @@ from qb_data_pipeline_backfill_spark.streaming.jobs import (
     dedup_exactly_once,
     enriched_segment_rollup,
     events_stream,
+    interval_attribution_join,
     run_available_now,
     session_aggregates,
+    sliding_counts,
     stateful_user_counts,
     stream_backfill,
     stream_to_jdbc_idempotent,
@@ -17,8 +19,10 @@ __all__ = [
     "dedup_exactly_once",
     "enriched_segment_rollup",
     "events_stream",
+    "interval_attribution_join",
     "run_available_now",
     "session_aggregates",
+    "sliding_counts",
     "stateful_user_counts",
     "stream_backfill",
     "stream_to_jdbc_idempotent",

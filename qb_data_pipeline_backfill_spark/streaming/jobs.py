@@ -124,6 +124,64 @@ def session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Hopping (sliding) windows: each event lands in window/slide
+    overlapping windows (4 here). State per open window is the same
+    bounded windowed-aggregate state as the tumbling plan — the slide
+    multiplies open-window count, not per-window state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def interval_attribution_join(
+    purchases: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each
+    purchase matched to the same user's clicks in the preceding hour.
+
+    The canonical watermarked interval join: both sides carry
+    watermarks and the range predicate bounds how long either side's
+    rows are retained in the join state store — without it the state
+    would grow without bound. Spark derives the eviction horizon from
+    (watermark + interval), so at 100 TB/day the state is
+    O(arrival rate x (watermark + horizon)), not O(history)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL {horizon} AND p_ts"
+        ),
+    ).select("purchase_id", "click_id")
+
+
 def stateful_user_counts(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-user running (count, value-sum) accumulator emitting one update

@@ -1,0 +1,86 @@
+"""Unit tests for operators/curation.py edge cases (the sf0.001 gate
+parity is covered by test_queries_vs_oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_chunking_covers_text_with_overlap(spark):
+    # 1000 chars, size=400, overlap=100 -> starts 0,300,600,900
+    df = _docs(spark, [(1, "a" * 1000, "en")])
+    got = C.chunk_documents(df, size=400, overlap=100).collect()
+    assert [(r.chunk_id, r.chunk_start, r.chunk_chars) for r in got] == [
+        (0, 0, 400),
+        (1, 300, 400),
+        (2, 600, 400),
+        (3, 900, 100),
+    ]
+
+
+def test_chunking_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, "short", "en"), (2, "", "en")])
+    got = C.chunk_documents(df, size=400, overlap=100).collect()
+    assert len(got) == 1 and got[0].doc_id == 1 and got[0].chunk_chars == 5
+
+
+def test_chunking_rejects_overlap_ge_size(spark):
+    df = _docs(spark, [(1, "x", "en")])
+    with pytest.raises(ValueError):
+        C.chunk_documents(df, size=100, overlap=100)
+
+
+def test_pack_greedy_fills_bins_in_order(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 60) for i in range(5)], "doc_id long, lang string, n int"
+    )
+    packed = C.pack_greedy(
+        df, size_col=F.col("n"), budget=100, partition_col="lang", order_col="doc_id"
+    )
+    bins = {r.doc_id: r.pack_bin for r in packed.collect()}
+    # exclusive cumsum: 0,60,120,180,240 // 100 -> 0,0,1,1,2
+    assert bins == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_pack_greedy_partitions_independently(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 80), (2, "de", 80), (3, "en", 80), (4, "de", 80)],
+        "doc_id long, lang string, n int",
+    )
+    packed = C.pack_greedy(
+        df, size_col=F.col("n"), budget=80, partition_col="lang", order_col="doc_id"
+    )
+    by_lang_bin = {
+        (r.lang, r.doc_id): r.pack_bin for r in packed.collect()
+    }
+    # each language packs from bin 0 independently
+    assert by_lang_bin[("en", 1)] == 0 and by_lang_bin[("de", 2)] == 0
+    assert by_lang_bin[("en", 3)] == 1 and by_lang_bin[("de", 4)] == 1
+
+
+def test_build_vocab_prunes_and_ranks(spark):
+    df = _docs(spark, [(1, "a a a b b c", "en"), (2, "b a", "en")])
+    vocab = {r.term: (r.term_id, r.n) for r in C.build_vocab(df, min_count=3).collect()}
+    # a: 4, b: 3, c pruned; ids by (count desc, term)
+    assert vocab == {"a": (1, 4), "b": (2, 3)}
+
+
+def test_percentile_band_filter_keeps_inclusive_band(spark):
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 11)], "doc_id long, s long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in C.percentile_band_filter(
+            df, score=F.col("s"), lo=0.2, hi=0.8
+        ).collect()
+    )
+    # percentile_disc(0.2)=2, percentile_disc(0.8)=8, inclusive
+    assert kept == [2, 3, 4, 5, 6, 7, 8]
