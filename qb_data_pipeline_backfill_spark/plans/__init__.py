@@ -8,6 +8,7 @@ from qb_data_pipeline_backfill_spark.plans import analytics  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import behavioral  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import contracts  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import curation  # noqa: F401
+from qb_data_pipeline_backfill_spark.plans import formats  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import ingestion  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import llm  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import nested  # noqa: F401
@@ -60,6 +61,10 @@ prioritize(
         "incremental_rollup_merge",
         "value_histogram",
         "contract_bloom_prune",
+        "pq_encode_codes",
+        "grouping_sets_report",
+        "jsonl_roundtrip_scan",
+        "orc_roundtrip_scan",
         # --- r02-green queries that fell past r03's 50-entry window ---
         "salted_collect_stats",
         "salted_join_segment_revenue",

@@ -1241,3 +1241,29 @@ def set_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rich_no_orders").alias("cohort"), "k"
     )
     return both.unionByName(rich_only)
+
+
+# --- named grouping sets with grouping() markers ------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register(
+    "grouping_sets_report",
+    oracle=_GROUPING_SETS_SQL,
+    doc="Named GROUPING SETS (detail, per-flag subtotal, grand total) "
+    "with GROUPING() null-vs-subtotal markers — the multi-grain report "
+    "shape between plain GROUP BY and full CUBE (status_priority_cube). "
+    "One expand + one shuffle; exact decimal sums.",
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -1,0 +1,63 @@
+"""Source/sink format breadth: JSON-lines and ORC round trips.
+
+The reference ingests REST JSON and CSV-over-HTTP and lands rows in
+Postgres (SURVEY.md §2A); the engine additionally speaks the lake
+formats. Each query here writes a testdata table through the format's
+native sink and scans it back through the native source, so the gate
+hash (vs DuckDB over the ORIGINAL parquet) certifies the full
+write→read round trip preserves every value — the property that lets
+a 100 TB pipeline mix parquet/ORC/JSONL landing zones without
+corruption. Writes go under the repo's spark-warehouse scratch dir,
+partitioned by the natural key column so the scan demonstrates
+partition discovery too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.plans.registry import register
+from qb_data_pipeline_backfill_spark.tables import load_table
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "format_roundtrips",
+)
+
+
+@register(
+    "jsonl_roundtrip_scan",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc="JSON-lines sink + source round trip of the documents corpus, "
+    "partitioned by lang (partition discovery on read): value-hash "
+    "equality with the original parquet proves string escaping, unicode, "
+    "and numeric round-tripping through the JSON codec.",
+)
+def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_SCRATCH, "documents_jsonl")
+    docs.write.mode("overwrite").partitionBy("lang").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "orc_roundtrip_scan",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM customer",
+    doc="ORC sink + source round trip of the customer dimension: "
+    "value-hash equality with the original parquet proves the columnar "
+    "codec preserves doubles bit-for-bit and strings byte-for-byte.",
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    path = os.path.join(_SCRATCH, "customer_orc")
+    cust.write.mode("overwrite").orc(path)
+    back = spark.read.schema(cust.schema).orc(path)
+    return back.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )

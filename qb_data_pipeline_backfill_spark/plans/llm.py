@@ -818,3 +818,41 @@ def sample_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "pq_encode_codes",
+    oracle="""
+    WITH cb AS (
+        SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (SELECT vec_id, embedding AS qv FROM embeddings),
+    s AS (SELECT vec_id, qv, g.sub FROM v, generate_series(0, 3) AS g(sub)),
+    scored AS (
+        SELECT vec_id, sub, code,
+               (SELECT SUM((CAST(qv[sub * 16 + i] AS DOUBLE)
+                            - CAST(cv[sub * 16 + i] AS DOUBLE))
+                           * (CAST(qv[sub * 16 + i] AS DOUBLE)
+                              - CAST(cv[sub * 16 + i] AS DOUBLE)))
+                FROM generate_series(1, 16) AS t(i)) AS dist
+        FROM s, cb
+    )
+    SELECT vec_id, sub AS subspace, code
+    FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """,
+    doc="Product-quantization encoding: each 64-dim embedding becomes 4 "
+    "codebook ids (argmin squared-L2 per 16-dim subspace, deterministic "
+    "codebook = first 8 vectors, ties to the smaller code). 64x "
+    "compression for billion-vector ANN; one broadcast join + one window "
+    "per (vector, subspace), linear in corpus size.",
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.pq import pq_encode
+
+    return pq_encode(_embs(spark, sf_dir))
