@@ -1267,3 +1267,38 @@ _GROUPING_SETS_SQL = """
 def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --- unpivot / melt -----------------------------------------------------------
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+    )
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="UNPIVOT (DataFrame.unpivot / melt) of three measure columns to "
+    "long form — the inverse of pivot_status_by_priority's shape. Narrow "
+    "Expand node (3 output rows per input, no shuffle), the layout "
+    "feeding per-measure profiling like numeric_profile.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.col("l_orderkey"), F.lit(100)) == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )

@@ -127,3 +127,59 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     plan = _plan(spark, "kmeans_codebook")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round 4: curation / subquery / pq / rollup-merge shapes -----------------
+def test_doc_chunking_is_narrow(spark):
+    plan = _plan(spark, "doc_chunking")
+    # chunking must parallelize with the scan: no exchange anywhere
+    # (the corpus _spread repartition is the only allowed one)
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_sequence_packing_windows_by_shard_key(spark):
+    plan = _plan(spark, "sequence_packing")
+    # the packing window partitions by lang — never a global
+    # single-partition sort
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(lang" in plan
+
+
+def test_vocab_build_id_window_is_post_aggregation(spark):
+    plan = _plan(spark, "vocab_build")
+    # the only single-partition exchange feeds the |V|-row id
+    # assignment AFTER the term count aggregate, never the corpus
+    single = plan.split("Exchange SinglePartition")
+    assert len(single) == 2
+    assert "HashAggregate" in single[1]
+
+
+def test_exists_probe_decorrelates_to_semi_join(spark):
+    plan = _plan(spark, "exists_correlated_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    plan = _plan(spark, "scalar_subquery_max_qty")
+    # per-part MAX computed once and joined back — no per-row subquery
+    assert "max(l_quantity" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_window_single_shuffle(spark):
+    plan = _plan(spark, "rolling_user_window")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RangeFrame" in plan
+
+
+def test_pq_encode_broadcasts_codebook(spark):
+    plan = _plan(spark, "pq_encode_codes")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_reaggregates_partials(spark):
+    plan = _plan(spark, "incremental_rollup_merge")
+    # partial aggregation on both slices before the merge shuffle
+    assert "partial_sum" in plan
