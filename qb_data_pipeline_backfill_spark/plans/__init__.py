@@ -65,6 +65,9 @@ prioritize(
         "grouping_sets_report",
         "jsonl_roundtrip_scan",
         "orc_roundtrip_scan",
+        "unpivot_measures",
+        "full_outer_reconciliation",
+        "score_normalize_per_lang",
         # --- r02-green queries that fell past r03's 50-entry window ---
         "salted_collect_stats",
         "salted_join_segment_revenue",

@@ -1302,3 +1302,49 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+# --- full outer join reconciliation -------------------------------------------
+@register(
+    "full_outer_reconciliation",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS n_orders FROM orders
+               WHERE o_orderkey % 7 = 0 GROUP BY 1),
+         l AS (SELECT l_orderkey AS k, COUNT(*) AS n_lines FROM lineitem
+               WHERE l_orderkey % 5 = 0 GROUP BY 1)
+    SELECT COALESCE(o.k, l.k) AS orderkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_lines, 0) AS n_lines,
+           o.k IS NULL AS only_lines,
+           l.k IS NULL AS only_orders
+    FROM o FULL OUTER JOIN l ON o.k = l.k
+    """,
+    doc="Reconciliation via FULL OUTER join of two pre-aggregated key "
+    "sets (deliberately overlapping filters so all three match cases "
+    "occur): the shape every cross-system audit uses. Aggregates reduce "
+    "both sides BEFORE the join, so the shuffle moves key counts, not "
+    "raw rows.",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.pmod(F.col("o_orderkey"), F.lit(7)) == 0)
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.pmod(F.col("l_orderkey"), F.lit(5)) == 0)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    j = o.withColumnRenamed("k", "ok").join(
+        li.withColumnRenamed("k", "lk"), F.col("ok") == F.col("lk"), "full_outer"
+    )
+    return j.select(
+        F.coalesce("ok", "lk").alias("orderkey"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.col("ok").isNull().alias("only_lines"),
+        F.col("lk").isNull().alias("only_orders"),
+    )

@@ -132,3 +132,37 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.percentile_band_filter(
         _docs(spark, sf_dir), score=C.doc_token_count("text"), lo=0.1, hi=0.9
     )
+
+
+@register(
+    "score_normalize_per_lang",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, CAST({_BPE_COUNT} AS BIGINT) AS score
+        FROM documents
+    )
+    SELECT doc_id, lang, score,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                      ORDER BY score, doc_id), 6) AS pct_rank
+    FROM scored
+    """,
+    doc="Percentile-rank normalization of a quality score WITHIN each "
+    "language shard (cross-lingual score comparability — raw token "
+    "counts aren't comparable across languages). The window partitions "
+    "by lang, so normalization parallelizes per shard; the (score, "
+    "doc_id) order is total, making percent_rank an exact small "
+    "rational on both engines.",
+)
+def score_normalize_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", C.doc_token_count("text").alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
