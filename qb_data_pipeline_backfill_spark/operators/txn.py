@@ -1,0 +1,185 @@
+"""Minimal transactional table on plain parquet: manifest-committed
+snapshots with atomic append, optimistic concurrency, and time travel.
+
+The reference's sink is check-then-insert against Postgres
+(reference `data_exporters/save_to_raw_customers_py.py:49-65`), whose
+crash window can double-insert; the engine's anti-join parquet sink
+(operators/sink.py) closes the duplicate window but a reader racing a
+writer can still observe a half-written directory listing. This
+module closes that last gap with the core of what Delta/Iceberg
+provide — a MANIFEST as the single source of truth:
+
+- A snapshot is a JSON manifest ``_txn/v{N}.json`` listing exactly the
+  data files of version N. Readers list NOTHING: they read the latest
+  manifest and scan precisely those files — a half-written file that
+  no manifest references does not exist.
+- Writers stage new files under ``data/`` via a unique staging write,
+  then publish by creating the next manifest with ``os.link`` (fails
+  if the version already exists → optimistic-concurrency conflict,
+  the loser retries on the new base). The publish is one atomic
+  filesystem operation; a crash before it leaves only invisible
+  orphans (``vacuum`` reclaims them).
+- ``read_version`` pins any historical snapshot (time travel), since
+  manifests are immutable and data files are never rewritten.
+
+On a real deployment the manifest store is the object store itself
+(S3 conditional PUT) or a log service — the protocol is unchanged.
+This is deliberately the 200-line core, not a table format: no
+schema evolution, no compaction rewrite commits (layout.compact
+would slot in as a replace-files commit), no deletion vectors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first; re-read and retry."""
+
+
+def _txn_dir(path: str) -> str:
+    return os.path.join(path, "_txn")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_txn_dir(path), f"v{version:06d}.json")
+
+
+def current_version(path: str) -> int:
+    """Latest committed version, or -1 for an empty/uninitialized table."""
+    d = _txn_dir(path)
+    if not os.path.isdir(d):
+        return -1
+    versions = [
+        int(name[1:-5])
+        for name in os.listdir(d)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions, default=-1)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Snapshot read of one committed version (time travel)."""
+    man = _read_manifest(path, version)
+    files = [os.path.join(path, "data", name) for name in man["files"]]
+    if not files:
+        return spark.createDataFrame([], man["schema_ddl"])
+    return spark.read.schema(man["schema_ddl"]).parquet(*files)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot read of the latest committed version. Concurrent
+    writers never affect this scan: the file list is pinned by the
+    manifest at call time."""
+    v = current_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    return read_version(spark, path, v)
+
+
+def commit_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str | None = None,
+    expected_base: int | None = None,
+) -> int:
+    """Atomically append ``df`` as the next version; returns it.
+
+    With ``key``, rows whose key already exists in the current
+    snapshot are dropped first (the idempotence contract of
+    operators/sink.py, now with snapshot isolation: the anti-join
+    probe and the publish see the same version, and a replayed batch
+    that lost the publish race retries against the winner's rows).
+
+    ``expected_base`` pins the snapshot this commit was validated
+    against (compare-and-swap semantics): if any other version has
+    been committed since, the publish fails instead of silently
+    basing on state the caller never saw.
+
+    Raises ConcurrentCommitError if another writer publishes the same
+    version first; staged files stay invisible either way.
+    """
+    base = current_version(path) if expected_base is None else expected_base
+    out = df
+    if key is not None and base >= 0:
+        existing = read_version(spark, path, base).select(key)
+        out = df.join(existing, key, "left_anti")
+
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    os.makedirs(_txn_dir(path), exist_ok=True)
+
+    # Stage: write through Spark's committer into a unique subdir,
+    # then hard-link the parts into data/ under unique names. Nothing
+    # is visible until the manifest publishes.
+    stage_id = uuid.uuid4().hex
+    stage_dir = os.path.join(path, "_staging", stage_id)
+    out.write.mode("overwrite").parquet(stage_dir)
+    new_files: list[str] = []
+    for name in sorted(os.listdir(stage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        unique = f"{stage_id}-{name}"
+        os.link(
+            os.path.join(stage_dir, name), os.path.join(path, "data", unique)
+        )
+        new_files.append(unique)
+
+    prev_files = _read_manifest(path, base)["files"] if base >= 0 else []
+    manifest = {
+        "version": base + 1,
+        "files": prev_files + new_files,
+        "schema_ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in out.schema
+        ),
+        "parent": base,
+    }
+    tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        # os.link is atomic create-if-absent: exactly one writer wins
+        # a given version on any POSIX filesystem.
+        os.link(tmp, _manifest_path(path, base + 1))
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {base + 1} already committed under {path}"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    return base + 1
+
+
+def vacuum(path: str) -> list[str]:
+    """Delete staged/orphaned data files no manifest references
+    (crash debris). Never touches referenced files, so concurrent
+    snapshot reads of ANY version stay valid."""
+    v = current_version(path)
+    referenced: set[str] = set()
+    for version in range(v + 1):
+        referenced.update(_read_manifest(path, version)["files"])
+    removed = []
+    data_dir = os.path.join(path, "data")
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if name not in referenced:
+                os.unlink(os.path.join(data_dir, name))
+                removed.append(name)
+    stage_root = os.path.join(path, "_staging")
+    if os.path.isdir(stage_root):
+        import shutil
+
+        for d in os.listdir(stage_root):
+            shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
+            removed.append(f"_staging/{d}")
+    return removed

@@ -107,12 +107,13 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through the streaming engine's symmetric hash join.",
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both join sides derive from ONE source stream (self-join): the
+    # landing directory is scanned once per micro-batch, not twice.
     ev = events_stream(spark, sf_dir)
-    ev2 = events_stream(spark, sf_dir)
     return run_available_now(
         interval_attribution_join(
             ev.filter(F.col("event_type") == "purchase"),
-            ev2.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "click"),
         ),
         output_mode="append",
     )

@@ -1,0 +1,81 @@
+"""Transactional manifest table: atomicity, idempotence, isolation,
+time travel, conflict detection, vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators import txn
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_commit_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v = txn.commit_append(spark, _df(spark, 0, 100), path)
+    assert v == 0
+    got = txn.read_table(spark, path)
+    assert got.count() == 100
+    assert {f.name for f in got.schema} == {"k", "v"}
+
+
+def test_keyed_append_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 100), path, key="k")
+    # replay the same batch + 50 new keys: only the new keys land
+    txn.commit_append(spark, _df(spark, 0, 150), path, key="k")
+    got = txn.read_table(spark, path)
+    assert got.count() == 150
+    assert got.filter(F.col("k") == 42).count() == 1
+
+
+def test_staged_but_unpublished_files_are_invisible(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    # crash simulation: data files exist but no manifest references them
+    _df(spark, 1000, 2000).write.parquet(os.path.join(path, "_staging", "crashed"))
+    for name in os.listdir(os.path.join(path, "_staging", "crashed")):
+        if name.endswith(".parquet"):
+            os.link(
+                os.path.join(path, "_staging", "crashed", name),
+                os.path.join(path, "data", f"orphan-{name}"),
+            )
+    assert txn.read_table(spark, path).count() == 10
+    removed = txn.vacuum(path)
+    assert any(n.startswith("orphan-") for n in removed)
+    assert txn.read_table(spark, path).count() == 10
+
+
+def test_time_travel_pins_old_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    txn.commit_append(spark, _df(spark, 10, 30), path)
+    assert txn.read_version(spark, path, 0).count() == 10
+    assert txn.read_version(spark, path, 1).count() == 30
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    # two writers validated against base 0; the first publishes v1,
+    # the second's compare-and-swap publish must fail, not overwrite
+    txn.commit_append(spark, _df(spark, 10, 20), path, expected_base=0)
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn.commit_append(spark, _df(spark, 20, 30), path, expected_base=0)
+    assert txn.read_table(spark, path).count() == 20
+
+
+def test_reader_snapshot_survives_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    pinned = txn.read_table(spark, path)  # manifest resolved NOW
+    txn.commit_append(spark, _df(spark, 10, 1000), path)
+    # the pinned plan scans only version-0 files even executed later
+    assert pinned.count() == 10
