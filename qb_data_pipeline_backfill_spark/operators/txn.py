@@ -183,3 +183,94 @@ def vacuum(path: str) -> list[str]:
             shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
             removed.append(f"_staging/{d}")
     return removed
+
+
+def commit_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    expected_base: int | None = None,
+) -> int:
+    """MERGE semantics: rows in ``df`` replace same-key rows in the
+    current snapshot; unmatched rows append. Publishes one new
+    version whose manifest references ONLY the rewritten file set, so
+    readers switch snapshots atomically.
+
+    This -lite core rewrites the full surviving row set (correct at
+    any size, efficient at modest size). The production copy-on-write
+    refinement — rewrite only the files whose key-range stats overlap
+    the update keys, carry the rest forward by reference — changes
+    which files land in the manifest, not the protocol.
+    """
+    base = current_version(path) if expected_base is None else expected_base
+    if base >= 0:
+        survivors = read_version(spark, path, base).join(
+            df.select(key), key, "left_anti"
+        )
+        merged = survivors.unionByName(df)
+    else:
+        merged = df
+
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    os.makedirs(_txn_dir(path), exist_ok=True)
+    stage_id = uuid.uuid4().hex
+    stage_dir = os.path.join(path, "_staging", stage_id)
+    merged.write.mode("overwrite").parquet(stage_dir)
+    new_files: list[str] = []
+    for name in sorted(os.listdir(stage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        unique = f"{stage_id}-{name}"
+        os.link(
+            os.path.join(stage_dir, name), os.path.join(path, "data", unique)
+        )
+        new_files.append(unique)
+
+    manifest = {
+        "version": base + 1,
+        "files": new_files,  # full replacement: old files stay for time travel
+        "schema_ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in merged.schema
+        ),
+        "parent": base,
+    }
+    tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(path, base + 1))
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {base + 1} already committed under {path}"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    return base + 1
+
+
+def stream_to_txn(
+    source: DataFrame,
+    path: str,
+    *,
+    key: str,
+    checkpoint_dir: str,
+):
+    """Streaming exactly-once into the transactional table: each
+    micro-batch commits through ``commit_append(key=...)`` inside
+    foreachBatch. The layered guarantees compose: the streaming
+    checkpoint absorbs micro-batch REPLAYS, the keyed anti-join
+    absorbs re-EXTRACTED keys, and the manifest publish makes each
+    batch all-or-nothing — a crash mid-write leaves only invisible
+    staged files, never a torn snapshot. Returns the started query.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_append(batch_df.sparkSession, batch_df, path, key=key)
+
+    return (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -79,3 +79,38 @@ def test_reader_snapshot_survives_concurrent_append(spark, tmp_path):
     txn.commit_append(spark, _df(spark, 10, 1000), path)
     # the pinned plan scans only version-0 files even executed later
     assert pinned.count() == 10
+
+
+def test_upsert_replaces_and_appends(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    updates = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    v = txn.commit_upsert(spark, updates, path, key="k")
+    assert v == 1
+    got = txn.read_table(spark, path)
+    assert got.count() == 15
+    assert got.filter(F.col("v") == -1).count() == 10
+    assert got.filter((F.col("k") == 3) & (F.col("v") == 30)).count() == 1
+    # time travel still sees the pre-merge snapshot
+    assert txn.read_version(spark, path, 0).filter(F.col("v") == -1).count() == 0
+
+
+def test_streaming_into_txn_table_is_exactly_once(spark, tmp_path):
+    from qb_data_pipeline_backfill_spark.streaming import events_stream
+    from qb_data_pipeline_backfill_spark.operators.txn import stream_to_txn
+
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    src = events_stream(spark, "/root/testdata/sf0.001").select(
+        F.col("event_id").alias("k"), "event_type", "value"
+    )
+    q = stream_to_txn(src, path, key="k", checkpoint_dir=ck)
+    q.awaitTermination()
+    n = txn.read_table(spark, path).count()
+    # replay the whole stream from a FRESH checkpoint: keyed commit
+    # inserts zero, version advances, count is unchanged
+    q2 = stream_to_txn(src, path, key="k", checkpoint_dir=str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert txn.read_table(spark, path).count() == n
