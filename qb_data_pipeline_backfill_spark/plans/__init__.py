@@ -16,6 +16,7 @@ from qb_data_pipeline_backfill_spark.plans import relational  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import rest  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import stream_plans  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans import subqueries  # noqa: F401
+from qb_data_pipeline_backfill_spark.plans import udf_surface  # noqa: F401
 from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
     REGISTRY,
     oracle_sql,
@@ -65,6 +66,8 @@ prioritize(
         "grouping_sets_report",
         "jsonl_roundtrip_scan",
         "orc_roundtrip_scan",
+        "udtf_term_counts",
+        "pandas_udaf_cents_sum",
         "unpivot_measures",
         "full_outer_reconciliation",
         "score_normalize_per_lang",
