@@ -211,42 +211,7 @@ def commit_upsert(
         merged = survivors.unionByName(df)
     else:
         merged = df
-
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
-    os.makedirs(_txn_dir(path), exist_ok=True)
-    stage_id = uuid.uuid4().hex
-    stage_dir = os.path.join(path, "_staging", stage_id)
-    merged.write.mode("overwrite").parquet(stage_dir)
-    new_files: list[str] = []
-    for name in sorted(os.listdir(stage_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        unique = f"{stage_id}-{name}"
-        os.link(
-            os.path.join(stage_dir, name), os.path.join(path, "data", unique)
-        )
-        new_files.append(unique)
-
-    manifest = {
-        "version": base + 1,
-        "files": new_files,  # full replacement: old files stay for time travel
-        "schema_ddl": ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in merged.schema
-        ),
-        "parent": base,
-    }
-    tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    try:
-        os.link(tmp, _manifest_path(path, base + 1))
-    except FileExistsError as e:
-        raise ConcurrentCommitError(
-            f"version {base + 1} already committed under {path}"
-        ) from e
-    finally:
-        os.unlink(tmp)
-    return base + 1
+    return _commit_replace(spark, merged, path, base)
 
 
 def stream_to_txn(
@@ -274,3 +239,62 @@ def stream_to_txn(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def commit_compact(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 1,
+    expected_base: int | None = None,
+) -> int:
+    """Compaction as a transaction: rewrite the CURRENT rows into
+    ``target_partitions`` files and publish a version whose manifest
+    references only the compacted set. Row content is unchanged (the
+    small-file fix of operators/layout.py:compact, now atomic):
+    readers on old versions keep their exact file lists, new readers
+    see the compacted layout, and a concurrent append loses the CAS
+    race cleanly instead of interleaving with the rewrite."""
+    base = current_version(path) if expected_base is None else expected_base
+    current = read_version(spark, path, base).coalesce(target_partitions)
+    return _commit_replace(spark, current, path, base)
+
+
+def _commit_replace(
+    spark: SparkSession, merged: DataFrame, path: str, base: int
+) -> int:
+    """Publish ``merged`` as version base+1 with a fully-replaced
+    file set (shared tail of commit_upsert/commit_compact)."""
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    os.makedirs(_txn_dir(path), exist_ok=True)
+    stage_id = uuid.uuid4().hex
+    stage_dir = os.path.join(path, "_staging", stage_id)
+    merged.write.mode("overwrite").parquet(stage_dir)
+    new_files: list[str] = []
+    for name in sorted(os.listdir(stage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        unique = f"{stage_id}-{name}"
+        os.link(
+            os.path.join(stage_dir, name), os.path.join(path, "data", unique)
+        )
+        new_files.append(unique)
+    manifest = {
+        "version": base + 1,
+        "files": new_files,
+        "schema_ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in merged.schema
+        ),
+        "parent": base,
+    }
+    tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(path, base + 1))
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {base + 1} already committed under {path}"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    return base + 1

@@ -114,3 +114,20 @@ def test_streaming_into_txn_table_is_exactly_once(spark, tmp_path):
     q2 = stream_to_txn(src, path, key="k", checkpoint_dir=str(tmp_path / "ck2"))
     q2.awaitTermination()
     assert txn.read_table(spark, path).count() == n
+
+
+def test_compaction_preserves_rows_atomically(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    for lo in range(0, 50, 10):  # 5 commits -> many small files
+        txn.commit_append(spark, _df(spark, lo, lo + 10), path)
+    before = txn.read_table(spark, path)
+    n_files_before = len(txn._read_manifest(path, txn.current_version(path))["files"])
+    v = txn.commit_compact(spark, path, target_partitions=1)
+    man = txn._read_manifest(path, v)
+    assert len(man["files"]) < n_files_before
+    after = txn.read_table(spark, path)
+    assert after.count() == before.count() == 50
+    # pre-compaction snapshot still readable (time travel intact)
+    assert txn.read_version(spark, path, v - 1).count() == 50
