@@ -66,6 +66,7 @@ prioritize(
         "grouping_sets_report",
         "jsonl_roundtrip_scan",
         "orc_roundtrip_scan",
+        "multimodal_frame_alignment",
         "udtf_term_counts",
         "pandas_udaf_cents_sum",
         "unpivot_measures",

@@ -856,3 +856,55 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qb_data_pipeline_backfill_spark.operators.pq import pq_encode
 
     return pq_encode(_embs(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_alignment",
+    # Media bytes are md5-derived (48 bytes -> 12 4-byte frames), so
+    # the oracle regenerates the frame grid with generate_series and
+    # applies the as-of rule in closed form (largest segment start at
+    # or before the frame time; segments start every 5s).
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i // 5 * 5 AS BIGINT) AS seg_ts,
+           CAST(i // 5 AS BIGINT) AS seg_id
+    FROM documents, LATERAL unnest(generate_series(0, 11)) AS t(i)
+    """,
+    doc="Cross-modal alignment: every sampled video frame matched to "
+    "the transcript segment in effect at its timestamp via the backward "
+    "as-of join (operators/asof.py — union+carry-forward, one shuffle, "
+    "no per-row probing). Frames come from the Arrow-batched sampler "
+    "over the synthesized binary payload; segments are a 5s grid. The "
+    "oracle replays the alignment in closed form.",
+)
+def multimodal_frame_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.asof import asof_join_backward
+
+    media = M.synthesize_media(_docs(spark, sf_dir))
+    frames = M.sample_frames(media, frame_bytes=4, every_nth=1).select(
+        "media_id",
+        "frame_idx",
+        F.col("frame_idx").cast("long").alias("frame_ts"),
+    )
+    segments = (
+        media.select("media_id")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.lit(11), F.lit(5))).alias("seg_start"),
+        )
+        .select(
+            F.col("media_id").alias("seg_media"),
+            F.col("seg_start").cast("long").alias("seg_ts"),
+            (F.col("seg_start") / 5).cast("long").alias("seg_id"),
+        )
+    )
+    aligned = asof_join_backward(
+        frames,
+        segments,
+        left_key="media_id",
+        right_key="seg_media",
+        left_time="frame_ts",
+        right_time="seg_ts",
+    )
+    return aligned.select("media_id", "frame_idx", "seg_ts", "seg_id")
