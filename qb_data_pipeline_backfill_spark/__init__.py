@@ -25,9 +25,20 @@ Postgres batch ETL/backfill pipeline), re-expressed Spark-first:
   Count-Min frequency, HLL distinct, mergeable quantiles
   (``operators.sketch`` + tolerance-contract queries),
 - a Structured Streaming surface (``streaming``): watermarked
-  tumbling/session windows, exactly-once dedup over at-least-once
+  tumbling/hopping/session windows, a stream-stream interval join
+  with bounded state, exactly-once dedup over at-least-once
   delivery, a custom ``applyInPandasWithState`` operator, and the
   streaming twin of the backfill sink,
+- training-shard curation (``operators.curation``): overlapping
+  document chunking, greedy per-shard sequence packing, pruned
+  vocabulary build, percentile-band trims and per-shard score
+  normalization; product-quantization vector compression
+  (``operators.pq``); Bloom-filter join pruning as DataFrame algebra
+  (``operators.bloom``),
+- a manifest-committed transactional table (``operators.txn``):
+  snapshot-isolated reads, atomic compare-and-swap publish, MERGE
+  upsert, compaction commits, time travel, and an exactly-once
+  streaming sink on top,
 - curation/layout extensions, each oracle-gated: dedup-cluster
   resolution via pointer-jumping connected components
   (``operators.graph``), deterministic Lloyd k-means codebook
