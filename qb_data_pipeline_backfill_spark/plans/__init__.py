@@ -67,6 +67,7 @@ prioritize(
         "jsonl_roundtrip_scan",
         "orc_roundtrip_scan",
         "multimodal_frame_alignment",
+        "pagerank_parts",
         "udtf_term_counts",
         "pandas_udaf_cents_sum",
         "unpivot_measures",

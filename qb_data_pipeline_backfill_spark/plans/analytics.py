@@ -1348,3 +1348,72 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok").isNull().alias("only_lines"),
         F.col("lk").isNull().alias("only_orders"),
     )
+
+
+# --- deterministic PageRank over the part co-purchase graph -------------------
+def _pagerank_oracle(iters: int = 3, damping: int = 85) -> str:
+    """Unrolled power iterations in the same BIGINT micro-unit spec as
+    operators.graph.pagerank_exact (r DIV deg contribs, d% DIV 100)."""
+    head = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg)
+    """
+    body = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        body += f""",
+    c{i} AS (
+        SELECT sym.v AS node, CAST(r.rank // d.deg AS BIGINT) AS c
+        FROM sym JOIN {prev} r ON sym.u = r.node JOIN deg d ON sym.u = d.u
+    ),
+    r{i} AS (
+        SELECT n.node,
+               CAST({(100 - damping) * 1000000 // 100} AS BIGINT)
+               + CAST(({damping} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+        FROM (SELECT node FROM r0) n
+        LEFT JOIN (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node) s
+          ON n.node = s.node
+    )"""
+        prev = f"r{i}"
+    return head + body + f"\n    SELECT node AS part, rank AS rank_micro FROM {prev}"
+
+
+@register(
+    "pagerank_parts",
+    oracle=_pagerank_oracle(),
+    doc="Deterministic PageRank (3 power iterations, exact BIGINT "
+    "micro-unit arithmetic — truncating division everywhere, no float) "
+    "over the part co-purchase graph (parts sharing an order). The "
+    "oracle unrolls the identical iteration, so the hash gate certifies "
+    "a second full iterative graph algorithm bit-for-bit across engines "
+    "(alongside kmeans_codebook and the connected-components closure). "
+    "Per round: one edges-to-ranks join + one map-side-combined SUM — "
+    "the standard distributed power-iteration shape, linear per round.",
+)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.graph import pagerank_exact
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank_exact(pairs, iters=3)
+    return ranks.select(F.col("node").alias("part"), F.col("rank").alias("rank_micro"))
