@@ -298,3 +298,29 @@ def _commit_replace(
     finally:
         os.unlink(tmp)
     return base + 1
+
+
+def commit_delete(
+    spark: SparkSession,
+    keys: DataFrame,
+    path: str,
+    key: str,
+    expected_base: int | None = None,
+) -> int:
+    """Delete-by-key as a transaction (the right-to-be-forgotten
+    primitive a training-data pipeline must support): survivors =
+    current snapshot anti-joined against ``keys``, published as a
+    fully-replaced file set in one atomic snapshot switch.
+
+    Note the retention interaction: deleted rows remain readable via
+    time travel on OLD versions until those manifests are retired —
+    a compliance deployment pairs this with expiring old manifests
+    and vacuuming their files past the retention window.
+    """
+    base = current_version(path) if expected_base is None else expected_base
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    survivors = read_version(spark, path, base).join(
+        keys.select(key), key, "left_anti"
+    )
+    return _commit_replace(spark, survivors, path, base)

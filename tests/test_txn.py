@@ -131,3 +131,15 @@ def test_compaction_preserves_rows_atomically(spark, tmp_path):
     assert after.count() == before.count() == 50
     # pre-compaction snapshot still readable (time travel intact)
     assert txn.read_version(spark, path, v - 1).count() == 50
+
+
+def test_delete_by_key_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 100), path)
+    to_forget = spark.range(0, 100, 3).select(F.col("id").alias("k"))
+    v = txn.commit_delete(spark, to_forget, path, key="k")
+    got = txn.read_table(spark, path)
+    assert got.count() == 100 - 34
+    assert got.filter(F.col("k") % 3 == 0).count() == 0
+    # old snapshot still has them until manifests are retired
+    assert txn.read_version(spark, path, v - 1).count() == 100
