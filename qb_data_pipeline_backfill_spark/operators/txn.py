@@ -22,11 +22,15 @@ provide — a MANIFEST as the single source of truth:
 - ``read_version`` pins any historical snapshot (time travel), since
   manifests are immutable and data files are never rewritten.
 
-On a real deployment the manifest store is the object store itself
-(S3 conditional PUT) or a log service — the protocol is unchanged.
-This is deliberately the 200-line core, not a table format: no
-schema evolution, no compaction rewrite commits (layout.compact
-would slot in as a replace-files commit), no deletion vectors.
+Commit kinds: ``commit_append`` (optionally keyed-idempotent),
+``commit_upsert`` (MERGE), ``commit_compact`` (replace-files rewrite),
+``commit_delete`` (right-to-be-forgotten), plus ``stream_to_txn``
+(exactly-once foreachBatch sink). On a real deployment the manifest
+store is the object store itself (S3 conditional PUT) or a log
+service — the protocol is unchanged. This is deliberately the
+minimal core, not a table format: no schema evolution, no file-level
+pruning stats (every rewrite commit touches the full surviving row
+set), no deletion vectors.
 """
 
 from __future__ import annotations
