@@ -183,3 +183,20 @@ def test_incremental_merge_reaggregates_partials(spark):
     plan = _plan(spark, "incremental_rollup_merge")
     # partial aggregation on both slices before the merge shuffle
     assert "partial_sum" in plan
+
+
+def test_pagerank_joins_are_hash_joins(spark):
+    plan = _plan(spark, "pagerank_parts")
+    # co-purchase pair generation is an equi-join on orderkey with a
+    # post-filter, never a cartesian product; rank iterations join on
+    # the node id
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frame_alignment_single_asof_shuffle(spark):
+    plan = _plan(spark, "multimodal_frame_alignment")
+    # the as-of union+carry-forward plan: exactly one window, no join
+    # operator anywhere (alignment is NOT a per-row probe)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") >= 1
