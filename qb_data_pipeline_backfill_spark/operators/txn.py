@@ -28,9 +28,11 @@ Commit kinds: ``commit_append`` (optionally keyed-idempotent),
 (exactly-once foreachBatch sink). On a real deployment the manifest
 store is the object store itself (S3 conditional PUT) or a log
 service — the protocol is unchanged. This is deliberately the
-minimal core, not a table format: no schema evolution, no file-level
-pruning stats (every rewrite commit touches the full surviving row
-set), no deletion vectors.
+minimal core, not a table format: additive schema evolution works
+(the latest manifest's schema governs; older files surface NULL for
+added columns — pytest-proven), but there are no renames/drops, no
+file-level pruning stats (every rewrite commit touches the full
+surviving row set), and no deletion vectors.
 """
 
 from __future__ import annotations

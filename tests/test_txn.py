@@ -143,3 +143,20 @@ def test_delete_by_key_commit(spark, tmp_path):
     assert got.filter(F.col("k") % 3 == 0).count() == 0
     # old snapshot still has them until manifests are retired
     assert txn.read_version(spark, path, v - 1).count() == 100
+
+
+def test_additive_schema_evolution_on_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    widened = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("en").alias("lang"),
+    )
+    txn.commit_append(spark, widened, path)
+    got = txn.read_table(spark, path)
+    # latest manifest's schema governs; old files surface NULL for the
+    # added column (parquet read-by-name with an explicit schema)
+    assert {f.name for f in got.schema} == {"k", "v", "lang"}
+    assert got.filter(F.col("lang").isNull()).count() == 10
+    assert got.filter(F.col("lang") == "en").count() == 10
