@@ -68,6 +68,7 @@ prioritize(
         "orc_roundtrip_scan",
         "multimodal_frame_alignment",
         "pagerank_parts",
+        "training_shard_manifest",
         "udtf_term_counts",
         "pandas_udaf_cents_sum",
         "unpivot_measures",

@@ -166,3 +166,104 @@ def score_normalize_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text, CAST({_BPE_COUNT} AS BIGINT) AS score,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    bounds AS (
+        SELECT quantile_disc(score, 0.05) AS lo, quantile_disc(score, 0.95) AS hi
+        FROM scored
+    ),
+    kept AS (
+        SELECT s.* FROM scored s, bounds b
+        WHERE s.score >= b.lo AND s.score <= b.hi
+    ),
+    canonical AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY norm
+    ),
+    eligible AS (
+        SELECT k.doc_id, k.lang, k.text FROM kept k
+        JOIN canonical c ON k.doc_id = c.doc_id
+    ),
+    chunked AS (
+        SELECT doc_id, lang,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(length(substring(text, i + 1, 400))) AS BIGINT) AS chunk_chars
+        FROM eligible, LATERAL unnest(generate_series(0, length(text) - 1, 300)) AS t(i)
+        WHERE length(text) >= 1
+        GROUP BY doc_id, lang
+    ),
+    packed AS (
+        SELECT lang, n_chunks, chunk_chars,
+               CAST(COALESCE(SUM(chunk_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 8000 AS BIGINT) AS shard
+        FROM chunked
+    )
+    SELECT lang, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_chars) AS BIGINT) AS total_chars
+    FROM packed
+    GROUP BY lang, shard
+    """,
+    doc="The end-to-end training-shard pipeline as ONE declarative "
+    "plan: percentile-band quality trim (p5-p95) -> exact content "
+    "dedup (canonical min-id per normalized text) -> overlapping "
+    "chunking -> greedy per-language packing into ~8000-char shards "
+    "-> shard manifest. Every stage is an already-certified operator; "
+    "Catalyst fuses the whole chain (narrow stages stay pipelined, "
+    "the only shuffles are the dedup hash-aggregate, the per-lang "
+    "packing window, and the final manifest rollup).",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.dedup import exact_dedup
+    from qb_data_pipeline_backfill_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "lang", "text", C.doc_token_count("text").alias("score")
+    )
+    bounds = scored.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY score)").alias("__lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY score)").alias("__hi"),
+    )
+    kept = (
+        scored.crossJoin(F.broadcast(bounds))
+        .filter((F.col("score") >= F.col("__lo")) & (F.col("score") <= F.col("__hi")))
+        .select("doc_id", "lang", "text")
+    )
+    canonical = (
+        kept.groupBy(F.sha2(normalize_text("text"), 256).alias("__k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    eligible = kept.join(canonical, "doc_id")
+    chunked = (
+        C.chunk_documents(eligible, size=400, overlap=100)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_chars").cast("long").alias("chunk_chars"),
+        )
+        .join(eligible.select("doc_id", "lang"), "doc_id")
+    )
+    packed = C.pack_greedy(
+        chunked,
+        size_col=F.col("chunk_chars"),
+        budget=8000,
+        partition_col="lang",
+        order_col="doc_id",
+    ).withColumnRenamed("pack_bin", "shard")
+    return packed.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+        F.sum("chunk_chars").cast("long").alias("total_chars"),
+    )
