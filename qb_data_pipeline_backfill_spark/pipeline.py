@@ -55,9 +55,21 @@ def run_backfill(
     exporter: "Total extracted / after filter / new records inserted",
     …/.logs/…/save_to_raw_customers_py.log). Re-running the same
     window inserts 0 rows.
+
+    Metrics come from ``DataFrame.observe`` accumulators riding the
+    sink's own action — NOT separate ``count()`` jobs, which would
+    re-scan the source twice per run (and for the REST source,
+    re-fetch every page twice). One pass computes the pipeline AND
+    its run metrics.
     """
-    n_extracted = source.count()
-    windowed = window_filter(source, date_col, window_start, window_end)
+    from pyspark.sql import Observation
+
+    obs_extracted = Observation()
+    obs_filtered = Observation()
+    source = source.observe(obs_extracted, F.count(F.lit(1)).alias("n"))
+    windowed = window_filter(source, date_col, window_start, window_end).observe(
+        obs_filtered, F.count(F.lit(1)).alias("n")
+    )
     # Validate on the source shape (order_cols are source columns),
     # then project into the envelope — Catalyst still fuses both into
     # the scan stage around the single dedup shuffle.
@@ -84,8 +96,8 @@ def run_backfill(
         spark, env, target_path, key="id", partition_col="window_date"
     )
     return {
-        "extracted": n_extracted,
-        "after_filter": windowed.count(),
+        "extracted": obs_extracted.get["n"],
+        "after_filter": obs_filtered.get["n"],
         "inserted": n_inserted,
     }
 
