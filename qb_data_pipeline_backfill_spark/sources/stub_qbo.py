@@ -228,3 +228,54 @@ def shared_stub_server(parquet_path: str) -> StubQboServer:
             srv = StubQboServer(parquet_path)
             _SERVERS[parquet_path] = srv
         return srv
+
+
+class StubIngestServer:
+    """HTTP ingest endpoint for the REST batch sink: POST /v1/ingest
+    with ``{"records": [{...}, ...]}`` upserts by ``Id`` and reports
+    how many were newly created — the server half of the sink's
+    idempotency contract (replayed batches create 0)."""
+
+    def __init__(self, id_field: str = "Id"):
+        server_self = self
+        self.records: dict[str, dict] = {}
+        self.n_requests = 0
+        self._lock = threading.Lock()
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_POST(self):
+                if urlparse(self.path).path != "/v1/ingest":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length).decode())
+                created = 0
+                with server_self._lock:
+                    server_self.n_requests += 1
+                    for rec in payload.get("records", []):
+                        key = str(rec[id_field])
+                        if key not in server_self.records:
+                            created += 1
+                        server_self.records[key] = rec
+                body = json.dumps(
+                    {"created": created, "total": len(server_self.records)}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._httpd.server_address[1]
+        self.base_url = f"http://127.0.0.1:{self.port}"
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
