@@ -59,6 +59,7 @@ prioritize(
         "having_fraction_of_total",
         "streaming_sliding_window",
         "streaming_stream_stream_join",
+        "streaming_interval_join_outer",
         "incremental_rollup_merge",
         "value_histogram",
         "contract_bloom_prune",

@@ -201,3 +201,69 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+    WITH horizon AS (
+        -- the engine's global watermark is min over the two sides'
+        -- own max event times (each side is filtered before its
+        -- watermark node); stay 4h behind THAT
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+        ) - INTERVAL 4 HOUR AS cutoff
+    ),
+    matched AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        FROM events p JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.user_id = p.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    )
+    SELECT purchase_id, click_id FROM matched
+    UNION ALL
+    SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id
+    FROM events p, horizon h
+    WHERE p.event_type = 'purchase'
+      AND p.ts < h.cutoff
+      AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      )
+    """,
+    doc="LEFT OUTER stream-stream interval join through the streaming "
+    "engine: matched purchase-click pairs plus watermark-released "
+    "unmatched purchases. Unmatched rows are restricted to an "
+    "event-time horizon (4h) safely behind the watermark on BOTH "
+    "engines, because the engine's exact state-eviction boundary is an "
+    "implementation detail, not a portable contract — the oracle "
+    "replays the same rule in batch SQL.",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.streaming import (
+        interval_attribution_join_outer,
+    )
+    from qb_data_pipeline_backfill_spark.tables import load_table
+
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.expr("min(m) - INTERVAL 4 HOUR").alias("c"))
+        .collect()[0]["c"]
+    )
+    ev = events_stream(spark, sf_dir)
+    joined = run_available_now(
+        interval_attribution_join_outer(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+        ),
+        output_mode="append",
+    )
+    return joined.filter(
+        F.col("click_id").isNotNull() | (F.col("p_ts") < F.lit(cutoff))
+    ).select("purchase_id", "click_id")

@@ -6,6 +6,7 @@ from qb_data_pipeline_backfill_spark.streaming.jobs import (
     enriched_segment_rollup,
     events_stream,
     interval_attribution_join,
+    interval_attribution_join_outer,
     run_available_now,
     session_aggregates,
     sliding_counts,
@@ -20,6 +21,7 @@ __all__ = [
     "enriched_segment_rollup",
     "events_stream",
     "interval_attribution_join",
+    "interval_attribution_join_outer",
     "run_available_now",
     "session_aggregates",
     "sliding_counts",

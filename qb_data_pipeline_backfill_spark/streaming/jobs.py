@@ -182,6 +182,40 @@ def interval_attribution_join(
     ).select("purchase_id", "click_id")
 
 
+def interval_attribution_join_outer(
+    purchases: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: purchases with their
+    preceding-hour clicks, or NULL click when none arrived.
+
+    Outer-null emission is watermark-gated: an unmatched purchase is
+    released only once the click-side watermark proves no matching
+    click can still arrive, so the most recent purchases stay withheld
+    in state at any finite point (the price of correctness over an
+    unbounded stream). Callers comparing against batch semantics must
+    therefore restrict unmatched rows to an event-time horizon safely
+    behind the watermark — the registered gate query does exactly
+    that, because the precise eviction boundary is an engine
+    implementation detail, not a portable contract."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL {horizon} AND p_ts"
+        ),
+        "left_outer",
+    ).select("purchase_id", "click_id", "p_ts")
+
+
 def stateful_user_counts(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-user running (count, value-sum) accumulator emitting one update
