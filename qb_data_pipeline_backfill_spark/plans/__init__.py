@@ -63,6 +63,7 @@ prioritize(
         "incremental_rollup_merge",
         "value_histogram",
         "contract_bloom_prune",
+        "contract_hll_merge",
         "pq_encode_codes",
         "grouping_sets_report",
         "jsonl_roundtrip_scan",

@@ -476,3 +476,57 @@ def contract_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("caught", F.lit(False)).alias("caught"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# HLL sketch mergeability: incremental distinct-count maintenance
+# --------------------------------------------------------------------------
+@register(
+    "contract_hll_merge",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS merge_exactly_equals_whole,
+           TRUE AS within_tolerance
+    FROM events
+    """,
+    doc="Incremental distinct-count maintenance (the COUNT DISTINCT "
+    "analog of incremental_rollup_merge): HLL sketches built per "
+    "disjoint event slice and merged with hll_union_agg must estimate "
+    "EXACTLY what one whole-table sketch estimates (same sketch "
+    "algebra — merge-then-estimate is the property that lets a 100 TB "
+    "rollup absorb delta batches without rescanning), and that "
+    "estimate must sit within HLL's relative-error envelope of the "
+    "exact count the oracle recomputes.",
+)
+def contract_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    slices = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).select("user_id")
+        for i in range(3)
+    ]
+    partials = None
+    for s in slices:
+        p = s.agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        partials = p if partials is None else partials.unionByName(p)
+    merged_est = partials.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    whole_est = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.crossJoin(F.broadcast(merged_est.withColumnRenamed("est", "m")))
+        .crossJoin(F.broadcast(whole_est.withColumnRenamed("est", "w")))
+        .select(
+            "n_exact",
+            (F.col("m") == F.col("w")).alias("merge_exactly_equals_whole"),
+            # lgConfigK=14 -> relative std error ~0.81%; assert 5 sigma
+            (
+                F.abs(F.col("m") - F.col("n_exact"))
+                <= F.greatest(
+                    (F.col("n_exact") * F.lit(0.0405)).cast("long"), F.lit(10)
+                )
+            ).alias("within_tolerance"),
+        )
+    )
