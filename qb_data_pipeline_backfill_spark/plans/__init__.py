@@ -64,6 +64,7 @@ prioritize(
         "value_histogram",
         "contract_bloom_prune",
         "contract_hll_merge",
+        "decontamination_bloom_prefilter",
         "pq_encode_codes",
         "grouping_sets_report",
         "jsonl_roundtrip_scan",

@@ -908,3 +908,72 @@ def multimodal_frame_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="seg_ts",
     )
     return aligned.select("media_id", "frame_idx", "seg_ts", "seg_id")
+
+
+@register(
+    "decontamination_bloom_prefilter",
+    # IDENTICAL oracle to decontamination_overlap: the bloom prefilter
+    # must change the COST of the join, never its result.
+    oracle=r"""
+    WITH toks AS (%s),
+    marked AS (
+        SELECT doc_id, ts, %s < '%s' AS is_eval
+        FROM toks
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, is_eval,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
+        FROM marked, LATERAL unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS t(i)
+    ),
+    j AS (
+        SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id, t.gram
+        FROM grams t JOIN grams e ON t.gram = e.gram
+        WHERE NOT t.is_eval AND e.is_eval
+    )
+    SELECT train_doc_id,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT eval_doc_id) AS BIGINT) AS n_eval_docs
+    FROM j GROUP BY 1
+    """
+    % (
+        _TOKS,
+        SA.hash_prefix_sql(["doc_id"], salt="eval"),
+        SA.threshold_hex(0.1),
+    ),
+    doc="Bloom-accelerated decontamination: the eval side's grams build "
+    "a broadcast Bloom filter (operators/bloom.py) that prefilters the "
+    "train gram stream BEFORE the inverted-index join — at 100 TB the "
+    "train side is the giant one, and dropping non-candidate grams "
+    "before the shuffle is the whole cost win. Hash-equality with the "
+    "exact oracle proves the composition is lossless (no false "
+    "negatives by construction; false positives die in the exact "
+    "join).",
+)
+def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from qb_data_pipeline_backfill_spark.operators.text import tokens, word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    is_eval = SA.hash_prefix(["doc_id"], salt="eval") < F.lit(SA.threshold_hex(0.1))
+    train, eval_df = docs.filter(~is_eval), docs.filter(is_eval)
+    tg = train.select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode(word_ngrams(tokens("text"), 5)).alias("gram"),
+    )
+    eg = eval_df.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(word_ngrams(tokens("text"), 5)).alias("gram"),
+    )
+    bloom = bloom_build(eg.select("gram"), "gram", m=65536, k=4)
+    tg_pruned = bloom_probe(tg, "gram", bloom, m=65536, k=4)
+    return (
+        tg_pruned.join(eg, "gram")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
