@@ -65,6 +65,7 @@ prioritize(
         "contract_bloom_prune",
         "contract_hll_merge",
         "decontamination_bloom_prefilter",
+        "vocab_coverage_oov",
         "pq_encode_codes",
         "grouping_sets_report",
         "jsonl_roundtrip_scan",

@@ -267,3 +267,63 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chunks").cast("long").alias("n_chunks"),
         F.sum("chunk_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "vocab_coverage_oov",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        FROM documents
+    ),
+    occurrences AS (
+        SELECT lang, term FROM toks WHERE length(term) > 0
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+            FROM occurrences GROUP BY term
+        ) WHERE rk <= 20
+    )
+    SELECT o.lang,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.term IS NOT NULL) AS BIGINT) AS n_covered,
+           CAST(COUNT(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov
+    FROM occurrences o LEFT JOIN vocab v ON o.term = v.term
+    GROUP BY o.lang
+    """,
+    doc="Vocabulary coverage report: token occurrences covered by the "
+    "global top-20 vocabulary vs out-of-vocabulary, per language — the "
+    "coverage curve that drives vocab-size choices. The tiny ranked "
+    "vocab broadcasts; the occurrence stream stays a narrow scan into "
+    "one aggregate.",
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from qb_data_pipeline_backfill_spark.operators.text import tokens
+
+    occ = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(tokens("text")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    vocab = (
+        occ.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab"), 1)).alias("n_covered"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
