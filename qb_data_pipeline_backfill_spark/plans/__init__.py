@@ -66,6 +66,8 @@ prioritize(
         "contract_hll_merge",
         "decontamination_bloom_prefilter",
         "vocab_coverage_oov",
+        "equidepth_histogram",
+        "streaming_top_users",
         "pq_encode_codes",
         "grouping_sets_report",
         "jsonl_roundtrip_scan",

@@ -124,3 +124,51 @@ def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p99"),
         )
     )
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_disc(o_totalprice, 0.25) AS q1,
+               quantile_disc(o_totalprice, 0.50) AS q2,
+               quantile_disc(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                WHEN o_totalprice <= q2 THEN 1
+                WHEN o_totalprice <= q3 THEN 2
+                ELSE 3 END AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+    doc="Equi-depth (quartile) histogram: percentile_disc boundaries "
+    "from ONE aggregate reduced to a broadcast row, then a narrow CASE "
+    "bucketing scan — the optimizer-statistics shape (equi-depth beats "
+    "equi-width under skew) without any corpus-wide sort or window.",
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

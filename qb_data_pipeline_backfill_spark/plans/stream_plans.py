@@ -267,3 +267,36 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.filter(
         F.col("click_id").isNotNull() | (F.col("p_ts") < F.lit(cutoff))
     ).select("purchase_id", "click_id")
+
+
+@register(
+    "streaming_top_users",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY sum_value DESC, user_id
+    LIMIT 20
+    """,
+    doc="Complete-output-mode streaming leaderboard: running per-user "
+    "totals ranked and limited INSIDE the streaming query (sort+limit "
+    "are legal atop a complete-mode aggregate) — the live-dashboard "
+    "shape; with AvailableNow the final table equals the batch top-20 "
+    "under the deterministic (sum, user_id) tie-break.",
+)
+def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    ranked = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy(F.desc("sum_value"), F.asc("user_id"))
+        .limit(20)
+    )
+    return run_available_now(ranked, output_mode="complete")
