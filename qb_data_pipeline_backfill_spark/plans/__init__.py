@@ -67,6 +67,7 @@ prioritize(
         "decontamination_bloom_prefilter",
         "vocab_coverage_oov",
         "equidepth_histogram",
+        "local_supplier_revenue",
         "streaming_top_users",
         "pq_encode_codes",
         "grouping_sets_report",
