@@ -66,6 +66,7 @@ prioritize(
         "contract_hll_merge",
         "decontamination_bloom_prefilter",
         "vocab_coverage_oov",
+        "sample_weighted_by_length",
         "equidepth_histogram",
         "local_supplier_revenue",
         "streaming_top_users",

@@ -327,3 +327,39 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
         )
     )
+
+
+@register(
+    "sample_weighted_by_length",
+    oracle="""
+    WITH wm AS (SELECT MAX(n_chars) AS wmax FROM documents)
+    SELECT doc_id, n_chars
+    FROM documents, wm
+    WHERE substring(md5('weighted|' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x', LEAST(n_chars * 4294967296 // wmax, 4294967295))
+    """,
+    doc="Weighted deterministic sampling: inclusion probability "
+    "proportional to document length (token-budget-fair subsampling), "
+    "with the per-row threshold rendered as fixed-width hex so the "
+    "membership test stays the engine-neutral string compare the "
+    "uniform samplers use — all integer arithmetic, no RNG, no float; "
+    "row membership is identical across engines, partitionings, and "
+    "runs. One broadcast max + a narrow filter.",
+)
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.sample import hash_prefix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    wmax = docs.agg(F.max("n_chars").alias("wmax"))
+    thr = F.format_string(
+        "%08x",
+        F.least(
+            F.expr("CAST(n_chars AS BIGINT) * 4294967296 div wmax"),
+            F.lit(4294967295).cast("long"),
+        ),
+    )
+    return (
+        docs.crossJoin(F.broadcast(wmax))
+        .filter(hash_prefix(["doc_id"], salt="weighted") < thr)
+        .select("doc_id", "n_chars")
+    )
