@@ -23,16 +23,20 @@ provide — a MANIFEST as the single source of truth:
   manifests are immutable and data files are never rewritten.
 
 Commit kinds: ``commit_append`` (optionally keyed-idempotent),
-``commit_upsert`` (MERGE), ``commit_compact`` (replace-files rewrite),
-``commit_delete`` (right-to-be-forgotten), plus ``stream_to_txn``
-(exactly-once foreachBatch sink). On a real deployment the manifest
-store is the object store itself (S3 conditional PUT) or a log
-service — the protocol is unchanged. This is deliberately the
-minimal core, not a table format: additive schema evolution works
-(the latest manifest's schema governs; older files surface NULL for
-added columns — pytest-proven), but there are no renames/drops, no
-file-level pruning stats (every rewrite commit touches the full
-surviving row set), and no deletion vectors.
+``commit_append_with_stats`` (records per-file key zone maps from the
+parquet footers), ``commit_upsert`` (full-rewrite MERGE),
+``commit_upsert_cow`` (file-pruned copy-on-write MERGE: only files
+whose zone map overlaps the update's key range are rewritten, the
+rest move forward by reference), ``commit_compact`` (replace-files
+rewrite), ``commit_delete`` (right-to-be-forgotten), plus
+``stream_to_txn`` (exactly-once foreachBatch sink) and
+``read_table_where`` (manifest-driven file skipping). On a real
+deployment the manifest store is the object store itself (S3
+conditional PUT) or a log service — the protocol is unchanged. This
+is deliberately the minimal core, not a table format: additive schema
+evolution works (the latest manifest's schema governs; older files
+surface NULL for added columns — pytest-proven), but there are no
+renames/drops and no deletion vectors.
 """
 
 from __future__ import annotations
@@ -265,17 +269,47 @@ def commit_compact(
     return _commit_replace(spark, current, path, base)
 
 
+def _file_stats(file_path: str, col: str) -> list | None:
+    """[min, max] of ``col`` from the parquet footer (no data read) —
+    the zone-map entry a lakehouse stores per file."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return [lo, hi]
+
+
 def _commit_replace(
-    spark: SparkSession, merged: DataFrame, path: str, base: int
+    spark: SparkSession,
+    merged: DataFrame,
+    path: str,
+    base: int,
+    stats_col: str | None = None,
+    carried: list[str] | None = None,
+    carried_stats: dict[str, list] | None = None,
 ) -> int:
-    """Publish ``merged`` as version base+1 with a fully-replaced
-    file set (shared tail of commit_upsert/commit_compact)."""
+    """Publish ``merged``'s rewrite as version base+1: the manifest
+    references the newly staged files plus any ``carried`` files
+    (copy-on-write: untouched files move forward by reference, with
+    their zone-map stats). With ``stats_col``, per-file [min, max] of
+    that column is read from each staged parquet footer and stored in
+    the manifest for file skipping."""
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_txn_dir(path), exist_ok=True)
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(path, "_staging", stage_id)
     merged.write.mode("overwrite").parquet(stage_dir)
     new_files: list[str] = []
+    stats: dict[str, list] = dict(carried_stats or {})
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
@@ -284,14 +318,21 @@ def _commit_replace(
             os.path.join(stage_dir, name), os.path.join(path, "data", unique)
         )
         new_files.append(unique)
+        if stats_col is not None:
+            s = _file_stats(os.path.join(stage_dir, name), stats_col)
+            if s is not None:
+                stats[unique] = s
     manifest = {
         "version": base + 1,
-        "files": new_files,
+        "files": (carried or []) + new_files,
         "schema_ddl": ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in merged.schema
         ),
         "parent": base,
     }
+    if stats_col is not None:
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = stats
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -330,3 +371,143 @@ def commit_delete(
         keys.select(key), key, "left_anti"
     )
     return _commit_replace(spark, survivors, path, base)
+
+
+def commit_append_with_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    expected_base: int | None = None,
+) -> int:
+    """Keyed idempotent append that also records per-file [min, max]
+    zone-map stats of ``key`` in the manifest (read from the parquet
+    footers — no extra data scan), enabling ``read_table_where`` file
+    skipping and ``commit_upsert_cow`` partial rewrites."""
+    base = current_version(path) if expected_base is None else expected_base
+    out = df
+    if base >= 0:
+        existing = read_version(spark, path, base).select(key)
+        out = df.join(existing, key, "left_anti")
+    man = _read_manifest(path, base) if base >= 0 else {}
+    return _commit_replace(
+        spark,
+        out,
+        path,
+        base,
+        stats_col=key,
+        carried=man.get("files", []),
+        carried_stats=man.get("stats", {}),
+    )
+
+
+def read_table_where(
+    spark: SparkSession, path: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Snapshot read pruned by the manifest's zone maps: only files
+    whose [min, max] range overlaps [lo, hi] are scanned (files
+    without stats are scanned conservatively), then the exact
+    predicate filters residual rows. The manifest IS the data-
+    skipping index — no footer reads, no directory listing."""
+    v = current_version(path) if version is None else version
+    man = _read_manifest(path, v)
+    col = man.get("stats_col")
+    if col is None:
+        raise ValueError(f"table at {path} has no zone-map stats")
+    stats = man.get("stats", {})
+    chosen = [
+        name
+        for name in man["files"]
+        if name not in stats or not (stats[name][1] < lo or stats[name][0] > hi)
+    ]
+    from pyspark.sql import functions as FF
+
+    if not chosen:
+        empty = spark.createDataFrame([], man["schema_ddl"])
+        return empty
+    files = [os.path.join(path, "data", n) for n in chosen]
+    return (
+        spark.read.schema(man["schema_ddl"])
+        .parquet(*files)
+        .filter((FF.col(col) >= lo) & (FF.col(col) <= hi))
+    )
+
+
+def pruned_file_count(path: str, lo, hi, version: int | None = None) -> tuple[int, int]:
+    """(files scanned, files total) for a [lo, hi] key predicate —
+    the observability hook for skipping effectiveness."""
+    v = current_version(path) if version is None else version
+    man = _read_manifest(path, v)
+    stats = man.get("stats", {})
+    chosen = [
+        n
+        for n in man["files"]
+        if n not in stats or not (stats[n][1] < lo or stats[n][0] > hi)
+    ]
+    return len(chosen), len(man["files"])
+
+
+def commit_upsert_cow(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    expected_base: int | None = None,
+) -> int:
+    """Copy-on-write MERGE with file pruning: only files whose key
+    zone map overlaps the update batch's key range are rewritten
+    (their survivors + the updates become new files); every other
+    file — at scale, almost all of them — moves to the new version BY
+    REFERENCE with its stats intact. This is the production
+    refinement commit_upsert's docstring promises: same protocol,
+    same atomic publish, rewrite cost proportional to the touched key
+    range instead of the table.
+    """
+    base = current_version(path) if expected_base is None else expected_base
+    if base < 0:
+        return commit_append_with_stats(spark, df, path, key)
+    man = _read_manifest(path, base)
+    if man.get("stats_col") != key:
+        raise ValueError(
+            f"table at {path} lacks zone-map stats on {key!r}; "
+            "write it with commit_append_with_stats/commit_upsert_cow"
+        )
+    from pyspark.sql import functions as FF
+
+    bounds = df.agg(
+        FF.min(key).alias("lo"), FF.max(key).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty update batch: nothing to rewrite
+        return _commit_replace(
+            spark,
+            read_version(spark, path, base).limit(0),
+            path,
+            base,
+            stats_col=key,
+            carried=man["files"],
+            carried_stats=man.get("stats", {}),
+        )
+    stats = man.get("stats", {})
+    touched = [
+        n
+        for n in man["files"]
+        if n not in stats or not (stats[n][1] < lo or stats[n][0] > hi)
+    ]
+    untouched = [n for n in man["files"] if n not in set(touched)]
+    if touched:
+        tfiles = [os.path.join(path, "data", n) for n in touched]
+        current = spark.read.schema(man["schema_ddl"]).parquet(*tfiles)
+        survivors = current.join(df.select(key), key, "left_anti")
+        merged = survivors.unionByName(df)
+    else:
+        merged = df
+    return _commit_replace(
+        spark,
+        merged,
+        path,
+        base,
+        stats_col=key,
+        carried=untouched,
+        carried_stats={n: stats[n] for n in untouched if n in stats},
+    )

@@ -160,3 +160,64 @@ def test_additive_schema_evolution_on_append(spark, tmp_path):
     assert {f.name for f in got.schema} == {"k", "v", "lang"}
     assert got.filter(F.col("lang").isNull()).count() == 10
     assert got.filter(F.col("lang") == "en").count() == 10
+
+
+def test_cow_upsert_rewrites_only_overlapping_files(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        # three appends with disjoint sorted key ranges -> three file
+        # sets with disjoint zone maps
+        for lo in (0, 1000, 2000):
+            txn.commit_append_with_stats(
+                spark, _df(spark, lo, lo + 100).coalesce(1), path, key="k"
+            )
+        man_before = txn._read_manifest(path, txn.current_version(path))
+        # update keys only in the middle range
+        updates = spark.range(1050, 1060).select(
+            F.col("id").alias("k"), F.lit(-1).alias("v")
+        )
+        v = txn.commit_upsert_cow(spark, updates, path, key="k")
+        man_after = txn._read_manifest(path, v)
+        carried = set(man_before["files"]) & set(man_after["files"])
+        # the two non-overlapping ranges moved forward BY REFERENCE
+        assert len(carried) >= 2
+        got = txn.read_table(spark, path)
+        assert got.count() == 300
+        assert got.filter(F.col("v") == -1).count() == 10
+        assert got.filter((F.col("k") == 5) & (F.col("v") == 50)).count() == 1
+
+
+def test_zone_map_read_skips_files(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        for lo in (0, 1000, 2000):
+            txn.commit_append_with_stats(
+                spark, _df(spark, lo, lo + 100).coalesce(1), path, key="k"
+            )
+        scanned, total = txn.pruned_file_count(path, 1010, 1020)
+        assert scanned < total
+        got = txn.read_table_where(spark, path, 1010, 1020)
+        assert got.count() == 11
+        assert {r.k for r in got.collect()} == set(range(1010, 1021))
+
+
+def test_cow_upsert_inserts_new_key_range(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        txn.commit_append_with_stats(
+            spark, _df(spark, 0, 100).coalesce(1), path, key="k"
+        )
+        # update batch entirely OUTSIDE existing ranges: pure insert
+        inserts = spark.range(5000, 5010).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        )
+        txn.commit_upsert_cow(spark, inserts, path, key="k")
+        got = txn.read_table(spark, path)
+        assert got.count() == 110
+        assert got.filter(F.col("v") == 7).count() == 10
