@@ -57,6 +57,7 @@ prioritize(
         "exists_correlated_orders",
         "scalar_subquery_max_qty",
         "having_fraction_of_total",
+        "recursive_reachability",
         "streaming_sliding_window",
         "streaming_stream_stream_join",
         "streaming_interval_join_outer",

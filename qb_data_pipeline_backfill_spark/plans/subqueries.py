@@ -99,3 +99,40 @@ def scalar_subquery_max_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def having_fraction_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("lineitem",))
     return spark.sql(_HAVING_SQL)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    reach(part, dist) AS (
+        SELECT CAST(1 AS BIGINT) AS part, 0 AS dist
+        UNION ALL
+        SELECT s.v AS part, r.dist + 1 AS dist
+        FROM reach r JOIN sym s ON s.u = r.part
+        WHERE r.dist < 2
+    )
+    SELECT part, MIN(dist) AS dist, COUNT(*) AS n_paths
+    FROM reach
+    GROUP BY part
+"""
+
+
+@register(
+    "recursive_reachability",
+    oracle=_RECURSIVE_SQL,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE) running UNMODIFIED on "
+    "both engines: 2-hop BFS from a seed part over the co-purchase "
+    "graph, reduced to (min hop distance, path count) per reached "
+    "part. The frontier is re-joined per recursion level — the "
+    "fixpoint shape graph.connected_components hand-builds, here "
+    "expressed declaratively and bounded by the dist predicate.",
+)
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_RECURSIVE_SQL)
