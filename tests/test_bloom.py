@@ -34,3 +34,25 @@ def test_bloom_probe_is_narrow(spark):
     # exchanges belong to the one-row bloom aggregate + its broadcast
     before_filter = plan.split("Filter")[-1]
     assert "Exchange" not in before_filter.split("BroadcastNestedLoopJoin")[0]
+
+
+def test_decontamination_prefilter_actually_prunes(spark):
+    """The bloom prefilter must REDUCE the train gram stream that
+    reaches the join (the scale win), not just preserve results."""
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+    from qb_data_pipeline_backfill_spark.operators.text import tokens, word_ngrams
+    from qb_data_pipeline_backfill_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    is_eval = SA.hash_prefix(["doc_id"], salt="eval") < F.lit(SA.threshold_hex(0.1))
+    tg = docs.filter(~is_eval).select(
+        F.explode(word_ngrams(tokens("text"), 5)).alias("gram")
+    )
+    eg = docs.filter(is_eval).select(
+        F.explode(word_ngrams(tokens("text"), 5)).alias("gram")
+    )
+    bloom = bloom_build(eg, "gram", m=65536, k=4)
+    n_all = tg.count()
+    n_kept = bloom_probe(tg, "gram", bloom, m=65536, k=4).count()
+    # eval is ~10% of the corpus; non-candidate train grams must drop
+    assert n_kept < n_all * 0.5
