@@ -112,12 +112,46 @@ def main() -> None:
             ["value"],
         )
 
+    from qb_data_pipeline_backfill_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from qb_data_pipeline_backfill_spark.operators.graph import pagerank_exact
+
+    def li(sf: str) -> DataFrame:
+        return load_table(spark, f"{sf_root}/{sf}", "lineitem")
+
+    def orders(sf: str) -> DataFrame:
+        return load_table(spark, f"{sf_root}/{sf}", "orders")
+
+    def bloom_pruned(sf: str) -> DataFrame:
+        dim = orders(sf).filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+        return bloom_probe(
+            li(sf).select("l_orderkey"), "l_orderkey", bloom_build(dim, "o_orderkey")
+        )
+
+    def pagerank(sf: str) -> DataFrame:
+        l = li(sf).select("l_orderkey", "l_partkey")
+        a, b = l.alias("a"), l.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+            .distinct()
+        )
+        return pagerank_exact(pairs, iters=3)
+
     ladder_cases = {
         "minhash_lsh": lambda sf: D.minhash_lsh_pairs(docs(sf)),
         "exact_dedup": lambda sf: D.exact_dedup(docs(sf)),
         "doc_chunking": lambda sf: C.chunk_documents(docs(sf)),
         "rolling_24h_window": lambda sf: rolling(events(sf)),
         "hypertable_daily": lambda sf: daily(events(sf)),
+        "bloom_prune_scan": bloom_pruned,
+        "pagerank_3iter": pagerank,
     }
 
     out = {"ladder_k": ladder_k, "replicate_k": k, "ladder": {}, "replicate": {}}
