@@ -30,7 +30,11 @@ whose zone map overlaps the update's key range are rewritten, the
 rest move forward by reference), ``commit_compact`` (replace-files
 rewrite), ``commit_delete`` (right-to-be-forgotten), plus
 ``stream_to_txn`` (exactly-once foreachBatch sink) and
-``read_table_where`` (manifest-driven file skipping). On a real
+``read_table_where`` (manifest-driven file skipping). Log hygiene:
+``checkpoint``/``expire_manifests`` cap the manifest population of a
+long-lived table (the Delta checkpoint / Iceberg snapshot-expiry
+analog), and ``vacuum`` takes a retention window so it can never
+delete a concurrent in-flight writer's staged-but-unpublished files. On a real
 deployment the manifest store is the object store itself (S3
 conditional PUT) or a log service — the protocol is unchanged. This
 is deliberately the minimal core, not a table format: additive schema
@@ -41,9 +45,12 @@ renames/drops and no deletion vectors.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
+import time
 import uuid
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -60,22 +67,88 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_txn_dir(path), f"v{version:06d}.json")
 
 
-def current_version(path: str) -> int:
-    """Latest committed version, or -1 for an empty/uninitialized table."""
+def _manifest_versions(path: str) -> list[int]:
+    """Sorted versions whose manifest file still exists (early versions
+    may have been retired by ``expire_manifests``)."""
     d = _txn_dir(path)
     if not os.path.isdir(d):
-        return -1
-    versions = [
+        return []
+    return sorted(
         int(name[1:-5])
         for name in os.listdir(d)
         if name.startswith("v") and name.endswith(".json")
-    ]
-    return max(versions, default=-1)
+    )
+
+
+def current_version(path: str) -> int:
+    """Latest committed version, or -1 for an empty/uninitialized table."""
+    return max(_manifest_versions(path), default=-1)
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(_manifest_path(path, version)) as f:
-        return json.load(f)
+    try:
+        with open(_manifest_path(path, version)) as f:
+            man = json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no manifest for version {version} under {path}: either it was "
+            "never committed or it was retired by expire_manifests() — time "
+            "travel only reaches versions at or after the last checkpoint"
+        ) from None
+    if "stats" in man:
+        man["stats"] = {
+            name: [_stat_from_json(v) for v in pair]
+            for name, pair in man["stats"].items()
+        }
+    return man
+
+
+# --- zone-map stat (de)serialization ------------------------------------
+# Parquet footer min/max come back as Python date/datetime/Decimal for
+# DATE/TIMESTAMP/DECIMAL keys; json.dump can't take those. Stats round-
+# trip through a small type tag so read_table_where/commit_upsert_cow
+# compare the SAME Python types the caller's bounds have.
+
+
+def _stat_to_json(v):
+    if isinstance(v, _dt.datetime):  # must precede date (subclass)
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, Decimal):
+        return {"t": "dec", "v": str(v)}
+    if isinstance(v, bytes):
+        import base64
+
+        return {"t": "b64", "v": base64.b64encode(v).decode("ascii")}
+    return v
+
+
+def _stat_from_json(v):
+    if isinstance(v, dict):
+        kind, raw = v["t"], v["v"]
+        if kind == "ts":
+            return _dt.datetime.fromisoformat(raw)
+        if kind == "date":
+            return _dt.date.fromisoformat(raw)
+        if kind == "dec":
+            return Decimal(raw)
+        if kind == "b64":
+            import base64
+
+            return base64.b64decode(raw)
+    return v
+
+
+def _write_manifest_json(manifest: dict, tmp: str) -> None:
+    enc = dict(manifest)
+    if "stats" in enc:
+        enc["stats"] = {
+            name: [_stat_to_json(v) for v in pair]
+            for name, pair in enc["stats"].items()
+        }
+    with open(tmp, "w") as f:
+        json.dump(enc, f)
 
 
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
@@ -103,6 +176,7 @@ def commit_append(
     path: str,
     key: str | None = None,
     expected_base: int | None = None,
+    checkpoint_every: int | None = None,
 ) -> int:
     """Atomically append ``df`` as the next version; returns it.
 
@@ -116,6 +190,11 @@ def commit_append(
     against (compare-and-swap semantics): if any other version has
     been committed since, the publish fails instead of silently
     basing on state the caller never saw.
+
+    With ``checkpoint_every=K``, every K-th published version also
+    advances the checkpoint floor (see ``checkpoint``) so long-lived
+    append streams can cap their manifest population with periodic
+    ``expire_manifests`` + ``vacuum``.
 
     Raises ConcurrentCommitError if another writer publishes the same
     version first; staged files stay invisible either way.
@@ -135,7 +214,10 @@ def commit_append(
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(path, "_staging", stage_id)
     out.write.mode("overwrite").parquet(stage_dir)
+    prev = _read_manifest(path, base) if base >= 0 else {}
+    stats_col = prev.get("stats_col")
     new_files: list[str] = []
+    stats: dict[str, list] = dict(prev.get("stats", {}))
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
@@ -144,19 +226,24 @@ def commit_append(
             os.path.join(stage_dir, name), os.path.join(path, "data", unique)
         )
         new_files.append(unique)
+        if stats_col is not None:
+            s = _file_stats(os.path.join(stage_dir, name), stats_col)
+            if s is not None:
+                stats[unique] = s
 
-    prev_files = _read_manifest(path, base)["files"] if base >= 0 else []
     manifest = {
         "version": base + 1,
-        "files": prev_files + new_files,
+        "files": prev.get("files", []) + new_files,
         "schema_ddl": ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in out.schema
         ),
         "parent": base,
     }
+    if stats_col is not None:
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = stats
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
+    _write_manifest_json(manifest, tmp)
     try:
         # os.link is atomic create-if-absent: exactly one writer wins
         # a given version on any POSIX filesystem.
@@ -167,31 +254,99 @@ def commit_append(
         ) from e
     finally:
         os.unlink(tmp)
+    if checkpoint_every is not None and (base + 1) % checkpoint_every == 0:
+        checkpoint(path)
     return base + 1
 
 
-def vacuum(path: str) -> list[str]:
-    """Delete staged/orphaned data files no manifest references
-    (crash debris). Never touches referenced files, so concurrent
-    snapshot reads of ANY version stay valid."""
-    v = current_version(path)
+def vacuum(path: str, retention_seconds: float = 24 * 3600.0) -> list[str]:
+    """Delete staged/orphaned data files no LIVE manifest references
+    (crash debris, plus files stranded when their only referencing
+    manifests were retired by ``expire_manifests``). Never touches
+    referenced files, so snapshot reads of any live version stay valid.
+
+    ``retention_seconds`` is the concurrent-writer guard (Delta's
+    VACUUM retention): anything whose mtime is inside the window is
+    kept, because an in-flight writer stages files and hard-links them
+    into ``data/`` BEFORE its manifest publishes — deleting those
+    young unreferenced files would corrupt the winner's snapshot the
+    instant it commits. Pass ``0.0`` only when all writers are known
+    quiesced (tests, single-writer maintenance windows).
+    """
+    cutoff = time.time() - retention_seconds
     referenced: set[str] = set()
-    for version in range(v + 1):
+    for version in _manifest_versions(path):
         referenced.update(_read_manifest(path, version)["files"])
     removed = []
     data_dir = os.path.join(path, "data")
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
-            if name not in referenced:
-                os.unlink(os.path.join(data_dir, name))
+            full = os.path.join(data_dir, name)
+            if name not in referenced and os.path.getmtime(full) <= cutoff:
+                os.unlink(full)
                 removed.append(name)
     stage_root = os.path.join(path, "_staging")
     if os.path.isdir(stage_root):
         import shutil
 
         for d in os.listdir(stage_root):
-            shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
-            removed.append(f"_staging/{d}")
+            full = os.path.join(stage_root, d)
+            if os.path.getmtime(full) <= cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(f"_staging/{d}")
+    return removed
+
+
+def _checkpoint_path(path: str) -> str:
+    return os.path.join(_txn_dir(path), "_last_checkpoint.json")
+
+
+def checkpoint_version(path: str) -> int:
+    """Version of the last checkpoint, or -1 if never checkpointed."""
+    try:
+        with open(_checkpoint_path(path)) as f:
+            return json.load(f)["version"]
+    except FileNotFoundError:
+        return -1
+
+
+def checkpoint(path: str) -> int:
+    """Record the current version as the table's checkpoint floor.
+
+    Manifests here are self-contained (each lists its full file set),
+    so a checkpoint doesn't need to consolidate a delta log — it only
+    declares "history before this version may be retired". Readers of
+    the latest snapshot always touch exactly ONE manifest regardless
+    of commit count; what grows unbounded on a long-lived table is the
+    ``_txn/v*.json`` population itself, and ``expire_manifests`` uses
+    this floor to cap it. Write is atomic (tmp + os.replace); call it
+    every K commits (see ``commit_append(checkpoint_every=...)``).
+    """
+    v = current_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    tmp = os.path.join(_txn_dir(path), f".cp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": v}, f)
+    os.replace(tmp, _checkpoint_path(path))
+    return v
+
+
+def expire_manifests(path: str) -> list[str]:
+    """Retire every manifest older than the checkpoint floor.
+
+    Time travel remains exact for versions >= the floor; versions
+    before it raise FileNotFoundError with a clear message. Data files
+    whose only references were in retired manifests become vacuum-able
+    (subject to the retention guard). This is the Delta/Iceberg
+    log-cleanup analog that keeps a 1000-commit table at O(K)
+    manifests instead of O(commits)."""
+    floor = checkpoint_version(path)
+    removed = []
+    for v in _manifest_versions(path):
+        if v < floor:
+            os.unlink(_manifest_path(path, v))
+            removed.append(f"v{v:06d}.json")
     return removed
 
 
@@ -221,7 +376,8 @@ def commit_upsert(
         merged = survivors.unionByName(df)
     else:
         merged = df
-    return _commit_replace(spark, merged, path, base)
+    stats_col = _read_manifest(path, base).get("stats_col") if base >= 0 else None
+    return _commit_replace(spark, merged, path, base, stats_col=stats_col)
 
 
 def stream_to_txn(
@@ -230,6 +386,7 @@ def stream_to_txn(
     *,
     key: str,
     checkpoint_dir: str,
+    checkpoint_every: int | None = None,
 ):
     """Streaming exactly-once into the transactional table: each
     micro-batch commits through ``commit_append(key=...)`` inside
@@ -241,7 +398,13 @@ def stream_to_txn(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        commit_append(batch_df.sparkSession, batch_df, path, key=key)
+        commit_append(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            key=key,
+            checkpoint_every=checkpoint_every,
+        )
 
     return (
         source.writeStream.foreachBatch(sink)
@@ -266,23 +429,55 @@ def commit_compact(
     race cleanly instead of interleaving with the rewrite."""
     base = current_version(path) if expected_base is None else expected_base
     current = read_version(spark, path, base).coalesce(target_partitions)
-    return _commit_replace(spark, current, path, base)
+    stats_col = _read_manifest(path, base).get("stats_col") if base >= 0 else None
+    return _commit_replace(spark, current, path, base, stats_col=stats_col)
+
+
+def _norm_stat(v):
+    """tz-aware parquet timestamp stats → naive UTC, matching the
+    session's UTC-pinned convention (collect() bounds and DuckDB
+    oracle values are naive UTC throughout the repo)."""
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
 
 
 def _file_stats(file_path: str, col: str) -> list | None:
     """[min, max] of ``col`` from the parquet footer (no data read) —
-    the zone-map entry a lakehouse stores per file."""
+    the zone-map entry a lakehouse stores per file.
+
+    Returns None (file will be scanned conservatively) when the footer
+    carries no usable statistics — e.g. legacy INT96 timestamps, which
+    parquet writers emit without min/max; the session pins
+    ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`` so the
+    engine's own writes never hit that. DECIMAL stats are decoded from
+    the raw unscaled integers because pyarrow's typed accessor doesn't
+    implement them."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(file_path).metadata
     idx = md.schema.to_arrow_schema().get_field_index(col)
+    colschema = md.schema.column(idx)
     lo = hi = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
             return None
-        lo = st.min if lo is None else min(lo, st.min)
-        hi = st.max if hi is None else max(hi, st.max)
+        try:
+            mn, mx = st.min, st.max
+        except Exception:
+            if (
+                colschema.converted_type == "DECIMAL"
+                and isinstance(st.min_raw, int)
+            ):
+                scale = colschema.scale
+                mn = Decimal(st.min_raw).scaleb(-scale)
+                mx = Decimal(st.max_raw).scaleb(-scale)
+            else:
+                return None
+        mn, mx = _norm_stat(mn), _norm_stat(mx)
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
     if lo is None:
         return None
     return [lo, hi]
@@ -334,8 +529,7 @@ def _commit_replace(
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
+    _write_manifest_json(manifest, tmp)
     try:
         os.link(tmp, _manifest_path(path, base + 1))
     except FileExistsError as e:
@@ -370,7 +564,8 @@ def commit_delete(
     survivors = read_version(spark, path, base).join(
         keys.select(key), key, "left_anti"
     )
-    return _commit_replace(spark, survivors, path, base)
+    stats_col = _read_manifest(path, base).get("stats_col")
+    return _commit_replace(spark, survivors, path, base, stats_col=stats_col)
 
 
 def commit_append_with_stats(
@@ -414,6 +609,7 @@ def read_table_where(
     col = man.get("stats_col")
     if col is None:
         raise ValueError(f"table at {path} has no zone-map stats")
+    lo, hi = _norm_stat(lo), _norm_stat(hi)
     stats = man.get("stats", {})
     chosen = [
         name
@@ -439,6 +635,7 @@ def pruned_file_count(path: str, lo, hi, version: int | None = None) -> tuple[in
     v = current_version(path) if version is None else version
     man = _read_manifest(path, v)
     stats = man.get("stats", {})
+    lo, hi = _norm_stat(lo), _norm_stat(hi)
     chosen = [
         n
         for n in man["files"]

@@ -77,7 +77,7 @@ def udtf_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
     FROM events
     GROUP BY event_type
     """,
@@ -91,7 +91,13 @@ def pandas_udaf_cents_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     def _cents_sum(v):
-        return int((v * 100).round().astype("int64").sum())
+        # floor(v*100 + 0.5), NOT pandas .round(): .round() is
+        # half-to-even while DuckDB's ROUND is half-away-from-zero, so
+        # any value*100 landing exactly on x.5 would differ by a cent
+        # between the engines. floor(+0.5) is identical on both sides.
+        import numpy as np
+
+        return int(np.floor(v * 100 + 0.5).astype("int64").sum())
 
     # `from __future__ import annotations` stringifies hints, which the
     # pandas_udf signature inference rejects — attach them as objects.

@@ -47,6 +47,12 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96:
+        # INT96 columns carry NO parquet min/max statistics, which
+        # blinds both the txn layer's zone maps (operators/txn.py
+        # _file_stats) and any engine's row-group skipping on our
+        # output. Micros is also what DuckDB/Arrow/Iceberg expect.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # The driver's events.parquet stores ts as TIMESTAMP(NANOS),
         # which vanilla Spark rejects; read it as long and convert in
         # tables.load_table (DuckDB truncates ns→us the same way).

@@ -82,7 +82,11 @@ class RestBatchWriter(DataSourceWriter):
                 return
             req = urllib.request.Request(
                 url,
-                data=json.dumps({"records": buf}).encode(),
+                # default=str: rows may carry datetime/date/Decimal
+                # columns (valid per the schema check in __init__) that
+                # json.dumps would otherwise reject at runtime; they
+                # serialize as ISO strings / plain decimal text.
+                data=json.dumps({"records": buf}, default=str).encode(),
                 headers={"Content-Type": "application/json"},
                 method="POST",
             )

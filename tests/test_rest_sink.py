@@ -63,3 +63,28 @@ def test_overwrite_mode_rejected(spark):
             ).mode("overwrite").save()
     finally:
         srv.close()
+
+
+def test_typed_columns_serialize(spark):
+    """Rows with timestamp/date/decimal columns pass the schema check,
+    so the JSON encoding must not blow up at write time — they land as
+    ISO / decimal strings via the typed-default encoder."""
+    srv = StubIngestServer()
+    try:
+        spark.dataSource.register(RestBatchSink)
+        df = spark.range(5).select(
+            F.col("id").cast("string").alias("Id"),
+            F.lit("2024-03-31 12:00:00").cast("timestamp").alias("TxnAt"),
+            F.lit("2024-03-31").cast("date").alias("TxnDate"),
+            F.lit("12.50").cast("decimal(10,2)").alias("Amount"),
+        )
+        df.coalesce(1).write.format("qbo_rest_sink").option(
+            "base_url", srv.base_url
+        ).mode("append").save()
+        assert len(srv.records) == 5
+        rec = srv.records["3"]
+        assert rec["TxnDate"] == "2024-03-31"
+        assert rec["Amount"] == "12.50"
+        assert rec["TxnAt"].startswith("2024-03-31 12:00:00")
+    finally:
+        srv.close()

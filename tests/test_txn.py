@@ -48,7 +48,10 @@ def test_staged_but_unpublished_files_are_invisible(spark, tmp_path):
                 os.path.join(path, "data", f"orphan-{name}"),
             )
     assert txn.read_table(spark, path).count() == 10
-    removed = txn.vacuum(path)
+    # default retention refuses to touch young files (they could be an
+    # in-flight writer's pre-publish links); 0.0 = writers quiesced
+    assert txn.vacuum(path) == []
+    removed = txn.vacuum(path, retention_seconds=0.0)
     assert any(n.startswith("orphan-") for n in removed)
     assert txn.read_table(spark, path).count() == 10
 
@@ -203,6 +206,123 @@ def test_zone_map_read_skips_files(spark):
         got = txn.read_table_where(spark, path, 1010, 1020)
         assert got.count() == 11
         assert {r.k for r in got.collect()} == set(range(1010, 1021))
+
+
+def test_vacuum_retention_protects_inflight_writer(spark, tmp_path):
+    """A writer that has staged parts and linked them into data/ but
+    not yet published its manifest must survive a concurrent vacuum:
+    its files are unreferenced but YOUNG, and the retention guard is
+    what keeps the subsequent publish from committing a manifest that
+    points at deleted files."""
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    # freeze a writer mid-publish: staged + linked, manifest not yet up
+    _df(spark, 100, 200).write.parquet(os.path.join(path, "_staging", "inflight"))
+    linked = []
+    for name in os.listdir(os.path.join(path, "_staging", "inflight")):
+        if name.endswith(".parquet"):
+            os.link(
+                os.path.join(path, "_staging", "inflight", name),
+                os.path.join(path, "data", f"inflight-{name}"),
+            )
+            linked.append(f"inflight-{name}")
+    assert txn.vacuum(path) == []  # default retention: untouched
+    for name in linked:
+        assert os.path.exists(os.path.join(path, "data", name))
+
+
+def test_rewrite_commits_preserve_zone_maps(spark, tmp_path):
+    """commit_upsert / commit_delete / commit_compact on a table
+    maintained with commit_append_with_stats must keep the zone-map
+    layer alive (stats recomputed for rewritten files), so
+    read_table_where and commit_upsert_cow keep working afterward."""
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 100).coalesce(1), path, key="k")
+    updates = spark.range(5, 15).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    txn.commit_upsert(spark, updates, path, key="k")
+    assert txn.read_table_where(spark, path, 5, 9).count() == 5
+    txn.commit_delete(spark, spark.range(0, 5).select(F.col("id").alias("k")), path, key="k")
+    txn.commit_compact(spark, path, target_partitions=1)
+    assert txn.read_table_where(spark, path, 0, 9).count() == 5
+    # cow upsert still accepts the table (stats_col survived 3 rewrites)
+    txn.commit_upsert_cow(
+        spark,
+        spark.range(500, 510).select(F.col("id").alias("k"), F.lit(9).cast("long").alias("v")),
+        path,
+        key="k",
+    )
+    assert txn.read_table(spark, path).count() == 105
+
+
+def test_zone_maps_on_date_and_decimal_keys(spark, tmp_path):
+    """Parquet footer min/max for DATE / DECIMAL keys are Python
+    date/Decimal objects; the manifest must round-trip them through
+    JSON and compare with the caller's typed bounds."""
+    import datetime as dt
+    from decimal import Decimal
+
+    path = str(tmp_path / "d")
+    days = spark.range(0, 90).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    txn.commit_append_with_stats(spark, days.repartitionByRange(3, "k"), path, key="k")
+    lo, hi = dt.date(2024, 2, 1), dt.date(2024, 2, 10)
+    got = txn.read_table_where(spark, path, lo, hi)
+    assert got.count() == 10
+    scanned, total = txn.pruned_file_count(path, lo, hi)
+    assert scanned < total
+    # decimal key table: commit crashes without typed serialization
+    path2 = str(tmp_path / "dec")
+    decs = spark.range(0, 100).select(
+        (F.col("id").cast("decimal(12,2)") / F.lit(4)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    txn.commit_append_with_stats(spark, decs.repartitionByRange(4, "k"), path2, key="k")
+    got2 = txn.read_table_where(spark, path2, Decimal("1.00"), Decimal("2.00"))
+    assert got2.count() == 5  # 1.00, 1.25, 1.50, 1.75, 2.00
+    # timestamp key table
+    path3 = str(tmp_path / "ts")
+    ts = spark.range(0, 48).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(hours=F.col("id"))).alias("k"),
+        F.col("id").alias("v"),
+    )
+    txn.commit_append_with_stats(spark, ts.repartitionByRange(2, "k"), path3, key="k")
+    got3 = txn.read_table_where(
+        spark, path3, dt.datetime(2024, 1, 1, 6), dt.datetime(2024, 1, 1, 10)
+    )
+    assert got3.count() == 5
+
+
+def test_checkpoint_expire_caps_manifest_population(spark, tmp_path):
+    """The long-lived-table invariant: many commits + periodic
+    checkpoint + expire keeps _txn/ at O(K) manifests; the latest
+    snapshot reads exactly one manifest; time travel stays exact down
+    to the checkpoint floor and fails loudly below it; data files
+    stranded by retired manifests become vacuum-able."""
+    path = str(tmp_path / "t")
+    for lo in range(0, 300, 10):  # 30 commits, checkpoint every 10
+        txn.commit_append(
+            spark, _df(spark, lo, lo + 10).coalesce(1), path, checkpoint_every=10
+        )
+    assert txn.current_version(path) == 29
+    floor = txn.checkpoint_version(path)
+    assert floor == 20  # fires on versions divisible by K: v0, v10, v20
+    # compact rewrites everything, then retire pre-checkpoint history
+    txn.commit_compact(spark, path, target_partitions=1)
+    txn.checkpoint(path)
+    removed = txn.expire_manifests(path)
+    assert len(removed) == 30
+    live = txn._manifest_versions(path)
+    assert live == [30]
+    # latest snapshot intact, exactly one manifest on disk to read
+    assert txn.read_table(spark, path).count() == 300
+    with pytest.raises(FileNotFoundError, match="retired|never committed"):
+        txn.read_version(spark, path, 5)
+    # the 30 pre-compaction files are referenced by no live manifest
+    reclaimed = txn.vacuum(path, retention_seconds=0.0)
+    assert len([n for n in reclaimed if not n.startswith("_staging")]) == 30
+    assert txn.read_table(spark, path).count() == 300
 
 
 def test_cow_upsert_inserts_new_key_range(spark):
