@@ -5,11 +5,15 @@ columns with a typed metadata struct — the lakehouse pattern: bytes
 stay columnar in Parquet, metadata is queryable, and decode happens
 late, batched, at the edge of the plan via Arrow (mapInPandas).
 
-The container ships no image/audio codecs, so the decode step is
-STUBBED: ``decode_media`` raises ``NotImplementedError`` unless a
-decoder is importable, and ``byte_features`` (a deterministic,
-codec-free feature extractor) demonstrates the real Spark plumbing —
-schema, Arrow batching, partition preservation — end to end.
+The container ships no image/audio codec libraries, so
+``decode_media`` implements its own: pure-Python/numpy decoders for
+binary PPM (P6) and uncompressed 24-bit BMP, with per-row format
+sniffing and optional nearest-neighbor resize, all inside the same
+Arrow ``mapInPandas`` batch pass a PIL/ffmpeg-backed decoder would
+use. ``synthesize_images`` emits real decodable files from a
+SQL-replayable pixel formula, so the decode path is oracle-gated
+end to end; ``byte_features``/``sample_frames`` cover the
+feature-extraction and fan-out shapes on opaque payloads.
 """
 
 from __future__ import annotations
@@ -151,51 +155,201 @@ def sample_frames(
     return media.select("media_id", "content").mapInPandas(sample, FRAME_SCHEMA)
 
 
-def decode_media(media: DataFrame, target_width: int = 224, target_height: int = 224) -> DataFrame:
-    """Decode + resize the binary payload into pixel arrays.
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
 
-    STUB: requires an image codec (PIL/opencv), which this container
-    does not ship. The Spark-side contract is fixed — batch-wise
-    mapInPandas, output schema (media_id, pixels array<float>, width,
-    height) — so a real decoder drops in without plan changes.
-    """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "decode_media requires an image codec (PIL); not available in "
-            "this environment. byte_features demonstrates the identical "
-            "mapInPandas plumbing with a codec-free extractor."
-        ) from e
 
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("pixels", T.ArrayType(T.FloatType()), False),
-            T.StructField("width", T.IntegerType(), False),
-            T.StructField("height", T.IntegerType(), False),
-        ]
+def _decode_ppm(buf: bytes):
+    """Binary PPM (P6, 8-bit) → (width, height, flat RGB uint8 array).
+
+    Pure-Python header parse (whitespace + ``#`` comment handling per
+    the netpbm spec) and a zero-copy numpy view of the payload — no
+    external codec."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then payload
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px
+
+
+def _decode_bmp(buf: bytes):
+    """Uncompressed 24-bit BMP → (width, height, flat RGB uint8 array).
+
+    Handles the standard layout: BGR channel order, rows padded to 4
+    bytes, bottom-up unless the height field is negative."""
+    import numpy as np
+
+    if not buf.startswith(b"BM"):
+        raise ValueError("not a BMP (missing BM magic)")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = (
+        np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=off)
+        .reshape(h, stride)[:, : w * 3]
     )
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows.reshape(h, w, 3)[:, :, ::-1].reshape(-1).copy()
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import io
 
-        from PIL import Image
+def _resize_nearest(px, w: int, h: int, tw: int, th: int):
+    """Deterministic nearest-neighbor resize of a flat RGB array —
+    index math only, bit-identical on every platform."""
+    img = px.reshape(h, w, 3)
+    ys = [min(h - 1, y * h // th) for y in range(th)]
+    xs = [min(w - 1, x * w // tw) for x in range(tw)]
+    return img[ys][:, xs].reshape(-1)
 
+
+def decode_media(
+    media: DataFrame,
+    target_width: int | None = None,
+    target_height: int | None = None,
+) -> DataFrame:
+    """Decode the binary payload into pixel arrays — a REAL decoder,
+    no external codec: binary PPM (P6) and uncompressed 24-bit BMP are
+    parsed in pure Python/numpy inside Arrow-batched mapInPandas. The
+    format is sniffed per row from the magic bytes, so mixed-format
+    batches decode correctly. With target dims, a deterministic
+    nearest-neighbor resize runs in the same batch pass (the shape a
+    real PIL/ffmpeg-backed decoder plugs into without plan changes).
+
+    Output: (media_id, pixels array<float> of interleaved RGB,
+    width, height). Unknown formats fail loudly per the engine's
+    no-silent-partial policy."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                img = Image.open(io.BytesIO(bytes(content))).resize(
-                    (target_width, target_height)
-                )
+                b = bytes(content)
+                if b.startswith(b"P6"):
+                    w, h, px = _decode_ppm(b)
+                elif b.startswith(b"BM"):
+                    w, h, px = _decode_bmp(b)
+                else:
+                    raise ValueError(
+                        f"media_id={media_id}: undecodable payload "
+                        f"(magic {b[:2]!r}); supported: PPM P6, BMP 24-bit"
+                    )
+                if target_width is not None and target_height is not None:
+                    px = _resize_nearest(px, w, h, target_width, target_height)
+                    w, h = target_width, target_height
                 rows.append(
                     {
                         "media_id": media_id,
-                        "pixels": [float(p) for p in img.convert("L").getdata()],
-                        "width": target_width,
-                        "height": target_height,
+                        "pixels": px.astype("float32"),
+                        "width": w,
+                        "height": h,
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
-    return media.select("media_id", "content").mapInPandas(decode, out_schema)
+    return media.select("media_id", "content").mapInPandas(decode, DECODED_SCHEMA)
+
+
+def _formula_pixels(media_id: int, w: int, h: int):
+    """The synthetic image: byte i of the RGB payload is
+    ``(media_id * 31 + i) % 256`` — closed-form, so a SQL oracle can
+    recompute every decoded pixel from (media_id, w, h) alone."""
+    import numpy as np
+
+    return ((np.arange(w * h * 3) + media_id * 31) % 256).astype(np.uint8)
+
+
+def _encode_ppm(media_id: int, w: int, h: int) -> bytes:
+    comment = b"# synthetic\n" if media_id % 4 == 0 else b""
+    return (
+        b"P6\n" + comment + f"{w} {h}\n255\n".encode()
+        + _formula_pixels(media_id, w, h).tobytes()
+    )
+
+
+def _encode_bmp(media_id: int, w: int, h: int) -> bytes:
+    import numpy as np
+
+    stride = (w * 3 + 3) & ~3
+    rgb = _formula_pixels(media_id, w, h).reshape(h, w, 3)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)  # BGR order
+    payload = rows[::-1].tobytes()  # bottom-up row order
+    header = (
+        b"BM"
+        + (54 + len(payload)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(payload).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + payload
+
+
+def synthesize_images(
+    df: DataFrame, id_col: str = "doc_id", fmt: str = "ppm"
+) -> DataFrame:
+    """Deterministic REAL image files (tiny PPM or BMP) keyed by
+    ``id_col``: width = id%8+2, height = id%5+2, payload byte i =
+    (id*31 + i) % 256. Unlike ``synthesize_media``'s opaque hash
+    bytes, these decode — the fixture for ``decode_media`` — and the
+    pixel formula is SQL-replayable for the oracle gate."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = _encode_ppm if fmt == "ppm" else _encode_bmp
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 8 + 2, mid % 5 + 2
+                content = enc(mid, w, h)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": f"image/{fmt}",
+                        "content": content,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "n_bytes": len(content),
+                            "format": fmt,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.select(F.col(id_col)).mapInPandas(synth, MEDIA_SCHEMA)

@@ -653,6 +653,58 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") > 0)
 
 
+@register(
+    "multimodal_decode_stats",
+    # The synthetic PPM's payload byte i is (media_id*31 + i) % 256
+    # (operators/multimodal.py:_formula_pixels), so DuckDB re-derives
+    # every decoded pixel from (media_id, width, height) alone — the
+    # oracle checks an actual image decode, not just plumbing. Mean is
+    # emitted in floor'd basis points: exact integer math both sides.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 8 + 2) AS width,
+               (doc_id % 5 + 2) AS height
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    px AS (
+        SELECT media_id, width, height,
+               (media_id * 31 + i) % 256 AS v
+        FROM m, LATERAL unnest(generate_series(0, width * height * 3 - 1)) AS t(i)
+    )
+    SELECT media_id, width, height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v) * 10000 // COUNT(*) AS BIGINT) AS mean_bp
+    FROM px
+    GROUP BY media_id, width, height
+    """,
+    doc="REAL image decode, oracle-gated: synthesize tiny binary PPM "
+    "files (P6 header + formula pixels), decode them with the engine's "
+    "pure-Python codec inside Arrow mapInPandas, and aggregate per-image "
+    "pixel stats. No external image library anywhere in the path.",
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
+    media = M.synthesize_images(docs, fmt="ppm")
+    decoded = M.decode_media(media)
+    pixel_sum = F.aggregate(
+        "pixels", F.lit(0.0), lambda acc, x: acc + x
+    )  # integers ≤ 255·486 summed in doubles: exact
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("pixels").cast("long").alias("n_values"),
+        pixel_sum.cast("long").alias("pixel_sum"),
+        F.floor(pixel_sum * 10000 / F.size("pixels")).cast("long").alias("mean_bp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # composite curation pipeline
 # --------------------------------------------------------------------------

@@ -318,6 +318,60 @@ def test_sample_frames_fan_out(docs):
             assert bytes(r["frame"]) == raw[mid][start : start + 16]
 
 
-def test_decode_media_is_explicit_stub(docs):
-    with pytest.raises(NotImplementedError):
-        M.decode_media(M.synthesize_media(docs))
+def test_decode_ppm_matches_formula(docs):
+    """The pure-Python P6 decoder recovers exactly the formula pixels
+    the encoder wrote (header comments included for id % 4 == 0)."""
+    decoded = {
+        r["media_id"]: r
+        for r in M.decode_media(M.synthesize_images(docs, fmt="ppm")).collect()
+    }
+    import numpy as np
+
+    for mid, r in decoded.items():
+        w, h = mid % 8 + 2, mid % 5 + 2
+        assert (r["width"], r["height"]) == (w, h)
+        expect = ((np.arange(w * h * 3) + mid * 31) % 256).astype("float32")
+        assert np.array_equal(np.array(r["pixels"], dtype="float32"), expect)
+
+
+def test_decode_bmp_equals_ppm_decode(docs):
+    """Same logical image through both container formats (BMP's BGR
+    bottom-up padded rows vs PPM's straight RGB payload) decodes to
+    the identical pixel array — the codec handles real layout quirks,
+    not just the happy path."""
+    ppm = M.decode_media(M.synthesize_images(docs, fmt="ppm")).collect()
+    bmp = M.decode_media(M.synthesize_images(docs, fmt="bmp")).collect()
+    p = {r["media_id"]: list(r["pixels"]) for r in ppm}
+    b = {r["media_id"]: list(r["pixels"]) for r in bmp}
+    assert p == b and len(p) > 0
+
+
+def test_decode_mixed_format_batch_sniffs_per_row(spark, docs):
+    mixed = M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 0), fmt="ppm").unionByName(
+        M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 1), fmt="bmp")
+    )
+    out = M.decode_media(mixed)
+    assert out.count() == docs.count()
+
+
+def test_decode_resize_nearest_is_deterministic(docs):
+    out = M.decode_media(M.synthesize_images(docs, fmt="ppm"), 4, 4).collect()
+    import numpy as np
+
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 4)
+        assert len(r["pixels"]) == 4 * 4 * 3
+        mid = r["media_id"]
+        w, h = mid % 8 + 2, mid % 5 + 2
+        src = ((np.arange(w * h * 3) + mid * 31) % 256).reshape(h, w, 3)
+        ys = [min(h - 1, y * h // 4) for y in range(4)]
+        xs = [min(w - 1, x * w // 4) for x in range(4)]
+        expect = src[ys][:, xs].reshape(-1).astype("float32")
+        assert np.array_equal(np.array(r["pixels"], dtype="float32"), expect)
+
+
+def test_decode_rejects_undecodable_payload(spark, docs):
+    """synthesize_media's hash bytes are NOT an image; the decoder
+    fails loudly instead of emitting garbage (no-silent-partial)."""
+    with pytest.raises(Exception, match="undecodable|PPM|BMP"):
+        M.decode_media(M.synthesize_media(docs)).collect()
