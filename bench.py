@@ -95,13 +95,6 @@ def main() -> None:
         for name, q in items:
             if only is not None and name not in only:
                 continue
-            # contract_* queries are correctness certifications that
-            # embed their own exact-baseline recomputation (deliberately
-            # the expensive quadratic/exact path) — timing them
-            # benchmarks the baseline, not the operator; every certified
-            # operator is benched through its headline query above.
-            if only is None and name.startswith("contract_"):
-                continue
             t0 = time.time()
             try:
                 q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -121,30 +114,38 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     r01 = set(R01_SUBSET)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(ok.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "r01_subset_sec": round(
-                    sum(v for k, v in ok.items() if k in r01), 4
-                ),
-                # Root cause of the r02 "1.60x regression": cold-cache
-                # I/O + machine variance, not plans — the r01 subset
-                # measured 45.8s cold / 21.0s warm on identical code,
-                # idle machine (round-3 bisect; r1-era code re-run on
-                # the same day was 29.5s). Benches now warm first.
-                "warmup": "jvm codegen + input page cache (untimed)",
-                "passes": passes,
-                "timing": "per-query min across passes (host shows "
-                "episodic multi-x slowdowns; see bench.py)",
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "r01_subset_sec": round(sum(v for k, v in ok.items() if k in r01), 4),
+        # contract_* certifications re-run their operator's exact
+        # baseline on purpose; their wall time is reported (regression
+        # visibility) and also totaled separately so the headline
+        # `value` drift can be attributed.
+        "contract_sec": round(
+            sum(v for k, v in ok.items() if k.startswith("contract_")), 4
+        ),
+        # Root cause of the r02 "1.60x regression": cold-cache
+        # I/O + machine variance, not plans — the r01 subset
+        # measured 45.8s cold / 21.0s warm on identical code,
+        # idle machine (round-3 bisect; r1-era code re-run on
+        # the same day was 29.5s). Benches now warm first.
+        "warmup": "jvm codegen + input page cache (untimed)",
+        "passes": passes,
+        "timing": "per-query min across passes (host shows "
+        "episodic multi-x slowdowns; see bench.py)",
+    }
+    line = json.dumps(result)
+    # Stdout is the driver contract but its tail can truncate in the
+    # round artifact (BENCH_r04 recovered only 55/112 timings from a
+    # clipped log); the committed file is the complete record.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -133,6 +133,14 @@ def write_jdbc_idempotent(
 
     ``_read_existing``/``_append`` are injection seams so the logic is
     unit-testable without a database; by default they run real JDBC.
+
+    Postgres dialect notes (untestable in this sandbox — no pg JDBC
+    jar ships here; semantics are proven against embedded Derby): the
+    reference DDL's JSONB columns need ``stringtype=unspecified`` in
+    the JDBC url so string-typed JSON binds to jsonb, and Spark maps
+    TimestampType to ``timestamp`` (naive); with the session pinned to
+    UTC that round-trips correctly against both ``timestamp`` and
+    ``timestamptz`` columns.
     """
     _check_identifier(table, "table")
     _check_identifier(key, "key column")
