@@ -24,69 +24,21 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
     queries,
 )
 
-# The driver's correctness gate covers the first 50 registry entries;
-# put queries WITHOUT a green artifact of record first: the 6 red in
-# CORRECTNESS_r03 (TIMESTAMP_NTZ breakage, fixed in tables/jobs), the
-# 5 rows-only fuzzy operators that have never landed a driver row,
-# everything new in round 4, then the r02-green queries that fell past
-# r03's window (oldest artifacts, refresh while space remains).
-# Queries green in r03 keep that artifact outside this round's window.
+# The driver's correctness gate covers the first 50 registry entries.
+# Round-5 rotation (VERDICT r4 #1): every registered query is green on
+# some prior artifact, so the window now refreshes the STALEST records
+# first — (a) queries new or code-touched this round (no green record
+# on current code), (b) the 26 queries whose last driver green is
+# r02-era, (c) as many r03-era queries as fit, contract certifications
+# first (they underwrite the rows-only fuzzy family's correctness).
+# The ~22 r03-era queries left outside rotate in next round; r04
+# greens are the freshest and wait longest.
 prioritize(
     [
-        # --- red in CORRECTNESS_r03: fixed, must re-prove ---
-        "streaming_tumbling_window",
-        "streaming_session_window",
-        "streaming_dedup_exactly_once",
-        "streaming_enriched_rollup",
-        "range_join_attribution",
-        "hypertable_rollup_daily",
-        # --- rows-only fuzzy ops with no driver row yet ---
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_embedding_lsh",
-        "similarity_ann_lsh",
-        "similarity_ann_ivf",
-        # --- new in round 4 ---
-        "doc_chunking",
-        "sequence_packing",
-        "vocab_build",
-        "quality_band_filter",
-        "retention_cohorts",
-        "rolling_user_window",
-        "group_percentiles",
-        "exists_correlated_orders",
-        "scalar_subquery_max_qty",
-        "having_fraction_of_total",
-        "recursive_reachability",
-        "streaming_sliding_window",
-        "streaming_stream_stream_join",
-        "streaming_interval_join_outer",
-        "incremental_rollup_merge",
-        "value_histogram",
-        "contract_bloom_prune",
-        "contract_hll_merge",
-        "decontamination_bloom_prefilter",
-        "vocab_coverage_oov",
-        "sample_weighted_by_length",
-        "equidepth_histogram",
-        "local_supplier_revenue",
-        "streaming_top_users",
-        "pq_encode_codes",
-        "grouping_sets_report",
-        "jsonl_roundtrip_scan",
-        "orc_roundtrip_scan",
-        "multimodal_frame_alignment",
-        "pagerank_parts",
-        "training_shard_manifest",
-        "udtf_term_counts",
+        # --- (a) new / code-touched in round 5 ---
+        "multimodal_decode_stats",
         "pandas_udaf_cents_sum",
-        "unpivot_measures",
-        "full_outer_reconciliation",
-        "score_normalize_per_lang",
-        # --- r02-green queries that fell past r03's 50-entry window ---
-        "salted_collect_stats",
-        "salted_join_segment_revenue",
-        "cdc_latest_state",
+        # --- (b) last driver green was r02 ---
         "window_function_suite",
         "set_ops_report",
         "dedup_exact_text",
@@ -113,6 +65,29 @@ prioritize(
         "filtered_aggregates",
         "minmax_dates",
         "date_window_filter",
+        # --- (c) last driver green was r03, oldest-risk first ---
+        "contract_minhash_recall",
+        "contract_simhash_recall",
+        "contract_embedding_lsh_recall",
+        "contract_ann_lsh_recall",
+        "contract_ann_ivf_recall",
+        "contract_approx_median",
+        "cms_frequency_contract",
+        "quantile_sketch_contract",
+        "dedup_cluster_resolution",
+        "text_tfidf_topk",
+        "numeric_profile",
+        "rest_source_scan",
+        "rest_source_filtered",
+        "csv_http_scan",
+        "asof_join_last_order",
+        "timeseries_gap_fill",
+        "scd2_intervals",
+        "funnel_conversion",
+        "decontamination_overlap",
+        "kmeans_codebook",
+        "pii_scrub",
+        "text_fingerprint",
     ]
 )
 
