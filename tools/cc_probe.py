@@ -52,22 +52,37 @@ def connected_components_star(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().localCheckpoint(eager=True)
 
-    def star(edge_df: DataFrame, large: bool) -> DataFrame:
+    def large_star(edge_df: DataFrame) -> DataFrame:
+        """Connect every strictly-larger neighbor to min(Γ⁺(u))."""
         sym = edge_df.union(
             edge_df.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
         mins = mins.select("u", F.least("u", "mn").alias("m"))
-        joined = sym.join(mins, "u")
-        kept = joined.filter(
-            (F.col("v") > F.col("u")) if large else (F.col("v") <= F.col("u"))
+        out = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
         )
-        out = kept.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
+        return out.distinct()  # already big→small: v = m < u
+
+    def small_star(edge_df: DataFrame) -> DataFrame:
+        """On big→small directed edges: per node u, m = min smaller
+        neighbor; re-root u and its other smaller neighbors at m."""
+        mins = edge_df.groupBy("u").agg(F.min("v").alias("m"))
+        re_rooted = (
+            edge_df.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = mins.select("u", F.col("m").alias("v"))
+        return re_rooted.union(self_edge).filter(
             F.col("u") != F.col("v")
-        )
-        return out.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
+
+    def star(edge_df: DataFrame) -> DataFrame:
+        return small_star(large_star(edge_df))
 
     def fingerprint(edge_df: DataFrame):
         return edge_df.agg(
@@ -79,7 +94,7 @@ def connected_components_star(
 
     prev = fingerprint(cur)
     for i in range(max_iter):
-        cur = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        cur = star(cur).localCheckpoint(eager=True)
         fp = fingerprint(cur)
         if tuple(fp) == tuple(prev):
             stars = cur  # (u big, v root) min-rooted star edges
