@@ -155,3 +155,149 @@ def stratified_threshold_sql(
         for v, f in fractions.items()
     )
     return f"CASE {whens} ELSE '{threshold_hex(default_fraction)}' END"
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    target_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing at T=2 (α=1/2): sample
+    each group at a rate ∝ sqrt(n_g)/n_g, the standard multilingual-
+    corpus upweighting of low-resource groups (mT5-style; α=1 is
+    proportional, α→0 is uniform-over-groups — sqrt is the common
+    middle).
+
+    Unlike :func:`stratified_sample`, the per-group rates are computed
+    FROM the data, distributed: one count aggregate over the group
+    key, floor(sqrt) + integer divisions ONLY — every engine computes
+    bit-identical thresholds (IEEE sqrt is correctly rounded, so
+    floor(sqrt(bigint)) is exact; no pow(), whose last-ulp behavior is
+    libm-specific). Group g with n_g rows gets
+    ``t_g = target_rows * isqrt(n_g) // Σ isqrt`` kept rows (expected),
+    via hash threshold ``min(2^32-1, t_g * 2^32 // n_g)``.
+
+    Plan shape: narrow scan + one small aggregate + broadcast join of
+    the per-group threshold dim + narrow filter. No data-sized shuffle.
+    """
+    if not 0 < target_rows < 2**30:
+        raise ValueError(f"target_rows must be in (0, 2^30), got {target_rows}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    sqrts = counts.withColumn("__s", F.floor(F.sqrt("__n")).cast("long"))
+    tot = sqrts.agg(F.sum("__s").alias("__sum"))
+    rates = (
+        sqrts.crossJoin(F.broadcast(tot))
+        .withColumn("__t", F.expr(f"(CAST({target_rows} AS BIGINT) * __s) div __sum"))
+        .withColumn(
+            "__R",
+            F.least(F.lit(2**32 - 1).cast("long"), F.expr("(__t * 4294967296) div __n")),
+        )
+        .withColumn("__thr", F.lower(F.lpad(F.hex("__R"), 8, "0")))
+        .select(group_col, "__thr")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_prefix(key_cols, salt) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def temperature_mixture_sql(
+    table: str, group_col: str, key_cols: list[str], target_rows: int, salt: str = ""
+) -> str:
+    """DuckDB rendering of :func:`temperature_mixture_sample`'s
+    membership predicate (same integer arithmetic, same hex compare).
+    Returns a full SELECT of the kept rows' ``key_cols + group_col``."""
+    h = hash_prefix_sql(key_cols, salt)
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH c AS (SELECT {group_col}, COUNT(*) AS n FROM {table} GROUP BY {group_col}),
+    s AS (SELECT {group_col}, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS sg FROM c),
+    tot AS (SELECT SUM(sg) AS S FROM s),
+    r AS (SELECT {group_col}, n, (CAST({target_rows} AS BIGINT) * sg) // S AS t FROM s, tot),
+    h AS (SELECT {group_col},
+                 lower(lpad(to_hex(LEAST(4294967295, (t * 4294967296) // n)), 8, '0')) AS thr
+          FROM r)
+    SELECT d.{keys}, d.{group_col}
+    FROM {table} d JOIN h USING ({group_col})
+    WHERE {h} < h.thr
+    """
+
+
+def quota_cap(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    cap: int,
+    salt: str = "",
+    prefilter_factor: float | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the members with the
+    smallest key hashes (ties broken by key), so the selection is
+    deterministic across runs, engines, and partitionings. The
+    per-domain/per-source quota primitive of corpus curation.
+
+    The exact path is one window (shuffle on ``group_col`` + per-group
+    sort). At 100 TB a boilerplate-heavy group lands on ONE reducer;
+    ``prefilter_factor`` adds the scale fix: first keep only rows whose
+    hash falls under ``cap * factor / n_g`` (broadcast threshold dim —
+    narrow filter, expected survivors ≈ cap·factor per group), then
+    run the exact window on the survivors. Because the prefilter could
+    in principle cut below the cap-th smallest hash, groups whose
+    survivor count came in under ``min(cap, n_g)`` are detected and
+    REPAIRED through the exact path — opportunistic pruning, certified
+    equal to the exact result (pytest asserts equality even with an
+    absurdly small factor).
+    """
+    from pyspark.sql import Window
+
+    h = hash_prefix(key_cols, salt)
+    order = [h.asc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.partitionBy(group_col).orderBy(*order)
+
+    def exact(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+
+    if prefilter_factor is None:
+        return exact(df)
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = (
+        counts.withColumn(
+            "__R",
+            F.least(
+                F.lit(2**32 - 1).cast("long"),
+                F.expr(
+                    f"(CAST({int(cap * prefilter_factor)} AS BIGINT)"
+                    " * 4294967296) div __n"
+                ),
+            ),
+        )
+        .withColumn("__thr", F.lower(F.lpad(F.hex("__R"), 8, "0")))
+        .select(group_col, "__thr", "__n")
+    )
+    pruned = df.join(F.broadcast(rates), group_col).filter(h < F.col("__thr"))
+    # Repair: a group is safe iff the prune kept >= min(cap, n_g) rows
+    # (then the cap smallest hashes all survived). Unsafe groups redo
+    # the exact path on their full row set.
+    kept_counts = pruned.groupBy(group_col).agg(F.count(F.lit(1)).alias("__k"))
+    safety = rates.join(kept_counts, group_col, "left").select(
+        group_col,
+        (
+            F.coalesce(F.col("__k"), F.lit(0)) >= F.least(F.lit(cap), F.col("__n"))
+        ).alias("__safe"),
+    )
+    safe_rows = (
+        pruned.join(F.broadcast(safety.filter("__safe")), group_col)
+        .drop("__thr", "__n", "__safe")
+    )
+    unsafe_rows = df.join(
+        F.broadcast(safety.filter(~F.col("__safe"))), group_col
+    ).drop("__safe")
+    return exact(safe_rows).unionByName(exact(unsafe_rows))

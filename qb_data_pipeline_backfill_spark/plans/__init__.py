@@ -37,6 +37,8 @@ prioritize(
     [
         # --- (a) new / code-touched in round 5 ---
         "multimodal_decode_stats",
+        "sample_temperature_mixture",
+        "sample_domain_quota",
         "pandas_udaf_cents_sum",
         # --- (b) last driver green was r02 ---
         "window_function_suite",

@@ -873,6 +873,55 @@ def sample_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature_mixture",
+    oracle=SA.temperature_mixture_sql(
+        "documents", "lang", ["doc_id"], target_rows=200, salt="mix"
+    ),
+    doc="Temperature-based mixture rebalancing (T=2, rate ∝ sqrt(n_g)): "
+    "per-language sampling rates computed FROM the data in exact integer "
+    "arithmetic (isqrt + integer division — no pow(), whose last-ulp "
+    "varies by libm), then applied as broadcast-joined hash thresholds. "
+    "The gate compares full row membership, proving both engines derive "
+    "identical data-dependent rates AND identical sampled rows. Plan: "
+    "narrow scan + tiny count agg + broadcast join — no data shuffle.",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SA.temperature_mixture_sample(
+        docs, "lang", ["doc_id"], target_rows=200, salt="mix"
+    )
+    return kept.select("doc_id", "lang")
+
+
+@register(
+    "sample_domain_quota",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {SA.hash_prefix_sql(['doc_id'], salt='quota')}, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 40
+    """,
+    doc="Per-domain quota enforcement: keep at most 40 docs per language, "
+    "selected by smallest key hash (tie-broken by key) — deterministic "
+    "across engines, runs, and partitionings. The Spark side runs the "
+    "scale path (hash prefilter sized from the measured group counts + "
+    "exact-window repair of underfilled groups, operators/sample.py:"
+    "quota_cap) and must equal the oracle's plain exact window row for "
+    "row — certifying the opportunistic prune lossless, not just fast.",
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SA.quota_cap(
+        docs, "lang", ["doc_id"], cap=40, salt="quota", prefilter_factor=4.0
+    )
+    return kept.select("doc_id", "lang")
+
+
+@register(
     "pq_encode_codes",
     oracle="""
     WITH cb AS (

@@ -87,3 +87,53 @@ def test_threshold_hex_edges():
     assert SA.threshold_hex(0.0) == "00000000"
     assert SA.threshold_hex(1.0) == "ffffffff"
     assert len(SA.threshold_hex(0.1)) == 8
+
+
+def _skewed(spark):
+    """3 groups with 1000 / 100 / 10 rows."""
+    return spark.range(1110).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 1000, F.lit("big"))
+        .when(F.col("id") < 1100, F.lit("mid"))
+        .otherwise(F.lit("rare"))
+        .alias("g"),
+    )
+
+
+def test_temperature_mixture_upweights_rare_groups(spark):
+    df = _skewed(spark)
+    kept = SA.temperature_mixture_sample(df, "g", ["k"], target_rows=300)
+    by_g = {r["g"]: r["n"] for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    n = {"big": 1000, "mid": 100, "rare": 10}
+    rate = {g: by_g.get(g, 0) / n[g] for g in n}
+    # sqrt rebalancing: kept FRACTION must rise as group size falls
+    assert rate["rare"] > rate["mid"] > rate["big"] > 0
+    # and per-group kept counts track target * sqrt share (isqrt:
+    # 31/10/3 of 44) within binomial noise
+    assert abs(by_g["big"] - 300 * 31 / 44) < 60
+    # deterministic: second run identical row set
+    again = SA.temperature_mixture_sample(df, "g", ["k"], target_rows=300)
+    assert {r["k"] for r in kept.collect()} == {r["k"] for r in again.collect()}
+
+
+def test_quota_cap_exact_limits_each_group(spark):
+    df = _skewed(spark)
+    capped = SA.quota_cap(df, "g", ["k"], cap=25)
+    counts = {r["g"]: r["n"] for r in capped.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 25, "mid": 25, "rare": 10}  # min(cap, n_g)
+
+
+def test_quota_cap_prefilter_equals_exact_even_underprovisioned(spark):
+    """The scale path (hash prefilter + repair) must return the exact
+    result row-for-row even when the prefilter factor is absurdly
+    small and every group needs repair."""
+    df = _skewed(spark)
+    exact = {r["k"] for r in SA.quota_cap(df, "g", ["k"], cap=25).collect()}
+    for factor in (0.1, 1.0, 4.0):
+        fast = {
+            r["k"]
+            for r in SA.quota_cap(
+                df, "g", ["k"], cap=25, prefilter_factor=factor
+            ).collect()
+        }
+        assert fast == exact, f"prefilter_factor={factor} diverged"
