@@ -137,3 +137,23 @@ def test_quota_cap_prefilter_equals_exact_even_underprovisioned(spark):
             ).collect()
         }
         assert fast == exact, f"prefilter_factor={factor} diverged"
+
+
+def test_temperature_mixture_plan_broadcasts_rates(spark):
+    """The data-sized side must never shuffle: the per-group rate dim
+    broadcast-joins onto the scan (the threshold dim is group-
+    cardinality-sized). A SortMergeJoin here would mean the whole
+    corpus shuffles on the group key at 100 TB."""
+    df = _skewed(spark)
+    kept = SA.temperature_mixture_sample(df, "g", ["k"], target_rows=300)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quota_cap_prefilter_plan_broadcasts_thresholds(spark):
+    df = _skewed(spark)
+    kept = SA.quota_cap(df, "g", ["k"], cap=25, prefilter_factor=4.0)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
