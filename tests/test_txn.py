@@ -341,3 +341,74 @@ def test_cow_upsert_inserts_new_key_range(spark):
         got = txn.read_table(spark, path)
         assert got.count() == 110
         assert got.filter(F.col("v") == 7).count() == 10
+
+
+def test_randomized_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random commit sequences (append / upsert /
+    delete / compact / checkpoint / expire / vacuum) must keep
+    read_table equal to a plain dict model of key→value state. Fixed
+    seeds, so failures reproduce exactly."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"m{seed}")
+        model: dict[int, int] = {}
+        lo = 0
+        for step in range(10):
+            op = rng.choice(
+                ["append", "append", "upsert", "delete", "compact",
+                 "checkpoint_expire", "vacuum"]
+            )
+            if op == "append":
+                n = rng.randint(1, 30)
+                batch = {k: k * 10 for k in range(lo, lo + n)}
+                lo += n
+                txn.commit_append(
+                    spark, _df(spark, min(batch), max(batch) + 1), path, key="k"
+                )
+                for k, v in batch.items():
+                    model.setdefault(k, v)
+            elif op == "upsert" and model:
+                ks = rng.sample(sorted(model), min(5, len(model)))
+                upd = spark.createDataFrame(
+                    [(k, -step) for k in ks], "k long, v long"
+                )
+                txn.commit_upsert(spark, upd, path, key="k")
+                for k in ks:
+                    model[k] = -step
+            elif op == "delete" and model:
+                ks = rng.sample(sorted(model), min(4, len(model)))
+                keys_df = spark.createDataFrame([(k,) for k in ks], "k long")
+                txn.commit_delete(spark, keys_df, path, key="k")
+                for k in ks:
+                    del model[k]
+            elif op == "compact" and model:
+                txn.commit_compact(spark, path, target_partitions=1)
+            elif op == "checkpoint_expire" and txn.current_version(path) >= 0:
+                txn.checkpoint(path)
+                txn.expire_manifests(path)
+            elif op == "vacuum":
+                txn.vacuum(path, retention_seconds=0.0)
+            if txn.current_version(path) >= 0:
+                got = {
+                    r["k"]: r["v"] for r in txn.read_table(spark, path).collect()
+                }
+                assert got == model, f"seed {seed} step {step} op {op}"
+
+
+def test_stream_to_txn_checkpoint_every(spark, tmp_path):
+    from qb_data_pipeline_backfill_spark.streaming import events_stream
+    from qb_data_pipeline_backfill_spark.operators.txn import stream_to_txn
+
+    path = str(tmp_path / "t")
+    src = events_stream(spark, "/root/testdata/sf0.001").select(
+        F.col("event_id").alias("k"), "value"
+    )
+    q = stream_to_txn(
+        src, path, key="k", checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=1
+    )
+    q.awaitTermination()
+    assert txn.checkpoint_version(path) >= 0
+    txn.expire_manifests(path)
+    assert txn.read_table(spark, path).count() > 0
