@@ -320,6 +320,136 @@ def _encode_bmp(media_id: int, w: int, h: int) -> bytes:
     return header + payload
 
 
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("samples", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def _decode_wav(buf: bytes):
+    """PCM WAV (RIFF) → (sample_rate, int16 sample array).
+
+    Real chunk walk: RIFF/WAVE magic, then iterate chunks (skipping
+    unknown ones like LIST/INFO, honoring the spec's even-byte chunk
+    padding) until ``fmt `` and ``data`` are both seen. Only
+    uncompressed 16-bit mono PCM is accepted — anything else fails
+    loudly."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1:
+                raise ValueError(f"only PCM WAV supported (fmt tag {fmt_tag})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(
+            f"only 16-bit mono PCM supported (bits={bits}, channels={channels})"
+        )
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads into sample arrays via the same Arrow
+    ``mapInPandas`` pass as :func:`decode_media` — a real RIFF parser,
+    no audio library. Output: (media_id, sample_rate, samples)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rate, samples = _decode_wav(bytes(content))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": rate,
+                        "samples": samples.astype("int32"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_AUDIO_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode, DECODED_AUDIO_SCHEMA
+    )
+
+
+def _formula_samples(media_id: int, n: int):
+    """Synthetic waveform: sample i = ((media_id*17 + i*31) % 65536)
+    - 32768 — closed-form int16, SQL-replayable like the image
+    formula."""
+    import numpy as np
+
+    return (((np.arange(n) * 31 + media_id * 17) % 65536) - 32768).astype("<i2")
+
+
+def _encode_wav(media_id: int, n: int, rate: int) -> bytes:
+    data = _formula_samples(media_id, n).tobytes()
+    # a LIST chunk before data, so decoders must really walk chunks
+    info = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")   # PCM
+        + (1).to_bytes(2, "little")   # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")   # block align
+        + (16).to_bytes(2, "little")  # bits
+    )
+    chunks = fmt + info + b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real WAV files keyed by ``id_col``: n_samples =
+    id % 50 + 20, rate = 8000 + (id % 3) * 4000, formula samples —
+    the audio fixture for :func:`decode_audio`, oracle-replayable."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = mid % 50 + 20
+                rate = 8000 + (mid % 3) * 4000
+                content = _encode_wav(mid, n, rate)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": "audio/wav",
+                        "content": content,
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "n_bytes": len(content),
+                            "format": "wav",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.select(F.col(id_col)).mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def synthesize_images(
     df: DataFrame, id_col: str = "doc_id", fmt: str = "ppm"
 ) -> DataFrame:

@@ -705,6 +705,55 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_stats",
+    # Synthetic WAV sample i is ((media_id*17 + i*31) % 65536) - 32768
+    # (operators/multimodal.py:_formula_samples), so the oracle
+    # re-derives the decoded waveform from media_id alone — gating a
+    # real RIFF chunk-walk + PCM decode, not just plumbing.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 50 + 20) AS n,
+               CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate
+        FROM documents WHERE doc_id % 10 = 5
+    ),
+    s AS (
+        SELECT media_id, sample_rate, n,
+               ((media_id * 17 + i * 31) % 65536) - 32768 AS v
+        FROM m, LATERAL unnest(generate_series(0, n - 1)) AS t(i)
+    )
+    SELECT media_id, sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS amp_sum,
+           CAST(MIN(v) AS BIGINT) AS amp_min,
+           CAST(MAX(v) AS BIGINT) AS amp_max
+    FROM s
+    GROUP BY media_id, sample_rate
+    """,
+    doc="REAL audio decode, oracle-gated: synthesize PCM WAV files "
+    "(RIFF header, fmt/LIST/data chunk walk, int16 mono payload), "
+    "decode with the engine's pure-Python parser inside Arrow "
+    "mapInPandas, aggregate per-clip waveform stats. The audio twin of "
+    "multimodal_decode_stats.",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 5
+    )
+    decoded = M.decode_audio(M.synthesize_audio(docs))
+    return decoded.select(
+        "media_id",
+        "sample_rate",
+        F.size("samples").cast("long").alias("n_samples"),
+        F.aggregate("samples", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "amp_sum"
+        ),
+        F.array_min("samples").cast("long").alias("amp_min"),
+        F.array_max("samples").cast("long").alias("amp_max"),
+    )
+
+
 # --------------------------------------------------------------------------
 # composite curation pipeline
 # --------------------------------------------------------------------------

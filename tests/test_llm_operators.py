@@ -375,3 +375,30 @@ def test_decode_rejects_undecodable_payload(spark, docs):
     fails loudly instead of emitting garbage (no-silent-partial)."""
     with pytest.raises(Exception, match="undecodable|PPM|BMP"):
         M.decode_media(M.synthesize_media(docs)).collect()
+
+
+def test_decode_wav_matches_formula(docs):
+    """RIFF chunk walk (including the LIST chunk the fixture plants
+    before data) recovers exactly the formula samples."""
+    import numpy as np
+
+    out = {r["media_id"]: r for r in M.decode_audio(M.synthesize_audio(docs)).collect()}
+    for mid, r in out.items():
+        n = mid % 50 + 20
+        assert r["sample_rate"] == 8000 + (mid % 3) * 4000
+        expect = ((np.arange(n) * 31 + mid * 17) % 65536) - 32768
+        assert np.array_equal(np.array(r["samples"]), expect)
+
+
+def test_decode_wav_rejects_non_pcm(spark, docs):
+    from qb_data_pipeline_backfill_spark.operators.multimodal import _decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"nope" * 10)
+    # stereo/8-bit and compressed tags fail loudly, not garbage out
+    good = M.synthesize_audio(docs).limit(1).collect()[0]
+    buf = bytearray(bytes(good["content"]))
+    fmt_at = buf.index(b"fmt ")
+    buf[fmt_at + 8 : fmt_at + 10] = (3).to_bytes(2, "little")  # float tag
+    with pytest.raises(ValueError, match="PCM"):
+        _decode_wav(bytes(buf))
