@@ -419,6 +419,180 @@ def _encode_wav(media_id: int, n: int, rate: int) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+DEMUXED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _decode_avi(buf: bytes):
+    """Uncompressed-DIB AVI → (width, height, [flat RGB frame arrays]).
+
+    Real RIFF demux: verifies RIFF/'AVI ', reads width/height from the
+    'avih' main header inside LIST hdrl, walks to LIST 'movi', and
+    decodes each '00db'/'00dc' chunk as a bottom-up padded BGR bitmap
+    (same row layout as BMP). Word-aligned chunk skipping throughout;
+    anything non-DIB fails loudly."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    frames: list = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h
+        pos = lo
+        while pos + 8 <= hi:
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body_lo = pos + 8
+            if cid == b"LIST":
+                walk(body_lo + 4, body_lo + size)  # skip the list type fourcc
+            elif cid == b"avih":
+                w = int.from_bytes(buf[body_lo + 32 : body_lo + 36], "little")
+                h = int.from_bytes(buf[body_lo + 36 : body_lo + 40], "little")
+            elif cid[2:4] in (b"db", b"dc"):
+                if w is None:
+                    raise ValueError("AVI frame chunk before avih header")
+                stride = (w * 3 + 3) & ~3
+                rows = (
+                    np.frombuffer(buf, np.uint8, count=stride * h, offset=body_lo)
+                    .reshape(h, stride)[:, : w * 3]
+                )
+                frames.append(
+                    rows[::-1].reshape(h, w, 3)[:, :, ::-1].reshape(-1).copy()
+                )
+            pos = body_lo + size + (size & 1)
+
+    walk(12, len(buf))
+    if w is None or not frames:
+        raise ValueError("AVI missing avih header or frame chunks")
+    return w, h, frames
+
+
+def demux_video(media: DataFrame) -> DataFrame:
+    """Demux AVI payloads into per-frame pixel rows — one input row
+    fans out to n_frames output rows inside the Arrow batch (the
+    real-container version of :func:`sample_frames`'s fan-out shape).
+    Output: (media_id, frame_idx, width, height, pixels)."""
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, frames = _decode_avi(bytes(content))
+                for idx, px in enumerate(frames):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "width": w,
+                            "height": h,
+                            "pixels": px.astype("float32"),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DEMUXED_FRAME_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        demux, DEMUXED_FRAME_SCHEMA
+    )
+
+
+def _formula_frame(media_id: int, frame_idx: int, w: int, h: int):
+    """Frame pixel byte i = (media_id*31 + frame_idx*7 + i) % 256."""
+    import numpy as np
+
+    return ((np.arange(w * h * 3) + media_id * 31 + frame_idx * 7) % 256).astype(
+        np.uint8
+    )
+
+
+def _encode_avi(media_id: int, w: int, h: int, n_frames: int) -> bytes:
+    import numpy as np
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = (
+        (40_000).to_bytes(4, "little")          # us per frame (25 fps)
+        + (0).to_bytes(4, "little") * 3         # max bytes, padding, flags
+        + n_frames.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")             # initial frames
+        + (1).to_bytes(4, "little")             # streams
+        + (0).to_bytes(4, "little")             # suggested buffer
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    strh = (
+        b"vids" + b"DIB " + (0).to_bytes(4, "little") * 5
+        + (25).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + n_frames.to_bytes(4, "little") + (0).to_bytes(4, "little") * 3
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") * 6
+    )
+    stride = (w * 3 + 3) & ~3
+    movi_body = b"movi"
+    for f in range(n_frames):
+        rgb = _formula_frame(media_id, f, w, h).reshape(h, w, 3)
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)
+        movi_body += chunk(b"00db", rows[::-1].tobytes())
+    hdrl = b"hdrl" + chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    )
+    riff_body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi_body)
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def synthesize_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real AVI files keyed by ``id_col``: width =
+    id%6+2, height = id%4+2, n_frames = id%5+2, formula frame pixels
+    — the video fixture for :func:`demux_video`, oracle-replayable."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, n = mid % 6 + 2, mid % 4 + 2, mid % 5 + 2
+                content = _encode_avi(mid, w, h, n)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": "video/avi",
+                        "content": content,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "n_bytes": len(content),
+                            "format": "avi",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.select(F.col(id_col)).mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic real WAV files keyed by ``id_col``: n_samples =
     id % 50 + 20, rate = 8000 + (id % 3) * 4000, formula samples —

@@ -38,6 +38,7 @@ prioritize(
         # --- (a) new / code-touched in round 5 ---
         "multimodal_decode_stats",
         "multimodal_audio_stats",
+        "multimodal_video_frame_stats",
         "sample_temperature_mixture",
         "sample_domain_quota",
         "pandas_udaf_cents_sum",

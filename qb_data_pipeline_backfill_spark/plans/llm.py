@@ -706,6 +706,59 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frame_stats",
+    # AVI frame f's payload byte i is (media_id*31 + f*7 + i) % 256
+    # (operators/multimodal.py:_formula_frame): the oracle re-derives
+    # every demuxed frame pixel from (media_id, frame_idx) — gating a
+    # real RIFF/AVI demux (hdrl/avih parse, movi walk, bottom-up
+    # padded DIB frames), not just fan-out plumbing.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 6 + 2) AS width,
+               (doc_id % 4 + 2) AS height,
+               (doc_id % 5 + 2) AS n_frames
+        FROM documents WHERE doc_id % 20 = 10
+    ),
+    fr AS (
+        SELECT media_id, width, height, CAST(f AS INTEGER) AS frame_idx
+        FROM m, LATERAL unnest(generate_series(0, n_frames - 1)) AS t(f)
+    ),
+    px AS (
+        SELECT media_id, frame_idx, width, height,
+               (media_id * 31 + frame_idx * 7 + i) % 256 AS v
+        FROM fr, LATERAL unnest(generate_series(0, width * height * 3 - 1)) AS u(i)
+    )
+    SELECT media_id, frame_idx, width, height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v) * 10000 // COUNT(*) AS BIGINT) AS mean_bp
+    FROM px
+    GROUP BY media_id, frame_idx, width, height
+    """,
+    doc="REAL video demux, oracle-gated: synthesize tiny AVI files "
+    "(RIFF hdrl/avih/strl headers + movi 00db DIB frames), demux them "
+    "with the engine's pure-Python parser inside Arrow mapInPandas "
+    "(one row fans out to n_frames rows), aggregate per-frame pixel "
+    "stats. Completes the image/audio/video triad of real container "
+    "decoders with no external media library.",
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(20)) == 10
+    )
+    frames = M.demux_video(M.synthesize_videos(docs))
+    pixel_sum = F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        pixel_sum.cast("long").alias("pixel_sum"),
+        F.floor(pixel_sum * 10000 / F.size("pixels")).cast("long").alias("mean_bp"),
+    )
+
+
+@register(
     "multimodal_audio_stats",
     # Synthetic WAV sample i is ((media_id*17 + i*31) % 65536) - 32768
     # (operators/multimodal.py:_formula_samples), so the oracle

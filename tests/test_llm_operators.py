@@ -402,3 +402,30 @@ def test_decode_wav_rejects_non_pcm(spark, docs):
     buf[fmt_at + 8 : fmt_at + 10] = (3).to_bytes(2, "little")  # float tag
     with pytest.raises(ValueError, match="PCM"):
         _decode_wav(bytes(buf))
+
+
+def test_demux_avi_matches_formula(docs):
+    """The RIFF/AVI demux (hdrl parse + movi walk + bottom-up DIB
+    frames) recovers every frame's formula pixels."""
+    import numpy as np
+
+    frames = M.demux_video(M.synthesize_videos(docs)).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        w, h, n = mid % 6 + 2, mid % 4 + 2, mid % 5 + 2
+        assert sorted(r["frame_idx"] for r in rs) == list(range(n))
+        for r in rs:
+            assert (r["width"], r["height"]) == (w, h)
+            expect = (
+                (np.arange(w * h * 3) + mid * 31 + r["frame_idx"] * 7) % 256
+            ).astype("float32")
+            assert np.array_equal(np.array(r["pixels"], dtype="float32"), expect)
+
+
+def test_demux_avi_rejects_garbage(docs):
+    from qb_data_pipeline_backfill_spark.operators.multimodal import _decode_avi
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        _decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
