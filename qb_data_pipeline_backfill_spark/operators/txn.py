@@ -100,6 +100,14 @@ def _read_manifest(path: str, version: int) -> dict:
             name: [_stat_from_json(v) for v in pair]
             for name, pair in man["stats"].items()
         }
+    if "col_stats" in man:
+        man["col_stats"] = {
+            name: {
+                col: [_stat_from_json(v) for v in pair]
+                for col, pair in per_file.items()
+            }
+            for name, per_file in man["col_stats"].items()
+        }
     return man
 
 
@@ -146,6 +154,14 @@ def _write_manifest_json(manifest: dict, tmp: str) -> None:
         enc["stats"] = {
             name: [_stat_to_json(v) for v in pair]
             for name, pair in enc["stats"].items()
+        }
+    if "col_stats" in enc:
+        enc["col_stats"] = {
+            name: {
+                col: [_stat_to_json(v) for v in pair]
+                for col, pair in per_file.items()
+            }
+            for name, per_file in enc["col_stats"].items()
         }
     with open(tmp, "w") as f:
         json.dump(enc, f)
@@ -216,8 +232,10 @@ def commit_append(
     out.write.mode("overwrite").parquet(stage_dir)
     prev = _read_manifest(path, base) if base >= 0 else {}
     stats_col = prev.get("stats_col")
+    stats_cols = prev.get("stats_cols")
     new_files: list[str] = []
     stats: dict[str, list] = dict(prev.get("stats", {}))
+    col_stats: dict[str, dict] = dict(prev.get("col_stats", {}))
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
@@ -230,6 +248,10 @@ def commit_append(
             s = _file_stats(os.path.join(stage_dir, name), stats_col)
             if s is not None:
                 stats[unique] = s
+        if stats_cols:
+            col_stats[unique] = _file_stats_multi(
+                os.path.join(stage_dir, name), stats_cols
+            )
 
     manifest = {
         "version": base + 1,
@@ -242,6 +264,9 @@ def commit_append(
     if stats_col is not None:
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
+    if stats_cols:
+        manifest["stats_cols"] = stats_cols
+        manifest["col_stats"] = col_stats
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -376,8 +401,15 @@ def commit_upsert(
         merged = survivors.unionByName(df)
     else:
         merged = df
-    stats_col = _read_manifest(path, base).get("stats_col") if base >= 0 else None
-    return _commit_replace(spark, merged, path, base, stats_col=stats_col)
+    prev = _read_manifest(path, base) if base >= 0 else {}
+    return _commit_replace(
+        spark,
+        merged,
+        path,
+        base,
+        stats_col=prev.get("stats_col"),
+        stats_cols=prev.get("stats_cols"),
+    )
 
 
 def stream_to_txn(
@@ -429,8 +461,15 @@ def commit_compact(
     race cleanly instead of interleaving with the rewrite."""
     base = current_version(path) if expected_base is None else expected_base
     current = read_version(spark, path, base).coalesce(target_partitions)
-    stats_col = _read_manifest(path, base).get("stats_col") if base >= 0 else None
-    return _commit_replace(spark, current, path, base, stats_col=stats_col)
+    prev = _read_manifest(path, base) if base >= 0 else {}
+    return _commit_replace(
+        spark,
+        current,
+        path,
+        base,
+        stats_col=prev.get("stats_col"),
+        stats_cols=prev.get("stats_cols"),
+    )
 
 
 def _norm_stat(v):
@@ -442,9 +481,8 @@ def _norm_stat(v):
     return v
 
 
-def _file_stats(file_path: str, col: str) -> list | None:
-    """[min, max] of ``col`` from the parquet footer (no data read) —
-    the zone-map entry a lakehouse stores per file.
+def _stats_from_md(md, col: str) -> list | None:
+    """[min, max] of ``col`` from already-read parquet metadata.
 
     Returns None (file will be scanned conservatively) when the footer
     carries no usable statistics — e.g. legacy INT96 timestamps, which
@@ -453,9 +491,6 @@ def _file_stats(file_path: str, col: str) -> list | None:
     engine's own writes never hit that. DECIMAL stats are decoded from
     the raw unscaled integers because pyarrow's typed accessor doesn't
     implement them."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(file_path).metadata
     idx = md.schema.to_arrow_schema().get_field_index(col)
     colschema = md.schema.column(idx)
     lo = hi = None
@@ -483,6 +518,29 @@ def _file_stats(file_path: str, col: str) -> list | None:
     return [lo, hi]
 
 
+def _file_stats(file_path: str, col: str) -> list | None:
+    """[min, max] of ``col`` from the parquet footer (no data read) —
+    the zone-map entry a lakehouse stores per file."""
+    import pyarrow.parquet as pq
+
+    return _stats_from_md(pq.ParquetFile(file_path).metadata, col)
+
+
+def _file_stats_multi(file_path: str, cols: list[str]) -> dict[str, list]:
+    """Per-column [min, max] for every ``cols`` entry with usable
+    footer stats — ONE footer read for all columns (Delta collects
+    stats for its first N columns the same way)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    out = {}
+    for c in cols:
+        s = _stats_from_md(md, c)
+        if s is not None:
+            out[c] = s
+    return out
+
+
 def _commit_replace(
     spark: SparkSession,
     merged: DataFrame,
@@ -491,13 +549,17 @@ def _commit_replace(
     stats_col: str | None = None,
     carried: list[str] | None = None,
     carried_stats: dict[str, list] | None = None,
+    stats_cols: list[str] | None = None,
+    carried_col_stats: dict[str, dict] | None = None,
 ) -> int:
     """Publish ``merged``'s rewrite as version base+1: the manifest
     references the newly staged files plus any ``carried`` files
     (copy-on-write: untouched files move forward by reference, with
     their zone-map stats). With ``stats_col``, per-file [min, max] of
     that column is read from each staged parquet footer and stored in
-    the manifest for file skipping."""
+    the manifest for file skipping; ``stats_cols`` records the same
+    for additional columns (``col_stats`` in the manifest) so
+    ``read_table_where(col=...)`` can prune on non-key predicates."""
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_txn_dir(path), exist_ok=True)
     stage_id = uuid.uuid4().hex
@@ -505,6 +567,7 @@ def _commit_replace(
     merged.write.mode("overwrite").parquet(stage_dir)
     new_files: list[str] = []
     stats: dict[str, list] = dict(carried_stats or {})
+    col_stats: dict[str, dict] = dict(carried_col_stats or {})
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
@@ -517,6 +580,10 @@ def _commit_replace(
             s = _file_stats(os.path.join(stage_dir, name), stats_col)
             if s is not None:
                 stats[unique] = s
+        if stats_cols:
+            col_stats[unique] = _file_stats_multi(
+                os.path.join(stage_dir, name), stats_cols
+            )
     manifest = {
         "version": base + 1,
         "files": (carried or []) + new_files,
@@ -528,6 +595,9 @@ def _commit_replace(
     if stats_col is not None:
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+        manifest["col_stats"] = col_stats
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -564,8 +634,15 @@ def commit_delete(
     survivors = read_version(spark, path, base).join(
         keys.select(key), key, "left_anti"
     )
-    stats_col = _read_manifest(path, base).get("stats_col")
-    return _commit_replace(spark, survivors, path, base, stats_col=stats_col)
+    prev = _read_manifest(path, base)
+    return _commit_replace(
+        spark,
+        survivors,
+        path,
+        base,
+        stats_col=prev.get("stats_col"),
+        stats_cols=prev.get("stats_cols"),
+    )
 
 
 def commit_append_with_stats(
@@ -574,17 +651,25 @@ def commit_append_with_stats(
     path: str,
     key: str,
     expected_base: int | None = None,
+    extra_cols: list[str] | None = None,
 ) -> int:
     """Keyed idempotent append that also records per-file [min, max]
     zone-map stats of ``key`` in the manifest (read from the parquet
     footers — no extra data scan), enabling ``read_table_where`` file
-    skipping and ``commit_upsert_cow`` partial rewrites."""
+    skipping and ``commit_upsert_cow`` partial rewrites.
+
+    ``extra_cols`` records secondary zone maps too (Delta collects
+    stats for its first N columns the same way), so
+    ``read_table_where(col=...)`` can skip files on non-key
+    predicates; later commits inherit the column set from the base
+    manifest, so pass it once at table creation."""
     base = current_version(path) if expected_base is None else expected_base
     out = df
     if base >= 0:
         existing = read_version(spark, path, base).select(key)
         out = df.join(existing, key, "left_anti")
     man = _read_manifest(path, base) if base >= 0 else {}
+    stats_cols = man.get("stats_cols") or (list(extra_cols) if extra_cols else None)
     return _commit_replace(
         spark,
         out,
@@ -593,29 +678,59 @@ def commit_append_with_stats(
         stats_col=key,
         carried=man.get("files", []),
         carried_stats=man.get("stats", {}),
+        stats_cols=stats_cols,
+        carried_col_stats=man.get("col_stats", {}),
     )
 
 
+def _choose_files(man: dict, lo, hi, col: str | None) -> tuple[list[str], str]:
+    """(files overlapping [lo, hi] on ``col``, resolved column).
+
+    col=None resolves to the primary key zone map; otherwise the
+    column must be in the manifest's ``stats_cols`` set. Files without
+    stats for the column are scanned conservatively."""
+    primary = man.get("stats_col")
+    if col is None or col == primary:
+        if primary is None:
+            raise ValueError("table has no zone-map stats")
+        stats = man.get("stats", {})
+        return [
+            n
+            for n in man["files"]
+            if n not in stats or not (stats[n][1] < lo or stats[n][0] > hi)
+        ], primary
+    if col not in (man.get("stats_cols") or []):
+        raise ValueError(
+            f"no zone-map stats for column {col!r}; recorded: "
+            f"{[primary] + (man.get('stats_cols') or [])}"
+        )
+    col_stats = man.get("col_stats", {})
+    chosen = []
+    for n in man["files"]:
+        pair = col_stats.get(n, {}).get(col)
+        if pair is None or not (pair[1] < lo or pair[0] > hi):
+            chosen.append(n)
+    return chosen, col
+
+
 def read_table_where(
-    spark: SparkSession, path: str, lo, hi, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    lo,
+    hi,
+    version: int | None = None,
+    col: str | None = None,
 ) -> DataFrame:
     """Snapshot read pruned by the manifest's zone maps: only files
     whose [min, max] range overlaps [lo, hi] are scanned (files
     without stats are scanned conservatively), then the exact
     predicate filters residual rows. The manifest IS the data-
-    skipping index — no footer reads, no directory listing."""
+    skipping index — no footer reads, no directory listing.
+    ``col`` prunes on a secondary zone map (default: the key)."""
     v = current_version(path) if version is None else version
     man = _read_manifest(path, v)
-    col = man.get("stats_col")
-    if col is None:
-        raise ValueError(f"table at {path} has no zone-map stats")
     lo, hi = _norm_stat(lo), _norm_stat(hi)
-    stats = man.get("stats", {})
-    chosen = [
-        name
-        for name in man["files"]
-        if name not in stats or not (stats[name][1] < lo or stats[name][0] > hi)
-    ]
+    chosen, colname = _choose_files(man, lo, hi, col)
     from pyspark.sql import functions as FF
 
     if not chosen:
@@ -625,22 +740,20 @@ def read_table_where(
     return (
         spark.read.schema(man["schema_ddl"])
         .parquet(*files)
-        .filter((FF.col(col) >= lo) & (FF.col(col) <= hi))
+        .filter((FF.col(colname) >= lo) & (FF.col(colname) <= hi))
     )
 
 
-def pruned_file_count(path: str, lo, hi, version: int | None = None) -> tuple[int, int]:
-    """(files scanned, files total) for a [lo, hi] key predicate —
-    the observability hook for skipping effectiveness."""
+def pruned_file_count(
+    path: str, lo, hi, version: int | None = None, col: str | None = None
+) -> tuple[int, int]:
+    """(files scanned, files total) for a [lo, hi] predicate on the
+    key (default) or a secondary stats column — the observability hook
+    for skipping effectiveness."""
     v = current_version(path) if version is None else version
     man = _read_manifest(path, v)
-    stats = man.get("stats", {})
     lo, hi = _norm_stat(lo), _norm_stat(hi)
-    chosen = [
-        n
-        for n in man["files"]
-        if n not in stats or not (stats[n][1] < lo or stats[n][0] > hi)
-    ]
+    chosen, _ = _choose_files(man, lo, hi, col)
     return len(chosen), len(man["files"])
 
 
@@ -684,6 +797,8 @@ def commit_upsert_cow(
             stats_col=key,
             carried=man["files"],
             carried_stats=man.get("stats", {}),
+            stats_cols=man.get("stats_cols"),
+            carried_col_stats=man.get("col_stats", {}),
         )
     stats = man.get("stats", {})
     touched = [
@@ -699,6 +814,7 @@ def commit_upsert_cow(
         merged = survivors.unionByName(df)
     else:
         merged = df
+    col_stats = man.get("col_stats", {})
     return _commit_replace(
         spark,
         merged,
@@ -707,4 +823,6 @@ def commit_upsert_cow(
         stats_col=key,
         carried=untouched,
         carried_stats={n: stats[n] for n in untouched if n in stats},
+        stats_cols=man.get("stats_cols"),
+        carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
     )

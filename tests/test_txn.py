@@ -412,3 +412,44 @@ def test_stream_to_txn_checkpoint_every(spark, tmp_path):
     assert txn.checkpoint_version(path) >= 0
     txn.expire_manifests(path)
     assert txn.read_table(spark, path).count() > 0
+
+
+def test_secondary_column_zone_maps(spark, tmp_path):
+    """Multi-column stats (Delta-style): read_table_where(col=...)
+    prunes files on a NON-key column's zone map; rewrite commits and
+    cow upserts keep the secondary maps alive."""
+    path = str(tmp_path / "t")
+    # key k ascends across files; v descends — so k-ranges and
+    # v-ranges partition the files differently
+    for i, lo in enumerate((0, 1000, 2000)):
+        batch = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"),
+            (F.lit(5000) - F.col("id")).alias("v"),
+            (F.col("id") % 7).alias("w"),
+        )
+        txn.commit_append_with_stats(
+            spark, batch.coalesce(1), path, key="k", extra_cols=["v"]
+        )
+    # prune on the secondary column: v in [3950, 3980] lives only in
+    # the middle file (k 1020..1050)
+    scanned, total = txn.pruned_file_count(path, 3950, 3980, col="v")
+    assert (scanned, total) == (1, 3)
+    got = txn.read_table_where(spark, path, 3950, 3980, col="v")
+    assert got.count() == 31
+    assert {r["k"] for r in got.collect()} == set(range(1020, 1051))
+    # unknown column fails loudly
+    with pytest.raises(ValueError, match="no zone-map stats for column"):
+        txn.read_table_where(spark, path, 0, 1, col="w")
+    # cow upsert rewrites the middle k-range; v-stats survive and the
+    # rewritten file's v zone map is recomputed
+    updates = spark.createDataFrame(
+        [(k, -1, 0) for k in range(1040, 1045)], "k long, v long, w long"
+    )
+    txn.commit_upsert_cow(spark, updates, path, key="k")
+    assert txn.read_table_where(spark, path, -1, -1, col="v").count() == 5
+    # full-rewrite commits keep the secondary maps too
+    txn.commit_compact(spark, path, target_partitions=2)
+    man = txn._read_manifest(path, txn.current_version(path))
+    assert man["stats_cols"] == ["v"]
+    assert all(man["col_stats"].get(n) for n in man["files"])
+    assert txn.read_table_where(spark, path, -1, -1, col="v").count() == 5
