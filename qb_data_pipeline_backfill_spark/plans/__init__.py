@@ -39,6 +39,7 @@ prioritize(
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",
+        "streaming_media_decode",
         "sample_temperature_mixture",
         "sample_domain_quota",
         "pandas_udaf_cents_sum",

@@ -300,3 +300,52 @@ def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return run_available_now(ranked, output_mode="complete")
+
+
+@register(
+    "streaming_media_decode",
+    # Same closed-form oracle as multimodal_decode_stats: the decode
+    # is deterministic, so batch and streaming must agree bit-for-bit.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 8 + 2) AS width,
+               (doc_id % 5 + 2) AS height
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    px AS (
+        SELECT media_id, width, height,
+               (media_id * 31 + i) % 256 AS v
+        FROM m, LATERAL unnest(generate_series(0, width * height * 3 - 1)) AS t(i)
+    )
+    SELECT media_id, width, height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px
+    GROUP BY media_id, width, height
+    """,
+    doc="Media decode under the Structured Streaming engine: the "
+    "documents FILE STREAM (landing-directory shape) flows through "
+    "synthesize + the pure-Python PPM codec's Arrow mapInPandas pass "
+    "per micro-batch — stateless, append-mode, no watermark — and must "
+    "land bit-identical to the batch twin multimodal_decode_stats. "
+    "Certifies that the Arrow decode surface composes with streaming "
+    "micro-batch execution (the continuous-ingest curation shape).",
+)
+def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+    from qb_data_pipeline_backfill_spark.streaming.jobs import documents_stream
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
+    decoded = M.decode_media(M.synthesize_images(docs, fmt="ppm"))
+    pixel_sum = F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x)
+    out = decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("pixels").cast("long").alias("n_values"),
+        pixel_sum.cast("long").alias("pixel_sum"),
+    )
+    return run_available_now(out, output_mode="append")

@@ -353,6 +353,19 @@ def stream_to_jdbc_idempotent(
     )
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table — the landing-
+    directory shape for a continuously-ingesting corpus (new parquet
+    drops become micro-batches; every stateless curation/decode
+    transformation downstream runs unchanged)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def run_available_now(
     result: DataFrame, output_mode: str = "complete", state_partitions: int = 8
 ) -> DataFrame:
