@@ -744,6 +744,54 @@ def read_table_where(
     )
 
 
+def read_table_where_multi(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read pruned on SEVERAL columns at once: a file is
+    scanned only if its zone map overlaps every ``col: (lo, hi)``
+    bound. With a Morton-clustered layout (operators/zorder.py
+    ``cluster_by_zorder``) each file's bounding box is tight on every
+    clustered dimension, so a k-dimensional range predicate prunes
+    multiplicatively — the lakehouse z-order + data-skipping
+    combination, here as composable engine pieces."""
+    v = current_version(path) if version is None else version
+    man = _read_manifest(path, v)
+    chosen = list(man["files"])
+    norm: dict[str, tuple] = {}
+    for col, (lo, hi) in bounds.items():
+        lo, hi = _norm_stat(lo), _norm_stat(hi)
+        norm[col] = (lo, hi)
+        keep, _ = _choose_files(man, lo, hi, col)
+        keep_set = set(keep)
+        chosen = [n for n in chosen if n in keep_set]
+    if not chosen:
+        return spark.createDataFrame([], man["schema_ddl"])
+    from pyspark.sql import functions as FF
+
+    out = spark.read.schema(man["schema_ddl"]).parquet(
+        *[os.path.join(path, "data", n) for n in chosen]
+    )
+    for col, (lo, hi) in norm.items():
+        out = out.filter((FF.col(col) >= lo) & (FF.col(col) <= hi))
+    return out
+
+
+def pruned_file_count_multi(
+    path: str, bounds: dict[str, tuple], version: int | None = None
+) -> tuple[int, int]:
+    """(files scanned, files total) for a multi-column range predicate."""
+    v = current_version(path) if version is None else version
+    man = _read_manifest(path, v)
+    chosen = set(man["files"])
+    for col, (lo, hi) in bounds.items():
+        keep, _ = _choose_files(man, _norm_stat(lo), _norm_stat(hi), col)
+        chosen &= set(keep)
+    return len(chosen), len(man["files"])
+
+
 def pruned_file_count(
     path: str, lo, hi, version: int | None = None, col: str | None = None
 ) -> tuple[int, int]:

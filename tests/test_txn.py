@@ -453,3 +453,48 @@ def test_secondary_column_zone_maps(spark, tmp_path):
     assert man["stats_cols"] == ["v"]
     assert all(man["col_stats"].get(n) for n in man["files"])
     assert txn.read_table_where(spark, path, -1, -1, col="v").count() == 5
+
+
+def test_zorder_clustered_table_prunes_multiplicatively(spark, tmp_path):
+    """The layout + txn layers compose: a Morton-clustered commit gives
+    every file a tight bounding box on BOTH dimensions, so a 2-D range
+    predicate prunes multiplicatively (1 of 16 files here), while an
+    x-sorted layout can never prune on y at all."""
+    from qb_data_pipeline_backfill_spark.operators.zorder import cluster_by_zorder
+
+    grid = spark.range(4096).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    txn.commit_append_with_stats(
+        spark,
+        cluster_by_zorder(grid, ["x", "y"], n_partitions=16, bits=6),
+        zpath,
+        key="rid",
+        extra_cols=["x", "y"],
+    )
+    box = {"x": (8, 15), "y": (8, 15)}
+    scanned, total = txn.pruned_file_count_multi(zpath, box)
+    assert total == 16
+    assert scanned == 1  # 16x16 Morton tiles: the box lives in ONE file
+    got = txn.read_table_where_multi(spark, zpath, box)
+    assert got.count() == 64
+    assert {(r["x"], r["y"]) for r in got.collect()} == {
+        (x, y) for x in range(8, 16) for y in range(8, 16)
+    }
+    # control: x-sorted layout — x prunes, y cannot
+    xpath = str(tmp_path / "x")
+    txn.commit_append_with_stats(
+        spark,
+        grid.repartitionByRange(16, "x").sortWithinPartitions("x"),
+        xpath,
+        key="rid",
+        extra_cols=["x", "y"],
+    )
+    sx, _ = txn.pruned_file_count(xpath, 8, 15, col="x")
+    sy, ty = txn.pruned_file_count(xpath, 8, 15, col="y")
+    assert sx < 16 and sy == ty == 16
+    # same answer, worse pruning
+    assert txn.read_table_where_multi(spark, xpath, box).count() == 64
