@@ -108,3 +108,71 @@ def test_bloom_soundness_property(spark, dim_keys, fact_keys):
     kept = {r.key for r in bloom_probe(fact, "key", bloom_build(dim, "key")).collect()}
     members = set(fact_keys) & dim_keys
     assert members <= kept
+
+
+# --------------------------------------------------------------------------
+# media codecs (pure functions — no Spark in the loop, so hypothesis
+# can afford hundreds of examples)
+# --------------------------------------------------------------------------
+@settings(**{**_SETTINGS, "max_examples": 200})
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31),
+    comment=st.booleans(),
+)
+def test_ppm_bmp_roundtrip_property(w, h, seed, comment):
+    """ANY pixel content survives encode→decode through both container
+    formats, and the two decoders agree byte-for-byte."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    hdr = b"P6\n" + (b"# c\n" if comment else b"") + f"{w} {h}\n255\n".encode()
+    got_w, got_h, got = M._decode_ppm(hdr + px.tobytes())
+    assert (got_w, got_h) == (w, h) and np.array_equal(got, px)
+    # BMP: reuse the encoder's layout machinery with arbitrary pixels
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w, 3)[:, :, ::-1].reshape(h, w * 3)
+    payload = rows[::-1].tobytes()
+    header = (
+        b"BM" + (54 + len(payload)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    got_w2, got_h2, got2 = M._decode_bmp(header + payload)
+    assert (got_w2, got_h2) == (w, h) and np.array_equal(got2, px)
+
+
+@settings(**{**_SETTINGS, "max_examples": 200})
+@given(
+    n=st.integers(1, 500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype="<i2")
+    data = samples.tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little") + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        body += b"\x00"
+    buf = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    got_rate, got = M._decode_wav(buf)
+    assert got_rate == rate and np.array_equal(got, samples)
