@@ -183,12 +183,26 @@ def minhash_lsh_pairs(
     ``est`` is the signature-agreement Jaccard estimate; pairs below
     ``threshold`` are dropped after estimation.
     """
-    rows_per_band = num_hashes // bands
-    # Hash each shingle ONCE (explode → xxhash64), then take the k
-    # affine-mix minima as 64 map-side-combined aggregates — Catalyst's
-    # projection collapse would re-evaluate a per-row expression form
-    # k times, so the agg form is the one that actually shares the
-    # base hash. One shuffle of 64 longs per doc.
+    with_sig = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
+    band_exprs = _band_exprs(num_hashes, bands)
+    out = _bucket_pairs(
+        with_sig, id_col, "sig", band_exprs, max_bucket, _est_jaccard(num_hashes)
+    )
+    return out.filter(F.col("est") >= threshold).select(
+        "doc_a", "doc_b", F.col("est").alias("est_jaccard")
+    )
+
+
+def _minhash_sigs(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_k: int
+) -> DataFrame:
+    """(id, sig array<bigint>) per document.
+
+    Hash each shingle ONCE (explode → xxhash64), then take the k
+    affine-mix minima as k map-side-combined aggregates — Catalyst's
+    projection collapse would re-evaluate a per-row expression form
+    k times, so the agg form is the one that actually shares the
+    base hash. One shuffle of k longs per doc."""
     shingled = df.select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("s")
     ).select(F.col(id_col), F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
@@ -200,11 +214,15 @@ def minhash_lsh_pairs(
             for j, (a, b) in enumerate(_mix_constants(num_hashes))
         ]
     )
-    with_sig = mins.select(
+    return mins.select(
         F.col(id_col),
         F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
     )
-    band_exprs = [
+
+
+def _band_exprs(num_hashes: int, bands: int) -> list[Column]:
+    rows_per_band = num_hashes // bands
+    return [
         F.struct(
             F.lit(b).alias("band_idx"),
             F.xxhash64(
@@ -214,7 +232,9 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
 
-    def est_jaccard(sa: Column, sb: Column) -> Column:
+
+def _est_jaccard(num_hashes: int):
+    def est(sa: Column, sb: Column) -> Column:
         eq = F.zip_with(sa, sb, lambda x, y: (x == y).cast("int"))
         return F.round(
             F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
@@ -222,7 +242,92 @@ def minhash_lsh_pairs(
             4,
         )
 
-    out = _bucket_pairs(with_sig, id_col, "sig", band_exprs, max_bucket, est_jaccard)
+    return est
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The PERSISTABLE LSH index of a corpus batch: one row per
+    (band_idx, band_hash, doc_id, sig). Write it once (ideally
+    bucketed on band_hash via operators/layout.py so later probe
+    joins co-locate without shuffling the index), append each new
+    batch's rows, and incremental dedup never re-shingles history —
+    the cross-RUN scaling story for a corpus that grows daily."""
+    with_sig = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
+    return with_sig.select(
+        F.col(id_col),
+        "sig",
+        F.explode(F.array(*_band_exprs(num_hashes, bands))).alias("band"),
+    ).select("band.band_idx", "band.band_hash", id_col, "sig")
+
+
+def incremental_minhash_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a persisted corpus index
+    (plus within-batch pairs) — without recomputing one signature of
+    history. Exactly the pairs ``minhash_lsh_pairs`` over the full
+    corpus would emit restricted to pairs touching the new batch
+    (pytest-certified equality, including the skew cap: bucket size
+    is counted over index ∪ new, matching the full run's cap).
+
+    Plan: shingle/sign the new batch only, join its band rows against
+    the index on (band_idx, band_hash) — a hash join whose shuffle is
+    the new batch plus matching index partitions (none of history
+    moves if the index table is bucketed on the join key). Returns
+    (doc_a, doc_b, est_jaccard) with doc_b always the new-batch side
+    of cross pairs.
+    """
+    new_rows = minhash_band_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    all_rows = index.unionByName(new_rows)
+    # Skew cap identical to _bucket_pairs: buckets whose TOTAL
+    # membership (history + new) exceeds max_bucket are skipped.
+    sizes = all_rows.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select(
+        "band_idx", "band_hash"
+    )
+    n = new_rows.select(
+        "band_idx",
+        "band_hash",
+        F.col(id_col).alias("__nid"),
+        F.col("sig").alias("__nsig"),
+    )
+    h = all_rows.select(
+        "band_idx",
+        "band_hash",
+        F.col(id_col).alias("__hid"),
+        F.col("sig").alias("__hsig"),
+    )
+    est = _est_jaccard(num_hashes)
+    cand = (
+        n.join(ok, ["band_idx", "band_hash"])
+        .join(h, ["band_idx", "band_hash"])
+        .filter(F.col("__hid") != F.col("__nid"))
+        .select(
+            F.least("__hid", "__nid").alias("doc_a"),
+            F.greatest("__hid", "__nid").alias("doc_b"),
+            est(F.col("__hsig"), F.col("__nsig")).alias("est"),
+        )
+    )
+    out = cand.groupBy("doc_a", "doc_b").agg(F.first("est").alias("est"))
     return out.filter(F.col("est") >= threshold).select(
         "doc_a", "doc_b", F.col("est").alias("est_jaccard")
     )

@@ -40,6 +40,7 @@ prioritize(
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",
         "streaming_media_decode",
+        "dedup_incremental_minhash",
         "sample_temperature_mixture",
         "sample_domain_quota",
         "pandas_udaf_cents_sum",

@@ -172,6 +172,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_minhash",
+    oracle=None,  # xxhash64 signature family is engine-specific → rows-only
+    doc="Cross-RUN dedup: the even-doc_id half of the corpus is the "
+    "persisted LSH index (minhash_band_index — at scale a bucketed "
+    "table appended per batch, never re-shingled); the odd half arrives "
+    "as the new batch and probes it with incremental_minhash_pairs. "
+    "Pytest certifies the output equals the full-corpus run restricted "
+    "to pairs touching the new batch, skew cap included "
+    "(test_incremental_minhash_equals_full_restricted).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_band_index(history)
+    return D.incremental_minhash_pairs(index, new, threshold=0.7).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # xxhash64-based → rows-only
     doc="SimHash near-dup pairs: 64-bit token-vote fingerprint, 4×16-bit "

@@ -429,3 +429,34 @@ def test_demux_avi_rejects_garbage(docs):
 
     with pytest.raises(ValueError, match="RIFF/AVI"):
         _decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """The incremental probe against a persisted index must emit
+    EXACTLY the full-corpus run's pairs restricted to pairs touching
+    the new batch — same candidates, same estimates, same skew cap."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the wide river "
+        "bank on a calm morning with scattered clouds overhead"
+    )
+    rows = []
+    for i in range(30):
+        # doc i and doc i+15 are near-identical (one token differs), so
+        # near-dup pairs cross the history (id<15) / new (id>=15) split
+        variant = base.replace("calm", f"calm{i % 15}")
+        rows.append((i, variant if i < 15 else variant + " again"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    restricted = {p: e for p, e in full.items() if p[0] >= 15 or p[1] >= 15}
+    assert restricted, "fixture must produce cross-split near-dup pairs"
+    index = D.minhash_band_index(docs.filter(F.col("doc_id") < 15))
+    incr = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in D.incremental_minhash_pairs(
+            index, docs.filter(F.col("doc_id") >= 15), threshold=0.5
+        ).collect()
+    }
+    assert incr == restricted
