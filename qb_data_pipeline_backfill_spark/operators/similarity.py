@@ -346,6 +346,58 @@ def rp_lsh_near_dup_pairs(
     )
 
 
+def rp_bucket_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """The PERSISTABLE ANN index of a corpus batch: one row per
+    (table_id, bucket, vec_id, vec) under the deterministic
+    hyperplane family. Write it once (bucketed on ``bucket`` so probe
+    joins co-locate), append new batches' rows, and query batches
+    probe it without ever re-bucketing the corpus — the vector-store
+    shape of a growing embedding table (the MinHash twin is
+    ``dedup.minhash_band_index``)."""
+    bucket_udf = rp_buckets_vectorized(n_tables, n_planes, dim)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        bucket_udf(F.col(vec_col)).alias("bks"),
+    ).select("vec_id", "vec", F.posexplode("bks").alias("table_id", "bucket"))
+
+
+def ann_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors of ``queries`` against a PERSISTED
+    ``rp_bucket_index`` — bit-identical to ``rp_lsh_ann_topk`` on the
+    same corpus (pytest-certified), but the corpus side arrives
+    pre-bucketed by reference. Only the query batch computes buckets."""
+    bucket_udf = rp_buckets_vectorized(n_tables, n_planes, dim)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_udf(F.col(vec_col)).alias("bks"),
+    ).select("query_id", "q_vec", F.posexplode("bks").alias("table_id", "bucket"))
+    cb = index.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        "table_id",
+        "bucket",
+    )
+    return _rank_candidates(cb, qb, k)
+
+
 def rp_lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -365,19 +417,19 @@ def rp_lsh_ann_topk(
     misses are possible by construction. One shuffle on the bucket
     key, one on query_id for ranking — never all-pairs.
     """
-    bucket_udf = rp_buckets_vectorized(n_tables, n_planes, dim)
+    return ann_topk_from_index(
+        rp_bucket_index(corpus, id_col, vec_col, dim, n_planes, n_tables),
+        queries,
+        k,
+        id_col,
+        vec_col,
+        dim,
+        n_planes,
+        n_tables,
+    )
 
-    def buckets(df: DataFrame, ident: str, vec_alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(ident),
-            F.col(vec_col).alias(vec_alias),
-            bucket_udf(F.col(vec_col)).alias("bks"),
-        ).select(
-            ident, vec_alias, F.posexplode("bks").alias("table_id", "bucket")
-        )
 
-    cb = buckets(corpus, "neighbor_id", "c_vec")
-    qb = buckets(queries, "query_id", "q_vec")
+def _rank_candidates(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
     candidates = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -460,3 +460,20 @@ def test_incremental_minhash_equals_full_restricted(spark):
         ).collect()
     }
     assert incr == restricted
+
+
+def test_ann_from_persisted_index_equals_direct(spark, vectors):
+    """Probing a persisted rp_bucket_index must give bit-identical
+    top-k to the direct corpus+queries run (same planes, same
+    candidates, same ranking)."""
+    queries = vectors.filter(F.col("vec_id") == 0)
+    direct = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+        for r in S.rp_lsh_ann_topk(vectors, queries, k=3, dim=3).collect()
+    )
+    index = S.rp_bucket_index(vectors, dim=3)
+    via_index = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+        for r in S.ann_topk_from_index(index, queries, k=3, dim=3).collect()
+    )
+    assert direct == via_index and direct
