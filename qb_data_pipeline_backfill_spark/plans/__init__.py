@@ -41,6 +41,7 @@ prioritize(
         "multimodal_video_frame_stats",
         "streaming_media_decode",
         "dedup_incremental_minhash",
+        "hypertable_ohlc_bars",
         "sample_temperature_mixture",
         "sample_domain_quota",
         "pandas_udaf_cents_sum",

@@ -508,6 +508,61 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hypertable_ohlc_bars",
+    # open/close pick SINGLE stored values (no arithmetic), so exact
+    # cross-engine equality needs only a deterministic pick: first/last
+    # in (ts, event_id) order within the hour, via mirrored windows.
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+               value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn_open,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+               ) AS rn_close
+        FROM events
+    )
+    SELECT event_type, bar,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM ranked
+    GROUP BY event_type, bar
+    """,
+    doc="OHLC bars (the canonical finance hypertable rollup): per "
+    "(series, hour) open/high/low/close/tick-count, with open and close "
+    "picked deterministically by (ts, event_id) order so ties cannot "
+    "flip values between engines. Spark side uses min_by/max_by over a "
+    "(ts, event_id) struct — one map-side-combinable aggregate, no "
+    "window, no second shuffle; at 100 TB each bar is an algebraic "
+    "partial exactly like the continuous-aggregate rollup family.",
+)
+def hypertable_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar")
+        ).agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+@register(
     "incremental_rollup_merge",
     oracle="""
     SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
