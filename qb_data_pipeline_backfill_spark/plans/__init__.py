@@ -42,6 +42,7 @@ prioritize(
         "streaming_media_decode",
         "dedup_incremental_minhash",
         "hypertable_ohlc_bars",
+        "hypertable_time_weighted",
         "sample_temperature_mixture",
         "sample_domain_quota",
         "pandas_udaf_cents_sum",

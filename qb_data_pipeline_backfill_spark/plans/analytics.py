@@ -563,6 +563,64 @@ def hypertable_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hypertable_time_weighted",
+    # Exactness: weights are integer second gaps, values are DECIMAL —
+    # the weighted sum is an exact decimal aggregate (order-insensitive)
+    # and numerator/denominator are emitted SEPARATELY so no float
+    # division can round differently between engines. Seconds are
+    # FLOORED from microseconds on both sides: Spark's unix_timestamp
+    # truncates while DuckDB's epoch()::BIGINT rounds, which silently
+    # shifts gaps by one second on sub-second timestamps.
+    oracle="""
+    WITH ticks AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+               CAST(value AS DECIMAL(18,6)) AS v,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+               LEAD(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER (
+                   PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS next_sec
+        FROM events
+    )
+    SELECT event_type, bar,
+           CAST(SUM(v * (next_sec - sec)) AS DOUBLE) AS weighted_sum,
+           CAST(SUM(next_sec - sec) AS BIGINT) AS covered_secs,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM ticks
+    WHERE next_sec IS NOT NULL
+    GROUP BY event_type, bar
+    """,
+    doc="Time-weighted aggregate (the LOCF integral behind TimescaleDB's "
+    "time_weighted_average): each tick's value is weighted by the seconds "
+    "until the next tick in the same (series, hour); the last tick of a "
+    "bar carries no weight. Weights are integer second gaps and values "
+    "DECIMAL, so the weighted sum is exact and order-insensitive — "
+    "numerator and covered-duration are emitted separately, division is "
+    "the caller's one float op. One window + one aggregate.",
+)
+def hypertable_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    bar = F.date_trunc("hour", "ts")
+    w = Window.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    ticks = ev.select(
+        "event_type",
+        bar.alias("bar"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        F.lead(F.expr("unix_micros(ts) div 1000000")).over(w).alias("next_sec"),
+    ).filter(F.col("next_sec").isNotNull())
+    gap = F.col("next_sec") - F.col("sec")
+    return ticks.groupBy("event_type", "bar").agg(
+        F.sum(F.col("v") * gap).cast("double").alias("weighted_sum"),
+        F.sum(gap).cast("bigint").alias("covered_secs"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@register(
     "incremental_rollup_merge",
     oracle="""
     SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
