@@ -447,3 +447,152 @@ def _rank_candidates(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ (IVFADC): coarse quantizer candidates, code-compressed ranking
+# --------------------------------------------------------------------------
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    stride: int = 50,
+    nprobe: int = 4,
+    m: int = 4,
+    n_centroids: int = 8,
+    refine_k: int | None = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC approximate top-k: IVF cells bound the scanned fraction,
+    PQ codes bound the bytes per scanned vector (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    The billion-vector memory-budget play that neither ``ivf_ann_topk``
+    (exact vectors in probed cells: D floats per candidate) nor
+    ``pq_encode`` (codes, no search) gives alone:
+
+    1. every corpus vector is assigned to an IVF cell (broadcast coarse
+       quantizer, narrow argmax) and PQ-encoded (``pq.pq_encode``: m
+       code bytes replace D floats);
+    2. a query probes its ``nprobe`` nearest cells; candidates are the
+       code rows of those cells — at 100 TB the shuffle/scan moves
+       m≈8 bytes per candidate instead of 256 B of raw floats;
+    3. asymmetric distance (ADC): d²(q, x) ≈ Σ_s ‖q_s − c_s[code]‖².
+       The per-query lookup table (n_queries × m × n_centroids rows)
+       is tiny and broadcast; the sum is one map-side-combinable
+       groupBy — never an all-pairs join;
+    4. optional refine: the ADC top-``refine_k`` candidates are
+       re-ranked by exact cosine against the raw vectors (a semi-join
+       back to the corpus on id — candidate count is k-bounded, so the
+       rejoin touches ≤ |queries|·refine_k rows).
+
+    Shuffle budget: one co-partitioned join (codes ⋈ cells on id), one
+    ADC aggregation on (query, candidate); everything else broadcast.
+    Returns (query_id, neighbor_id, rank, score) where score is exact
+    cosine when refining, else the negated ADC distance.
+    """
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    d_sub = dim // m
+    if centroids is None:
+        centroids = deterministic_centroids(corpus, stride, id_col, vec_col)
+    # PQ codebook: subvector slices of the first n_centroids vectors by
+    # id (pq_encode's deterministic default, spelled out here because
+    # the ADC table needs the same centroid subvectors).
+    cb = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("long").alias("code"), F.col(vec_col).alias("cv")
+    )
+
+    from qb_data_pipeline_backfill_spark.operators.pq import pq_encode
+
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(id_col, "cell")
+    codes = pq_encode(
+        corpus, id_col, vec_col, dims=dim, m=m, n_centroids=n_centroids, codebook=cb
+    ).join(cells, id_col)  # co-partitioned on id: one shuffle, both sides narrow
+
+    # nprobe nearest cells per query under the same coarse quantizer.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    probe = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "centroid_id",
+        (
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("qsim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), "centroid_id")
+    probed = (
+        probe.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+
+    # ADC lookup table: ‖q_s − c_s[code]‖² per (query, subspace, code).
+    sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace")
+    start = F.col("subspace") * d_sub + 1
+    qs = F.slice(F.col("q_vec"), start, F.lit(d_sub))
+    cs = F.slice(F.col("cv"), start, F.lit(d_sub))
+    d2 = F.aggregate(
+        F.zip_with(
+            qs,
+            cs,
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        q.select("query_id", "q_vec", sub)
+        .crossJoin(F.broadcast(cb))
+        .select("query_id", "subspace", "code", d2.alias("d2"))
+    )
+
+    adc = (
+        codes.join(F.broadcast(probed), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), "neighbor_id")
+    pool = k if refine_k is None else refine_k
+    top = adc.withColumn("__rn", F.row_number().over(wa)).filter(F.col("__rn") <= pool)
+    if refine_k is None:
+        return top.select(
+            "query_id",
+            "neighbor_id",
+            F.col("__rn").alias("rank"),
+            F.round(-F.col("adc_dist"), 4).alias("score"),
+        )
+    # Refine: exact cosine over the ADC shortlist only.
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    rescored = (
+        top.select("query_id", "neighbor_id")
+        .join(raw, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("c_vec"), F.col("q_vec"))
+                / (F.col("c_norm") * F.col("q_norm"))
+            ).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("score"))
+    )

@@ -36,6 +36,8 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 prioritize(
     [
         # --- (a) new / code-touched in round 5 ---
+        "similarity_ann_ivfpq",
+        "contract_ivfpq_adc",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

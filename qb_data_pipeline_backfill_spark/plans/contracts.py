@@ -271,6 +271,85 @@ def contract_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flag_caught(exact, ann, ["query_id", "neighbor_id"])
 
 
+# IVFADC certification: unlike the LSH/IVF recall contracts, the ADC
+# arithmetic is fully deterministic (codebook = first 8 vectors by id,
+# argmin-L2² codes, ‖q_s − c_s[code]‖² lookup sums), so the oracle can
+# replay it bit-for-bit rather than settle for a recall floor. Probing
+# every cell makes the candidate set the whole corpus, taking the IVF
+# dial (already certified by contract_ann_ivf_recall) out of the
+# equation — what's hash-gated end to end is encode + lookup-table +
+# ADC aggregation + ranking. Recall vs exact top-k is then a statistical
+# property of the (near-random) gate corpus, not the machinery.
+@register(
+    "contract_ivfpq_adc",
+    oracle="""
+    WITH cb AS (
+        SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (SELECT vec_id, embedding AS qv FROM embeddings),
+    s AS (SELECT vec_id, qv, g.sub FROM v, generate_series(0, 3) AS g(sub)),
+    scored AS (
+        SELECT vec_id, sub, code,
+               (SELECT SUM((CAST(qv[sub * 16 + i] AS DOUBLE)
+                            - CAST(cv[sub * 16 + i] AS DOUBLE))
+                           * (CAST(qv[sub * 16 + i] AS DOUBLE)
+                              - CAST(cv[sub * 16 + i] AS DOUBLE)))
+                FROM generate_series(1, 16) AS t(i)) AS dist
+        FROM s, cb
+    ),
+    codes AS (
+        SELECT vec_id, sub, code
+        FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, code) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+    ),
+    qlut AS (
+        SELECT q.vec_id AS query_id, g.sub, cb.code,
+               (SELECT SUM((CAST(q.embedding[g.sub * 16 + i] AS DOUBLE)
+                            - CAST(cb.cv[g.sub * 16 + i] AS DOUBLE))
+                           * (CAST(q.embedding[g.sub * 16 + i] AS DOUBLE)
+                              - CAST(cb.cv[g.sub * 16 + i] AS DOUBLE)))
+                FROM generate_series(1, 16) AS t(i)) AS d2
+        FROM embeddings q, generate_series(0, 3) AS g(sub), cb
+        WHERE q.vec_id < 5
+    ),
+    adc AS (
+        SELECT query_id, c.vec_id AS neighbor_id, SUM(d2) AS adc_dist
+        FROM codes c
+        JOIN qlut ON qlut.sub = c.sub AND qlut.code = c.code
+        WHERE c.vec_id != query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rnk, ROUND(-adc_dist, 4) AS score
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM adc
+    )
+    WHERE rnk <= 10
+    """,
+    doc="Bit-for-bit ADC certification for similarity_ann_ivfpq: with "
+    "every cell probed and no refine step, the engine's asymmetric-"
+    "distance top-10 must equal the oracle's closed-form replay of "
+    "PQ encode + lookup-table + distance aggregation + ranking.",
+)
+def contract_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    out = S.ivfpq_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=_IVF_CERT_NPROBE,
+        refine_k=None,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
 # --------------------------------------------------------------------------
 # approximate-median rank-error contract (impute's 100 TB path)
 # --------------------------------------------------------------------------

@@ -305,6 +305,23 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ann_ivfpq",
+    oracle=None,  # approximate recall by construction → rows-only;
+    # the ADC arithmetic itself is hash-gated by contract_ivfpq_adc.
+    doc="Approximate top-3 cosine neighbors via IVFADC (Jégou et al. "
+    "2011): IVF cells bound the scanned fraction, PQ codes bound the "
+    "bytes per candidate (m=4 code bytes vs 256 B of floats — the "
+    "billion-vector memory budget), ADC shortlist re-ranked by exact "
+    "cosine. nprobe=4, refine_k=16.",
+)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    return S.ivfpq_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, nprobe=4, refine_k=16
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

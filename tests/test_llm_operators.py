@@ -477,3 +477,92 @@ def test_ann_from_persisted_index_equals_direct(spark, vectors):
         for r in S.ann_topk_from_index(index, queries, k=3, dim=3).collect()
     )
     assert direct == via_index and direct
+
+
+# --------------------------------------------------------------------------
+# IVFADC (IVF + product-quantization ANN)
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def pq_vectors(spark):
+    # dim=4, m=2 subspaces of 2; codebook = vecs 0,1; centroids = 0,4.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.1, 0.9]),
+        (3, [0.1, 0.9, 0.8, 0.2]),
+        (4, [-1.0, 0.0, 0.0, -1.0]),
+        (5, [0.8, 0.2, 0.3, 0.7]),
+        (6, [-0.9, -0.1, 0.1, -0.8]),
+        (7, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ivfpq_full_probe_full_refine_equals_exact(pq_vectors):
+    """With every cell probed and the whole corpus in the refine
+    shortlist, IVFADC degrades to exact search: both approximation
+    dials (cell pruning, ADC shortlist) are wide open, so the output
+    must be bit-identical to the brute-force baseline."""
+    q = pq_vectors.filter(F.col("vec_id") == 0)
+    exact = {
+        (r["rank"], r["neighbor_id"], r["cos"])
+        for r in S.cosine_topk(pq_vectors, q, k=3).collect()
+    }
+    ann = {
+        (r["rank"], r["neighbor_id"], r["score"])
+        for r in S.ivfpq_ann_topk(
+            pq_vectors, q, k=3, stride=4, nprobe=2, m=2, n_centroids=2,
+            refine_k=8, dim=4,
+        ).collect()
+    }
+    assert ann == exact
+
+
+def test_ivfpq_adc_distances_match_numpy(pq_vectors):
+    """No-refine path: the engine's ADC distances must equal a numpy
+    replay of PQ encode (argmin-L2² per subspace vs codebook = first
+    2 vectors) + lookup-table summation."""
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in pq_vectors.collect()}
+    cb = {c: vecs[c] for c in (0, 1)}
+    q = vecs[0]
+
+    def code(v, s):
+        lo, hi = 2 * s, 2 * s + 2
+        d = {c: float(((v[lo:hi] - cv[lo:hi]) ** 2).sum()) for c, cv in cb.items()}
+        return min(sorted(d), key=lambda c: (d[c], c))
+
+    expect = {}
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        adc = sum(
+            float(((q[2 * s : 2 * s + 2] - cb[code(v, s)][2 * s : 2 * s + 2]) ** 2).sum())
+            for s in range(2)
+        )
+        expect[vid] = round(-adc, 4)
+
+    out = S.ivfpq_ann_topk(
+        pq_vectors,
+        pq_vectors.filter(F.col("vec_id") == 0),
+        k=7, stride=4, nprobe=2, m=2, n_centroids=2, refine_k=None, dim=4,
+    ).collect()
+    got = {r["neighbor_id"]: r["score"] for r in out}
+    assert got == expect
+    # ranking ascending in ADC distance, ties to smaller id
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == sorted(expect, key=lambda v: (-expect[v], v))
+
+
+def test_ivfpq_probe_limits_candidates(pq_vectors):
+    """nprobe=1 must restrict candidates to the query's own cell:
+    with centroids 0 and 4, vec 0's cell holds the +-side vectors, so
+    the opposite-side vectors (4, 6) cannot appear at any k."""
+    out = S.ivfpq_ann_topk(
+        pq_vectors,
+        pq_vectors.filter(F.col("vec_id") == 0),
+        k=7, stride=4, nprobe=1, m=2, n_centroids=2, refine_k=None, dim=4,
+    ).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert ids and not ids & {4, 6}
