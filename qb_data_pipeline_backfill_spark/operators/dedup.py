@@ -524,3 +524,51 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dup_gram_doc_fraction(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of word n-grams shared with other documents
+    — the corpus-level duplicate-n-gram quality signal (the Gopher /
+    RefinedWeb "duplicate n-gram" filter), complementary to
+    ``text.repetition_scores`` which measures only *intra*-document
+    repetition.
+
+    Two map-side-combinable shuffles, both keyed on the gram: (1) count
+    distinct documents per gram, (2) join the counts back to the
+    per-doc gram set — Catalyst co-partitions both sides on the same
+    key — then a per-doc aggregate. Never doc×doc. At 100 TB the gram
+    string would be replaced by a 64-bit hash to narrow the exchange
+    (collisions only perturb a quality *score*, not membership);
+    kept as the raw string here so the DuckDB oracle can replay it
+    exactly.
+    """
+    from qb_data_pipeline_backfill_spark.operators.text import tokens, word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(tokens(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.sum(
+        F.when(F.col("n_docs") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.alias("dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "dup_grams",
+            F.round(F.col("dup_grams") / F.col("n_grams"), 4).alias("dup_fraction"),
+        )
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from qb_data_pipeline_backfill_spark.functions import int_ratio
 
@@ -323,4 +324,40 @@ def lang_corpus_stats(
         F.sum("__nc").alias("total_chars"),
         F.countDistinct("__src").alias("n_sources"),
         int_ratio(F.sum("__nt"), F.count(F.lit(1))).alias("avg_tokens_per_doc"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Most frequent adjacent character pairs, weighted by word
+    frequency — the inner statistic of one BPE-training merge step
+    (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    with Subword Units"; end-of-word markers omitted).
+
+    The classic BPE-training distribution trick: reduce the corpus to
+    its distinct-word frequency table FIRST (one map-side-combinable
+    shuffle on the word), so the character-level explode scales with
+    |vocab|, not corpus tokens — at 100 TB the pair stage touches a
+    few million distinct words instead of trillions of running words.
+    Then one more combinable shuffle on the pair key and a global
+    top-k (rank over a single ordered window of |pairs| ≈ |alphabet|²
+    rows — driver-safe).
+    """
+    words = df.select(F.explode(tokens(text_col)).alias("w")).filter(
+        F.col("w") != ""
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pair_idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = freq.select(
+        F.explode(pair_idx).alias("i"), F.col("w"), F.col("f")
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "f")
+    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("pair", "pair_count", "rnk")
     )

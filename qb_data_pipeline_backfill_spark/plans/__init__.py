@@ -38,6 +38,8 @@ prioritize(
         # --- (a) new / code-touched in round 5 ---
         "similarity_ann_ivfpq",
         "contract_ivfpq_adc",
+        "corpus_dup_gram_stats",
+        "bpe_pair_counts",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

@@ -109,6 +109,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_dup_gram_stats",
+    oracle=r"""
+    WITH toks AS (%s),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                     || ' ' || ts[i+4] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS t(i)
+    ),
+    counts AS (SELECT gram, COUNT(*) AS n_docs FROM grams GROUP BY gram)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_fraction
+    FROM grams JOIN counts USING (gram)
+    GROUP BY doc_id
+    """
+    % _TOKS,
+    doc="Corpus-level duplicate-n-gram signal (Gopher/RefinedWeb filter): "
+    "per document, the fraction of its distinct word 5-grams that occur "
+    "in ≥2 documents. Inter-document twin of text_repetition_scores; "
+    "two gram-keyed map-side-combinable shuffles, never doc×doc.",
+)
+def corpus_dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dup_gram_doc_fraction(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH toks AS (%s),
+    words AS (SELECT unnest(ts) AS w FROM toks),
+    freq AS (SELECT w, COUNT(*) AS f FROM words WHERE w != '' GROUP BY w),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair, f
+        FROM freq, LATERAL unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+    ),
+    agg AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)
+    SELECT pair, pair_count, rnk
+    FROM (
+        SELECT pair, pair_count,
+               ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rnk
+        FROM agg
+    )
+    WHERE rnk <= 20
+    """
+    % _TOKS,
+    doc="One BPE-training merge statistic (Sennrich et al. 2016): top-20 "
+    "adjacent character pairs weighted by word frequency. Distinct-word "
+    "reduction first, so the char explode scales with |vocab| not corpus "
+    "tokens — the standard distributed-BPE move.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_pair_counts(_docs(spark, sf_dir), top_k=20)
+
+
+@register(
     "dedup_cluster_resolution",
     oracle=r"""
     WITH RECURSIVE toks AS (%s),

@@ -566,3 +566,48 @@ def test_ivfpq_probe_limits_candidates(pq_vectors):
     ).collect()
     ids = {r["neighbor_id"] for r in out}
     assert ids and not ids & {4, 6}
+
+
+# --------------------------------------------------------------------------
+# corpus-level duplicate n-grams + BPE pair counts
+# --------------------------------------------------------------------------
+def test_dup_gram_fraction_hand_case(spark):
+    rows = [
+        (0, "a b c d e f"),      # grams: "a b c d e", "b c d e f"
+        (1, "a b c d e zzz"),    # shares "a b c d e" with doc 0
+        (2, "p q r s t u"),      # all grams unique to doc 2
+        (3, "x y"),              # shorter than n → no grams, no output row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_fraction"])
+        for r in D.dup_gram_doc_fraction(df, n=5).collect()
+    }
+    assert out == {0: (2, 1, 0.5), 1: (2, 1, 0.5), 2: (2, 0, 0.0)}
+
+
+def test_dup_gram_counts_documents_not_occurrences(spark):
+    # a gram repeated INSIDE one doc must not count as duplicated
+    rows = [(0, "a b c d e a b c d e"), (1, "z z z z z z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["dup_grams"] for r in D.dup_gram_doc_fraction(df, n=5).collect()}
+    assert out[0] == 0
+    # doc 1's single distinct gram "z z z z z" occurs in one doc only
+    assert out[1] == 0
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    # words: low ×3, lower ×1 → pairs weighted by word freq:
+    # lo: 3+1=4, ow: 3+1=4, we: 1, er: 1
+    df = spark.createDataFrame(
+        [(0, "low low lower"), (1, "low")], ["doc_id", "text"]
+    )
+    out = [(r["pair"], r["pair_count"]) for r in
+           sorted(X.bpe_pair_counts(df).collect(), key=lambda r: r["rnk"])]
+    assert out == [("lo", 4), ("ow", 4), ("er", 1), ("we", 1)]
+
+
+def test_bpe_pair_counts_ignores_single_char_words(spark):
+    df = spark.createDataFrame([(0, "a b c ab")], ["doc_id", "text"])
+    out = {r["pair"] for r in X.bpe_pair_counts(df).collect()}
+    assert out == {"ab"}
