@@ -46,6 +46,7 @@ renames/drops and no deletion vectors.
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import json
 import os
 import time
@@ -193,6 +194,7 @@ def commit_append(
     key: str | None = None,
     expected_base: int | None = None,
     checkpoint_every: int | None = None,
+    bloom_spec: dict | None = None,
 ) -> int:
     """Atomically append ``df`` as the next version; returns it.
 
@@ -233,9 +235,20 @@ def commit_append(
     prev = _read_manifest(path, base) if base >= 0 else {}
     stats_col = prev.get("stats_col")
     stats_cols = prev.get("stats_cols")
+    # A bloom spec set at table creation (commit_append_with_bloom) is
+    # inherited by every later append, like the zone-map column set.
+    bloom_spec = prev.get("bloom_spec") or bloom_spec
     new_files: list[str] = []
     stats: dict[str, list] = dict(prev.get("stats", {}))
     col_stats: dict[str, dict] = dict(prev.get("col_stats", {}))
+    blooms: dict[str, list] = dict(prev.get("blooms", {}))
+    staged_blooms: dict[str, list] = (
+        _file_blooms(
+            spark, stage_dir, bloom_spec["col"], bloom_spec["m"], bloom_spec["k"]
+        )
+        if bloom_spec
+        else {}
+    )
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
@@ -252,6 +265,8 @@ def commit_append(
             col_stats[unique] = _file_stats_multi(
                 os.path.join(stage_dir, name), stats_cols
             )
+        if bloom_spec and name in staged_blooms:
+            blooms[unique] = staged_blooms[name]
 
     manifest = {
         "version": base + 1,
@@ -267,6 +282,9 @@ def commit_append(
     if stats_cols:
         manifest["stats_cols"] = stats_cols
         manifest["col_stats"] = col_stats
+    if bloom_spec:
+        manifest["bloom_spec"] = bloom_spec
+        manifest["blooms"] = blooms
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -409,6 +427,7 @@ def commit_upsert(
         base,
         stats_col=prev.get("stats_col"),
         stats_cols=prev.get("stats_cols"),
+        bloom_spec=prev.get("bloom_spec"),
     )
 
 
@@ -469,6 +488,7 @@ def commit_compact(
         base,
         stats_col=prev.get("stats_col"),
         stats_cols=prev.get("stats_cols"),
+        bloom_spec=prev.get("bloom_spec"),
     )
 
 
@@ -541,6 +561,88 @@ def _file_stats_multi(file_path: str, cols: list[str]) -> dict[str, list]:
     return out
 
 
+# --------------------------------------------------------------------------
+# per-file Bloom index (Delta's bloom filter index analog): prunes POINT
+# lookups on a column whose values are scattered across files, where a
+# min/max zone map prunes nothing. The hash family is sha256-based so the
+# DRIVER can recompute a literal key's bit positions in pure Python when
+# choosing files — no Spark job just to plan the read.
+# --------------------------------------------------------------------------
+def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+    """k bit positions of a literal key — must mirror the Spark-side
+    expression in _file_blooms exactly (string rendering of int/str
+    keys matches Spark's cast-to-string for those types)."""
+    return [
+        int(hashlib.sha256(f"{value}|{i}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+def _file_blooms(
+    spark: SparkSession, stage_dir: str, col: str, m: int, k: int
+) -> dict[str, list[list[int]]]:
+    """Per staged file: sparse [word_index, or'd 64-bit word] pairs over
+    the k sha256-derived bit positions of every value of ``col``.
+
+    One distributed pass over the staged data (the rows were just
+    written, so they are page-cache-hot): explode each row into its k
+    positions, bit_or per (file, word) — two map-side-combinable
+    aggregates, collect size ≤ files × m/64 longs by construction."""
+    from pyspark.sql import functions as FF
+
+    df = spark.read.parquet(stage_dir)
+    pos = [
+        (
+            FF.conv(
+                FF.substring(
+                    FF.sha2(
+                        FF.concat_ws(
+                            "|", FF.col(col).cast("string"), FF.lit(str(i))
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        for i in range(k)
+    ]
+    rows = (
+        df.filter(FF.col(col).isNotNull())
+        .select(
+            FF.element_at(FF.split(FF.input_file_name(), "/"), -1).alias("fname"),
+            FF.explode(FF.array(*pos)).alias("pos"),
+        )
+        .select(
+            "fname",
+            (FF.col("pos") / 64).cast("long").alias("word"),
+            FF.call_function(
+                "shiftleft", FF.lit(1).cast("long"), (FF.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("fname", "word")
+        .agg(FF.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    out: dict[str, list[list[int]]] = {}
+    for r in rows:
+        out.setdefault(r["fname"], []).append([int(r["word"]), int(r["bits"])])
+    return out
+
+
+def _bloom_file_hit(words: list[list[int]], positions: list[int]) -> bool:
+    """True iff every position's bit is set (possible member)."""
+    lut = {w: b for w, b in words}
+    for p in positions:
+        if not (lut.get(p // 64, 0) & (1 << (p % 64))):
+            return False
+    return True
+
+
 def _commit_replace(
     spark: SparkSession,
     merged: DataFrame,
@@ -551,6 +653,8 @@ def _commit_replace(
     carried_stats: dict[str, list] | None = None,
     stats_cols: list[str] | None = None,
     carried_col_stats: dict[str, dict] | None = None,
+    bloom_spec: dict | None = None,
+    carried_blooms: dict | None = None,
 ) -> int:
     """Publish ``merged``'s rewrite as version base+1: the manifest
     references the newly staged files plus any ``carried`` files
@@ -568,6 +672,14 @@ def _commit_replace(
     new_files: list[str] = []
     stats: dict[str, list] = dict(carried_stats or {})
     col_stats: dict[str, dict] = dict(carried_col_stats or {})
+    blooms: dict[str, list] = dict(carried_blooms or {})
+    staged_blooms: dict[str, list] = (
+        _file_blooms(
+            spark, stage_dir, bloom_spec["col"], bloom_spec["m"], bloom_spec["k"]
+        )
+        if bloom_spec
+        else {}
+    )
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
@@ -584,6 +696,8 @@ def _commit_replace(
             col_stats[unique] = _file_stats_multi(
                 os.path.join(stage_dir, name), stats_cols
             )
+        if bloom_spec and name in staged_blooms:
+            blooms[unique] = staged_blooms[name]
     manifest = {
         "version": base + 1,
         "files": (carried or []) + new_files,
@@ -598,6 +712,9 @@ def _commit_replace(
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["col_stats"] = col_stats
+    if bloom_spec:
+        manifest["bloom_spec"] = bloom_spec
+        manifest["blooms"] = blooms
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -642,6 +759,7 @@ def commit_delete(
         base,
         stats_col=prev.get("stats_col"),
         stats_cols=prev.get("stats_cols"),
+        bloom_spec=prev.get("bloom_spec"),
     )
 
 
@@ -680,6 +798,8 @@ def commit_append_with_stats(
         carried_stats=man.get("stats", {}),
         stats_cols=stats_cols,
         carried_col_stats=man.get("col_stats", {}),
+        bloom_spec=man.get("bloom_spec"),
+        carried_blooms=man.get("blooms", {}),
     )
 
 
@@ -847,6 +967,8 @@ def commit_upsert_cow(
             carried_stats=man.get("stats", {}),
             stats_cols=man.get("stats_cols"),
             carried_col_stats=man.get("col_stats", {}),
+            bloom_spec=man.get("bloom_spec"),
+            carried_blooms=man.get("blooms", {}),
         )
     stats = man.get("stats", {})
     touched = [
@@ -863,6 +985,7 @@ def commit_upsert_cow(
     else:
         merged = df
     col_stats = man.get("col_stats", {})
+    blooms = man.get("blooms", {})
     return _commit_replace(
         spark,
         merged,
@@ -873,4 +996,95 @@ def commit_upsert_cow(
         carried_stats={n: stats[n] for n in untouched if n in stats},
         stats_cols=man.get("stats_cols"),
         carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
+        bloom_spec=man.get("bloom_spec"),
+        carried_blooms={n: blooms[n] for n in untouched if n in blooms},
     )
+
+
+def commit_append_with_bloom(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    bloom_col: str,
+    m: int = 8192,
+    k: int = 4,
+    expected_base: int | None = None,
+) -> int:
+    """Keyed idempotent append that also maintains a per-file Bloom
+    index on ``bloom_col`` — the pruning structure for POINT lookups on
+    a column whose values are scattered across files, where the zone
+    map's [min, max] overlaps everything (Delta's bloom filter index;
+    Iceberg puffin blobs play the same role).
+
+    The spec {col, m, k} is fixed at table creation and inherited by
+    every later commit kind: appends index their new files; rewrite
+    commits (upsert, delete, compact) re-derive bits for rewritten
+    files and carry untouched files' bits forward by reference — the
+    index can never silently go stale. Size ``m`` at ~8-16 bits per
+    expected key per file; the manifest stores only the or'd nonzero
+    words (≤ m/64 longs per file).
+    """
+    base = current_version(path) if expected_base is None else expected_base
+    spec = {"col": bloom_col, "m": int(m), "k": int(k)}
+    if base >= 0:
+        prev = _read_manifest(path, base).get("bloom_spec")
+        if prev is not None and prev != spec and (m, k) != (8192, 4):
+            raise ValueError(f"table already has bloom spec {prev}, got {spec}")
+        spec = prev or spec
+    return commit_append(
+        spark, df, path, key=key, expected_base=base, bloom_spec=spec
+    )
+
+
+def bloom_file_candidates(path: str, value, version: int | None = None) -> list[str]:
+    """Files that MIGHT contain ``value`` in the bloom-indexed column:
+    every file whose stored words have all k of the value's bits set
+    (plus any file with no bits recorded, scanned conservatively).
+    False negatives are impossible — construction sets exactly the
+    bits the probe tests, over every value in the file."""
+    v = current_version(path) if version is None else version
+    man = _read_manifest(path, v)
+    spec = man.get("bloom_spec")
+    if spec is None:
+        raise ValueError(f"table at {path} has no bloom index")
+    positions = _bloom_positions_py(value, spec["m"], spec["k"])
+    blooms = man.get("blooms", {})
+    return [
+        n
+        for n in man["files"]
+        if n not in blooms or _bloom_file_hit(blooms[n], positions)
+    ]
+
+
+def read_table_point(
+    spark: SparkSession, path: str, value, version: int | None = None
+) -> DataFrame:
+    """Point lookup pruned by the per-file Bloom index: only files
+    whose bloom admits ``value`` are scanned (the driver recomputes
+    the key's bit positions in pure Python — planning the read costs
+    no Spark job), then the exact equality predicate filters residual
+    false-positive rows."""
+    v = current_version(path) if version is None else version
+    man = _read_manifest(path, v)
+    chosen = bloom_file_candidates(path, value, version=v)
+    col = man["bloom_spec"]["col"]
+    if not chosen:
+        return spark.createDataFrame([], man["schema_ddl"])
+    from pyspark.sql import functions as FF
+
+    return (
+        spark.read.schema(man["schema_ddl"])
+        .parquet(*[os.path.join(path, "data", n) for n in chosen])
+        .filter(FF.col(col) == value)
+    )
+
+
+def bloom_pruned_file_count(
+    path: str, value, version: int | None = None
+) -> tuple[int, int]:
+    """(files scanned, files total) for a point lookup — the
+    observability hook for bloom-index effectiveness."""
+    v = current_version(path) if version is None else version
+    man = _read_manifest(path, v)
+    return len(bloom_file_candidates(path, value, version=v)), len(man["files"])

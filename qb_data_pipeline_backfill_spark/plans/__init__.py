@@ -40,6 +40,7 @@ prioritize(
         "contract_ivfpq_adc",
         "corpus_dup_gram_stats",
         "bpe_pair_counts",
+        "txn_bloom_point_lookup",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

@@ -61,3 +61,32 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
+
+
+@register(
+    "txn_bloom_point_lookup",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate "
+    "FROM orders WHERE o_custkey = 37",
+    doc="Point lookup through the transactional table's per-file Bloom "
+    "index (operators/txn.py commit_append_with_bloom / "
+    "read_table_point — the Delta bloom-filter-index analog): orders "
+    "land as 8 hash-partitioned files with per-file bloom bits on the "
+    "UNCLUSTERED o_custkey column (zone maps prune nothing there); the "
+    "driver recomputes the probe key's bit positions in pure Python and "
+    "scans only admitting files. Value-hash equality with a plain "
+    "filter proves no false negatives.",
+)
+def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_bloom_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    # keyed append: a replayed gate run inserts zero rows (idempotent)
+    txn.commit_append_with_bloom(
+        spark, orders, path, key="o_orderkey", bloom_col="o_custkey"
+    )
+    return txn.read_table_point(spark, path, 37).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )

@@ -498,3 +498,81 @@ def test_zorder_clustered_table_prunes_multiplicatively(spark, tmp_path):
     assert sx < 16 and sy == ty == 16
     # same answer, worse pruning
     assert txn.read_table_where_multi(spark, xpath, box).count() == 64
+
+
+# --------------------------------------------------------------------------
+# per-file Bloom index (point-lookup pruning)
+# --------------------------------------------------------------------------
+def _bloom_table(spark, tmp_path):
+    """4 appends × disjoint key ranges; the bloom column u = k + 10000
+    is unique per row but UNSORTED across files from the zone map's
+    point of view (every file's [min,max] on u overlaps any probe only
+    within its own range — so we bloom-index u, not the key)."""
+    path = str(tmp_path / "bt")
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") + 10000).alias("u")
+        )
+        txn.commit_append_with_bloom(spark, df, path, key="k", bloom_col="u")
+    return path
+
+
+def test_bloom_point_lookup_no_false_negatives(spark, tmp_path):
+    path = _bloom_table(spark, tmp_path)
+    # every committed value must be found, exactly once
+    for probe in (10000, 10150, 10250, 10399):
+        rows = txn.read_table_point(spark, path, probe).collect()
+        assert [(r["k"], r["u"]) for r in rows] == [(probe - 10000, probe)]
+
+
+def test_bloom_prunes_most_files(spark, tmp_path):
+    path = _bloom_table(spark, tmp_path)
+    scanned, total = txn.bloom_pruned_file_count(path, 10150)
+    assert total >= 4 and scanned < total
+    # absent key: usually zero candidate files; false positives allowed
+    # but the read must still return nothing
+    assert txn.read_table_point(spark, path, 99999).count() == 0
+
+
+def test_bloom_survives_rewrite_commits(spark, tmp_path):
+    path = _bloom_table(spark, tmp_path)
+    # upsert_cow needs key zone maps — this table was built with plain
+    # bloom appends, so exercise delete + compact + plain upsert instead
+    txn.commit_delete(spark, spark.createDataFrame([(150,)], "k long"), path, key="k")
+    assert txn.read_table_point(spark, path, 10150).count() == 0
+    upd = spark.createDataFrame([(151, 77777)], "k long, u long")
+    txn.commit_upsert(spark, upd, path, key="k")
+    assert [
+        r["k"] for r in txn.read_table_point(spark, path, 77777).collect()
+    ] == [151]
+    # the old u value of key 151 must no longer be reachable
+    assert txn.read_table_point(spark, path, 10151).count() == 0
+    txn.commit_compact(spark, path, target_partitions=2)
+    assert [
+        r["k"] for r in txn.read_table_point(spark, path, 77777).collect()
+    ] == [151]
+    scanned, total = txn.bloom_pruned_file_count(path, 77777)
+    assert scanned <= total
+
+
+def test_bloom_with_string_column_and_stats_table(spark, tmp_path):
+    path = str(tmp_path / "bs")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("user-"), F.col("id").cast("string")).alias("name"),
+    )
+    txn.commit_append_with_bloom(spark, df, path, key="k", bloom_col="name")
+    got = txn.read_table_point(spark, path, "user-37").collect()
+    assert [(r["k"], r["name"]) for r in got] == [(37, "user-37")]
+    assert txn.read_table_point(spark, path, "user-999").count() == 0
+
+
+def test_bloom_spec_conflict_rejected(spark, tmp_path):
+    path = str(tmp_path / "bc")
+    df = spark.range(0, 10).select(F.col("id").alias("k"), F.col("id").alias("u"))
+    txn.commit_append_with_bloom(spark, df, path, key="k", bloom_col="u", m=4096)
+    with pytest.raises(ValueError, match="bloom spec"):
+        txn.commit_append_with_bloom(
+            spark, _df(spark, 10, 20).withColumn("u", F.col("k")), path,
+            key="k", bloom_col="u", m=1024,
+        )
