@@ -40,7 +40,12 @@ conditional PUT) or a log service — the protocol is unchanged. This
 is deliberately the minimal core, not a table format: additive schema
 evolution works (the latest manifest's schema governs; older files
 surface NULL for added columns — pytest-proven), but there are no
-renames/drops and no deletion vectors.
+renames/drops. Deletes come in both industry shapes: copy-on-write
+(``commit_delete``) and merge-on-read (``commit_delete_mor``,
+file-scoped deletion vectors applied as a broadcast anti-join at read
+and materialized away by compaction). Point lookups on unclustered
+columns prune through a per-file Bloom index
+(``commit_append_with_bloom`` / ``read_table_point``).
 """
 
 from __future__ import annotations
@@ -168,13 +173,44 @@ def _write_manifest_json(manifest: dict, tmp: str) -> None:
         json.dump(enc, f)
 
 
+def _apply_dvs(spark: SparkSession, path: str, man: dict, df: DataFrame) -> DataFrame:
+    """Filter out rows covered by the manifest's deletion vectors.
+
+    A DV row is (file_name, key): it suppresses that key ONLY inside
+    that named data file, so a later re-append or upsert of the same
+    key (which lands in a NEW file) is never shadowed. ``df`` must be
+    a direct parquet scan of the manifest's files — the file identity
+    comes from input_file_name(). DV sets are delete batches, so the
+    anti-join broadcasts them and the table side never shuffles; a
+    table whose DVs have grown large should compact (which
+    materializes the deletes and clears the vectors)."""
+    dvs = man.get("dvs")
+    if not dvs:
+        return df
+    from pyspark.sql import functions as FF
+
+    key = man["dv_key"]
+    dv = spark.read.parquet(*[os.path.join(path, "data", n) for n in dvs])
+    dvr = dv.select(FF.col("file_name").alias("__dv_file"), FF.col(key))
+    tagged = df.withColumn(
+        "__dv_file", FF.element_at(FF.split(FF.input_file_name(), "/"), -1)
+    )
+    return tagged.join(
+        FF.broadcast(dvr.dropDuplicates(["__dv_file", key])),
+        ["__dv_file", key],
+        "left_anti",
+    ).drop("__dv_file")
+
+
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
-    """Snapshot read of one committed version (time travel)."""
+    """Snapshot read of one committed version (time travel), with any
+    deletion vectors of that version applied."""
     man = _read_manifest(path, version)
     files = [os.path.join(path, "data", name) for name in man["files"]]
     if not files:
         return spark.createDataFrame([], man["schema_ddl"])
-    return spark.read.schema(man["schema_ddl"]).parquet(*files)
+    df = spark.read.schema(man["schema_ddl"]).parquet(*files)
+    return _apply_dvs(spark, path, man, df)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -285,6 +321,11 @@ def commit_append(
     if bloom_spec:
         manifest["bloom_spec"] = bloom_spec
         manifest["blooms"] = blooms
+    if prev.get("dvs"):
+        # carried files keep their deletion vectors; new files are
+        # fresh appends no DV row can reference
+        manifest["dvs"] = prev["dvs"]
+        manifest["dv_key"] = prev.get("dv_key")
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -319,7 +360,9 @@ def vacuum(path: str, retention_seconds: float = 24 * 3600.0) -> list[str]:
     cutoff = time.time() - retention_seconds
     referenced: set[str] = set()
     for version in _manifest_versions(path):
-        referenced.update(_read_manifest(path, version)["files"])
+        man = _read_manifest(path, version)
+        referenced.update(man["files"])
+        referenced.update(man.get("dvs", []))
     removed = []
     data_dir = os.path.join(path, "data")
     if os.path.isdir(data_dir):
@@ -655,6 +698,8 @@ def _commit_replace(
     carried_col_stats: dict[str, dict] | None = None,
     bloom_spec: dict | None = None,
     carried_blooms: dict | None = None,
+    carried_dvs: list | None = None,
+    dv_key: str | None = None,
 ) -> int:
     """Publish ``merged``'s rewrite as version base+1: the manifest
     references the newly staged files plus any ``carried`` files
@@ -715,6 +760,9 @@ def _commit_replace(
     if bloom_spec:
         manifest["bloom_spec"] = bloom_spec
         manifest["blooms"] = blooms
+    if carried_dvs:
+        manifest["dvs"] = carried_dvs
+        manifest["dv_key"] = dv_key
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -800,6 +848,8 @@ def commit_append_with_stats(
         carried_col_stats=man.get("col_stats", {}),
         bloom_spec=man.get("bloom_spec"),
         carried_blooms=man.get("blooms", {}),
+        carried_dvs=man.get("dvs"),
+        dv_key=man.get("dv_key"),
     )
 
 
@@ -857,11 +907,9 @@ def read_table_where(
         empty = spark.createDataFrame([], man["schema_ddl"])
         return empty
     files = [os.path.join(path, "data", n) for n in chosen]
-    return (
-        spark.read.schema(man["schema_ddl"])
-        .parquet(*files)
-        .filter((FF.col(colname) >= lo) & (FF.col(colname) <= hi))
-    )
+    return _apply_dvs(
+        spark, path, man, spark.read.schema(man["schema_ddl"]).parquet(*files)
+    ).filter((FF.col(colname) >= lo) & (FF.col(colname) <= hi))
 
 
 def read_table_where_multi(
@@ -891,8 +939,13 @@ def read_table_where_multi(
         return spark.createDataFrame([], man["schema_ddl"])
     from pyspark.sql import functions as FF
 
-    out = spark.read.schema(man["schema_ddl"]).parquet(
-        *[os.path.join(path, "data", n) for n in chosen]
+    out = _apply_dvs(
+        spark,
+        path,
+        man,
+        spark.read.schema(man["schema_ddl"]).parquet(
+            *[os.path.join(path, "data", n) for n in chosen]
+        ),
     )
     for col, (lo, hi) in norm.items():
         out = out.filter((FF.col(col) >= lo) & (FF.col(col) <= hi))
@@ -969,6 +1022,8 @@ def commit_upsert_cow(
             carried_col_stats=man.get("col_stats", {}),
             bloom_spec=man.get("bloom_spec"),
             carried_blooms=man.get("blooms", {}),
+            carried_dvs=man.get("dvs"),
+            dv_key=man.get("dv_key"),
         )
     stats = man.get("stats", {})
     touched = [
@@ -979,7 +1034,9 @@ def commit_upsert_cow(
     untouched = [n for n in man["files"] if n not in set(touched)]
     if touched:
         tfiles = [os.path.join(path, "data", n) for n in touched]
-        current = spark.read.schema(man["schema_ddl"]).parquet(*tfiles)
+        current = _apply_dvs(
+            spark, path, man, spark.read.schema(man["schema_ddl"]).parquet(*tfiles)
+        )
         survivors = current.join(df.select(key), key, "left_anti")
         merged = survivors.unionByName(df)
     else:
@@ -998,6 +1055,10 @@ def commit_upsert_cow(
         carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
         bloom_spec=man.get("bloom_spec"),
         carried_blooms={n: blooms[n] for n in untouched if n in blooms},
+        # DV rows for rewritten files go inert (their file names leave
+        # the manifest); rows for untouched files must keep applying.
+        carried_dvs=man.get("dvs"),
+        dv_key=man.get("dv_key"),
     )
 
 
@@ -1073,11 +1134,14 @@ def read_table_point(
         return spark.createDataFrame([], man["schema_ddl"])
     from pyspark.sql import functions as FF
 
-    return (
-        spark.read.schema(man["schema_ddl"])
-        .parquet(*[os.path.join(path, "data", n) for n in chosen])
-        .filter(FF.col(col) == value)
-    )
+    return _apply_dvs(
+        spark,
+        path,
+        man,
+        spark.read.schema(man["schema_ddl"]).parquet(
+            *[os.path.join(path, "data", n) for n in chosen]
+        ),
+    ).filter(FF.col(col) == value)
 
 
 def bloom_pruned_file_count(
@@ -1088,3 +1152,99 @@ def bloom_pruned_file_count(
     v = current_version(path) if version is None else version
     man = _read_manifest(path, v)
     return len(bloom_file_candidates(path, value, version=v)), len(man["files"])
+
+
+def commit_delete_mor(
+    spark: SparkSession,
+    keys: DataFrame,
+    path: str,
+    key: str,
+    expected_base: int | None = None,
+) -> int:
+    """Merge-on-read delete: record (file_name, key) deletion-vector
+    rows instead of rewriting any data file — the Delta deletion-vector
+    / Iceberg v2 merge-on-read analog, and the right delete shape at
+    100 TB where ``commit_delete``'s copy-on-write rewrite would churn
+    petabytes to remove a few keys.
+
+    The DV is computed by probing only the files whose rows match (one
+    broadcast join of the delete batch against the snapshot, tagged
+    with input_file_name), staged as parquet, and published in the
+    same atomic manifest CAS as every other commit. File-scoping is
+    what keeps later writes correct: a re-appended or upserted key
+    lands in a NEW file no DV row references, so it is never shadowed.
+    Readers pay one broadcast anti-join until ``commit_compact`` (or
+    any full rewrite) materializes the deletes and clears the vectors.
+    """
+    base = current_version(path) if expected_base is None else expected_base
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    if man.get("dv_key") not in (None, key):
+        raise ValueError(
+            f"table's deletion vectors are keyed on {man['dv_key']!r}, got {key!r}"
+        )
+    from pyspark.sql import functions as FF
+
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    os.makedirs(_txn_dir(path), exist_ok=True)
+    stage_id = uuid.uuid4().hex
+    stage_dir = os.path.join(path, "_staging", stage_id)
+    files = [os.path.join(path, "data", n) for n in man["files"]]
+    if files:
+        tagged = (
+            spark.read.schema(man["schema_ddl"])
+            .parquet(*files)
+            .withColumn(
+                "file_name",
+                FF.element_at(FF.split(FF.input_file_name(), "/"), -1),
+            )
+        )
+        hits = (
+            tagged.join(
+                FF.broadcast(keys.select(key).dropDuplicates([key])), key, "inner"
+            )
+            .select("file_name", key)
+            .dropDuplicates(["file_name", key])
+        )
+    else:
+        hits = keys.select(
+            FF.lit("").alias("file_name"), FF.col(key)
+        ).limit(0)
+    hits.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+    dv_files = []
+    for name in sorted(os.listdir(stage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        unique = f"{stage_id}-dv-{name}"
+        os.link(os.path.join(stage_dir, name), os.path.join(path, "data", unique))
+        dv_files.append(unique)
+    manifest = {
+        "version": base + 1,
+        "files": man["files"],
+        "schema_ddl": man["schema_ddl"],
+        "parent": base,
+        "dvs": man.get("dvs", []) + dv_files,
+        "dv_key": key,
+    }
+    for fld in ("stats_col", "stats", "stats_cols", "col_stats", "bloom_spec", "blooms"):
+        if fld in man:
+            manifest[fld] = man[fld]
+    tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
+    _write_manifest_json(manifest, tmp)
+    try:
+        os.link(tmp, _manifest_path(path, base + 1))
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {base + 1} already committed under {path}"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    return base + 1
+
+
+def dv_file_count(path: str, version: int | None = None) -> int:
+    """Number of live deletion-vector files — the compaction-cadence
+    observability hook (large = readers pay a bigger anti-join)."""
+    v = current_version(path) if version is None else version
+    return len(_read_manifest(path, v).get("dvs", []))

@@ -576,3 +576,93 @@ def test_bloom_spec_conflict_rejected(spark, tmp_path):
             spark, _df(spark, 10, 20).withColumn("u", F.col("k")), path,
             key="k", bloom_col="u", m=1024,
         )
+
+
+# --------------------------------------------------------------------------
+# merge-on-read deletion vectors
+# --------------------------------------------------------------------------
+def _keys(spark, *ks):
+    return spark.createDataFrame([(k,) for k in ks], "k long")
+
+
+def test_delete_mor_hides_rows_without_rewriting_files(spark, tmp_path):
+    path = str(tmp_path / "mor")
+    txn.commit_append(spark, _df(spark, 0, 100), path, key="k")
+    files_before = set(txn._read_manifest(path, 0)["files"])
+    v = txn.commit_delete_mor(spark, _keys(spark, 10, 20, 30), path, key="k")
+    man = txn._read_manifest(path, v)
+    assert set(man["files"]) == files_before  # zero data files rewritten
+    assert man["dvs"]
+    got = txn.read_table(spark, path)
+    assert got.count() == 97
+    assert got.filter(F.col("k").isin(10, 20, 30)).count() == 0
+    # time travel before the delete still sees all rows
+    assert txn.read_version(spark, path, 0).count() == 100
+
+
+def test_delete_mor_reappend_and_upsert_not_shadowed(spark, tmp_path):
+    path = str(tmp_path / "mor2")
+    txn.commit_append(spark, _df(spark, 0, 50), path, key="k")
+    txn.commit_delete_mor(spark, _keys(spark, 7), path, key="k")
+    assert txn.read_table(spark, path).filter(F.col("k") == 7).count() == 0
+    # keyed re-append: key 7 no longer exists in the snapshot, so the
+    # idempotence anti-join lets it back in — into a NEW file the DV
+    # cannot reference
+    txn.commit_append(spark, _df(spark, 7, 8), path, key="k")
+    assert txn.read_table(spark, path).filter(F.col("k") == 7).count() == 1
+    # upsert of another deleted key must also surface the new row
+    txn.commit_delete_mor(spark, _keys(spark, 9), path, key="k")
+    upd = spark.createDataFrame([(9, 999)], "k long, v long")
+    txn.commit_upsert(spark, upd, path, key="k")
+    assert [r["v"] for r in
+            txn.read_table(spark, path).filter(F.col("k") == 9).collect()] == [999]
+
+
+def test_delete_mor_compact_materializes_and_clears_dvs(spark, tmp_path):
+    path = str(tmp_path / "mor3")
+    txn.commit_append(spark, _df(spark, 0, 100), path, key="k")
+    txn.commit_delete_mor(spark, _keys(spark, *range(0, 100, 2)), path, key="k")
+    assert txn.dv_file_count(path) == 1
+    v = txn.commit_compact(spark, path, target_partitions=1)
+    assert txn.dv_file_count(path) == 0
+    got = txn.read_version(spark, path, v)
+    assert got.count() == 50
+    assert got.filter(F.col("k") % 2 == 0).count() == 0
+    # dv files are still referenced by the OLD manifest: vacuum keeps
+    # them until those manifests are expired (staging debris may go)
+    assert not any("-dv-" in n for n in txn.vacuum(path, retention_seconds=0.0))
+    txn.checkpoint(path)
+    txn.expire_manifests(path)
+    removed = txn.vacuum(path, retention_seconds=0.0)
+    assert any("-dv-" in n for n in removed)
+    assert txn.read_table(spark, path).count() == 50
+
+
+def test_delete_mor_respects_pruned_readers(spark, tmp_path):
+    path = str(tmp_path / "mor4")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") + 10000).alias("u")
+    )
+    txn.commit_append_with_bloom(spark, df, path, key="k", bloom_col="u")
+    txn.commit_delete_mor(spark, _keys(spark, 42), path, key="k")
+    # bloom point lookup must not resurrect the DV'd row
+    assert txn.read_table_point(spark, path, 10042).count() == 0
+    assert txn.read_table_point(spark, path, 10043).count() == 1
+
+
+def test_delete_mor_zone_map_reader_and_cow_upsert(spark, tmp_path):
+    path = str(tmp_path / "mor5")
+    for lo in (0, 100):
+        txn.commit_append_with_stats(spark, _df(spark, lo, lo + 100), path, key="k")
+    txn.commit_delete_mor(spark, _keys(spark, 5, 150), path, key="k")
+    assert txn.read_table_where(spark, path, 0, 99).count() == 99
+    # CoW upsert touching the low file: its DV'd key 5 must stay
+    # deleted (survivors are read DV-aware), the untouched high file's
+    # DV on 150 must keep applying
+    upd = spark.createDataFrame([(6, 666)], "k long, v long")
+    txn.commit_upsert_cow(spark, upd, path, key="k")
+    got = txn.read_table(spark, path)
+    assert got.filter(F.col("k") == 5).count() == 0
+    assert got.filter(F.col("k") == 150).count() == 0
+    assert [r["v"] for r in got.filter(F.col("k") == 6).collect()] == [666]
+    assert got.count() == 198
