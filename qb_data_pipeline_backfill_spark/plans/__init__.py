@@ -41,6 +41,7 @@ prioritize(
         "corpus_dup_gram_stats",
         "bpe_pair_counts",
         "txn_bloom_point_lookup",
+        "txn_mor_delete_read",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

@@ -90,3 +90,38 @@ def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn.read_table_point(spark, path, 37).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
+
+
+@register(
+    "txn_mor_delete_read",
+    oracle="SELECT o_orderstatus, COUNT(*) AS n_orders, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price "
+    "FROM orders WHERE o_orderkey % 97 != 0 GROUP BY o_orderstatus",
+    doc="Snapshot read through merge-on-read deletion vectors "
+    "(operators/txn.py commit_delete_mor): orders commit as an "
+    "8-file table, every 97th order key is deleted WITHOUT rewriting "
+    "any data file (file-scoped DV rows, applied as one broadcast "
+    "anti-join at read), then the post-delete snapshot aggregates by "
+    "status. Hash equality with a plain filtered aggregate proves DV "
+    "application is exact. Both commits replay idempotently: the keyed "
+    "append inserts zero on rerun, the repeated DV rows dedup at read.",
+)
+def txn_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_mor_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    txn.commit_append(spark, orders, path, key="o_orderkey")
+    doomed = orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
+    snap = txn.read_table(spark, path)
+    from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
+
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        decimal_sum("o_totalprice").alias("sum_price"),
+    )

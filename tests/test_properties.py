@@ -176,3 +176,52 @@ def test_wav_roundtrip_property(n, rate, seed):
     buf = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
     got_rate, got = M._decode_wav(buf)
     assert got_rate == rate and np.array_equal(got, samples)
+
+
+# --------------------------------------------------------------------------
+# txn bloom index: driver-side Python positions == Spark-side positions
+# --------------------------------------------------------------------------
+_bloom_keys = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA1),
+        max_size=40,
+    ),
+)
+
+
+@settings(**_SETTINGS)
+@given(value=_bloom_keys, m=st.sampled_from([1024, 8192]), k=st.integers(1, 6))
+def test_bloom_positions_python_matches_spark(spark, value, m, k):
+    """read_table_point's soundness rests on the driver's pure-Python
+    hash family producing the SAME bit positions Spark set at write
+    time — for any key value, not just the fixtures."""
+    from pyspark.sql import functions as FF
+
+    from qb_data_pipeline_backfill_spark.operators.txn import _bloom_positions_py
+
+    expected = _bloom_positions_py(value, m, k)
+    df = spark.createDataFrame(
+        [(value,)], "c long" if isinstance(value, int) else "c string"
+    )
+    got = df.select(
+        *[
+            (
+                FF.conv(
+                    FF.substring(
+                        FF.sha2(
+                            FF.concat_ws("|", FF.col("c").cast("string"), FF.lit(str(i))),
+                            256,
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            ).alias(f"p{i}")
+            for i in range(k)
+        ]
+    ).collect()[0]
+    assert [got[f"p{i}"] for i in range(k)] == expected
