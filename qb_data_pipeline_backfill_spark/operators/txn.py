@@ -1248,3 +1248,51 @@ def dv_file_count(path: str, version: int | None = None) -> int:
     observability hook (large = readers pay a bigger anti-join)."""
     v = current_version(path) if version is None else version
     return len(_read_manifest(path, v).get("dvs", []))
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions (Delta CDF
+    analog): every row of the ``to`` snapshot not present identically
+    in ``from`` surfaces as ``insert`` or ``update``, every ``from``
+    key missing in ``to`` as ``delete``. Output = full ``to``/``from``
+    row + ``_change_type`` — the shape a downstream incremental
+    consumer (sync to a serving store, streaming backfill of a
+    derived table) joins on.
+
+    Computed as one full-outer join of the two snapshots on ``key``
+    (both sides are manifest-pinned parquet scans, DV-aware; the join
+    co-partitions on the key — one shuffle each side). Unchanged rows
+    are dropped by comparing the full row struct, so the feed size is
+    proportional to the CHANGE set, not the table. ``key`` defaults to
+    the table's zone-map/stats column.
+    """
+    to_v = current_version(path) if to_version is None else to_version
+    man = _read_manifest(path, to_v)
+    k = key or man.get("stats_col") or man.get("dv_key")
+    if k is None:
+        raise ValueError("pass key= (table has no stats/dv key to infer it from)")
+    from pyspark.sql import functions as FF
+
+    cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
+    old = read_version(spark, path, from_version)
+    new = read_version(spark, path, to_v)
+    o = old.select(FF.col(k).alias("__k"), FF.struct(*cols).alias("__old"))
+    n = new.select(FF.col(k).alias("__k"), FF.struct(*cols).alias("__new"))
+    j = o.join(n, "__k", "full_outer")
+    # null-safe struct comparison: a field changing to/from NULL is a
+    # change, not a three-valued-logic drop
+    changed = j.filter(~FF.col("__old").eqNullSafe(FF.col("__new")))
+    picked = changed.select(
+        FF.coalesce(FF.col("__new"), FF.col("__old")).alias("__row"),
+        FF.when(FF.col("__old").isNull(), FF.lit("insert"))
+        .when(FF.col("__new").isNull(), FF.lit("delete"))
+        .otherwise(FF.lit("update"))
+        .alias("_change_type"),
+    )
+    return picked.select(*[FF.col(f"__row.{c}").alias(c) for c in cols], "_change_type")

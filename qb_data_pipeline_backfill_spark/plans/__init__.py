@@ -42,6 +42,7 @@ prioritize(
         "bpe_pair_counts",
         "txn_bloom_point_lookup",
         "txn_mor_delete_read",
+        "txn_cdf_feed",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

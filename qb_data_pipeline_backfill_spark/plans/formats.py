@@ -125,3 +125,53 @@ def txn_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         decimal_sum("o_totalprice").alias("sum_price"),
     )
+
+
+@register(
+    "txn_cdf_feed",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, 'X-CDC' AS o_orderpriority, 'update' AS _change_type
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               'X-CDC' AS o_orderpriority, 'insert' AS _change_type
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    deletes AS (
+        SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type
+        FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey % 101 != 0
+    )
+    SELECT * FROM updates
+    UNION ALL SELECT * FROM inserts
+    UNION ALL SELECT * FROM deletes
+    """,
+    doc="Change data feed (operators/txn.py table_changes, the Delta CDF "
+    "analog): orders commit as v0, then a delete batch and an upsert "
+    "batch (updates + brand-new keys) mutate the table; the feed between "
+    "v0 and the head must classify every net row change as "
+    "insert/update/delete — including delete-then-reupsert keys, which "
+    "must collapse to a single update. The oracle states the expected "
+    "net diff in closed form. Replay-idempotent: rerunning the commits "
+    "reaches the same snapshot, so the feed is unchanged.",
+)
+def txn_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_cdf_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+    doomed = orders.filter(F.col("o_orderkey") % 103 == 0).select("o_orderkey")
+    txn.commit_delete(spark, doomed, path, key="o_orderkey")
+    upd = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderpriority", F.lit("X-CDC")
+    )
+    ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+    txn.commit_upsert(spark, upd.unionByName(ins), path, key="o_orderkey")
+    feed = txn.table_changes(spark, path, 0)
+    return feed.select("o_orderkey", "o_orderpriority", "_change_type")

@@ -666,3 +666,53 @@ def test_delete_mor_zone_map_reader_and_cow_upsert(spark, tmp_path):
     assert got.filter(F.col("k") == 150).count() == 0
     assert [r["v"] for r in got.filter(F.col("k") == 6).collect()] == [666]
     assert got.count() == 198
+
+
+# --------------------------------------------------------------------------
+# change data feed
+# --------------------------------------------------------------------------
+def test_table_changes_classifies_all_three_kinds(spark, tmp_path):
+    path = str(tmp_path / "cdf")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    # v1: update k=3 (v 30→333), delete k=7, insert k=100
+    upd = spark.createDataFrame([(3, 333), (100, 1000)], "k long, v long")
+    txn.commit_upsert(spark, upd, path, key="k")
+    txn.commit_delete(spark, spark.createDataFrame([(7,)], "k long"), path, key="k")
+    feed = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in txn.table_changes(spark, path, 0).collect()
+    }
+    assert feed == {(3, 333, "update"), (100, 1000, "insert"), (7, 70, "delete")}
+
+
+def test_table_changes_empty_for_identical_versions(spark, tmp_path):
+    path = str(tmp_path / "cdf2")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 20), path, key="k")
+    # idempotent replay commits a new version with zero new rows
+    txn.commit_append_with_stats(spark, _df(spark, 0, 20), path, key="k")
+    assert txn.table_changes(spark, path, 0, 1).count() == 0
+
+
+def test_table_changes_sees_through_mor_deletes(spark, tmp_path):
+    path = str(tmp_path / "cdf3")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(4,)], "k long"), path, key="k"
+    )
+    feed = [
+        (r["k"], r["_change_type"])
+        for r in txn.table_changes(spark, path, 0).collect()
+    ]
+    assert feed == [(4, "delete")]
+
+
+def test_table_changes_null_field_transition_is_update(spark, tmp_path):
+    path = str(tmp_path / "cdf4")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 5), path, key="k")
+    upd = spark.createDataFrame([(2, None)], "k long, v long")
+    txn.commit_upsert(spark, upd, path, key="k")
+    feed = [
+        (r["k"], r["v"], r["_change_type"])
+        for r in txn.table_changes(spark, path, 0).collect()
+    ]
+    assert feed == [(2, None, "update")]
