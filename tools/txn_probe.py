@@ -1,0 +1,155 @@
+"""Txn-table maintenance probe: measured MoR-vs-CoW delete cost and
+Bloom-index point-lookup pruning on an orders-sized table.
+
+Two claims the round-5 txn additions make about 100 TB behavior,
+measured at harness scale:
+
+1. DELETE SHAPE. Removing a handful of keys from a large table should
+   cost O(delete batch), not O(table). commit_delete (copy-on-write)
+   rewrites every surviving row; commit_delete_mor writes only
+   (file_name, key) DV rows and defers the filter to read time.
+   Measured: wall time of each delete commit on the same table, plus
+   the post-delete snapshot read cost (MoR pays a broadcast anti-join
+   per read until compaction materializes it).
+
+2. POINT-LOOKUP PRUNING. For an equality probe on an UNCLUSTERED
+   column, zone maps prune nothing (every file's [min,max] covers the
+   value); the per-file Bloom index should skip most files. Measured:
+   files scanned / files total across probe keys, plus lookup wall
+   time with and without the index.
+
+Usage: python tools/txn_probe.py [sf_dir] [n_files]
+Prints one JSON line; human summary to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators import txn
+from qb_data_pipeline_backfill_spark.session import get_spark
+from qb_data_pipeline_backfill_spark.tables import load_table
+
+PASSES = 2
+
+
+def _timed(fn):
+    best = float("inf")
+    for _ in range(PASSES):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    spark = get_spark("txn-probe")
+    orders = load_table(spark, sf_dir, "orders").repartition(n_files, "o_orderkey")
+    n_rows = orders.count()
+    doomed = orders.filter(F.col("o_orderkey") % 997 == 0).select("o_orderkey")
+    n_doomed = doomed.count()
+    base = tempfile.mkdtemp(prefix="txn_probe_")
+    out: dict = {"metric": "txn_probe", "sf_dir": sf_dir, "n_rows": n_rows,
+                 "n_files": n_files, "n_deleted": n_doomed}
+    try:
+        # -- delete shape ------------------------------------------------
+        cow, mor = os.path.join(base, "cow"), os.path.join(base, "mor")
+        for p in (cow, mor):
+            txn.commit_append(spark, orders, p, key="o_orderkey")
+
+        def _data_bytes(p):
+            d = os.path.join(p, "data")
+            return sum(
+                os.path.getsize(os.path.join(d, n)) for n in os.listdir(d)
+            )
+
+        b0 = _data_bytes(cow)
+        out["delete_cow_sec"] = _timed(
+            lambda: txn.commit_delete(spark, doomed, cow, key="o_orderkey")
+        )
+        out["delete_cow_bytes_written"] = _data_bytes(cow) - b0
+        b0 = _data_bytes(mor)
+        out["delete_mor_sec"] = _timed(
+            lambda: txn.commit_delete_mor(spark, doomed, mor, key="o_orderkey")
+        )
+        out["delete_mor_bytes_written"] = _data_bytes(mor) - b0
+        out["read_after_cow_sec"] = _timed(
+            lambda: txn.read_table(spark, cow).agg(F.count("*")).collect()
+        )
+        out["read_after_mor_sec"] = _timed(
+            lambda: txn.read_table(spark, mor).agg(F.count("*")).collect()
+        )
+        assert (
+            txn.read_table(spark, mor).count()
+            == txn.read_table(spark, cow).count()
+            == n_rows - n_doomed
+        )
+        # -- bloom point lookup -----------------------------------------
+        bp = os.path.join(base, "bloom")
+        txn.commit_append_with_bloom(
+            spark, orders, bp, key="o_orderkey", bloom_col="o_custkey",
+            m=64 * 1024,
+        )
+        probes = [r["o_custkey"] for r in
+                  orders.select("o_custkey").distinct().orderBy("o_custkey")
+                  .limit(20).collect()]
+        scanned = total = 0
+        for v in probes:
+            s, t = txn.bloom_pruned_file_count(bp, v)
+            scanned += s
+            total += t
+        out["bloom_files_scanned"] = scanned
+        out["bloom_files_total"] = total
+        out["bloom_scan_fraction"] = round(scanned / total, 4)
+        # sound pruning floor: files that TRULY contain each probe key
+        # (a false-negative-free index cannot scan fewer) — the gap to
+        # bloom_files_scanned is the false-positive overhead
+        truth = {
+            r["o_custkey"]: r["nf"]
+            for r in txn.read_table(spark, bp)
+            .filter(F.col("o_custkey").isin(probes))
+            .withColumn(
+                "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .groupBy("o_custkey")
+            .agg(F.countDistinct("f").alias("nf"))
+            .collect()
+        }
+        out["bloom_files_true"] = sum(truth.get(v, 0) for v in probes)
+        probe = probes[0]
+        out["lookup_bloom_sec"] = _timed(
+            lambda: txn.read_table_point(spark, bp, probe).collect()
+        )
+        out["lookup_fullscan_sec"] = _timed(
+            lambda: txn.read_table(spark, bp)
+            .filter(F.col("o_custkey") == probe)
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps(out))
+    print(
+        f"cow delete {out['delete_cow_sec']}s vs mor {out['delete_mor_sec']}s; "
+        f"read after cow {out['read_after_cow_sec']}s vs mor "
+        f"{out['read_after_mor_sec']}s; bloom scans "
+        f"{out['bloom_files_scanned']}/{out['bloom_files_total']} files, "
+        f"lookup {out['lookup_bloom_sec']}s vs fullscan "
+        f"{out['lookup_fullscan_sec']}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
