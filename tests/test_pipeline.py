@@ -220,3 +220,69 @@ def test_template_pipeline_imputes_upper_medians(spark, tmp_path, csv_server):
     # Age non-null sorted [22,26,35] → [3//2]=26; Fare [7.25,53.1,71.28] → 53.1
     assert ages == [22, 26, 26, 35]
     assert fares == [7.25, 53.1, 53.1, 71.28]
+
+
+def test_lakehouse_e2e_rest_to_txn_with_gdpr_and_cdf(spark, tmp_path):
+    """Full lakehouse loop composing the round-5 surface: REST
+    paginated extract → envelope → bloom-indexed txn table (replayed
+    extract inserts zero) → merge-on-read GDPR delete (no file
+    rewrite) → change data feed describing exactly the net deletes."""
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.operators.ingest import to_envelope
+    from qb_data_pipeline_backfill_spark.sources import stub_qbo as SQ
+    from qb_data_pipeline_backfill_spark.sources.rest import read_qbo
+
+    srv = SQ.StubQboServer("/root/testdata/sf0.001/customer.parquet")
+    try:
+        opts = dict(
+            base_url=srv.base_url,
+            client_id=SQ.STUB_CLIENT_ID,
+            client_secret=SQ.STUB_CLIENT_SECRET,
+            refresh_token=SQ.STUB_REFRESH_TOKEN,
+            page_pause_s="0.0",
+            page_size="50",
+        )
+        extracted = read_qbo(spark, **opts)
+        env = to_envelope(
+            extracted,
+            id_col="id",
+            entity_type="customers",
+            window_start="2024-01-01",
+            window_end="2024-12-31",
+            ingested_at=F.to_timestamp(F.lit("2025-01-01 00:00:00")),
+        )
+        path = str(tmp_path / "lake")
+        txn.commit_append_with_bloom(
+            spark, env, path, key="id", bloom_col="id"
+        )
+        n = txn.read_table(spark, path).count()
+        assert n == 150
+        # extractor replay (crash-retry): keyed append inserts zero
+        txn.commit_append_with_bloom(
+            spark, to_envelope(
+                read_qbo(spark, **opts),
+                id_col="id",
+                entity_type="customers",
+                window_start="2024-01-01",
+                window_end="2024-12-31",
+                ingested_at=F.to_timestamp(F.lit("2025-01-01 00:00:00")),
+            ), path, key="id", bloom_col="id",
+        )
+        assert txn.read_table(spark, path).count() == 150
+        # GDPR: forget two subjects without rewriting any data file
+        files_before = set(txn._read_manifest(path, txn.current_version(path))["files"])
+        forget = spark.createDataFrame([("17",), ("42",)], "id string")
+        txn.commit_delete_mor(spark, forget, path, key="id")
+        man = txn._read_manifest(path, txn.current_version(path))
+        assert set(man["files"]) == files_before
+        snap = txn.read_table(spark, path)
+        assert snap.count() == 148
+        # bloom point lookup honors the DV
+        assert txn.read_table_point(spark, path, "17").count() == 0
+        assert txn.read_table_point(spark, path, "43").count() == 1
+        # CDF from the first populated version: exactly the two deletes
+        feed = txn.table_changes(spark, path, 0, key="id")
+        got = {(r["id"], r["_change_type"]) for r in feed.collect()}
+        assert got == {("17", "delete"), ("42", "delete")}
+    finally:
+        srv.close()

@@ -200,3 +200,31 @@ def test_frame_alignment_single_asof_shuffle(spark):
     # operator anywhere (alignment is NOT a per-row probe)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_ivfpq_broadcasts_small_sides_no_cartesian(spark):
+    """IVFADC's quantizer, probe list, and ADC lookup table are all
+    broadcast; the only shuffles are the codes⋈cells co-partition and
+    the ADC aggregation — never a cartesian over the corpus."""
+    plan = _plan(spark, "similarity_ann_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dup_gram_stats_partial_aggregates_no_cartesian(spark):
+    """Corpus duplicate-n-gram stats: gram counting must map-side
+    combine before its exchange, and the counts⋈grams join must be a
+    keyed join, not a product."""
+    plan = _plan(spark, "corpus_dup_gram_stats")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_bpe_pair_counts_two_keyed_exchanges(spark):
+    """BPE pair counting: one exchange on the word (vocab reduction),
+    one on the pair — both with map-side partials; the final top-k
+    window over |alphabet|² rows is the only single-partition stage."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
