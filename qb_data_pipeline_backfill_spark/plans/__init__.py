@@ -45,6 +45,7 @@ prioritize(
         "txn_bloom_point_lookup",
         "txn_mor_delete_read",
         "txn_cdf_feed",
+        "dedup_edit_distance",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

@@ -138,6 +138,33 @@ def corpus_dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_edit_distance",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.t, b.t) AS edit_distance
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+      AND abs(len(a.t) - len(b.t)) <= 8
+      AND levenshtein(a.t, b.t) <= 8
+    """,
+    doc="Edit-distance near-dup pairs (PassJoin, Li et al. VLDB 2012): "
+    "segment-blocked string similarity join, k=8 — the char-level "
+    "sibling of the token-set dedup family (catches typo/OCR noise). "
+    "O(k²) probe keys per doc, one hash join on (segment, length, "
+    "substring), exact Levenshtein verify; the oracle's quadratic "
+    "replay certifies blocking completeness. Half-corpus subject keeps "
+    "the oracle's quadratic side cheap; the operator itself never "
+    "goes quadratic.",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    return D.edit_distance_pairs(docs, k=8)
+
+
+@register(
     "bpe_pair_counts",
     oracle=r"""
     WITH toks AS (%s),

@@ -611,3 +611,57 @@ def test_bpe_pair_counts_ignores_single_char_words(spark):
     df = spark.createDataFrame([(0, "a b c ab")], ["doc_id", "text"])
     out = {r["pair"] for r in X.bpe_pair_counts(df).collect()}
     assert out == {"ab"}
+
+
+# --------------------------------------------------------------------------
+# PassJoin edit-distance pairs
+# --------------------------------------------------------------------------
+def test_edit_distance_pairs_hand_case(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumped over the lazy dog"),   # +2 edits
+        (2, "the quick brown fox jumps over the lazy cat"),    # 3 subs
+        (3, "a completely different sentence about nothing"),
+        (4, "the quick brown fox jumps over the lazy dog"),    # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in D.edit_distance_pairs(df, k=3).collect()
+    }
+    # (1,2) is distance 5 (jumped→jumps is 2, dog→cat is 3): outside k=3
+    assert got == {(0, 1): 2, (0, 2): 3, (0, 4): 0, (2, 4): 3, (1, 4): 2}
+
+
+def test_edit_distance_pairs_matches_quadratic_python(spark):
+    """Blocking completeness on adversarial lengths: every pair the
+    quadratic reference finds, the segment-blocked join must find."""
+    import itertools
+
+    texts = [
+        "abcdefgh", "abcdefghx", "abxdefgh", "zbcdefgz",
+        "abcd", "abcde", "qrstuvwx", "abcdefghijkl", "", "a",
+    ]
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    k = 3
+    expect = {
+        (i, j): ed(texts[i], texts[j])
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if ed(texts[i], texts[j]) <= k
+    }
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in D.edit_distance_pairs(df, k=k).collect()
+    }
+    assert got == expect
