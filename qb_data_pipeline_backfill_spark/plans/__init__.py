@@ -46,6 +46,7 @@ prioritize(
         "txn_mor_delete_read",
         "txn_cdf_feed",
         "dedup_edit_distance",
+        "streaming_txn_cdf",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

@@ -349,3 +349,37 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_sum.cast("long").alias("pixel_sum"),
     )
     return run_available_now(out, output_mode="append")
+
+
+@register(
+    "streaming_txn_cdf",
+    oracle="SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type "
+    "FROM orders WHERE o_orderkey % 89 != 0",
+    doc="Streaming change-data-capture tail of the transactional table "
+    "(sources/txn_cdf.py, Spark 4 Python streaming DataSource): offsets "
+    "are table VERSIONS, batches are manifest-log diffs costing "
+    "O(changed files). Orders commit then lose every 89th key to a "
+    "merge-on-read delete; the genesis→head catch-up batch must net to "
+    "exactly the surviving rows as inserts (the deleted keys' insert+DV "
+    "cancel). Hash-gated against the closed-form survivor set; replay-"
+    "idempotent like the other txn gate queries.",
+)
+def streaming_txn_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
+    from qb_data_pipeline_backfill_spark.tables import load_table
+
+    path = os.path.join(
+        _SCRATCH, f"orders_cdfstream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+    doomed = orders.filter(F.col("o_orderkey") % 89 == 0).select("o_orderkey")
+    txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
+    feed = run_available_now(
+        read_cdf_stream(spark, path), output_mode="append"
+    )
+    return feed.select("o_orderkey", "o_orderstatus", "_change_type")

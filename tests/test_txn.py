@@ -716,3 +716,90 @@ def test_table_changes_null_field_transition_is_update(spark, tmp_path):
         for r in txn.table_changes(spark, path, 0).collect()
     ]
     assert feed == [(2, None, "update")]
+
+
+# --------------------------------------------------------------------------
+# streaming CDC source (txn_cdf)
+# --------------------------------------------------------------------------
+def _drain_cdf(spark, path, tmp_path, name, start_version=-1):
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
+
+    q = (
+        read_cdf_stream(spark, path, start_version=start_version)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_cdf_stream_emits_versioned_batches(spark, tmp_path):
+    path = str(tmp_path / "s")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    upd = spark.createDataFrame([(3, 333), (50, 500)], "k long, v long")
+    txn.commit_upsert(spark, upd, path, key="k")
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(7,)], "k long"), path, key="k"
+    )
+    got = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in _drain_cdf(spark, path, tmp_path, "cdf_all").collect()
+    }
+    # one catch-up batch from genesis to head = the NET diff
+    inserts = {(k, k * 10, "insert") for k in range(10) if k not in (3, 7)}
+    assert got == inserts | {(3, 333, "insert"), (50, 500, "insert")}
+
+
+def test_cdf_stream_incremental_and_exactly_once_restart(spark, tmp_path):
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
+
+    path = str(tmp_path / "s2")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 5), path, key="k")
+    ck = str(tmp_path / "ck_inc")
+    out = str(tmp_path / "out_inc")
+
+    def drain():
+        # parquet sink: the fault-tolerant kind whose checkpoint a
+        # restarted query recovers from (memory sink refuses recovery)
+        q = (
+            read_cdf_stream(spark, path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    assert drain().count() == 5
+    # new commits while the query is down; restart resumes at the
+    # checkpointed VERSION offset and emits only the delta
+    txn.commit_upsert(
+        spark, spark.createDataFrame([(2, -1)], "k long, v long"), path, key="k"
+    )
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(4,)], "k long"), path, key="k"
+    )
+    rows = {
+        (r["k"], r["v"], r["_change_type"]) for r in drain().collect()
+    }
+    assert (2, -1, "update") in rows and (4, 40, "delete") in rows
+    assert len(rows) == 7
+    # idle restart: no duplicate emission
+    assert drain().count() == 7
+
+
+def test_cdf_stream_compaction_nets_to_nothing(spark, tmp_path):
+    path = str(tmp_path / "s3")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 30), path, key="k")
+    v0 = txn.current_version(path)
+    txn.commit_compact(spark, path, target_partitions=1)
+    got = _drain_cdf(
+        spark, path, tmp_path, "cdf_compact", start_version=v0
+    ).collect()
+    # every row was rewritten into new files, but identically: net zero
+    assert got == []
