@@ -208,3 +208,64 @@ def pagerank_exact(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered compact-forward
+    enumeration (Latapy 2008; the MapReduce shape is Suri & Vassilvitskii
+    2011's "Counting Triangles and the Curse of the Last Reducer").
+
+    The naive 3-way self-join enumerates every wedge at its center —
+    Σ deg(v)², which a single celebrity node turns into the "last
+    reducer" straggler. Orienting each edge from its (degree, id)-
+    smaller endpoint to the larger caps every node's out-degree at
+    O(√|E|), so wedge volume drops to Σ outdeg(v)² ≤ |E|^1.5 — the
+    standard bound that makes exact triangle counting feasible on
+    skewed 100 TB graphs.
+
+    Plan: one degree aggregate (map-side combined), one broadcast-free
+    orientation join, one wedge self-join on the shared source, one
+    semi-join of wedges against oriented edges (the closing edge), one
+    explode+count. Every join is keyed — no cartesian anywhere.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_first = F.struct("du", "u") < F.struct("dv", "v")
+    r_v = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    r_u = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, r_v).otherwise(r_u).alias("rb"),
+    )
+    o1 = oriented.select("a", F.col("b").alias("x"), F.col("rb").alias("rx"))
+    o2 = oriented.select("a", F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = o1.join(o2, "a").filter(F.col("rx") < F.col("ry")).select(
+        "a", F.col("x").alias("wb"), F.col("y").alias("wc")
+    )
+    closing = oriented.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
+    tris = wedges.join(closing, ["wb", "wc"], "left_semi")
+    return (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("wb"), F.col("wc"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

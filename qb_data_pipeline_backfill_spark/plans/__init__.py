@@ -47,6 +47,7 @@ prioritize(
         "txn_cdf_feed",
         "dedup_edit_distance",
         "streaming_txn_cdf",
+        "triangle_counts_parts",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

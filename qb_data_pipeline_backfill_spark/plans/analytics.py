@@ -1581,3 +1581,48 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue")
     )
+
+
+@register(
+    "triangle_counts_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node AS part, COUNT(*) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM t)
+    GROUP BY node
+    """,
+    doc="Per-part triangle counts on the co-purchase graph via degree-"
+    "ordered compact-forward enumeration (operators/graph.py "
+    "triangle_counts): orientation caps out-degree at O(sqrt(E)), "
+    "bounding wedge volume at E^1.5 instead of sum-of-degrees-squared — "
+    "the skew-proof exact algorithm. The oracle counts the same "
+    "triangles with the naive ordered 3-way join, certifying the "
+    "orientation/wedge/closing machinery end to end.",
+)
+def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    out = triangle_counts(edges)
+    return out.select(F.col("node").alias("part"), "n_triangles")

@@ -66,3 +66,57 @@ def test_cc_raises_when_iteration_capped(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+# --------------------------------------------------------------------------
+# triangle counting
+# --------------------------------------------------------------------------
+def test_triangle_counts_hand_graph(spark):
+    from qb_data_pipeline_backfill_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a
+    # pendant node 5 and an isolated edge 6-7 (no triangles)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_direction_and_dup_insensitive(spark):
+    from qb_data_pipeline_backfill_spark.operators.graph import triangle_counts
+
+    # same triangle given with mixed orientations, duplicates, self-loop
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2), (1, 3), (3, 1), (2, 2)], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from qb_data_pipeline_backfill_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.2
+    ]
+    adj = set(edges)
+
+    def connected(x, y):
+        return (x, y) in adj or (y, x) in adj
+
+    expect: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if connected(a, b) and connected(b, c) and connected(a, c):
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expect
