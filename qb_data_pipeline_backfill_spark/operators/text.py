@@ -361,3 +361,83 @@ def bpe_pair_counts(
         .filter(F.col("rnk") <= top_k)
         .select("pair", "pair_count", "rnk")
     )
+
+
+def train_bpe(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Distributed byte-pair-encoding trainer (Sennrich et al. 2016):
+    ``n_merges`` rounds of count-adjacent-pairs → merge-the-argmax,
+    returning the learned merge table (rank, left, right, pair_count).
+
+    Distribution shape, the same vocab-reduction trick as
+    ``bpe_pair_counts``: the corpus collapses ONCE to the distinct-word
+    frequency table (one combinable shuffle over running words), and
+    every subsequent round works on |vocab| symbol sequences — at
+    100 TB that is millions of rows, not trillions. Per round: one
+    map-side-combined pair count, ONE row collected (the argmax pair —
+    the only driver traffic), and a codegen'd left-to-right greedy
+    fold (``aggregate`` over the symbol array) applies the merge; a
+    symbol formed in this round never participates in the same round,
+    matching the reference algorithm. Ties break lexicographically so
+    training is deterministic across engines and partitionings.
+    localCheckpoint every few rounds truncates the growing lineage
+    (the standard iterative-algorithm hygiene, as in operators/graph).
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(F.split("w", "").alias("syms"), "f")
+    )
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pair_idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(0), F.size("syms") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = words.select(F.explode(pair_idx).alias("i"), "syms", "f").select(
+            F.get("syms", F.col("i")).alias("s1"),
+            F.get("syms", F.col("i") + 1).alias("s2"),
+            "f",
+        )
+        top = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        s1, s2, c = top[0]["s1"], top[0]["s2"], int(top[0]["c"])
+        merges.append((rank, s1, s2, c))
+        merged = s1 + s2
+        step = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == s1)
+                & (x == s2)
+                # a symbol created THIS round (== merged) must not
+                # chain-merge within the round; when s1 is a strict
+                # prefix repeat (s1==s1+s2 impossible), element_at
+                # equality to s1 already excludes freshly merged cells
+                # unless merged == s1, which cannot happen (s2 != "")
+                ,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(step.alias("syms"), "f")
+        if (rank + 1) % 4 == 0:
+            # eager: actually truncates the lineage now — the nested
+            # per-round fold expressions otherwise compound analysis
+            # cost quadratically across rounds
+            words = words.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )

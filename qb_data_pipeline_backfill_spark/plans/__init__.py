@@ -48,6 +48,7 @@ prioritize(
         "dedup_edit_distance",
         "streaming_txn_cdf",
         "triangle_counts_parts",
+        "bpe_train_merges",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

@@ -194,6 +194,24 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_train_merges",
+    oracle=None,  # iterative trainer: each round's input depends on the
+    # previous round's merge application (a greedy per-word fold), which
+    # has no closed SQL form. Round-1 arithmetic IS hash-gated cross-
+    # engine via bpe_pair_counts; the full loop is certified against a
+    # pure-Python reference implementation of Sennrich et al. 2016 in
+    # pytest (classic corpus, fixture corpus, overlap edge cases).
+    doc="Distributed BPE trainer: 10 merge rounds over the corpus. The "
+    "corpus collapses once to the distinct-word frequency table, so "
+    "every round's pair count scales with |vocab|, not corpus tokens; "
+    "per round the only driver traffic is ONE argmax row, and the merge "
+    "applies as a codegen'd greedy fold over symbol arrays.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.train_bpe(_docs(spark, sf_dir), n_merges=10)
+
+
+@register(
     "dedup_cluster_resolution",
     oracle=r"""
     WITH RECURSIVE toks AS (%s),

@@ -665,3 +665,75 @@ def test_edit_distance_pairs_matches_quadratic_python(spark):
         for r in D.edit_distance_pairs(df, k=k).collect()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# distributed BPE trainer
+# --------------------------------------------------------------------------
+def _bpe_reference(word_freqs, n_merges):
+    """Sennrich et al. 2016 reference trainer: greedy left-to-right
+    merge application, lexicographic tie-break, word-frequency
+    weighting."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (s1, s2), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, s1, s2, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == s1 and x == s2:
+                    out[-1] = s1 + s2
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_train_bpe_matches_reference_on_classic_corpus(spark):
+    # the corpus from the BPE paper's running example
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(i, " ".join([w] * f)) for i, (w, f) in enumerate(freqs.items())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in X.train_bpe(df, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(freqs, 6)
+    # sanity: the famous first merges — 'es' (9) then 'est' (9)
+    assert got[0][1:] == ("e", "s", 9)
+    assert got[1][1:] == ("es", "t", 9)
+
+
+def test_train_bpe_matches_reference_on_fixture_docs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    freqs = {}
+    for r in docs.collect():
+        for w in " ".join(r["text"].lower().strip().split()).split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in X.train_bpe(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(freqs, 8)
+
+
+def test_train_bpe_overlapping_pairs_greedy_left_to_right(spark):
+    # 'aaa' under merge (a,a): greedy gives [aa, a], so the next round
+    # counts pair (aa, a) — the reference-imposed behavior
+    df = spark.createDataFrame([(0, "aaa aaa")], ["doc_id", "text"])
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in X.train_bpe(df, n_merges=2).orderBy("rank").collect()
+    ]
+    assert got == [("a", "a", 4), ("aa", "a", 2)]
