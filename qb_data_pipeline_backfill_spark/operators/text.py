@@ -10,12 +10,17 @@ order functions, so every per-document computation is narrow (no
 shuffle) and the only shuffles are the final aggregations the caller
 asks for (e.g. global n-gram counts).
 
-No Python UDFs anywhere — at 100 TB a row-at-a-time UDF on the token
-path would dominate the job cost.
+No Python UDFs on the expression path — at 100 TB a row-at-a-time UDF
+on the token path would dominate the job cost. The one deliberate
+exception is ``bpe_encode``: ranked-merge application is inherently
+sequential per word, so it runs as an Arrow-batched ``pandas_udf``
+with a per-batch distinct-word cache (the same vectorized-Python
+boundary policy as the media codecs).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -441,3 +446,77 @@ def train_bpe(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table: per document, the token-count
+    and distinct-subword stats under the learned segmentation — the
+    "measure the corpus under the real tokenizer" step between
+    ``train_bpe`` and sequence packing.
+
+    The merge list (typically 10k-50k entries) broadcasts with the
+    closure of an Arrow-batched ``pandas_udf``. Applying ranked merges
+    is inherently sequential per word (each merge rewrites the symbol
+    sequence the next one scans), which is exactly the boundary where
+    this engine drops to vectorized Python (same policy as the media
+    codecs: Arrow batches in, numpy/str ops inside, never row-at-a-time
+    Python in a JVM expression). A per-batch word cache exploits the
+    corpus' Zipf shape — each distinct word is segmented once per
+    batch, so cost tracks distinct words, mirroring train_bpe's
+    vocab-reduction trick.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def segment(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            # apply the single best-ranked merge greedily left-to-right
+            pair = (syms[best], syms[best + 1])
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and (syms[i], syms[i + 1]) == pair
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    @pandas_udf("n_subwords long, n_distinct_subwords long")
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        cache: dict = {}
+        n, nd = [], []
+        for t in texts:
+            words = " ".join((t or "").lower().strip().split()).split(" ")
+            subs: list[str] = []
+            for w in words:
+                if w:
+                    subs.extend(segment(w, cache))
+            n.append(len(subs))
+            nd.append(len(set(subs)))
+        return pd.DataFrame({"n_subwords": n, "n_distinct_subwords": nd})
+
+    out = df.select(F.col(id_col), stats(F.col(text_col)).alias("s"))
+    return out.select(id_col, "s.n_subwords", "s.n_distinct_subwords")

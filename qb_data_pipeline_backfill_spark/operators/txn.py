@@ -311,6 +311,7 @@ def commit_append(
             f"{f.name} {f.dataType.simpleString()}" for f in out.schema
         ),
         "parent": base,
+        "committed_at": time.time(),
     }
     if stats_col is not None:
         manifest["stats_col"] = stats_col
@@ -750,6 +751,7 @@ def _commit_replace(
             f"{f.name} {f.dataType.simpleString()}" for f in merged.schema
         ),
         "parent": base,
+        "committed_at": time.time(),
     }
     if stats_col is not None:
         manifest["stats_col"] = stats_col
@@ -1224,6 +1226,7 @@ def commit_delete_mor(
         "files": man["files"],
         "schema_ddl": man["schema_ddl"],
         "parent": base,
+        "committed_at": time.time(),
         "dvs": man.get("dvs", []) + dv_files,
         "dv_key": key,
     }
@@ -1296,3 +1299,27 @@ def table_changes(
         .alias("_change_type"),
     )
     return picked.select(*[FF.col(f"__row.{c}").alias(c) for c in cols], "_change_type")
+
+
+def version_as_of(path: str, ts: float) -> int:
+    """Latest version whose commit wall-time is <= ``ts`` (Delta's
+    ``TIMESTAMP AS OF``). Commit times are recorded in the manifests
+    at publish; versions predating the ``committed_at`` field (or a
+    clock-skewed earlier commit) are treated as time 0, keeping the
+    mapping monotone. Raises if ``ts`` predates the first manifest."""
+    best = -1
+    for v in _manifest_versions(path):
+        if _read_manifest(path, v).get("committed_at", 0.0) <= ts:
+            best = v
+    if best < 0:
+        raise ValueError(
+            f"no version at or before timestamp {ts} under {path} "
+            "(or earlier manifests were retired by expire_manifests)"
+        )
+    return best
+
+
+def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """Snapshot read as of a wall-clock timestamp (time travel by
+    time rather than version number)."""
+    return read_version(spark, path, version_as_of(path, ts))

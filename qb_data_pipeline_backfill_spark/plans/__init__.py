@@ -49,6 +49,7 @@ prioritize(
         "streaming_txn_cdf",
         "triangle_counts_parts",
         "bpe_train_merges",
+        "bpe_encode_stats",
         "multimodal_decode_stats",
         "multimodal_audio_stats",
         "multimodal_video_frame_stats",

@@ -212,6 +212,27 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_encode_stats",
+    oracle=None,  # encoding under trained ranked merges is the same
+    # iterative non-SQL shape as the trainer; certified in pytest
+    # against a reference apply implementation word-by-word.
+    doc="Corpus statistics under the TRAINED tokenizer: train 10 BPE "
+    "merges, then encode every document (Arrow-batched pandas_udf with "
+    "a per-batch distinct-word cache — ranked-merge application is "
+    "inherently sequential per word) and emit per-doc subword counts. "
+    "The train→apply→measure loop a tokenizer-aware data pipeline runs "
+    "before sequence packing.",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in X.train_bpe(docs, n_merges=10).orderBy("rank").collect()
+    ]
+    return X.bpe_encode(docs, merges)
+
+
+@register(
     "dedup_cluster_resolution",
     oracle=r"""
     WITH RECURSIVE toks AS (%s),

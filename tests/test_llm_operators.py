@@ -737,3 +737,52 @@ def test_train_bpe_overlapping_pairs_greedy_left_to_right(spark):
         for r in X.train_bpe(df, n_merges=2).orderBy("rank").collect()
     ]
     assert got == [("a", "a", 4), ("aa", "a", 2)]
+
+
+def _bpe_apply_reference(word, merges):
+    ranks = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        cand = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not cand:
+            break
+        r, _ = min(cand)
+        s1, s2 = merges[r]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (s1, s2):
+                out.append(s1 + s2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_apply(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    trained = X.train_bpe(docs, n_merges=8).orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in trained]
+    got = {
+        r["doc_id"]: (r["n_subwords"], r["n_distinct_subwords"])
+        for r in X.bpe_encode(docs, merges).collect()
+    }
+    for r in docs.collect():
+        words = " ".join(r["text"].lower().strip().split()).split(" ")
+        subs = []
+        for w in words:
+            if w:
+                subs.extend(_bpe_apply_reference(w, merges))
+        assert got[r["doc_id"]] == (len(subs), len(set(subs)))
+
+
+def test_bpe_encode_no_merges_is_char_count(spark):
+    df = spark.createDataFrame([(0, "ab  c")], ["doc_id", "text"])
+    [r] = X.bpe_encode(df, []).collect()
+    # chars of 'ab' + 'c' = 3 subwords, distinct {a, b, c} = 3
+    assert (r["n_subwords"], r["n_distinct_subwords"]) == (3, 3)

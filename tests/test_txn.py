@@ -803,3 +803,18 @@ def test_cdf_stream_compaction_nets_to_nothing(spark, tmp_path):
     ).collect()
     # every row was rewritten into new files, but identically: net zero
     assert got == []
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    import time as _time
+
+    path = str(tmp_path / "ts")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    txn.commit_append(spark, _df(spark, 10, 30), path)
+    assert txn.version_as_of(path, t_between) == 0
+    assert txn.read_as_of(spark, path, t_between).count() == 10
+    assert txn.read_as_of(spark, path, _time.time()).count() == 30
+    with pytest.raises(ValueError, match="no version at or before"):
+        txn.version_as_of(path, t_between - 3600)
