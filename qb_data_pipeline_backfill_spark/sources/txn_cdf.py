@@ -174,3 +174,47 @@ def read_cdf_stream(spark, path: str, **options):
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()
+
+
+def apply_cdf_to_table(
+    spark,
+    source_path: str,
+    target_path: str,
+    key: str,
+    checkpoint_dir: str,
+    start_version: int = -1,
+):
+    """Incremental view maintenance: tail ``source_path``'s change feed
+    and apply each batch to a derived txn table — the CDC-replica loop
+    (Delta's `MERGE from CDF` pattern) that keeps a downstream
+    materialization in sync without ever rescanning the source.
+
+    Per micro-batch: upsert the batch's insert/update rows, delete its
+    delete keys. The net-diff contract (each key appears at most once
+    per batch) makes the two commits order-independent, and both are
+    key-idempotent, so a foreachBatch replay after a crash re-applies
+    harmlessly — exactly-once end to end on top of at-least-once
+    delivery. Runs with AvailableNow (catch-up then stop); returns the
+    started query.
+    """
+    from pyspark.sql import functions as FF
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    def sink(batch_df, batch_id: int) -> None:
+        ups = batch_df.filter(FF.col("_change_type") != "delete").drop(
+            "_change_type"
+        )
+        dels = batch_df.filter(FF.col("_change_type") == "delete").select(key)
+        if ups.limit(1).count():
+            txn.commit_upsert(batch_df.sparkSession, ups, target_path, key=key)
+        if dels.limit(1).count():
+            txn.commit_delete(batch_df.sparkSession, dels, target_path, key=key)
+
+    return (
+        read_cdf_stream(spark, source_path, key=key, start_version=start_version)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -818,3 +818,40 @@ def test_read_as_of_timestamp(spark, tmp_path):
     assert txn.read_as_of(spark, path, _time.time()).count() == 30
     with pytest.raises(ValueError, match="no version at or before"):
         txn.version_as_of(path, t_between - 3600)
+
+
+def test_cdf_apply_maintains_derived_replica(spark, tmp_path):
+    """Incremental view maintenance: a derived table fed ONLY by the
+    change stream must equal the source snapshot after an arbitrary
+    commit history, across multiple catch-up runs and a restart."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import apply_cdf_to_table
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+
+    def sync_and_check():
+        q = apply_cdf_to_table(spark, src, dst, key="k", checkpoint_dir=ck)
+        q.awaitTermination()
+        s = {(r["k"], r["v"]) for r in txn.read_table(spark, src).collect()}
+        d = {(r["k"], r["v"]) for r in txn.read_table(spark, dst).collect()}
+        assert d == s
+
+    txn.commit_append_with_stats(spark, _df(spark, 0, 40), src, key="k")
+    sync_and_check()
+    txn.commit_upsert(
+        spark, spark.createDataFrame([(3, -3), (99, 990)], "k long, v long"),
+        src, key="k",
+    )
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(10,), (11,)], "k long"), src, key="k"
+    )
+    sync_and_check()
+    txn.commit_compact(spark, src, target_partitions=1)
+    txn.commit_delete(
+        spark, spark.createDataFrame([(99,)], "k long"), src, key="k"
+    )
+    sync_and_check()
+    # idle catch-up: no spurious commits on the target
+    v_before = txn.current_version(dst)
+    sync_and_check()
+    assert txn.current_version(dst) == v_before
