@@ -164,3 +164,80 @@ def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return agg.select(F.explode(F.array(*structs)).alias("s")).select(
         "s.col_a", "s.col_b", "s.cov_pop"
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two slices of a measure.
+
+    The batch-acceptance drift monitor a training pipeline runs before
+    a new crawl/extract lands next to the reference corpus: fixed-width
+    histogram over ``[lo, hi)`` (edge bins absorb out-of-range values),
+    Laplace-smoothed bin shares p (ref) and q (cur), and the per-bin
+    PSI term ``(p − q)·ln(p/q)``. PSI > 0.2 is the conventional
+    "distribution shifted, investigate" fence.
+
+    Cross-engine determinism: bin ids, counts, and shares are exact
+    (integer counts, one identical double division); the single
+    transcendental ``ln`` is evaluated on bit-identical inputs on both
+    engines and the term is immediately quantized to integer
+    micro-units (``psi_term_micro``), so the grand total is an
+    order-free integer sum — no float accumulation anywhere.
+
+    100 TB posture: each side is one map-side-combinable aggregate on a
+    ``n_bins``-cardinality key (a metadata-sized result regardless of
+    input size); the spine join and total are broadcast of ≤ n_bins
+    rows. Two scans total, no shuffle wider than n_bins groups.
+    """
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        ).cast("long")
+        return (
+            df.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spine = ref.sparkSession.range(n_bins).withColumnRenamed("id", "bin")
+    counts = (
+        spine.join(F.broadcast(binned(ref, "_r")), "bin", "left")
+        .join(F.broadcast(binned(cur, "_c")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("_r", F.lit(0)).alias("ref_n"),
+            F.coalesce("_c", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ref_n").alias("_rt"), F.sum("cur_n").alias("_ct")
+    )
+    p = (F.col("ref_n") + F.lit(1.0)) / (F.col("_rt") + F.lit(float(n_bins)))
+    q = (F.col("cur_n") + F.lit(1.0)) / (F.col("_ct") + F.lit(float(n_bins)))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("psi_term_micro"),
+    )
+    total = terms.agg(
+        (F.sum("psi_term_micro") / F.lit(1e6)).alias("psi_total")
+    )
+    return terms.crossJoin(F.broadcast(total))

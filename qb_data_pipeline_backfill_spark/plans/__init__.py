@@ -38,6 +38,8 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 prioritize(
     [
         # --- (a) new / code-touched in round 5 ---
+        "drift_psi_report",
+        "contract_hll_intersection",
         "similarity_ann_ivfpq",
         "contract_ivfpq_adc",
         "corpus_dup_gram_stats",

@@ -920,6 +920,68 @@ def outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_flags(ev, "value", ["event_type"], n_sigmas=3)
 
 
+# --- distribution drift (PSI) -------------------------------------------------
+@register(
+    "drift_psi_report",
+    oracle="""
+    WITH binned AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT),
+                              0), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ),
+    spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
+    counts AS (
+        SELECT s.bin,
+               CAST(COALESCE(SUM(b.is_ref), 0) AS BIGINT) AS ref_n,
+               CAST(COALESCE(SUM(1 - b.is_ref), 0) AS BIGINT) AS cur_n
+        FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+        GROUP BY s.bin
+    ),
+    tot AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM counts),
+    terms AS (
+        SELECT bin, ref_n, cur_n,
+               (ref_n + 1.0) / (rt + 10.0) AS p,
+               (cur_n + 1.0) / (ct + 10.0) AS q
+        FROM counts, tot
+    ),
+    micro AS (
+        SELECT bin, ref_n, cur_n,
+               ROUND(p, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+               CAST(ROUND((p - q) * LN(p / q) * 1000000, 0) AS BIGINT)
+                   AS psi_term_micro
+        FROM terms
+    )
+    SELECT bin, ref_n, cur_n, p_ref, p_cur, psi_term_micro,
+           (SELECT SUM(psi_term_micro) FROM micro) / 1000000.0 AS psi_total
+    FROM micro
+    """,
+    doc="Population Stability Index drift report between the first and "
+    "second half of the event stream: fixed 10-bin histogram of the "
+    "value measure, Laplace-smoothed shares, per-bin PSI terms "
+    "quantized to integer micro-units so the grand total is an "
+    "order-free integer sum. The batch-acceptance monitor a training "
+    "pipeline runs before a new crawl lands next to the reference "
+    "corpus. Two map-side-combinable 10-group aggregates + broadcast "
+    "spine/total joins — metadata-sized all the way down at 100 TB.",
+)
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return distribution_drift(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+    )
+
+
 _COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

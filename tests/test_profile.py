@@ -62,3 +62,45 @@ def test_outlier_flags_exact_fence(spark):
     assert k3[99] is False and not any(k3.values())
     k2 = {r["id"]: r["is_outlier"] for r in outlier_flags(df, "value", ["grp"], 2).collect()}
     assert k2[99] is True and sum(k2.values()) == 1
+
+
+def test_drift_psi_identical_distributions_is_zero(spark):
+    from qb_data_pipeline_backfill_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    rows = [(float(i % 10) * 10.0 + 1.0,) for i in range(100)]
+    ref = spark.createDataFrame(rows, ["v"])
+    out = distribution_drift(
+        ref, ref, "v", lo=0.0, hi=100.0, n_bins=10
+    ).collect()
+    assert len(out) == 10
+    # identical slices: p == q in every bin -> every term and the total are 0
+    assert all(r["psi_term_micro"] == 0 for r in out)
+    assert out[0]["psi_total"] == 0.0
+    assert all(r["ref_n"] == 10 and r["cur_n"] == 10 for r in out)
+
+
+def test_drift_psi_flags_shift_and_clamps_range(spark):
+    from qb_data_pipeline_backfill_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    # ref mass in bins 0-4; cur mass in bins 5-9, plus out-of-range
+    # values that must clamp into the edge bins instead of vanishing.
+    ref = spark.createDataFrame(
+        [(float(i % 5) * 10.0 + 1.0,) for i in range(50)] + [(-99.0,)], ["v"]
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 5) * 10.0 + 51.0,) for i in range(50)] + [(999.0,)], ["v"]
+    )
+    out = {r["bin"]: r for r in distribution_drift(
+        ref, cur, "v", lo=0.0, hi=100.0, n_bins=10
+    ).collect()}
+    assert len(out) == 10
+    assert out[0]["ref_n"] == 11  # 10 in-range + 1 clamped below
+    assert out[9]["cur_n"] == 11  # 10 in-range + 1 clamped above
+    # totally disjoint histograms: PSI far beyond the 0.2 action fence
+    assert out[0]["psi_total"] > 0.2
+    # shares are Laplace-smoothed: empty bins still carry mass > 0
+    assert all(r["p_ref"] > 0 and r["p_cur"] > 0 for r in out.values())

@@ -80,3 +80,29 @@ def test_cms_plan_is_aggregate_only(spark):
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_intersection_contract_holds_on_smoke(spark, sf_dir):
+    """Inclusion-exclusion over HLL sketches stays inside its envelope
+    and the exact count matches a hand-computed pandas intersection."""
+    from qb_data_pipeline_backfill_spark.plans.contracts import (
+        contract_hll_intersection,
+    )
+
+    row = contract_hll_intersection(spark, sf_dir).collect()[0]
+    assert row["within_tolerance"] and row["non_negative"]
+
+    import duckdb
+
+    exact = duckdb.sql(
+        f"""
+        SELECT COUNT(*) FROM (
+            SELECT user_id FROM '{sf_dir}/events.parquet'
+            WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM '{sf_dir}/events.parquet'
+            WHERE event_type = 'purchase'
+        )
+        """
+    ).fetchone()[0]
+    assert row["n_exact"] == exact
