@@ -196,26 +196,58 @@ def distribution_drift(
     input size); the spine join and total are broadcast of ≤ n_bins
     rows. Two scans total, no shuffle wider than n_bins groups.
     """
-    width = (hi - lo) / n_bins
-
     def binned(df: DataFrame, name: str) -> DataFrame:
-        b = F.least(
+        return (
+            df.select(hist_bin(value_col, lo=lo, hi=hi, n_bins=n_bins))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return psi_from_counts(
+        binned(ref, "ref_n"), binned(cur, "cur_n"), n_bins=n_bins
+    )
+
+
+def hist_bin(value_col: str, *, lo: float, hi: float, n_bins: int):
+    """Fixed-width histogram bin id over ``[lo, hi)``, edge bins
+    absorbing out-of-range values — the shared binning expression of
+    the batch and streaming drift monitors (identical bin boundaries
+    are what make their results comparable)."""
+    width = (hi - lo) / n_bins
+    return (
+        F.least(
             F.greatest(
                 F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
                 F.lit(0),
             ),
             F.lit(n_bins - 1),
-        ).cast("long")
-        return (
-            df.select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(name))
         )
+        .cast("long")
+        .alias("bin")
+    )
 
-    spine = ref.sparkSession.range(n_bins).withColumnRenamed("id", "bin")
+
+def psi_from_counts(
+    ref_counts: DataFrame, cur_counts: DataFrame, *, n_bins: int
+) -> DataFrame:
+    """PSI report from pre-aggregated ``(bin, ref_n)`` / ``(bin,
+    cur_n)`` histograms (see ``distribution_drift`` for the contract —
+    this half is shared with the streaming monitor, whose cur-side
+    histogram is maintained by the streaming engine)."""
+    spine = ref_counts.sparkSession.range(n_bins).withColumnRenamed(
+        "id", "bin"
+    )
     counts = (
-        spine.join(F.broadcast(binned(ref, "_r")), "bin", "left")
-        .join(F.broadcast(binned(cur, "_c")), "bin", "left")
+        spine.join(
+            F.broadcast(ref_counts.withColumnRenamed("ref_n", "_r")),
+            "bin",
+            "left",
+        )
+        .join(
+            F.broadcast(cur_counts.withColumnRenamed("cur_n", "_c")),
+            "bin",
+            "left",
+        )
         .select(
             "bin",
             F.coalesce("_r", F.lit(0)).alias("ref_n"),

@@ -28,17 +28,19 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # Round-5 rotation (VERDICT r4 #1): every registered query is green on
 # some prior artifact, so the window refreshes the STALEST records
 # first — (a) queries new or code-touched this round (no green record
-# on current code; the 17 round-5 additions), (b) the 26 queries whose
-# last driver green is r02-era, (c) as many r03-era queries as fit,
+# on current code; the 20 round-5 additions), (b) the queries whose
+# last driver green is r02-era, as many as fit, (c) r03-era queries,
 # contract certifications first (they underwrite the rows-only fuzzy
-# family's correctness). r03-era queries that no longer fit rotate in
-# next round; r04 greens are the freshest and wait longest. The full
-# 136-query set was verified locally this round
-# (tools/check_correctness.py, sf0.01: 0 fail).
+# family's correctness). Entries past the 50-cap rotate in next round;
+# r04 greens are the freshest and wait longest. The full 144-query set
+# was verified locally this round (tools/check_correctness.py, sf0.01:
+# 132 hash-match + 9 rows-only-by-design + 3 added after that sweep,
+# each gate-checked individually: 0 fail).
 prioritize(
     [
         # --- (a) new / code-touched in round 5 ---
         "drift_psi_report",
+        "streaming_drift_psi",
         "contract_hll_intersection",
         "similarity_ann_ivfpq",
         "contract_ivfpq_adc",

@@ -383,3 +383,72 @@ def streaming_txn_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_cdf_stream(spark, path), output_mode="append"
     )
     return feed.select("o_orderkey", "o_orderstatus", "_change_type")
+
+
+@register(
+    "streaming_drift_psi",
+    oracle="""
+    WITH binned AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT),
+                              0), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ),
+    spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
+    counts AS (
+        SELECT s.bin,
+               CAST(COALESCE(SUM(b.is_ref), 0) AS BIGINT) AS ref_n,
+               CAST(COALESCE(SUM(1 - b.is_ref), 0) AS BIGINT) AS cur_n
+        FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+        GROUP BY s.bin
+    ),
+    tot AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM counts),
+    terms AS (
+        SELECT bin, ref_n, cur_n,
+               (ref_n + 1.0) / (rt + 10.0) AS p,
+               (cur_n + 1.0) / (ct + 10.0) AS q
+        FROM counts, tot
+    ),
+    micro AS (
+        SELECT bin, ref_n, cur_n,
+               ROUND(p, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+               CAST(ROUND((p - q) * LN(p / q) * 1000000, 0) AS BIGINT)
+                   AS psi_term_micro
+        FROM terms
+    )
+    SELECT bin, ref_n, cur_n, p_ref, p_cur, psi_term_micro,
+           (SELECT SUM(psi_term_micro) FROM micro) / 1000000.0 AS psi_total
+    FROM micro
+    """,
+    doc="STREAMING twin of drift_psi_report: the current-window value "
+    "histogram is maintained by the Structured Streaming engine (10-"
+    "group running aggregate, complete mode — state is O(n_bins) "
+    "regardless of stream length), then joined to the static reference "
+    "histogram and finished with the shared exact-micro-unit PSI "
+    "arithmetic. Same oracle as the batch twin — the monitor can move "
+    "from nightly batch to continuous without changing its contract.",
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.profile import (
+        hist_bin,
+        psi_from_counts,
+    )
+    from qb_data_pipeline_backfill_spark.tables import load_table
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    bin_expr = hist_bin("value", lo=0.0, hi=500.0, n_bins=10)
+    cur_counts = run_available_now(
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts") >= split)
+        .select(bin_expr)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    ref_counts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < split)
+        .select(bin_expr)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+    return psi_from_counts(ref_counts, cur_counts, n_bins=10)
