@@ -27,10 +27,16 @@ Commit kinds: ``commit_append`` (optionally keyed-idempotent),
 parquet footers), ``commit_upsert`` (full-rewrite MERGE),
 ``commit_upsert_cow`` (file-pruned copy-on-write MERGE: only files
 whose zone map overlaps the update's key range are rewritten, the
-rest move forward by reference), ``commit_compact`` (replace-files
-rewrite), ``commit_delete`` (right-to-be-forgotten), plus
-``stream_to_txn`` (exactly-once foreachBatch sink) and
-``read_table_where`` (manifest-driven file skipping). Log hygiene:
+rest move forward by reference), ``commit_merge`` (full three-clause
+MERGE INTO: matched-update / matched-delete / not-matched-insert, the
+CDC-apply primitive), ``commit_replace_where`` (INSERT OVERWRITE ...
+WHERE, the idempotent-backfill slice swap), ``commit_compact``
+(replace-files rewrite), ``commit_delete`` (right-to-be-forgotten),
+plus ``stream_to_txn`` (exactly-once foreachBatch sink),
+``read_table_where`` (manifest-driven file skipping),
+``clone_table`` (zero-copy shallow clone via hard links), and
+table-level CHECK ``expectations`` stored in the manifest and
+enforced on every incoming batch before staging. Log hygiene:
 ``checkpoint``/``expire_manifests`` cap the manifest population of a
 long-lived table (the Delta checkpoint / Iceberg snapshot-expiry
 analog), and ``vacuum`` takes a retention window so it can never
@@ -63,6 +69,53 @@ from pyspark.sql import DataFrame, SparkSession
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first; re-read and retry."""
+
+
+class ExpectationViolation(ValueError):
+    """An incoming batch broke the table's CHECK-constraint contract;
+    nothing was committed. ``counts`` maps expectation name to the
+    number of violating rows."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(
+            "expectation(s) violated: "
+            + ", ".join(f"{k} ({v} rows)" for k, v in sorted(counts.items()))
+        )
+
+
+def enforce_expectations(df: DataFrame, exprs: dict[str, str]) -> None:
+    """Validate ``df`` against named SQL CHECK predicates (the Delta
+    table-constraint / dbt-test analog) in ONE aggregate pass — a
+    null predicate result counts as a violation, matching SQL CHECK's
+    'not known true' rejection. Raises ExpectationViolation listing
+    per-expectation violating-row counts; commits call this BEFORE
+    staging so a bad batch leaves no trace."""
+    if not exprs:
+        return
+    from pyspark.sql import functions as FF
+
+    row = df.agg(
+        *[
+            FF.sum(
+                FF.when(
+                    FF.coalesce(FF.expr(sql).cast("boolean"), FF.lit(False)),
+                    0,
+                ).otherwise(1)
+            ).alias(name)
+            for name, sql in exprs.items()
+        ]
+    ).collect()[0]
+    bad = {name: row[name] for name in exprs if (row[name] or 0) > 0}
+    if bad:
+        raise ExpectationViolation(bad)
+
+
+def _carry_meta(prev: dict) -> dict:
+    """Table-level contract keys every rewrite commit must propagate
+    (the zone-map analog of ADVICE r4: rewrites silently dropping
+    manifest metadata downgrade the table)."""
+    return {k: prev[k] for k in ("expectations",) if k in prev}
 
 
 def _txn_dir(path: str) -> str:
@@ -231,6 +284,7 @@ def commit_append(
     expected_base: int | None = None,
     checkpoint_every: int | None = None,
     bloom_spec: dict | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> int:
     """Atomically append ``df`` as the next version; returns it.
 
@@ -258,6 +312,10 @@ def commit_append(
     if key is not None and base >= 0:
         existing = read_version(spark, path, base).select(key)
         out = df.join(existing, key, "left_anti")
+
+    prev0 = _read_manifest(path, base) if base >= 0 else {}
+    contract = {**prev0.get("expectations", {}), **(expectations or {})}
+    enforce_expectations(out, contract)
 
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_txn_dir(path), exist_ok=True)
@@ -327,6 +385,8 @@ def commit_append(
         # fresh appends no DV row can reference
         manifest["dvs"] = prev["dvs"]
         manifest["dv_key"] = prev.get("dv_key")
+    if contract:
+        manifest["expectations"] = contract
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -456,6 +516,8 @@ def commit_upsert(
     which files land in the manifest, not the protocol.
     """
     base = current_version(path) if expected_base is None else expected_base
+    prev = _read_manifest(path, base) if base >= 0 else {}
+    enforce_expectations(df, prev.get("expectations", {}))
     if base >= 0:
         survivors = read_version(spark, path, base).join(
             df.select(key), key, "left_anti"
@@ -463,7 +525,6 @@ def commit_upsert(
         merged = survivors.unionByName(df)
     else:
         merged = df
-    prev = _read_manifest(path, base) if base >= 0 else {}
     return _commit_replace(
         spark,
         merged,
@@ -472,6 +533,7 @@ def commit_upsert(
         stats_col=prev.get("stats_col"),
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
+        extra_meta=_carry_meta(prev),
     )
 
 
@@ -533,6 +595,7 @@ def commit_compact(
         stats_col=prev.get("stats_col"),
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
+        extra_meta=_carry_meta(prev),
     )
 
 
@@ -701,6 +764,7 @@ def _commit_replace(
     carried_blooms: dict | None = None,
     carried_dvs: list | None = None,
     dv_key: str | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Publish ``merged``'s rewrite as version base+1: the manifest
     references the newly staged files plus any ``carried`` files
@@ -765,6 +829,8 @@ def _commit_replace(
     if carried_dvs:
         manifest["dvs"] = carried_dvs
         manifest["dv_key"] = dv_key
+    if extra_meta:
+        manifest.update(extra_meta)
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -810,6 +876,7 @@ def commit_delete(
         stats_col=prev.get("stats_col"),
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
+        extra_meta=_carry_meta(prev),
     )
 
 
@@ -837,6 +904,7 @@ def commit_append_with_stats(
         existing = read_version(spark, path, base).select(key)
         out = df.join(existing, key, "left_anti")
     man = _read_manifest(path, base) if base >= 0 else {}
+    enforce_expectations(out, man.get("expectations", {}))
     stats_cols = man.get("stats_cols") or (list(extra_cols) if extra_cols else None)
     return _commit_replace(
         spark,
@@ -852,6 +920,7 @@ def commit_append_with_stats(
         carried_blooms=man.get("blooms", {}),
         carried_dvs=man.get("dvs"),
         dv_key=man.get("dv_key"),
+        extra_meta=_carry_meta(man),
     )
 
 
@@ -1026,6 +1095,7 @@ def commit_upsert_cow(
             carried_blooms=man.get("blooms", {}),
             carried_dvs=man.get("dvs"),
             dv_key=man.get("dv_key"),
+            extra_meta=_carry_meta(man),
         )
     stats = man.get("stats", {})
     touched = [
@@ -1061,6 +1131,7 @@ def commit_upsert_cow(
         # the manifest); rows for untouched files must keep applying.
         carried_dvs=man.get("dvs"),
         dv_key=man.get("dv_key"),
+        extra_meta=_carry_meta(man),
     )
 
 
@@ -1230,7 +1301,15 @@ def commit_delete_mor(
         "dvs": man.get("dvs", []) + dv_files,
         "dv_key": key,
     }
-    for fld in ("stats_col", "stats", "stats_cols", "col_stats", "bloom_spec", "blooms"):
+    for fld in (
+        "stats_col",
+        "stats",
+        "stats_cols",
+        "col_stats",
+        "bloom_spec",
+        "blooms",
+        "expectations",
+    ):
         if fld in man:
             manifest[fld] = man[fld]
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
@@ -1323,3 +1402,204 @@ def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
     """Snapshot read as of a wall-clock timestamp (time travel by
     time rather than version number)."""
     return read_version(spark, path, version_as_of(path, ts))
+
+
+def commit_replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    predicate: str,
+    expected_base: int | None = None,
+) -> int:
+    """INSERT OVERWRITE ... WHERE (Delta's ``replaceWhere``): atomically
+    swap the slice of the table matching ``predicate`` (a SQL boolean
+    expression) for ``df`` — the idempotent-backfill shape of the
+    reference's date-window reloads (reference
+    `data_loaders/extract_qb_customers_py.py:61-67`: re-extracting a
+    window must replace that window, never duplicate it).
+
+    Contract (same as Delta): every row of ``df`` must satisfy the
+    predicate — otherwise the commit would silently write rows outside
+    the slice it claims to replace — checked in one aggregate pass
+    before anything is staged (ExpectationViolation on failure, along
+    with any table-level expectations). Survivors are the snapshot
+    rows NOT matching the predicate (null predicate rows survive:
+    they are not in the replaced slice), so the new snapshot is
+    survivors ∪ df in one atomic manifest switch; time travel still
+    reaches the pre-replace slice.
+
+    Scale: like ``commit_delete``, this -lite core rewrites the full
+    surviving set; the production refinement prunes to files whose
+    zone maps can match the predicate and carries the rest by
+    reference (``commit_upsert_cow`` shows that protocol) — which
+    files land in the manifest changes, the commit protocol does not.
+    """
+    from pyspark.sql import functions as FF
+
+    base = current_version(path) if expected_base is None else expected_base
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    prev = _read_manifest(path, base)
+    enforce_expectations(
+        df,
+        {
+            "replace_where_predicate": predicate,
+            **prev.get("expectations", {}),
+        },
+    )
+    pred = FF.coalesce(FF.expr(predicate).cast("boolean"), FF.lit(False))
+    survivors = read_version(spark, path, base).filter(~pred)
+    merged = survivors.unionByName(df)
+    return _commit_replace(
+        spark,
+        merged,
+        path,
+        base,
+        stats_col=prev.get("stats_col"),
+        stats_cols=prev.get("stats_cols"),
+        bloom_spec=prev.get("bloom_spec"),
+        extra_meta=_carry_meta(prev),
+    )
+
+
+def clone_table(
+    path_src: str, path_dst: str, version: int | None = None
+) -> int:
+    """Zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg snapshot
+    branch): publish ``path_dst`` version 0 referencing the SOURCE
+    snapshot's data bytes without copying them — data and DV files are
+    hard-linked (same inode, O(#files) metadata ops, zero data I/O),
+    and the manifest carries the source's schema, zone-map stats,
+    Bloom indexes, deletion vectors, and expectations, so pruned reads
+    and the constraint contract work on the clone immediately.
+
+    The clone is a fully independent table afterwards: writes to
+    either side diverge freely, and because hard links pin inodes,
+    ``vacuum``/``commit_delete`` on the source can never invalidate
+    the clone (and vice versa). The dev/staging fork primitive: test a
+    risky migration against production bytes without paying for them.
+
+    On an object store without hard links, the same protocol stores
+    absolute file URIs in the clone manifest instead — metadata-only
+    either way. Raises FileExistsError if ``path_dst`` already has
+    commits (clone creates tables, it never overwrites them).
+    """
+    src_version = current_version(path_src) if version is None else version
+    if src_version < 0:
+        raise FileNotFoundError(f"no committed version under {path_src}")
+    if current_version(path_dst) >= 0:
+        raise FileExistsError(f"{path_dst} is already a committed table")
+    man = _read_manifest(path_src, src_version)
+    os.makedirs(os.path.join(path_dst, "data"), exist_ok=True)
+    os.makedirs(_txn_dir(path_dst), exist_ok=True)
+    for name in man["files"] + man.get("dvs", []):
+        dst = os.path.join(path_dst, "data", name)
+        if not os.path.exists(dst):
+            os.link(os.path.join(path_src, "data", name), dst)
+    manifest = {
+        **man,
+        "version": 0,
+        "parent": -1,
+        "committed_at": time.time(),
+        "cloned_from": {"path": path_src, "version": src_version},
+    }
+    stage_id = uuid.uuid4().hex
+    tmp = os.path.join(_txn_dir(path_dst), f".tmp-{stage_id}.json")
+    _write_manifest_json(manifest, tmp)
+    try:
+        os.link(tmp, _manifest_path(path_dst, 0))
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version 0 already committed under {path_dst}"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    return 0
+
+
+def commit_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key: str,
+    *,
+    matched_update: bool = True,
+    matched_delete: str | None = None,
+    not_matched_insert: bool = True,
+    expected_base: int | None = None,
+) -> int:
+    """Full MERGE INTO with the three standard clauses (Delta/ANSI
+    MERGE; ``commit_upsert`` is the update+insert special case):
+
+    - WHEN MATCHED AND ``matched_delete`` → the target row is removed
+      (``matched_delete`` is a SQL predicate over the SOURCE row, e.g.
+      a CDC tombstone flag ``op = 'D'``);
+    - WHEN MATCHED (otherwise, if ``matched_update``) → the source row
+      replaces the target row;
+    - WHEN NOT MATCHED (if ``not_matched_insert``) → the source row
+      inserts, unless it is a delete-clause row (a tombstone for an
+      absent key is a no-op, the CDC-apply convention).
+
+    One anti-join + one union publish the rewrite atomically — the
+    single-statement CDC-apply primitive (apply_changes lands a
+    Debezium-style feed in one MERGE per batch). The table's
+    expectations contract is enforced on the rows the merge WRITES
+    (delete-clause rows are departures, not writes). Source must not
+    contain duplicate keys (classic MERGE nondeterminism) — checked
+    with one aggregate, ValueError on violation.
+
+    Scale: full-rewrite core like ``commit_upsert``; the file-pruned
+    copy-on-write refinement is ``commit_upsert_cow``'s protocol.
+    ``matched_delete`` rows must keep the SOURCE schema (the predicate
+    sees source columns only — standard for CDC envelopes that carry
+    an op column; pass source with the op column projected away via
+    ``writes`` semantics if the table schema lacks it: the merge
+    writes exactly the source schema minus nothing).
+    """
+    from pyspark.sql import functions as FF
+
+    base = current_version(path) if expected_base is None else expected_base
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    dup = (
+        source.groupBy(key)
+        .agg(FF.count(FF.lit(1)).alias("_n"))
+        .filter(FF.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"MERGE source has duplicate key {dup[0][key]!r}; "
+            "a key must match at most one source row"
+        )
+    prev = _read_manifest(path, base)
+    del_pred = (
+        FF.coalesce(FF.expr(matched_delete).cast("boolean"), FF.lit(False))
+        if matched_delete is not None
+        else FF.lit(False)
+    )
+    writes = source.filter(~del_pred)
+    departures = source.filter(del_pred).select(key)
+    target = read_version(spark, path, base)
+    if not not_matched_insert:
+        writes = writes.join(target.select(key), key, "left_semi")
+    if not matched_update:
+        writes = writes.join(target.select(key), key, "left_anti")
+    table_cols = [f.name for f in target.schema]
+    writes = writes.select(*table_cols)
+    enforce_expectations(writes, prev.get("expectations", {}))
+    survivors = target.join(
+        writes.select(key).unionByName(departures), key, "left_anti"
+    )
+    merged = survivors.unionByName(writes)
+    return _commit_replace(
+        spark,
+        merged,
+        path,
+        base,
+        stats_col=prev.get("stats_col"),
+        stats_cols=prev.get("stats_cols"),
+        bloom_spec=prev.get("bloom_spec"),
+        extra_meta=_carry_meta(prev),
+    )

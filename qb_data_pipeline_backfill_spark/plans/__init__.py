@@ -28,14 +28,14 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # Round-5 rotation (VERDICT r4 #1): every registered query is green on
 # some prior artifact, so the window refreshes the STALEST records
 # first — (a) queries new or code-touched this round (no green record
-# on current code; the 20 round-5 additions), (b) the queries whose
+# on current code; section (a) below), (b) the queries whose
 # last driver green is r02-era, as many as fit, (c) r03-era queries,
 # contract certifications first (they underwrite the rows-only fuzzy
 # family's correctness). Entries past the 50-cap rotate in next round;
-# r04 greens are the freshest and wait longest. The full 144-query set
+# r04 greens are the freshest and wait longest. The full 146-query set
 # was verified locally this round (tools/check_correctness.py, sf0.01:
-# 132 hash-match + 9 rows-only-by-design + 3 added after that sweep,
-# each gate-checked individually: 0 fail).
+# 132 hash-match + 9 rows-only-by-design in the full sweep, + 5 added
+# after it, each gate-checked individually incl. a replay run: 0 fail).
 prioritize(
     [
         # --- (a) new / code-touched in round 5 ---
@@ -48,6 +48,8 @@ prioritize(
         "bpe_pair_counts",
         "txn_bloom_point_lookup",
         "txn_mor_delete_read",
+        "txn_replace_where_read",
+        "txn_merge_cdc_read",
         "txn_cdf_feed",
         "dedup_edit_distance",
         "streaming_txn_cdf",

@@ -175,3 +175,119 @@ def txn_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn.commit_upsert(spark, upd.unionByName(ins), path, key="o_orderkey")
     feed = txn.table_changes(spark, path, 0)
     return feed.select("o_orderkey", "o_orderpriority", "_change_type")
+
+
+@register(
+    "txn_replace_where_read",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CASE WHEN o_orderkey % 11 = 0
+                               THEN CAST(o_totalprice AS DECIMAL(18,6)) * 2
+                               ELSE CAST(o_totalprice AS DECIMAL(18,6)) END),
+                      2) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="INSERT OVERWRITE ... WHERE through the transactional table "
+    "(operators/txn.py commit_replace_where, the Delta replaceWhere "
+    "analog and the idempotent-backfill shape of the reference's "
+    "date-window reloads): orders commit as v0, then the "
+    "o_orderkey % 11 = 0 slice is atomically swapped for recomputed "
+    "rows (price doubled) sourced from the ORIGINAL input, and the "
+    "post-replace snapshot aggregates by status. The oracle states the "
+    "final state in closed form (doubled slice + untouched rest). "
+    "Replay-idempotent: the keyed append inserts zero on rerun and "
+    "re-replacing the slice with the same deterministic rows reaches "
+    "the same snapshot. Rows violating the slice predicate abort the "
+    "commit (pytest).",
+)
+def txn_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_rw_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    txn.commit_append(spark, orders, path, key="o_orderkey")
+    recomputed = orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    txn.commit_replace_where(spark, recomputed, path, "o_orderkey % 11 = 0")
+    return (
+        txn.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "txn_merge_cdc_read",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN 'X-MRG'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_orderstatus
+        FROM orders
+        WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 101 != 0)
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'X-MRG', o_orderstatus
+        FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderpriority = 'X-MRG' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_merged
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="Full three-clause MERGE INTO (operators/txn.py commit_merge — "
+    "the single-statement CDC-apply primitive): orders commit as the "
+    "target, then ONE merge applies a Debezium-shaped source batch "
+    "carrying updates (priority rewritten, keys %101), tombstones "
+    "(op='D', keys %97 ex-%101) and inserts (keys +10M, %103); the "
+    "post-merge snapshot aggregates per status. The oracle states the "
+    "final state in closed form. Replay-idempotent: the keyed append "
+    "re-inserts previously-deleted keys and the re-applied merge "
+    "deletes them again, reaching the identical snapshot.",
+)
+def txn_merge_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_mrg_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    txn.commit_append(spark, orders, path, key="o_orderkey")
+    k = F.col("o_orderkey")
+    ups = (
+        orders.filter(k % 101 == 0)
+        .withColumn("o_orderpriority", F.lit("X-MRG"))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = orders.filter((k % 97 == 0) & (k % 101 != 0)).withColumn(
+        "op", F.lit("D")
+    )
+    ins = (
+        orders.filter(k % 103 == 0)
+        .withColumn("o_orderkey", k + 10000000)
+        .withColumn("o_orderpriority", F.lit("X-MRG"))
+        .withColumn("op", F.lit("U"))
+    )
+    source = ups.unionByName(dels).unionByName(ins)
+    txn.commit_merge(spark, source, path, key="o_orderkey", matched_delete="op = 'D'")
+    return (
+        txn.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "X-MRG", 1).otherwise(0)
+            ).cast("long").alias("n_merged"),
+        )
+    )

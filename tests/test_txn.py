@@ -855,3 +855,198 @@ def test_cdf_apply_maintains_derived_replica(spark, tmp_path):
     v_before = txn.current_version(dst)
     sync_and_check()
     assert txn.current_version(dst) == v_before
+
+
+# --- replace-where (INSERT OVERWRITE ... WHERE) ---------------------------
+
+
+def test_replace_where_swaps_exactly_the_slice(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 100), path)
+    # replace the k < 20 slice with recomputed rows (v = k*1000)
+    repl = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 1000).alias("v")
+    )
+    v = txn.commit_replace_where(spark, repl, path, "k < 20")
+    assert v == 1
+    got = txn.read_table(spark, path)
+    assert got.count() == 100
+    assert got.filter("k < 20").agg(F.min("v")).collect()[0][0] == 0
+    assert got.filter("k = 5").collect()[0]["v"] == 5000
+    assert got.filter("k = 50").collect()[0]["v"] == 500  # untouched
+    # time travel still sees the pre-replace slice
+    old = txn.read_version(spark, path, 0)
+    assert old.filter("k = 5").collect()[0]["v"] == 50
+
+
+def test_replace_where_rejects_rows_outside_slice(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 100), path)
+    stray = spark.range(0, 30).select(  # 10 rows violate k < 20
+        F.col("id").alias("k"), (F.col("id") * 1000).alias("v")
+    )
+    with pytest.raises(txn.ExpectationViolation) as ei:
+        txn.commit_replace_where(spark, stray, path, "k < 20")
+    assert ei.value.counts == {"replace_where_predicate": 10}
+    # nothing committed
+    assert txn.current_version(path) == 0
+    assert txn.read_table(spark, path).filter("k = 5").collect()[0]["v"] == 50
+
+
+def test_replace_where_null_predicate_rows_survive(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k long, s string"
+    )
+    txn.commit_append(spark, base, path)
+    repl = spark.createDataFrame([(9, "a")], "k long, s string")
+    txn.commit_replace_where(spark, repl, path, "s = 'a'")
+    got = {r["k"] for r in txn.read_table(spark, path).collect()}
+    # k=1 (matched) replaced by k=9; k=2 (null predicate) and k=3 survive
+    assert got == {2, 3, 9}
+
+
+# --- CHECK-constraint expectations ----------------------------------------
+
+
+def test_expectations_enforced_and_inherited(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(
+        spark,
+        _df(spark, 0, 10),
+        path,
+        expectations={"v_nonneg": "v >= 0", "k_not_null": "k IS NOT NULL"},
+    )
+    # later append WITHOUT re-passing the contract is still checked
+    bad = spark.createDataFrame([(200, -5)], "k long, v long")
+    with pytest.raises(txn.ExpectationViolation) as ei:
+        txn.commit_append(spark, bad, path)
+    assert ei.value.counts == {"v_nonneg": 1}
+    assert txn.current_version(path) == 0  # nothing staged or committed
+    # a clean append passes and carries the contract forward
+    txn.commit_append(spark, _df(spark, 10, 20), path)
+    assert "expectations" in txn._read_manifest(path, 1)
+
+
+def test_expectations_null_counts_as_violation_and_survive_rewrites(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    txn.commit_append(
+        spark, _df(spark, 0, 10), path, expectations={"v_nonneg": "v >= 0"}
+    )
+    # rewrite commits (upsert, delete, compact) keep the contract
+    txn.commit_upsert(spark, _df(spark, 5, 15), path, key="k")
+    txn.commit_delete(spark, _df(spark, 0, 2).select("k"), path, key="k")
+    txn.commit_compact(spark, path)
+    assert txn._read_manifest(path, txn.current_version(path))[
+        "expectations"
+    ] == {"v_nonneg": "v >= 0"}
+    # NULL predicate result rejects (SQL CHECK 'not known true')
+    nullv = spark.createDataFrame([(300, None)], "k long, v long")
+    with pytest.raises(txn.ExpectationViolation):
+        txn.commit_append(spark, nullv, path)
+    # upsert batches are checked too
+    with pytest.raises(txn.ExpectationViolation):
+        txn.commit_upsert(spark, nullv, path, key="k")
+
+
+# --- shallow clone --------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_divergent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 100), src, key="k")
+    txn.clone_table(src, dst)
+    # same rows, zero-copy: every clone data file shares its inode
+    assert txn.read_table(spark, dst).count() == 100
+    man = txn._read_manifest(dst, 0)
+    assert man["cloned_from"]["path"] == src
+    for name in man["files"]:
+        s = os.stat(os.path.join(dst, "data", name))
+        assert s.st_nlink >= 2
+    # zone-map stats carried: pruned read works on the clone
+    assert txn.read_table_where(spark, dst, 10, 20).count() == 11
+    # divergence: writes to the clone never touch the source
+    txn.commit_append(spark, _df(spark, 100, 150), dst, key="k")
+    assert txn.read_table(spark, dst).count() == 150
+    assert txn.read_table(spark, src).count() == 100
+    # source deletes/vacuum cannot break the clone (inodes pinned)
+    txn.commit_delete(spark, _df(spark, 0, 100).select("k"), src, key="k")
+    txn.vacuum(src, retention_seconds=0.0)
+    assert txn.read_table(spark, dst).count() == 150
+
+
+def test_clone_refuses_existing_table_and_carries_dvs(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    txn.commit_append(spark, _df(spark, 0, 50), src)
+    txn.commit_delete_mor(
+        spark, _df(spark, 0, 10).select("k"), src, key="k"
+    )
+    txn.clone_table(src, dst)
+    # the clone sees through the source's deletion vectors
+    assert txn.read_table(spark, dst).count() == 40
+    with pytest.raises(FileExistsError):
+        txn.clone_table(src, dst)
+
+
+# --- full MERGE INTO ------------------------------------------------------
+
+
+def test_merge_applies_all_three_clauses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    source = spark.createDataFrame(
+        [
+            (1, 111, "U"),    # matched -> update
+            (100, 1000, "U"), # not matched -> insert
+            (2, 0, "D"),      # matched + delete predicate -> remove
+            (999, 0, "D"),    # tombstone for absent key -> no-op
+        ],
+        "k long, v long, op string",
+    )
+    txn.commit_merge(spark, source, path, key="k", matched_delete="op = 'D'")
+    got = {r["k"]: r["v"] for r in txn.read_table(spark, path).collect()}
+    assert got[1] == 111 and got[100] == 1000
+    assert 2 not in got and 999 not in got
+    assert len(got) == 10  # 10 - 1 deleted + 1 inserted
+
+
+def test_merge_clause_toggles_and_dup_source_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    src = spark.createDataFrame(
+        [(1, 111), (100, 1000)], "k long, v long"
+    )
+    # insert-only merge: matched rows keep their target values
+    txn.commit_merge(spark, src, path, key="k", matched_update=False)
+    got = {r["k"]: r["v"] for r in txn.read_table(spark, path).collect()}
+    assert got[1] == 10 and got[100] == 1000
+    # update-only merge: unmatched rows are dropped
+    src2 = spark.createDataFrame([(1, 222), (500, 5)], "k long, v long")
+    txn.commit_merge(spark, src2, path, key="k", not_matched_insert=False)
+    got = {r["k"]: r["v"] for r in txn.read_table(spark, path).collect()}
+    assert got[1] == 222 and 500 not in got
+    # duplicate source keys are classic MERGE nondeterminism: refuse
+    dup = spark.createDataFrame([(7, 1), (7, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate key"):
+        txn.commit_merge(spark, dup, path, key="k")
+
+
+def test_merge_enforces_expectations_on_writes_not_departures(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    txn.commit_append(
+        spark, _df(spark, 0, 10), path, expectations={"v_nonneg": "v >= 0"}
+    )
+    # a delete-clause row with a bad value is a departure, not a write
+    ok = spark.createDataFrame([(3, -1, "D")], "k long, v long, op string")
+    txn.commit_merge(spark, ok, path, key="k", matched_delete="op = 'D'")
+    assert txn.read_table(spark, path).count() == 9
+    # but a written row must honor the contract
+    bad = spark.createDataFrame([(4, -1, "U")], "k long, v long, op string")
+    with pytest.raises(txn.ExpectationViolation):
+        txn.commit_merge(spark, bad, path, key="k", matched_delete="op = 'D'")
