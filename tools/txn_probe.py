@@ -136,6 +136,35 @@ def main() -> int:
             .filter(F.col("o_custkey") == probe)
             .collect()
         )
+        # -- shallow clone vs deep copy ---------------------------------
+        # clone cost must be O(#files) metadata, independent of bytes;
+        # the deep copy (read + rewrite) is the scale-breaking baseline.
+        t0 = time.time()
+        txn.clone_table(cow, os.path.join(base, "clone"))
+        out["clone_sec"] = round(time.time() - t0, 3)
+        new_blocks = 0
+        cd = os.path.join(base, "clone", "data")
+        for n in os.listdir(cd):
+            if os.stat(os.path.join(cd, n)).st_nlink < 2:
+                new_blocks += os.path.getsize(os.path.join(cd, n))
+        out["clone_new_data_bytes"] = new_blocks  # 0: all hard links
+        t0 = time.time()
+        txn.read_table(spark, cow).write.parquet(os.path.join(base, "deep"))
+        out["deepcopy_sec"] = round(time.time() - t0, 3)
+        # -- replace-where write cost -----------------------------------
+        # swapping a 1/11 slice should not cost a full-table rewrite at
+        # scale; the -lite core DOES rewrite (documented), so the probe
+        # records the honest number the cow-refinement would shrink.
+        rw = os.path.join(base, "rw")
+        txn.commit_append(spark, orders, rw, key="o_orderkey")
+        b0 = _data_bytes(rw)
+        recomputed = orders.filter(F.col("o_orderkey") % 11 == 0)
+        out["replace_where_sec"] = _timed(
+            lambda: txn.commit_replace_where(
+                spark, recomputed, rw, "o_orderkey % 11 = 0"
+            )
+        )
+        out["replace_where_bytes_written"] = _data_bytes(rw) - b0
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps(out))
