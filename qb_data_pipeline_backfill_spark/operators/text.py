@@ -360,6 +360,8 @@ def bpe_pair_counts(
         F.explode(pair_idx).alias("i"), F.col("w"), F.col("f")
     ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "f")
     agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("pair_count"))
+    # unpartitioned rank over the AGGREGATED pair table (|pairs| ≤
+    # |V|·max_len rows, not corpus rows) — bounded like build_vocab
     w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
     return (
         agg.withColumn("rnk", F.row_number().over(w))

@@ -310,6 +310,9 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.explode(tokens("text")).alias("term"))
         .filter(F.length("term") > 0)
     )
+    # unpartitioned window over the AGGREGATED vocabulary (|V| rows,
+    # not corpus rows) — the single-partition rank pass is bounded by
+    # vocab size, same shape as operators/curation.py build_vocab
     w = Window.orderBy(F.desc("n"), F.asc("term"))
     vocab = (
         occ.groupBy("term")
