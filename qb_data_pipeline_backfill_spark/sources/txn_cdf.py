@@ -189,27 +189,31 @@ def apply_cdf_to_table(
     (Delta's `MERGE from CDF` pattern) that keeps a downstream
     materialization in sync without ever rescanning the source.
 
-    Per micro-batch: upsert the batch's insert/update rows, delete its
-    delete keys. The net-diff contract (each key appears at most once
-    per batch) makes the two commits order-independent, and both are
-    key-idempotent, so a foreachBatch replay after a crash re-applies
-    harmlessly — exactly-once end to end on top of at-least-once
-    delivery. Runs with AvailableNow (catch-up then stop); returns the
-    started query.
+    Per micro-batch: ONE ``commit_merge`` applies the whole batch —
+    insert/update rows via the matched-update/not-matched-insert
+    clauses, delete rows via the matched-delete clause — so the batch
+    lands in a single atomic snapshot switch (the earlier two-commit
+    shape exposed a readable intermediate state with updates applied
+    but deletes pending). The net-diff contract (each key appears at
+    most once per batch) satisfies merge's unique-source-key
+    requirement, and the merge is effect-idempotent, so a foreachBatch
+    replay after a crash re-applies harmlessly — exactly-once end to
+    end on top of at-least-once delivery. Runs with AvailableNow
+    (catch-up then stop); returns the started query.
     """
-    from pyspark.sql import functions as FF
-
     from qb_data_pipeline_backfill_spark.operators import txn
 
     def sink(batch_df, batch_id: int) -> None:
-        ups = batch_df.filter(FF.col("_change_type") != "delete").drop(
-            "_change_type"
+        if batch_df.limit(1).count() == 0:
+            return
+        sp = batch_df.sparkSession
+        src = batch_df.withColumnRenamed("_change_type", "__op")
+        if txn.current_version(target_path) < 0:
+            # genesis: publish the (empty) table so merge has a base
+            txn.commit_append(sp, src.drop("__op").limit(0), target_path)
+        txn.commit_merge(
+            sp, src, target_path, key=key, matched_delete="__op = 'delete'"
         )
-        dels = batch_df.filter(FF.col("_change_type") == "delete").select(key)
-        if ups.limit(1).count():
-            txn.commit_upsert(batch_df.sparkSession, ups, target_path, key=key)
-        if dels.limit(1).count():
-            txn.commit_delete(batch_df.sparkSession, dels, target_path, key=key)
 
     return (
         read_cdf_stream(spark, source_path, key=key, start_version=start_version)
