@@ -32,10 +32,11 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # last driver green is r02-era, as many as fit, (c) r03-era queries,
 # contract certifications first (they underwrite the rows-only fuzzy
 # family's correctness). Entries past the 50-cap rotate in next round;
-# r04 greens are the freshest and wait longest. The full 146-query set
-# was verified locally this round (tools/check_correctness.py, sf0.01:
-# 132 hash-match + 9 rows-only-by-design in the full sweep, + 5 added
-# after it, each gate-checked individually incl. a replay run: 0 fail).
+# r04 greens are the freshest and wait longest. The full 146-query
+# registry was verified locally this round in one sweep
+# (tools/check_correctness.py, sf0.01: 137 hash-match + 9
+# rows-only-by-design, 0 fail), with the replay-sensitive txn gate
+# queries additionally re-run twice back to back.
 prioritize(
     [
         # --- (a) new / code-touched in round 5 ---
