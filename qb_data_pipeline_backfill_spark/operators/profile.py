@@ -212,7 +212,12 @@ def hist_bin(value_col: str, *, lo: float, hi: float, n_bins: int):
     """Fixed-width histogram bin id over ``[lo, hi)``, edge bins
     absorbing out-of-range values — the shared binning expression of
     the batch and streaming drift monitors (identical bin boundaries
-    are what make their results comparable)."""
+    are what make their results comparable).
+
+    NULL measures map to a NULL bin and fall out of the histogram
+    (identically on both engines); a caller whose column is nullable
+    should filter or impute first, or null-rate drift silently hides —
+    pair with the null counts of ``profile_numeric``."""
     width = (hi - lo) / n_bins
     return (
         F.least(
