@@ -111,6 +111,12 @@ def enforce_expectations(df: DataFrame, exprs: dict[str, str]) -> None:
         raise ExpectationViolation(bad)
 
 
+# Expectation name reserved for commit_replace_where's slice-containment
+# check; declaring a table expectation under it is rejected so it can
+# never shadow (or be shadowed by) the containment predicate.
+_RESERVED_EXPECTATION = "replace_where_predicate"
+
+
 def _carry_meta(prev: dict) -> dict:
     """Table-level contract keys every rewrite commit must propagate
     (the zone-map analog of ADVICE r4: rewrites silently dropping
@@ -314,8 +320,24 @@ def commit_append(
         out = df.join(existing, key, "left_anti")
 
     prev0 = _read_manifest(path, base) if base >= 0 else {}
+    if expectations and _RESERVED_EXPECTATION in expectations:
+        raise ValueError(
+            f"expectation name {_RESERVED_EXPECTATION!r} is reserved for "
+            "commit_replace_where's slice-containment check"
+        )
     contract = {**prev0.get("expectations", {}), **(expectations or {})}
     enforce_expectations(out, contract)
+    # Declaring a NEW expectation on an existing table must also hold
+    # for the rows already committed (Delta's ADD CONSTRAINT validates
+    # existing data first — ADVICE r5: validating only the incoming
+    # batch lets the manifest assert a contract history violates).
+    new_keys = {
+        k: v
+        for k, v in (expectations or {}).items()
+        if prev0.get("expectations", {}).get(k) != v
+    }
+    if new_keys and base >= 0:
+        enforce_expectations(read_version(spark, path, base), new_keys)
 
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_txn_dir(path), exist_ok=True)
@@ -1069,6 +1091,11 @@ def commit_upsert_cow(
     if base < 0:
         return commit_append_with_stats(spark, df, path, key)
     man = _read_manifest(path, base)
+    # the CHECK contract holds on every write path: _carry_meta forwards
+    # the expectations key, so the incoming batch must satisfy it here
+    # too (ADVICE r5: carrying the contract without enforcing it would
+    # let violating rows through the CoW MERGE path)
+    enforce_expectations(df, man.get("expectations", {}))
     if man.get("stats_col") != key:
         raise ValueError(
             f"table at {path} lacks zone-map stats on {key!r}; "
@@ -1440,13 +1467,17 @@ def commit_replace_where(
     if base < 0:
         raise FileNotFoundError(f"no committed version under {path}")
     prev = _read_manifest(path, base)
-    enforce_expectations(
-        df,
-        {
-            "replace_where_predicate": predicate,
-            **prev.get("expectations", {}),
-        },
-    )
+    # slice-containment is checked under a RESERVED name that no stored
+    # expectation may shadow (ADVICE r5: spreading stored expectations
+    # after the predicate let a table expectation named
+    # 'replace_where_predicate' silently replace the containment check)
+    stored = prev.get("expectations", {})
+    if _RESERVED_EXPECTATION in stored:
+        raise ValueError(
+            f"table expectation name {_RESERVED_EXPECTATION!r} is reserved "
+            "for commit_replace_where's slice-containment check"
+        )
+    enforce_expectations(df, {**stored, _RESERVED_EXPECTATION: predicate})
     pred = FF.coalesce(FF.expr(predicate).cast("boolean"), FF.lit(False))
     survivors = read_version(spark, path, base).filter(~pred)
     merged = survivors.unionByName(df)

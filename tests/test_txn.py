@@ -951,6 +951,61 @@ def test_expectations_null_counts_as_violation_and_survive_rewrites(
         txn.commit_upsert(spark, nullv, path, key="k")
 
 
+def test_expectations_enforced_on_cow_upsert_path(spark, tmp_path):
+    """The copy-on-write MERGE path must enforce the carried contract
+    on its incoming batch, not just forward the manifest key
+    (ADVICE r5)."""
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 50), path, key="k")
+    txn.commit_append(
+        spark, _df(spark, 50, 60), path, expectations={"v_nonneg": "v >= 0"}
+    )
+    bad = spark.createDataFrame([(5, -1)], "k long, v long")
+    with pytest.raises(txn.ExpectationViolation):
+        txn.commit_upsert_cow(spark, bad, path, key="k")
+    # nothing committed; a clean CoW batch still passes
+    v = txn.current_version(path)
+    txn.commit_upsert_cow(
+        spark, spark.createDataFrame([(5, 555)], "k long, v long"), path, key="k"
+    )
+    assert txn.current_version(path) == v + 1
+
+
+def test_reserved_expectation_name_rejected(spark, tmp_path):
+    """'replace_where_predicate' is reserved so a stored expectation can
+    never shadow the slice-containment check (ADVICE r5)."""
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="reserved"):
+        txn.commit_append(
+            spark,
+            _df(spark, 0, 10),
+            path,
+            expectations={"replace_where_predicate": "1 = 1"},
+        )
+    # containment check itself still fires on out-of-slice rows
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    with pytest.raises(txn.ExpectationViolation) as ei:
+        txn.commit_replace_where(spark, _df(spark, 0, 10), path, "k < 5")
+    assert "replace_where_predicate" in ei.value.counts
+
+
+def test_new_expectation_validates_existing_snapshot(spark, tmp_path):
+    """Declaring a NEW expectation on an existing table checks the rows
+    already committed (Delta ADD CONSTRAINT semantics — ADVICE r5)."""
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)  # v holds k in [0,10)
+    clean = spark.createDataFrame([(20, 200)], "k long, v long")
+    # the batch satisfies k >= 5 but history does not: reject
+    with pytest.raises(txn.ExpectationViolation) as ei:
+        txn.commit_append(spark, clean, path, expectations={"k_big": "k >= 5"})
+    assert ei.value.counts == {"k_big": 5}
+    # a contract history satisfies is accepted and recorded
+    txn.commit_append(spark, clean, path, expectations={"k_ok": "k >= 0"})
+    assert "k_ok" in txn._read_manifest(path, txn.current_version(path))[
+        "expectations"
+    ]
+
+
 # --- shallow clone --------------------------------------------------------
 
 
