@@ -409,6 +409,11 @@ def commit_append(
         manifest["dv_key"] = prev.get("dv_key")
     if contract:
         manifest["expectations"] = contract
+    # commit-time CDC record: an append's new files ARE its inserted
+    # rows (no DV can reference a fresh file), so the change feed reads
+    # them directly — zero extra bytes written (Delta CDF's append
+    # optimization)
+    manifest["cdc"] = {"mode": "append", "files": new_files}
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -446,6 +451,7 @@ def vacuum(path: str, retention_seconds: float = 24 * 3600.0) -> list[str]:
         man = _read_manifest(path, version)
         referenced.update(man["files"])
         referenced.update(man.get("dvs", []))
+        referenced.update(man.get("cdc", {}).get("files") or [])
     removed = []
     data_dir = os.path.join(path, "data")
     if os.path.isdir(data_dir):
@@ -541,12 +547,14 @@ def commit_upsert(
     prev = _read_manifest(path, base) if base >= 0 else {}
     enforce_expectations(df, prev.get("expectations", {}))
     if base >= 0:
-        survivors = read_version(spark, path, base).join(
-            df.select(key), key, "left_anti"
-        )
+        target = read_version(spark, path, base)
+        survivors = target.join(df.select(key), key, "left_anti")
         merged = survivors.unionByName(df)
+        cols = [f.name for f in target.schema]
+        cdc = _cdc_upsert_changes(target, df.select(*cols), key, cols)
     else:
         merged = df
+        cdc = "append"
     return _commit_replace(
         spark,
         merged,
@@ -556,6 +564,7 @@ def commit_upsert(
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
         extra_meta=_carry_meta(prev),
+        cdc=cdc,
     )
 
 
@@ -618,6 +627,9 @@ def commit_compact(
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
         extra_meta=_carry_meta(prev),
+        # row-preserving rewrite: dataChange=false, the change feed
+        # skips this version entirely
+        cdc="none",
     )
 
 
@@ -772,6 +784,53 @@ def _bloom_file_hit(words: list[list[int]], positions: list[int]) -> bool:
     return True
 
 
+def _cdc_upsert_changes(
+    target: DataFrame, writes: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Net insert/update rows an upsert-shaped commit produces, for the
+    commit-time change-data-capture record (Delta CDF analog): each
+    write row is classified against the pre-commit target — absent key
+    → ``insert``, present-but-different row → ``update``, identical row
+    → no change emitted (a replayed idempotent commit records an EMPTY
+    change set, which is what keeps the streaming feed replay-stable).
+    One key-partitioned left join; ``writes`` is the small side."""
+    from pyspark.sql import functions as FF
+
+    t = target.select(FF.col(key).alias("__k"), FF.struct(*cols).alias("__old"))
+    w = writes.select(FF.col(key).alias("__k"), FF.struct(*cols).alias("__new"))
+    j = w.join(t, "__k", "left_outer")
+    changed = j.filter(~FF.col("__new").eqNullSafe(FF.col("__old")))
+    return changed.select(
+        *[FF.col(f"__new.{c}").alias(c) for c in cols],
+        FF.when(FF.col("__old").isNull(), FF.lit("insert"))
+        .otherwise(FF.lit("update"))
+        .alias("_change_type"),
+    )
+
+
+def _stage_cdc_files(
+    spark: SparkSession, cdc_df: DataFrame, path: str, stage_id: str
+) -> list[str]:
+    """Stage a commit's net change rows (row columns + ``_change_type``)
+    as parquet under ``data/`` and return the file names for the
+    manifest's ``cdc`` record. Like data files, CDC files are invisible
+    until the manifest publishes and are retained/vacuumed by
+    reference."""
+    cols = [f.name for f in cdc_df.schema if f.name != "_change_type"]
+    stage_dir = os.path.join(path, "_staging", f"{stage_id}-cdc")
+    cdc_df.select(*cols, "_change_type").coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+    names: list[str] = []
+    for name in sorted(os.listdir(stage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        unique = f"{stage_id}-cdc-{name}"
+        os.link(os.path.join(stage_dir, name), os.path.join(path, "data", unique))
+        names.append(unique)
+    return names
+
+
 def _commit_replace(
     spark: SparkSession,
     merged: DataFrame,
@@ -787,6 +846,7 @@ def _commit_replace(
     carried_dvs: list | None = None,
     dv_key: str | None = None,
     extra_meta: dict | None = None,
+    cdc: "str | DataFrame | None" = None,
 ) -> int:
     """Publish ``merged``'s rewrite as version base+1: the manifest
     references the newly staged files plus any ``carried`` files
@@ -795,7 +855,15 @@ def _commit_replace(
     that column is read from each staged parquet footer and stored in
     the manifest for file skipping; ``stats_cols`` records the same
     for additional columns (``col_stats`` in the manifest) so
-    ``read_table_where(col=...)`` can prune on non-key predicates."""
+    ``read_table_where(col=...)`` can prune on non-key predicates.
+
+    ``cdc`` records the commit's change-data-capture metadata (read by
+    ``sources/txn_cdf.py``): ``"append"`` declares the newly staged
+    files ARE the inserted rows (zero extra bytes — Delta's CDF
+    optimization for append commits); ``"none"`` declares a
+    row-preserving rewrite (compaction: dataChange=false, the feed
+    skips it); a DataFrame is the commit's net change rows, staged as
+    CDC files alongside the data."""
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_txn_dir(path), exist_ok=True)
     stage_id = uuid.uuid4().hex
@@ -853,6 +921,18 @@ def _commit_replace(
         manifest["dv_key"] = dv_key
     if extra_meta:
         manifest.update(extra_meta)
+    if isinstance(cdc, str):
+        if cdc == "append":
+            manifest["cdc"] = {"mode": "append", "files": new_files}
+        elif cdc == "none":
+            manifest["cdc"] = {"mode": "none"}
+        else:
+            raise ValueError(f"unknown cdc mode {cdc!r}")
+    elif cdc is not None:
+        manifest["cdc"] = {
+            "mode": "files",
+            "files": _stage_cdc_files(spark, cdc, path, stage_id),
+        }
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
     try:
@@ -886,8 +966,15 @@ def commit_delete(
     base = current_version(path) if expected_base is None else expected_base
     if base < 0:
         raise FileNotFoundError(f"no committed version under {path}")
-    survivors = read_version(spark, path, base).join(
-        keys.select(key), key, "left_anti"
+    from pyspark.sql import functions as FF
+
+    target = read_version(spark, path, base)
+    survivors = target.join(keys.select(key), key, "left_anti")
+    # CDC: the departed rows (visible-at-base rows matching the delete
+    # keys), with their pre-delete values — replaying the same delete
+    # finds no visible matches and records an empty change set
+    cdc = target.join(keys.select(key), key, "left_semi").withColumn(
+        "_change_type", FF.lit("delete")
     )
     prev = _read_manifest(path, base)
     return _commit_replace(
@@ -899,6 +986,7 @@ def commit_delete(
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
         extra_meta=_carry_meta(prev),
+        cdc=cdc,
     )
 
 
@@ -943,6 +1031,7 @@ def commit_append_with_stats(
         carried_dvs=man.get("dvs"),
         dv_key=man.get("dv_key"),
         extra_meta=_carry_meta(man),
+        cdc="append",
     )
 
 
@@ -1123,6 +1212,7 @@ def commit_upsert_cow(
             carried_dvs=man.get("dvs"),
             dv_key=man.get("dv_key"),
             extra_meta=_carry_meta(man),
+            cdc="none",
         )
     stats = man.get("stats", {})
     touched = [
@@ -1131,6 +1221,7 @@ def commit_upsert_cow(
         if n not in stats or not (stats[n][1] < lo or stats[n][0] > hi)
     ]
     untouched = [n for n in man["files"] if n not in set(touched)]
+    cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
     if touched:
         tfiles = [os.path.join(path, "data", n) for n in touched]
         current = _apply_dvs(
@@ -1138,8 +1229,14 @@ def commit_upsert_cow(
         )
         survivors = current.join(df.select(key), key, "left_anti")
         merged = survivors.unionByName(df)
+        # CDC against the touched files only: zone-map containment
+        # guarantees any existing row with an update key lives in a
+        # touched file, so the net change is complete
+        cdc = _cdc_upsert_changes(current, df.select(*cols), key, cols)
     else:
         merged = df
+        # no existing file can hold these keys: every row is an insert
+        cdc = df.select(*cols).withColumn("_change_type", FF.lit("insert"))
     col_stats = man.get("col_stats", {})
     blooms = man.get("blooms", {})
     return _commit_replace(
@@ -1159,6 +1256,7 @@ def commit_upsert_cow(
         carried_dvs=man.get("dvs"),
         dv_key=man.get("dv_key"),
         extra_meta=_carry_meta(man),
+        cdc=cdc,
     )
 
 
@@ -1319,6 +1417,13 @@ def commit_delete_mor(
         unique = f"{stage_id}-dv-{name}"
         os.link(os.path.join(stage_dir, name), os.path.join(path, "data", unique))
         dv_files.append(unique)
+    # CDC: the rows this commit makes invisible, with pre-delete values
+    # — computed DV-aware (read_version) so re-deleting an already
+    # deleted key records an empty change set
+    cdc_rows = read_version(spark, path, base).join(
+        FF.broadcast(keys.select(key).dropDuplicates([key])), key, "left_semi"
+    ).withColumn("_change_type", FF.lit("delete"))
+    cdc_files = _stage_cdc_files(spark, cdc_rows, path, stage_id)
     manifest = {
         "version": base + 1,
         "files": man["files"],
@@ -1327,6 +1432,7 @@ def commit_delete_mor(
         "committed_at": time.time(),
         "dvs": man.get("dvs", []) + dv_files,
         "dv_key": key,
+        "cdc": {"mode": "files", "files": cdc_files},
     }
     for fld in (
         "stats_col",
@@ -1479,8 +1585,34 @@ def commit_replace_where(
         )
     enforce_expectations(df, {**stored, _RESERVED_EXPECTATION: predicate})
     pred = FF.coalesce(FF.expr(predicate).cast("boolean"), FF.lit(False))
-    survivors = read_version(spark, path, base).filter(~pred)
+    target = read_version(spark, path, base)
+    survivors = target.filter(~pred)
     merged = survivors.unionByName(df)
+    # CDC = net change of the replaced slice. With a table key, keys in
+    # both old slice and df classify as updates (value-compared, so an
+    # idempotent re-replace records an empty change set); without one,
+    # the multiset difference is exact the same way (exceptAll), with
+    # old-only rows as deletes and new-only rows as inserts.
+    old_slice = target.filter(pred)
+    cols = [f.name for f in target.schema]
+    key = prev.get("stats_col") or prev.get("dv_key")
+    new_rows = df.select(*cols)
+    if key is not None:
+        upserts = _cdc_upsert_changes(old_slice, new_rows, key, cols)
+        gone = old_slice.join(new_rows.select(key), key, "left_anti").withColumn(
+            "_change_type", FF.lit("delete")
+        )
+        cdc = upserts.unionByName(gone)
+    else:
+        cdc = (
+            new_rows.exceptAll(old_slice)
+            .withColumn("_change_type", FF.lit("insert"))
+            .unionByName(
+                old_slice.exceptAll(new_rows).withColumn(
+                    "_change_type", FF.lit("delete")
+                )
+            )
+        )
     return _commit_replace(
         spark,
         merged,
@@ -1490,6 +1622,7 @@ def commit_replace_where(
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
         extra_meta=_carry_meta(prev),
+        cdc=cdc,
     )
 
 
@@ -1533,6 +1666,10 @@ def clone_table(
         "parent": -1,
         "committed_at": time.time(),
         "cloned_from": {"path": path_src, "version": src_version},
+        # the clone's genesis change feed is its whole snapshot as
+        # inserts (its data files; the source's CDC files are not
+        # linked and must not be referenced)
+        "cdc": {"mode": "append", "files": man["files"]},
     }
     stage_id = uuid.uuid4().hex
     tmp = os.path.join(_txn_dir(path_dst), f".tmp-{stage_id}.json")
@@ -1624,6 +1761,15 @@ def commit_merge(
         writes.select(key).unionByName(departures), key, "left_anti"
     )
     merged = survivors.unionByName(writes)
+    # CDC: written rows classify as insert/update against the target
+    # (value-compared — re-merging identical rows records nothing);
+    # delete-clause rows surface the departed target rows' pre-image.
+    # Tombstones for absent keys are no-ops and emit nothing (semi).
+    cdc = _cdc_upsert_changes(target, writes, key, table_cols).unionByName(
+        target.join(departures, key, "left_semi").withColumn(
+            "_change_type", FF.lit("delete")
+        )
+    )
     return _commit_replace(
         spark,
         merged,
@@ -1633,4 +1779,5 @@ def commit_merge(
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
         extra_meta=_carry_meta(prev),
+        cdc=cdc,
     )

@@ -354,31 +354,50 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_txn_cdf",
     oracle="SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type "
-    "FROM orders WHERE o_orderkey % 89 != 0",
+    "FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type "
+    "FROM orders WHERE o_orderkey % 89 = 0",
     doc="Streaming change-data-capture tail of the transactional table "
-    "(sources/txn_cdf.py, Spark 4 Python streaming DataSource): offsets "
-    "are table VERSIONS, batches are manifest-log diffs costing "
-    "O(changed files). Orders commit then lose every 89th key to a "
-    "merge-on-read delete; the genesis→head catch-up batch must net to "
-    "exactly the surviving rows as inserts (the deleted keys' insert+DV "
-    "cancel). Hash-gated against the closed-form survivor set; replay-"
-    "idempotent like the other txn gate queries.",
+    "(sources/txn_cdf.py, Spark 4 partitioned Python streaming "
+    "DataSource): offsets are table VERSIONS; change rows are recorded "
+    "at COMMIT time (appends: new files ARE the inserts; the MoR delete "
+    "stages explicit CDC rows) and read one-Spark-task-per-changed-file "
+    "on executors — no row passes through the driver. Orders commit "
+    "then lose every 89th key to a merge-on-read delete; the "
+    "genesis→head catch-up batch must carry the append's inserts AND "
+    "the delete's pre-image rows (per-commit feed, Delta CDF "
+    "semantics). Hash-gated against the closed-form union. A change "
+    "feed is an append-only HISTORY, so replaying the build commits "
+    "would (correctly) lengthen it — the query pins the expected "
+    "2-commit history and rebuilds from zero if the scratch table's "
+    "head diverges, making the gate replay-stable.",
 )
 def streaming_txn_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
 
     from qb_data_pipeline_backfill_spark.operators import txn
     from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
     from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
     from qb_data_pipeline_backfill_spark.tables import load_table
 
+    # cdc2: tables written before commit-time CDC carry no cdc manifest
+    # record for their MoR-delete version, which the stream (correctly)
+    # refuses — start from a table whose history is fully recorded
     path = os.path.join(
-        _SCRATCH, f"orders_cdfstream_{os.path.basename(os.path.normpath(sf_dir))}"
+        _SCRATCH, f"orders_cdc2_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
-    txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
-    doomed = orders.filter(F.col("o_orderkey") % 89 == 0).select("o_orderkey")
-    txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
+    if txn.current_version(path) != 1:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(
+            8, "o_orderkey"
+        )
+        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        doomed = orders.filter(F.col("o_orderkey") % 89 == 0).select(
+            "o_orderkey"
+        )
+        txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
     feed = run_available_now(
         read_cdf_stream(spark, path), output_mode="append"
     )

@@ -1,153 +1,238 @@
 """Streaming change-data-capture source over the transactional table:
 ``spark.readStream.format("txn_cdf")`` tails the manifest log and
-emits each version step's NET row changes as (row..., _change_type)
-micro-batches — the streaming face of ``operators/txn.table_changes``
-(Delta CDF-as-stream analog), built on Spark 4's Python streaming
-DataSource API.
+emits each commit's NET row changes as (row..., _change_type,
+_commit_version) micro-batches — the streaming face of
+``operators/txn.table_changes`` (Delta CDF-as-stream analog), built on
+Spark 4's Python streaming DataSource API.
 
 Exactly-once comes from the offset being the table VERSION: the
 streaming checkpoint records {"version": N}; a restarted query replays
-``readBetweenOffsets`` over the same immutable manifests and gets
-byte-identical batches, because manifests and data files are never
-mutated.
+``partitions`` over the same immutable manifests and gets
+byte-identical batches, because manifests, data files, and CDC files
+are never mutated.
 
-Scale posture: a batch is computed from the MANIFEST DIFF only —
-rows of added files, rows of removed files, and newly added
-deletion-vector entries — so batch cost is O(changed files), never a
-table scan. Carried files are never read. The net diff (rewritten-
-identical rows in a compaction cancel out; an upsert's rewritten file
-pair nets to just the updated keys) is keyed on the table's stats/DV
-key, computed driver-side over the changed-file rows via pyarrow —
-the same bounded-batch posture as any file-listing streaming source.
+Scale posture — the change rows are determined at COMMIT time and read
+with one Spark task per changed file, so no row ever passes through
+the driver (Delta's CDF architecture):
 
-Retention interaction (document like Delta CDF's): a consumer lagging
-past ``expire_manifests`` + ``vacuum`` loses the removed files its
-next batch needs and gets a loud FileNotFoundError — size retention
-to the slowest consumer.
+- every mutating commit in ``operators/txn.py`` records its net effect
+  in the manifest: appends declare their new files ARE the inserted
+  rows (``cdc.mode = "append"``, zero extra bytes); rewrite commits
+  (upsert/merge/delete/replaceWhere) stage explicit CDC parquet files
+  of (row..., _change_type) computed as Spark joins at commit time;
+  compaction declares ``mode = "none"`` (dataChange=false) and the
+  feed skips it;
+- the stream reader's ``partitions(start, end)`` touches only
+  MANIFESTS (O(changed files) metadata on the driver); ``read`` runs
+  on executors, one partition per changed/CDC file, yielding Arrow
+  record batches.
 
-Options: path (required), key (defaults to the manifest's
-stats_col/dv_key), start_version (default -1 = from genesis).
+Because batches concatenate per-commit changes (no cross-commit
+netting — same as Delta CDF), a catch-up batch spanning several
+versions can carry multiple changes for one key; ``_commit_version``
+orders them, and ``apply_cdf_to_table`` reduces to the latest change
+per key with one distributed window before merging.
+
+Retention interaction: a consumer lagging past ``expire_manifests`` +
+``vacuum`` raises ``CdfRetentionError`` naming the earliest version
+still served — size retention to the slowest consumer. Tables written
+before commit-time CDC existed (no ``cdc`` manifest key) are readable
+when the step is append-shaped (inferred from the file diff); other
+legacy steps raise ``CdfProtocolError`` pointing at the batch
+``table_changes`` API.
+
+Options: path (required), start_version (default -1 = from genesis).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterator, Tuple
+from typing import Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
+    InputPartition,
 )
 
 from qb_data_pipeline_backfill_spark.operators.txn import (
+    _manifest_versions,
     _read_manifest,
     current_version,
 )
 
 
-def _rows_of(path: str, names: list[str], columns: list[str]) -> list[dict]:
-    import pyarrow.parquet as pq
-
-    out: list[dict] = []
-    for n in names:
-        t = pq.read_table(os.path.join(path, "data", n))
-        for r in t.to_pylist():
-            out.append({c: r.get(c) for c in columns})
-    return out
+class CdfRetentionError(RuntimeError):
+    """The change feed needs a version whose manifest was retired by
+    ``expire_manifests`` (and possibly vacuumed): the consumer lagged
+    past the table's retention window. Restart from a served version
+    or re-seed the replica from a snapshot read."""
 
 
-def _dv_rows(path: str, dv_names: list[str]) -> list[dict]:
-    import pyarrow.parquet as pq
-
-    out: list[dict] = []
-    for n in dv_names:
-        out.extend(pq.read_table(os.path.join(path, "data", n)).to_pylist())
-    return out
+class CdfProtocolError(RuntimeError):
+    """A version step carries no commit-time CDC record and is not
+    append-shaped (written before commit-time CDC existed): the
+    streaming feed cannot replay it. Use the batch
+    ``operators/txn.table_changes`` across the gap instead."""
 
 
-class TxnCdfStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, options: dict):
+class CdfFilePartition(InputPartition):
+    """One changed/CDC file of one commit = one Spark task.
+
+    ``change_type`` is set for append-mode data files (every row is an
+    insert) and None for explicit CDC files (which carry their own
+    ``_change_type`` column). ``dv_paths`` lists the commit's deletion
+    vector files when the manifest carries DVs that may suppress rows
+    of this file (clone genesis); fresh append files are never
+    DV-covered and pass an empty list.
+    """
+
+    def __init__(
+        self,
+        file_path: str,
+        file_name: str,
+        version: int,
+        change_type: str | None,
+        arrow_schema,
+        dv_paths: list[str],
+        dv_key: str | None,
+    ):
+        self.file_path = file_path
+        self.file_name = file_name
+        self.version = version
+        self.change_type = change_type
+        self.arrow_schema = arrow_schema
+        self.dv_paths = dv_paths
+        self.dv_key = dv_key
+
+
+class TxnCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, arrow_schema):
         self._path = options["path"]
-        self._key = options.get("key")
         self._start = int(options.get("start_version", -1))
+        self._arrow_schema = arrow_schema
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
-    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
-        head = current_version(self._path)
-        if head <= start["version"]:
-            return iter([]), start
-        end = {"version": head}
-        return self.readBetweenOffsets(start, end), end
+    def latestOffset(self) -> dict:
+        return {"version": max(current_version(self._path), self._start)}
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(self._net_changes(start["version"], end["version"]))
+    # -- planning: manifests only, O(changed files) metadata ---------------
+    def _manifest_or_retention_error(self, version: int) -> dict:
+        try:
+            return _read_manifest(self._path, version)
+        except FileNotFoundError:
+            served = _manifest_versions(self._path)
+            raise CdfRetentionError(
+                f"change feed needs version {version} of {self._path}, but "
+                "its manifest was retired by expire_manifests(); earliest "
+                f"version still served is "
+                f"{min(served) if served else '<none>'} — restart the "
+                "consumer from a served version or re-seed from a snapshot"
+            ) from None
+
+    def _step_cdc(self, version: int) -> dict:
+        """The commit's CDC record, inferring ``append`` for legacy
+        append-shaped manifests (files only grew, DVs unchanged)."""
+        man = self._manifest_or_retention_error(version)
+        cdc = man.get("cdc")
+        if cdc is not None:
+            return {"man": man, **cdc}
+        if version == 0:
+            return {"man": man, "mode": "append", "files": man["files"]}
+        parent = self._manifest_or_retention_error(version - 1)
+        f0, f1 = set(parent.get("files", [])), set(man.get("files", []))
+        if f0 <= f1 and parent.get("dvs", []) == man.get("dvs", []):
+            return {
+                "man": man,
+                "mode": "append",
+                "files": [n for n in man["files"] if n not in f0],
+            }
+        raise CdfProtocolError(
+            f"version {version} of {self._path} predates commit-time CDC "
+            "and is not append-shaped; replay the gap with the batch "
+            "table_changes() API, then resume the stream from "
+            f"start_version={version}"
+        )
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            step = self._step_cdc(v)
+            man = step["man"]
+            if step["mode"] == "none":
+                continue
+            if step["mode"] == "append":
+                change_type = "insert"
+                # DVs can only cover an append-mode file at a clone's
+                # genesis (fresh appends land in files no DV names)
+                dv_paths = [
+                    os.path.join(self._path, "data", n)
+                    for n in man.get("dvs", [])
+                ]
+                dv_key = man.get("dv_key")
+            else:
+                change_type = None
+                dv_paths, dv_key = [], None
+            for name in step.get("files", []):
+                out.append(
+                    CdfFilePartition(
+                        os.path.join(self._path, "data", name),
+                        name,
+                        v,
+                        change_type,
+                        self._arrow_schema,
+                        dv_paths,
+                        dv_key,
+                    )
+                )
+        return out
+
+    # -- executor-side read ------------------------------------------------
+    def read(self, partition: CdfFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.file_path)
+        if t.num_rows and partition.dv_paths:
+            suppressed = set()
+            for p in partition.dv_paths:
+                dv = pq.read_table(p)
+                for fn, kv in zip(
+                    dv.column("file_name").to_pylist(),
+                    dv.column(partition.dv_key).to_pylist(),
+                ):
+                    if fn == partition.file_name:
+                        suppressed.add(kv)
+            if suppressed:
+                mask = pa.array(
+                    [
+                        kv not in suppressed
+                        for kv in t.column(partition.dv_key).to_pylist()
+                    ]
+                )
+                t = t.filter(mask)
+        if not t.num_rows:
+            return
+        columns = {}
+        for field in partition.arrow_schema:
+            if field.name == "_commit_version":
+                columns[field.name] = pa.array(
+                    [partition.version] * t.num_rows, field.type
+                )
+            elif field.name == "_change_type" and partition.change_type:
+                columns[field.name] = pa.array(
+                    [partition.change_type] * t.num_rows, field.type
+                )
+            else:
+                columns[field.name] = t.column(field.name)
+        yield from (
+            pa.table(columns).cast(partition.arrow_schema).to_batches()
+        )
 
     def commit(self, end: dict) -> None:
         pass
-
-    # -- manifest-log diff -------------------------------------------------
-    def _net_changes(self, v0: int, v1: int) -> list[tuple]:
-        man1 = _read_manifest(self._path, v1)
-        man0 = _read_manifest(self._path, v0) if v0 >= 0 else {}
-        key = self._key or man1.get("stats_col") or man1.get("dv_key")
-        if key is None:
-            raise ValueError("txn_cdf needs key= (table has no stats/dv key)")
-        columns = [f.split(" ")[0] for f in man1["schema_ddl"].split(", ")]
-
-        f0, f1 = set(man0.get("files", [])), set(man1["files"])
-        added = sorted(f1 - f0)
-        removed = sorted(f0 - f1)
-        dv0, dv1 = set(man0.get("dvs", [])), set(man1.get("dvs", []))
-        new_dvs = sorted(dv1 - dv0)
-
-        # visibility-aware row sets for the CHANGED files only
-        def dv_suppressed(dv_names: set, file_names: set) -> set:
-            sup = set()
-            for r in _dv_rows(self._path, sorted(dv_names)):
-                if r["file_name"] in file_names:
-                    sup.add((r["file_name"], r[key]))
-            return sup
-
-        # rows that LEFT the snapshot: removed files' rows visible at
-        # v0, plus rows of carried files newly covered by a DV
-        sup0 = dv_suppressed(dv0, f0)
-        old_gone: dict = {}
-        for n in removed:
-            for r in _rows_of(self._path, [n], columns):
-                if (n, r[key]) not in sup0:
-                    old_gone[r[key]] = r
-        carried = f0 & f1
-        sup_new = dv_suppressed(dv1 - dv0, carried)
-        if sup_new:
-            by_file: dict = {}
-            for fn, kv in sup_new:
-                by_file.setdefault(fn, set()).add(kv)
-            for fn, kvs in by_file.items():
-                for r in _rows_of(self._path, [fn], columns):
-                    if r[key] in kvs and (fn, r[key]) not in sup0:
-                        old_gone[r[key]] = r
-
-        # rows that ENTERED the snapshot: added files' rows visible at v1
-        sup1 = dv_suppressed(dv1, f1)
-        new_here: dict = {}
-        for n in added:
-            for r in _rows_of(self._path, [n], columns):
-                if (n, r[key]) not in sup1:
-                    new_here[r[key]] = r
-
-        out: list[tuple] = []
-        for kv, r in sorted(new_here.items(), key=lambda x: str(x[0])):
-            old = old_gone.pop(kv, None)
-            if old is None:
-                out.append(tuple(r[c] for c in columns) + ("insert",))
-            elif old != r:
-                out.append(tuple(r[c] for c in columns) + ("update",))
-            # identical rewrite (compaction): no change emitted
-        for kv, r in sorted(old_gone.items(), key=lambda x: str(x[0])):
-            out.append(tuple(r[c] for c in columns) + ("delete",))
-        return out
 
 
 class TxnCdfDataSource(DataSource):
@@ -161,10 +246,12 @@ class TxnCdfDataSource(DataSource):
         man = _read_manifest(
             self.options["path"], current_version(self.options["path"])
         )
-        return man["schema_ddl"] + ", _change_type string"
+        return man["schema_ddl"] + ", _change_type string, _commit_version int"
 
-    def simpleStreamReader(self, schema) -> TxnCdfStreamReader:
-        return TxnCdfStreamReader(dict(self.options))
+    def streamReader(self, schema) -> TxnCdfStreamReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return TxnCdfStreamReader(dict(self.options), to_arrow_schema(schema))
 
 
 def read_cdf_stream(spark, path: str, **options):
@@ -189,25 +276,42 @@ def apply_cdf_to_table(
     (Delta's `MERGE from CDF` pattern) that keeps a downstream
     materialization in sync without ever rescanning the source.
 
-    Per micro-batch: ONE ``commit_merge`` applies the whole batch —
-    insert/update rows via the matched-update/not-matched-insert
-    clauses, delete rows via the matched-delete clause — so the batch
-    lands in a single atomic snapshot switch (the earlier two-commit
-    shape exposed a readable intermediate state with updates applied
-    but deletes pending). The net-diff contract (each key appears at
-    most once per batch) satisfies merge's unique-source-key
-    requirement, and the merge is effect-idempotent, so a foreachBatch
+    Per micro-batch: the per-commit changes first reduce to the LATEST
+    change per key (one distributed window over ``_commit_version`` —
+    a catch-up batch spanning several commits may carry a key's insert
+    and its later delete), then ONE ``commit_merge`` applies the whole
+    reduced batch — insert/update rows via the matched-update /
+    not-matched-insert clauses, delete rows via the matched-delete
+    clause — so the batch lands in a single atomic snapshot switch.
+    The reduction makes the merge's unique-source-key contract hold by
+    construction, and the merge is effect-idempotent, so a foreachBatch
     replay after a crash re-applies harmlessly — exactly-once end to
     end on top of at-least-once delivery. Runs with AvailableNow
     (catch-up then stop); returns the started query.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from qb_data_pipeline_backfill_spark.operators import txn
 
     def sink(batch_df, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
         sp = batch_df.sparkSession
-        src = batch_df.withColumnRenamed("_change_type", "__op")
+        # latest change per key wins; at equal versions a keyed net
+        # never emits two ops for one key, but prefer the non-delete
+        # row defensively (a keyless replaceWhere slice can net to
+        # delete+insert of the same key in one commit)
+        w = Window.partitionBy(key).orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change_type") == "delete", 0).otherwise(1).desc(),
+        )
+        src = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "_commit_version")
+            .withColumnRenamed("_change_type", "__op")
+        )
         if txn.current_version(target_path) < 0:
             # genesis: publish the (empty) table so merge has a base
             txn.commit_append(sp, src.drop("__op").limit(0), target_path)
@@ -216,7 +320,7 @@ def apply_cdf_to_table(
         )
 
     return (
-        read_cdf_stream(spark, source_path, key=key, start_version=start_version)
+        read_cdf_stream(spark, source_path, start_version=start_version)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

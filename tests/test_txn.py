@@ -736,7 +736,7 @@ def _drain_cdf(spark, path, tmp_path, name, start_version=-1):
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def test_cdf_stream_emits_versioned_batches(spark, tmp_path):
+def test_cdf_stream_emits_per_commit_changes(spark, tmp_path):
     path = str(tmp_path / "s")
     txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
     upd = spark.createDataFrame([(3, 333), (50, 500)], "k long, v long")
@@ -745,12 +745,17 @@ def test_cdf_stream_emits_versioned_batches(spark, tmp_path):
         spark, spark.createDataFrame([(7,)], "k long"), path, key="k"
     )
     got = {
-        (r["k"], r["v"], r["_change_type"])
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
         for r in _drain_cdf(spark, path, tmp_path, "cdf_all").collect()
     }
-    # one catch-up batch from genesis to head = the NET diff
-    inserts = {(k, k * 10, "insert") for k in range(10) if k not in (3, 7)}
-    assert got == inserts | {(3, 333, "insert"), (50, 500, "insert")}
+    # per-commit feed (Delta CDF semantics): the catch-up batch carries
+    # each commit's net change, ordered by _commit_version
+    inserts = {(k, k * 10, "insert", 0) for k in range(10)}
+    assert got == inserts | {
+        (3, 333, "update", 1),
+        (50, 500, "insert", 1),
+        (7, 70, "delete", 2),
+    }
 
 
 def test_cdf_stream_incremental_and_exactly_once_restart(spark, tmp_path):
@@ -855,6 +860,148 @@ def test_cdf_apply_maintains_derived_replica(spark, tmp_path):
     v_before = txn.current_version(dst)
     sync_and_check()
     assert txn.current_version(dst) == v_before
+
+
+def test_cdf_planning_is_metadata_only_and_per_file(spark, tmp_path):
+    """A multi-file commit plans one partition per changed file, and
+    planning touches MANIFESTS only — no data row (or even data file)
+    is read on the driver (the scale contract: a 10⁹-row commit costs
+    the driver O(#files) metadata, and rows are read executor-side)."""
+    import pyarrow.parquet as pq
+
+    from qb_data_pipeline_backfill_spark.sources import txn_cdf
+
+    path = str(tmp_path / "t")
+    big = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartition(8)
+    txn.commit_append(spark, big, path)
+    txn.commit_delete(
+        spark, spark.createDataFrame([(5,), (7000,)], "k long"), path, key="k"
+    )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(
+        txn.read_table(spark, path).schema.add("_change_type", "string").add(
+            "_commit_version", "integer"
+        )
+    )
+    reader = txn_cdf.TxnCdfStreamReader({"path": path}, schema)
+    real_read_table = pq.read_table
+    calls = []
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return real_read_table(*a, **kw)
+
+    pq.read_table = spy
+    try:
+        parts = reader.partitions({"version": -1}, {"version": 1})
+    finally:
+        pq.read_table = real_read_table
+    assert calls == []  # planning opened no parquet file at all
+    v0_parts = [p for p in parts if p.version == 0]
+    assert len(v0_parts) == 8  # one task per appended file
+    # executor-side read of one partition yields arrow batches
+    batches = list(reader.read(v0_parts[0]))
+    assert sum(b.num_rows for b in batches) > 0
+    assert batches[0].schema.names[-2:] == ["_change_type", "_commit_version"]
+
+
+def test_cdf_retention_error_names_earliest_served_version(spark, tmp_path):
+    """A consumer lagging past expire_manifests gets a typed, actionable
+    error naming the earliest version still served — not a bare
+    FileNotFoundError."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
+
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    txn.commit_append(spark, _df(spark, 10, 20), path)
+    txn.commit_append(spark, _df(spark, 20, 30), path)
+    txn.checkpoint(path)  # floor = v2
+    txn.expire_manifests(path)  # v0, v1 retired
+    q = (
+        read_cdf_stream(spark, path)  # start_version=-1 needs v0
+        .writeStream.format("memory")
+        .queryName("cdf_lagged")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="CdfRetentionError"):
+        q.awaitTermination()
+    assert "earliest version still served is 2" in str(q.exception())
+    # restarting from a served version works
+    got = _drain_cdf(
+        spark, path, tmp_path, "cdf_resumed", start_version=1
+    ).collect()
+    assert {(r["k"], r["_change_type"]) for r in got} == {
+        (k, "insert") for k in range(20, 30)
+    }
+
+
+def test_cdf_legacy_manifests_append_inferred_rewrite_refused(
+    spark, tmp_path
+):
+    """Tables written before commit-time CDC: append-shaped steps are
+    inferred from the file diff; rewrite-shaped steps raise the typed
+    protocol error pointing at batch table_changes."""
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
+
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 5), path)
+    txn.commit_append(spark, _df(spark, 5, 8), path)
+
+    def strip_cdc(version):
+        p = txn._manifest_path(path, version)
+        with open(p) as f:
+            man = _json.load(f)
+        man.pop("cdc", None)
+        with open(p + ".tmp", "w") as f:
+            _json.dump(man, f)
+        os.replace(p + ".tmp", p)
+
+    strip_cdc(0)
+    strip_cdc(1)
+    got = _drain_cdf(spark, path, tmp_path, "cdf_legacy").collect()
+    assert {(r["k"], r["_change_type"], r["_commit_version"]) for r in got} == {
+        (k, "insert", 0 if k < 5 else 1) for k in range(8)
+    }
+    # a legacy REWRITE step (files removed) cannot be replayed
+    txn.commit_delete(spark, _df(spark, 0, 1).select("k"), path, key="k")
+    strip_cdc(2)
+    q = (
+        read_cdf_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("cdf_legacy_rw")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="CdfProtocolError"):
+        q.awaitTermination()
+
+
+def test_cdf_clone_genesis_feed_is_dv_aware(spark, tmp_path):
+    """A shallow clone's genesis change feed emits its SNAPSHOT —
+    rows suppressed by carried deletion vectors must not resurface as
+    inserts."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    txn.commit_append(spark, _df(spark, 0, 20), src)
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(3,), (9,)], "k long"), src, key="k"
+    )
+    txn.clone_table(src, dst)
+    got = _drain_cdf(spark, dst, tmp_path, "cdf_clone").collect()
+    assert {(r["k"], r["_change_type"]) for r in got} == {
+        (k, "insert") for k in range(20) if k not in (3, 9)
+    }
 
 
 # --- replace-where (INSERT OVERWRITE ... WHERE) ---------------------------
