@@ -90,27 +90,36 @@ def main() -> None:
     # then 3.8 s), while each query isolated is stable. Per-query MIN
     # across passes measures the engine, not the host's bad minutes.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
-    for _ in range(passes):
-        for name, q in items:
-            if only is not None and name not in only:
-                continue
-            t0 = time.time()
-            try:
-                q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                took = round(time.time() - t0, 4)
-                prev = timings.get(name)
-                timings[name] = took if prev is None or prev < 0 else min(prev, took)
-            except Exception as e:  # noqa: BLE001
-                print(f"bench error in {name}: {e}", file=sys.stderr)
-                timings.setdefault(name, -1.0)
-            # Drop leftover session state (memory-sink tables from the
-            # streaming harness, cached plans) so one query's residue
-            # never shows up in the next query's time.
-            for t in spark.catalog.listTables():
-                if t.isTemporary:
-                    spark.catalog.dropTempView(t.name)
-            spark.catalog.clearCache()
+
+    def time_queries(query_items, data_dir, n_passes) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for _ in range(n_passes):
+            for name, q in query_items:
+                t0 = time.time()
+                try:
+                    q.spark(spark, data_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    took = round(time.time() - t0, 4)
+                    prev = out.get(name)
+                    out[name] = (
+                        took if prev is None or prev < 0 else min(prev, took)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench error in {name}: {e}", file=sys.stderr)
+                    out.setdefault(name, -1.0)
+                # Drop leftover session state (memory-sink tables from
+                # the streaming harness, cached plans) so one query's
+                # residue never shows up in the next query's time.
+                for t in spark.catalog.listTables():
+                    if t.isTemporary:
+                        spark.catalog.dropTempView(t.name)
+                spark.catalog.clearCache()
+        return out
+
+    timings = time_queries(
+        [kv for kv in items if only is None or kv[0] in only], sf_dir, passes
+    )
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     r01 = set(R01_SUBSET)
@@ -139,6 +148,28 @@ def main() -> None:
         "timing": "per-query min across passes (host shows "
         "episodic multi-x slowdowns; see bench.py)",
     }
+    # Low-noise companion series (VERDICT r5 #7): the driver-gate
+    # window re-timed at sf0.01, where queries run well under the
+    # host's episodic-slowdown quantum — round-over-round deltas here
+    # separate plan regressions from host noise in the sf0.1 numbers.
+    companion = "/root/testdata/sf0.01"
+    if (
+        only is None
+        and os.path.isdir(companion)
+        and os.path.abspath(companion) != os.path.abspath(sf_dir)
+    ):
+        for path in sorted(glob.glob(os.path.join(companion, "*.parquet"))):
+            with open(path, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+        window = sorted(
+            list(plans.REGISTRY.items())[:50],
+            key=lambda kv: kv[0].startswith("streaming_"),
+        )
+        sf001 = time_queries(window, companion, passes)
+        ok001 = {k: v for k, v in sf001.items() if v >= 0}
+        result["sf001_sec"] = round(sum(ok001.values()), 4)
+        result["sf001_queries"] = sf001
     line = json.dumps(result)
     # Stdout is the driver contract but its tail can truncate in the
     # round artifact (BENCH_r04 recovered only 55/112 timings from a

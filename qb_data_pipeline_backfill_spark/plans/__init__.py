@@ -25,76 +25,36 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-5 rotation (VERDICT r4 #1): every registered query is green on
-# some prior artifact, so the window refreshes the STALEST records
-# first — (a) queries new or code-touched this round (no green record
-# on current code; section (a) below), (b) the queries whose
-# last driver green is r02-era, as many as fit, (c) r03-era queries,
-# contract certifications first (they underwrite the rows-only fuzzy
-# family's correctness). Entries past the 50-cap rotate in next round;
-# r04 greens are the freshest and wait longest. The full 146-query
-# registry was verified locally this round in one sweep
-# (tools/check_correctness.py, sf0.01: 137 hash-match + 9
-# rows-only-by-design, 0 fail), with the replay-sensitive txn gate
-# queries additionally re-run twice back to back.
+# Round-6 rotation (VERDICT r5 #2): (a) queries new or code-touched
+# this round — the BPE contract twins (new), the streaming CDC feed
+# (new per-commit semantics + partitioned reader), the txn family
+# (commit paths now record CDC; expectations enforcement tightened),
+# and the twin-backed BPE rows-only entries; then (b) the three
+# queries that missed the r05 cut, (c) the r03-era records (contract
+# certifications first — they underwrite the rows-only fuzzy family),
+# and (d) the r03-era pricing_summary-family tail, as many as fit.
+# r04/r05 greens are the freshest and wait longest. The full registry
+# was verified locally this round in one sweep
+# (tools/check_correctness.py, sf0.01), with the replay-sensitive txn
+# gate queries additionally re-run twice back to back.
 prioritize(
     [
-        # --- (a) new / code-touched in round 5 ---
-        "drift_psi_report",
-        "streaming_drift_psi",
-        "contract_hll_intersection",
-        "similarity_ann_ivfpq",
-        "contract_ivfpq_adc",
-        "corpus_dup_gram_stats",
-        "bpe_pair_counts",
-        "txn_bloom_point_lookup",
-        "txn_mor_delete_read",
-        "txn_replace_where_read",
-        "txn_merge_cdc_read",
-        "txn_cdf_feed",
-        "dedup_edit_distance",
+        # --- (a) new / code-touched in round 6 ---
+        "contract_bpe_merge_replay",
+        "contract_bpe_encode_replay",
         "streaming_txn_cdf",
-        "triangle_counts_parts",
+        "txn_cdf_feed",
+        "txn_merge_cdc_read",
+        "txn_replace_where_read",
+        "txn_mor_delete_read",
+        "txn_bloom_point_lookup",
         "bpe_train_merges",
         "bpe_encode_stats",
-        "multimodal_decode_stats",
-        "multimodal_audio_stats",
-        "multimodal_video_frame_stats",
-        "streaming_media_decode",
-        "dedup_incremental_minhash",
-        "hypertable_ohlc_bars",
-        "hypertable_time_weighted",
-        "sample_temperature_mixture",
-        "sample_domain_quota",
-        "pandas_udaf_cents_sum",
-        # --- (b) last driver green was r02 ---
-        "window_function_suite",
-        "set_ops_report",
-        "dedup_exact_text",
-        "dedup_ngram_jaccard",
-        "dedup_embedding_cosine",
-        "similarity_cosine_topk",
-        "text_token_stats",
-        "text_ngram_topk",
-        "text_quality_scores",
-        "text_language_scores",
-        "corpus_curation",
-        "text_lang_corpus_stats",
-        "sample_eval_holdout",
-        "sample_train_val_test",
-        "sample_stratified_rebalance",
-        "envelope_projection",
-        "ingest_validate_dedup",
-        "upper_median_by_segment",
-        "invoice_line_explode",
-        "volumetry_unionall",
-        "integrity_report",
-        "approx_distinct_report",
-        "dup_detection_having",
+        # --- (b) missed the r05 50-entry cut ---
         "filtered_aggregates",
         "minmax_dates",
         "date_window_filter",
-        # --- (c) last driver green was r03, oldest-risk first ---
+        # --- (c) last driver green was r03, contracts first ---
         "contract_minhash_recall",
         "contract_simhash_recall",
         "contract_embedding_lsh_recall",
@@ -117,6 +77,22 @@ prioritize(
         "kmeans_codebook",
         "pii_scrub",
         "text_fingerprint",
+        # --- (d) r03-era relational/rollup tail, oldest first ---
+        "pricing_summary",
+        "top_revenue_orders",
+        "region_nation_rollup",
+        "status_priority_cube",
+        "pivot_status_by_priority",
+        "topk_orders_per_customer",
+        "running_total_per_customer",
+        "tumbling_window_events",
+        "session_windows_events",
+        "range_join_attribution",
+        "hypertable_rollup_daily",
+        "incremental_rollup_merge",
+        "value_histogram",
+        "zorder_clustering_key",
+        "constraint_report",
     ]
 )
 

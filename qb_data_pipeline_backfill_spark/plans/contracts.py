@@ -670,3 +670,98 @@ def contract_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tolerance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE iterative-trainer contract twins
+# --------------------------------------------------------------------------
+# The trainer and encoder are iterative (each round's input is the
+# previous round's merge application), so their fixture-corpus gate
+# entries are rows-only. These twins convert the family's pytest
+# certification into the repo's standard oracle-twin form: a PINNED
+# micro-corpus whose full 10-round merge sequence — and the per-doc
+# segmentation statistics it implies — were derived CLOSED-FORM with an
+# independent implementation of Sennrich et al. 2016 (greedy
+# left-to-right application, word-frequency weighting, lexicographic
+# tie-break; same algorithm as the pytest reference in
+# tests/test_llm_operators.py) and pinned as DuckDB VALUES. The corpus
+# is chosen to exercise the hard cases: an exact pair-count tie broken
+# lexicographically ((a,n)=9 vs (e,s)=9), chained merges across rounds
+# (es → est → ewest → newest), overlapping-pair greedy application
+# ('aaaa' under merge (a,a) → [aa, aa]), and merged symbols reused as
+# later merge operands. Any drift in tie-breaking, per-round argmax,
+# fold application, or rank-priority encoding flips the value hash.
+
+_BPE_PIN_DOCS = [
+    (
+        0,
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest",
+    ),
+    (1, "banana banana banana bandana band"),
+    (2, "aaaa aaaa aa the the the quick quick brown"),
+]
+
+
+def _bpe_pin_corpus(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_BPE_PIN_DOCS, "doc_id long, text string")
+
+
+@register(
+    "contract_bpe_merge_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 'a', 'n', CAST(9 AS BIGINT)),
+        (1, 'e', 's', 9),
+        (2, 'es', 't', 9),
+        (3, 'o', 'w', 8),
+        (4, 'a', 'a', 7),
+        (5, 'l', 'ow', 7),
+        (6, 'e', 'w', 6),
+        (7, 'ew', 'est', 6),
+        (8, 'n', 'ewest', 6),
+        (9, 'b', 'an', 5)
+    ) AS t(rank, left_sym, right_sym, pair_count)
+    """,
+    doc="Oracle twin for bpe_train_merges: the distributed trainer's "
+    "full 10-round merge sequence on a pinned micro-corpus must equal "
+    "the closed-form Sennrich-2016 replay (independent implementation, "
+    "pinned as VALUES). Exercises lexicographic tie-break, chained "
+    "merges, overlapping-pair greedy application, and merged-symbol "
+    "reuse — the places a distributed trainer can silently diverge.",
+)
+def contract_bpe_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    return X.train_bpe(_bpe_pin_corpus(spark), n_merges=10).select(
+        "rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "pair_count",
+    )
+
+
+@register(
+    "contract_bpe_encode_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(29 AS BIGINT), CAST(8 AS BIGINT)),
+        (1, 15, 4),
+        (2, 28, 13)
+    ) AS t(doc_id, n_subwords, n_distinct_subwords)
+    """,
+    doc="Oracle twin for bpe_encode_stats: encoding the pinned "
+    "micro-corpus under its own 10 trained merges must reproduce the "
+    "closed-form per-document segmentation statistics (rank-priority "
+    "merge application replayed independently, pinned as VALUES) — "
+    "certifying the train→apply loop end to end in oracle-twin form.",
+)
+def contract_bpe_encode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    corpus = _bpe_pin_corpus(spark)
+    merges = [
+        (r["left"], r["right"])
+        for r in X.train_bpe(corpus, n_merges=10).orderBy("rank").collect()
+    ]
+    return X.bpe_encode(corpus, merges)
