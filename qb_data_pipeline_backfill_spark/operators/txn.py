@@ -45,8 +45,11 @@ deployment the manifest store is the object store itself (S3
 conditional PUT) or a log service — the protocol is unchanged. This
 is deliberately the minimal core, not a table format: additive schema
 evolution works (the latest manifest's schema governs; older files
-surface NULL for added columns — pytest-proven), but there are no
-renames/drops. Deletes come in both industry shapes: copy-on-write
+surface NULL for added columns — pytest-proven), and renames/drops are
+metadata-only commits through column mapping
+(``alter_rename_column`` / ``alter_drop_column``: the manifest maps
+logical to stable physical names, so no data file is ever rewritten
+and time travel shows each version's own schema). Deletes come in both industry shapes: copy-on-write
 (``commit_delete``) and merge-on-read (``commit_delete_mor``,
 file-scoped deletion vectors applied as a broadcast anti-join at read
 and materialized away by compaction). Point lookups on unclustered
@@ -121,7 +124,111 @@ def _carry_meta(prev: dict) -> dict:
     """Table-level contract keys every rewrite commit must propagate
     (the zone-map analog of ADVICE r4: rewrites silently dropping
     manifest metadata downgrade the table)."""
-    return {k: prev[k] for k in ("expectations",) if k in prev}
+    return {
+        k: prev[k]
+        for k in ("expectations", "column_map", "dropped_physical")
+        if k in prev
+    }
+
+
+# --- column mapping (rename / drop without rewriting data) ----------------
+# The manifest stores the LOGICAL schema in ``schema_ddl`` plus a
+# ``column_map`` {logical: physical} for renamed columns (identity
+# entries are omitted). Data, DV, and CDC parquet files always carry
+# PHYSICAL names — the name a column had when first written — which
+# never change, so a rename or drop is a metadata-only commit and every
+# historical file stays readable. All manifest-internal column
+# references (stats_col, stats_cols, bloom_spec.col, dv_key) are
+# physical; public APIs take logical names and translate at the edge.
+# ``dropped_physical`` tombstones removed columns: their bytes remain
+# in old files (and in time travel), but the logical schema hides them,
+# and re-introducing a column under a dropped or mapped physical name
+# is rejected (without field-ID indirection, reusing the name would
+# resurrect the old bytes).
+
+
+def _col_map(man: dict) -> dict:
+    return man.get("column_map") or {}
+
+
+def _phys(man: dict, logical: str) -> str:
+    return _col_map(man).get(logical, logical)
+
+
+def _logical_of(man: dict, physical: str | None) -> str | None:
+    """Inverse of ``_phys`` (physical names are unique by construction)."""
+    if physical is None:
+        return None
+    for lg, ph in _col_map(man).items():
+        if ph == physical:
+            return lg
+    return physical
+
+
+def _logical_fields(man: dict) -> list[tuple[str, str]]:
+    return [
+        (f.split(" ")[0], f.split(" ", 1)[1])
+        for f in man["schema_ddl"].split(", ")
+    ]
+
+
+def _physical_ddl(man: dict) -> str:
+    cmap = _col_map(man)
+    return ", ".join(
+        f"{cmap.get(n, n)} {t}" for n, t in _logical_fields(man)
+    )
+
+
+def _to_logical(df: DataFrame, man: dict) -> DataFrame:
+    """Physical-named scan → the manifest's logical column names."""
+    cmap = _col_map(man)
+    if not cmap:
+        return df
+    from pyspark.sql import functions as FF
+
+    return df.select(
+        *[FF.col(cmap.get(n, n)).alias(n) for n, _ in _logical_fields(man)]
+    )
+
+
+def _to_physical_df(df: DataFrame, cmap: dict) -> DataFrame:
+    """Logical-named batch → physical names for staging."""
+    if not cmap:
+        return df
+    from pyspark.sql import functions as FF
+
+    return df.select(
+        *[FF.col(f.name).alias(cmap.get(f.name, f.name)) for f in df.schema]
+    )
+
+
+def _guard_new_columns(schema_names, prev: dict) -> None:
+    """Reject batches whose NEW columns collide with a dropped or
+    renamed column's physical name — without Delta/Iceberg field-ID
+    indirection, writing under such a name would resurrect (or alias
+    into) the old column's bytes in historical files."""
+    if not prev:
+        return
+    logical = (
+        {n for n, _ in _logical_fields(prev)} if "schema_ddl" in prev else set()
+    )
+    dropped = set(prev.get("dropped_physical", []))
+    mapped_phys = set(_col_map(prev).values())
+    for n in schema_names:
+        if n in logical or n in _col_map(prev):
+            continue
+        if n in dropped:
+            raise ValueError(
+                f"column {n!r} was dropped from this table; re-introducing "
+                "it under the same name would resurrect the old bytes in "
+                "historical files — use a new column name"
+            )
+        if n in mapped_phys:
+            raise ValueError(
+                f"column {n!r} is the physical name of a renamed column; "
+                "writing a new column under it would collide in the data "
+                "files — use a different name"
+            )
 
 
 def _txn_dir(path: str) -> str:
@@ -263,13 +370,16 @@ def _apply_dvs(spark: SparkSession, path: str, man: dict, df: DataFrame) -> Data
 
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     """Snapshot read of one committed version (time travel), with any
-    deletion vectors of that version applied."""
+    deletion vectors of that version applied. Files are scanned under
+    their physical column names and surfaced under the version's
+    LOGICAL schema — so time travel across a rename shows each
+    version's own names (Delta column-mapping semantics)."""
     man = _read_manifest(path, version)
     files = [os.path.join(path, "data", name) for name in man["files"]]
     if not files:
         return spark.createDataFrame([], man["schema_ddl"])
-    df = spark.read.schema(man["schema_ddl"]).parquet(*files)
-    return _apply_dvs(spark, path, man, df)
+    df = spark.read.schema(_physical_ddl(man)).parquet(*files)
+    return _to_logical(_apply_dvs(spark, path, man, df), man)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -344,10 +454,14 @@ def commit_append(
 
     # Stage: write through Spark's committer into a unique subdir,
     # then hard-link the parts into data/ under unique names. Nothing
-    # is visible until the manifest publishes.
+    # is visible until the manifest publishes. Staged files carry
+    # PHYSICAL column names (see column mapping above).
+    _guard_new_columns([f.name for f in out.schema], prev0)
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(path, "_staging", stage_id)
-    out.write.mode("overwrite").parquet(stage_dir)
+    _to_physical_df(out, _col_map(prev0)).write.mode("overwrite").parquet(
+        stage_dir
+    )
     prev = _read_manifest(path, base) if base >= 0 else {}
     stats_col = prev.get("stats_col")
     stats_cols = prev.get("stats_cols")
@@ -409,6 +523,10 @@ def commit_append(
         manifest["dv_key"] = prev.get("dv_key")
     if contract:
         manifest["expectations"] = contract
+    if prev.get("column_map"):
+        manifest["column_map"] = prev["column_map"]
+    if prev.get("dropped_physical"):
+        manifest["dropped_physical"] = prev["dropped_physical"]
     # commit-time CDC record: an append's new files ARE its inserted
     # rows (no DV can reference a fresh file), so the change feed reads
     # them directly — zero extra bytes written (Delta CDF's append
@@ -809,18 +927,22 @@ def _cdc_upsert_changes(
 
 
 def _stage_cdc_files(
-    spark: SparkSession, cdc_df: DataFrame, path: str, stage_id: str
+    spark: SparkSession,
+    cdc_df: DataFrame,
+    path: str,
+    stage_id: str,
+    cmap: dict | None = None,
 ) -> list[str]:
     """Stage a commit's net change rows (row columns + ``_change_type``)
     as parquet under ``data/`` and return the file names for the
-    manifest's ``cdc`` record. Like data files, CDC files are invisible
-    until the manifest publishes and are retained/vacuumed by
-    reference."""
+    manifest's ``cdc`` record. Like data files, CDC files carry
+    PHYSICAL column names and are invisible until the manifest
+    publishes; they are retained/vacuumed by reference."""
     cols = [f.name for f in cdc_df.schema if f.name != "_change_type"]
     stage_dir = os.path.join(path, "_staging", f"{stage_id}-cdc")
-    cdc_df.select(*cols, "_change_type").coalesce(8).write.mode(
-        "overwrite"
-    ).parquet(stage_dir)
+    _to_physical_df(
+        cdc_df.select(*cols, "_change_type"), cmap or {}
+    ).coalesce(8).write.mode("overwrite").parquet(stage_dir)
     names: list[str] = []
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
@@ -866,9 +988,11 @@ def _commit_replace(
     CDC files alongside the data."""
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_txn_dir(path), exist_ok=True)
+    cmap = (extra_meta or {}).get("column_map") or {}
+    _guard_new_columns([f.name for f in merged.schema], extra_meta or {})
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(path, "_staging", stage_id)
-    merged.write.mode("overwrite").parquet(stage_dir)
+    _to_physical_df(merged, cmap).write.mode("overwrite").parquet(stage_dir)
     new_files: list[str] = []
     stats: dict[str, list] = dict(carried_stats or {})
     col_stats: dict[str, dict] = dict(carried_col_stats or {})
@@ -931,7 +1055,7 @@ def _commit_replace(
     elif cdc is not None:
         manifest["cdc"] = {
             "mode": "files",
-            "files": _stage_cdc_files(spark, cdc, path, stage_id),
+            "files": _stage_cdc_files(spark, cdc, path, stage_id, cmap),
         }
     tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
     _write_manifest_json(manifest, tmp)
@@ -1021,7 +1145,7 @@ def commit_append_with_stats(
         out,
         path,
         base,
-        stats_col=key,
+        stats_col=_phys(man, key),
         carried=man.get("files", []),
         carried_stats=man.get("stats", {}),
         stats_cols=stats_cols,
@@ -1082,16 +1206,20 @@ def read_table_where(
     v = current_version(path) if version is None else version
     man = _read_manifest(path, v)
     lo, hi = _norm_stat(lo), _norm_stat(hi)
-    chosen, colname = _choose_files(man, lo, hi, col)
+    # ``col`` is logical; zone maps are keyed on physical names
+    chosen, colname = _choose_files(
+        man, lo, hi, _phys(man, col) if col is not None else None
+    )
     from pyspark.sql import functions as FF
 
     if not chosen:
         empty = spark.createDataFrame([], man["schema_ddl"])
         return empty
     files = [os.path.join(path, "data", n) for n in chosen]
-    return _apply_dvs(
-        spark, path, man, spark.read.schema(man["schema_ddl"]).parquet(*files)
+    scanned = _apply_dvs(
+        spark, path, man, spark.read.schema(_physical_ddl(man)).parquet(*files)
     ).filter((FF.col(colname) >= lo) & (FF.col(colname) <= hi))
+    return _to_logical(scanned, man)
 
 
 def read_table_where_multi(
@@ -1113,8 +1241,8 @@ def read_table_where_multi(
     norm: dict[str, tuple] = {}
     for col, (lo, hi) in bounds.items():
         lo, hi = _norm_stat(lo), _norm_stat(hi)
-        norm[col] = (lo, hi)
-        keep, _ = _choose_files(man, lo, hi, col)
+        norm[_phys(man, col)] = (lo, hi)
+        keep, _ = _choose_files(man, lo, hi, _phys(man, col))
         keep_set = set(keep)
         chosen = [n for n in chosen if n in keep_set]
     if not chosen:
@@ -1125,13 +1253,13 @@ def read_table_where_multi(
         spark,
         path,
         man,
-        spark.read.schema(man["schema_ddl"]).parquet(
+        spark.read.schema(_physical_ddl(man)).parquet(
             *[os.path.join(path, "data", n) for n in chosen]
         ),
     )
     for col, (lo, hi) in norm.items():
         out = out.filter((FF.col(col) >= lo) & (FF.col(col) <= hi))
-    return out
+    return _to_logical(out, man)
 
 
 def pruned_file_count_multi(
@@ -1142,7 +1270,9 @@ def pruned_file_count_multi(
     man = _read_manifest(path, v)
     chosen = set(man["files"])
     for col, (lo, hi) in bounds.items():
-        keep, _ = _choose_files(man, _norm_stat(lo), _norm_stat(hi), col)
+        keep, _ = _choose_files(
+            man, _norm_stat(lo), _norm_stat(hi), _phys(man, col)
+        )
         chosen &= set(keep)
     return len(chosen), len(man["files"])
 
@@ -1156,7 +1286,9 @@ def pruned_file_count(
     v = current_version(path) if version is None else version
     man = _read_manifest(path, v)
     lo, hi = _norm_stat(lo), _norm_stat(hi)
-    chosen, _ = _choose_files(man, lo, hi, col)
+    chosen, _ = _choose_files(
+        man, lo, hi, _phys(man, col) if col is not None else None
+    )
     return len(chosen), len(man["files"])
 
 
@@ -1185,7 +1317,7 @@ def commit_upsert_cow(
     # too (ADVICE r5: carrying the contract without enforcing it would
     # let violating rows through the CoW MERGE path)
     enforce_expectations(df, man.get("expectations", {}))
-    if man.get("stats_col") != key:
+    if man.get("stats_col") != _phys(man, key):
         raise ValueError(
             f"table at {path} lacks zone-map stats on {key!r}; "
             "write it with commit_append_with_stats/commit_upsert_cow"
@@ -1202,7 +1334,7 @@ def commit_upsert_cow(
             read_version(spark, path, base).limit(0),
             path,
             base,
-            stats_col=key,
+            stats_col=_phys(man, key),
             carried=man["files"],
             carried_stats=man.get("stats", {}),
             stats_cols=man.get("stats_cols"),
@@ -1224,8 +1356,14 @@ def commit_upsert_cow(
     cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
     if touched:
         tfiles = [os.path.join(path, "data", n) for n in touched]
-        current = _apply_dvs(
-            spark, path, man, spark.read.schema(man["schema_ddl"]).parquet(*tfiles)
+        current = _to_logical(
+            _apply_dvs(
+                spark,
+                path,
+                man,
+                spark.read.schema(_physical_ddl(man)).parquet(*tfiles),
+            ),
+            man,
         )
         survivors = current.join(df.select(key), key, "left_anti")
         merged = survivors.unionByName(df)
@@ -1244,7 +1382,7 @@ def commit_upsert_cow(
         merged,
         path,
         base,
-        stats_col=key,
+        stats_col=_phys(man, key),
         carried=untouched,
         carried_stats={n: stats[n] for n in untouched if n in stats},
         stats_cols=man.get("stats_cols"),
@@ -1287,7 +1425,9 @@ def commit_append_with_bloom(
     base = current_version(path) if expected_base is None else expected_base
     spec = {"col": bloom_col, "m": int(m), "k": int(k)}
     if base >= 0:
-        prev = _read_manifest(path, base).get("bloom_spec")
+        man0 = _read_manifest(path, base)
+        spec["col"] = _phys(man0, bloom_col)  # specs store physical names
+        prev = man0.get("bloom_spec")
         if prev is not None and prev != spec and (m, k) != (8192, 4):
             raise ValueError(f"table already has bloom spec {prev}, got {spec}")
         spec = prev or spec
@@ -1327,19 +1467,20 @@ def read_table_point(
     v = current_version(path) if version is None else version
     man = _read_manifest(path, v)
     chosen = bloom_file_candidates(path, value, version=v)
-    col = man["bloom_spec"]["col"]
+    col = man["bloom_spec"]["col"]  # bloom specs store physical names
     if not chosen:
         return spark.createDataFrame([], man["schema_ddl"])
     from pyspark.sql import functions as FF
 
-    return _apply_dvs(
+    scanned = _apply_dvs(
         spark,
         path,
         man,
-        spark.read.schema(man["schema_ddl"]).parquet(
+        spark.read.schema(_physical_ddl(man)).parquet(
             *[os.path.join(path, "data", n) for n in chosen]
         ),
     ).filter(FF.col(col) == value)
+    return _to_logical(scanned, man)
 
 
 def bloom_pruned_file_count(
@@ -1378,7 +1519,8 @@ def commit_delete_mor(
     if base < 0:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, base)
-    if man.get("dv_key") not in (None, key):
+    pkey = _phys(man, key)  # DV files store the physical column name
+    if man.get("dv_key") not in (None, pkey):
         raise ValueError(
             f"table's deletion vectors are keyed on {man['dv_key']!r}, got {key!r}"
         )
@@ -1389,9 +1531,10 @@ def commit_delete_mor(
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(path, "_staging", stage_id)
     files = [os.path.join(path, "data", n) for n in man["files"]]
+    pkeys = keys.select(FF.col(key).alias(pkey)).dropDuplicates([pkey])
     if files:
         tagged = (
-            spark.read.schema(man["schema_ddl"])
+            spark.read.schema(_physical_ddl(man))
             .parquet(*files)
             .withColumn(
                 "file_name",
@@ -1399,15 +1542,13 @@ def commit_delete_mor(
             )
         )
         hits = (
-            tagged.join(
-                FF.broadcast(keys.select(key).dropDuplicates([key])), key, "inner"
-            )
-            .select("file_name", key)
-            .dropDuplicates(["file_name", key])
+            tagged.join(FF.broadcast(pkeys), pkey, "inner")
+            .select("file_name", pkey)
+            .dropDuplicates(["file_name", pkey])
         )
     else:
-        hits = keys.select(
-            FF.lit("").alias("file_name"), FF.col(key)
+        hits = pkeys.select(
+            FF.lit("").alias("file_name"), FF.col(pkey)
         ).limit(0)
     hits.coalesce(1).write.mode("overwrite").parquet(stage_dir)
     dv_files = []
@@ -1423,7 +1564,7 @@ def commit_delete_mor(
     cdc_rows = read_version(spark, path, base).join(
         FF.broadcast(keys.select(key).dropDuplicates([key])), key, "left_semi"
     ).withColumn("_change_type", FF.lit("delete"))
-    cdc_files = _stage_cdc_files(spark, cdc_rows, path, stage_id)
+    cdc_files = _stage_cdc_files(spark, cdc_rows, path, stage_id, _col_map(man))
     manifest = {
         "version": base + 1,
         "files": man["files"],
@@ -1431,7 +1572,7 @@ def commit_delete_mor(
         "parent": base,
         "committed_at": time.time(),
         "dvs": man.get("dvs", []) + dv_files,
-        "dv_key": key,
+        "dv_key": pkey,
         "cdc": {"mode": "files", "files": cdc_files},
     }
     for fld in (
@@ -1442,6 +1583,8 @@ def commit_delete_mor(
         "bloom_spec",
         "blooms",
         "expectations",
+        "column_map",
+        "dropped_physical",
     ):
         if fld in man:
             manifest[fld] = man[fld]
@@ -1456,6 +1599,143 @@ def commit_delete_mor(
     finally:
         os.unlink(tmp)
     return base + 1
+
+
+def _publish_metadata_commit(path: str, manifest: dict, base: int) -> int:
+    """Publish a metadata-only manifest (no staged data) as base+1 via
+    the same atomic CAS as data commits."""
+    os.makedirs(_txn_dir(path), exist_ok=True)
+    tmp = os.path.join(_txn_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    _write_manifest_json(manifest, tmp)
+    try:
+        os.link(tmp, _manifest_path(path, base + 1))
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {base + 1} already committed under {path}"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    return base + 1
+
+
+def _expectation_mentions(man: dict, name: str) -> list[str]:
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(name)}\b")
+    return [k for k, sql in man.get("expectations", {}).items() if pat.search(sql)]
+
+
+def alter_rename_column(path: str, old: str, new: str) -> int:
+    """Rename a column WITHOUT rewriting any data file (Delta
+    column-mapping rename): a metadata-only commit whose manifest maps
+    the new LOGICAL name to the column's unchanged PHYSICAL name. Every
+    historical file stays readable; time travel to pre-rename versions
+    shows the old name (each version's manifest carries its own
+    schema); zone-map/bloom/DV pruning keeps working because those
+    structures are keyed on physical names. The change feed treats the
+    rename as dataChange=false. Expectations referencing the old name
+    would silently break, so the rename is refused until they are
+    re-declared."""
+    base = current_version(path)
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    fields = _logical_fields(man)
+    names = [n for n, _ in fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if new in man.get("dropped_physical", []):
+        raise ValueError(
+            f"{new!r} is a dropped column's physical name; reusing it "
+            "would resurrect old bytes in historical files"
+        )
+    hit = _expectation_mentions(man, old)
+    if hit:
+        raise ValueError(
+            f"expectations {hit} reference column {old!r}; drop and "
+            "re-declare them against the new name first"
+        )
+    cmap = dict(_col_map(man))
+    physical = cmap.pop(old, old)
+    if physical != new:
+        cmap[new] = physical
+    manifest = {
+        **man,
+        "version": base + 1,
+        "parent": base,
+        "committed_at": time.time(),
+        "schema_ddl": ", ".join(
+            f"{new if n == old else n} {t}" for n, t in fields
+        ),
+        "cdc": {"mode": "none"},
+    }
+    if cmap:
+        manifest["column_map"] = cmap
+    else:
+        manifest.pop("column_map", None)
+    return _publish_metadata_commit(path, manifest, base)
+
+
+def alter_drop_column(path: str, name: str) -> int:
+    """Drop a column WITHOUT rewriting any data file (drop-as-
+    tombstone): a metadata-only commit removes it from the logical
+    schema and records its physical name under ``dropped_physical``.
+    The bytes remain in existing files (and in time travel); current
+    reads prune the column at the parquet scan. Refused when the
+    column backs a pruning structure (zone map, secondary stats,
+    bloom index, deletion vectors) or an expectation — those must be
+    retired first. Re-introducing the same name later is rejected
+    (no field-ID indirection; the name would resurrect old bytes)."""
+    base = current_version(path)
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    fields = _logical_fields(man)
+    names = [n for n, _ in fields]
+    if name not in names:
+        raise ValueError(f"no column {name!r} in {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    phys = _phys(man, name)
+    keyed = {
+        "zone-map key": man.get("stats_col"),
+        "deletion-vector key": man.get("dv_key"),
+        "bloom index": (man.get("bloom_spec") or {}).get("col"),
+    }
+    for what, col in keyed.items():
+        if col == phys:
+            raise ValueError(
+                f"column {name!r} backs the table's {what}; retire it first"
+            )
+    if phys in (man.get("stats_cols") or []):
+        raise ValueError(
+            f"column {name!r} has a secondary zone map; retire it first"
+        )
+    hit = _expectation_mentions(man, name)
+    if hit:
+        raise ValueError(
+            f"expectations {hit} reference column {name!r}; drop them first"
+        )
+    cmap = dict(_col_map(man))
+    cmap.pop(name, None)
+    manifest = {
+        **man,
+        "version": base + 1,
+        "parent": base,
+        "committed_at": time.time(),
+        "schema_ddl": ", ".join(
+            f"{n} {t}" for n, t in fields if n != name
+        ),
+        "dropped_physical": man.get("dropped_physical", []) + [phys],
+        "cdc": {"mode": "none"},
+    }
+    if cmap:
+        manifest["column_map"] = cmap
+    else:
+        manifest.pop("column_map", None)
+    return _publish_metadata_commit(path, manifest, base)
 
 
 def dv_file_count(path: str, version: int | None = None) -> int:
@@ -1489,7 +1769,7 @@ def table_changes(
     """
     to_v = current_version(path) if to_version is None else to_version
     man = _read_manifest(path, to_v)
-    k = key or man.get("stats_col") or man.get("dv_key")
+    k = key or _logical_of(man, man.get("stats_col") or man.get("dv_key"))
     if k is None:
         raise ValueError("pass key= (table has no stats/dv key to infer it from)")
     from pyspark.sql import functions as FF
@@ -1595,7 +1875,7 @@ def commit_replace_where(
     # old-only rows as deletes and new-only rows as inserts.
     old_slice = target.filter(pred)
     cols = [f.name for f in target.schema]
-    key = prev.get("stats_col") or prev.get("dv_key")
+    key = _logical_of(prev, prev.get("stats_col") or prev.get("dv_key"))
     new_rows = df.select(*cols)
     if key is not None:
         upserts = _cdc_upsert_changes(old_slice, new_rows, key, cols)

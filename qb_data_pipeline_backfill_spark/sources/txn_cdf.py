@@ -96,6 +96,7 @@ class CdfFilePartition(InputPartition):
         arrow_schema,
         dv_paths: list[str],
         dv_key: str | None,
+        column_map: dict | None = None,
     ):
         self.file_path = file_path
         self.file_name = file_name
@@ -104,6 +105,9 @@ class CdfFilePartition(InputPartition):
         self.arrow_schema = arrow_schema
         self.dv_paths = dv_paths
         self.dv_key = dv_key
+        # logical → physical parquet column names (column-mapping
+        # renames; physical names are stable across the table's life)
+        self.column_map = column_map or {}
 
 
 class TxnCdfStreamReader(DataSourceStreamReader):
@@ -158,6 +162,14 @@ class TxnCdfStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         out: list[InputPartition] = []
+        # resolve renamed columns with the newest map in the batch:
+        # physical names are stable, so it covers older versions too
+        cmap = (
+            self._manifest_or_retention_error(end["version"]).get("column_map")
+            or {}
+            if end["version"] >= 0
+            else {}
+        )
         for v in range(start["version"] + 1, end["version"] + 1):
             step = self._step_cdc(v)
             man = step["man"]
@@ -185,6 +197,7 @@ class TxnCdfStreamReader(DataSourceStreamReader):
                         self._arrow_schema,
                         dv_paths,
                         dv_key,
+                        cmap,
                     )
                 )
         return out
@@ -226,7 +239,13 @@ class TxnCdfStreamReader(DataSourceStreamReader):
                     [partition.change_type] * t.num_rows, field.type
                 )
             else:
-                columns[field.name] = t.column(field.name)
+                phys = partition.column_map.get(field.name, field.name)
+                if phys in t.column_names:
+                    columns[field.name] = t.column(phys)
+                else:
+                    # file predates an additive schema change: surface
+                    # NULLs, matching the snapshot readers
+                    columns[field.name] = pa.nulls(t.num_rows, field.type)
         yield from (
             pa.table(columns).cast(partition.arrow_schema).to_batches()
         )

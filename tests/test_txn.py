@@ -1153,6 +1153,132 @@ def test_new_expectation_validates_existing_snapshot(spark, tmp_path):
     ]
 
 
+# --- column mapping (rename / drop without rewrite) -----------------------
+
+
+def test_rename_column_is_metadata_only_and_time_travels(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 100), path, key="k")
+    files_before = set(txn._read_manifest(path, 0)["files"])
+    v = txn.alter_rename_column(path, "v", "amount")
+    # metadata-only: exactly the same data files, no new bytes
+    assert set(txn._read_manifest(path, v)["files"]) == files_before
+    got = txn.read_table(spark, path)
+    assert set(got.columns) == {"k", "amount"}
+    assert got.filter(F.col("amount") == 50).count() == 1
+    # time travel to the pre-rename version shows the OLD schema
+    old = txn.read_version(spark, path, 0)
+    assert set(old.columns) == {"k", "v"}
+    assert old.count() == 100
+
+
+def test_renamed_key_still_prunes_and_writes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 4 files with disjoint key ranges → zone maps prune
+    for lo in (0, 100, 200, 300):
+        txn.commit_append_with_stats(
+            spark, _df(spark, lo, lo + 100).coalesce(1), path, key="k"
+        )
+    txn.alter_rename_column(path, "k", "id")
+    # pruned read on the RENAMED key: only 1 of 4 files scanned
+    scanned, total = txn.pruned_file_count(path, 110, 120, col="id")
+    assert (scanned, total) == (1, 4)
+    got = txn.read_table_where(spark, path, 110, 120, col="id")
+    assert got.count() == 11 and set(got.columns) == {"id", "v"}
+    # post-rename writes: keyed append, CoW upsert, MoR delete
+    txn.commit_append_with_stats(
+        spark,
+        spark.createDataFrame([(400, 9)], "id long, v long"),
+        path,
+        key="id",
+    )
+    txn.commit_upsert_cow(
+        spark, spark.createDataFrame([(110, -1)], "id long, v long"), path,
+        key="id",
+    )
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(120,)], "id long"), path, key="id"
+    )
+    got = txn.read_table(spark, path)
+    assert got.count() == 400  # 400 + 1 new - 1 deleted
+    assert [r["v"] for r in got.filter(F.col("id") == 110).collect()] == [-1]
+    assert got.filter(F.col("id") == 120).count() == 0
+    # the change feed reads files written before AND after the rename
+    feed = _drain_cdf(spark, path, tmp_path, "cdf_renamed")
+    assert feed.filter(
+        (F.col("id") == 110) & (F.col("_change_type") == "update")
+    ).count() == 1
+
+
+def test_drop_column_tombstones_without_rewrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    three = spark.createDataFrame(
+        [(i, i * 10, f"s{i}") for i in range(50)], "k long, v long, s string"
+    )
+    txn.commit_append_with_stats(spark, three, path, key="k")
+    files_before = set(txn._read_manifest(path, 0)["files"])
+    v = txn.alter_drop_column(path, "s")
+    assert set(txn._read_manifest(path, v)["files"]) == files_before
+    got = txn.read_table(spark, path)
+    assert set(got.columns) == {"k", "v"}
+    # time travel still shows the dropped column's data
+    assert txn.read_version(spark, path, 0).filter(
+        F.col("s") == "s7"
+    ).count() == 1
+    # re-introducing the dropped name is rejected (resurrection guard)
+    with pytest.raises(ValueError, match="resurrect"):
+        txn.commit_append(
+            spark,
+            spark.createDataFrame([(999, 1, "x")], "k long, v long, s string"),
+            path,
+        )
+    # appends under the surviving schema still work
+    txn.commit_append(
+        spark, spark.createDataFrame([(999, 1)], "k long, v long"), path
+    )
+    assert txn.read_table(spark, path).count() == 51
+
+
+def test_alter_guards_pruning_structures_and_expectations(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 10), path, key="k"
+    )
+    txn.commit_append(
+        spark, _df(spark, 10, 12), path, expectations={"v_nonneg": "v >= 0"}
+    )
+    # cannot drop the zone-map key or an expectation-referenced column
+    with pytest.raises(ValueError, match="zone-map key"):
+        txn.alter_drop_column(path, "k")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        txn.alter_drop_column(path, "v")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        txn.alter_rename_column(path, "v", "amount")
+    # renaming the key is fine (stats are keyed physically)
+    txn.alter_rename_column(path, "k", "id")
+    assert set(txn.read_table(spark, path).columns) == {"id", "v"}
+    # rename collisions rejected
+    with pytest.raises(ValueError, match="already exists"):
+        txn.alter_rename_column(path, "v", "id")
+
+
+def test_rename_then_clone_and_expectations_still_enforced(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    txn.commit_append(
+        spark, _df(spark, 0, 10), src, expectations={"v_nonneg": "v >= 0"}
+    )
+    txn.alter_rename_column(src, "k", "id")
+    # expectations survive the rename and bind post-rename batches
+    with pytest.raises(txn.ExpectationViolation):
+        txn.commit_append(
+            spark, spark.createDataFrame([(99, -1)], "id long, v long"), src
+        )
+    # a clone of the renamed table keeps the mapping
+    txn.clone_table(src, dst)
+    assert set(txn.read_table(spark, dst).columns) == {"id", "v"}
+    assert txn.read_table(spark, dst).count() == 10
+
+
 # --- shallow clone --------------------------------------------------------
 
 
