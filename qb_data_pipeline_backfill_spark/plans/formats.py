@@ -127,6 +127,56 @@ def txn_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_cdc2_table(spark: SparkSession, sf_dir: str) -> str:
+    """The shared 2-commit CDC test table: orders appended (v0), every
+    89th key merge-on-read-deleted (v1). A change feed is append-only
+    HISTORY, so replaying the build would (correctly) lengthen it — the
+    expected head is pinned and the table rebuilt from zero if the
+    scratch diverges, making every consumer query replay-stable."""
+    import shutil
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_cdc2_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if txn.current_version(path) != 1:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        doomed = orders.filter(F.col("o_orderkey") % 89 == 0).select(
+            "o_orderkey"
+        )
+        txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
+    return path
+
+
+@register(
+    "txn_cdf_log_feed",
+    oracle="SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type, "
+    "CAST(0 AS INTEGER) AS _commit_version FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey, o_orderstatus, 'delete', 1 "
+    "FROM orders WHERE o_orderkey % 89 = 0",
+    doc="BATCH change feed read from the commit-time CDC log "
+    "(sources/txn_cdf.py read_cdf_log): per-commit change rows as plain "
+    "parquet scans of the files each commit recorded — cost "
+    "O(change set) with NO join and no snapshot scan, vs table_changes' "
+    "full-outer join of two whole snapshots (exact but O(table) at "
+    "100 TB). The append's files serve as its own insert rows (zero "
+    "extra bytes); the MoR delete's staged CDC rows carry the "
+    "pre-image. Hash-gated against the closed-form per-commit union "
+    "with commit versions.",
+)
+def txn_cdf_log_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
+
+    path = _orders_cdc2_table(spark, sf_dir)
+    return read_cdf_log(spark, path).select(
+        "o_orderkey", "o_orderstatus", "_change_type", "_commit_version"
+    )
+
+
 @register(
     "txn_cdf_feed",
     oracle="""

@@ -374,30 +374,10 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "head diverges, making the gate replay-stable.",
 )
 def streaming_txn_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-
-    from qb_data_pipeline_backfill_spark.operators import txn
-    from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
+    from qb_data_pipeline_backfill_spark.plans.formats import _orders_cdc2_table
     from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
-    from qb_data_pipeline_backfill_spark.tables import load_table
 
-    # cdc2: tables written before commit-time CDC carry no cdc manifest
-    # record for their MoR-delete version, which the stream (correctly)
-    # refuses — start from a table whose history is fully recorded
-    path = os.path.join(
-        _SCRATCH, f"orders_cdc2_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    if txn.current_version(path) != 1:
-        shutil.rmtree(path, ignore_errors=True)
-        orders = load_table(spark, sf_dir, "orders").repartition(
-            8, "o_orderkey"
-        )
-        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
-        doomed = orders.filter(F.col("o_orderkey") % 89 == 0).select(
-            "o_orderkey"
-        )
-        txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
+    path = _orders_cdc2_table(spark, sf_dir)
     feed = run_available_now(
         read_cdf_stream(spark, path), output_mode="append"
     )

@@ -110,6 +110,45 @@ class CdfFilePartition(InputPartition):
         self.column_map = column_map or {}
 
 
+def _manifest_or_retention_error(path: str, version: int) -> dict:
+    try:
+        return _read_manifest(path, version)
+    except FileNotFoundError:
+        served = _manifest_versions(path)
+        raise CdfRetentionError(
+            f"change feed needs version {version} of {path}, but "
+            "its manifest was retired by expire_manifests(); earliest "
+            f"version still served is "
+            f"{min(served) if served else '<none>'} — restart the "
+            "consumer from a served version or re-seed from a snapshot"
+        ) from None
+
+
+def _step_cdc(path: str, version: int) -> dict:
+    """The commit's CDC record, inferring ``append`` for legacy
+    append-shaped manifests (files only grew, DVs unchanged)."""
+    man = _manifest_or_retention_error(path, version)
+    cdc = man.get("cdc")
+    if cdc is not None:
+        return {"man": man, **cdc}
+    if version == 0:
+        return {"man": man, "mode": "append", "files": man["files"]}
+    parent = _manifest_or_retention_error(path, version - 1)
+    f0, f1 = set(parent.get("files", [])), set(man.get("files", []))
+    if f0 <= f1 and parent.get("dvs", []) == man.get("dvs", []):
+        return {
+            "man": man,
+            "mode": "append",
+            "files": [n for n in man["files"] if n not in f0],
+        }
+    raise CdfProtocolError(
+        f"version {version} of {path} predates commit-time CDC "
+        "and is not append-shaped; replay the gap with the batch "
+        "table_changes() API, then resume the stream from "
+        f"start_version={version}"
+    )
+
+
 class TxnCdfStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, arrow_schema):
         self._path = options["path"]
@@ -124,41 +163,10 @@ class TxnCdfStreamReader(DataSourceStreamReader):
 
     # -- planning: manifests only, O(changed files) metadata ---------------
     def _manifest_or_retention_error(self, version: int) -> dict:
-        try:
-            return _read_manifest(self._path, version)
-        except FileNotFoundError:
-            served = _manifest_versions(self._path)
-            raise CdfRetentionError(
-                f"change feed needs version {version} of {self._path}, but "
-                "its manifest was retired by expire_manifests(); earliest "
-                f"version still served is "
-                f"{min(served) if served else '<none>'} — restart the "
-                "consumer from a served version or re-seed from a snapshot"
-            ) from None
+        return _manifest_or_retention_error(self._path, version)
 
     def _step_cdc(self, version: int) -> dict:
-        """The commit's CDC record, inferring ``append`` for legacy
-        append-shaped manifests (files only grew, DVs unchanged)."""
-        man = self._manifest_or_retention_error(version)
-        cdc = man.get("cdc")
-        if cdc is not None:
-            return {"man": man, **cdc}
-        if version == 0:
-            return {"man": man, "mode": "append", "files": man["files"]}
-        parent = self._manifest_or_retention_error(version - 1)
-        f0, f1 = set(parent.get("files", [])), set(man.get("files", []))
-        if f0 <= f1 and parent.get("dvs", []) == man.get("dvs", []):
-            return {
-                "man": man,
-                "mode": "append",
-                "files": [n for n in man["files"] if n not in f0],
-            }
-        raise CdfProtocolError(
-            f"version {version} of {self._path} predates commit-time CDC "
-            "and is not append-shaped; replay the gap with the batch "
-            "table_changes() API, then resume the stream from "
-            f"start_version={version}"
-        )
+        return _step_cdc(self._path, version)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         out: list[InputPartition] = []
@@ -271,6 +279,85 @@ class TxnCdfDataSource(DataSource):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         return TxnCdfStreamReader(dict(self.options), to_arrow_schema(schema))
+
+
+def read_cdf_log(
+    spark, path: str, from_version: int = -1, to_version: int | None = None
+):
+    """BATCH change feed read from the commit-time CDC log: per-commit
+    change rows (row..., _change_type, _commit_version) for versions
+    (``from_version``, ``to_version``], as plain parquet scans of the
+    recorded CDC/added files.
+
+    This is the O(change-set) batch path: ``operators/txn.
+    table_changes`` full-outer-joins the two SNAPSHOTS — exact for any
+    version pair including pre-CDC history and range-netted, but it
+    scans the whole table twice, which at 100 TB is the wrong cost for
+    reading a small day's changes. Reading the log costs exactly the
+    changed bytes and needs no shuffle at all (the join disappears —
+    the classification was already computed, once, at commit time).
+    Semantics match the streaming source (per-commit concatenation, no
+    cross-commit netting); same retention/protocol errors. Rows are
+    surfaced under the ``to`` version's logical schema; files from
+    before an additive schema change contribute NULLs for the newer
+    columns.
+    """
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators.txn import (
+        _apply_dvs,
+        _col_map,
+        _logical_fields,
+        _physical_ddl,
+    )
+
+    to_v = current_version(path) if to_version is None else to_version
+    head = _manifest_or_retention_error(path, to_v)
+    head_fields = _logical_fields(head)
+    cmap = _col_map(head)
+    out_cols = [n for n, _ in head_fields]
+
+    def to_head_logical(df, with_fixed_insert: bool):
+        cols = []
+        for n, t in head_fields:
+            p = cmap.get(n, n)
+            cols.append(
+                F.col(p).alias(n)
+                if p in df.columns
+                else F.lit(None).cast(t).alias(n)
+            )
+        ct = (
+            F.lit("insert")
+            if with_fixed_insert
+            else F.col("_change_type")
+        )
+        return df.select(*cols, ct.alias("_change_type"))
+
+    pieces = []
+    for v in range(from_version + 1, to_v + 1):
+        step = _step_cdc(path, v)
+        man = step["man"]
+        if step["mode"] == "none" or not step.get("files"):
+            continue
+        files = [os.path.join(path, "data", n) for n in step["files"]]
+        if step["mode"] == "append":
+            df = spark.read.schema(_physical_ddl(man)).parquet(*files)
+            # DVs can cover an append-mode file only at a clone genesis
+            df = to_head_logical(_apply_dvs(spark, path, man, df), True)
+        else:
+            df = spark.read.schema(
+                _physical_ddl(man) + ", _change_type string"
+            ).parquet(*files)
+            df = to_head_logical(df, False)
+        pieces.append(df.withColumn("_commit_version", F.lit(v)))
+    if not pieces:
+        return spark.createDataFrame(
+            [], head["schema_ddl"] + ", _change_type string, _commit_version int"
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(*out_cols, "_change_type", "_commit_version")
 
 
 def read_cdf_stream(spark, path: str, **options):

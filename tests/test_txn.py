@@ -862,6 +862,56 @@ def test_cdf_apply_maintains_derived_replica(spark, tmp_path):
     assert txn.current_version(dst) == v_before
 
 
+def test_cdf_log_batch_read_matches_stream_semantics(spark, tmp_path):
+    """read_cdf_log = the batch face of the commit-time CDC log:
+    per-commit rows, compaction skipped, range-bounded, and — the
+    point of reading the log instead of diffing snapshots — a plan
+    with NO shuffle (plain scans + union)."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
+
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    txn.commit_upsert(
+        spark, spark.createDataFrame([(3, 333), (50, 500)], "k long, v long"),
+        path, key="k",
+    )
+    txn.commit_compact(spark, path, target_partitions=1)
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(7,)], "k long"), path, key="k"
+    )
+    feed = read_cdf_log(spark, path)
+    got = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in feed.collect()
+    }
+    assert got == (
+        {(k, k * 10, "insert", 0) for k in range(10)}
+        | {(3, 333, "update", 1), (50, 500, "insert", 1), (7, 70, "delete", 3)}
+    )
+    # no shuffle anywhere: reading the log is scan+union, join-free
+    assert "Exchange" not in feed._jdf.queryExecution().executedPlan().toString()
+    # bounded range: only the upsert's commit
+    sub = {
+        (r["k"], r["_change_type"])
+        for r in read_cdf_log(spark, path, 0, 1).collect()
+    }
+    assert sub == {(3, "update"), (50, "insert")}
+
+
+def test_cdf_log_surfaces_nulls_for_pre_evolution_files(spark, tmp_path):
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
+
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 3), path)
+    wide = spark.createDataFrame([(10, 100, "x")], "k long, v long, s string")
+    txn.commit_append(spark, wide, path)
+    got = {
+        (r["k"], r["s"], r["_commit_version"])
+        for r in read_cdf_log(spark, path).collect()
+    }
+    assert got == {(0, None, 0), (1, None, 0), (2, None, 0), (10, "x", 1)}
+
+
 def test_cdf_planning_is_metadata_only_and_per_file(spark, tmp_path):
     """A multi-file commit plans one partition per changed file, and
     planning touches MANIFESTS only — no data row (or even data file)
