@@ -165,6 +165,32 @@ def main() -> int:
             )
         )
         out["replace_where_bytes_written"] = _data_bytes(rw) - b0
+        # -- change-feed read: commit-time log vs snapshot diff ----------
+        # After a small upsert, reading "what changed" should cost
+        # O(change set). table_changes full-outer-joins two whole
+        # snapshots (two table scans + a key shuffle); read_cdf_log
+        # scans only the files each commit recorded — no join at all.
+        from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+            read_cdf_log,
+        )
+
+        cf = os.path.join(base, "cf")
+        # range-partitioned so the CoW upsert's zone maps actually prune
+        ranged = orders.repartitionByRange(n_files, "o_orderkey")
+        txn.commit_append_with_stats(spark, ranged, cf, key="o_orderkey")
+        upd = orders.filter(F.col("o_orderkey") % 499 == 0).withColumn(
+            "o_orderpriority", F.lit("X-PROBE")
+        )
+        txn.commit_upsert_cow(spark, upd, cf, key="o_orderkey")
+        out["cdf_change_rows"] = read_cdf_log(spark, cf, 0).count()
+        out["cdf_log_read_sec"] = _timed(
+            lambda: read_cdf_log(spark, cf, 0).agg(F.count("*")).collect()
+        )
+        out["cdf_snapshot_diff_sec"] = _timed(
+            lambda: txn.table_changes(spark, cf, 0)
+            .agg(F.count("*"))
+            .collect()
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps(out))
