@@ -905,25 +905,37 @@ def _bloom_file_hit(words: list[list[int]], positions: list[int]) -> bool:
 def _cdc_upsert_changes(
     target: DataFrame, writes: DataFrame, key: str, cols: list[str]
 ) -> DataFrame:
-    """Net insert/update rows an upsert-shaped commit produces, for the
-    commit-time change-data-capture record (Delta CDF analog): each
+    """Net change rows an upsert-shaped commit produces, for the
+    commit-time change-data-capture record (Delta CDF semantics): each
     write row is classified against the pre-commit target — absent key
-    → ``insert``, present-but-different row → ``update``, identical row
-    → no change emitted (a replayed idempotent commit records an EMPTY
-    change set, which is what keeps the streaming feed replay-stable).
-    One key-partitioned left join; ``writes`` is the small side."""
+    → one ``insert`` row; present-but-different row → an
+    ``update_preimage`` row (the old values) AND an
+    ``update_postimage`` row (the new values), which is what lets a
+    downstream incremental AGGREGATE subtract the old contribution and
+    add the new one; identical row → no change emitted (a replayed
+    idempotent commit records an EMPTY change set, keeping the feed
+    replay-stable). One key-partitioned left join; ``writes`` is the
+    small side."""
     from pyspark.sql import functions as FF
 
     t = target.select(FF.col(key).alias("__k"), FF.struct(*cols).alias("__old"))
     w = writes.select(FF.col(key).alias("__k"), FF.struct(*cols).alias("__new"))
     j = w.join(t, "__k", "left_outer")
     changed = j.filter(~FF.col("__new").eqNullSafe(FF.col("__old")))
-    return changed.select(
+    inserts = changed.filter(FF.col("__old").isNull()).select(
         *[FF.col(f"__new.{c}").alias(c) for c in cols],
-        FF.when(FF.col("__old").isNull(), FF.lit("insert"))
-        .otherwise(FF.lit("update"))
-        .alias("_change_type"),
+        FF.lit("insert").alias("_change_type"),
     )
+    updated = changed.filter(FF.col("__old").isNotNull())
+    pre = updated.select(
+        *[FF.col(f"__old.{c}").alias(c) for c in cols],
+        FF.lit("update_preimage").alias("_change_type"),
+    )
+    post = updated.select(
+        *[FF.col(f"__new.{c}").alias(c) for c in cols],
+        FF.lit("update_postimage").alias("_change_type"),
+    )
+    return inserts.unionByName(pre).unionByName(post)
 
 
 def _stage_cdc_files(
@@ -1975,6 +1987,7 @@ def commit_merge(
     matched_delete: str | None = None,
     not_matched_insert: bool = True,
     expected_base: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Full MERGE INTO with the three standard clauses (Delta/ANSI
     MERGE; ``commit_upsert`` is the update+insert special case):
@@ -1994,7 +2007,10 @@ def commit_merge(
     expectations contract is enforced on the rows the merge WRITES
     (delete-clause rows are departures, not writes). Source must not
     contain duplicate keys (classic MERGE nondeterminism) — checked
-    with one aggregate, ValueError on violation.
+    with one aggregate, ValueError on violation. ``meta`` lands extra
+    keys in the published manifest ATOMICALLY with the merge — the
+    transactional-watermark hook (e.g. ``cdc_applied_version``) that
+    makes non-idempotent incremental maintenance exactly-once.
 
     Scale: full-rewrite core like ``commit_upsert``; the file-pruned
     copy-on-write refinement is ``commit_upsert_cow``'s protocol.
@@ -2058,6 +2074,6 @@ def commit_merge(
         stats_col=prev.get("stats_col"),
         stats_cols=prev.get("stats_cols"),
         bloom_spec=prev.get("bloom_spec"),
-        extra_meta=_carry_meta(prev),
+        extra_meta={**_carry_meta(prev), **(meta or {})},
         cdc=cdc,
     )

@@ -44,6 +44,7 @@ prioritize(
         "contract_bpe_encode_replay",
         "streaming_txn_cdf",
         "txn_cdf_log_feed",
+        "txn_cdf_rollup_maintenance",
         "txn_cdf_feed",
         "txn_merge_cdc_read",
         "txn_replace_where_read",

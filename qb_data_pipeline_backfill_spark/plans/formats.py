@@ -178,6 +178,59 @@ def txn_cdf_log_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_cdf_rollup_maintenance",
+    oracle="SELECT o_orderstatus, COUNT(*) AS n_rows, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "AS sum_price "
+    "FROM orders WHERE o_orderkey % 89 != 0 GROUP BY o_orderstatus",
+    doc="EXACTLY-ONCE incremental aggregate maintenance from the change "
+    "feed (sources/txn_cdf.py apply_cdf_to_rollup): a per-status "
+    "(count, decimal sum) rollup is maintained by reading ONLY the "
+    "fact table's changes — insert/update_postimage rows add their "
+    "measure, delete/update_preimage rows RETRACT theirs (why the feed "
+    "records update pre-images), one read-modify-write merge per "
+    "micro-batch, with the applied commit version stamped in the "
+    "rollup's own manifest atomically (transactional watermark: a "
+    "replayed batch is rejected before any write — increments are not "
+    "idempotent, so this is what makes it exactly-once). Hash-gated "
+    "against a fresh aggregation of the surviving rows; at 100 TB this "
+    "is the difference between re-aggregating the table nightly and "
+    "reading the day's deltas.",
+)
+def txn_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        apply_cdf_to_rollup,
+    )
+
+    path = _orders_cdc2_table(spark, sf_dir)
+    roll = path + "_rollup"
+    ck = path + "_rollup_ck"
+    # replay stability: the rollup is correct iff its watermark covers
+    # exactly the source head; otherwise rebuild from genesis
+    head = txn.current_version(roll)
+    applied = (
+        txn._read_manifest(roll, head).get("cdc_applied_version", -1)
+        if head >= 0
+        else -1
+    )
+    if applied > txn.current_version(path):
+        shutil.rmtree(roll, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    q = apply_cdf_to_rollup(
+        spark, path, roll, "o_orderstatus", "o_totalprice", ck
+    )
+    q.awaitTermination()
+    return txn.read_table(spark, roll).select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("sum_measure"), 2).cast("double").alias("sum_price"),
+    )
+
+
+@register(
     "txn_cdf_feed",
     oracle="""
     WITH updates AS (

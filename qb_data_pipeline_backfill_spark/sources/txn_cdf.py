@@ -404,16 +404,19 @@ def apply_cdf_to_table(
         if batch_df.limit(1).count() == 0:
             return
         sp = batch_df.sparkSession
+        # preimage rows describe the OLD values of updated keys — the
+        # aggregate-maintenance signal, not a state to apply here
+        state = batch_df.filter(F.col("_change_type") != "update_preimage")
         # latest change per key wins; at equal versions a keyed net
-        # never emits two ops for one key, but prefer the non-delete
-        # row defensively (a keyless replaceWhere slice can net to
-        # delete+insert of the same key in one commit)
+        # never emits two state ops for one key, but prefer the
+        # non-delete row defensively (a keyless replaceWhere slice can
+        # net to delete+insert of the same key in one commit)
         w = Window.partitionBy(key).orderBy(
             F.col("_commit_version").desc(),
             F.when(F.col("_change_type") == "delete", 0).otherwise(1).desc(),
         )
         src = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
+            state.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "_commit_version")
             .withColumnRenamed("_change_type", "__op")
@@ -423,6 +426,119 @@ def apply_cdf_to_table(
             txn.commit_append(sp, src.drop("__op").limit(0), target_path)
         txn.commit_merge(
             sp, src, target_path, key=key, matched_delete="__op = 'delete'"
+        )
+
+    return (
+        read_cdf_stream(spark, source_path, start_version=start_version)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def apply_cdf_to_rollup(
+    spark,
+    source_path: str,
+    target_path: str,
+    group_col: str,
+    measure_col: str,
+    checkpoint_dir: str,
+    start_version: int = -1,
+):
+    """EXACTLY-ONCE incremental aggregate maintenance from the change
+    feed: keep a ``(group, n_rows, sum_measure)`` rollup in sync with a
+    fact table by reading ONLY its changes — at 100 TB, the difference
+    between re-aggregating the table nightly and reading the day's
+    deltas.
+
+    Per micro-batch, entirely distributed:
+
+    - every change row carries a signed contribution: ``insert`` /
+      ``update_postimage`` add the row's measure, ``delete`` /
+      ``update_preimage`` subtract it (this is WHY the feed records
+      update pre-images — without the old values the rollup could not
+      retract the old contribution);
+    - contributions aggregate per group (map-side combined), then one
+      broadcast-sized read-modify-write joins the deltas against the
+      CURRENT rollup rows and lands in ONE ``commit_merge``: groups
+      whose count hits zero are deleted, the rest upsert;
+    - increments are NOT idempotent under replay, so exactly-once comes
+      from a transactional WATERMARK: the batch's max ``_commit_
+      version`` is committed in the rollup's own manifest atomically
+      with the merge (``commit_merge(meta=...)``); a replayed batch
+      whose versions are already covered is skipped before any write.
+
+    Measures aggregate in DECIMAL(28,6) so the maintained sum is
+    EXACTLY the sum a fresh aggregation would produce, independent of
+    accumulation order. Runs with AvailableNow; returns the query.
+    """
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        sp = batch_df.sparkSession
+        head = txn.current_version(target_path)
+        applied = (
+            txn._read_manifest(target_path, head).get("cdc_applied_version", -1)
+            if head >= 0
+            else -1
+        )
+        vmax = batch_df.agg(F.max("_commit_version").alias("v")).collect()[0][
+            "v"
+        ]
+        if vmax is None or vmax <= applied:
+            return  # replayed batch: already applied, skip before writing
+        fresh = batch_df.filter(F.col("_commit_version") > applied)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        measure = F.col(measure_col).cast("decimal(28,6)")
+        deltas = fresh.groupBy(group_col).agg(
+            F.sum(sign).alias("__d_n"),
+            F.sum(sign * measure).alias("__d_sum"),
+        )
+        if head < 0:
+            # genesis publishes an EMPTY rollup, so the watermark and
+            # the first increments land together in the ONE merge
+            # below — a crash between the two commits replays cleanly
+            # (empty table, watermark still -1)
+            empty = deltas.select(
+                F.col(group_col),
+                F.lit(0).cast("long").alias("n_rows"),
+                F.lit(0).cast("decimal(28,6)").alias("sum_measure"),
+            ).limit(0)
+            txn.commit_append(sp, empty, target_path)
+        cur = txn.read_table(sp, target_path)
+        joined = deltas.join(cur, group_col, "left_outer")
+        src = joined.select(
+            F.col(group_col),
+            (F.coalesce("n_rows", F.lit(0)) + F.col("__d_n"))
+            .cast("long")
+            .alias("n_rows"),
+            (
+                F.coalesce(
+                    F.col("sum_measure"),
+                    F.lit(0).cast("decimal(28,6)"),
+                )
+                + F.col("__d_sum")
+            )
+            .cast("decimal(28,6)")
+            .alias("sum_measure"),
+        ).withColumn(
+            "__op",
+            F.when(F.col("n_rows") <= 0, "delete").otherwise("upsert"),
+        )
+        txn.commit_merge(
+            sp,
+            src,
+            target_path,
+            key=group_col,
+            matched_delete="__op = 'delete'",
+            meta={"cdc_applied_version": int(vmax)},
         )
 
     return (

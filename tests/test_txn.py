@@ -749,10 +749,12 @@ def test_cdf_stream_emits_per_commit_changes(spark, tmp_path):
         for r in _drain_cdf(spark, path, tmp_path, "cdf_all").collect()
     }
     # per-commit feed (Delta CDF semantics): the catch-up batch carries
-    # each commit's net change, ordered by _commit_version
+    # each commit's net change, ordered by _commit_version; updates
+    # surface as pre-image + post-image pairs
     inserts = {(k, k * 10, "insert", 0) for k in range(10)}
     assert got == inserts | {
-        (3, 333, "update", 1),
+        (3, 30, "update_preimage", 1),
+        (3, 333, "update_postimage", 1),
         (50, 500, "insert", 1),
         (7, 70, "delete", 2),
     }
@@ -792,10 +794,12 @@ def test_cdf_stream_incremental_and_exactly_once_restart(spark, tmp_path):
     rows = {
         (r["k"], r["v"], r["_change_type"]) for r in drain().collect()
     }
-    assert (2, -1, "update") in rows and (4, 40, "delete") in rows
-    assert len(rows) == 7
+    assert (2, -1, "update_postimage") in rows
+    assert (2, 20, "update_preimage") in rows
+    assert (4, 40, "delete") in rows
+    assert len(rows) == 8
     # idle restart: no duplicate emission
-    assert drain().count() == 7
+    assert drain().count() == 8
 
 
 def test_cdf_stream_compaction_nets_to_nothing(spark, tmp_path):
@@ -862,6 +866,104 @@ def test_cdf_apply_maintains_derived_replica(spark, tmp_path):
     assert txn.current_version(dst) == v_before
 
 
+def _rollup_state(spark, path):
+    from decimal import Decimal
+
+    return {
+        r["g"]: (r["n_rows"], r["sum_measure"])
+        for r in txn.read_table(spark, path).collect()
+    }
+
+
+def test_cdf_rollup_incremental_aggregate_maintenance(spark, tmp_path):
+    """A (group, count, sum) rollup maintained ONLY from the change
+    feed must equal a fresh aggregation of the source after any commit
+    history — inserts, value updates (pre-image retraction), deletes,
+    group emptying — across multiple catch-up runs."""
+    from decimal import Decimal
+
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        apply_cdf_to_rollup,
+    )
+
+    src, roll = str(tmp_path / "src"), str(tmp_path / "roll")
+    ck = str(tmp_path / "ck")
+
+    def rows(data):
+        return spark.createDataFrame(data, "k long, g string, m double")
+
+    def sync_and_check():
+        q = apply_cdf_to_rollup(spark, src, roll, "g", "m", ck)
+        q.awaitTermination()
+        expect = {
+            r["g"]: (r["n"], r["s"])
+            for r in txn.read_table(spark, src)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("m").cast("decimal(28,6)")).cast(
+                    "decimal(28,6)"
+                ).alias("s"),
+            )
+            .collect()
+        }
+        got = _rollup_state(spark, roll)
+        assert got == expect
+
+    txn.commit_append_with_stats(
+        spark, rows([(1, "a", 1.5), (2, "a", 2.5), (3, "b", 10.0)]), src,
+        key="k",
+    )
+    sync_and_check()
+    # value update: the rollup must RETRACT the old 1.5 and add 100.0
+    txn.commit_upsert(spark, rows([(1, "a", 100.0)]), src, key="k")
+    sync_and_check()
+    assert _rollup_state(spark, roll)["a"] == (2, Decimal("102.500000"))
+    # delete empties group b: its rollup row must disappear
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(3,)], "k long"), src, key="k"
+    )
+    sync_and_check()
+    assert "b" not in _rollup_state(spark, roll)
+    # compaction: no feed rows, no rollup change
+    txn.commit_compact(spark, src)
+    v = txn.current_version(roll)
+    sync_and_check()
+    assert txn.current_version(roll) == v
+
+
+def test_cdf_rollup_watermark_makes_replay_exactly_once(spark, tmp_path):
+    """Increments are not idempotent, so exactly-once hangs on the
+    transactional watermark: re-applying an already-covered batch (a
+    foreachBatch replay after checkpoint loss) must be a no-op."""
+    from decimal import Decimal
+
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        apply_cdf_to_rollup,
+    )
+
+    src, roll = str(tmp_path / "src"), str(tmp_path / "roll")
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(10)], "k long, g string, m double"
+    )
+    txn.commit_append_with_stats(spark, df, src, key="k")
+    q = apply_cdf_to_rollup(
+        spark, src, roll, "g", "m", str(tmp_path / "ck1")
+    )
+    q.awaitTermination()
+    before = _rollup_state(spark, roll)
+    assert before["g"] == (10, Decimal("45.000000"))
+    # simulate checkpoint loss: a FRESH checkpoint replays the whole
+    # feed; the rollup's own watermark must reject the re-application
+    q = apply_cdf_to_rollup(
+        spark, src, roll, "g", "m", str(tmp_path / "ck2")
+    )
+    q.awaitTermination()
+    assert _rollup_state(spark, roll) == before
+    man = txn._read_manifest(roll, txn.current_version(roll))
+    assert man["cdc_applied_version"] == txn.current_version(src)
+
+
 def test_cdf_log_batch_read_matches_stream_semantics(spark, tmp_path):
     """read_cdf_log = the batch face of the commit-time CDC log:
     per-commit rows, compaction skipped, range-bounded, and — the
@@ -886,7 +988,12 @@ def test_cdf_log_batch_read_matches_stream_semantics(spark, tmp_path):
     }
     assert got == (
         {(k, k * 10, "insert", 0) for k in range(10)}
-        | {(3, 333, "update", 1), (50, 500, "insert", 1), (7, 70, "delete", 3)}
+        | {
+            (3, 30, "update_preimage", 1),
+            (3, 333, "update_postimage", 1),
+            (50, 500, "insert", 1),
+            (7, 70, "delete", 3),
+        }
     )
     # no shuffle anywhere: reading the log is scan+union, join-free
     assert "Exchange" not in feed._jdf.queryExecution().executedPlan().toString()
@@ -895,7 +1002,11 @@ def test_cdf_log_batch_read_matches_stream_semantics(spark, tmp_path):
         (r["k"], r["_change_type"])
         for r in read_cdf_log(spark, path, 0, 1).collect()
     }
-    assert sub == {(3, "update"), (50, "insert")}
+    assert sub == {
+        (3, "update_preimage"),
+        (3, "update_postimage"),
+        (50, "insert"),
+    }
 
 
 def test_cdf_log_surfaces_nulls_for_pre_evolution_files(spark, tmp_path):
@@ -1256,7 +1367,7 @@ def test_renamed_key_still_prunes_and_writes(spark, tmp_path):
     # the change feed reads files written before AND after the rename
     feed = _drain_cdf(spark, path, tmp_path, "cdf_renamed")
     assert feed.filter(
-        (F.col("id") == 110) & (F.col("_change_type") == "update")
+        (F.col("id") == 110) & (F.col("_change_type") == "update_postimage")
     ).count() == 1
 
 
