@@ -19,9 +19,11 @@ the driver (Delta's CDF architecture):
   in the manifest: appends declare their new files ARE the inserted
   rows (``cdc.mode = "append"``, zero extra bytes); rewrite commits
   (upsert/merge/delete/replaceWhere) stage explicit CDC parquet files
-  of (row..., _change_type) computed as Spark joins at commit time;
-  compaction declares ``mode = "none"`` (dataChange=false) and the
-  feed skips it;
+  of (row..., _change_type) computed as Spark joins at commit time,
+  with updates recorded as ``update_preimage`` + ``update_postimage``
+  pairs (Delta CDF's format — the pre-image is what lets an
+  incremental AGGREGATE retract the old contribution); compaction
+  declares ``mode = "none"`` (dataChange=false) and the feed skips it;
 - the stream reader's ``partitions(start, end)`` touches only
   MANIFESTS (O(changed files) metadata on the driver); ``read`` runs
   on executors, one partition per changed/CDC file, yielding Arrow
