@@ -574,6 +574,75 @@ def dup_gram_doc_fraction(
     )
 
 
+def repeated_substring_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal cross-document repeated token SPANS — the exact
+    substring-level dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which removes
+    verbatim repeated passages rather than whole near-dup documents.
+    Their single-machine tool builds a suffix array; the distributed
+    equivalent: a position is *duplicated* when its k-token gram occurs
+    in ≥2 distinct documents, and every maximal run of consecutive
+    duplicated positions is one span (a shared passage of length
+    L ≥ k yields L−k+1 consecutive duplicated grams, so the island
+    reconstructs the full passage extent).
+
+    Plan shape: one gram-keyed aggregate (map-side combinable) to find
+    shared grams, one co-partitioned join back to positions, then a
+    per-document window for the gaps-and-islands merge — never
+    doc×doc, and the window partitions by document so its state is
+    bounded by document length. At 100 TB the gram string would be
+    xxhash64-narrowed before the shuffle (collisions only merge spans,
+    never drop them); kept as the raw string here so the DuckDB oracle
+    replays it exactly — same trade as ``dup_gram_doc_fraction``.
+
+    Returns (doc_id, span_start, span_tokens, n_dup_grams): token
+    offset of the span, its extent in tokens, and the duplicated-gram
+    run length inside it.
+    """
+    from pyspark.sql.window import Window
+
+    from qb_data_pipeline_backfill_spark.operators.text import tokens
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    pos_idx = F.when(
+        F.size("t") >= k, F.sequence(F.lit(0), F.size("t") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        F.col(id_col), F.explode(pos_idx).alias("pos"), "t"
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(
+            " ", F.slice("t", F.col("pos") + 1, F.lit(k))
+        ).alias("gram"),
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gram")
+    )
+    dup_pos = grams.join(shared, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup_pos.withColumn(
+        "__island", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("__island")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     k: int = 8,

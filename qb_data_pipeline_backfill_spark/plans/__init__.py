@@ -45,6 +45,7 @@ prioritize(
         "streaming_txn_cdf",
         "txn_cdf_log_feed",
         "txn_cdf_rollup_maintenance",
+        "dedup_repeated_substrings",
         "txn_cdf_feed",
         "txn_merge_cdc_read",
         "txn_replace_where_read",

@@ -138,6 +138,50 @@ def corpus_dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_repeated_substrings",
+    oracle=r"""
+    WITH toks AS (%s),
+    grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(ts[i:i+7], ' ') AS gram
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 7, 0)))
+                 AS g(i)
+    ),
+    shared AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup_pos AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN shared s USING (gram)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM dup_pos
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) - MIN(pos) + 8 AS span_tokens,
+           COUNT(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+    """
+    % _TOKS,
+    doc="Exact repeated-SUBSTRING detection (Lee et al. 2022 train-dedup "
+    "shape): maximal per-document token spans whose 8-gram windows all "
+    "occur in ≥2 distinct documents — the passage-level verbatim-"
+    "duplication signal that whole-document near-dup methods miss. "
+    "Distributed suffix-array substitute: gram-keyed shared-gram "
+    "aggregate, co-partitioned join back to positions, per-document "
+    "gaps-and-islands window merge. Never doc×doc; window state "
+    "bounded by document length.",
+)
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.repeated_substring_spans(_docs(spark, sf_dir), k=8)
+
+
+@register(
     "dedup_edit_distance",
     oracle=r"""
     WITH d AS (

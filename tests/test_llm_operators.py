@@ -596,6 +596,45 @@ def test_dup_gram_counts_documents_not_occurrences(spark):
     assert out[1] == 0
 
 
+def test_repeated_substring_spans_hand_case(spark):
+    """A shared passage of L tokens must surface as ONE maximal span of
+    exactly L tokens (its L-k+1 duplicated grams merge into a single
+    island); non-shared text must produce no span."""
+    shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"  # 10 tokens, k=4
+    rows = [
+        (0, f"aaa bbb {shared} ccc ddd"),
+        (1, f"{shared} eee fff ggg"),
+        (2, "unrelated words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_tokens"], r["n_dup_grams"])
+        for r in D.repeated_substring_spans(df, k=4).collect()
+    }
+    # doc 0: passage starts at token offset 2; doc 1: at offset 0;
+    # both spans are the full 10 tokens = 7 duplicated 4-grams
+    assert got == {0: (2, 10, 7), 1: (0, 10, 7)}
+
+
+def test_repeated_substring_spans_splits_disjoint_runs(spark):
+    """Two shared passages separated by unshared text in the same doc
+    must come back as TWO spans, not one merged blob."""
+    a, b = "p1 p2 p3 p4", "q1 q2 q3 q4"
+    rows = [
+        (0, f"{a} gap1 gap2 gap3 {b}"),
+        (1, f"{a} other text entirely {b}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = [
+        (r["span_start"], r["span_tokens"])
+        for r in D.repeated_substring_spans(df, k=4)
+        .filter(F.col("doc_id") == 0)
+        .orderBy("span_start")
+        .collect()
+    ]
+    assert spans == [(0, 4), (7, 4)]
+
+
 def test_bpe_pair_counts_hand_case(spark):
     # words: low ×3, lower ×1 → pairs weighted by word freq:
     # lo: 3+1=4, ow: 3+1=4, we: 1, er: 1
