@@ -78,35 +78,31 @@ class CdfProtocolError(RuntimeError):
     ``operators/txn.table_changes`` across the gap instead."""
 
 
-class CdfFilePartition(InputPartition):
-    """One changed/CDC file of one commit = one Spark task.
+# Bin-packing budget for one stream partition (the
+# spark.sql.files.maxPartitionBytes analog): a catch-up over thousands
+# of small commits must not plan one Spark task per tiny CDC file.
+_DEFAULT_PARTITION_BYTES = 64 * 1024 * 1024
 
-    ``change_type`` is set for append-mode data files (every row is an
-    insert) and None for explicit CDC files (which carry their own
-    ``_change_type`` column). ``dv_paths`` lists the commit's deletion
-    vector files when the manifest carries DVs that may suppress rows
-    of this file (clone genesis); fresh append files are never
-    DV-covered and pass an empty list.
+
+class CdfFilePartition(InputPartition):
+    """One Spark task = a size-budgeted BATCH of changed/CDC files.
+
+    ``units`` is a list of (file_path, file_name, version,
+    change_type, dv_paths, dv_key) tuples: ``change_type`` is
+    ``"insert"`` for append-mode data files and None for explicit CDC
+    files (which carry their own ``_change_type`` column); ``dv_paths``
+    lists the commit's deletion-vector files when the manifest carries
+    DVs that may suppress rows of the file (clone genesis) — fresh
+    append files are never DV-covered and carry an empty tuple. Files
+    are packed up to a byte budget (planner-side ``os.path.getsize``,
+    metadata only), so ten thousand 10 KB commit deltas plan as a few
+    dozen tasks, while one 10 GB backfill commit still fans out
+    per-file.
     """
 
-    def __init__(
-        self,
-        file_path: str,
-        file_name: str,
-        version: int,
-        change_type: str | None,
-        arrow_schema,
-        dv_paths: list[str],
-        dv_key: str | None,
-        column_map: dict | None = None,
-    ):
-        self.file_path = file_path
-        self.file_name = file_name
-        self.version = version
-        self.change_type = change_type
+    def __init__(self, units: list, arrow_schema, column_map: dict | None):
+        self.units = units
         self.arrow_schema = arrow_schema
-        self.dv_paths = dv_paths
-        self.dv_key = dv_key
         # logical → physical parquet column names (column-mapping
         # renames; physical names are stable across the table's life)
         self.column_map = column_map or {}
@@ -156,6 +152,9 @@ class TxnCdfStreamReader(DataSourceStreamReader):
         self._path = options["path"]
         self._start = int(options.get("start_version", -1))
         self._arrow_schema = arrow_schema
+        self._partition_bytes = int(
+            options.get("max_partition_bytes", _DEFAULT_PARTITION_BYTES)
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -171,7 +170,6 @@ class TxnCdfStreamReader(DataSourceStreamReader):
         return _step_cdc(self._path, version)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        out: list[InputPartition] = []
         # resolve renamed columns with the newest map in the batch:
         # physical names are stable, so it covers older versions too
         cmap = (
@@ -180,6 +178,7 @@ class TxnCdfStreamReader(DataSourceStreamReader):
             if end["version"] >= 0
             else {}
         )
+        units: list[tuple] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             step = self._step_cdc(v)
             man = step["man"]
@@ -189,79 +188,101 @@ class TxnCdfStreamReader(DataSourceStreamReader):
                 change_type = "insert"
                 # DVs can only cover an append-mode file at a clone's
                 # genesis (fresh appends land in files no DV names)
-                dv_paths = [
+                dv_paths = tuple(
                     os.path.join(self._path, "data", n)
                     for n in man.get("dvs", [])
-                ]
+                )
                 dv_key = man.get("dv_key")
             else:
                 change_type = None
-                dv_paths, dv_key = [], None
+                dv_paths, dv_key = (), None
             for name in step.get("files", []):
-                out.append(
-                    CdfFilePartition(
+                units.append(
+                    (
                         os.path.join(self._path, "data", name),
                         name,
                         v,
                         change_type,
-                        self._arrow_schema,
                         dv_paths,
                         dv_key,
-                        cmap,
                     )
                 )
+        # size-budgeted bin packing (metadata only): many tiny commit
+        # deltas share one task; a big backfill still fans out per-file
+        out: list[InputPartition] = []
+        bucket: list[tuple] = []
+        bucket_bytes = 0
+        for u in units:
+            try:
+                size = os.path.getsize(u[0])
+            except OSError:
+                size = self._partition_bytes  # unknown: isolate it
+            if bucket and bucket_bytes + size > self._partition_bytes:
+                out.append(CdfFilePartition(bucket, self._arrow_schema, cmap))
+                bucket, bucket_bytes = [], 0
+            bucket.append(u)
+            bucket_bytes += size
+        if bucket:
+            out.append(CdfFilePartition(bucket, self._arrow_schema, cmap))
         return out
 
     # -- executor-side read ------------------------------------------------
     def read(self, partition: CdfFilePartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(partition.file_path)
-        if t.num_rows and partition.dv_paths:
-            suppressed = set()
-            for p in partition.dv_paths:
-                dv = pq.read_table(p)
-                for fn, kv in zip(
-                    dv.column("file_name").to_pylist(),
-                    dv.column(partition.dv_key).to_pylist(),
-                ):
-                    if fn == partition.file_name:
-                        suppressed.add(kv)
-            if suppressed:
-                mask = pa.array(
-                    [
-                        kv not in suppressed
-                        for kv in t.column(partition.dv_key).to_pylist()
-                    ]
-                )
-                t = t.filter(mask)
-        if not t.num_rows:
-            return
-        columns = {}
-        for field in partition.arrow_schema:
-            if field.name == "_commit_version":
-                columns[field.name] = pa.array(
-                    [partition.version] * t.num_rows, field.type
-                )
-            elif field.name == "_change_type" and partition.change_type:
-                columns[field.name] = pa.array(
-                    [partition.change_type] * t.num_rows, field.type
-                )
-            else:
-                phys = partition.column_map.get(field.name, field.name)
-                if phys in t.column_names:
-                    columns[field.name] = t.column(phys)
-                else:
-                    # file predates an additive schema change: surface
-                    # NULLs, matching the snapshot readers
-                    columns[field.name] = pa.nulls(t.num_rows, field.type)
-        yield from (
-            pa.table(columns).cast(partition.arrow_schema).to_batches()
-        )
+        for unit in partition.units:
+            yield from _read_unit(
+                unit, partition.arrow_schema, partition.column_map
+            )
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def _read_unit(unit: tuple, arrow_schema, column_map: dict):
+    """Executor-side read of ONE changed/CDC file: DV suppression for
+    clone-genesis files, physical→logical column resolution, NULLs for
+    files predating an additive schema change, fixed change type and
+    commit version appended — yielded as Arrow record batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    file_path, file_name, version, change_type, dv_paths, dv_key = unit
+    t = pq.read_table(file_path)
+    if t.num_rows and dv_paths:
+        suppressed = set()
+        for p in dv_paths:
+            dv = pq.read_table(p)
+            for fn, kv in zip(
+                dv.column("file_name").to_pylist(),
+                dv.column(dv_key).to_pylist(),
+            ):
+                if fn == file_name:
+                    suppressed.add(kv)
+        if suppressed:
+            mask = pa.array(
+                [kv not in suppressed for kv in t.column(dv_key).to_pylist()]
+            )
+            t = t.filter(mask)
+    if not t.num_rows:
+        return
+    columns = {}
+    for field in arrow_schema:
+        if field.name == "_commit_version":
+            columns[field.name] = pa.array(
+                [version] * t.num_rows, field.type
+            )
+        elif field.name == "_change_type" and change_type:
+            columns[field.name] = pa.array(
+                [change_type] * t.num_rows, field.type
+            )
+        else:
+            phys = column_map.get(field.name, field.name)
+            if phys in t.column_names:
+                columns[field.name] = t.column(phys)
+            else:
+                # file predates an additive schema change: surface
+                # NULLs, matching the snapshot readers
+                columns[field.name] = pa.nulls(t.num_rows, field.type)
+    yield from pa.table(columns).cast(arrow_schema).to_batches()
 
 
 class TxnCdfDataSource(DataSource):

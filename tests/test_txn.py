@@ -1061,10 +1061,17 @@ def test_cdf_planning_is_metadata_only_and_per_file(spark, tmp_path):
     finally:
         pq.read_table = real_read_table
     assert calls == []  # planning opened no parquet file at all
-    v0_parts = [p for p in parts if p.version == 0]
-    assert len(v0_parts) == 8  # one task per appended file
+    units = [u for p in parts for u in p.units]
+    assert len([u for u in units if u[2] == 0]) == 8  # all appended files
+    # tiny files BIN-PACK: far fewer tasks than files (maxPartitionBytes
+    # analog) — while a per-byte budget of 1 forces one task per file
+    assert len(parts) < len(units)
+    fine = txn_cdf.TxnCdfStreamReader(
+        {"path": path, "max_partition_bytes": "1"}, schema
+    ).partitions({"version": -1}, {"version": 1})
+    assert len(fine) == len(units)
     # executor-side read of one partition yields arrow batches
-    batches = list(reader.read(v0_parts[0]))
+    batches = list(reader.read(parts[0]))
     assert sum(b.num_rows for b in batches) > 0
     assert batches[0].schema.names[-2:] == ["_change_type", "_commit_version"]
 
