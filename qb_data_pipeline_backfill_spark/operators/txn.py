@@ -1977,6 +1977,170 @@ def clone_table(
     return 0
 
 
+def _touched_files_by_probe(
+    spark: SparkSession, man: dict, keys: DataFrame, key: str
+) -> list[str]:
+    """Files whose key zone map contains at least ONE probe key —
+    per-file interval membership, not the batch's [min, max] envelope
+    (an envelope degrades to scan-everything when a batch mixes a few
+    low keys with a few high ones; per-file probing touches only the
+    files that can actually hold a key). One broadcast range join of
+    the O(#files) bounds table against the distinct probe keys, then
+    an O(#files) name collect — never data-sized driver traffic.
+    Files without recorded stats are scanned conservatively."""
+    from pyspark.sql import functions as FF
+
+    stats = man.get("stats", {})
+    unstatted = [n for n in man["files"] if n not in stats]
+    bounded = [(n, stats[n][0], stats[n][1]) for n in man["files"] if n in stats]
+    if not bounded:
+        return list(man["files"])
+    bdf = spark.createDataFrame(bounded, ["__f", "__lo", "__hi"])
+    hit = (
+        keys.dropDuplicates()
+        .join(
+            FF.broadcast(bdf),
+            (FF.col(key) >= FF.col("__lo")) & (FF.col(key) <= FF.col("__hi")),
+        )
+        .select("__f")
+        .distinct()
+        .collect()
+    )
+    hit_names = {r["__f"] for r in hit}
+    return [n for n in man["files"] if n in hit_names or n in set(unstatted)]
+
+
+def commit_merge_cow(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key: str,
+    *,
+    matched_update: bool = True,
+    matched_delete: str | None = None,
+    not_matched_insert: bool = True,
+    expected_base: int | None = None,
+    meta: dict | None = None,
+) -> int:
+    """File-pruned copy-on-write MERGE INTO: ``commit_merge``'s three
+    clauses with ``commit_upsert_cow``'s cost model — only files whose
+    key zone map overlaps the SOURCE batch's key range are read and
+    rewritten; every other file moves forward by reference with its
+    stats/blooms/DVs intact. Zone-map containment is what keeps the
+    clause semantics exact on the pruned scope: any existing row with
+    a source key lives in a touched file, so matched/not-matched
+    classification against the touched subset equals classification
+    against the whole table.
+
+    This is the 100 TB shape of the CDC-apply loop: each replica
+    micro-batch costs O(files overlapping the batch's keys), not
+    O(table). Requires the table's zone-map stats to be keyed on
+    ``key`` (write it with commit_append_with_stats); same contracts
+    as ``commit_merge`` (unique source keys, expectations on writes,
+    ``meta`` watermark landing atomically)."""
+    from pyspark.sql import functions as FF
+
+    base = current_version(path) if expected_base is None else expected_base
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    if man.get("stats_col") != _phys(man, key):
+        raise ValueError(
+            f"table at {path} lacks zone-map stats on {key!r}; "
+            "write it with commit_append_with_stats, or use commit_merge"
+        )
+    dup = (
+        source.groupBy(key)
+        .agg(FF.count(FF.lit(1)).alias("_n"))
+        .filter(FF.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"MERGE source has duplicate key {dup[0][key]!r}; "
+            "a key must match at most one source row"
+        )
+    cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
+    n_keys = source.limit(1).count()
+    if n_keys == 0:  # empty batch: metadata-only version (+ watermark)
+        return _commit_replace(
+            spark,
+            read_version(spark, path, base).limit(0),
+            path,
+            base,
+            stats_col=_phys(man, key),
+            carried=man["files"],
+            carried_stats=man.get("stats", {}),
+            stats_cols=man.get("stats_cols"),
+            carried_col_stats=man.get("col_stats", {}),
+            bloom_spec=man.get("bloom_spec"),
+            carried_blooms=man.get("blooms", {}),
+            carried_dvs=man.get("dvs"),
+            dv_key=man.get("dv_key"),
+            extra_meta={**_carry_meta(man), **(meta or {})},
+            cdc="none",
+        )
+    touched = _touched_files_by_probe(spark, man, source.select(key), key)
+    untouched = [n for n in man["files"] if n not in set(touched)]
+    stats = man.get("stats", {})
+    if touched:
+        tfiles = [os.path.join(path, "data", n) for n in touched]
+        target = _to_logical(
+            _apply_dvs(
+                spark,
+                path,
+                man,
+                spark.read.schema(_physical_ddl(man)).parquet(*tfiles),
+            ),
+            man,
+        )
+    else:
+        target = read_version(spark, path, base).limit(0)
+    del_pred = (
+        FF.coalesce(FF.expr(matched_delete).cast("boolean"), FF.lit(False))
+        if matched_delete is not None
+        else FF.lit(False)
+    )
+    writes = source.filter(~del_pred)
+    departures = source.filter(del_pred).select(key)
+    if not not_matched_insert:
+        writes = writes.join(target.select(key), key, "left_semi")
+    if not matched_update:
+        writes = writes.join(target.select(key), key, "left_anti")
+    writes = writes.select(*cols)
+    enforce_expectations(writes, man.get("expectations", {}))
+    survivors = target.join(
+        writes.select(key).unionByName(departures), key, "left_anti"
+    )
+    merged = survivors.unionByName(writes)
+    cdc = _cdc_upsert_changes(target, writes, key, cols).unionByName(
+        target.join(departures, key, "left_semi").withColumn(
+            "_change_type", FF.lit("delete")
+        )
+    )
+    col_stats = man.get("col_stats", {})
+    blooms = man.get("blooms", {})
+    return _commit_replace(
+        spark,
+        merged,
+        path,
+        base,
+        stats_col=_phys(man, key),
+        carried=untouched,
+        carried_stats={n: stats[n] for n in untouched if n in stats},
+        stats_cols=man.get("stats_cols"),
+        carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
+        bloom_spec=man.get("bloom_spec"),
+        carried_blooms={n: blooms[n] for n in untouched if n in blooms},
+        # DVs of rewritten files go inert; untouched files' keep applying
+        carried_dvs=man.get("dvs"),
+        dv_key=man.get("dv_key"),
+        extra_meta={**_carry_meta(man), **(meta or {})},
+        cdc=cdc,
+    )
+
+
 def commit_merge(
     spark: SparkSession,
     source: DataFrame,

@@ -48,6 +48,7 @@ prioritize(
         "contract_bpe_encode_replay",
         "streaming_txn_cdf",
         "txn_cdf_log_feed",
+        "txn_cdf_log_net_feed",
         "txn_cdf_rollup_maintenance",
         "dedup_repeated_substrings",
         "txn_cdf_feed",

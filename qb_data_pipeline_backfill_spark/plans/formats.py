@@ -178,6 +178,71 @@ def txn_cdf_log_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_cdf_log_net_feed",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, 'X-CDC' AS o_orderpriority, 'update' AS _change_type
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               'X-CDC' AS o_orderpriority, 'insert' AS _change_type
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    deletes AS (
+        SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type
+        FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey % 101 != 0
+    )
+    SELECT * FROM updates
+    UNION ALL SELECT * FROM inserts
+    UNION ALL SELECT * FROM deletes
+    """,
+    doc="NET change feed derived from the commit-time CDC LOG "
+    "(sources/txn_cdf.py net_changes_from_log) — table_changes "
+    "semantics at O(change set) cost: per key, min_by/max_by over the "
+    "range's per-commit events reveal the range-start and final "
+    "states; one map-side-combinable key shuffle over the CHANGES, vs "
+    "the snapshot diff's two whole-table scans + join. Same closed-"
+    "form oracle as txn_cdf_feed, including the delete-then-reupsert "
+    "keys that must collapse to a single update — proving the log "
+    "reduction and the snapshot diff agree on the tricky cases.",
+)
+def txn_cdf_log_net_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        net_changes_from_log,
+    )
+
+    path = os.path.join(
+        _SCRATCH, f"orders_cdc3_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    # pinned 3-commit history (append, CoW delete, upsert with updates
+    # + inserts incl. delete-then-reupsert); change feeds are
+    # append-only history, so rebuild from zero if the head diverges
+    if txn.current_version(path) != 2:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(
+            8, "o_orderkey"
+        )
+        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        doomed = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+            "o_orderkey"
+        )
+        txn.commit_delete(spark, doomed, path, key="o_orderkey")
+        upd = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderpriority", F.lit("X-CDC")
+        )
+        ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        txn.commit_upsert(spark, upd.unionByName(ins), path, key="o_orderkey")
+    feed = net_changes_from_log(spark, path, 0)
+    return feed.select("o_orderkey", "o_orderpriority", "_change_type")
+
+
+@register(
     "txn_cdf_rollup_maintenance",
     oracle="SELECT o_orderstatus, COUNT(*) AS n_rows, "
     "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) "

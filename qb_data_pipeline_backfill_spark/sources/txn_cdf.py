@@ -383,6 +383,83 @@ def read_cdf_log(
     return out.select(*out_cols, "_change_type", "_commit_version")
 
 
+def net_changes_from_log(
+    spark,
+    path: str,
+    from_version: int = -1,
+    to_version: int | None = None,
+    key: str | None = None,
+):
+    """NET change feed (``operators/txn.table_changes`` semantics:
+    one row per key whose final state differs from its range-start
+    state, classified insert/update/delete) derived from the
+    commit-time CDC log instead of diffing snapshots — O(change set)
+    with ONE key shuffle, vs two whole-table scans plus a join.
+
+    Reduction, per key over the range's per-commit events (ordered by
+    commit version, with a pre-image sorting before its post-image
+    within one commit):
+
+    - the FIRST event reveals the range-start state: ``insert`` means
+      the key did not exist; ``update_preimage``/``delete`` carry the
+      value it had;
+    - the LAST event reveals the final state: ``delete`` means gone;
+      ``insert``/``update_postimage`` carry the final value;
+    - absent→present = insert (final values); present→absent = delete
+      (range-start values); present→present = update unless the final
+      row equals the range-start row (a delete-then-reupsert of the
+      same values nets to NOTHING, exactly like the snapshot diff).
+
+    One ``groupBy(key)`` with ``min_by``/``max_by`` — map-side
+    combinable, shuffle width = change set. ``key`` defaults to the
+    table's zone-map/DV key (logical name).
+    """
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators.txn import (
+        _logical_of,
+    )
+
+    to_v = current_version(path) if to_version is None else to_version
+    man = _manifest_or_retention_error(path, to_v)
+    k = key or _logical_of(man, man.get("stats_col") or man.get("dv_key"))
+    if k is None:
+        raise ValueError("pass key= (table has no stats/dv key to infer it from)")
+    log = read_cdf_log(spark, path, from_version, to_v)
+    cols = [
+        c for c in log.columns if c not in ("_change_type", "_commit_version")
+    ]
+    # pre-images order before post-images at the same commit version
+    order = F.struct(
+        F.col("_commit_version"),
+        F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), 0
+        ).otherwise(1).alias("__o"),
+    )
+    row = F.struct(*cols, "_change_type")
+    per_key = log.groupBy(F.col(k).alias("__k")).agg(
+        F.min_by(row, order).alias("__first"),
+        F.max_by(row, order).alias("__last"),
+    )
+    existed = F.col("__first._change_type").isin("update_preimage", "delete")
+    final = F.col("__last._change_type").isin("insert", "update_postimage")
+    first_vals = F.struct(*[F.col(f"__first.{c}") for c in cols])
+    last_vals = F.struct(*[F.col(f"__last.{c}") for c in cols])
+    classified = per_key.select(
+        F.when(~existed & final, F.struct(last_vals.alias("v"), F.lit("insert").alias("t")))
+        .when(existed & ~final, F.struct(first_vals.alias("v"), F.lit("delete").alias("t")))
+        .when(
+            existed & final & ~first_vals.eqNullSafe(last_vals),
+            F.struct(last_vals.alias("v"), F.lit("update").alias("t")),
+        )
+        .alias("__r")
+    ).filter(F.col("__r").isNotNull())
+    return classified.select(
+        *[F.col(f"__r.v.{c}").alias(c) for c in cols],
+        F.col("__r.t").alias("_change_type"),
+    )
+
+
 def read_cdf_stream(spark, path: str, **options):
     """Register the source (idempotent) and return the lazy stream."""
     spark.dataSource.register(TxnCdfDataSource)
@@ -408,15 +485,19 @@ def apply_cdf_to_table(
     Per micro-batch: the per-commit changes first reduce to the LATEST
     change per key (one distributed window over ``_commit_version`` —
     a catch-up batch spanning several commits may carry a key's insert
-    and its later delete), then ONE ``commit_merge`` applies the whole
-    reduced batch — insert/update rows via the matched-update /
+    and its later delete), then ONE merge applies the whole reduced
+    batch — insert/update rows via the matched-update /
     not-matched-insert clauses, delete rows via the matched-delete
     clause — so the batch lands in a single atomic snapshot switch.
-    The reduction makes the merge's unique-source-key contract hold by
-    construction, and the merge is effect-idempotent, so a foreachBatch
-    replay after a crash re-applies harmlessly — exactly-once end to
-    end on top of at-least-once delivery. Runs with AvailableNow
-    (catch-up then stop); returns the started query.
+    The replica is created with key zone maps and each batch applies
+    through ``commit_merge_cow``, so a micro-batch rewrites only the
+    replica files its keys overlap — O(touched files), not O(replica),
+    the cost model that keeps a 100 TB replica maintainable. The
+    reduction makes the merge's unique-source-key contract hold by
+    construction, and the merge is effect-idempotent, so a
+    foreachBatch replay after a crash re-applies harmlessly —
+    exactly-once end to end on top of at-least-once delivery. Runs
+    with AvailableNow (catch-up then stop); returns the started query.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -445,9 +526,18 @@ def apply_cdf_to_table(
             .withColumnRenamed("_change_type", "__op")
         )
         if txn.current_version(target_path) < 0:
-            # genesis: publish the (empty) table so merge has a base
-            txn.commit_append(sp, src.drop("__op").limit(0), target_path)
-        txn.commit_merge(
+            # genesis: publish an empty table WITH key zone maps so
+            # every later batch merges copy-on-write (file-pruned)
+            txn.commit_append_with_stats(
+                sp, src.drop("__op").limit(0), target_path, key=key
+            )
+        man = txn._read_manifest(target_path, txn.current_version(target_path))
+        merge = (
+            txn.commit_merge_cow
+            if man.get("stats_col") == txn._phys(man, key)
+            else txn.commit_merge  # pre-existing stats-less target
+        )
+        merge(
             sp, src, target_path, key=key, matched_delete="__op = 'delete'"
         )
 

@@ -1009,6 +1009,53 @@ def test_cdf_log_batch_read_matches_stream_semantics(spark, tmp_path):
     }
 
 
+def test_net_changes_from_log_equals_snapshot_diff(spark, tmp_path):
+    """The O(change-set) net reduction over the commit log must equal
+    table_changes' O(table) snapshot diff on a history covering every
+    classification: insert, update, delete, delete-then-reupsert
+    collapse (same AND different values), and an update chain that
+    returns to the starting value (nets to nothing)."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        net_changes_from_log,
+    )
+
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 20), path, key="k")
+    v0 = txn.current_version(path)
+    # delete 3 keys, then re-upsert one identically and one changed
+    txn.commit_delete(
+        spark, spark.createDataFrame([(1,), (2,), (3,)], "k long"), path,
+        key="k",
+    )
+    txn.commit_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 10), (2, -2), (50, 500)], "k long, v long"
+        ),
+        path,
+        key="k",
+    )
+    # update chain 5: 50 → 999 → back to 50 (must net to nothing)
+    txn.commit_upsert(
+        spark, spark.createDataFrame([(5, 999)], "k long, v long"), path,
+        key="k",
+    )
+    txn.commit_upsert(
+        spark, spark.createDataFrame([(5, 50)], "k long, v long"), path,
+        key="k",
+    )
+
+    def as_set(df):
+        return {
+            (r["k"], r["v"], r["_change_type"]) for r in df.collect()
+        }
+
+    got = as_set(net_changes_from_log(spark, path, v0))
+    want = as_set(txn.table_changes(spark, path, v0))
+    assert got == want
+    assert got == {(2, -2, "update"), (3, 30, "delete"), (50, 500, "insert")}
+
+
 def test_cdf_log_surfaces_nulls_for_pre_evolution_files(spark, tmp_path):
     from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
 
@@ -1529,6 +1576,75 @@ def test_merge_clause_toggles_and_dup_source_rejected(spark, tmp_path):
     dup = spark.createDataFrame([(7, 1), (7, 2)], "k long, v long")
     with pytest.raises(ValueError, match="duplicate key"):
         txn.commit_merge(spark, dup, path, key="k")
+
+
+def test_merge_cow_matches_merge_and_prunes_files(spark, tmp_path):
+    """commit_merge_cow must produce the same post-merge state as
+    commit_merge while carrying untouched files forward BY REFERENCE
+    (the O(touched files) CDC-apply cost model)."""
+    full, cow = str(tmp_path / "full"), str(tmp_path / "cow")
+    # 4 files with disjoint key ranges
+    for lo in (0, 100, 200, 300):
+        for p in (full, cow):
+            txn.commit_append_with_stats(
+                spark, _df(spark, lo, lo + 100).coalesce(1), p, key="k"
+            )
+    source = spark.createDataFrame(
+        [
+            (110, 111, "U"),   # matched update (file 2)
+            (120, 0, "D"),     # matched delete (file 2)
+            (999, 9, "U"),     # not matched insert
+            (888, 0, "D"),     # tombstone for absent key: no-op
+        ],
+        "k long, v long, op string",
+    )
+    txn.commit_merge(spark, source, full, key="k", matched_delete="op = 'D'")
+    man_before = txn._read_manifest(cow, txn.current_version(cow))
+    txn.commit_merge_cow(spark, source, cow, key="k", matched_delete="op = 'D'")
+    man_after = txn._read_manifest(cow, txn.current_version(cow))
+    same = {(r["k"], r["v"]) for r in txn.read_table(spark, full).collect()}
+    assert {(r["k"], r["v"]) for r in txn.read_table(spark, cow).collect()} == same
+    # files whose ranges the batch never touched moved by reference
+    carried = set(man_before["files"]) & set(man_after["files"])
+    assert len(carried) >= 2  # the [0,100) and [200,300) files at least
+    # the change feed agrees with the full-rewrite merge's CDC
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
+
+    v = txn.current_version(cow)
+    cdc = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in read_cdf_log(spark, cow, v - 1, v).collect()
+    }
+    assert cdc == {
+        (110, 1100, "update_preimage"),
+        (110, 111, "update_postimage"),
+        (999, 9, "insert"),
+        (120, 1200, "delete"),
+    }
+    # empty batch: metadata-only version, watermark lands anyway
+    txn.commit_merge_cow(
+        spark,
+        source.limit(0),
+        cow,
+        key="k",
+        matched_delete="op = 'D'",
+        meta={"cdc_applied_version": 42},
+    )
+    man = txn._read_manifest(cow, txn.current_version(cow))
+    assert man["cdc_applied_version"] == 42
+    assert man["cdc"]["mode"] == "none"
+
+
+def test_merge_cow_requires_key_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)  # no stats
+    with pytest.raises(ValueError, match="zone-map stats"):
+        txn.commit_merge_cow(
+            spark,
+            spark.createDataFrame([(1, 1)], "k long, v long"),
+            path,
+            key="k",
+        )
 
 
 def test_merge_enforces_expectations_on_writes_not_departures(
