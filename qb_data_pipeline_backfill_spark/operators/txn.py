@@ -1359,11 +1359,9 @@ def commit_upsert_cow(
             cdc="none",
         )
     stats = man.get("stats", {})
-    touched = [
-        n
-        for n in man["files"]
-        if n not in stats or not (stats[n][1] < lo or stats[n][0] > hi)
-    ]
+    # per-file interval probing, not the batch's [lo, hi] envelope —
+    # a batch mixing low and high keys otherwise touches everything
+    touched = _touched_files_by_probe(spark, man, df.select(key), key)
     untouched = [n for n in man["files"] if n not in set(touched)]
     cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
     if touched:

@@ -191,6 +191,36 @@ def main() -> int:
             .agg(F.count("*"))
             .collect()
         )
+        # -- CDC-apply merge: full-rewrite vs copy-on-write --------------
+        # a narrow-key-range merge batch (one replica "day") against
+        # full-rewrite MERGE and the probe-pruned CoW MERGE
+        lo_key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+        batch = (
+            orders.filter(F.col("o_orderkey") < lo_key + 200)
+            .withColumn("o_orderpriority", F.lit("Y-PROBE"))
+            .withColumn("op", F.lit("U"))
+        )
+        mfull, mcow = os.path.join(base, "mfull"), os.path.join(base, "mcow")
+        for p in (mfull, mcow):
+            txn.commit_append_with_stats(spark, ranged, p, key="o_orderkey")
+        b0 = _data_bytes(mfull)
+        out["merge_full_sec"] = _timed(
+            lambda: txn.commit_merge(
+                spark, batch, mfull, key="o_orderkey", matched_delete="op = 'X'"
+            )
+        )
+        out["merge_full_bytes_written"] = _data_bytes(mfull) - b0
+        b0 = _data_bytes(mcow)
+        out["merge_cow_sec"] = _timed(
+            lambda: txn.commit_merge_cow(
+                spark, batch, mcow, key="o_orderkey", matched_delete="op = 'X'"
+            )
+        )
+        out["merge_cow_bytes_written"] = _data_bytes(mcow) - b0
+        assert (
+            txn.read_table(spark, mcow).count()
+            == txn.read_table(spark, mfull).count()
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps(out))
