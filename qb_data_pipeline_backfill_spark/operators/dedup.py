@@ -579,6 +579,7 @@ def repeated_substring_spans(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Maximal cross-document repeated token SPANS — the exact
     substring-level dedup signal of Lee et al. 2022 ("Deduplicating
@@ -595,10 +596,14 @@ def repeated_substring_spans(
     shared grams, one co-partitioned join back to positions, then a
     per-document window for the gaps-and-islands merge — never
     doc×doc, and the window partitions by document so its state is
-    bounded by document length. At 100 TB the gram string would be
-    xxhash64-narrowed before the shuffle (collisions only merge spans,
-    never drop them); kept as the raw string here so the DuckDB oracle
-    replays it exactly — same trade as ``dup_gram_doc_fraction``.
+    bounded by document length. ``hash_grams=True`` is the 100 TB
+    shuffle shape: the gram narrows to its xxhash64 before the
+    exchange (8 bytes instead of the k-token string; a collision can
+    only MERGE spans, never drop one, and at 64 bits is negligible) —
+    ``contract_substring_hash_parity`` gates the hashed path against
+    the exact string-keyed oracle. Default keeps the raw string so the
+    DuckDB oracle replays it exactly — same trade as
+    ``dup_gram_doc_fraction``.
 
     Returns (doc_id, span_start, span_tokens, n_dup_grams): token
     offset of the span, its extent in tokens, and the duplicated-gram
@@ -612,14 +617,13 @@ def repeated_substring_spans(
     pos_idx = F.when(
         F.size("t") >= k, F.sequence(F.lit(0), F.size("t") - k)
     ).otherwise(F.array().cast("array<int>"))
+    gram_text = F.concat_ws(" ", F.slice("t", F.col("pos") + 1, F.lit(k)))
     grams = toks.select(
         F.col(id_col), F.explode(pos_idx).alias("pos"), "t"
     ).select(
         F.col(id_col),
         F.col("pos").cast("long").alias("pos"),
-        F.concat_ws(
-            " ", F.slice("t", F.col("pos") + 1, F.lit(k))
-        ).alias("gram"),
+        (F.xxhash64(gram_text) if hash_grams else gram_text).alias("gram"),
     )
     shared = (
         grams.groupBy("gram")

@@ -182,6 +182,48 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contract_substring_hash_parity",
+    oracle=r"""
+    WITH toks AS (%s),
+    grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(ts[i:i+7], ' ') AS gram
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 7, 0)))
+                 AS g(i)
+    ),
+    shared AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup_pos AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN shared s USING (gram)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM dup_pos
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) - MIN(pos) + 8 AS span_tokens,
+           COUNT(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+    """
+    % _TOKS,
+    doc="Scale-path certification for dedup_repeated_substrings: the "
+    "xxhash64-keyed variant (8-byte shuffle key instead of the k-token "
+    "gram string — the 100 TB exchange shape) must produce EXACTLY the "
+    "spans the string-keyed oracle derives. A hash collision could "
+    "only merge spans, and this gate going red is how one would ever "
+    "be noticed at test scale.",
+)
+def contract_substring_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.repeated_substring_spans(_docs(spark, sf_dir), k=8, hash_grams=True)
+
+
+@register(
     "dedup_edit_distance",
     oracle=r"""
     WITH d AS (
