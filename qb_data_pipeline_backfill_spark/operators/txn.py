@@ -126,7 +126,14 @@ def _carry_meta(prev: dict) -> dict:
     manifest metadata downgrade the table)."""
     return {
         k: prev[k]
-        for k in ("expectations", "column_map", "dropped_physical")
+        for k in (
+            "expectations",
+            "column_map",
+            "dropped_physical",
+            # the CDC-apply watermark must survive maintenance commits
+            # (a compaction dropping it would reopen the replay window)
+            "cdc_applied_version",
+        )
         if k in prev
     }
 
@@ -527,6 +534,8 @@ def commit_append(
         manifest["column_map"] = prev["column_map"]
     if prev.get("dropped_physical"):
         manifest["dropped_physical"] = prev["dropped_physical"]
+    if "cdc_applied_version" in prev:
+        manifest["cdc_applied_version"] = prev["cdc_applied_version"]
     # commit-time CDC record: an append's new files ARE its inserted
     # rows (no DV can reference a fresh file), so the change feed reads
     # them directly — zero extra bytes written (Delta CDF's append
@@ -1595,6 +1604,7 @@ def commit_delete_mor(
         "expectations",
         "column_map",
         "dropped_physical",
+        "cdc_applied_version",
     ):
         if fld in man:
             manifest[fld] = man[fld]

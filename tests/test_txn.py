@@ -964,6 +964,40 @@ def test_cdf_rollup_watermark_makes_replay_exactly_once(spark, tmp_path):
     assert man["cdc_applied_version"] == txn.current_version(src)
 
 
+def test_cdf_watermark_survives_maintenance_commits(spark, tmp_path):
+    """Compaction/append/MoR-delete on a maintained rollup must carry
+    the exactly-once watermark forward — dropping it would reopen the
+    replay window."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        apply_cdf_to_rollup,
+    )
+
+    src, roll = str(tmp_path / "src"), str(tmp_path / "roll")
+    df = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(5)], "k long, g string, m double"
+    )
+    txn.commit_append_with_stats(spark, df, src, key="k")
+    apply_cdf_to_rollup(
+        spark, src, roll, "g", "m", str(tmp_path / "ck")
+    ).awaitTermination()
+    wm = txn._read_manifest(roll, txn.current_version(roll))[
+        "cdc_applied_version"
+    ]
+    from decimal import Decimal
+
+    txn.commit_compact(spark, roll)
+    txn.commit_append(
+        spark,
+        spark.createDataFrame(
+            [("h", 0, Decimal("0"))],
+            "g string, n_rows long, sum_measure decimal(28,6)",
+        ),
+        roll,
+    )
+    man = txn._read_manifest(roll, txn.current_version(roll))
+    assert man["cdc_applied_version"] == wm
+
+
 def test_cdf_log_batch_read_matches_stream_semantics(spark, tmp_path):
     """read_cdf_log = the batch face of the commit-time CDC log:
     per-commit rows, compaction skipped, range-bounded, and — the
