@@ -36,11 +36,12 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # and (d) the r03-era pricing_summary-family tail, as many as fit
 # under the 50-cap (the last few (d) entries rotate next round).
 # r04/r05 greens are the freshest and wait longest. The full
-# registry was verified locally this round in one sweep
-# (tools/check_correctness.py, sf0.01: 140 hash-match + 9 rows-only-
-# by-design, 0 fail) plus a second full pass of the final 50-entry
-# window on end-of-round code; the replay-sensitive CDC gate queries
-# were additionally re-run back to back.
+# registry was verified locally this round in TWO sweeps
+# (tools/check_correctness.py, sf0.01: mid-round 140 + end-of-round
+# 144 hash-match, each + 9 rows-only-by-design, 0 fail) plus three
+# passes of the 50-entry window as it evolved; the replay-sensitive
+# CDC gate queries were additionally re-run back to back after every
+# change to their code path.
 prioritize(
     [
         # --- (a) new / code-touched in round 6 ---
