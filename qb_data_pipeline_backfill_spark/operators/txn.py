@@ -1813,6 +1813,42 @@ def table_changes(
     return picked.select(*[FF.col(f"__row.{c}").alias(c) for c in cols], "_change_type")
 
 
+def diff_tables(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    key: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Row-level difference of two txn tables' CURRENT snapshots — the
+    replica AUDIT primitive that closes the CDC loop: after
+    ``apply_cdf_to_table`` catches a replica up, ``diff_tables(src,
+    replica, key)`` must be EMPTY, and when it is not, the output says
+    exactly which keys diverged and how (``only_in_a`` / ``only_in_b``
+    / ``differs``). Same full-outer struct-compare machinery as
+    ``table_changes``, pointed across tables instead of across
+    versions: one key-partitioned join, output proportional to the
+    DIVERGENCE, not the tables. ``columns`` restricts the comparison
+    (e.g. audit ignoring an ingestion-timestamp column)."""
+    from pyspark.sql import functions as FF
+
+    a, b = read_table(spark, path_a), read_table(spark, path_b)
+    cols = columns or [c for c in a.columns if c in set(b.columns)]
+    sa = a.select(FF.col(key).alias("__k"), FF.struct(*cols).alias("__a"))
+    sb = b.select(FF.col(key).alias("__k"), FF.struct(*cols).alias("__b"))
+    j = sa.join(sb, "__k", "full_outer")
+    diff = j.filter(~FF.col("__a").eqNullSafe(FF.col("__b")))
+    return diff.select(
+        FF.col("__k").alias(key),
+        FF.when(FF.col("__b").isNull(), FF.lit("only_in_a"))
+        .when(FF.col("__a").isNull(), FF.lit("only_in_b"))
+        .otherwise(FF.lit("differs"))
+        .alias("_diff_kind"),
+        FF.col("__a").alias("a"),
+        FF.col("__b").alias("b"),
+    )
+
+
 def version_as_of(path: str, ts: float) -> int:
     """Latest version whose commit wall-time is <= ``ts`` (Delta's
     ``TIMESTAMP AS OF``). Commit times are recorded in the manifests

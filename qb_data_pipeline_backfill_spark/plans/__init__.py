@@ -51,6 +51,7 @@ prioritize(
         "txn_cdf_log_feed",
         "txn_cdf_log_net_feed",
         "txn_cdf_rollup_maintenance",
+        "txn_replica_audit",
         "dedup_repeated_substrings",
         "contract_substring_hash_parity",
         "txn_cdf_feed",

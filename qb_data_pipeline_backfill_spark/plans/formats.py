@@ -243,6 +243,45 @@ def txn_cdf_log_net_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_replica_audit",
+    oracle="SELECT o_orderstatus, COUNT(*) AS n_rows, "
+    "CAST(0 AS BIGINT) AS diverged "
+    "FROM orders WHERE o_orderkey % 89 != 0 GROUP BY o_orderstatus",
+    doc="End-to-end CDC replication certified by AUDIT: a replica "
+    "table is maintained from the source's change feed alone "
+    "(apply_cdf_to_table — copy-on-write merges per micro-batch), then "
+    "diff_tables (full-outer struct compare keyed on o_orderkey, "
+    "output proportional to divergence) proves source and replica are "
+    "row-identical: the `diverged` column must be exactly 0 while the "
+    "replica's per-status counts must equal the closed-form survivor "
+    "set. This is the operational loop a 100 TB deployment runs "
+    "nightly: incremental apply + cheap audit, never a re-copy.",
+)
+def txn_replica_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        apply_cdf_to_table,
+    )
+
+    src = _orders_cdc2_table(spark, sf_dir)
+    replica = src + "_replica"
+    ck = src + "_replica_ck"
+    apply_cdf_to_table(
+        spark, src, replica, key="o_orderkey", checkpoint_dir=ck
+    ).awaitTermination()
+    diverged = (
+        txn.diff_tables(spark, src, replica, key="o_orderkey")
+        .agg(F.count(F.lit(1)).alias("diverged"))
+    )
+    return (
+        txn.read_table(spark, replica)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(diverged))
+    )
+
+
+@register(
     "txn_cdf_rollup_maintenance",
     oracle="SELECT o_orderstatus, COUNT(*) AS n_rows, "
     "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) "

@@ -964,6 +964,29 @@ def test_cdf_rollup_watermark_makes_replay_exactly_once(spark, tmp_path):
     assert man["cdc_applied_version"] == txn.current_version(src)
 
 
+def test_diff_tables_classifies_divergence(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    txn.commit_append(spark, _df(spark, 0, 10), a)
+    txn.commit_append(spark, _df(spark, 0, 10), b)
+    # identical tables: empty diff
+    assert txn.diff_tables(spark, a, b, key="k").count() == 0
+    # diverge b: change k=3, delete k=5, add k=99
+    txn.commit_upsert(
+        spark,
+        spark.createDataFrame([(3, -3), (99, 990)], "k long, v long"),
+        b,
+        key="k",
+    )
+    txn.commit_delete(
+        spark, spark.createDataFrame([(5,)], "k long"), b, key="k"
+    )
+    got = {
+        (r["k"], r["_diff_kind"])
+        for r in txn.diff_tables(spark, a, b, key="k").collect()
+    }
+    assert got == {(3, "differs"), (5, "only_in_a"), (99, "only_in_b")}
+
+
 def test_cdf_watermark_survives_maintenance_commits(spark, tmp_path):
     """Compaction/append/MoR-delete on a maintained rollup must carry
     the exactly-once watermark forward — dropping it would reopen the
