@@ -370,6 +370,66 @@ def bpe_pair_counts(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document language-model quality score from a corpus-trained
+    bigram LM — the shape of CCNet's KenLM perplexity filter (docs
+    whose token transitions are improbable under the corpus LM are
+    boilerplate/garbled candidates), self-trained here so the whole
+    signal derives from the data.
+
+    Model: add-one-smoothed bigram probabilities
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), with c(w1·) the history
+    count (bigrams starting at w1) and V the corpus vocabulary size.
+    Score: each document's mean negative log-probability over its
+    bigram instances (lower = more typical). Documents with fewer than
+    2 tokens produce no row.
+
+    Distribution shape: one bigram-keyed count (map-side combinable),
+    history counts derived FROM the bigram table (one more tiny
+    aggregate, never a rescan), V as a broadcast scalar; scoring joins
+    each bigram instance back to its probability on the same bigram
+    key Catalyst co-partitions. Per-instance −ln p is quantized to
+    integer micro-units BEFORE summing (the PSI trick), so the
+    per-document sum is an order-free integer and the score is
+    bit-identical across engines and partitionings.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    pos = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(0), F.size("t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = toks.select(F.col(id_col), F.explode(pos).alias("i"), "t").select(
+        F.col(id_col),
+        F.get("t", F.col("i")).alias("w1"),
+        F.get("t", F.col("i") + 1).alias("w2"),
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    prob = (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    terms = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(-F.log(prob) * F.lit(1e6), 0).cast("long").alias("nll"),
+        )
+    )
+    return terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll").alias("nll_micro"),
+        F.floor(F.sum("nll") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("nll_micro_avg"),
+    )
+
+
 def train_bpe(
     df: DataFrame, n_merges: int = 10, text_col: str = "text"
 ) -> DataFrame:

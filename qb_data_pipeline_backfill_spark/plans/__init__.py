@@ -54,6 +54,7 @@ prioritize(
         "txn_replica_audit",
         "dedup_repeated_substrings",
         "contract_substring_hash_parity",
+        "text_bigram_perplexity",
         "txn_cdf_feed",
         "txn_merge_cdc_read",
         "txn_replace_where_read",

@@ -182,6 +182,51 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_perplexity",
+    oracle=r"""
+    WITH toks AS (%s),
+    bi AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                 AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(ts) AS w FROM toks) WHERE w != ''
+    ),
+    terms AS (
+        SELECT b.doc_id,
+               CAST(ROUND(-LN((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000, 0)
+                    AS BIGINT) AS nll
+        FROM bi b
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(nll) AS BIGINT) AS nll_micro,
+           CAST(FLOOR(SUM(nll) / COUNT(*) + 0.5) AS BIGINT) AS nll_micro_avg
+    FROM terms GROUP BY doc_id
+    """
+    % _TOKS,
+    doc="Language-model quality scoring (CCNet's KenLM-perplexity "
+    "filter shape, self-trained): an add-one-smoothed bigram LM is "
+    "trained on the corpus with one bigram-keyed map-side-combined "
+    "count (history counts derive FROM the bigram table; vocabulary "
+    "size broadcasts), then every document is scored by its mean "
+    "negative log-probability. Per-instance −ln p quantizes to "
+    "integer micro-units before summing, so the per-doc score is an "
+    "order-free integer — bit-identical across engines.",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+@register(
     "contract_substring_hash_parity",
     oracle=r"""
     WITH toks AS (%s),

@@ -635,6 +635,28 @@ def test_repeated_substring_spans_splits_disjoint_runs(spark):
     assert spans == [(0, 4), (7, 4)]
 
 
+def test_bigram_lm_scores_hand_case(spark):
+    """Closed-form check of the self-trained bigram LM: corpus
+    c(a,b)=3, c(b,a)=1, c(b,c)=1; histories a·=3, b·=2; V=3 →
+    P(b|a)=4/6, P(a|b)=P(c|b)=2/5; scores in integer micro-units."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_micro"], r["nll_micro_avg"])
+        for r in X.bigram_lm_scores(df).collect()
+    }
+    ab = round(-math.log(4 / 6) * 1e6)   # 405465
+    ba = round(-math.log(2 / 5) * 1e6)   # 916291
+    assert got[0] == (3, 2 * ab + ba, math.floor((2 * ab + ba) / 3 + 0.5))
+    assert got[1] == (2, ab + ba, math.floor((ab + ba) / 2 + 0.5))
+    # a single-token document yields no bigrams and no row
+    solo = spark.createDataFrame([(9, "hello")], ["doc_id", "text"])
+    assert X.bigram_lm_scores(solo).count() == 0
+
+
 def test_bpe_pair_counts_hand_case(spark):
     # words: low ×3, lower ×1 → pairs weighted by word freq:
     # lo: 3+1=4, ow: 3+1=4, we: 1, er: 1
