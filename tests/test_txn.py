@@ -987,6 +987,67 @@ def test_diff_tables_classifies_divergence(spark, tmp_path):
     assert got == {(3, "differs"), (5, "only_in_a"), (99, "only_in_b")}
 
 
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_cdf_random_history_equivalence(spark, tmp_path, seed):
+    """Seeded random commit histories (append / upsert / CoW-upsert /
+    delete / MoR-delete / compact): the log-derived net feed must equal
+    the snapshot diff, and a replica maintained only from the stream
+    must equal the source — the three CDC faces agree on ARBITRARY
+    histories, not just the hand-picked ones."""
+    import random
+
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        apply_cdf_to_table,
+        net_changes_from_log,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 30), path, key="k")
+    v0 = txn.current_version(path)
+
+    def rows(pairs):
+        return spark.createDataFrame(pairs, "k long, v long")
+
+    for _ in range(6):
+        op = rng.choice(["append", "upsert", "upsert_cow", "delete", "mor", "compact"])
+        ks = rng.sample(range(0, 60), rng.randint(1, 4))
+        if op == "append":
+            txn.commit_append_with_stats(
+                spark, rows([(k, k * 7) for k in ks]), path, key="k"
+            )
+        elif op == "upsert":
+            txn.commit_upsert(
+                spark, rows([(k, rng.randint(-5, 5)) for k in ks]), path, key="k"
+            )
+        elif op == "upsert_cow":
+            txn.commit_upsert_cow(
+                spark, rows([(k, rng.randint(-5, 5)) for k in ks]), path, key="k"
+            )
+        elif op == "delete":
+            txn.commit_delete(
+                spark, rows([(k, 0) for k in ks]).select("k"), path, key="k"
+            )
+        elif op == "mor":
+            txn.commit_delete_mor(
+                spark, rows([(k, 0) for k in ks]).select("k"), path, key="k"
+            )
+        else:
+            txn.commit_compact(spark, path, target_partitions=2)
+
+    def as_set(df):
+        return {(r["k"], r["v"], r["_change_type"]) for r in df.collect()}
+
+    assert as_set(net_changes_from_log(spark, path, v0)) == as_set(
+        txn.table_changes(spark, path, v0)
+    )
+    replica = str(tmp_path / "replica")
+    apply_cdf_to_table(
+        spark, path, replica, key="k", checkpoint_dir=str(tmp_path / "ck")
+    ).awaitTermination()
+    assert txn.diff_tables(spark, path, replica, key="k").count() == 0
+
+
 def test_cdf_watermark_survives_maintenance_commits(spark, tmp_path):
     """Compaction/append/MoR-delete on a maintained rollup must carry
     the exactly-once watermark forward — dropping it would reopen the
