@@ -1321,6 +1321,51 @@ def test_cdf_legacy_manifests_append_inferred_rewrite_refused(
         q.awaitTermination()
 
 
+def test_cdf_stream_resumes_across_column_rename(spark, tmp_path):
+    """Operational scenario: a CDC consumer drains, the source renames
+    a column (metadata-only commit — the feed skips it), more data
+    lands under the new name, and the consumer resumes from its
+    checkpoint: the new batch must surface under the renamed schema
+    while still reading pre-rename files (stable physical names)."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
+
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 5), path, key="k")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            read_cdf_stream(spark, path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    assert drain().count() == 5
+    txn.alter_rename_column(path, "v", "amount")
+    txn.commit_append_with_stats(
+        spark,
+        spark.createDataFrame([(100, 1000)], "k long, amount long"),
+        path,
+        key="k",
+    )
+    got = drain()
+    # the sink wrote pre-rename batches with 'v' and the resumed batch
+    # with 'amount' — read per-batch via the stream schema evolution of
+    # the parquet sink (mergeSchema) and check the resumed rows
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    resumed = merged.filter(F.col("_commit_version") >= 2)
+    assert [
+        (r["k"], r["amount"]) for r in resumed.collect()
+    ] == [(100, 1000)]
+    # the rename itself emitted no change rows
+    assert merged.filter(F.col("_commit_version") == 1).count() == 0
+
+
 def test_cdf_clone_genesis_feed_is_dv_aware(spark, tmp_path):
     """A shallow clone's genesis change feed emits its SNAPSHOT —
     rows suppressed by carried deletion vectors must not resurface as
