@@ -36,12 +36,13 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # and (d) the r03-era pricing_summary-family tail, as many as fit
 # under the 50-cap (the last few (d) entries rotate next round).
 # r04/r05 greens are the freshest and wait longest. The full
-# registry was verified locally this round in TWO sweeps
-# (tools/check_correctness.py, sf0.01: mid-round 140 + end-of-round
-# 144 hash-match, each + 9 rows-only-by-design, 0 fail) plus three
-# passes of the 50-entry window as it evolved; the replay-sensitive
-# CDC gate queries were additionally re-run back to back after every
-# change to their code path.
+# registry was verified locally this round in THREE sweeps
+# (tools/check_correctness.py, sf0.01: 140 / 144 / final 146
+# hash-match, each + 9 rows-only-by-design, 0 fail — the final sweep
+# on end-of-round code covers all 155 entries) plus four passes of
+# the 50-entry window as it evolved; the replay-sensitive CDC gate
+# queries were additionally re-run back to back after every change
+# to their code path.
 prioritize(
     [
         # --- (a) new / code-touched in round 6 ---
