@@ -377,10 +377,17 @@ def read_cdf_log(
         return spark.createDataFrame(
             [], head["schema_ddl"] + ", _change_type string, _commit_version int"
         )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.select(*out_cols, "_change_type", "_commit_version")
+    # balanced union tree: a 10k-version catch-up must not build a
+    # 10k-deep left-leaning plan (Catalyst analysis cost grows with
+    # plan depth; O(log n) depth keeps it flat)
+    while len(pieces) > 1:
+        pieces = [
+            pieces[i].unionByName(pieces[i + 1])
+            if i + 1 < len(pieces)
+            else pieces[i]
+            for i in range(0, len(pieces), 2)
+        ]
+    return pieces[0].select(*out_cols, "_change_type", "_commit_version")
 
 
 def net_changes_from_log(
