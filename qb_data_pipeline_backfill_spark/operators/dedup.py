@@ -598,8 +598,10 @@ def repeated_substring_spans(
     doc×doc, and the window partitions by document so its state is
     bounded by document length. ``hash_grams=True`` is the 100 TB
     shuffle shape: the gram narrows to its xxhash64 before the
-    exchange (8 bytes instead of the k-token string; a collision can
-    only MERGE spans, never drop one, and at 64 bits is negligible) —
+    exchange (8 bytes instead of the k-token string; a cross-document
+    collision between two DIFFERENT grams can fabricate a spurious
+    duplicated position — a false positive span, never a dropped one —
+    with probability ~2^-64 per gram pair, negligible at 64 bits) —
     ``contract_substring_hash_parity`` gates the hashed path against
     the exact string-keyed oracle. Default keeps the raw string so the
     DuckDB oracle replays it exactly — same trade as

@@ -133,6 +133,9 @@ def _carry_meta(prev: dict) -> dict:
             # the CDC-apply watermark must survive maintenance commits
             # (a compaction dropping it would reopen the replay window)
             "cdc_applied_version",
+            # the change-feed opt-in is a table property, not a
+            # per-commit choice — rewrites must not silently drop it
+            "change_feed",
         )
         if k in prev
     }
@@ -408,8 +411,20 @@ def commit_append(
     checkpoint_every: int | None = None,
     bloom_spec: dict | None = None,
     expectations: dict[str, str] | None = None,
+    change_feed: bool | None = None,
 ) -> int:
     """Atomically append ``df`` as the next version; returns it.
+
+    ``change_feed=True`` sets the table's change-feed property (the
+    Delta ``delta.enableChangeDataFeed`` analog) from this version on:
+    rewrite commits (upsert/merge/delete/replaceWhere) record their
+    net change rows at commit time only when the property is set —
+    tables nobody tails must not pay the pre-image join on every
+    rewrite. ``None`` inherits the current setting; see also
+    ``enable_change_feed``/``disable_change_feed`` for the
+    metadata-only toggle. Appends themselves are always feed-readable
+    (the new files ARE the inserted rows — zero extra bytes), so
+    enabling the feed late loses no append history.
 
     With ``key``, rows whose key already exists in the current
     snapshot are dropped first (the idempotence contract of
@@ -536,6 +551,8 @@ def commit_append(
         manifest["dropped_physical"] = prev["dropped_physical"]
     if "cdc_applied_version" in prev:
         manifest["cdc_applied_version"] = prev["cdc_applied_version"]
+    if change_feed if change_feed is not None else prev.get("change_feed"):
+        manifest["change_feed"] = True
     # commit-time CDC record: an append's new files ARE its inserted
     # rows (no DV can reference a fresh file), so the change feed reads
     # them directly — zero extra bytes written (Delta CDF's append
@@ -556,6 +573,66 @@ def commit_append(
     if checkpoint_every is not None and (base + 1) % checkpoint_every == 0:
         checkpoint(path)
     return base + 1
+
+
+def step_is_append_shaped(path: str, version: int) -> bool:
+    """True iff ``version``'s commit only ADDED files (no rewrite, no
+    new deletion vectors) — the conflict-compatibility predicate for
+    ``commit_with_retry``: a pure append by another writer can never
+    invalidate what this writer read."""
+    man = _read_manifest(path, version)
+    if man.get("parent", version - 1) < 0:
+        return True
+    parent = _read_manifest(path, man.get("parent", version - 1))
+    return set(parent.get("files", [])) <= set(man.get("files", [])) and (
+        parent.get("dvs", []) == man.get("dvs", [])
+    )
+
+
+def commit_with_retry(
+    path: str,
+    attempt,
+    *,
+    max_attempts: int = 5,
+    compatible=None,
+):
+    """Delta-style optimistic commit loop: run ``attempt()`` (a
+    zero-arg closure that performs ONE commit_* call and returns its
+    version); on ``ConcurrentCommitError``, decide whether the
+    interleaved winner is compatible and retry against the new head,
+    up to ``max_attempts``.
+
+    Correctness contract: the closure must derive everything it
+    commits from state read INSIDE the closure (our commit functions
+    do — they re-read the head snapshot each call), so a retry is
+    simply the same transaction executing later: serializable by
+    construction, and expectations re-validate on every attempt. When
+    the closure instead bakes in data derived from a snapshot read
+    OUTSIDE it (read-modify-write), pass ``compatible`` —
+    ``compatible(path, version) -> bool`` is consulted for every
+    version the winner(s) published while we raced; returning False
+    re-raises instead of retrying (the caller must re-derive).
+    ``step_is_append_shaped`` is the standard predicate: concurrent
+    appends are harmless to a read-modify-write, rewrites are not.
+
+    Returns the committed version. Re-raises ``ConcurrentCommitError``
+    after ``max_attempts`` losses (pathological contention — the
+    caller should back off) or on an incompatible interleaved commit.
+    """
+    last_seen = current_version(path)
+    for attempt_no in range(max_attempts):
+        try:
+            return attempt()
+        except ConcurrentCommitError:
+            if attempt_no == max_attempts - 1:
+                raise
+            head = current_version(path)
+            if compatible is not None:
+                for v in range(last_seen + 1, head + 1):
+                    if not compatible(path, v):
+                        raise
+            last_seen = head
+    raise AssertionError("unreachable")
 
 
 def vacuum(path: str, retention_seconds: float = 24 * 3600.0) -> list[str]:
@@ -678,7 +755,12 @@ def commit_upsert(
         survivors = target.join(df.select(key), key, "left_anti")
         merged = survivors.unionByName(df)
         cols = [f.name for f in target.schema]
-        cdc = _cdc_upsert_changes(target, df.select(*cols), key, cols)
+        # change rows are computed (and their pre-image join paid)
+        # only when the table opted into the feed
+        if prev.get("change_feed"):
+            cdc = _cdc_upsert_changes(target, df.select(*cols), key, cols)
+        else:
+            cdc = "unrecorded"
     else:
         merged = df
         cdc = "append"
@@ -911,6 +993,21 @@ def _bloom_file_hit(words: list[list[int]], positions: list[int]) -> bool:
     return True
 
 
+def _has_duplicate_keys(df: DataFrame, key: str) -> bool:
+    """True iff any ``key`` value occurs more than once — one
+    map-side-combined aggregate with an existence limit, the same
+    probe ``commit_merge`` runs on its source."""
+    from pyspark.sql import functions as FF
+
+    return bool(
+        df.groupBy(key)
+        .agg(FF.count(FF.lit(1)).alias("_n"))
+        .filter(FF.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+
+
 def _cdc_upsert_changes(
     target: DataFrame, writes: DataFrame, key: str, cols: list[str]
 ) -> DataFrame:
@@ -1071,6 +1168,12 @@ def _commit_replace(
             manifest["cdc"] = {"mode": "append", "files": new_files}
         elif cdc == "none":
             manifest["cdc"] = {"mode": "none"}
+        elif cdc == "unrecorded":
+            # data changed but the table's change_feed property is off:
+            # no change rows were computed or staged. Log readers raise
+            # a typed error on this step; the snapshot-diff
+            # table_changes still covers it.
+            manifest["cdc"] = {"mode": "unrecorded"}
         else:
             raise ValueError(f"unknown cdc mode {cdc!r}")
     elif cdc is not None:
@@ -1115,13 +1218,17 @@ def commit_delete(
 
     target = read_version(spark, path, base)
     survivors = target.join(keys.select(key), key, "left_anti")
+    prev = _read_manifest(path, base)
     # CDC: the departed rows (visible-at-base rows matching the delete
     # keys), with their pre-delete values — replaying the same delete
-    # finds no visible matches and records an empty change set
-    cdc = target.join(keys.select(key), key, "left_semi").withColumn(
-        "_change_type", FF.lit("delete")
-    )
-    prev = _read_manifest(path, base)
+    # finds no visible matches and records an empty change set.
+    # Computed only for feed-enabled tables.
+    if prev.get("change_feed"):
+        cdc = target.join(keys.select(key), key, "left_semi").withColumn(
+            "_change_type", FF.lit("delete")
+        )
+    else:
+        cdc = "unrecorded"
     return _commit_replace(
         spark,
         survivors,
@@ -1142,6 +1249,7 @@ def commit_append_with_stats(
     key: str,
     expected_base: int | None = None,
     extra_cols: list[str] | None = None,
+    change_feed: bool | None = None,
 ) -> int:
     """Keyed idempotent append that also records per-file [min, max]
     zone-map stats of ``key`` in the manifest (read from the parquet
@@ -1152,7 +1260,9 @@ def commit_append_with_stats(
     stats for its first N columns the same way), so
     ``read_table_where(col=...)`` can skip files on non-key
     predicates; later commits inherit the column set from the base
-    manifest, so pass it once at table creation."""
+    manifest, so pass it once at table creation. ``change_feed=True``
+    sets the table's change-feed property (see ``commit_append``) —
+    pass it at creation when the table will be tailed."""
     base = current_version(path) if expected_base is None else expected_base
     out = df
     if base >= 0:
@@ -1161,6 +1271,7 @@ def commit_append_with_stats(
     man = _read_manifest(path, base) if base >= 0 else {}
     enforce_expectations(out, man.get("expectations", {}))
     stats_cols = man.get("stats_cols") or (list(extra_cols) if extra_cols else None)
+    feed = {"change_feed": True} if change_feed else {}
     return _commit_replace(
         spark,
         out,
@@ -1175,7 +1286,7 @@ def commit_append_with_stats(
         carried_blooms=man.get("blooms", {}),
         carried_dvs=man.get("dvs"),
         dv_key=man.get("dv_key"),
-        extra_meta=_carry_meta(man),
+        extra_meta={**_carry_meta(man), **feed},
         cdc="append",
     )
 
@@ -1388,12 +1499,17 @@ def commit_upsert_cow(
         merged = survivors.unionByName(df)
         # CDC against the touched files only: zone-map containment
         # guarantees any existing row with an update key lives in a
-        # touched file, so the net change is complete
-        cdc = _cdc_upsert_changes(current, df.select(*cols), key, cols)
+        # touched file, so the net change is complete. Feed-gated.
+        if man.get("change_feed"):
+            cdc = _cdc_upsert_changes(current, df.select(*cols), key, cols)
+        else:
+            cdc = "unrecorded"
     else:
         merged = df
         # no existing file can hold these keys: every row is an insert
-        cdc = df.select(*cols).withColumn("_change_type", FF.lit("insert"))
+        # and the commit is append-shaped — the staged data files ARE
+        # the change rows (zero extra bytes, feed-readable either way)
+        cdc = "append"
     col_stats = man.get("col_stats", {})
     blooms = man.get("blooms", {})
     return _commit_replace(
@@ -1579,11 +1695,22 @@ def commit_delete_mor(
         dv_files.append(unique)
     # CDC: the rows this commit makes invisible, with pre-delete values
     # — computed DV-aware (read_version) so re-deleting an already
-    # deleted key records an empty change set
-    cdc_rows = read_version(spark, path, base).join(
-        FF.broadcast(keys.select(key).dropDuplicates([key])), key, "left_semi"
-    ).withColumn("_change_type", FF.lit("delete"))
-    cdc_files = _stage_cdc_files(spark, cdc_rows, path, stage_id, _col_map(man))
+    # deleted key records an empty change set. The pre-image read is
+    # the expensive half of a MoR delete (the DV probe above touches
+    # only matching files; this re-opens the snapshot slice), so it
+    # runs ONLY for feed-enabled tables.
+    if man.get("change_feed"):
+        cdc_rows = read_version(spark, path, base).join(
+            FF.broadcast(keys.select(key).dropDuplicates([key])),
+            key,
+            "left_semi",
+        ).withColumn("_change_type", FF.lit("delete"))
+        cdc_rec = {
+            "mode": "files",
+            "files": _stage_cdc_files(spark, cdc_rows, path, stage_id, _col_map(man)),
+        }
+    else:
+        cdc_rec = {"mode": "unrecorded"}
     manifest = {
         "version": base + 1,
         "files": man["files"],
@@ -1592,7 +1719,7 @@ def commit_delete_mor(
         "committed_at": time.time(),
         "dvs": man.get("dvs", []) + dv_files,
         "dv_key": pkey,
-        "cdc": {"mode": "files", "files": cdc_files},
+        "cdc": cdc_rec,
     }
     for fld in (
         "stats_col",
@@ -1605,6 +1732,7 @@ def commit_delete_mor(
         "column_map",
         "dropped_physical",
         "cdc_applied_version",
+        "change_feed",
     ):
         if fld in man:
             manifest[fld] = man[fld]
@@ -1755,6 +1883,66 @@ def alter_drop_column(path: str, name: str) -> int:
         manifest["column_map"] = cmap
     else:
         manifest.pop("column_map", None)
+    return _publish_metadata_commit(path, manifest, base)
+
+
+def change_feed_enabled(path: str, version: int | None = None) -> bool:
+    """Whether the table records commit-time change rows as of
+    ``version`` (default: head). Off by default — see
+    ``enable_change_feed``."""
+    v = current_version(path) if version is None else version
+    if v < 0:
+        return False
+    return bool(_read_manifest(path, v).get("change_feed"))
+
+
+def enable_change_feed(path: str) -> int:
+    """Turn ON commit-time change-feed recording for this table (the
+    Delta ``ALTER TABLE ... SET TBLPROPERTIES (delta.
+    enableChangeDataFeed = true)`` analog) via a metadata-only commit.
+
+    The feed is OFF by default because recording is not free: every
+    rewrite commit (upsert/merge/delete/replaceWhere) must read the
+    affected pre-image rows and stage explicit CDC files — commit-time
+    cost a table nobody tails should not pay (at 100 TB, a delete
+    touching 0.1% of keys would still scan its snapshot slice for
+    pre-images no consumer will read). Appends are always feed-
+    readable regardless (their new files ARE the inserted rows), so
+    enabling late loses no append history; rewrite commits made while
+    the feed was off are marked ``unrecorded`` and raise
+    ``CdfNotEnabledError`` from the log readers — replay such gaps
+    with the snapshot-diff ``table_changes``, which needs no recorded
+    log. Returns the published version."""
+    base = current_version(path)
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    manifest = {
+        **man,
+        "version": base + 1,
+        "parent": base,
+        "committed_at": time.time(),
+        "change_feed": True,
+        "cdc": {"mode": "none"},
+    }
+    return _publish_metadata_commit(path, manifest, base)
+
+
+def disable_change_feed(path: str) -> int:
+    """Turn OFF commit-time change-feed recording (metadata-only
+    commit). Already-recorded history stays readable; rewrite commits
+    from here on stop staging change rows."""
+    base = current_version(path)
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    manifest = {
+        **{k: v for k, v in man.items() if k != "change_feed"},
+        "version": base + 1,
+        "parent": base,
+        "committed_at": time.time(),
+        "cdc": {"mode": "none"},
+    }
     return _publish_metadata_commit(path, manifest, base)
 
 
@@ -1924,31 +2112,48 @@ def commit_replace_where(
     target = read_version(spark, path, base)
     survivors = target.filter(~pred)
     merged = survivors.unionByName(df)
-    # CDC = net change of the replaced slice. With a table key, keys in
-    # both old slice and df classify as updates (value-compared, so an
-    # idempotent re-replace records an empty change set); without one,
-    # the multiset difference is exact the same way (exceptAll), with
+    # CDC = net change of the replaced slice (computed only for
+    # feed-enabled tables). With a table key, keys in both old slice
+    # and df classify as updates (value-compared, so an idempotent
+    # re-replace records an empty change set); without one, the
+    # multiset difference is exact the same way (exceptAll), with
     # old-only rows as deletes and new-only rows as inserts.
-    old_slice = target.filter(pred)
-    cols = [f.name for f in target.schema]
-    key = _logical_of(prev, prev.get("stats_col") or prev.get("dv_key"))
-    new_rows = df.select(*cols)
-    if key is not None:
-        upserts = _cdc_upsert_changes(old_slice, new_rows, key, cols)
-        gone = old_slice.join(new_rows.select(key), key, "left_anti").withColumn(
-            "_change_type", FF.lit("delete")
-        )
-        cdc = upserts.unionByName(gone)
-    else:
-        cdc = (
-            new_rows.exceptAll(old_slice)
-            .withColumn("_change_type", FF.lit("insert"))
-            .unionByName(
-                old_slice.exceptAll(new_rows).withColumn(
-                    "_change_type", FF.lit("delete")
+    if prev.get("change_feed"):
+        old_slice = target.filter(pred)
+        cols = [f.name for f in target.schema]
+        key = _logical_of(prev, prev.get("stats_col") or prev.get("dv_key"))
+        # The keyed path pairs old and new rows BY KEY, which is only
+        # well-defined when the key is unique on both sides — the
+        # stats/DV column is a pruning key, not a declared primary
+        # key, and plain commit_append can land duplicates (ADVICE
+        # r6: a duplicated key would cross-join old×new per value and
+        # emit a quadratic, wrong update-pair set). One cheap
+        # existence probe per side; duplicates fall back to the exact
+        # multiset path.
+        if key is not None and (
+            _has_duplicate_keys(old_slice, key)
+            or _has_duplicate_keys(df, key)
+        ):
+            key = None
+        new_rows = df.select(*cols)
+        if key is not None:
+            upserts = _cdc_upsert_changes(old_slice, new_rows, key, cols)
+            gone = old_slice.join(new_rows.select(key), key, "left_anti").withColumn(
+                "_change_type", FF.lit("delete")
+            )
+            cdc = upserts.unionByName(gone)
+        else:
+            cdc = (
+                new_rows.exceptAll(old_slice)
+                .withColumn("_change_type", FF.lit("insert"))
+                .unionByName(
+                    old_slice.exceptAll(new_rows).withColumn(
+                        "_change_type", FF.lit("delete")
+                    )
                 )
             )
-        )
+    else:
+        cdc = "unrecorded"
     return _commit_replace(
         spark,
         merged,
@@ -2158,11 +2363,14 @@ def commit_merge_cow(
         writes.select(key).unionByName(departures), key, "left_anti"
     )
     merged = survivors.unionByName(writes)
-    cdc = _cdc_upsert_changes(target, writes, key, cols).unionByName(
-        target.join(departures, key, "left_semi").withColumn(
-            "_change_type", FF.lit("delete")
+    if man.get("change_feed"):
+        cdc = _cdc_upsert_changes(target, writes, key, cols).unionByName(
+            target.join(departures, key, "left_semi").withColumn(
+                "_change_type", FF.lit("delete")
+            )
         )
-    )
+    else:
+        cdc = "unrecorded"
     col_stats = man.get("col_stats", {})
     blooms = man.get("blooms", {})
     return _commit_replace(
@@ -2269,11 +2477,15 @@ def commit_merge(
     # (value-compared — re-merging identical rows records nothing);
     # delete-clause rows surface the departed target rows' pre-image.
     # Tombstones for absent keys are no-ops and emit nothing (semi).
-    cdc = _cdc_upsert_changes(target, writes, key, table_cols).unionByName(
-        target.join(departures, key, "left_semi").withColumn(
-            "_change_type", FF.lit("delete")
+    # Computed only for feed-enabled tables.
+    if prev.get("change_feed"):
+        cdc = _cdc_upsert_changes(target, writes, key, table_cols).unionByName(
+            target.join(departures, key, "left_semi").withColumn(
+                "_change_type", FF.lit("delete")
+            )
         )
-    )
+    else:
+        cdc = "unrecorded"
     return _commit_replace(
         spark,
         merged,

@@ -143,7 +143,11 @@ def _orders_cdc2_table(spark: SparkSession, sf_dir: str) -> str:
     if txn.current_version(path) != 1:
         shutil.rmtree(path, ignore_errors=True)
         orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
-        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        # feed recording is opt-in (enable_change_feed); this table
+        # exists to be tailed, so it opts in at creation
+        txn.commit_append_with_stats(
+            spark, orders, path, key="o_orderkey", change_feed=True
+        )
         doomed = orders.filter(F.col("o_orderkey") % 89 == 0).select(
             "o_orderkey"
         )
@@ -228,7 +232,9 @@ def txn_cdf_log_net_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_table(spark, sf_dir, "orders").repartition(
             8, "o_orderkey"
         )
-        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        txn.commit_append_with_stats(
+            spark, orders, path, key="o_orderkey", change_feed=True
+        )
         doomed = orders.filter(F.col("o_orderkey") % 103 == 0).select(
             "o_orderkey"
         )

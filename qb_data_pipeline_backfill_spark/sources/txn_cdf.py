@@ -78,6 +78,15 @@ class CdfProtocolError(RuntimeError):
     ``operators/txn.table_changes`` across the gap instead."""
 
 
+class CdfNotEnabledError(CdfProtocolError):
+    """A version step in the requested range changed data while the
+    table's ``change_feed`` property was OFF, so no change rows were
+    recorded at commit time (recording is opt-in — Delta's
+    ``enableChangeDataFeed`` semantics). Turn it on with
+    ``operators/txn.enable_change_feed`` for future commits; replay
+    the unrecorded gap with the snapshot-diff ``table_changes``."""
+
+
 # Bin-packing budget for one stream partition (the
 # spark.sql.files.maxPartitionBytes analog): a catch-up over thousands
 # of small commits must not plan one Spark task per tiny CDC file.
@@ -124,13 +133,31 @@ def _manifest_or_retention_error(path: str, version: int) -> dict:
 
 def _step_cdc(path: str, version: int) -> dict:
     """The commit's CDC record, inferring ``append`` for legacy
-    append-shaped manifests (files only grew, DVs unchanged)."""
+    append-shaped manifests (files only grew, DVs unchanged).
+    ``dv_covered`` marks steps whose served files might carry
+    deletion vectors: only a clone's genesis snapshot or a
+    legacy-inferred step can — fresh append/CDC files are never named
+    by a DV row, so executors skip the DV reads for them."""
     man = _manifest_or_retention_error(path, version)
     cdc = man.get("cdc")
     if cdc is not None:
-        return {"man": man, **cdc}
+        if cdc.get("mode") == "unrecorded":
+            raise CdfNotEnabledError(
+                f"version {version} of {path} changed data while "
+                "change-feed recording was off (the change_feed table "
+                "property is opt-in); enable_change_feed() records "
+                "future commits — replay this gap with the batch "
+                "table_changes() API, then resume from "
+                f"start_version={version}"
+            )
+        return {"man": man, "dv_covered": "cloned_from" in man, **cdc}
     if version == 0:
-        return {"man": man, "mode": "append", "files": man["files"]}
+        return {
+            "man": man,
+            "mode": "append",
+            "files": man["files"],
+            "dv_covered": True,
+        }
     parent = _manifest_or_retention_error(path, version - 1)
     f0, f1 = set(parent.get("files", [])), set(man.get("files", []))
     if f0 <= f1 and parent.get("dvs", []) == man.get("dvs", []):
@@ -138,6 +165,7 @@ def _step_cdc(path: str, version: int) -> dict:
             "man": man,
             "mode": "append",
             "files": [n for n in man["files"] if n not in f0],
+            "dv_covered": True,
         }
     raise CdfProtocolError(
         f"version {version} of {path} predates commit-time CDC "
@@ -170,14 +198,40 @@ class TxnCdfStreamReader(DataSourceStreamReader):
         return _step_cdc(self._path, version)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        # resolve renamed columns with the newest map in the batch:
-        # physical names are stable, so it covers older versions too
-        cmap = (
-            self._manifest_or_retention_error(end["version"]).get("column_map")
-            or {}
-            if end["version"] >= 0
-            else {}
-        )
+        cmap: dict = {}
+        head_v = max(current_version(self._path), end["version"])
+        if head_v >= 0:
+            # resolve renamed columns with the table's HEAD manifest
+            # (not the batch-end one — a batch replayed from the
+            # checkpoint may predate a later rename, while the stream
+            # schema is the head's): physical names are stable, so the
+            # head's map resolves every historical file
+            head_man = self._manifest_or_retention_error(head_v)
+            cmap = head_man.get("column_map") or {}
+            # The stream's schema was fixed at query start; a column of
+            # it renamed or dropped since then no longer resolves to
+            # any physical column, and silently emitting NULLs for it
+            # would corrupt downstream replicas (ADVICE r6). Fail the
+            # stream like Delta does on schema change — restart picks
+            # up the new schema. The NULL path in _read_unit stays
+            # reserved for files predating an ADDITIVE change.
+            head_logical = {
+                f.split(" ")[0] for f in head_man["schema_ddl"].split(", ")
+            }
+            missing = [
+                f.name
+                for f in self._arrow_schema
+                if f.name not in ("_change_type", "_commit_version")
+                and f.name not in head_logical
+            ]
+            if missing:
+                raise CdfProtocolError(
+                    f"streamed column(s) {missing} were renamed or "
+                    f"dropped from {self._path} after the stream "
+                    "started; restart the query to adopt the new "
+                    "schema (mid-stream schema change fails the "
+                    "stream rather than emitting NULLs)"
+                )
         units: list[tuple] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             step = self._step_cdc(v)
@@ -186,13 +240,20 @@ class TxnCdfStreamReader(DataSourceStreamReader):
                 continue
             if step["mode"] == "append":
                 change_type = "insert"
-                # DVs can only cover an append-mode file at a clone's
-                # genesis (fresh appends land in files no DV names)
-                dv_paths = tuple(
-                    os.path.join(self._path, "data", n)
-                    for n in man.get("dvs", [])
+                # DVs can only suppress rows of a clone-genesis or
+                # legacy-inferred file (fresh appends land in files no
+                # DV names — ADVICE r6: shipping the full DV list with
+                # every append unit made executors re-read O(#DVs)
+                # parquet files per data file for nothing)
+                dv_paths = (
+                    tuple(
+                        os.path.join(self._path, "data", n)
+                        for n in man.get("dvs", [])
+                    )
+                    if step.get("dv_covered")
+                    else ()
                 )
-                dv_key = man.get("dv_key")
+                dv_key = man.get("dv_key") if dv_paths else None
             else:
                 change_type = None
                 dv_paths, dv_key = (), None
@@ -366,7 +427,10 @@ def read_cdf_log(
         if step["mode"] == "append":
             df = spark.read.schema(_physical_ddl(man)).parquet(*files)
             # DVs can cover an append-mode file only at a clone genesis
-            df = to_head_logical(_apply_dvs(spark, path, man, df), True)
+            # (or a legacy-inferred step); fresh appends skip the join
+            if step.get("dv_covered"):
+                df = _apply_dvs(spark, path, man, df)
+            df = to_head_logical(df, True)
         else:
             df = spark.read.schema(
                 _physical_ddl(man) + ", _change_type string"

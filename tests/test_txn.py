@@ -738,7 +738,9 @@ def _drain_cdf(spark, path, tmp_path, name, start_version=-1):
 
 def test_cdf_stream_emits_per_commit_changes(spark, tmp_path):
     path = str(tmp_path / "s")
-    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 10), path, key="k", change_feed=True
+    )
     upd = spark.createDataFrame([(3, 333), (50, 500)], "k long, v long")
     txn.commit_upsert(spark, upd, path, key="k")
     txn.commit_delete_mor(
@@ -764,7 +766,9 @@ def test_cdf_stream_incremental_and_exactly_once_restart(spark, tmp_path):
     from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
 
     path = str(tmp_path / "s2")
-    txn.commit_append_with_stats(spark, _df(spark, 0, 5), path, key="k")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 5), path, key="k", change_feed=True
+    )
     ck = str(tmp_path / "ck_inc")
     out = str(tmp_path / "out_inc")
 
@@ -804,7 +808,9 @@ def test_cdf_stream_incremental_and_exactly_once_restart(spark, tmp_path):
 
 def test_cdf_stream_compaction_nets_to_nothing(spark, tmp_path):
     path = str(tmp_path / "s3")
-    txn.commit_append_with_stats(spark, _df(spark, 0, 30), path, key="k")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 30), path, key="k", change_feed=True
+    )
     v0 = txn.current_version(path)
     txn.commit_compact(spark, path, target_partitions=1)
     got = _drain_cdf(
@@ -845,7 +851,9 @@ def test_cdf_apply_maintains_derived_replica(spark, tmp_path):
         d = {(r["k"], r["v"]) for r in txn.read_table(spark, dst).collect()}
         assert d == s
 
-    txn.commit_append_with_stats(spark, _df(spark, 0, 40), src, key="k")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 40), src, key="k", change_feed=True
+    )
     sync_and_check()
     txn.commit_upsert(
         spark, spark.createDataFrame([(3, -3), (99, 990)], "k long, v long"),
@@ -912,7 +920,7 @@ def test_cdf_rollup_incremental_aggregate_maintenance(spark, tmp_path):
 
     txn.commit_append_with_stats(
         spark, rows([(1, "a", 1.5), (2, "a", 2.5), (3, "b", 10.0)]), src,
-        key="k",
+        key="k", change_feed=True,
     )
     sync_and_check()
     # value update: the rollup must RETRACT the old 1.5 and add 100.0
@@ -1003,7 +1011,9 @@ def test_cdf_random_history_equivalence(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     path = str(tmp_path / "t")
-    txn.commit_append_with_stats(spark, _df(spark, 0, 30), path, key="k")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 30), path, key="k", change_feed=True
+    )
     v0 = txn.current_version(path)
 
     def rows(pairs):
@@ -1090,7 +1100,9 @@ def test_cdf_log_batch_read_matches_stream_semantics(spark, tmp_path):
     from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
 
     path = str(tmp_path / "t")
-    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 10), path, key="k", change_feed=True
+    )
     txn.commit_upsert(
         spark, spark.createDataFrame([(3, 333), (50, 500)], "k long, v long"),
         path, key="k",
@@ -1138,7 +1150,9 @@ def test_net_changes_from_log_equals_snapshot_diff(spark, tmp_path):
     )
 
     path = str(tmp_path / "t")
-    txn.commit_append_with_stats(spark, _df(spark, 0, 20), path, key="k")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 20), path, key="k", change_feed=True
+    )
     v0 = txn.current_version(path)
     # delete 3 keys, then re-upsert one identically and one changed
     txn.commit_delete(
@@ -1201,7 +1215,7 @@ def test_cdf_planning_is_metadata_only_and_per_file(spark, tmp_path):
     big = spark.range(0, 10000).select(
         F.col("id").alias("k"), (F.col("id") * 10).alias("v")
     ).repartition(8)
-    txn.commit_append(spark, big, path)
+    txn.commit_append(spark, big, path, change_feed=True)
     txn.commit_delete(
         spark, spark.createDataFrame([(5,), (7000,)], "k long"), path, key="k"
     )
@@ -1555,7 +1569,8 @@ def test_renamed_key_still_prunes_and_writes(spark, tmp_path):
     # 4 files with disjoint key ranges → zone maps prune
     for lo in (0, 100, 200, 300):
         txn.commit_append_with_stats(
-            spark, _df(spark, lo, lo + 100).coalesce(1), path, key="k"
+            spark, _df(spark, lo, lo + 100).coalesce(1), path, key="k",
+            change_feed=True,
         )
     txn.alter_rename_column(path, "k", "id")
     # pruned read on the RENAMED key: only 1 of 4 files scanned
@@ -1750,7 +1765,8 @@ def test_merge_cow_matches_merge_and_prunes_files(spark, tmp_path):
     for lo in (0, 100, 200, 300):
         for p in (full, cow):
             txn.commit_append_with_stats(
-                spark, _df(spark, lo, lo + 100).coalesce(1), p, key="k"
+                spark, _df(spark, lo, lo + 100).coalesce(1), p, key="k",
+                change_feed=True,
             )
     source = spark.createDataFrame(
         [
@@ -1825,3 +1841,336 @@ def test_merge_enforces_expectations_on_writes_not_departures(
     bad = spark.createDataFrame([(4, -1, "U")], "k long, v long, op string")
     with pytest.raises(txn.ExpectationViolation):
         txn.commit_merge(spark, bad, path, key="k", matched_delete="op = 'D'")
+
+
+# --- change-feed opt-in (round 7: Delta enableChangeDataFeed parity) ------
+
+
+def test_non_feed_table_rewrites_skip_cdc_recording(spark, tmp_path):
+    """A table that never opted into the change feed must not pay CDC
+    costs on rewrite commits: no pre-image join runs, no CDC file is
+    staged, and the manifest marks the step ``unrecorded``."""
+    from qb_data_pipeline_backfill_spark.operators import txn as txn_mod
+
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 50), path, key="k")
+    assert not txn.change_feed_enabled(path)
+
+    calls = []
+    real = txn_mod._stage_cdc_files
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return real(*a, **kw)
+
+    txn_mod._stage_cdc_files = spy
+    try:
+        txn.commit_delete_mor(
+            spark, spark.createDataFrame([(7,)], "k long"), path, key="k"
+        )
+        txn.commit_upsert(
+            spark,
+            spark.createDataFrame([(3, -3)], "k long, v long"),
+            path,
+            key="k",
+        )
+        txn.commit_replace_where(
+            spark,
+            spark.createDataFrame([(5, 5000)], "k long, v long"),
+            path,
+            "k = 5",
+        )
+        txn.commit_merge(
+            spark,
+            spark.createDataFrame([(9, 9, "D")], "k long, v long, op string"),
+            path,
+            key="k",
+            matched_delete="op = 'D'",
+        )
+    finally:
+        txn_mod._stage_cdc_files = real
+    assert calls == []  # no change rows computed or staged, ever
+    assert not any(
+        "-cdc-" in n for n in os.listdir(os.path.join(path, "data"))
+    )
+    for v in range(1, txn.current_version(path) + 1):
+        assert txn._read_manifest(path, v)["cdc"]["mode"] == "unrecorded"
+    # table contents themselves are exactly right
+    got = {(r["k"], r["v"]) for r in txn.read_table(spark, path).collect()}
+    want = {(k, k * 10) for k in range(50) if k not in (7, 9)}
+    want -= {(3, 30), (5, 50)}
+    want |= {(3, -3), (5, 5000)}
+    assert got == want
+
+
+def test_log_readers_raise_typed_error_on_unrecorded_step(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        CdfNotEnabledError,
+        net_changes_from_log,
+        read_cdf_log,
+        read_cdf_stream,
+    )
+
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    txn.commit_delete(
+        spark, spark.createDataFrame([(1,)], "k long"), path, key="k"
+    )
+    with pytest.raises(CdfNotEnabledError, match="change_feed"):
+        read_cdf_log(spark, path)
+    with pytest.raises(CdfNotEnabledError):
+        net_changes_from_log(spark, path, -1)
+    q = (
+        read_cdf_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("cdf_unrec")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="CdfNotEnabledError"):
+        q.awaitTermination()
+    # the snapshot-diff API still serves the gap (needs no log)
+    got = {
+        (r["k"], r["_change_type"])
+        for r in txn.table_changes(spark, path, 0).collect()
+    }
+    assert got == {(1, "delete")}
+
+
+def test_enable_change_feed_records_from_that_version_on(spark, tmp_path):
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        CdfNotEnabledError,
+        read_cdf_log,
+    )
+
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    txn.commit_upsert(
+        spark, spark.createDataFrame([(1, -1)], "k long, v long"), path, key="k"
+    )  # v1: unrecorded
+    v_on = txn.enable_change_feed(path)  # v2 (metadata-only)
+    assert txn.change_feed_enabled(path)
+    txn.commit_upsert(
+        spark, spark.createDataFrame([(2, -2)], "k long, v long"), path, key="k"
+    )  # v3: recorded
+    # range crossing the unrecorded step fails; post-enable range works
+    with pytest.raises(CdfNotEnabledError):
+        read_cdf_log(spark, path, 0).collect()
+    got = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in read_cdf_log(spark, path, v_on).collect()
+    }
+    assert got == {
+        (2, 20, "update_preimage"),
+        (2, -2, "update_postimage"),
+    }
+    # the property survives rewrite commits (_carry_meta)
+    txn.commit_compact(spark, path)
+    assert txn.change_feed_enabled(path)
+    # and disable stops recording again
+    txn.disable_change_feed(path)
+    txn.commit_upsert(
+        spark, spark.createDataFrame([(3, -3)], "k long, v long"), path, key="k"
+    )
+    assert (
+        txn._read_manifest(path, txn.current_version(path))["cdc"]["mode"]
+        == "unrecorded"
+    )
+
+
+def test_append_only_feed_readable_without_property(spark, tmp_path):
+    """Appends are always feed-readable (their files ARE the insert
+    rows) — the opt-in gates only the rewrite pre-image cost."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
+
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 5), path)
+    txn.commit_append(spark, _df(spark, 5, 8), path)
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in read_cdf_log(spark, path).collect()
+    }
+    assert got == {(k, "insert", 0 if k < 5 else 1) for k in range(8)}
+
+
+def test_append_units_carry_no_dv_paths(spark, tmp_path):
+    """A fresh append on a DV-bearing table must not ship the DV list
+    to its stream units (no DV row can name a new file — ADVICE r6:
+    shipping it made executors re-read every DV parquet per file)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from qb_data_pipeline_backfill_spark.sources import txn_cdf
+
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 20), path, key="k", change_feed=True
+    )
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(3,)], "k long"), path, key="k"
+    )  # v1: table now carries DVs
+    txn.commit_append(spark, _df(spark, 100, 110), path, key="k")  # v2
+    schema = to_arrow_schema(
+        txn.read_table(spark, path).schema.add("_change_type", "string").add(
+            "_commit_version", "integer"
+        )
+    )
+    reader = txn_cdf.TxnCdfStreamReader({"path": path}, schema)
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    units = [u for p in parts for u in p.units]
+    assert units and all(u[4] == () and u[5] is None for u in units)
+    # while the clone-genesis path still ships (and applies) DVs
+    dst = str(tmp_path / "clone")
+    txn.clone_table(path, dst)
+    creader = txn_cdf.TxnCdfStreamReader({"path": dst}, schema)
+    cunits = [
+        u
+        for p in creader.partitions({"version": -1}, {"version": 0})
+        for u in p.units
+    ]
+    assert any(u[4] for u in cunits)
+
+
+def test_stream_fails_on_midstream_rename_of_streamed_column(
+    spark, tmp_path
+):
+    """ADVICE r6: a streamed column renamed after the stream fixed its
+    schema must FAIL the stream (Delta semantics), not silently emit
+    NULLs into downstream replicas."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from qb_data_pipeline_backfill_spark.sources import txn_cdf
+
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 5), path, key="k", change_feed=True
+    )
+    # stream schema fixed at start (columns k, v)
+    schema = to_arrow_schema(
+        txn.read_table(spark, path).schema.add("_change_type", "string").add(
+            "_commit_version", "integer"
+        )
+    )
+    reader = txn_cdf.TxnCdfStreamReader({"path": path}, schema)
+    assert reader.partitions({"version": -1}, {"version": 0})
+    # mid-stream rename: 'v' no longer resolves under the head schema
+    txn.alter_rename_column(path, "v", "amount")
+    txn.commit_append(
+        spark,
+        spark.createDataFrame([(50, 500)], "k long, amount long"),
+        path,
+        key="k",
+    )
+    with pytest.raises(txn_cdf.CdfProtocolError, match="renamed or dropped"):
+        reader.partitions({"version": -1}, {"version": 2})
+
+
+def test_replace_where_duplicate_keys_fall_back_to_multiset_cdc(
+    spark, tmp_path
+):
+    """ADVICE r6: the keyed CDC classification assumes a unique key;
+    duplicated stats-key values would cross-join old×new per key and
+    fabricate quadratic update pairs. Duplicates must fall back to the
+    exact exceptAll multiset path."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
+
+    path = str(tmp_path / "t")
+    # stats-bearing table WITH duplicate keys (plain append, no dedup)
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (9, 90)], "k long, v long"
+    )
+    txn.commit_append_with_stats(
+        spark, dup.limit(0), path, key="k", change_feed=True
+    )
+    txn.commit_append(spark, dup, path)
+    new_slice = spark.createDataFrame([(1, 100), (1, 101)], "k long, v long")
+    v = txn.commit_replace_where(spark, new_slice, path, "k = 1")
+    cdc = [
+        (r["k"], r["v"], r["_change_type"])
+        for r in read_cdf_log(spark, path, v - 1, v).collect()
+    ]
+    # exact multiset: two deletes (old rows), two inserts (new rows) —
+    # NOT 2×2 pre/post-image pairs
+    assert sorted(cdc) == [
+        (1, 10, "delete"),
+        (1, 11, "delete"),
+        (1, 100, "insert"),
+        (1, 101, "insert"),
+    ]
+    got = {(r["k"], r["v"]) for r in txn.read_table(spark, path).collect()}
+    assert got == {(1, 100), (1, 101), (2, 20), (9, 90)}
+
+
+# --- optimistic commit retry loop (round 7) -------------------------------
+
+
+def test_commit_with_retry_lands_after_losing_the_race(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 10), path)
+    base = txn.current_version(path)
+    # writer B publishes first; writer A pinned the old base and loses,
+    # then the retry loop re-reads the head and lands
+    txn.commit_append(spark, _df(spark, 10, 20), path)
+    attempts = []
+
+    def attempt():
+        attempts.append(1)
+        eb = base if len(attempts) == 1 else None
+        return txn.commit_append(
+            spark, _df(spark, 20, 30), path, expected_base=eb
+        )
+
+    v = txn.commit_with_retry(path, attempt)
+    assert len(attempts) == 2 and v == 2
+    assert txn.read_table(spark, path).count() == 30
+
+
+def test_commit_with_retry_refuses_incompatible_interleave(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    base = txn.current_version(path)
+    # interleaved REWRITE (delete): not append-shaped
+    txn.commit_delete(
+        spark, spark.createDataFrame([(3,)], "k long"), path, key="k"
+    )
+
+    def attempt():
+        return txn.commit_append(
+            spark, _df(spark, 20, 30), path, expected_base=base
+        )
+
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn.commit_with_retry(
+            path, attempt, compatible=txn.step_is_append_shaped
+        )
+    # while an append-shaped interleave under the same policy retries
+    base2 = txn.current_version(path)
+    txn.commit_append(spark, _df(spark, 30, 40), path)
+    tries = []
+
+    def attempt2():
+        tries.append(1)
+        eb = base2 if len(tries) == 1 else None
+        return txn.commit_append(spark, _df(spark, 50, 60), path, expected_base=eb)
+
+    v = txn.commit_with_retry(
+        path, attempt2, compatible=txn.step_is_append_shaped
+    )
+    assert v == txn.current_version(path) and len(tries) == 2
+
+
+def test_commit_with_retry_gives_up_after_max_attempts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 5), path)
+
+    def always_stale():
+        # a pathological writer that never refreshes its base
+        return txn.commit_append(
+            spark, _df(spark, 5, 6), path, expected_base=0
+        )
+
+    txn.commit_append(spark, _df(spark, 6, 7), path)
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn.commit_with_retry(path, always_stale, max_attempts=3)
