@@ -1953,6 +1953,35 @@ def dv_file_count(path: str, version: int | None = None) -> int:
     return len(_read_manifest(path, v).get("dvs", []))
 
 
+def _read_version_under(
+    spark: SparkSession, path: str, version: int, head_man: dict
+) -> DataFrame:
+    """Snapshot read of ``version`` surfaced under ANOTHER manifest's
+    logical schema: files scan under their stable physical names, the
+    version's own deletion vectors apply, then each of ``head_man``'s
+    logical columns resolves through its column map (NULL for columns
+    the old files predate)."""
+    from pyspark.sql import functions as FF
+
+    man = _read_manifest(path, version)
+    cmap = _col_map(head_man)
+    fields = _logical_fields(head_man)
+    files = [os.path.join(path, "data", n) for n in man["files"]]
+    if not files:
+        return spark.createDataFrame([], head_man["schema_ddl"])
+    df = _apply_dvs(
+        spark, path, man, spark.read.schema(_physical_ddl(man)).parquet(*files)
+    )
+    return df.select(
+        *[
+            FF.col(cmap.get(n, n)).alias(n)
+            if cmap.get(n, n) in df.columns
+            else FF.lit(None).cast(t).alias(n)
+            for n, t in fields
+        ]
+    )
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -1983,7 +2012,12 @@ def table_changes(
     from pyspark.sql import functions as FF
 
     cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
-    old = read_version(spark, path, from_version)
+    # the FROM snapshot surfaces under the TO version's logical schema
+    # (Delta CDF's end-version-schema convention): columns renamed in
+    # the range resolve through their stable physical names, columns
+    # added in the range surface NULL, columns dropped are omitted —
+    # so a rename mid-range diffs values, not names
+    old = _read_version_under(spark, path, from_version, man)
     new = read_version(spark, path, to_v)
     o = old.select(FF.col(k).alias("__k"), FF.struct(*cols).alias("__old"))
     n = new.select(FF.col(k).alias("__k"), FF.struct(*cols).alias("__new"))
