@@ -91,20 +91,33 @@ def main() -> None:
     # across passes measures the engine, not the host's bad minutes.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
-    def time_queries(query_items, data_dir, n_passes) -> dict[str, float]:
+    def time_queries(query_items, data_dir, n_passes, splits=None) -> dict[str, float]:
+        # `splits` (optional dict) collects a build/read decomposition:
+        # build_sec is the plan-construction phase — for txn-family
+        # queries that's where the table-building COMMITS execute
+        # eagerly — and read_sec is the returned DataFrame's execution.
+        # VERDICT r6 #7: the single number conflated write-path and
+        # read-path, so the CDC commit-overhead regression took a code
+        # audit to localize. Components come from the min-TOTAL pass
+        # (never mixed across passes).
         out: dict[str, float] = {}
         for _ in range(n_passes):
             for name, q in query_items:
                 t0 = time.time()
                 try:
-                    q.spark(spark, data_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    took = round(time.time() - t0, 4)
+                    df = q.spark(spark, data_dir)
+                    t1 = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    t2 = time.time()
+                    took = round(t2 - t0, 4)
                     prev = out.get(name)
-                    out[name] = (
-                        took if prev is None or prev < 0 else min(prev, took)
-                    )
+                    if prev is None or prev < 0 or took < prev:
+                        out[name] = took
+                        if splits is not None:
+                            splits[name] = {
+                                "build_sec": round(t1 - t0, 4),
+                                "read_sec": round(t2 - t1, 4),
+                            }
                 except Exception as e:  # noqa: BLE001
                     print(f"bench error in {name}: {e}", file=sys.stderr)
                     out.setdefault(name, -1.0)
@@ -117,8 +130,12 @@ def main() -> None:
                 spark.catalog.clearCache()
         return out
 
+    splits: dict[str, dict] = {}
     timings = time_queries(
-        [kv for kv in items if only is None or kv[0] in only], sf_dir, passes
+        [kv for kv in items if only is None or kv[0] in only],
+        sf_dir,
+        passes,
+        splits=splits,
     )
 
     ok = {k: v for k, v in timings.items() if v >= 0}
@@ -147,6 +164,14 @@ def main() -> None:
         "passes": passes,
         "timing": "per-query min across passes (host shows "
         "episodic multi-x slowdowns; see bench.py)",
+        # commit-path vs read-path decomposition for the txn family
+        # (build_sec = eager table-building commits during plan
+        # construction; read_sec = executing the returned DataFrame)
+        "txn_split": {
+            k: v
+            for k, v in splits.items()
+            if k.startswith(("txn_", "streaming_txn_"))
+        },
     }
     # Low-noise companion series (VERDICT r5 #7): the driver-gate
     # window re-timed at sf0.01, where queries run well under the

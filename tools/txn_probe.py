@@ -177,7 +177,9 @@ def main() -> int:
         cf = os.path.join(base, "cf")
         # range-partitioned so the CoW upsert's zone maps actually prune
         ranged = orders.repartitionByRange(n_files, "o_orderkey")
-        txn.commit_append_with_stats(spark, ranged, cf, key="o_orderkey")
+        txn.commit_append_with_stats(
+            spark, ranged, cf, key="o_orderkey", change_feed=True
+        )
         upd = orders.filter(F.col("o_orderkey") % 499 == 0).withColumn(
             "o_orderpriority", F.lit("X-PROBE")
         )
@@ -221,6 +223,39 @@ def main() -> int:
             txn.read_table(spark, mcow).count()
             == txn.read_table(spark, mfull).count()
         )
+        # -- commit-time CDC recording overhead: feed on vs off ----------
+        # Change-feed recording is per-table opt-in (round 7, Delta
+        # enableChangeDataFeed parity): a feed-enabled rewrite commit
+        # pays a pre-image read + staged CDC parquet that a non-feed
+        # commit skips entirely. Measured single-shot per commit kind
+        # (a replayed rewrite changes nothing, so a min-of-N loop would
+        # time the empty no-op, not the commit).
+        def _one_commit(kind: str, feed: bool):
+            p = os.path.join(base, f"ov_{kind}_{int(feed)}")
+            txn.commit_append_with_stats(
+                spark, ranged, p, key="o_orderkey", change_feed=feed
+            )
+            b0 = _data_bytes(p)
+            t0 = time.time()
+            if kind == "mor_delete":
+                txn.commit_delete_mor(spark, doomed, p, key="o_orderkey")
+            elif kind == "upsert_cow":
+                txn.commit_upsert_cow(spark, upd, p, key="o_orderkey")
+            else:  # merge
+                txn.commit_merge(
+                    spark, batch, p, key="o_orderkey", matched_delete="op = 'X'"
+                )
+            return round(time.time() - t0, 3), _data_bytes(p) - b0
+
+        for kind in ("mor_delete", "upsert_cow", "merge"):
+            on_s, on_b = _one_commit(kind, True)
+            off_s, off_b = _one_commit(kind, False)
+            out[f"cdc_overhead_{kind}"] = {
+                "feed_on_sec": on_s,
+                "feed_off_sec": off_s,
+                "feed_on_bytes": on_b,
+                "feed_off_bytes": off_b,
+            }
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps(out))
