@@ -25,87 +25,73 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-6 rotation (VERDICT r5 #2): (a) queries new or code-touched
-# this round — the BPE contract twins, the CDC family (commit-time
-# CDC + partitioned stream reader + batch log reads + exactly-once
-# rollup IVM), repeated-substring dedup, the txn family (commit paths
-# record CDC; column mapping; expectations tightened), and the
-# twin-backed BPE rows-only entries; then (b) the three queries that
-# missed the r05 cut, (c) the r03-era records (contract
-# certifications first — they underwrite the rows-only fuzzy family),
-# and (d) the r03-era pricing_summary-family tail, as many as fit
-# under the 50-cap (the last few (d) entries rotate next round).
-# r04/r05 greens are the freshest and wait longest. The full
-# registry was verified locally this round in THREE sweeps
-# (tools/check_correctness.py, sf0.01: 140 / 144 / final 146
-# hash-match, each + 9 rows-only-by-design, 0 fail — the final sweep
-# on end-of-round code covers all 155 entries) plus four passes of
-# the 50-entry window as it evolved; the replay-sensitive CDC gate
-# queries were additionally re-run back to back after every change
-# to their code path.
+# Round-7 rotation (VERDICT r6 #3): (a) everything round 7 touched —
+# the whole txn/CDC family (change-feed recording became per-table
+# opt-in; commit paths, stream planner, log readers, and
+# table_changes' snapshot resolution all changed); then (b) the 14
+# records whose last driver grade was r03, and (c) 26 of the 49
+# r04-era records, certification contracts and the two bench-wobble
+# suspects (dedup_embedding_lsh, similarity_ann_ivf) first. The
+# remaining 23 r04-era records rotate in round 8. r05/r06 greens are
+# the freshest and wait. The full registry was additionally verified
+# locally this round (tools/check_correctness.py, sf0.01, full
+# sweep), and the replay-sensitive CDC gate queries were re-run
+# back to back after every commit-path change.
 prioritize(
     [
-        # --- (a) new / code-touched in round 6 ---
-        "contract_bpe_merge_replay",
-        "contract_bpe_encode_replay",
+        # --- (a) round-7 code-touched: txn/CDC family ---
         "streaming_txn_cdf",
+        "txn_cdf_feed",
         "txn_cdf_log_feed",
         "txn_cdf_log_net_feed",
         "txn_cdf_rollup_maintenance",
         "txn_replica_audit",
-        "dedup_repeated_substrings",
-        "contract_substring_hash_parity",
-        "text_bigram_perplexity",
-        "txn_cdf_feed",
         "txn_merge_cdc_read",
         "txn_replace_where_read",
         "txn_mor_delete_read",
         "txn_bloom_point_lookup",
-        "bpe_train_merges",
-        "bpe_encode_stats",
-        # --- (b) missed the r05 50-entry cut ---
-        "filtered_aggregates",
-        "minmax_dates",
-        "date_window_filter",
-        # --- (c) last driver green was r03, contracts first ---
-        "contract_minhash_recall",
-        "contract_simhash_recall",
-        "contract_embedding_lsh_recall",
-        "contract_ann_lsh_recall",
-        "contract_ann_ivf_recall",
-        "contract_approx_median",
-        "cms_frequency_contract",
-        "quantile_sketch_contract",
-        "dedup_cluster_resolution",
-        "text_tfidf_topk",
-        "numeric_profile",
-        "rest_source_scan",
-        "rest_source_filtered",
-        "csv_http_scan",
-        "asof_join_last_order",
-        "timeseries_gap_fill",
-        "scd2_intervals",
-        "funnel_conversion",
-        "decontamination_overlap",
-        "kmeans_codebook",
-        "pii_scrub",
-        "text_fingerprint",
-        # --- (d) r03-era relational/rollup tail, oldest first ---
-        "pricing_summary",
-        "top_revenue_orders",
-        "region_nation_rollup",
-        "status_priority_cube",
-        "pivot_status_by_priority",
-        "topk_orders_per_customer",
-        "running_total_per_customer",
-        "tumbling_window_events",
+        # --- (b) last driver grade r03 ---
+        "anti_join_idempotence",
+        "coalesce_filter_key",
+        "constraint_report",
+        "isin_predicate",
+        "json_extract_props",
+        "multimodal_byte_features",
+        "numeric_covariance",
+        "outlier_report",
+        "semi_join_probe",
         "session_windows_events",
-        "range_join_attribution",
+        "streaming_stateful_counts",
+        "text_repetition_scores",
+        "validate_dedup_first_wins",
+        "zorder_clustering_key",
+        # --- (c) last driver grade r04: contracts + wobble watch first ---
+        "contract_bloom_prune",
+        "contract_hll_merge",
+        "decontamination_bloom_prefilter",
+        "dedup_embedding_lsh",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "similarity_ann_ivf",
+        "similarity_ann_lsh",
+        "pq_encode_codes",
+        "pagerank_parts",
+        "recursive_reachability",
+        "cdc_latest_state",
+        "doc_chunking",
+        "sequence_packing",
+        "training_shard_manifest",
+        "vocab_build",
+        "vocab_coverage_oov",
+        "sample_weighted_by_length",
+        "equidepth_histogram",
+        "exists_correlated_orders",
+        "full_outer_reconciliation",
+        "group_percentiles",
+        "grouping_sets_report",
+        "having_fraction_of_total",
         "hypertable_rollup_daily",
         "incremental_rollup_merge",
-        "value_histogram",
-        "zorder_clustering_key",
-        "constraint_report",
     ]
 )
 
