@@ -241,6 +241,13 @@ def _guard_new_columns(schema_names, prev: dict) -> None:
             )
 
 
+def _parquet_num_rows(file_path: str) -> int:
+    """Row count from the parquet footer (metadata-only read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(file_path).metadata.num_rows
+
+
 def _txn_dir(path: str) -> str:
     return os.path.join(path, "_txn")
 
@@ -503,6 +510,13 @@ def commit_append(
     )
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
+            continue
+        # zero-row part files (an idempotent keyed replay, a sparse
+        # final repartition) never enter the manifest: at one empty
+        # file per writer task per replayed batch, a long-lived table
+        # would otherwise accrete thousands of no-op files that every
+        # snapshot read must still open (footer check is metadata-only)
+        if _parquet_num_rows(os.path.join(stage_dir, name)) == 0:
             continue
         unique = f"{stage_id}-{name}"
         os.link(
@@ -1065,6 +1079,9 @@ def _stage_cdc_files(
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
+        # an empty change set (idempotent replay) records zero files
+        if _parquet_num_rows(os.path.join(stage_dir, name)) == 0:
+            continue
         unique = f"{stage_id}-cdc-{name}"
         os.link(os.path.join(stage_dir, name), os.path.join(path, "data", unique))
         names.append(unique)
@@ -1124,6 +1141,11 @@ def _commit_replace(
     )
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
+            continue
+        # zero-row part files never enter the manifest (see
+        # commit_append: replay/empty-partition debris would otherwise
+        # accrete open-and-discard work for every future reader)
+        if _parquet_num_rows(os.path.join(stage_dir, name)) == 0:
             continue
         unique = f"{stage_id}-{name}"
         os.link(
@@ -1676,6 +1698,22 @@ def commit_delete_mor(
                 FF.element_at(FF.split(FF.input_file_name(), "/"), -1),
             )
         )
+        # probe only rows still VISIBLE (existing DVs applied on the
+        # already-tagged frame): a replayed delete of already-deleted
+        # keys finds no visible match and stages NO new DV rows —
+        # without this, every replay re-recorded the same (file, key)
+        # suppressions and a delete-heavy table accreted duplicate DV
+        # files that every read's broadcast anti-join must re-load
+        dvs = man.get("dvs")
+        if dvs:
+            dvr = spark.read.parquet(
+                *[os.path.join(path, "data", n) for n in dvs]
+            ).select(
+                FF.col("file_name"), FF.col(man["dv_key"])
+            ).dropDuplicates(["file_name", man["dv_key"]])
+            tagged = tagged.join(
+                FF.broadcast(dvr), ["file_name", man["dv_key"]], "left_anti"
+            )
         hits = (
             tagged.join(FF.broadcast(pkeys), pkey, "inner")
             .select("file_name", pkey)
@@ -1690,6 +1728,8 @@ def commit_delete_mor(
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
+        if _parquet_num_rows(os.path.join(stage_dir, name)) == 0:
+            continue  # no newly-suppressed rows: DV set unchanged
         unique = f"{stage_id}-dv-{name}"
         os.link(os.path.join(stage_dir, name), os.path.join(path, "data", unique))
         dv_files.append(unique)

@@ -103,10 +103,14 @@ def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any data file (file-scoped DV rows, applied as one broadcast "
     "anti-join at read), then the post-delete snapshot aggregates by "
     "status. Hash equality with a plain filtered aggregate proves DV "
-    "application is exact. Both commits replay idempotently: the keyed "
-    "append inserts zero on rerun, the repeated DV rows dedup at read.",
+    "application is exact. The 2-commit history is pinned and rebuilt "
+    "from zero on divergence (like the CDC tables): a rerun reads the "
+    "same snapshot instead of re-inserting and re-deleting the same "
+    "keys, which would accrete DV files a real deployment compacts.",
 )
 def txn_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     from pyspark.sql import functions as F
 
     from qb_data_pipeline_backfill_spark.operators import txn
@@ -114,10 +118,16 @@ def txn_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _SCRATCH, f"orders_mor_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
-    txn.commit_append(spark, orders, path, key="o_orderkey")
-    doomed = orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
-    txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
+    if txn.current_version(path) != 1:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(
+            8, "o_orderkey"
+        )
+        txn.commit_append(spark, orders, path, key="o_orderkey")
+        doomed = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey"
+        )
+        txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
     snap = txn.read_table(spark, path)
     from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
 
