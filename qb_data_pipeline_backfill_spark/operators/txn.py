@@ -2159,11 +2159,18 @@ def commit_replace_where(
     survivors ∪ df in one atomic manifest switch; time travel still
     reaches the pre-replace slice.
 
-    Scale: like ``commit_delete``, this -lite core rewrites the full
-    surviving set; the production refinement prunes to files whose
-    zone maps can match the predicate and carries the rest by
-    reference (``commit_upsert_cow`` shows that protocol) — which
-    files land in the manifest changes, the commit protocol does not.
+    Scale (copy-on-write, round 7): only files holding at least one
+    row matching the predicate are rewritten; every other file moves
+    to the new version BY REFERENCE with its zone-map stats, Bloom
+    bits, and deletion vectors intact. Touch detection is one
+    aggregated scan projecting just the predicate columns with the
+    predicate pushed to the parquet reader — row groups whose footer
+    stats exclude it are never decoded — so the commit's WRITE cost is
+    O(touched files + replacement), not O(table): at 100 TB, swapping
+    one day's slice rewrites that day's files, not the table. (A file
+    whose only matching rows are DV-suppressed is rewritten
+    conservatively — the rewrite drops those rows via the DV-applied
+    read, so it is correct, just not minimal.)
     """
     from pyspark.sql import functions as FF
 
@@ -2183,7 +2190,46 @@ def commit_replace_where(
         )
     enforce_expectations(df, {**stored, _RESERVED_EXPECTATION: predicate})
     pred = FF.coalesce(FF.expr(predicate).cast("boolean"), FF.lit(False))
-    target = read_version(spark, path, base)
+    # touch detection: which files hold a row matching the predicate?
+    # One distinct-aggregate over the logical projection of the scan —
+    # Catalyst prunes the read to the predicate's columns and pushes
+    # the filter into the parquet reader, so untouched row groups are
+    # skipped by their own footer stats. O(#files) driver traffic.
+    files = [os.path.join(path, "data", n) for n in prev["files"]]
+    if files:
+        raw = spark.read.schema(_physical_ddl(prev)).parquet(*files).withColumn(
+            "__f", FF.element_at(FF.split(FF.input_file_name(), "/"), -1)
+        )
+        logical = raw.select(
+            *[
+                FF.col(_phys(prev, n)).alias(n)
+                for n, _ in _logical_fields(prev)
+            ],
+            "__f",
+        )
+        touched = [
+            r["__f"]
+            for r in logical.filter(pred).select("__f").distinct().collect()
+        ]
+    else:
+        touched = []
+    untouched = [n for n in prev["files"] if n not in set(touched)]
+    if touched:
+        tfiles = [os.path.join(path, "data", n) for n in touched]
+        target = _to_logical(
+            _apply_dvs(
+                spark,
+                path,
+                prev,
+                spark.read.schema(_physical_ddl(prev)).parquet(*tfiles),
+            ),
+            prev,
+        )
+    else:
+        target = read_version(spark, path, base).limit(0)
+    # every predicate-matching row lives in a touched file by
+    # construction, so survivors-of-touched ∪ carried = the exact
+    # post-replace state, and the CDC below is complete on this scope
     survivors = target.filter(~pred)
     merged = survivors.unionByName(df)
     # CDC = net change of the replaced slice (computed only for
@@ -2192,7 +2238,11 @@ def commit_replace_where(
     # re-replace records an empty change set); without one, the
     # multiset difference is exact the same way (exceptAll), with
     # old-only rows as deletes and new-only rows as inserts.
-    if prev.get("change_feed"):
+    if not touched:
+        # no existing row matches the predicate: the commit is
+        # append-shaped and the staged files ARE the change rows
+        cdc = "append"
+    elif prev.get("change_feed"):
         old_slice = target.filter(pred)
         cols = [f.name for f in target.schema]
         key = _logical_of(prev, prev.get("stats_col") or prev.get("dv_key"))
@@ -2228,14 +2278,25 @@ def commit_replace_where(
             )
     else:
         cdc = "unrecorded"
+    stats = prev.get("stats", {})
+    col_stats = prev.get("col_stats", {})
+    blooms = prev.get("blooms", {})
     return _commit_replace(
         spark,
         merged,
         path,
         base,
         stats_col=prev.get("stats_col"),
+        carried=untouched,
+        carried_stats={n: stats[n] for n in untouched if n in stats},
         stats_cols=prev.get("stats_cols"),
+        carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
         bloom_spec=prev.get("bloom_spec"),
+        carried_blooms={n: blooms[n] for n in untouched if n in blooms},
+        # DV rows for rewritten files go inert (their file names leave
+        # the manifest); rows for untouched files must keep applying.
+        carried_dvs=prev.get("dvs"),
+        dv_key=prev.get("dv_key"),
         extra_meta=_carry_meta(prev),
         cdc=cdc,
     )

@@ -2208,3 +2208,36 @@ def test_replays_add_no_files_no_dvs(spark, tmp_path):
     assert len(
         txn._read_manifest(path, txn.current_version(path))["files"]
     ) > n_files0
+
+
+def test_replace_where_is_copy_on_write(spark, tmp_path):
+    """replace_where rewrites only files holding predicate-matching
+    rows (round 7): disjoint-range files untouched by the slice move
+    forward BY REFERENCE with their stats, and untouched files' DV
+    rows keep applying after the swap."""
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        txn.commit_append_with_stats(
+            spark, _df(spark, lo, lo + 100).coalesce(1), path, key="k"
+        )
+    # MoR-delete a key in an UNTOUCHED range (file [200,300))
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(250,)], "k long"), path, key="k"
+    )
+    man_before = txn._read_manifest(path, txn.current_version(path))
+    repl = spark.range(100, 120).select(
+        F.col("id").alias("k"), (F.col("id") * 1000).alias("v")
+    )
+    txn.commit_replace_where(spark, repl, path, "k >= 100 AND k < 120")
+    man_after = txn._read_manifest(path, txn.current_version(path))
+    carried = set(man_before["files"]) & set(man_after["files"])
+    assert len(carried) == 3  # only the [100,200) file was rewritten
+    # carried stats survive for the untouched files
+    assert all(n in man_after.get("stats", {}) for n in carried)
+    # DVs carried: k=250 stays deleted; the swapped slice reads back
+    got = txn.read_table(spark, path)
+    assert got.count() == 399  # 400 - 1 MoR-deleted; slice swapped 20-for-20
+    assert got.filter("k = 250").count() == 0
+    assert got.filter("k = 105").collect()[0]["v"] == 105000
+    assert got.filter("k = 150").collect()[0]["v"] == 1500  # rewritten survivor
+    assert got.filter("k = 350").collect()[0]["v"] == 3500  # carried
