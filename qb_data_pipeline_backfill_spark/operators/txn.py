@@ -1224,9 +1224,18 @@ def commit_delete(
     expected_base: int | None = None,
 ) -> int:
     """Delete-by-key as a transaction (the right-to-be-forgotten
-    primitive a training-data pipeline must support): survivors =
-    current snapshot anti-joined against ``keys``, published as a
-    fully-replaced file set in one atomic snapshot switch.
+    primitive a training-data pipeline must support): survivors of the
+    touched files anti-joined against ``keys``, published in one
+    atomic snapshot switch.
+
+    Copy-on-write file pruning (round 7): on a table whose zone-map
+    stats are keyed on ``key``, only files whose key interval contains
+    a delete key are rewritten (per-file probe, same machinery as
+    ``commit_upsert_cow``); every other file — at scale, almost all —
+    carries forward by reference with its stats, Bloom bits, and
+    deletion vectors. A stats-less table falls back to the full
+    rewrite. Compare ``commit_delete_mor``: that defers even the
+    touched-file rewrite by recording deletion vectors instead.
 
     Note the retention interaction: deleted rows remain readable via
     time travel on OLD versions until those manifests are retired —
@@ -1238,27 +1247,59 @@ def commit_delete(
         raise FileNotFoundError(f"no committed version under {path}")
     from pyspark.sql import functions as FF
 
-    target = read_version(spark, path, base)
-    survivors = target.join(keys.select(key), key, "left_anti")
     prev = _read_manifest(path, base)
+    if prev.get("stats_col") == _phys(prev, key) and prev["files"]:
+        touched = _touched_files_by_probe(spark, prev, keys.select(key), key)
+        untouched = [n for n in prev["files"] if n not in set(touched)]
+        if touched:
+            tfiles = [os.path.join(path, "data", n) for n in touched]
+            target = _to_logical(
+                _apply_dvs(
+                    spark,
+                    path,
+                    prev,
+                    spark.read.schema(_physical_ddl(prev)).parquet(*tfiles),
+                ),
+                prev,
+            )
+        else:
+            target = read_version(spark, path, base).limit(0)
+    else:
+        touched, untouched = list(prev["files"]), []
+        target = read_version(spark, path, base)
+    survivors = target.join(keys.select(key), key, "left_anti")
     # CDC: the departed rows (visible-at-base rows matching the delete
-    # keys), with their pre-delete values — replaying the same delete
-    # finds no visible matches and records an empty change set.
-    # Computed only for feed-enabled tables.
-    if prev.get("change_feed"):
+    # keys, all of which live in touched files), with their pre-delete
+    # values — replaying the same delete finds no visible matches and
+    # records an empty change set. Computed only for feed-enabled
+    # tables; a probe that touched nothing is a row-preserving no-op.
+    if not touched:
+        cdc = "none"
+    elif prev.get("change_feed"):
         cdc = target.join(keys.select(key), key, "left_semi").withColumn(
             "_change_type", FF.lit("delete")
         )
     else:
         cdc = "unrecorded"
+    stats = prev.get("stats", {})
+    col_stats = prev.get("col_stats", {})
+    blooms = prev.get("blooms", {})
     return _commit_replace(
         spark,
         survivors,
         path,
         base,
         stats_col=prev.get("stats_col"),
+        carried=untouched,
+        carried_stats={n: stats[n] for n in untouched if n in stats},
         stats_cols=prev.get("stats_cols"),
+        carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
         bloom_spec=prev.get("bloom_spec"),
+        carried_blooms={n: blooms[n] for n in untouched if n in blooms},
+        # DV rows for rewritten files go inert; untouched files' keep
+        # applying (the full-rewrite fallback carries none — inert).
+        carried_dvs=prev.get("dvs") if untouched or not touched else None,
+        dv_key=prev.get("dv_key"),
         extra_meta=_carry_meta(prev),
         cdc=cdc,
     )

@@ -2241,3 +2241,35 @@ def test_replace_where_is_copy_on_write(spark, tmp_path):
     assert got.filter("k = 105").collect()[0]["v"] == 105000
     assert got.filter("k = 150").collect()[0]["v"] == 1500  # rewritten survivor
     assert got.filter("k = 350").collect()[0]["v"] == 3500  # carried
+
+
+def test_delete_cow_prunes_files_and_carries_dvs(spark, tmp_path):
+    """commit_delete on a stats-keyed table rewrites only files whose
+    key interval contains a delete key (round 7); untouched files
+    carry by reference with their DV rows still applying."""
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        txn.commit_append_with_stats(
+            spark, _df(spark, lo, lo + 100).coalesce(1), path, key="k"
+        )
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(250,)], "k long"), path, key="k"
+    )
+    man_before = txn._read_manifest(path, txn.current_version(path))
+    txn.commit_delete(
+        spark, spark.createDataFrame([(110,), (115,)], "k long"), path, key="k"
+    )
+    man_after = txn._read_manifest(path, txn.current_version(path))
+    carried = set(man_before["files"]) & set(man_after["files"])
+    assert len(carried) == 3  # only the [100,200) file rewritten
+    assert man_after.get("dvs") == man_before.get("dvs")
+    got = txn.read_table(spark, path)
+    assert got.count() == 397  # 400 - 1 MoR - 2 CoW
+    assert got.filter("k in (110, 115, 250)").count() == 0
+    # probe touching nothing: row-preserving metadata commit
+    v = txn.commit_delete(
+        spark, spark.createDataFrame([(9999,)], "k long"), path, key="k"
+    )
+    man = txn._read_manifest(path, v)
+    assert man["cdc"]["mode"] == "none"
+    assert set(man["files"]) == set(man_after["files"])

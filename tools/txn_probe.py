@@ -152,9 +152,12 @@ def main() -> int:
         txn.read_table(spark, cow).write.parquet(os.path.join(base, "deep"))
         out["deepcopy_sec"] = round(time.time() - t0, 3)
         # -- replace-where write cost -----------------------------------
-        # swapping a 1/11 slice should not cost a full-table rewrite at
-        # scale; the -lite core DOES rewrite (documented), so the probe
-        # records the honest number the cow-refinement would shrink.
+        # swapping a 1/11 slice must not cost a full-table rewrite:
+        # since round 7 the commit is copy-on-write (only files holding
+        # predicate-matching rows rewrite), so bytes_written tracks the
+        # touched slice. A %11 key slice touches every hash-partitioned
+        # file, so this probe records the WORST case; range-partitioned
+        # layouts (the mcow table below) show the pruned case.
         rw = os.path.join(base, "rw")
         txn.commit_append(spark, orders, rw, key="o_orderkey")
         b0 = _data_bytes(rw)
