@@ -690,6 +690,66 @@ def vacuum(path: str, retention_seconds: float = 24 * 3600.0) -> list[str]:
     return removed
 
 
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    small_file_bytes: int = 32 << 20,
+    max_small_files: int = 8,
+    max_dvs: int = 4,
+    target_file_bytes: int = 128 << 20,
+    retention_seconds: float = 24 * 3600.0,
+) -> dict:
+    """One-call table housekeeping — the OPTIMIZE + log-cleanup +
+    VACUUM loop a deployment schedules nightly, as a single idempotent
+    verb. Policy:
+
+    - COMPACT (``commit_compact``) when live deletion vectors exceed
+      ``max_dvs`` (every read pays their broadcast anti-join until
+      they materialize away) or more than ``max_small_files`` data
+      files are under ``small_file_bytes`` (small-file creep from
+      streaming/CDC-apply commits degrades scan parallelism into task
+      overhead). The rewrite targets ``target_file_bytes`` per file.
+    - CHECKPOINT + EXPIRE afterwards, capping the manifest population
+      (time travel before the new floor is given up — that is the
+      point; size ``retention_seconds`` to the slowest consumer).
+    - VACUUM unreferenced files older than the retention window
+      (never an in-flight writer's staged files).
+
+    A table needing nothing publishes nothing (no empty compaction
+    commit). Returns a report of what ran. Raises
+    ConcurrentCommitError if a writer races the compaction — safe to
+    just re-run (``commit_with_retry`` composes if desired)."""
+    v = current_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    data_dir = os.path.join(path, "data")
+    sizes = {
+        n: os.path.getsize(os.path.join(data_dir, n)) for n in man["files"]
+    }
+    n_small = sum(1 for b in sizes.values() if b < small_file_bytes)
+    n_dvs = len(man.get("dvs", []))
+    report = {
+        "files_before": len(man["files"]),
+        "small_files": n_small,
+        "dvs_before": n_dvs,
+        "compacted": False,
+    }
+    if n_dvs > max_dvs or n_small > max_small_files:
+        total = sum(sizes.values())
+        parts = max(1, -(-total // target_file_bytes))  # ceil
+        commit_compact(spark, path, target_partitions=int(parts), expected_base=v)
+        report["compacted"] = True
+        report["files_after"] = len(
+            _read_manifest(path, current_version(path))["files"]
+        )
+    checkpoint(path)
+    report["manifests_retired"] = len(expire_manifests(path))
+    report["files_vacuumed"] = len(vacuum(path, retention_seconds))
+    return report
+
+
 def _checkpoint_path(path: str) -> str:
     return os.path.join(_txn_dir(path), "_last_checkpoint.json")
 

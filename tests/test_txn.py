@@ -2273,3 +2273,37 @@ def test_delete_cow_prunes_files_and_carries_dvs(spark, tmp_path):
     man = txn._read_manifest(path, v)
     assert man["cdc"]["mode"] == "none"
     assert set(man["files"]) == set(man_after["files"])
+
+
+def test_maintain_table_compacts_and_cleans(spark, tmp_path):
+    """The one-call housekeeping verb: DV/small-file pressure triggers
+    compaction (materializing deletes), the log checkpoints + expires,
+    and vacuum reclaims unreferenced bytes — while a healthy table
+    publishes nothing."""
+    path = str(tmp_path / "t")
+    # 6 tiny files + 5 DV files: both triggers fire
+    for lo in range(0, 60, 10):
+        txn.commit_append_with_stats(
+            spark, _df(spark, lo, lo + 10).coalesce(1), path, key="k"
+        )
+    for k in (1, 11, 21, 31, 41):
+        txn.commit_delete_mor(
+            spark, spark.createDataFrame([(k,)], "k long"), path, key="k"
+        )
+    assert txn.dv_file_count(path) == 5
+    report = txn.maintain_table(
+        spark, path, max_small_files=2, max_dvs=4, retention_seconds=0.0
+    )
+    assert report["compacted"] and report["files_after"] == 1
+    assert report["manifests_retired"] > 0
+    assert report["files_vacuumed"] > 0
+    assert txn.dv_file_count(path) == 0  # deletes materialized
+    assert txn.read_table(spark, path).count() == 55
+    # second run: healthy table, nothing published, nothing reclaimed
+    v = txn.current_version(path)
+    report2 = txn.maintain_table(
+        spark, path, max_small_files=2, max_dvs=4, retention_seconds=0.0
+    )
+    assert not report2["compacted"]
+    assert txn.current_version(path) == v
+    assert report2["files_vacuumed"] == 0
