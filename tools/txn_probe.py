@@ -226,6 +226,22 @@ def main() -> int:
             txn.read_table(spark, mcow).count()
             == txn.read_table(spark, mfull).count()
         )
+        # -- copy-on-write DELETE: zone-map pruned vs full rewrite -------
+        # commit_delete on a range-keyed stats table rewrites only the
+        # files whose key interval holds a delete key (round 7); the
+        # stats-less `cow` table above records the full-rewrite
+        # fallback for the same batch.
+        rdel = os.path.join(base, "rdel")
+        txn.commit_append_with_stats(spark, ranged, rdel, key="o_orderkey")
+        narrow = orders.filter(
+            F.col("o_orderkey") < lo_key + 200
+        ).select("o_orderkey")
+        b0 = _data_bytes(rdel)
+        t0 = time.time()
+        txn.commit_delete(spark, narrow, rdel, key="o_orderkey")
+        out["delete_cow_pruned_sec"] = round(time.time() - t0, 3)
+        out["delete_cow_pruned_bytes_written"] = _data_bytes(rdel) - b0
+
         # -- commit-time CDC recording overhead: feed on vs off ----------
         # Change-feed recording is per-table opt-in (round 7, Delta
         # enableChangeDataFeed parity): a feed-enabled rewrite commit
