@@ -427,9 +427,10 @@ def commit_append(
     rewrite commits (upsert/merge/delete/replaceWhere) record their
     net change rows at commit time only when the property is set —
     tables nobody tails must not pay the pre-image join on every
-    rewrite. ``None`` inherits the current setting; see also
-    ``enable_change_feed``/``disable_change_feed`` for the
-    metadata-only toggle. Appends themselves are always feed-readable
+    rewrite. Any other value inherits the current setting (the
+    off-switch is ``disable_change_feed`` — a metadata-only commit,
+    matching Delta's ALTER-only property semantics). Appends
+    themselves are always feed-readable
     (the new files ARE the inserted rows — zero extra bytes), so
     enabling the feed late loses no append history.
 
@@ -565,7 +566,10 @@ def commit_append(
         manifest["dropped_physical"] = prev["dropped_physical"]
     if "cdc_applied_version" in prev:
         manifest["cdc_applied_version"] = prev["cdc_applied_version"]
-    if change_feed if change_feed is not None else prev.get("change_feed"):
+    # change_feed=True sets the property; anything else inherits (the
+    # explicit off-switch is disable_change_feed — a metadata commit,
+    # matching Delta's ALTER-only property semantics)
+    if change_feed or prev.get("change_feed"):
         manifest["change_feed"] = True
     # commit-time CDC record: an append's new files ARE its inserted
     # rows (no DV can reference a fresh file), so the change feed reads

@@ -17,13 +17,17 @@ the driver (Delta's CDF architecture):
 
 - every mutating commit in ``operators/txn.py`` records its net effect
   in the manifest: appends declare their new files ARE the inserted
-  rows (``cdc.mode = "append"``, zero extra bytes); rewrite commits
-  (upsert/merge/delete/replaceWhere) stage explicit CDC parquet files
-  of (row..., _change_type) computed as Spark joins at commit time,
-  with updates recorded as ``update_preimage`` + ``update_postimage``
-  pairs (Delta CDF's format — the pre-image is what lets an
-  incremental AGGREGATE retract the old contribution); compaction
-  declares ``mode = "none"`` (dataChange=false) and the feed skips it;
+  rows (``cdc.mode = "append"``, zero extra bytes — always, the record
+  is free); rewrite commits (upsert/merge/delete/replaceWhere) stage
+  explicit CDC parquet files of (row..., _change_type) computed as
+  Spark joins at commit time — ONLY when the table's ``change_feed``
+  property is set (per-table opt-in, Delta ``enableChangeDataFeed``
+  parity; a non-feed rewrite records ``mode = "unrecorded"`` and this
+  module raises ``CdfNotEnabledError`` on it) — with updates recorded
+  as ``update_preimage`` + ``update_postimage`` pairs (Delta CDF's
+  format — the pre-image is what lets an incremental AGGREGATE retract
+  the old contribution); compaction declares ``mode = "none"``
+  (dataChange=false) and the feed skips it;
 - the stream reader's ``partitions(start, end)`` touches only
   MANIFESTS (O(changed files) metadata on the driver); ``read`` runs
   on executors, one partition per changed/CDC file, yielding Arrow

@@ -2,8 +2,9 @@
 
 Round-7 hardening (VERDICT r6 directive 6): seeded RANDOM histories
 composing every mutating commit kind (append / upsert / CoW upsert /
-CoW delete / MoR delete / compaction) with metadata-only schema
-changes (rename chains, column drop) and shallow clones. For every
+CoW delete / MoR delete / CoW replaceWhere / compaction) with
+metadata-only schema changes (rename chains, column drop) and shallow
+clones. For every
 history, the three CDC faces must agree — the per-commit log
 (read_cdf_log), its net reduction (net_changes_from_log), and the
 snapshot diff (table_changes) — both over the full range and at a
@@ -58,7 +59,7 @@ def test_cdc_column_mapping_clone_fuzz(spark, tmp_path, seed):
 
     ops = [
         "append", "upsert", "upsert", "upsert_cow", "delete", "mor",
-        "compact", "rename", "drop",
+        "compact", "rename", "drop", "replace",
     ]
     next_new_key = 100
     for _ in range(rng.randint(6, 9)):
@@ -80,6 +81,15 @@ def test_cdc_column_mapping_clone_fuzz(spark, tmp_path, seed):
             txn.commit_delete_mor(spark, keys, path, key="k")
         elif op == "compact":
             txn.commit_compact(spark, path, target_partitions=2)
+        elif op == "replace":
+            mod = rng.randint(5, 9)
+            predicate = f"k % {mod} = {rng.randint(0, mod - 1)}"
+            repl = (
+                txn.read_table(spark, path)
+                .filter(F.expr(predicate))
+                .withColumn(vname, F.col(vname) + 1)
+            )
+            txn.commit_replace_where(spark, repl, path, predicate)
         elif op == "rename":
             new = f"{vname}x"
             txn.alter_rename_column(path, vname, new)
