@@ -40,6 +40,7 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 prioritize(
     [
         # --- (a) round-7 code-touched: txn/CDC family ---
+        "txn_maintenance_cycle",
         "streaming_txn_cdf",
         "txn_cdf_feed",
         "txn_cdf_log_feed",
@@ -91,7 +92,6 @@ prioritize(
         "grouping_sets_report",
         "having_fraction_of_total",
         "hypertable_rollup_daily",
-        "incremental_rollup_merge",
     ]
 )
 

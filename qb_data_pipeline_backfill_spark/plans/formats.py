@@ -514,3 +514,49 @@ def txn_merge_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_merged"),
         )
     )
+
+
+@register(
+    "txn_maintenance_cycle",
+    oracle="SELECT o_orderstatus, COUNT(*) AS n_orders, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "AS sum_price "
+    "FROM orders WHERE o_orderkey % 61 != 0 GROUP BY o_orderstatus",
+    doc="One full maintenance cycle through the transactional table "
+    "(operators/txn.py maintain_table — the OPTIMIZE + log-hygiene "
+    "loop): orders land as 12 small files, three MoR delete batches "
+    "pile up deletion vectors, then ONE maintain_table call compacts "
+    "(materializing the deletes, clearing the DV set — asserted), "
+    "checkpoints, expires old manifests, and vacuums under the "
+    "retention guard; the post-maintenance snapshot aggregates by "
+    "status. Hash equality with the closed-form survivor aggregate "
+    "proves compaction is row-preserving over DV-suppressed state. "
+    "Replay-stable end to end: the keyed append re-inserts nothing, "
+    "re-deleting already-deleted keys stages no new DV rows (round-7 "
+    "byte-level idempotence), and a healthy table publishes nothing.",
+)
+def txn_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_maint_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    orders = load_table(spark, sf_dir, "orders").repartition(12, "o_orderkey")
+    txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+    k = F.col("o_orderkey")
+    doomed = orders.filter(k % 61 == 0).select("o_orderkey")
+    for i in range(3):
+        txn.commit_delete_mor(
+            spark, doomed.filter(k % 3 == i), path, key="o_orderkey"
+        )
+    txn.maintain_table(spark, path, max_small_files=4, max_dvs=2)
+    assert txn.dv_file_count(path) == 0  # deletes materialized away
+    return (
+        txn.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice").alias("sum_price"),
+        )
+    )
