@@ -637,6 +637,8 @@ def commit_with_retry(
     after ``max_attempts`` losses (pathological contention — the
     caller should back off) or on an incompatible interleaved commit.
     """
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     last_seen = current_version(path)
     for attempt_no in range(max_attempts):
         try:
