@@ -2033,6 +2033,38 @@ def alter_drop_column(path: str, name: str) -> int:
     return _publish_metadata_commit(path, manifest, base)
 
 
+def drop_expectation(path: str, name: str) -> int:
+    """Retire a table CHECK expectation by name (the ALTER TABLE DROP
+    CONSTRAINT analog) via a metadata-only commit — without this, a
+    contract declared once could never be withdrawn (every commit
+    kind re-asserts the carried set). Raises KeyError if no such
+    expectation exists; the reserved replace-where name is never
+    stored, so it cannot be dropped."""
+    base = current_version(path)
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    exprs = dict(man.get("expectations", {}))
+    if name not in exprs:
+        raise KeyError(
+            f"no expectation {name!r} on table {path}; "
+            f"declared: {sorted(exprs)}"
+        )
+    del exprs[name]
+    manifest = {
+        **man,
+        "version": base + 1,
+        "parent": base,
+        "committed_at": time.time(),
+        "cdc": {"mode": "none"},
+    }
+    if exprs:
+        manifest["expectations"] = exprs
+    else:
+        manifest.pop("expectations", None)
+    return _publish_metadata_commit(path, manifest, base)
+
+
 def change_feed_enabled(path: str, version: int | None = None) -> bool:
     """Whether the table records commit-time change rows as of
     ``version`` (default: head). Off by default — see

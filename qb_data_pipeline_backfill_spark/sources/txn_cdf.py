@@ -179,10 +179,29 @@ def _step_cdc(path: str, version: int) -> dict:
     )
 
 
+def start_version_for_timestamp(path: str, ts: float) -> int:
+    """Stream-offset for "changes committed at or after ``ts``"
+    (Delta's ``startingTimestamp``): the latest version committed
+    STRICTLY BEFORE ``ts`` (offsets are exclusive starts), or -1 for
+    genesis. A ``ts`` predating retained history resolves past the
+    earliest manifest and surfaces as ``CdfRetentionError`` at read,
+    same as a stale ``start_version``."""
+    start = -1
+    for v in _manifest_versions(path):
+        if _read_manifest(path, v).get("committed_at", 0.0) < ts:
+            start = v
+    return start
+
+
 class TxnCdfStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, arrow_schema):
         self._path = options["path"]
-        self._start = int(options.get("start_version", -1))
+        if "start_timestamp" in options:
+            self._start = start_version_for_timestamp(
+                self._path, float(options["start_timestamp"])
+            )
+        else:
+            self._start = int(options.get("start_version", -1))
         self._arrow_schema = arrow_schema
         self._partition_bytes = int(
             options.get("max_partition_bytes", _DEFAULT_PARTITION_BYTES)
@@ -370,7 +389,12 @@ class TxnCdfDataSource(DataSource):
 
 
 def read_cdf_log(
-    spark, path: str, from_version: int = -1, to_version: int | None = None
+    spark,
+    path: str,
+    from_version: int = -1,
+    to_version: int | None = None,
+    *,
+    from_timestamp: float | None = None,
 ):
     """BATCH change feed read from the commit-time CDC log: per-commit
     change rows (row..., _change_type, _commit_version) for versions
@@ -388,7 +412,9 @@ def read_cdf_log(
     cross-commit netting); same retention/protocol errors. Rows are
     surfaced under the ``to`` version's logical schema; files from
     before an additive schema change contribute NULLs for the newer
-    columns.
+    columns. ``from_timestamp`` (Delta's ``startingTimestamp``)
+    resolves to "commits at or after this wall-time" and overrides
+    ``from_version``.
     """
     from pyspark.sql import functions as F
 
@@ -399,6 +425,8 @@ def read_cdf_log(
         _physical_ddl,
     )
 
+    if from_timestamp is not None:
+        from_version = start_version_for_timestamp(path, from_timestamp)
     to_v = current_version(path) if to_version is None else to_version
     head = _manifest_or_retention_error(path, to_v)
     head_fields = _logical_fields(head)

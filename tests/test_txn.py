@@ -2307,3 +2307,77 @@ def test_maintain_table_compacts_and_cleans(spark, tmp_path):
     assert not report2["compacted"]
     assert txn.current_version(path) == v
     assert report2["files_vacuumed"] == 0
+
+
+def test_drop_expectation_retires_the_contract(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(
+        spark,
+        _df(spark, 0, 10),
+        path,
+        expectations={"v_nonneg": "v >= 0", "k_not_null": "k IS NOT NULL"},
+    )
+    bad = spark.createDataFrame([(200, -5)], "k long, v long")
+    with pytest.raises(txn.ExpectationViolation):
+        txn.commit_append(spark, bad, path)
+    txn.drop_expectation(path, "v_nonneg")
+    # the dropped check no longer gates; the remaining one still does
+    txn.commit_append(spark, bad, path)
+    assert txn._read_manifest(path, txn.current_version(path))[
+        "expectations"
+    ] == {"k_not_null": "k IS NOT NULL"}
+    with pytest.raises(txn.ExpectationViolation):
+        txn.commit_append(
+            spark, spark.createDataFrame([(None, 1)], "k long, v long"), path
+        )
+    with pytest.raises(KeyError, match="no expectation"):
+        txn.drop_expectation(path, "nonexistent")
+    # dropping the last one removes the manifest key entirely
+    txn.drop_expectation(path, "k_not_null")
+    assert "expectations" not in txn._read_manifest(
+        path, txn.current_version(path)
+    )
+
+
+def test_cdf_start_timestamp(spark, tmp_path):
+    import time as _time
+
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        read_cdf_log,
+        start_version_for_timestamp,
+    )
+
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 5), path)
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    txn.commit_append(spark, _df(spark, 5, 8), path)
+    # changes at or after t_mid = the second commit only
+    assert start_version_for_timestamp(path, t_mid) == 0
+    got = {
+        (r["k"], r["_commit_version"])
+        for r in read_cdf_log(spark, path, from_timestamp=t_mid).collect()
+    }
+    assert got == {(k, 1) for k in range(5, 8)}
+    # a timestamp before genesis streams everything
+    assert start_version_for_timestamp(path, 0.0) == -1
+    assert read_cdf_log(spark, path, from_timestamp=0.0).count() == 8
+    # the streaming source takes the same option
+    feed = _drain_cdf_ts(spark, path, tmp_path, t_mid)
+    assert {(r["k"], r["_commit_version"]) for r in feed} == got
+
+
+def _drain_cdf_ts(spark, path, tmp_path, ts):
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
+
+    q = (
+        read_cdf_stream(spark, path, start_timestamp=ts)
+        .writeStream.format("memory")
+        .queryName("cdf_ts")
+        .option("checkpointLocation", str(tmp_path / "ck_ts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM cdf_ts").collect()
