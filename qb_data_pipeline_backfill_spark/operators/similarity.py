@@ -596,3 +596,80 @@ def ivfpq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("score"))
     )
+
+
+def semantic_dedup_flags(
+    df: DataFrame,
+    stride: int = 50,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster first so candidate pairs form only
+    WITHIN a coarse cell — the move that bounds the quadratic, exactly
+    like MinHash banding bounds shingle dedup — then flag as removed
+    every vector some lower-id cell-mate matches at cosine >=
+    ``threshold`` (greedy keep-first-id, the same first-wins policy as
+    the repo's exact dedup). Returns (id, cell, removed).
+
+    Deterministic end to end, so the WHOLE pipeline — not just a
+    recall floor — replays as a SQL oracle: strided centroids
+    (``deterministic_centroids``), argmax assignment on the cosine
+    ROUNDED to 6 dp with ties broken on centroid id (the rounding
+    absorbs float-summation-order differences across engines), and
+    pair admission on 4-dp-rounded cosine (the repo's near-dup
+    convention). Scale shape: one broadcast argmax pass for
+    assignment, one cell-key shuffle, per-cell pair generation
+    O(Σ|cell|²) — at 100 TB, cell size is capped by the centroid
+    count exactly as SemDeDup prescribes (their 50k clusters on 1.3B
+    LAION embeddings), never all-pairs."""
+    cents = deterministic_centroids(df, stride, id_col, vec_col)
+    scored = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("v_norm"),
+    ).crossJoin(F.broadcast(cents))
+    sim = F.round(
+        dot(F.col(vec_col), F.col("c_vec")) / (F.col("v_norm") * F.col("c_norm")),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
+    assigned = (
+        scored.select(
+            id_col, vec_col, "v_norm", "centroid_id", sim.alias("sim")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "v_norm", F.col("centroid_id").alias("cell"))
+    )
+    a = assigned.select(
+        "cell",
+        F.col(id_col).alias("__a"),
+        F.col(vec_col).alias("__va"),
+        F.col("v_norm").alias("__na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("v_norm").alias("__nb"),
+    )
+    cos = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 4
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("__a") < F.col("__b"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+        .withColumn("__gone", F.lit(True))
+    )
+    return assigned.select(id_col, "cell").join(
+        removed, id_col, "left_outer"
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("__gone"), F.lit(False)).alias("removed"),
+    )

@@ -39,8 +39,9 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # back to back after every commit-path change.
 prioritize(
     [
-        # --- (a) round-7 code-touched: txn/CDC family ---
+        # --- (a) round-7 code-touched: txn/CDC family + new operators ---
         "txn_maintenance_cycle",
+        "dedup_semantic_prune",
         "streaming_txn_cdf",
         "txn_cdf_feed",
         "txn_cdf_log_feed",
@@ -91,7 +92,6 @@ prioritize(
         "group_percentiles",
         "grouping_sets_report",
         "having_fraction_of_total",
-        "hypertable_rollup_daily",
     ]
 )
 

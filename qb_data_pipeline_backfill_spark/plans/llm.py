@@ -1473,3 +1473,55 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
         )
     )
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               ROUND((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS t(i))
+               / (sqrt((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                        FROM generate_series(1, 64) AS t(i)))
+                  * sqrt((SELECT SUM(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))
+                          FROM generate_series(1, 64) AS t(i)))), 6) AS sim
+        FROM embeddings e, c
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT y.vec_id AS vec_id
+        FROM assign x
+        JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        JOIN embeddings ea ON ea.vec_id = x.vec_id
+        JOIN embeddings eb ON eb.vec_id = y.vec_id
+        WHERE ROUND((SELECT SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+                     FROM generate_series(1, 64) AS t(i))
+              / (sqrt((SELECT SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))
+                       FROM generate_series(1, 64) AS t(i)))
+                 * sqrt((SELECT SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+                         FROM generate_series(1, 64) AS t(i)))), 4) >= 0.45
+    )
+    SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS removed
+    FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """,
+    doc="SemDeDup-shaped semantic dedup (Abbas et al. 2023): coarse "
+    "cells via strided centroids + 6-dp-rounded argmax assignment, "
+    "candidate pairs ONLY within a cell (the clustering is what bounds "
+    "the quadratic at scale — SemDeDup's 50k clusters over 1.3B LAION "
+    "embeddings), greedy keep-first-id removal at cosine >= 0.45. "
+    "Unlike the LSH/ANN family this pipeline is deterministic end to "
+    "end, so the oracle replays the ENTIRE algorithm — assignment, "
+    "pairing, and removal decisions — not just a recall floor.",
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semantic_dedup_flags(_embs(spark, sf_dir), stride=50, threshold=0.45)
