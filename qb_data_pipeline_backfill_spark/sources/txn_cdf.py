@@ -579,6 +579,7 @@ def apply_cdf_to_table(
     key: str,
     checkpoint_dir: str,
     start_version: int = -1,
+    replica_change_feed: bool = False,
 ):
     """Incremental view maintenance: tail ``source_path``'s change feed
     and apply each batch to a derived txn table — the CDC-replica loop
@@ -601,6 +602,13 @@ def apply_cdf_to_table(
     foreachBatch replay after a crash re-applies harmlessly —
     exactly-once end to end on top of at-least-once delivery. Runs
     with AvailableNow (catch-up then stop); returns the started query.
+
+    ``replica_change_feed=True`` creates the replica with its own
+    change-feed property, so the replica's merge commits record change
+    rows and DOWNSTREAM replicas can tail it in turn — multi-hop
+    replication chains (A → B → C), each hop O(change). Off by
+    default: a leaf replica should not pay the commit-time pre-image
+    cost (round-7 opt-in semantics).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -632,7 +640,11 @@ def apply_cdf_to_table(
             # genesis: publish an empty table WITH key zone maps so
             # every later batch merges copy-on-write (file-pruned)
             txn.commit_append_with_stats(
-                sp, src.drop("__op").limit(0), target_path, key=key
+                sp,
+                src.drop("__op").limit(0),
+                target_path,
+                key=key,
+                change_feed=replica_change_feed,
             )
         man = txn._read_manifest(target_path, txn.current_version(target_path))
         merge = (

@@ -2381,3 +2381,46 @@ def _drain_cdf_ts(spark, path, tmp_path, ts):
     )
     q.awaitTermination()
     return spark.sql("SELECT * FROM cdf_ts").collect()
+
+
+def test_cdf_replication_chain_two_hops(spark, tmp_path):
+    """Multi-hop replication: B is maintained from A's feed WITH its
+    own feed enabled, C is maintained from B's feed — after arbitrary
+    source mutations and two catch-up rounds, A ≡ B ≡ C. Each hop
+    reads only changes (O(change) per hop, the fan-out topology a
+    geo-distributed serving tier uses)."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        apply_cdf_to_table,
+    )
+
+    a, b, c = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c")
+    ck_ab, ck_bc = str(tmp_path / "ck_ab"), str(tmp_path / "ck_bc")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 30), a, key="k", change_feed=True
+    )
+
+    def sync():
+        apply_cdf_to_table(
+            spark, a, b, key="k", checkpoint_dir=ck_ab,
+            replica_change_feed=True,
+        ).awaitTermination()
+        apply_cdf_to_table(
+            spark, b, c, key="k", checkpoint_dir=ck_bc
+        ).awaitTermination()
+
+    sync()
+    assert txn.diff_tables(spark, a, c, key="k").count() == 0
+    txn.commit_upsert(
+        spark,
+        spark.createDataFrame([(3, -3), (99, 990)], "k long, v long"),
+        a,
+        key="k",
+    )
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(10,)], "k long"), a, key="k"
+    )
+    sync()
+    assert txn.diff_tables(spark, a, b, key="k").count() == 0
+    assert txn.diff_tables(spark, a, c, key="k").count() == 0
+    # the leaf replica C records nothing (default off)
+    assert txn.change_feed_enabled(b) and not txn.change_feed_enabled(c)
