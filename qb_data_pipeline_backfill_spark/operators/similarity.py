@@ -141,11 +141,16 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine) —
     the IVF coarse quantizer. Centroids are broadcast; assignment is a
     narrow argmax per row, so building the inverted file is one linear
-    pass + one small shuffle if the caller repartitions by cell."""
+    pass + one small shuffle if the caller repartitions by cell.
+    ``round_dp`` rounds the cosine before the argmax (ties then break
+    on centroid id) — the cross-engine determinism knob
+    ``semantic_dedup_flags`` needs so a SQL oracle reproduces the
+    assignment bit-for-bit despite float summation order."""
     cents = centroids.select(
         F.col("centroid_id"), F.col("c_vec"), F.col("c_norm")
     )
@@ -157,6 +162,8 @@ def ivf_assign(
     sim = dot(F.col(vec_col), F.col("c_vec")) / (
         F.col("v_norm") * F.col("c_norm")
     )
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
     return (
         scored.select(id_col, vec_col, "v_norm", "centroid_id", sim.alias("sim"))
@@ -625,24 +632,7 @@ def semantic_dedup_flags(
     count exactly as SemDeDup prescribes (their 50k clusters on 1.3B
     LAION embeddings), never all-pairs."""
     cents = deterministic_centroids(df, stride, id_col, vec_col)
-    scored = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("v_norm"),
-    ).crossJoin(F.broadcast(cents))
-    sim = F.round(
-        dot(F.col(vec_col), F.col("c_vec")) / (F.col("v_norm") * F.col("c_norm")),
-        6,
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
-    assigned = (
-        scored.select(
-            id_col, vec_col, "v_norm", "centroid_id", sim.alias("sim")
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "v_norm", F.col("centroid_id").alias("cell"))
-    )
+    assigned = ivf_assign(df, cents, id_col, vec_col, round_dp=6)
     a = assigned.select(
         "cell",
         F.col(id_col).alias("__a"),

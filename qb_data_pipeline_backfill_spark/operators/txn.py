@@ -613,6 +613,7 @@ def commit_with_retry(
     *,
     max_attempts: int = 5,
     compatible=None,
+    read_version: int | None = None,
 ):
     """Delta-style optimistic commit loop: run ``attempt()`` (a
     zero-arg closure that performs ONE commit_* call and returns its
@@ -626,10 +627,14 @@ def commit_with_retry(
     simply the same transaction executing later: serializable by
     construction, and expectations re-validate on every attempt. When
     the closure instead bakes in data derived from a snapshot read
-    OUTSIDE it (read-modify-write), pass ``compatible`` —
-    ``compatible(path, version) -> bool`` is consulted for every
-    version the winner(s) published while we raced; returning False
-    re-raises instead of retrying (the caller must re-derive).
+    OUTSIDE it (read-modify-write), pass ``compatible`` AND
+    ``read_version`` — the version that snapshot was read at.
+    ``compatible(path, version) -> bool`` is consulted for EVERY
+    version published after ``read_version``, not merely after this
+    call started: a writer that landed between the caller's snapshot
+    read and the call is exactly the hazard being vetted (without
+    ``read_version`` that window is silently skipped). Returning
+    False re-raises instead of retrying (the caller must re-derive).
     ``step_is_append_shaped`` is the standard predicate: concurrent
     appends are harmless to a read-modify-write, rewrites are not.
 
@@ -639,7 +644,9 @@ def commit_with_retry(
     """
     if max_attempts < 1:
         raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
-    last_seen = current_version(path)
+    last_seen = (
+        read_version if read_version is not None else current_version(path)
+    )
     for attempt_no in range(max_attempts):
         try:
             return attempt()
@@ -710,17 +717,22 @@ def maintain_table(
     VACUUM loop a deployment schedules nightly, as a single idempotent
     verb. Policy:
 
-    - COMPACT (``commit_compact``) when live deletion vectors exceed
-      ``max_dvs`` (every read pays their broadcast anti-join until
-      they materialize away) or more than ``max_small_files`` data
-      files are under ``small_file_bytes`` (small-file creep from
-      streaming/CDC-apply commits degrades scan parallelism into task
-      overhead). The rewrite targets ``target_file_bytes`` per file.
-    - CHECKPOINT + EXPIRE afterwards, capping the manifest population
-      (time travel before the new floor is given up — that is the
-      point; size ``retention_seconds`` to the slowest consumer).
-    - VACUUM unreferenced files older than the retention window
-      (never an in-flight writer's staged files).
+    - PARTIAL COMPACT (``commit_compact_files``) when live deletion
+      vectors exceed ``max_dvs`` (every read pays their broadcast
+      anti-join until they materialize away) or more than
+      ``max_small_files`` data files are under ``small_file_bytes``
+      (small-file creep from streaming/CDC-apply commits degrades
+      scan parallelism into task overhead). Only the stragglers
+      rewrite — the small files plus every DV-referenced file — and
+      the healthy majority carries by reference; the rewrite targets
+      ``target_file_bytes`` per output file.
+    - CHECKPOINT + EXPIRE bounded by the retention window: the floor
+      advances only to the newest version ALREADY OLDER than
+      ``retention_seconds``, so time travel and lagging CDF consumers
+      keep the window's history (a consumer slower than the window
+      must re-seed — size the window to the slowest consumer).
+    - VACUUM unreferenced files older than the same window (never an
+      in-flight writer's staged files).
 
     A table needing nothing publishes nothing (no empty compaction
     commit). Returns a report of what ran. Raises
@@ -734,24 +746,53 @@ def maintain_table(
     sizes = {
         n: os.path.getsize(os.path.join(data_dir, n)) for n in man["files"]
     }
-    n_small = sum(1 for b in sizes.values() if b < small_file_bytes)
+    small = [n for n, b in sizes.items() if b < small_file_bytes]
     n_dvs = len(man.get("dvs", []))
     report = {
         "files_before": len(man["files"]),
-        "small_files": n_small,
+        "small_files": len(small),
         "dvs_before": n_dvs,
         "compacted": False,
     }
-    if n_dvs > max_dvs or n_small > max_small_files:
-        total = sum(sizes.values())
+    if n_dvs > max_dvs or len(small) > max_small_files:
+        rewrite = set(small)
+        if man.get("dvs"):
+            # DV-referenced files must rewrite for the vectors to clear
+            rewrite |= {
+                r["file_name"]
+                for r in spark.read.parquet(
+                    *[os.path.join(path, "data", n) for n in man["dvs"]]
+                )
+                .select("file_name")
+                .distinct()
+                .collect()
+            } & set(man["files"])
+        total = sum(sizes[n] for n in rewrite)
         parts = max(1, -(-total // target_file_bytes))  # ceil
-        commit_compact(spark, path, target_partitions=int(parts), expected_base=v)
-        report["compacted"] = True
-        report["files_after"] = len(
-            _read_manifest(path, current_version(path))["files"]
+        commit_compact_files(
+            spark,
+            path,
+            sorted(rewrite),
+            target_partitions=int(parts),
+            expected_base=v,
         )
-    checkpoint(path)
-    report["manifests_retired"] = len(expire_manifests(path))
+        head = _read_manifest(path, current_version(path))
+        report["compacted"] = True
+        report["files_rewritten"] = len(rewrite)
+        report["files_after"] = len(head["files"])
+        report["dvs_after"] = len(head.get("dvs", []))
+    # retention-bounded log hygiene: floor = newest version whose
+    # commit already aged out of the window (nothing if all younger)
+    cutoff = time.time() - retention_seconds
+    floor = -1
+    for mv in _manifest_versions(path):
+        if _read_manifest(path, mv).get("committed_at", 0.0) <= cutoff:
+            floor = mv
+    if floor >= 0:
+        checkpoint(path, version=floor)
+        report["manifests_retired"] = len(expire_manifests(path))
+    else:
+        report["manifests_retired"] = 0
     report["files_vacuumed"] = len(vacuum(path, retention_seconds))
     return report
 
@@ -769,8 +810,9 @@ def checkpoint_version(path: str) -> int:
         return -1
 
 
-def checkpoint(path: str) -> int:
-    """Record the current version as the table's checkpoint floor.
+def checkpoint(path: str, version: int | None = None) -> int:
+    """Record ``version`` (default: head) as the table's checkpoint
+    floor.
 
     Manifests here are self-contained (each lists its full file set),
     so a checkpoint doesn't need to consolidate a delta log — it only
@@ -778,12 +820,20 @@ def checkpoint(path: str) -> int:
     the latest snapshot always touch exactly ONE manifest regardless
     of commit count; what grows unbounded on a long-lived table is the
     ``_txn/v*.json`` population itself, and ``expire_manifests`` uses
-    this floor to cap it. Write is atomic (tmp + os.replace); call it
-    every K commits (see ``commit_append(checkpoint_every=...)``).
+    this floor to cap it. Passing an explicit ``version`` bounds the
+    floor below head — how ``maintain_table`` keeps a retention window
+    of history alive for lagging CDF consumers and time travel. The
+    floor never moves backwards. Write is atomic (tmp + os.replace);
+    call it every K commits (see
+    ``commit_append(checkpoint_every=...)``).
     """
-    v = current_version(path)
-    if v < 0:
+    head = current_version(path)
+    if head < 0:
         raise FileNotFoundError(f"no committed version under {path}")
+    v = head if version is None else version
+    if not (0 <= v <= head):
+        raise ValueError(f"checkpoint version {v} outside [0, {head}]")
+    v = max(v, checkpoint_version(path))  # monotone floor
     tmp = os.path.join(_txn_dir(path), f".cp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump({"version": v}, f)
@@ -918,6 +968,82 @@ def commit_compact(
         extra_meta=_carry_meta(prev),
         # row-preserving rewrite: dataChange=false, the change feed
         # skips this version entirely
+        cdc="none",
+    )
+
+
+def commit_compact_files(
+    spark: SparkSession,
+    path: str,
+    files_to_rewrite: list[str],
+    target_partitions: int = 1,
+    expected_base: int | None = None,
+) -> int:
+    """PARTIAL compaction: rewrite only the named files (with their
+    deletion vectors materialized away) into ``target_partitions``
+    files; every other file carries forward BY REFERENCE with its
+    zone-map stats and Bloom bits. This is the OPTIMIZE shape at
+    scale — bin-pack the stragglers, never rewrite the healthy 99% —
+    where ``commit_compact`` is the full-table rewrite. DV rows
+    referencing carried files keep applying; when every DV-referenced
+    file is in the rewrite set, the vector list clears entirely.
+    Row-preserving (``cdc`` mode ``none``)."""
+    base = current_version(path) if expected_base is None else expected_base
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    rewrite = set(files_to_rewrite)
+    unknown = rewrite - set(man["files"])
+    if unknown:
+        raise ValueError(f"not in manifest: {sorted(unknown)[:5]}")
+    carried = [n for n in man["files"] if n not in rewrite]
+    if rewrite:
+        tfiles = [os.path.join(path, "data", n) for n in sorted(rewrite)]
+        merged = _to_logical(
+            _apply_dvs(
+                spark,
+                path,
+                man,
+                spark.read.schema(_physical_ddl(man)).parquet(*tfiles),
+            ),
+            man,
+        ).coalesce(target_partitions)
+    else:
+        merged = read_version(spark, path, base).limit(0)
+    dvs = man.get("dvs") or []
+    keep_dvs = False
+    if dvs and carried:
+        # which files do the DV rows still reference? One distinct
+        # scan of the (small, delete-batch-sized) DV set — file names
+        # only, never data-sized driver traffic.
+        ref = {
+            r["file_name"]
+            for r in spark.read.parquet(
+                *[os.path.join(path, "data", n) for n in dvs]
+            )
+            .select("file_name")
+            .distinct()
+            .collect()
+        }
+        keep_dvs = bool(ref & set(carried))
+    stats = man.get("stats", {})
+    col_stats = man.get("col_stats", {})
+    blooms = man.get("blooms", {})
+    return _commit_replace(
+        spark,
+        merged,
+        path,
+        base,
+        stats_col=man.get("stats_col"),
+        carried=carried,
+        carried_stats={n: stats[n] for n in carried if n in stats},
+        stats_cols=man.get("stats_cols"),
+        carried_col_stats={n: col_stats[n] for n in carried if n in col_stats},
+        bloom_spec=man.get("bloom_spec"),
+        carried_blooms={n: blooms[n] for n in carried if n in blooms},
+        carried_dvs=man.get("dvs") if keep_dvs else None,
+        dv_key=man.get("dv_key") if keep_dvs else None,
+        extra_meta=_carry_meta(man),
         cdc="none",
     )
 
@@ -1073,13 +1199,14 @@ def _bloom_file_hit(words: list[list[int]], positions: list[int]) -> bool:
     return True
 
 
-def _has_duplicate_keys(df: DataFrame, key: str) -> bool:
-    """True iff any ``key`` value occurs more than once — one
-    map-side-combined aggregate with an existence limit, the same
-    probe ``commit_merge`` runs on its source."""
+def _duplicate_key_example(df: DataFrame, key: str) -> list:
+    """A 1-row sample of a duplicated ``key`` value ([] when unique) —
+    one map-side-combined aggregate with an existence limit; the
+    shared probe behind MERGE's unique-source contract and
+    replace_where's keyed-CDC fallback."""
     from pyspark.sql import functions as FF
 
-    return bool(
+    return (
         df.groupBy(key)
         .agg(FF.count(FF.lit(1)).alias("_n"))
         .filter(FF.col("_n") > 1)
@@ -1845,8 +1972,13 @@ def commit_delete_mor(
     # deleted key records an empty change set. The pre-image read is
     # the expensive half of a MoR delete (the DV probe above touches
     # only matching files; this re-opens the snapshot slice), so it
-    # runs ONLY for feed-enabled tables.
-    if man.get("change_feed"):
+    # runs ONLY for feed-enabled tables. A delete that suppressed
+    # NOTHING (replay, or keys absent) is a provable no-op — mode
+    # "none" regardless of the feed setting, so it can never poison a
+    # later-enabled feed's history (and skips the pre-image read).
+    if not dv_files:
+        cdc_rec = {"mode": "none"}
+    elif man.get("change_feed"):
         cdc_rows = read_version(spark, path, base).join(
             FF.broadcast(keys.select(key).dropDuplicates([key])),
             key,
@@ -2394,8 +2526,8 @@ def commit_replace_where(
         # existence probe per side; duplicates fall back to the exact
         # multiset path.
         if key is not None and (
-            _has_duplicate_keys(old_slice, key)
-            or _has_duplicate_keys(df, key)
+            _duplicate_key_example(old_slice, key)
+            or _duplicate_key_example(df, key)
         ):
             key = None
         new_rows = df.select(*cols)
@@ -2572,13 +2704,7 @@ def commit_merge_cow(
             f"table at {path} lacks zone-map stats on {key!r}; "
             "write it with commit_append_with_stats, or use commit_merge"
         )
-    dup = (
-        source.groupBy(key)
-        .agg(FF.count(FF.lit(1)).alias("_n"))
-        .filter(FF.col("_n") > 1)
-        .limit(1)
-        .collect()
-    )
+    dup = _duplicate_key_example(source, key)
     if dup:
         raise ValueError(
             f"MERGE source has duplicate key {dup[0][key]!r}; "
@@ -2637,7 +2763,13 @@ def commit_merge_cow(
         writes.select(key).unionByName(departures), key, "left_anti"
     )
     merged = survivors.unionByName(writes)
-    if man.get("change_feed"):
+    if not touched:
+        # no existing file holds a source key: the commit is
+        # append-shaped (all writes are inserts, tombstones are
+        # no-ops) and the staged files ARE the change rows — record
+        # the free append mode so the feed can always replay it
+        cdc = "append"
+    elif man.get("change_feed"):
         cdc = _cdc_upsert_changes(target, writes, key, cols).unionByName(
             target.join(departures, key, "left_semi").withColumn(
                 "_change_type", FF.lit("delete")
@@ -2715,13 +2847,7 @@ def commit_merge(
     base = current_version(path) if expected_base is None else expected_base
     if base < 0:
         raise FileNotFoundError(f"no committed version under {path}")
-    dup = (
-        source.groupBy(key)
-        .agg(FF.count(FF.lit(1)).alias("_n"))
-        .filter(FF.col("_n") > 1)
-        .limit(1)
-        .collect()
-    )
+    dup = _duplicate_key_example(source, key)
     if dup:
         raise ValueError(
             f"MERGE source has duplicate key {dup[0][key]!r}; "

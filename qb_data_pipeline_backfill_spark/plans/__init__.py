@@ -28,11 +28,13 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # Round-7 rotation (VERDICT r6 #3): (a) everything round 7 touched —
 # the whole txn/CDC family (change-feed recording became per-table
 # opt-in; commit paths, stream planner, log readers, and
-# table_changes' snapshot resolution all changed); then (b) the 14
-# records whose last driver grade was r03, and (c) 26 of the 49
-# r04-era records, certification contracts and the two bench-wobble
-# suspects (dedup_embedding_lsh, similarity_ann_ivf) first. The
-# remaining 23 r04-era records rotate in round 8. r05/r06 greens are
+# table_changes' snapshot resolution all changed) plus the two new
+# round-7 queries; then (b) the 14 records whose last driver grade
+# was r03, and (c) 24 of the 49 r04-era records, certification
+# contracts and the two bench-wobble suspects (dedup_embedding_lsh,
+# similarity_ann_ivf) first. The remaining 25 r04-era records
+# (incl. hypertable_rollup_daily and incremental_rollup_merge,
+# displaced by the new round-7 entries) rotate in round 8. r05/r06 greens are
 # the freshest and wait. The full registry was additionally verified
 # locally this round (tools/check_correctness.py, sf0.01, full
 # sweep), and the replay-sensitive CDC gate queries were re-run

@@ -2141,9 +2141,15 @@ def test_commit_with_retry_refuses_incompatible_interleave(spark, tmp_path):
             spark, _df(spark, 20, 30), path, expected_base=base
         )
 
+    # read_version pins the caller's snapshot read: the incompatible
+    # delete landed AFTER it (and before the call), so the vet window
+    # covers it and the loop refuses instead of blindly retrying
     with pytest.raises(txn.ConcurrentCommitError):
         txn.commit_with_retry(
-            path, attempt, compatible=txn.step_is_append_shaped
+            path,
+            attempt,
+            compatible=txn.step_is_append_shaped,
+            read_version=base,
         )
     # while an append-shaped interleave under the same policy retries
     base2 = txn.current_version(path)
@@ -2156,7 +2162,10 @@ def test_commit_with_retry_refuses_incompatible_interleave(spark, tmp_path):
         return txn.commit_append(spark, _df(spark, 50, 60), path, expected_base=eb)
 
     v = txn.commit_with_retry(
-        path, attempt2, compatible=txn.step_is_append_shaped
+        path,
+        attempt2,
+        compatible=txn.step_is_append_shaped,
+        read_version=base2,
     )
     assert v == txn.current_version(path) and len(tries) == 2
 
@@ -2424,3 +2433,57 @@ def test_cdf_replication_chain_two_hops(spark, tmp_path):
     assert txn.diff_tables(spark, a, c, key="k").count() == 0
     # the leaf replica C records nothing (default off)
     assert txn.change_feed_enabled(b) and not txn.change_feed_enabled(c)
+
+
+def test_partial_compaction_carries_healthy_files(spark, tmp_path):
+    """commit_compact_files rewrites ONLY the named stragglers; the
+    healthy file carries by reference with its zone-map stats, and
+    DV rows referencing a carried file keep applying."""
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 500).coalesce(1), path, key="k"
+    )
+    for lo in range(1000, 1010, 2):
+        txn.commit_append_with_stats(
+            spark, _df(spark, lo, lo + 2).coalesce(1), path, key="k"
+        )
+    man = txn._read_manifest(path, txn.current_version(path))
+    assert len(man["files"]) == 6
+    big = man["files"][0]  # the 500-row genesis file
+    small = [n for n in man["files"] if n != big]
+    # a DV on the BIG (carried) file must survive the partial compact
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(7,)], "k long"), path, key="k"
+    )
+    txn.commit_compact_files(spark, path, small, target_partitions=1)
+    head = txn._read_manifest(path, txn.current_version(path))
+    assert big in head["files"] and len(head["files"]) == 2
+    assert big in head.get("stats", {})  # carried stats intact
+    assert head.get("dvs")  # DV references the carried big file
+    got = txn.read_table(spark, path)
+    assert got.count() == 509  # 500 + 10 - 1 deleted
+    assert got.filter("k = 7").count() == 0
+    # compacting the big file too materializes the DV away
+    txn.commit_compact_files(
+        spark, path, [n for n in head["files"]], target_partitions=1
+    )
+    final = txn._read_manifest(path, txn.current_version(path))
+    assert not final.get("dvs") and len(final["files"]) == 1
+    assert txn.read_table(spark, path).count() == 509
+
+
+def test_maintain_respects_retention_window(spark, tmp_path):
+    """A retention window longer than the table's age must retire no
+    manifests: lagging CDF consumers and time travel keep the history
+    (the floor only advances over versions older than the window)."""
+    path = str(tmp_path / "t")
+    for lo in (0, 10, 20, 30, 40, 50):
+        txn.commit_append_with_stats(
+            spark, _df(spark, lo, lo + 10).coalesce(1), path, key="k"
+        )
+    report = txn.maintain_table(
+        spark, path, max_small_files=2, retention_seconds=3600.0
+    )
+    assert report["compacted"]  # small-file pressure still fixed
+    assert report["manifests_retired"] == 0  # history inside the window
+    assert txn.read_version(spark, path, 0).count() == 10  # time travel
