@@ -409,6 +409,33 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return read_version(spark, path, v)
 
 
+def _union_schema_ddl(prev: dict, schema) -> str:
+    """The table's logical schema after an append: the existing
+    columns in their recorded order and types — a batch may omit any
+    of them; its files surface NULL there — followed by the batch's
+    genuinely-new columns (additive evolution). A batch that RETYPES
+    an existing column is rejected: old files would scan under a
+    conflicting reader schema."""
+    have = {f.name: f.dataType.simpleString() for f in schema}
+    if not prev or "schema_ddl" not in prev:
+        return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+    fields: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for n, t in _logical_fields(prev):
+        if n in have and have[n] != t:
+            raise ValueError(
+                f"append batch retypes column {n!r} to {have[n]} but the "
+                f"table records {t}; column types cannot change "
+                "(additive evolution only)"
+            )
+        fields.append((n, t))
+        seen.add(n)
+    for f in schema:
+        if f.name not in seen:
+            fields.append((f.name, f.dataType.simpleString()))
+    return ", ".join(f"{n} {t}" for n, t in fields)
+
+
 def commit_append(
     spark: SparkSession,
     df: DataFrame,
@@ -479,118 +506,48 @@ def commit_append(
     if new_keys and base >= 0:
         enforce_expectations(read_version(spark, path, base), new_keys)
 
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
-    os.makedirs(_txn_dir(path), exist_ok=True)
-
-    # Stage: write through Spark's committer into a unique subdir,
-    # then hard-link the parts into data/ under unique names. Nothing
-    # is visible until the manifest publishes. Staged files carry
-    # PHYSICAL column names (see column mapping above).
+    # resurrection/collision guard runs against the TRUE previous
+    # manifest before the union below adds the batch's new names to
+    # the published schema (the union would otherwise mask it)
     _guard_new_columns([f.name for f in out.schema], prev0)
-    stage_id = uuid.uuid4().hex
-    stage_dir = os.path.join(path, "_staging", stage_id)
-    _to_physical_df(out, _col_map(prev0)).write.mode("overwrite").parquet(
-        stage_dir
-    )
-    prev = _read_manifest(path, base) if base >= 0 else {}
-    stats_col = prev.get("stats_col")
-    stats_cols = prev.get("stats_cols")
-    # A bloom spec set at table creation (commit_append_with_bloom) is
-    # inherited by every later append, like the zone-map column set.
-    bloom_spec = prev.get("bloom_spec") or bloom_spec
-    new_files: list[str] = []
-    stats: dict[str, list] = dict(prev.get("stats", {}))
-    col_stats: dict[str, dict] = dict(prev.get("col_stats", {}))
-    blooms: dict[str, list] = dict(prev.get("blooms", {}))
-    staged_blooms: dict[str, list] = (
-        _file_blooms(
-            spark, stage_dir, bloom_spec["col"], bloom_spec["m"], bloom_spec["k"]
-        )
-        if bloom_spec
-        else {}
-    )
-    for name in sorted(os.listdir(stage_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        # zero-row part files (an idempotent keyed replay, a sparse
-        # final repartition) never enter the manifest: at one empty
-        # file per writer task per replayed batch, a long-lived table
-        # would otherwise accrete thousands of no-op files that every
-        # snapshot read must still open (footer check is metadata-only)
-        if _parquet_num_rows(os.path.join(stage_dir, name)) == 0:
-            continue
-        unique = f"{stage_id}-{name}"
-        os.link(
-            os.path.join(stage_dir, name), os.path.join(path, "data", unique)
-        )
-        new_files.append(unique)
-        if stats_col is not None:
-            s = _file_stats(os.path.join(stage_dir, name), stats_col)
-            if s is not None:
-                stats[unique] = s
-        if stats_cols:
-            col_stats[unique] = _file_stats_multi(
-                os.path.join(stage_dir, name), stats_cols
-            )
-        if bloom_spec and name in staged_blooms:
-            blooms[unique] = staged_blooms[name]
-
-    manifest = {
-        "version": base + 1,
-        "files": prev.get("files", []) + new_files,
-        "schema_ddl": ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in out.schema
-        ),
-        "parent": base,
-        "committed_at": time.time(),
-    }
-    if stats_col is not None:
-        manifest["stats_col"] = stats_col
-        manifest["stats"] = stats
-    if stats_cols:
-        manifest["stats_cols"] = stats_cols
-        manifest["col_stats"] = col_stats
-    if bloom_spec:
-        manifest["bloom_spec"] = bloom_spec
-        manifest["blooms"] = blooms
-    if prev.get("dvs"):
-        # carried files keep their deletion vectors; new files are
-        # fresh appends no DV row can reference
-        manifest["dvs"] = prev["dvs"]
-        manifest["dv_key"] = prev.get("dv_key")
+    extra = dict(_carry_meta(prev0))
+    # the published schema is the UNION of the table's columns and the
+    # batch's (type changes rejected): a narrower batch must not shrink
+    # the live schema — its files surface NULL for omitted columns,
+    # symmetric with additive widening (r7 review: adopting the batch
+    # schema verbatim let a buggy producer silently drop a column)
+    extra["schema_ddl"] = _union_schema_ddl(prev0, out.schema)
     if contract:
-        manifest["expectations"] = contract
-    if prev.get("column_map"):
-        manifest["column_map"] = prev["column_map"]
-    if prev.get("dropped_physical"):
-        manifest["dropped_physical"] = prev["dropped_physical"]
-    if "cdc_applied_version" in prev:
-        manifest["cdc_applied_version"] = prev["cdc_applied_version"]
+        extra["expectations"] = contract
     # change_feed=True sets the property; anything else inherits (the
     # explicit off-switch is disable_change_feed — a metadata commit,
     # matching Delta's ALTER-only property semantics)
-    if change_feed or prev.get("change_feed"):
-        manifest["change_feed"] = True
-    # commit-time CDC record: an append's new files ARE its inserted
-    # rows (no DV can reference a fresh file), so the change feed reads
-    # them directly — zero extra bytes written (Delta CDF's append
-    # optimization)
-    manifest["cdc"] = {"mode": "append", "files": new_files}
-    tmp = os.path.join(_txn_dir(path), f".tmp-{stage_id}.json")
-    _write_manifest_json(manifest, tmp)
-    try:
-        # os.link is atomic create-if-absent: exactly one writer wins
-        # a given version on any POSIX filesystem.
-        os.link(tmp, _manifest_path(path, base + 1))
-    except FileExistsError as e:
-        raise ConcurrentCommitError(
-            f"version {base + 1} already committed under {path}"
-        ) from e
-    finally:
-        os.unlink(tmp)
-    if checkpoint_every is not None and (base + 1) % checkpoint_every == 0:
+    if change_feed or prev0.get("change_feed"):
+        extra["change_feed"] = True
+    v = _commit_replace(
+        spark,
+        out,
+        path,
+        base,
+        stats_col=prev0.get("stats_col"),
+        carried=prev0.get("files", []),
+        carried_stats=prev0.get("stats", {}),
+        stats_cols=prev0.get("stats_cols"),
+        carried_col_stats=prev0.get("col_stats", {}),
+        # a bloom spec set at table creation (commit_append_with_bloom)
+        # is inherited by every later append, like the zone-map columns
+        bloom_spec=prev0.get("bloom_spec") or bloom_spec,
+        carried_blooms=prev0.get("blooms", {}),
+        # carried files keep their deletion vectors; new files are
+        # fresh appends no DV row can reference
+        carried_dvs=prev0.get("dvs"),
+        dv_key=prev0.get("dv_key"),
+        extra_meta=extra,
+        cdc="append",
+    )
+    if checkpoint_every is not None and v % checkpoint_every == 0:
         checkpoint(path)
-    return base + 1
+    return v
 
 
 def step_is_append_shaped(path: str, version: int) -> bool:
@@ -880,6 +837,13 @@ def commit_upsert(
     base = current_version(path) if expected_base is None else expected_base
     prev = _read_manifest(path, base) if base >= 0 else {}
     enforce_expectations(df, prev.get("expectations", {}))
+    dup = _duplicate_key_example(df, key)
+    if dup:
+        raise ValueError(
+            f"upsert batch has duplicate key {dup[0][key]!r}; a key "
+            "must match at most one batch row (MERGE semantics — and "
+            "a duplicated key would emit cross-joined CDC pairs)"
+        )
     if base >= 0:
         target = read_version(spark, path, base)
         survivors = target.join(df.select(key), key, "left_anti")
@@ -1066,8 +1030,12 @@ def _stats_from_md(md, col: str) -> list | None:
     ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`` so the
     engine's own writes never hit that. DECIMAL stats are decoded from
     the raw unscaled integers because pyarrow's typed accessor doesn't
-    implement them."""
+    implement them. A file that lacks the column entirely (a narrow
+    batch omitting it — its rows are all-NULL there) records no stats
+    and is scanned conservatively."""
     idx = md.schema.to_arrow_schema().get_field_index(col)
+    if idx < 0:
+        return None
     colschema = md.schema.column(idx)
     lo = hi = None
     for rg in range(md.num_row_groups):
@@ -1712,11 +1680,14 @@ def commit_upsert_cow(
         )
     from pyspark.sql import functions as FF
 
-    bounds = df.agg(
-        FF.min(key).alias("lo"), FF.max(key).alias("hi")
-    ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:  # empty update batch: nothing to rewrite
+    dup = _duplicate_key_example(df, key)
+    if dup:
+        raise ValueError(
+            f"upsert batch has duplicate key {dup[0][key]!r}; a key "
+            "must match at most one batch row (MERGE semantics — and "
+            "a duplicated key would emit cross-joined CDC pairs)"
+        )
+    if df.limit(1).count() == 0:  # empty update batch: nothing to rewrite
         return _commit_replace(
             spark,
             read_version(spark, path, base).limit(0),
@@ -1814,14 +1785,38 @@ def commit_append_with_bloom(
     words (≤ m/64 longs per file).
     """
     base = current_version(path) if expected_base is None else expected_base
+    # driver-side probe hashing (pure Python) must render the value
+    # exactly as Spark's string cast does; that only holds for integer
+    # and string keys — a timestamp/bool/float column would hash to
+    # different bit positions on the two sides and produce SILENT
+    # false negatives at lookup (r7 review)
+    coltype = {f.name: f.dataType.simpleString() for f in df.schema}.get(
+        bloom_col
+    )
+    if coltype not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise ValueError(
+            f"bloom index supports integer and string columns; "
+            f"{bloom_col!r} is {coltype}"
+        )
     spec = {"col": bloom_col, "m": int(m), "k": int(k)}
     if base >= 0:
         man0 = _read_manifest(path, base)
         spec["col"] = _phys(man0, bloom_col)  # specs store physical names
         prev = man0.get("bloom_spec")
-        if prev is not None and prev != spec and (m, k) != (8192, 4):
-            raise ValueError(f"table already has bloom spec {prev}, got {spec}")
-        spec = prev or spec
+        if prev is not None:
+            # a DIFFERENT column is always an error (the caller would
+            # silently probe the wrong column); defaulted m/k inherit,
+            # explicit conflicting m/k are rejected
+            if prev["col"] != spec["col"]:
+                raise ValueError(
+                    f"table's bloom index is on {prev['col']!r}, "
+                    f"got {spec['col']!r}"
+                )
+            if (m, k) != (8192, 4) and (prev["m"], prev["k"]) != (m, k):
+                raise ValueError(
+                    f"table already has bloom spec {prev}, got {spec}"
+                )
+            spec = prev
     return commit_append(
         spark, df, path, key=key, expected_base=base, bloom_spec=spec
     )

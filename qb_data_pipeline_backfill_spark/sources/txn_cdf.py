@@ -727,7 +727,13 @@ def apply_cdf_to_rollup(
         measure = F.col(measure_col).cast("decimal(28,6)")
         deltas = fresh.groupBy(group_col).agg(
             F.sum(sign).alias("__d_n"),
-            F.sum(sign * measure).alias("__d_sum"),
+            # a batch whose only contributions for a group carry NULL
+            # measures sums to NULL, and NULL + current would poison
+            # the maintained sum — a fresh aggregation IGNORES NULL
+            # measures, so the delta must be 0, not NULL
+            F.coalesce(
+                F.sum(sign * measure), F.lit(0).cast("decimal(28,6)")
+            ).alias("__d_sum"),
         )
         if head < 0:
             # genesis publishes an EMPTY rollup, so the watermark and

@@ -2487,3 +2487,95 @@ def test_maintain_respects_retention_window(spark, tmp_path):
     assert report["compacted"]  # small-file pressure still fixed
     assert report["manifests_retired"] == 0  # history inside the window
     assert txn.read_version(spark, path, 0).count() == 10  # time travel
+
+
+def test_append_narrow_batch_keeps_schema_and_nulls(spark, tmp_path):
+    """A batch missing an existing column must not shrink the table's
+    schema (r7 review): its rows surface NULL there — symmetric with
+    additive widening — and a batch RETYPING a column is rejected."""
+    path = str(tmp_path / "t")
+    three = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k long, v long, s string"
+    )
+    txn.commit_append(spark, three, path)
+    narrow = spark.createDataFrame([(9, 90)], "k long, v long")
+    txn.commit_append(spark, narrow, path)
+    got = txn.read_table(spark, path)
+    assert set(got.columns) == {"k", "v", "s"}
+    assert [r["s"] for r in got.filter("k = 9").collect()] == [None]
+    # the zone-map path keeps working when the stats column is absent
+    p2 = str(tmp_path / "t2")
+    txn.commit_append_with_stats(spark, three, p2, key="k")
+    with pytest.raises(ValueError, match="retypes column"):
+        txn.commit_append(
+            spark,
+            spark.createDataFrame([(5, "oops", "x")], "k long, v string, s string"),
+            p2,
+        )
+
+
+def test_bloom_guards_column_type_and_spec_conflicts(spark, tmp_path):
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    tsdf = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "k long, ts timestamp"
+    )
+    # non-int/string bloom columns would hash differently on the
+    # driver vs Spark -> silent false negatives; rejected up front
+    with pytest.raises(ValueError, match="integer and string"):
+        txn.commit_append_with_bloom(
+            spark, tsdf, path, key="k", bloom_col="ts"
+        )
+    df = _df(spark, 0, 20)
+    txn.commit_append_with_bloom(spark, df, path, key="k", bloom_col="v")
+    # pointing the index at a DIFFERENT column is always an error,
+    # even with defaulted m/k (previously silently ignored)
+    with pytest.raises(ValueError, match="bloom index is on"):
+        txn.commit_append_with_bloom(
+            spark, _df(spark, 20, 30), path, key="k", bloom_col="k"
+        )
+
+
+def test_upsert_rejects_duplicate_batch_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 10), path, key="k")
+    dup = spark.createDataFrame([(3, 1), (3, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate key"):
+        txn.commit_upsert(spark, dup, path, key="k")
+    with pytest.raises(ValueError, match="duplicate key"):
+        txn.commit_upsert_cow(spark, dup, path, key="k")
+    assert txn.current_version(path) == 0  # nothing committed
+
+
+def test_rollup_null_measures_do_not_poison_sum(spark, tmp_path):
+    """A change batch whose only contribution for a group carries a
+    NULL measure must leave the maintained sum unchanged (a fresh
+    aggregation ignores NULL measures) — r7 review: NULL + current
+    poisoned the rollup to NULL."""
+    from decimal import Decimal
+
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        apply_cdf_to_rollup,
+    )
+
+    src, roll = str(tmp_path / "src"), str(tmp_path / "roll")
+    rows = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", 5.0)], "k long, g string, m double"
+    )
+    txn.commit_append_with_stats(spark, rows, src, key="k", change_feed=True)
+    apply_cdf_to_rollup(
+        spark, src, roll, "g", "m", str(tmp_path / "ck")
+    ).awaitTermination()
+    nullrow = spark.createDataFrame(
+        [(3, "g", None)], "k long, g string, m double"
+    )
+    txn.commit_upsert(spark, nullrow, src, key="k")
+    apply_cdf_to_rollup(
+        spark, src, roll, "g", "m", str(tmp_path / "ck")
+    ).awaitTermination()
+    got = {
+        r["g"]: (r["n_rows"], r["sum_measure"])
+        for r in txn.read_table(spark, roll).collect()
+    }
+    assert got == {"g": (3, Decimal("15.000000"))}
