@@ -221,6 +221,13 @@ def _minhash_sigs(
 
 
 def _band_exprs(num_hashes: int, bands: int) -> list[Column]:
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} evenly "
+            "(a remainder would silently ignore trailing hashes; "
+            "bands > num_hashes would band empty slices and emit "
+            "nothing)"
+        )
     rows_per_band = num_hashes // bands
     return [
         F.struct(
@@ -289,8 +296,14 @@ def incremental_minhash_pairs(
     the index on (band_idx, band_hash) — a hash join whose shuffle is
     the new batch plus matching index partitions (none of history
     moves if the index table is bucketed on the join key). Returns
-    (doc_a, doc_b, est_jaccard) with doc_b always the new-batch side
-    of cross pairs.
+    (doc_a, doc_b, est_jaccard) canonically ordered doc_a < doc_b —
+    the SAME ordering as the full-corpus run, so incremental and full
+    results compare set-equal. Note doc_b is therefore the LARGER id,
+    not necessarily the new-batch side: with non-monotonic ids a
+    backfilled new doc can sort below its historical match, so decide
+    which copy to keep by an explicit policy (e.g. smallest id wins),
+    never by pair side (r7 review: the old wording invited deleting
+    the historical keeper).
     """
     new_rows = minhash_band_index(
         new_docs, text_col, id_col, num_hashes, bands, shingle_k
@@ -368,13 +381,29 @@ def simhash_chunks(toks: Column, chunk_bits: int = 16, n_chunks: int = 4) -> Col
     return F.array(*chunks)
 
 
+def _chunk_bounds(n_chunks: int, total_bits: int = 64) -> list[tuple[int, int]]:
+    """Partition ``total_bits`` into ``n_chunks`` near-equal
+    (start, width) chunks; 4 chunks reproduce the classic 16-bit
+    layout exactly."""
+    cuts = [round(total_bits * c / n_chunks) for c in range(n_chunks + 1)]
+    return [(cuts[c], cuts[c + 1] - cuts[c]) for c in range(n_chunks)]
+
+
 def _simhash_chunks_agg(
-    df: DataFrame, text_col: str, id_col: str, chunk_bits: int = 16, n_chunks: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bounds: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """SimHash chunks via explode + codegen'd aggregates: hash each
     token ONCE, then 64 conditional-SUM bit votes inside whole-stage
     codegen (the array-expression form in ``simhash_chunks`` is
-    interpreted per element). One shuffle, map-side combined."""
+    interpreted per element). One shuffle, map-side combined.
+    ``bounds`` lists each chunk's (start_bit, width) — default the
+    classic 4×16 split; the pigeonhole banding passes ``max_hamming
+    + 1`` chunks instead."""
+    bounds = bounds or _chunk_bounds(4)
+    n_bits = max(st + w for st, w in bounds)
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     ).select(F.col(id_col), F.xxhash64("t").alias("h"))
@@ -385,16 +414,16 @@ def _simhash_chunks_agg(
                     F.shiftright(F.col("h"), pos).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
             ).alias(f"_v{pos}")
-            for pos in range(chunk_bits * n_chunks)
+            for pos in range(n_bits)
         ]
     )
     chunks = []
-    for c in range(n_chunks):
+    for start, width in bounds:
         bit_terms = [
-            F.when(F.col(f"_v{c * chunk_bits + j}") > 0, F.lit(1 << j)).otherwise(
+            F.when(F.col(f"_v{start + j}") > 0, F.lit(1 << j)).otherwise(
                 F.lit(0)
             )
-            for j in range(chunk_bits)
+            for j in range(width)
         ]
         chunk = bit_terms[0]
         for t in bit_terms[1:]:
@@ -412,17 +441,27 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: with 4 chunks, any pair within Hamming 3 must
-    agree on at least one whole chunk — bucket by (chunk_idx, chunk
-    value), compare within buckets only.
+    Pigeonhole banding with ``max_hamming + 1`` chunks over the 64-bit
+    signature: any pair within Hamming ``max_hamming`` must agree on
+    at least one whole chunk — bucket by (chunk_idx, chunk value),
+    compare within buckets only. The chunk count ADAPTS to the radius
+    (r7 review: a fixed 4-chunk split silently missed qualifying
+    pairs at distance >= 4 — one differing bit per chunk defeats the
+    pigeonhole); larger radii mean narrower chunks and hotter buckets,
+    bounded by ``max_bucket`` as always.
     """
-    with_sig = _simhash_chunks_agg(df, text_col, id_col)
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    with_sig = _simhash_chunks_agg(
+        df, text_col, id_col, bounds=_chunk_bounds(n_chunks)
+    )
     band_exprs = [
         F.struct(
             F.lit(c).alias("band_idx"),
             F.get(F.col("sig"), c).cast("bigint").alias("band_hash"),
         )
-        for c in range(4)
+        for c in range(n_chunks)
     ]
 
     def hamming(sa: Column, sb: Column) -> Column:

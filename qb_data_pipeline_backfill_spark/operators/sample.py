@@ -34,6 +34,45 @@ from pyspark.sql import functions as F
 
 _SALT_SEP = "|"
 
+# NULL marker and escaping for the '|'-joined hash key: without them,
+# concat_ws SKIPS null parts and '|' inside a value shifts field
+# boundaries, so distinct keys like ('x|y','z') / ('x','y|z') — or a
+# NULL vs an absent field — would collide into one hash and be
+# perfectly correlated in every sample (r7 review).
+_NULL_MARK = "\\N"
+
+
+def _escaped(c: Column) -> Column:
+    esc = F.replace(
+        F.replace(c.cast("string"), F.lit("\\"), F.lit("\\\\")),
+        F.lit(_SALT_SEP),
+        F.lit("\\" + _SALT_SEP),
+    )
+    return F.coalesce(esc, F.lit(_NULL_MARK))
+
+
+def _escaped_sql(c: str) -> str:
+    return (
+        "coalesce(replace(replace(CAST(" + c + " AS VARCHAR), "
+        "'\\', '\\\\'), '|', '\\|'), '\\N')"
+    )
+
+
+def _q(v) -> str:
+    """Single-quote-escape a value for embedding in a SQL literal."""
+    return str(v).replace("'", "''")
+
+
+def _join_group(left: DataFrame, right: DataFrame, group_col: str) -> DataFrame:
+    """Broadcast join on the group column that also matches NULL
+    groups (a plain column join drops them — r7 review: rows with a
+    NULL domain silently vanished from the sampled output while still
+    counting in the rate denominators)."""
+    r = right.withColumnRenamed(group_col, "__grp")
+    return left.join(
+        F.broadcast(r), left[group_col].eqNullSafe(F.col("__grp"))
+    ).drop("__grp")
+
 
 def threshold_hex(fraction: float) -> str:
     """Fixed-width lowercase hex threshold for a [0,1] fraction.
@@ -53,7 +92,7 @@ def hash_prefix(cols: list[str | Column], salt: str = "") -> Column:
     independent hash streams.
     """
     parts = [F.lit(salt)] + [
-        (F.col(c) if isinstance(c, str) else c).cast("string") for c in cols
+        _escaped(F.col(c) if isinstance(c, str) else c) for c in cols
     ]
     return F.substring(F.md5(F.concat_ws(_SALT_SEP, *parts)), 1, 8)
 
@@ -61,7 +100,7 @@ def hash_prefix(cols: list[str | Column], salt: str = "") -> Column:
 def hash_prefix_sql(cols: list[str], salt: str = "") -> str:
     """The DuckDB rendering of :func:`hash_prefix` — identical bytes in,
     identical lowercase hex out."""
-    parts = [f"'{salt}'"] + [f"CAST({c} AS VARCHAR)" for c in cols]
+    parts = [f"'{_q(salt)}'"] + [_escaped_sql(c) for c in cols]
     return f"substring(md5(concat_ws('{_SALT_SEP}', {', '.join(parts)})), 1, 8)"
 
 
@@ -116,9 +155,9 @@ def split_column_sql(cols: list[str], weights: dict[str, float], salt: str = "")
     h = hash_prefix_sql(cols, salt)
     pairs = split_assignments(weights)
     whens = " ".join(
-        f"WHEN {h} < '{hi}' THEN '{label}'" for label, hi in pairs[:-1]
+        f"WHEN {h} < '{hi}' THEN '{_q(label)}'" for label, hi in pairs[:-1]
     )
-    return f"CASE {whens} ELSE '{pairs[-1][0]}' END"
+    return f"CASE {whens} ELSE '{_q(pairs[-1][0])}' END"
 
 
 def stratified_sample(
@@ -151,7 +190,7 @@ def stratified_threshold_sql(
 ) -> str:
     """DuckDB CASE expression for the per-stratum threshold."""
     whens = " ".join(
-        f"WHEN {stratum_col} = '{v}' THEN '{threshold_hex(f)}'"
+        f"WHEN {stratum_col} = '{_q(v)}' THEN '{threshold_hex(f)}'"
         for v, f in fractions.items()
     )
     return f"CASE {whens} ELSE '{threshold_hex(default_fraction)}' END"
@@ -198,7 +237,7 @@ def temperature_mixture_sample(
         .select(group_col, "__thr")
     )
     return (
-        df.join(F.broadcast(rates), group_col)
+        _join_group(df, rates, group_col)
         .filter(hash_prefix(key_cols, salt) < F.col("__thr"))
         .drop("__thr")
     )
@@ -221,7 +260,7 @@ def temperature_mixture_sql(
                  lower(lpad(to_hex(LEAST(4294967295, (t * 4294967296) // n)), 8, '0')) AS thr
           FROM r)
     SELECT d.{keys}, d.{group_col}
-    FROM {table} d JOIN h USING ({group_col})
+    FROM {table} d JOIN h ON d.{group_col} IS NOT DISTINCT FROM h.{group_col}
     WHERE {h} < h.thr
     """
 
@@ -282,22 +321,24 @@ def quota_cap(
         .withColumn("__thr", F.lower(F.lpad(F.hex("__R"), 8, "0")))
         .select(group_col, "__thr", "__n")
     )
-    pruned = df.join(F.broadcast(rates), group_col).filter(h < F.col("__thr"))
+    pruned = _join_group(df, rates, group_col).filter(h < F.col("__thr"))
     # Repair: a group is safe iff the prune kept >= min(cap, n_g) rows
     # (then the cap smallest hashes all survived). Unsafe groups redo
     # the exact path on their full row set.
     kept_counts = pruned.groupBy(group_col).agg(F.count(F.lit(1)).alias("__k"))
-    safety = rates.join(kept_counts, group_col, "left").select(
-        group_col,
+    kc = kept_counts.withColumnRenamed(group_col, "__kg")
+    safety = rates.join(
+        F.broadcast(kc), rates[group_col].eqNullSafe(F.col("__kg")), "left"
+    ).select(
+        rates[group_col],
         (
             F.coalesce(F.col("__k"), F.lit(0)) >= F.least(F.lit(cap), F.col("__n"))
         ).alias("__safe"),
     )
-    safe_rows = (
-        pruned.join(F.broadcast(safety.filter("__safe")), group_col)
-        .drop("__thr", "__n", "__safe")
-    )
-    unsafe_rows = df.join(
-        F.broadcast(safety.filter(~F.col("__safe"))), group_col
+    safe_rows = _join_group(
+        pruned, safety.filter("__safe"), group_col
+    ).drop("__thr", "__n", "__safe")
+    unsafe_rows = _join_group(
+        df, safety.filter(~F.col("__safe")), group_col
     ).drop("__safe")
     return exact(safe_rows).unionByName(exact(unsafe_rows))

@@ -178,12 +178,21 @@ def deterministic_centroids(
 ) -> DataFrame:
     """Training-free coarse quantizer: every ``stride``-th vector by id
     is a centroid. (A k-means refinement would plug in here; selection
-    must stay deterministic for reproducible layouts.)"""
-    return df.filter(F.col(id_col) % stride == 0).select(
+    must stay deterministic for reproducible layouts.) Raises when the
+    stride selects NO vector — downstream assignment would otherwise
+    cross-join against an empty side and silently return an empty
+    result (r7 review)."""
+    cents = df.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
     )
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"stride={stride} selects no centroid (no {id_col} divisible "
+            "by it); pick a stride <= the id range"
+        )
+    return cents
 
 
 def ivf_ann_topk(
@@ -323,7 +332,10 @@ def rp_lsh_near_dup_pairs(
     bucketing + within-bucket pairs; recall < 1 by construction
     (P[collision] = (1 − θ/π)^n_planes per table for angle θ)."""
     bucket_udf = rp_buckets_vectorized(n_tables, n_planes, dim)
-    bucketed = df.select(
+    # a NULL embedding cannot be bucketed (np.stack would crash the
+    # whole batch with an opaque worker error) and cannot be a
+    # near-dup of anything: skip it up front
+    bucketed = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
@@ -369,7 +381,7 @@ def rp_bucket_index(
     shape of a growing embedding table (the MinHash twin is
     ``dedup.minhash_band_index``)."""
     bucket_udf = rp_buckets_vectorized(n_tables, n_planes, dim)
-    return corpus.select(
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         bucket_udf(F.col(vec_col)).alias("bks"),
@@ -391,14 +403,22 @@ def ann_topk_from_index(
     same corpus (pytest-certified), but the corpus side arrives
     pre-bucketed by reference. Only the query batch computes buckets."""
     bucket_udf = rp_buckets_vectorized(n_tables, n_planes, dim)
-    qb = queries.select(
+    qb = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
         bucket_udf(F.col(vec_col)).alias("bks"),
-    ).select("query_id", "q_vec", F.posexplode("bks").alias("table_id", "bucket"))
+    ).select(
+        "query_id", "q_vec", "q_nrm",
+        F.posexplode("bks").alias("table_id", "bucket"),
+    )
     cb = index.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("vec").alias("c_vec"),
+        # norms fold once per exploded index row, not once per
+        # candidate PAIR inside cosine() (r7 review: the per-pair
+        # interpreted aggregate tripled the hot ranking path's work)
+        l2_norm(F.col("vec")).alias("c_nrm"),
         "table_id",
         "bucket",
     )
@@ -440,13 +460,16 @@ def _rank_candidates(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
     candidates = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "q_vec", "q_nrm", "neighbor_id", "c_vec", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
