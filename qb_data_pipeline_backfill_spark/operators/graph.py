@@ -67,12 +67,24 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    # Labels are monotone non-increasing, so the exact-fixpoint test
-    # "did any label improve" is equivalent to "did the label sum
-    # drop" — a scalar aggregate instead of a join per round.
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # Fixpoint test: one scalar aggregate per round instead of a join —
+    # sum of per-row (node, label) hashes, unchanged iff no label moved
+    # (w.h.p.; a colliding change needs a 2^-64 hash-sum coincidence).
+    # Hashing works for ANY id type — the previous numeric-sum proxy
+    # cast labels to decimal, which under Spark 4's ANSI default
+    # CRASHED on string/UUID doc ids and with ANSI off returned NULL
+    # sums that "converged" after one iteration with wrong clusters
+    # (r7 review, reproduced). The decimal cast of the hash itself is
+    # numeric-to-decimal — always valid — and keeps the sum overflow-
+    # free under ANSI.
+    def _label_checksum(d):
+        return d.agg(
+            F.sum(
+                F.xxhash64(F.col("node"), F.col("label")).cast("decimal(38,0)")
+            ).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_checksum(labels)
 
     for _ in range(max_iter):
         # (1) hook: min label over self + neighbors.
@@ -97,9 +109,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = jumped.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        cur_sum = _label_checksum(jumped)
         labels = jumped
         if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("cluster_id"))

@@ -74,12 +74,18 @@ def cms_estimate(
     ``probes`` rows should be distinct keys. The grid side is tiny by
     construction — broadcast it so probing never shuffles the probes.
     """
+    # internal cell/count columns carry __ prefixes so a probed key
+    # column named 'd', 'b', or 'n' cannot collide (r7 review:
+    # cms_estimate(col='n') crashed with AMBIGUOUS_REFERENCE)
     expanded = probes.select(
         F.col(col), F.explode(_cells(col, depth, width)).alias("c")
-    ).select(col, F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+    ).select(col, F.col("c.d").alias("__d"), F.col("c.b").alias("__b"))
+    grid = sketch.select(
+        F.col("d").alias("__d"), F.col("b").alias("__b"), F.col("n").alias("__n")
+    )
     return (
-        expanded.join(F.broadcast(sketch), ["d", "b"], "left")
-        .fillna(0, subset=["n"])
+        expanded.join(F.broadcast(grid), ["__d", "__b"], "left")
+        .fillna(0, subset=["__n"])
         .groupBy(col)
-        .agg(F.min("n").alias("estimate"))
+        .agg(F.min("__n").alias("estimate"))
     )

@@ -171,10 +171,17 @@ def language_scores(
         # negative score first => array_sort ranks best score, then
         # alphabetical language for ties.
         score_structs.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang")))
+    # a NULL document has NULL scores — predicting the alphabetically
+    # first language for it (r7 review: every NULL doc filed under
+    # 'de') would silently misroute rows; prediction is NULL instead
     cols.append(
-        F.array_sort(F.array(*score_structs)).getItem(0).getField("lang").alias(
-            "predicted_lang"
-        )
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.array_sort(F.array(*score_structs))
+            .getItem(0)
+            .getField("lang")
+        ).alias("predicted_lang")
     )
     return df.select(*cols)
 
@@ -412,15 +419,21 @@ def bigram_lm_scores(
         .agg(F.countDistinct("w").alias("v"))
     )
     prob = (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
-    terms = (
-        bi.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+    # assemble the per-bigram probability on the DISTINCT-bigram table
+    # first (c12 ⋈ c1 ⋈ vocab — vocabulary-scale), then join the huge
+    # per-instance table ONCE on (w1, w2): the previous chain
+    # exchanged the corpus-scale bi twice, once per join key (r7
+    # review) — the values are bit-identical, only the plan changes
+    probs = (
+        c12.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
             F.round(-F.log(prob) * F.lit(1e6), 0).cast("long").alias("nll"),
         )
     )
+    terms = bi.join(probs, ["w1", "w2"]).select(F.col(id_col), "nll")
     return terms.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("nll").alias("nll_micro"),

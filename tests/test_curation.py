@@ -84,3 +84,16 @@ def test_percentile_band_filter_keeps_inclusive_band(spark):
     )
     # percentile_disc(0.2)=2, percentile_disc(0.8)=8, inclusive
     assert kept == [2, 3, 4, 5, 6, 7, 8]
+
+
+def test_language_scores_null_text_predicts_null(spark):
+    """A NULL document must not be filed under the alphabetically
+    first language (r7 review: every NULL doc predicted 'de')."""
+    from qb_data_pipeline_backfill_spark.operators.text import language_scores
+
+    df = spark.createDataFrame(
+        [(1, "the of and to in a is it"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in language_scores(df).collect()}
+    assert got[1] == "en" and got[2] is None

@@ -120,3 +120,24 @@ def test_triangle_counts_matches_bruteforce_random(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == expect
+
+
+def test_connected_components_string_ids(spark):
+    """Doc ids are often strings/hashes: the convergence checksum must
+    work for ANY id type (r7 review: the old decimal-cast label sum
+    crashed under ANSI on string ids, and with ANSI off 'converged'
+    after one iteration with wrong clusters)."""
+    from qb_data_pipeline_backfill_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "u string, v string",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert {got[n] for n in "abcde"} == {"a"}  # one 5-node chain
+    assert got["x"] == got["y"] == "x"

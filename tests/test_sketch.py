@@ -106,3 +106,24 @@ def test_hll_intersection_contract_holds_on_smoke(spark, sf_dir):
         """
     ).fetchone()[0]
     assert row["n_exact"] == exact
+
+
+def test_cms_estimate_survives_reserved_column_names(spark):
+    """Probing a key column named 'd', 'b', or 'n' must not collide
+    with the sketch grid's internal columns (r7 review: crashed with
+    AMBIGUOUS_REFERENCE)."""
+    from qb_data_pipeline_backfill_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    for name in ("d", "b", "n"):
+        df = spark.createDataFrame(
+            [(v,) for v in ["x", "x", "y"]], f"{name} string"
+        )
+        sk = cms_sketch(df, name)
+        got = {
+            r[name]: r["estimate"]
+            for r in cms_estimate(sk, df.distinct(), name).collect()
+        }
+        assert got["x"] >= 2 and got["y"] >= 1
