@@ -133,7 +133,7 @@ def test_connected_components_string_ids(spark):
 
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
-        "u string, v string",
+        "src string, dst string",
     )
     got = {
         r["node"]: r["cluster_id"]
