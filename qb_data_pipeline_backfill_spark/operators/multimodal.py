@@ -261,6 +261,12 @@ def decode_media(
                         f"media_id={media_id}: undecodable payload "
                         f"(magic {b[:2]!r}); supported: PPM P6, BMP 24-bit"
                     )
+                if (target_width is None) != (target_height is None):
+                    raise ValueError(
+                        "resize needs BOTH target_width and target_height "
+                        f"(got {target_width} x {target_height}); a half "
+                        "spec silently kept native dimensions (r7 review)"
+                    )
                 if target_width is not None and target_height is not None:
                     px = _resize_nearest(px, w, h, target_width, target_height)
                     w, h = target_width, target_height
@@ -346,6 +352,11 @@ def _decode_wav(buf: bytes):
         cid = buf[pos : pos + 4]
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
         body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(
+                f"WAV chunk {cid!r} declares {size} bytes but only "
+                f"{len(body)} remain (truncated file)"
+            )
         if cid == b"fmt ":
             fmt_tag = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
@@ -461,6 +472,12 @@ def _decode_avi(buf: bytes):
                 if w is None:
                     raise ValueError("AVI frame chunk before avih header")
                 stride = (w * 3 + 3) & ~3
+                if size < stride * h:
+                    raise ValueError(
+                        f"AVI frame chunk holds {size} bytes but a "
+                        f"{w}x{h} DIB frame needs {stride * h} "
+                        "(truncated or compressed frame)"
+                    )
                 rows = (
                     np.frombuffer(buf, np.uint8, count=stride * h, offset=body_lo)
                     .reshape(h, stride)[:, : w * 3]
@@ -632,6 +649,9 @@ def synthesize_images(
     (id*31 + i) % 256. Unlike ``synthesize_media``'s opaque hash
     bytes, these decode — the fixture for ``decode_media`` — and the
     pixel formula is SQL-replayable for the oracle gate."""
+
+    if fmt not in ("ppm", "bmp"):
+        raise ValueError(f"fmt must be 'ppm' or 'bmp', got {fmt!r}")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enc = _encode_ppm if fmt == "ppm" else _encode_bmp

@@ -107,7 +107,20 @@ def outlier_flags(
         F.sum(m).cast("decimal(38,0)").alias("_s1"),
         F.sum(m * m).cast("decimal(38,0)").alias("_s2"),
     )
-    joined = df.withColumn("_m", m).join(F.broadcast(stats), group_cols)
+    # null-safe group join: a NULL group key forms its own group in the
+    # aggregate and its rows must not silently vanish from a row-level
+    # flag operator (r7 review)
+    st = stats
+    conds = []
+    for g in group_cols:
+        st = st.withColumnRenamed(g, f"__g_{g}")
+        conds.append(F.col(g).eqNullSafe(F.col(f"__g_{g}")))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    joined = df.withColumn("_m", m).join(F.broadcast(st), cond).drop(
+        *[f"__g_{g}" for g in group_cols]
+    )
     dev = (F.col("_n") * F.col("_m") - F.col("_s1")).cast("decimal(38,0)")
     var_n2 = (
         F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
@@ -136,10 +149,10 @@ def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     agg = df.agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.sum(m[c]).cast("decimal(38,0)").alias(f"_s_{c}") for c in cols],
+        *[F.sum(m[c]).cast("decimal(38,0)").alias(f"_s_{cols.index(c)}") for c in cols],
         *[
-            F.sum(m[a] * m[b]).cast("decimal(38,0)").alias(f"_p_{a}_{b}")
-            for a, b in pairs
+            F.sum(m[a] * m[b]).cast("decimal(38,0)").alias(f"_p_{i}")
+            for i, (a, b) in enumerate(pairs)
         ],
     )
     n = F.col("_n").cast("decimal(38,0)")
@@ -151,15 +164,16 @@ def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             (
                 trunc_int_div(
                     (
-                        n * F.col(f"_p_{a}_{b}")
-                        - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+                        n * F.col(f"_p_{i}")
+                        - F.col(f"_s_{cols.index(a)}")
+                        * F.col(f"_s_{cols.index(b)}")
                     ).cast("decimal(38,0)"),
                     den,
                 )
                 / F.lit(1e4)
             ).alias("cov_pop"),
         )
-        for a, b in pairs
+        for i, (a, b) in enumerate(pairs)
     ]
     return agg.select(F.explode(F.array(*structs)).alias("s")).select(
         "s.col_a", "s.col_b", "s.cov_pop"
