@@ -49,8 +49,18 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the normalized text (array<string>)."""
-    return F.split(normalize_text(col), " ")
+    """Whitespace tokens of the normalized text (array<string>).
+
+    Empty strings are removed: ``split("", " ")`` yields ``['']`` — a
+    phantom 1-token document for empty/whitespace-only input that
+    every downstream token statistic would inherit (and that the BPE
+    family, which filters ``''``, would disagree with). ``array_remove``
+    stays inside whole-stage codegen (unlike a ``filter`` HOF, which
+    evaluates interpreted); for non-empty documents the normalized
+    form has no empty tokens, so this is the identity. NULL input
+    stays NULL.
+    """
+    return F.array_remove(F.split(normalize_text(col), " "), "")
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -81,13 +91,21 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Per-document token statistics: counts, distinct counts, mean
     token length, BPE-ish token count. Narrow (no shuffle)."""
     t = tokens(text_col)
+    # empty/whitespace-only documents have 0 tokens: the mean token
+    # length is NULL (ANSI division by zero would throw; the DuckDB
+    # oracle's `// 0` yields NULL — the CASE keeps the engines agreed)
     return df.select(
         F.col(id_col),
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_unique_tokens"),
-        int_ratio(
-            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)), F.size(t)
-        ).alias("avg_token_len"),
+        F.when(F.size(t) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            int_ratio(
+                F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)),
+                F.size(t),
+            )
+        )
+        .alias("avg_token_len"),
         bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
     )
 
@@ -166,17 +184,23 @@ def language_scores(
     for lang, profile in sorted(LANG_PROFILES.items()):
         prof = F.array(*[F.lit(w) for w in profile])
         hits = F.size(F.filter(t, lambda x: F.array_contains(prof, x)))
-        score = F.round(hits.cast("double") / F.size(t), 4)
+        # a 0-token (empty/whitespace-only) document has no evidence:
+        # scores are NULL, not 0/0 (which throws under ANSI; the
+        # DuckDB oracle's double 0/0 is NULL — CASE keeps parity)
+        score = F.when(F.size(t) == 0, F.lit(None).cast("double")).otherwise(
+            F.round(hits.cast("double") / F.size(t), 4)
+        )
         cols.append(score.alias(f"score_{lang}"))
         # negative score first => array_sort ranks best score, then
         # alphabetical language for ties.
         score_structs.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang")))
-    # a NULL document has NULL scores — predicting the alphabetically
-    # first language for it (r7 review: every NULL doc filed under
-    # 'de') would silently misroute rows; prediction is NULL instead
+    # a NULL or 0-token document has NULL scores — predicting the
+    # alphabetically first language for it (r7 review: every NULL doc
+    # filed under 'de') would silently misroute rows; prediction NULL
     cols.append(
         F.when(
-            F.col(text_col).isNull(), F.lit(None).cast("string")
+            F.col(text_col).isNull() | (F.size(t) == 0),
+            F.lit(None).cast("string"),
         ).otherwise(
             F.array_sort(F.array(*score_structs))
             .getItem(0)
@@ -217,8 +241,15 @@ def quality_scores(
     raw = F.col(text_col)
     n_tok = F.size(t)
     bp = F.lit(10000)
+    # Unicode-aware punctuation: strip letters (\p{L}), digits (\p{N})
+    # and whitespace, count what remains. The previous ASCII class
+    # [A-Za-z0-9\s] treated é/ñ/CJK — every non-ASCII letter — as
+    # punctuation, silently tanking the quality score of non-English
+    # documents (a corpus-selection bias for a curation pipeline).
+    # \p{L}/\p{N} behave identically in Java (Spark) and RE2 (DuckDB)
+    # regex engines — verified char-for-char on accented/CJK fixtures.
     punct_bp = _idiv(
-        F.length(F.regexp_replace(raw, r"[A-Za-z0-9\s]", "")) * bp,
+        F.length(F.regexp_replace(raw, r"[\p{L}\p{N}\s]", "")) * bp,
         F.greatest(F.length(raw), F.lit(1)),
     )
     prof = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])

@@ -25,12 +25,58 @@ from qb_data_pipeline_backfill_spark.operators import text as X
 from qb_data_pipeline_backfill_spark.plans.registry import register
 from qb_data_pipeline_backfill_spark.tables import load_table
 
-# DuckDB fragment: whitespace tokens of normalized text, as `ts`.
-_TOKS = r"""
+# Edge-case fixture documents (doc_id, text, lang, source, n_chars)
+# unioned into the TEXT-family queries: the driver's synthetic corpus
+# has no empty/whitespace-only or non-ASCII documents, so without
+# these the gates never exercise the tokenizer's empty-token filtering
+# or the unicode punctuation class — the two latent-defect regions the
+# round-7 review found. Negative ids cannot collide with the corpus.
+_EDGE_DOCS: list[tuple[int, str, str, str, int]] = [
+    (-1, "", "en", "edge", 0),
+    (-2, "   \t  ", "en", "edge", 7),
+    (-3, "Élan déjà vu — naïve café, rêve!", "fr", "edge", 32),
+    (-4, "中文文档, 测试: 数据。", "zh", "edge", 13),
+    (-5, "!!! ??? ... ,,,", "en", "edge", 15),
+]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# DuckDB source: the documents table + the edge fixtures above.
+_DOCS_EDGE_SRC = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    " UNION ALL SELECT * FROM (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), {_sql_str(t)}, {_sql_str(lg)},"
+        f" {_sql_str(src)}, CAST({n} AS BIGINT))"
+        for i, t, lg, src, n in _EDGE_DOCS
+    )
+    + ") AS edge(doc_id, text, lang, source, n_chars)"
+)
+
+
+def _toks_from(src: str) -> str:
+    """DuckDB fragment: whitespace tokens of normalized text, as `ts`.
+
+    ``list_filter(..., t -> t != '')`` mirrors operators/text.tokens:
+    ``string_split('', ' ')`` yields ``['']`` — a phantom token for
+    empty/whitespace-only documents that both engines must drop.
+    """
+    return (
+        r"""
     SELECT doc_id, text,
-           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
-    FROM documents
-"""
+           list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       t -> t != '') AS ts
+    FROM ("""
+        + src
+        + ")"
+    )
+
+
+_TOKS = _toks_from("SELECT * FROM documents")
+_TOKS_EDGE = _toks_from(_DOCS_EDGE_SRC)
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -50,6 +96,18 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _docs_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the `_EDGE_DOCS` fixtures (the text-family input)."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    edge = spark.createDataFrame(
+        _EDGE_DOCS,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return base.unionByName(edge)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +270,7 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(SUM(nll) / COUNT(*) + 0.5) AS BIGINT) AS nll_micro_avg
     FROM terms GROUP BY doc_id
     """
-    % _TOKS,
+    % _TOKS_EDGE,
     doc="Language-model quality scoring (CCNet's KenLM-perplexity "
     "filter shape, self-trained): an add-one-smoothed bigram LM is "
     "trained on the corpus with one bigram-keyed map-side-combined "
@@ -223,7 +281,7 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-free integer — bit-identical across engines.",
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.bigram_lm_scores(_docs(spark, sf_dir))
+    return X.bigram_lm_scores(_docs_edge(spark, sf_dir))
 
 
 @register(
@@ -592,12 +650,13 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
     FROM toks
     """
-    % _TOKS,
+    % _TOKS_EDGE,
     doc="Per-document token statistics incl. BPE-ish pre-tokenizer count "
-    "(narrow, shuffle-free).",
+    "(narrow, shuffle-free). Edge fixtures: empty/whitespace docs have "
+    "0 tokens and a NULL mean token length on both engines.",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.token_stats(_docs(spark, sf_dir))
+    return X.token_stats(_docs_edge(spark, sf_dir))
 
 
 @register(
@@ -613,12 +672,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_docs DESC, gram
     LIMIT 20
     """
-    % _TOKS,
+    % _TOKS_EDGE,
     doc="Global top-20 word bigrams by document frequency (one shuffle + "
     "TakeOrdered).",
 )
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.ngram_topk(_docs(spark, sf_dir), n=2, k=20)
+    return X.ngram_topk(_docs_edge(spark, sf_dir), n=2, k=20)
 
 
 @register(
@@ -631,7 +690,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM (%s)),
     scored AS (
         SELECT tc.doc_id, tc.term, tc.tf,
                tc.tf * (ln((1.0 + n.n_total) / (1.0 + dfreq.df)) + 1) AS tfidf
@@ -645,12 +704,12 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk <= 3
     """
-    % _TOKS,
+    % (_TOKS_EDGE, _DOCS_EDGE_SRC),
     doc="Top-3 TF-IDF terms per document (smooth idf; hand-rolled on "
     "DataFrames — broadcast df/N joins, shuffles only on the term key).",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = X.tfidf(_docs(spark, sf_dir))
+    scored = X.tfidf(_docs_edge(spark, sf_dir))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -674,20 +733,22 @@ _Q_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
              + 3 * least(5 * stop_bp, 10000)) // 10) / 10000.0 AS quality
     FROM (
         SELECT doc_id, len(ts) AS n_tokens,
-               (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 10000)
+               (length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 10000)
                    // greatest(length(text), 1) AS punct_bp,
                (len(list_filter(ts, t -> list_contains(%s, t))) * 10000)
                    // greatest(len(ts), 1) AS stop_bp
         FROM (%s)
     )
     """
-    % (_Q_STOPS, _TOKS),
-    doc="Heuristic quality pre-filter: token count, punctuation ratio, "
-    "stopword ratio, composite score in [0,1] — all ratios in integer "
-    "basis points so no float-rounding boundary can split the engines.",
+    % (_Q_STOPS, _TOKS_EDGE),
+    doc="Heuristic quality pre-filter: token count, unicode-aware "
+    "punctuation ratio (\\p{L}\\p{N} complement — é/CJK are letters, "
+    "not punctuation), stopword ratio, composite score in [0,1] — all "
+    "ratios in integer basis points so no float-rounding boundary can "
+    "split the engines.",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.quality_scores(_docs(spark, sf_dir))
+    return X.quality_scores(_docs_edge(spark, sf_dir))
 
 
 def _lang_score_sql(lang: str, words: list[str]) -> str:
@@ -702,7 +763,8 @@ def _lang_score_sql(lang: str, words: list[str]) -> str:
     "text_language_scores",
     oracle=r"""
     SELECT doc_id, score_de, score_en, score_es, score_fr,
-           CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+           CASE WHEN score_de IS NULL THEN NULL
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
                 WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
                 WHEN score_es >= score_fr THEN 'es'
                 ELSE 'fr' END AS predicted_lang
@@ -716,15 +778,16 @@ def _lang_score_sql(lang: str, words: list[str]) -> str:
             _lang_score_sql(lang, words)
             for lang, words in sorted(X.LANG_PROFILES.items())
         ),
-        _TOKS,
+        _TOKS_EDGE,
     ),
     doc="Stopword-profile language-ID scores + argmax prediction "
-    "(alphabetical tie-break). The synthetic corpus is English word-salad "
+    "(alphabetical tie-break; NULL for empty/0-token documents — no "
+    "evidence is not 'de'). The synthetic corpus is English word-salad "
     "regardless of its lang label, so this grades the scoring operator, "
     "not label recovery.",
 )
 def text_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.language_scores(_docs(spark, sf_dir))
+    return X.language_scores(_docs_edge(spark, sf_dir))
 
 
 @register(
@@ -737,12 +800,12 @@ def text_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS t(i)) AS shingle_fp
     FROM toks
     """
-    % _TOKS,
+    % _TOKS_EDGE,
     doc="Content fingerprints: whole-document md5 + min-shingle-md5 "
     "(a 1-hash MinHash, stable under local edits).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.fingerprints(_docs(spark, sf_dir))
+    return X.fingerprints(_docs_edge(spark, sf_dir))
 
 
 @register(
@@ -767,13 +830,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            top_c * 10000 // n_ngrams AS top_ngram_bp
     FROM pd
     """
-    % _TOKS,
+    % _TOKS_EDGE,
     doc="Within-document repetition quality signals (Gopher-rule family): "
     "duplicate-bigram and top-bigram fractions in integer basis points — "
     "the boilerplate/spam pre-filter of a curation pass.",
 )
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.repetition_scores(_docs(spark, sf_dir))
+    return X.repetition_scores(_docs_edge(spark, sf_dir))
 
 
 @register(
@@ -1114,7 +1177,7 @@ _CURATION_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
         SELECT doc_id,
                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
                len(ts) AS n_tokens,
-               (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 10000)
+               (length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 10000)
                    // greatest(length(text), 1) AS punct_bp,
                (len(list_filter(ts, t -> list_contains(%s, t))) * 10000)
                    // greatest(len(ts), 1) AS stop_bp
@@ -1132,16 +1195,17 @@ _CURATION_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
     SELECT k.doc_id, k.n_copies, g.quality, d.lang
     FROM kept k
     JOIN good g ON g.doc_id = k.doc_id
-    JOIN documents d ON d.doc_id = k.doc_id
+    JOIN (%s) d ON d.doc_id = k.doc_id
     """
-    % (_TOKS, _CURATION_STOPS),
-    doc="Composite curation pipeline: quality pre-filter (≥ 0.7) → exact "
-    "content dedup → surviving corpus with provenance — the batch shape "
-    "of a training-data cleaning job, fully oracle-checked. (Fuzzy "
-    "stages chain the same way via dedup_minhash_lsh.)",
+    % (_TOKS_EDGE, _CURATION_STOPS, _DOCS_EDGE_SRC),
+    doc="Composite curation pipeline: quality pre-filter (≥ 0.7, with "
+    "the unicode-aware punctuation class) → exact content dedup → "
+    "surviving corpus with provenance — the batch shape of a "
+    "training-data cleaning job, fully oracle-checked. (Fuzzy stages "
+    "chain the same way via dedup_minhash_lsh.)",
 )
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_edge(spark, sf_dir)
     quality = X.quality_scores(docs).select("doc_id", "quality")
     good = docs.join(quality.filter(F.col("quality") >= 0.7), "doc_id")
     kept = D.exact_dedup(good)  # doc_id (min per content), n_copies
@@ -1157,8 +1221,10 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT lang, source, n_chars,
-               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_toks
-        FROM documents
+               len(list_filter(
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   s -> s != '')) AS n_toks
+        FROM (%s)
     )
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -1168,12 +1234,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(SUM(n_toks) AS HUGEINT) * 10000 // COUNT(*) AS DOUBLE) / 10000.0
                AS avg_tokens_per_doc
     FROM t GROUP BY lang
-    """,
+    """
+    % _DOCS_EDGE_SRC,
     doc="Per-language corpus rollup (docs, tokens, chars, source diversity, "
-    "mean doc length) — the per-shard summary of a curation run.",
+    "mean doc length) — the per-shard summary of a curation run. "
+    "Empty/whitespace edge docs contribute 0 tokens, not a phantom 1.",
 )
 def text_lang_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.lang_corpus_stats(_docs(spark, sf_dir))
+    return X.lang_corpus_stats(_docs_edge(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

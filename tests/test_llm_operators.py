@@ -198,6 +198,51 @@ def test_token_stats_known_counts(spark):
     assert r["n_bpe_tokens"] == 7
 
 
+def test_tokens_empty_and_whitespace_docs_have_no_phantom_token(spark):
+    # split("", " ") yields [''] — tokens() must drop it so an empty or
+    # whitespace-only document reports 0 tokens, not 1 (r7 latent bug)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t  "), (3, " a  b ")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in X.token_stats(df).collect()}
+    assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
+    assert out[1]["avg_token_len"] is None
+    assert out[3]["n_tokens"] == 2 and out[3]["avg_token_len"] == 1.0
+
+
+def test_language_scores_null_for_empty_docs(spark):
+    # a 0-token document has no evidence: scores and prediction NULL
+    # (not 'de', the alphabetical tie-break over four 0.0 scores)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, None), (4, "the cat is here")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in X.language_scores(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["predicted_lang"] is None
+        assert out[i]["score_en"] is None
+    assert out[4]["predicted_lang"] == "en"
+
+
+def test_quality_scores_unicode_letters_are_not_punctuation(spark):
+    # é/CJK are \p{L} letters: a clean French/Chinese sentence must not
+    # be scored as punctuation-heavy (r7 latent corpus-selection bias)
+    df = spark.createDataFrame(
+        [
+            (1, "Élan déjà vu naïve café rêve"),   # 0 punctuation chars
+            (2, "中文文档 测试 数据"),                 # 0 punctuation chars
+            (3, "plain words here now"),
+            (4, "!!! ??? ,,,"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.quality_scores(df).collect()}
+    assert out[1]["punct_ratio"] == 0.0
+    assert out[2]["punct_ratio"] == 0.0
+    assert out[3]["punct_ratio"] == 0.0
+    assert out[4]["punct_ratio"] > 0.5
+
+
 def test_language_scores_prefers_matching_profile(spark):
     df = spark.createDataFrame(
         [
