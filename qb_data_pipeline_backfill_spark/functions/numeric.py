@@ -35,6 +35,20 @@ def decimal_sum(col: Column | str, scale: int = 2) -> Column:
     return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
 
 
+def micro_units(col: Column | str) -> Column:
+    """Exact integer micro-units of a double carrying ≤ 6 true
+    decimals: ``CAST(x AS DECIMAL(18,6)) * 10^6`` as DECIMAL(38,0).
+    The decimal cast is exact for such values (unlike ``x * 1e6`` in
+    double, which can land off the integer). Shared by the profile /
+    outlier / covariance operators.
+
+    DuckDB oracle shape:
+    ``CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS HUGEINT)``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(18,6)") * F.lit(10**6)).cast("decimal(38,0)")
+
+
 def _exact_int_div(a: Column, b: Column) -> Column:
     """Exact integer quotient of non-negative decimal integers.
 
@@ -49,8 +63,8 @@ def _exact_int_div(a: Column, b: Column) -> Column:
 
 
 def decimal_avg(col: Column | str, scale: int = 4) -> Column:
-    """Order- and engine-independent mean of a non-negative double
-    column, truncated to ``scale`` decimals.
+    """Order- and engine-independent mean of a double column of ANY
+    sign, truncated toward zero at ``scale`` decimals.
 
     Why not ``ROUND(AVG(x), s)``: Spark rounds a double through Java's
     shortest-decimal string (``BigDecimal.valueOf``), DuckDB rounds
@@ -58,10 +72,16 @@ def decimal_avg(col: Column | str, scale: int = 4) -> Column:
     38.37875) they flip opposite ways. And the double SUM inside AVG
     is partial-order dependent to begin with. Fix: exact
     DECIMAL(18,6) sum -> integer micro-units -> exact integer
-    division at 1e-``scale`` units (truncation, == floor for
-    non-negatives, matching DuckDB's ``//``) -> small-int / 10^scale,
-    which is exact in a double. No rounding of an inexact value ever
-    happens on either engine.
+    division at 1e-``scale`` units -> small-int / 10^scale, which is
+    exact in a double. No rounding of an inexact value ever happens
+    on either engine.
+
+    The division TRUNCATES toward zero (``trunc_int_div``), matching
+    DuckDB's integer ``//`` — verified: HUGEINT ``-7 // 2`` is -3.
+    The previous floor-division (pmod construction) agreed only for
+    non-negative sums; a NEGATIVE mean silently diverged from the
+    oracle by one unit in the last place (r7 latent defect — the
+    covariance path already truncated).
 
     DuckDB oracle shape (scale=4):
     ``CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
@@ -70,7 +90,7 @@ def decimal_avg(col: Column | str, scale: int = 4) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     micro = (F.sum(c.cast("decimal(18,6)")) * F.lit(10**6)).cast("decimal(38,0)")
     div = (F.count(c) * F.lit(10 ** (6 - scale))).cast("decimal(38,0)")
-    return (_exact_int_div(micro, div) / F.lit(float(10**scale))).alias("avg")
+    return (trunc_int_div(micro, div) / F.lit(float(10**scale))).alias("avg")
 
 
 def trunc_int_div(num: Column, den: Column) -> Column:

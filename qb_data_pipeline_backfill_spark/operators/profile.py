@@ -30,6 +30,7 @@ from qb_data_pipeline_backfill_spark.functions.numeric import (
     _exact_int_div,
     decimal_avg,
     decimal_sum,
+    micro_units,
     trunc_int_div,
 )
 
@@ -50,9 +51,7 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         ).alias("s")
     ).select("s.col_name", "s.value")
 
-    # Exact integer micro-units (values carry ≤ 6 decimals of intent;
-    # the decimal cast is exact for them, unlike value * 1e6 in double).
-    m = (F.col("value").cast("decimal(18,6)") * F.lit(10**6)).cast("decimal(38,0)")
+    m = micro_units("value")
     agg = melted.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
@@ -99,9 +98,7 @@ def outlier_flags(
     per group + a broadcast join back (group cardinality is small by
     construction of a grouping) + a narrow flag expression.
     """
-    m = (F.col(value_col).cast("decimal(18,6)") * F.lit(10**6)).cast(
-        "decimal(38,0)"
-    )
+    m = micro_units(value_col)
     stats = df.groupBy(*group_cols).agg(
         F.count(value_col).cast("decimal(38,0)").alias("_n"),
         F.sum(m).cast("decimal(38,0)").alias("_s1"),
@@ -142,10 +139,7 @@ def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     concern (the synthetic profile columns are non-null); listwise
     deletion would need per-pair counts.
     """
-    m = {
-        c: (F.col(c).cast("decimal(18,6)") * F.lit(10**6)).cast("decimal(38,0)")
-        for c in cols
-    }
+    m = {c: micro_units(c) for c in cols}
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     agg = df.agg(
         F.count(F.lit(1)).alias("_n"),

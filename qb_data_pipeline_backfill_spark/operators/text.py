@@ -69,6 +69,17 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
 
+def gram_positions(arr: Column, n: int) -> Column:
+    """Start indices of every length-``n`` window over an array —
+    ``[0 .. size-n]``, empty when the array is shorter than ``n``
+    (including a NULL array, matching SQL's no-rows-from-no-grams
+    semantics). The shared index expression of the n-gram family
+    (word_ngrams, repetition, bigram LM, BPE pair counting)."""
+    return F.when(
+        F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Distinct word n-grams (space-joined) from a token array.
 
@@ -76,14 +87,10 @@ def word_ngrams(toks: Column, n: int) -> Column:
     shorter than ``n`` tokens yield an empty array.
     """
     return F.array_distinct(
-        F.when(F.size(toks) >= n,
-               F.transform(
-                   F.sequence(F.lit(0), F.size(toks) - n),
-                   lambda i: F.concat_ws(
-                       " ", *[F.get(toks, i + j) for j in range(n)]
-                   ),
-               ))
-        .otherwise(F.array().cast("array<string>"))
+        F.transform(
+            gram_positions(toks, n),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+        )
     )
 
 
@@ -317,13 +324,10 @@ def repetition_scores(
     excluded (matching SQL semantics of the oracle).
     """
     toks = tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        gram_positions(toks, n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
     exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
     per_gram = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     per_doc = per_gram.groupBy(id_col).agg(
@@ -434,9 +438,7 @@ def bigram_lm_scores(
     bit-identical across engines and partitionings.
     """
     toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
-    pos = F.when(
-        F.size("t") >= 2, F.sequence(F.lit(0), F.size("t") - 2)
-    ).otherwise(F.array().cast("array<int>"))
+    pos = gram_positions(F.col("t"), 2)
     bi = toks.select(F.col(id_col), F.explode(pos).alias("i"), "t").select(
         F.col(id_col),
         F.get("t", F.col("i")).alias("w1"),
@@ -504,9 +506,7 @@ def train_bpe(
     )
     merges: list[tuple] = []
     for rank in range(n_merges):
-        pair_idx = F.when(
-            F.size("syms") >= 2, F.sequence(F.lit(0), F.size("syms") - 2)
-        ).otherwise(F.array().cast("array<int>"))
+        pair_idx = gram_positions(F.col("syms"), 2)
         pairs = words.select(F.explode(pair_idx).alias("i"), "syms", "f").select(
             F.get("syms", F.col("i")).alias("s1"),
             F.get("syms", F.col("i") + 1).alias("s2"),

@@ -845,6 +845,7 @@ def constraint_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
         UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
         UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+        UNION ALL SELECT 'l_neg_price', CAST(-l_extendedprice AS DOUBLE) FROM lineitem
     ),
     a AS (
         SELECT col_name,
@@ -872,15 +873,20 @@ def constraint_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact sum/mean, population variance) in ONE pass over the table. "
     "Variance is exact integer micro-unit arithmetic on both engines "
     "(n*S2 - S1^2 over n^2) — no float accumulation order anywhere, so "
-    "the hash gate holds bit-for-bit. Generalizes the reference's "
-    "volumetry/integrity checks to per-column statistics.",
+    "the hash gate holds bit-for-bit. l_neg_price (negated price) makes "
+    "the gate exercise a NEGATIVE mean — the region where the old floor "
+    "division diverged from DuckDB's truncating `//`. Generalizes the "
+    "reference's volumetry/integrity checks to per-column statistics.",
 )
 def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qb_data_pipeline_backfill_spark.operators.profile import profile_numeric
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_neg_price", -F.col("l_extendedprice")
+    )
     return profile_numeric(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_neg_price"],
     )
 
 
@@ -982,7 +988,10 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+# l_neg_price (negated price) forces negative sums and covariances
+# through the signed-division path on both engines (r8: the gate must
+# reach the negative region, not just the all-positive corpus).
+_COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_neg_price"]
 
 
 def _covariance_oracle() -> str:
@@ -1004,7 +1013,7 @@ def _covariance_oracle() -> str:
     )
     return (
         f"WITH agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, {sums}, {prods} "
-        f"FROM lineitem) {rows}"
+        f"FROM (SELECT *, -l_extendedprice AS l_neg_price FROM lineitem)) {rows}"
     )
 
 
@@ -1023,7 +1032,10 @@ def numeric_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         covariance_matrix,
     )
 
-    return covariance_matrix(load_table(spark, sf_dir, "lineitem"), _COV_COLS)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_neg_price", -F.col("l_extendedprice")
+    )
+    return covariance_matrix(li, _COV_COLS)
 
 
 # --- Count-Min sketch frequency contract -------------------------------------

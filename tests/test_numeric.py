@@ -28,6 +28,16 @@ def test_decimal_avg_half_boundary_truncates(spark):
     assert _avg(spark, vals) == 38.3787
 
 
+def test_decimal_avg_negative_mean_truncates_toward_zero(spark):
+    # DuckDB's integer `//` truncates toward zero (-7 // 2 = -3); the
+    # old floor division gave -0.3334 for a -1/3 mean — one ULP off
+    # the oracle for every negative mean (r7 latent defect)
+    assert _avg(spark, [0, 0, -1]) == -0.3333
+    assert _avg(spark, [-1, -2]) == -1.5
+    # duckdb: SUM=-3.7 micro=-3700000 // 300 = -12333 -> -1.2333
+    assert _avg(spark, [-1.2, -1.3, -1.2]) == -1.2333
+
+
 def test_decimal_avg_partition_independent(spark):
     vals = [i * 0.07 for i in range(1, 500)]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
