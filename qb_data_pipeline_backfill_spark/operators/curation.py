@@ -101,16 +101,39 @@ def pack_greedy(
     / budget)`` — the streaming-fill packing a single-pass shard writer
     produces. The window partitions by the shard key, so every shard
     packs in parallel; there is no global window.
+
+    ``order_col`` must be UNIQUE within each partition: with ties the
+    running sum depends on which tied row the sort emits first, so bin
+    assignment would silently vary across partitionings/runs —
+    unacceptable for a reproducible shard layout. Duplicates raise at
+    execution time (``raise_error`` naming the offending key). The tie
+    probe is a ``lag`` over the SAME window sort the running sum uses,
+    so the check costs no extra shuffle or pass at any scale.
     """
-    w = (
-        Window.partitionBy(partition_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    w_order = Window.partitionBy(partition_col).orderBy(order_col)
+    w = w_order.rowsBetween(Window.unboundedPreceding, -1)
     cum_excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return df.withColumn("__size", size_col).withColumn(
-        "pack_bin", F.floor(cum_excl / F.lit(budget))
-    )
+    is_dup = (F.row_number().over(w_order) > 1) & F.lag(
+        F.col(order_col)
+    ).over(w_order).eqNullSafe(F.col(order_col))
+    pack_bin = F.when(
+        is_dup,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "pack_greedy: duplicate order_col value within a "
+                    "partition — bin assignment would be "
+                    "nondeterministic; pass a unique ordering key "
+                    "(offending partition="
+                ),
+                F.col(partition_col).cast("string"),
+                F.lit(f", {order_col}="),
+                F.col(order_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(F.floor(cum_excl / F.lit(budget)))
+    return df.withColumn("__size", size_col).withColumn("pack_bin", pack_bin)
 
 
 def pack_summary(packed: DataFrame, partition_col: str) -> DataFrame:

@@ -349,38 +349,6 @@ def incremental_minhash_pairs(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
-def simhash_chunks(toks: Column, chunk_bits: int = 16, n_chunks: int = 4) -> Column:
-    """SimHash of the token multiset as ``n_chunks`` ints of
-    ``chunk_bits`` bits each (chunked so banding and Hamming distance
-    need no unsigned-64 gymnastics).
-
-    Classic construction: each token votes ±1 per bit position of its
-    64-bit hash; a simhash bit is 1 where the vote sum is positive.
-    """
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    chunks = []
-    for c in range(n_chunks):
-        bit_terms = []
-        for j in range(chunk_bits):
-            pos = c * chunk_bits + j
-            # Mask test; bit 63 is the sign bit (no unsigned 2^63
-            # literal exists in a signed long).
-            def bit_set(h, pos=pos):
-                return h < 0 if pos == 63 else h.bitwiseAND(F.lit(1 << pos)) != 0
-
-            vote = F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc + F.when(bit_set(h), 1).otherwise(-1),
-            )
-            bit_terms.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        chunk = bit_terms[0]
-        for t in bit_terms[1:]:
-            chunk = chunk + t
-        chunks.append(chunk.cast("int"))
-    return F.array(*chunks)
-
-
 def _chunk_bounds(n_chunks: int, total_bits: int = 64) -> list[tuple[int, int]]:
     """Partition ``total_bits`` into ``n_chunks`` near-equal
     (start, width) chunks; 4 chunks reproduce the classic 16-bit
@@ -395,13 +363,22 @@ def _simhash_chunks_agg(
     id_col: str,
     bounds: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
-    """SimHash chunks via explode + codegen'd aggregates: hash each
-    token ONCE, then 64 conditional-SUM bit votes inside whole-stage
-    codegen (the array-expression form in ``simhash_chunks`` is
-    interpreted per element). One shuffle, map-side combined.
+    """SimHash of the token multiset (classic construction: each token
+    votes ±1 per bit position of its 64-bit hash; a simhash bit is 1
+    where the vote sum is positive), computed via explode + codegen'd
+    aggregates: hash each token ONCE, then 64 conditional-SUM bit
+    votes inside whole-stage codegen. One shuffle, map-side combined.
     ``bounds`` lists each chunk's (start_bit, width) — default the
     classic 4×16 split; the pigeonhole banding passes ``max_hamming
-    + 1`` chunks instead."""
+    + 1`` chunks instead.
+
+    Chunks are BIGINT: narrow radii mean wide chunks (``max_hamming
+    = 1`` → two 32-bit chunks whose values reach 2^32−1, overflowing
+    an int cast under ANSI; ``max_hamming = 0`` → one 64-bit chunk).
+    For a width-64 chunk, bit 63 folds into the long sign bit
+    (``-(1 << 63)``) — the signed-64 reinterpretation of the unsigned
+    bit pattern, still injective per pattern and overflow-free.
+    """
     bounds = bounds or _chunk_bounds(4)
     n_bits = max(st + w for st, w in bounds)
     tok = df.select(
@@ -420,15 +397,16 @@ def _simhash_chunks_agg(
     chunks = []
     for start, width in bounds:
         bit_terms = [
-            F.when(F.col(f"_v{start + j}") > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
+            F.when(
+                F.col(f"_v{start + j}") > 0,
+                F.lit(-(1 << 63) if j == 63 else 1 << j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
             for j in range(width)
         ]
         chunk = bit_terms[0]
         for t in bit_terms[1:]:
             chunk = chunk + t
-        chunks.append(chunk.cast("int"))
+        chunks.append(chunk.cast("bigint"))
     return votes.select(F.col(id_col), F.array(*chunks).alias("sig"))
 
 

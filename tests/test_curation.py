@@ -65,6 +65,36 @@ def test_pack_greedy_partitions_independently(spark):
     assert by_lang_bin[("en", 3)] == 1 and by_lang_bin[("de", 4)] == 1
 
 
+def test_pack_greedy_rejects_tied_order_values(spark):
+    # tied order keys make bin assignment depend on which tied row the
+    # sort emits first — nondeterministic across partitionings, so the
+    # operator must fail loudly instead of silently wobbling
+    df = spark.createDataFrame(
+        [(1, "en", 60), (2, "en", 60), (3, "en", 60)],
+        "doc_id long, lang string, n int",
+    ).withColumn("order_key", F.lit(7))
+    packed = C.pack_greedy(
+        df, size_col=F.col("n"), budget=100,
+        partition_col="lang", order_col="order_key",
+    )
+    with pytest.raises(Exception, match="pack_greedy: duplicate order_col"):
+        packed.collect()
+
+
+def test_pack_greedy_deterministic_across_partitionings(spark):
+    rows = [(i, ["en", "de"][i % 2], 30 + (i % 7) * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n int")
+    def run(d):
+        return {
+            (r.lang, r.doc_id): r.pack_bin
+            for r in C.pack_greedy(
+                d, size_col=F.col("n"), budget=100,
+                partition_col="lang", order_col="doc_id",
+            ).collect()
+        }
+    assert run(df.repartition(1)) == run(df.repartition(13, "n"))
+
+
 def test_build_vocab_prunes_and_ranks(spark):
     df = _docs(spark, [(1, "a a a b b c", "en"), (2, "b a", "en")])
     vocab = {r.term: (r.term_id, r.n) for r in C.build_vocab(df, min_count=3).collect()}

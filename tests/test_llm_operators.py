@@ -117,6 +117,26 @@ def test_simhash_pigeonhole_banding_is_exhaustive_at_hamming_3(spark):
     assert brute == banded
 
 
+def test_simhash_banding_narrow_radii(spark):
+    # max_hamming=1 packs two 32-bit chunks (values to 2^32-1) and
+    # max_hamming=0 one 64-bit chunk (bit 63 folds into the long sign
+    # bit) — both previously overflowed the int chunk cast / the long
+    # literal at plan time (r7 advice); chunks are bigint now
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "totally different unrelated words here instead"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for mh in (0, 1):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_near_dup_pairs(df, max_hamming=mh).collect()
+        }
+        assert pairs.get((1, 2)) == 0, f"max_hamming={mh}: {pairs}"
+        assert all(a == 1 and b == 2 for a, b in pairs)
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc1: tokens a b c d → bigrams {ab, bc, cd}; doc2: a b c e → {ab, bc, ce}
     # shared = 2, union = 4 → jaccard = 0.5
