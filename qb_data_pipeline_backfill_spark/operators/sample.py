@@ -25,12 +25,28 @@ sample membership is engine-independent).
 
 The reference has no sampling surface (its batches are API pages,
 SURVEY.md §2A#1); this extends the engine for the LLM-pipeline brief.
+
+HASH DOMAIN VERSION 2 — upgrade note. The NULL marker and '|'/
+backslash escaping (below) changed the hash input bytes for any
+multi-column or NULL-able key, so split/sample membership computed by
+version 1 (no escaping) does NOT match version 2 for such keys.
+Split stability across runs is this module's core contract: a corpus
+whose splits were MATERIALIZED under version 1 must be re-split in
+full, never mixed with version-2 assignments (a mixed corpus leaks
+eval rows into train). Single-column non-NULL string keys without
+'|' or '\\' — e.g. the doc_id splits every registered query uses —
+hash identically in both versions and need no action.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Bump when the bytes fed to md5 change (key escaping, separator,
+# marker): consumers persisting split assignments should record this
+# and rebuild materialized splits on mismatch.
+HASH_DOMAIN_VERSION = 2
 
 _SALT_SEP = "|"
 

@@ -724,20 +724,26 @@ def maintain_table(
                 .distinct()
                 .collect()
             } & set(man["files"])
-        total = sum(sizes[n] for n in rewrite)
-        parts = max(1, -(-total // target_file_bytes))  # ceil
-        commit_compact_files(
-            spark,
-            path,
-            sorted(rewrite),
-            target_partitions=int(parts),
-            expected_base=v,
-        )
-        head = _read_manifest(path, current_version(path))
-        report["compacted"] = True
-        report["files_rewritten"] = len(rewrite)
-        report["files_after"] = len(head["files"])
-        report["dvs_after"] = len(head.get("dvs", []))
+        # publish only when the commit changes something: files to
+        # rewrite, or an inert DV list (every row referencing files
+        # already out of the manifest) that compaction clears so reads
+        # stop loading it. With neither, skip — "a table needing
+        # nothing publishes nothing" (r7 advice).
+        if rewrite or man.get("dvs"):
+            total = sum(sizes[n] for n in rewrite)
+            parts = max(1, -(-total // target_file_bytes))  # ceil
+            commit_compact_files(
+                spark,
+                path,
+                sorted(rewrite),
+                target_partitions=int(parts),
+                expected_base=v,
+            )
+            head = _read_manifest(path, current_version(path))
+            report["compacted"] = True
+            report["files_rewritten"] = len(rewrite)
+            report["files_after"] = len(head["files"])
+            report["dvs_after"] = len(head.get("dvs", []))
     # retention-bounded log hygiene: floor = newest version whose
     # commit already aged out of the window (nothing if all younger)
     cutoff = time.time() - retention_seconds
@@ -750,7 +756,16 @@ def maintain_table(
         report["manifests_retired"] = len(expire_manifests(path))
     else:
         report["manifests_retired"] = 0
-    report["files_vacuumed"] = len(vacuum(path, retention_seconds))
+    removed = vacuum(path, retention_seconds)
+    # data-file removals and staging-directory sweeps are different
+    # facts (a "_staging/x" entry is a whole crash-debris directory,
+    # not a data file) — report them separately (r7 advice)
+    report["files_vacuumed"] = sum(
+        1 for n in removed if not n.startswith("_staging/")
+    )
+    report["staging_dirs_vacuumed"] = sum(
+        1 for n in removed if n.startswith("_staging/")
+    )
     return report
 
 
@@ -936,6 +951,33 @@ def commit_compact(
     )
 
 
+def _dvs_still_needed(
+    spark: SparkSession, path: str, man: dict, carried: list[str]
+) -> bool:
+    """True when some deletion-vector row still references a file the
+    commit carries forward BY REFERENCE. When every DV-referenced file
+    is in the rewrite set, the vectors are fully materialized away and
+    the list must NOT carry — inert DV files would otherwise stay in
+    the manifest and every subsequent read would keep loading them in
+    ``_apply_dvs``' broadcast anti-join until a maintenance cycle
+    clears them (r7 advice: upsert/replace-where carried them
+    unconditionally). One distinct scan of the (delete-batch-sized)
+    DV set — file names only, never data-sized driver traffic."""
+    dvs = man.get("dvs") or []
+    if not dvs or not carried:
+        return False
+    ref = {
+        r["file_name"]
+        for r in spark.read.parquet(
+            *[os.path.join(path, "data", n) for n in dvs]
+        )
+        .select("file_name")
+        .distinct()
+        .collect()
+    }
+    return bool(ref & set(carried))
+
+
 def commit_compact_files(
     spark: SparkSession,
     path: str,
@@ -974,22 +1016,7 @@ def commit_compact_files(
         ).coalesce(target_partitions)
     else:
         merged = read_version(spark, path, base).limit(0)
-    dvs = man.get("dvs") or []
-    keep_dvs = False
-    if dvs and carried:
-        # which files do the DV rows still reference? One distinct
-        # scan of the (small, delete-batch-sized) DV set — file names
-        # only, never data-sized driver traffic.
-        ref = {
-            r["file_name"]
-            for r in spark.read.parquet(
-                *[os.path.join(path, "data", n) for n in dvs]
-            )
-            .select("file_name")
-            .distinct()
-            .collect()
-        }
-        keep_dvs = bool(ref & set(carried))
+    keep_dvs = _dvs_still_needed(spark, path, man, carried)
     stats = man.get("stats", {})
     col_stats = man.get("col_stats", {})
     blooms = man.get("blooms", {})
@@ -1457,9 +1484,14 @@ def commit_delete(
         carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
         bloom_spec=prev.get("bloom_spec"),
         carried_blooms={n: blooms[n] for n in untouched if n in blooms},
-        # DV rows for rewritten files go inert; untouched files' keep
-        # applying (the full-rewrite fallback carries none — inert).
-        carried_dvs=prev.get("dvs") if untouched or not touched else None,
+        # DV rows for rewritten files go inert; carry the list only
+        # while some row still references a carried file (the full-
+        # rewrite fallback and reference-free lists carry none).
+        carried_dvs=(
+            prev.get("dvs")
+            if _dvs_still_needed(spark, path, prev, untouched)
+            else None
+        ),
         dv_key=prev.get("dv_key"),
         extra_meta=_carry_meta(prev),
         cdc=cdc,
@@ -1737,6 +1769,7 @@ def commit_upsert_cow(
         # and the commit is append-shaped — the staged data files ARE
         # the change rows (zero extra bytes, feed-readable either way)
         cdc = "append"
+    _keep_dvs = _dvs_still_needed(spark, path, man, untouched)
     col_stats = man.get("col_stats", {})
     blooms = man.get("blooms", {})
     return _commit_replace(
@@ -1751,10 +1784,11 @@ def commit_upsert_cow(
         carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
         bloom_spec=man.get("bloom_spec"),
         carried_blooms={n: blooms[n] for n in untouched if n in blooms},
-        # DV rows for rewritten files go inert (their file names leave
-        # the manifest); rows for untouched files must keep applying.
-        carried_dvs=man.get("dvs"),
-        dv_key=man.get("dv_key"),
+        # DV rows for untouched files must keep applying; when no DV
+        # row references a carried file the (inert) list drops here
+        # instead of taxing every later read until maintenance
+        carried_dvs=man.get("dvs") if _keep_dvs else None,
+        dv_key=man.get("dv_key") if _keep_dvs else None,
         extra_meta=_carry_meta(man),
         cdc=cdc,
     )
@@ -2544,6 +2578,7 @@ def commit_replace_where(
             )
     else:
         cdc = "unrecorded"
+    _keep_dvs = _dvs_still_needed(spark, path, prev, untouched)
     stats = prev.get("stats", {})
     col_stats = prev.get("col_stats", {})
     blooms = prev.get("blooms", {})
@@ -2559,10 +2594,10 @@ def commit_replace_where(
         carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
         bloom_spec=prev.get("bloom_spec"),
         carried_blooms={n: blooms[n] for n in untouched if n in blooms},
-        # DV rows for rewritten files go inert (their file names leave
-        # the manifest); rows for untouched files must keep applying.
-        carried_dvs=prev.get("dvs"),
-        dv_key=prev.get("dv_key"),
+        # DV rows for untouched files must keep applying; a list no
+        # carried file references is inert and drops here
+        carried_dvs=prev.get("dvs") if _keep_dvs else None,
+        dv_key=prev.get("dv_key") if _keep_dvs else None,
         extra_meta=_carry_meta(prev),
         cdc=cdc,
     )

@@ -47,7 +47,29 @@ when the step is append-shaped (inferred from the file diff); other
 legacy steps raise ``CdfProtocolError`` pointing at the batch
 ``table_changes`` API.
 
-Options: path (required), start_version (default -1 = from genesis).
+Admission control (Delta ``maxFilesPerTrigger``/``maxBytesPerTrigger``
+parity): without a cap, a stream catching up over a deep commit
+backlog plans ONE micro-batch spanning every pending commit — bin
+packing parallelizes it, but checkpoint granularity, sink transaction
+size, and retry blast-radius are unbounded, and a failure near the
+end replays the entire catch-up. ``max_files_per_trigger`` /
+``max_bytes_per_trigger`` bound how many change-unit files/bytes
+``latestOffset`` admits per micro-batch. Offsets are table VERSIONS,
+so admission is version-granular: at least one version is always
+admitted, and a single huge commit never splits (its bin-packed
+partitions still fan out). The Python DataSource API lacks the JVM
+``SupportsAdmissionControl`` variant that hands ``latestOffset`` the
+current position, so the reader derives it from the callbacks that
+carry it — safe in both lifecycle paths (see the ``_floor`` comment
+in the reader). ``availableNow`` falls back to single-batch execution
+on Python sources, so a capped availableNow run drains one capped
+batch per invocation — drive a capped catch-up with a processingTime
+trigger (``processAllAvailable`` loops until drained) or repeated
+availableNow runs.
+
+Options: path (required), start_version (default -1 = from genesis),
+start_timestamp, max_partition_bytes, max_files_per_trigger,
+max_bytes_per_trigger.
 """
 
 from __future__ import annotations
@@ -206,12 +228,69 @@ class TxnCdfStreamReader(DataSourceStreamReader):
         self._partition_bytes = int(
             options.get("max_partition_bytes", _DEFAULT_PARTITION_BYTES)
         )
+        mf = options.get("max_files_per_trigger")
+        mb = options.get("max_bytes_per_trigger")
+        self._max_files = int(mf) if mf is not None else None
+        self._max_bytes = int(mb) if mb is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("max_bytes_per_trigger must be >= 1")
+        # The engine's position, learned from the callbacks that carry
+        # it. latestOffset MUST NOT return an offset behind the
+        # engine's checkpoint (the engine does no ordering check on
+        # opaque offsets — a regressed "latest" would commit backwards
+        # and replay already-delivered versions). Verified call order
+        # of the Spark 4 microbatch engine over this API: a FRESH
+        # stream calls latestOffset before initialOffset, but its
+        # position IS initialOffset = start_version, so ``_start`` is
+        # a safe base; a RESTARTED stream re-plans the last logged
+        # batch via partitions(start, end) BEFORE its first
+        # latestOffset, so the floor is always learned first there.
+        self._floor: int | None = None
 
     def initialOffset(self) -> dict:
+        self._floor = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": max(current_version(self._path), self._start)}
+        head = max(current_version(self._path), self._start)
+        floor = self._start if self._floor is None else self._floor
+        unbounded = self._max_files is None and self._max_bytes is None
+        if unbounded or head <= floor:
+            return {"version": head}
+        # admit whole versions until the caps fill; always at least one
+        # (a single commit larger than the cap must still make
+        # progress — Delta's minimum-one-file admission, version-
+        # granular here because the offset is the version number).
+        # Cost: O(admitted versions) manifest reads per trigger.
+        v, files, nbytes = floor, 0, 0
+        while v < head:
+            step = self._step_cdc(v + 1)
+            names = step.get("files", []) if step["mode"] != "none" else []
+            size = 0
+            for n in names:
+                try:
+                    size += os.path.getsize(
+                        os.path.join(self._path, "data", n)
+                    )
+                except OSError:
+                    size += self._max_bytes or 0  # unknown: fills the cap
+            if v > floor and (
+                (
+                    self._max_files is not None
+                    and files + len(names) > self._max_files
+                )
+                or (
+                    self._max_bytes is not None
+                    and nbytes + size > self._max_bytes
+                )
+            ):
+                break
+            v += 1
+            files += len(names)
+            nbytes += size
+        return {"version": v}
 
     # -- planning: manifests only, O(changed files) metadata ---------------
     def _manifest_or_retention_error(self, version: int) -> dict:
@@ -221,6 +300,10 @@ class TxnCdfStreamReader(DataSourceStreamReader):
         return _step_cdc(self._path, version)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # the engine's batch range reveals its position — the
+        # admission floor for the next latestOffset
+        known = max(start["version"], end["version"])
+        self._floor = known if self._floor is None else max(self._floor, known)
         cmap: dict = {}
         head_v = max(current_version(self._path), end["version"])
         if head_v >= 0:
@@ -318,7 +401,8 @@ class TxnCdfStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass
+        v = end["version"]
+        self._floor = v if self._floor is None else max(self._floor, v)
 
 
 def _read_unit(unit: tuple, arrow_schema, column_map: dict):

@@ -762,6 +762,139 @@ def test_cdf_stream_emits_per_commit_changes(spark, tmp_path):
     }
 
 
+def test_cdf_stream_bounded_admission_catches_up_exactly_once(spark, tmp_path):
+    """r8: max_files_per_trigger bounds per-trigger admission — a
+    10-commit backlog catches up across >1 micro-batches with output
+    identical to the unbounded run (Delta maxFilesPerTrigger parity;
+    admission is version-granular, at least one per trigger)."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
+
+    path = str(tmp_path / "adm")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 5), path, key="k", change_feed=True
+    )
+    for i in range(9):
+        txn.commit_append(
+            spark, _df(spark, 5 + i * 3, 8 + i * 3), path, key="k"
+        )
+    ref = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in _drain_cdf(spark, path, tmp_path, "cdf_adm_ref").collect()
+    }
+    q = (
+        read_cdf_stream(spark, path, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("cdf_adm_bounded")
+        .option("checkpointLocation", str(tmp_path / "ck_adm"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = (q.lastProgress["batchId"] + 1) if q.lastProgress else 0
+    q.stop()
+    got = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("SELECT * FROM cdf_adm_bounded").collect()
+    }
+    assert got == ref
+    assert n_batches > 1, f"backlog drained in {n_batches} micro-batch(es)"
+
+
+def test_cdf_bounded_admission_reader_loop_is_version_granular(spark, tmp_path):
+    """Driver-level engine simulation: each trigger admits whole
+    versions until the file cap fills, never regresses, and the union
+    of all capped batches equals the unbounded feed."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from qb_data_pipeline_backfill_spark.sources import txn_cdf
+
+    path = str(tmp_path / "admu")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 4), path, key="k", change_feed=True
+    )
+    for i in range(4):
+        txn.commit_append(spark, _df(spark, 4 + i * 2, 6 + i * 2), path, key="k")
+    schema = to_arrow_schema(
+        txn.read_table(spark, path)
+        .schema.add("_change_type", "string")
+        .add("_commit_version", "integer")
+    )
+    reader = txn_cdf.TxnCdfStreamReader(
+        {"path": path, "max_files_per_trigger": "1"}, schema
+    )
+    off = reader.initialOffset()
+    seen_versions: list[list[int]] = []
+    rows = set()
+    for _ in range(64):
+        end = reader.latestOffset()
+        assert end["version"] >= off["version"], "offset regressed"
+        if end == off:
+            break
+        batch_versions = sorted(
+            {
+                u[2]
+                for p in reader.partitions(off, end)
+                for u in p.units
+            }
+        )
+        for p in reader.partitions(off, end):
+            for b in reader.read(p):
+                for r in b.to_pylist():
+                    rows.add((r["k"], r["v"], r["_commit_version"]))
+        reader.commit(end)
+        seen_versions.append(batch_versions)
+        off = end
+    assert len(seen_versions) > 1
+    unbounded = txn_cdf.read_cdf_log(spark, path)
+    want = {
+        (r["k"], r["v"], r["_commit_version"]) for r in unbounded.collect()
+    }
+    assert rows == want
+
+
+def test_cdf_bounded_admission_across_restarts_no_duplicates(spark, tmp_path):
+    """Capped stream driven by repeated availableNow runs (each a
+    checkpointed RESTART that drains one capped batch): the reader
+    must learn the engine's position from the replayed batch before
+    its first latestOffset — a capped offset behind the checkpoint
+    would regress it and duplicate rows."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        read_cdf_log,
+        read_cdf_stream,
+    )
+
+    path = str(tmp_path / "admr")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 3), path, key="k", change_feed=True
+    )
+    for i in range(5):
+        txn.commit_append(spark, _df(spark, 3 + i * 2, 5 + i * 2), path, key="k")
+    ck, out = str(tmp_path / "ck_admr"), str(tmp_path / "out_admr")
+
+    def drain_once():
+        q = (
+            read_cdf_stream(spark, path, max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(16):  # one capped batch per availableNow restart
+        drain_once()
+    got = [
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    want = [
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in read_cdf_log(spark, path).collect()
+    ]
+    assert sorted(got) == sorted(want)  # exactly-once: no dup, no loss
+
+
 def test_cdf_stream_incremental_and_exactly_once_restart(spark, tmp_path):
     from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_stream
 
