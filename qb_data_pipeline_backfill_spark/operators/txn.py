@@ -2662,6 +2662,109 @@ def clone_table(
     return 0
 
 
+def restore_table(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    expected_base: int | None = None,
+) -> int:
+    """Roll the table back (Delta ``RESTORE TABLE ... TO VERSION AS
+    OF`` parity): publish a NEW commit whose state — data files,
+    schema, zone maps, Blooms, deletion vectors, expectations, column
+    mapping — is the table's state at ``version``. The rolled-back
+    commits are NOT erased: history stays time-travelable, concurrent
+    writers CAS against the restore like any commit, and change-feed
+    consumers converge by reading its change rows instead of
+    re-seeding.
+
+    ZERO data movement: the restored manifest re-references the target
+    version's files (alive for vacuum through both manifests);
+    restoring past the ``expire_manifests`` floor fails at manifest
+    read — the same contract as time travel. Properties owned by the
+    OPERATOR carry from HEAD, not the target: the ``change_feed``
+    opt-in (a feed enabled after the bad commits must not silently
+    revert) and the IVM watermark ``cdc_applied_version`` (a regressed
+    watermark would reopen the rollup's exactly-once replay window).
+
+    Change recording (feed on): the net diff head→target — keyed
+    snapshot diff with update pre/post-image pairs, multiset
+    ``exceptAll`` fallback when the key duplicates, exactly the
+    replace-where convention — staged as ordinary CDC files, so a
+    downstream replica applies the rollback as data. Feed off: the
+    step records ``unrecorded`` (log readers raise the typed error;
+    snapshot-diff ``table_changes`` still serves).
+    """
+    base = current_version(path) if expected_base is None else expected_base
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    if not 0 <= version <= base:
+        raise ValueError(
+            f"cannot restore {path} to version {version}: head is {base}"
+        )
+    if version == base:
+        return base  # restoring to head: nothing to publish
+    head = _read_manifest(path, base)
+    target = _read_manifest(path, version)
+    manifest = {
+        k: v
+        for k, v in target.items()
+        if k
+        not in ("version", "parent", "committed_at", "cdc", "restored_from")
+    }
+    manifest["version"] = base + 1
+    manifest["parent"] = base
+    manifest["committed_at"] = time.time()
+    manifest["restored_from"] = version
+    for k in ("change_feed", "cdc_applied_version"):
+        manifest.pop(k, None)
+        if k in head:
+            manifest[k] = head[k]
+    if head.get("change_feed"):
+        from pyspark.sql import functions as FF
+
+        cols = [f.split(" ")[0] for f in target["schema_ddl"].split(", ")]
+        # head rows surfaced under the TARGET's logical schema, so the
+        # diff compares values even across renames/drops in the range
+        old = _read_version_under(spark, path, base, target)
+        new = read_version(spark, path, version)
+        key = _logical_of(
+            target, target.get("stats_col") or target.get("dv_key")
+        )
+        if key is not None and (
+            _duplicate_key_example(old, key)
+            or _duplicate_key_example(new, key)
+        ):
+            key = None
+        if key is not None:
+            upserts = _cdc_upsert_changes(old, new.select(*cols), key, cols)
+            gone = (
+                old.join(new.select(key), key, "left_anti")
+                .select(*cols)
+                .withColumn("_change_type", FF.lit("delete"))
+            )
+            cdc_df = upserts.unionByName(gone)
+        else:
+            cdc_df = (
+                new.select(*cols)
+                .exceptAll(old.select(*cols))
+                .withColumn("_change_type", FF.lit("insert"))
+                .unionByName(
+                    old.select(*cols)
+                    .exceptAll(new.select(*cols))
+                    .withColumn("_change_type", FF.lit("delete"))
+                )
+            )
+        manifest["cdc"] = {
+            "mode": "files",
+            "files": _stage_cdc_files(
+                spark, cdc_df, path, uuid.uuid4().hex, _col_map(target)
+            ),
+        }
+    else:
+        manifest["cdc"] = {"mode": "unrecorded"}
+    return _publish_metadata_commit(path, manifest, base)
+
+
 def _touched_files_by_probe(
     spark: SparkSession, man: dict, keys: DataFrame, key: str
 ) -> list[str]:

@@ -25,75 +25,80 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-7 rotation (VERDICT r6 #3): (a) everything round 7 touched —
-# the whole txn/CDC family (change-feed recording became per-table
-# opt-in; commit paths, stream planner, log readers, and
-# table_changes' snapshot resolution all changed) plus the two new
-# round-7 queries; then (b) the 14 records whose last driver grade
-# was r03, and (c) 24 of the 49 r04-era records, certification
-# contracts and the two bench-wobble suspects (dedup_embedding_lsh,
-# similarity_ann_ivf) first. The remaining 25 r04-era records
-# (incl. hypertable_rollup_daily and incremental_rollup_merge,
-# displaced by the new round-7 entries) rotate in round 8. r05/r06 greens are
-# the freshest and wait. The full registry was additionally verified
-# locally this round (tools/check_correctness.py, sf0.01, full
-# sweep), and the replay-sensitive CDC gate queries were re-run
-# back to back after every commit-path change.
+# Round-8 rotation (VERDICT r7 #3): (a) the 27 stalest records — last
+# driver grade r04 — that the r07 window displaced (jsonl/orc
+# roundtrips, the streaming_* family, salted_*, the window/subquery/
+# unpivot block, range join, multimodal frame alignment, the
+# curation band/normalize pair, hypertable rollup + IVM merge); then
+# (b) everything round 8 touched: the whole text family (tokenizer
+# empty-token fix + unicode punct_ratio, edge fixtures now unioned
+# into their inputs), the profile family (signed truncating mean +
+# negated-price fixture column + micro_units refactor), packing
+# (pack_greedy tie enforcement), simhash (bigint chunks), and the
+# txn/CDC queries whose commit paths changed (inert-DV drop,
+# maintain_table publish guard, stream admission cap). r05-r07
+# greens wait. The full registry is additionally verified locally
+# each round (tools/check_correctness.py, sf0.01, full sweep), and
+# the replay-sensitive CDC gate queries were re-run back to back
+# after every commit-path change.
 prioritize(
     [
-        # --- (a) round-7 code-touched: txn/CDC family + new operators ---
-        "txn_maintenance_cycle",
-        "dedup_semantic_prune",
-        "streaming_txn_cdf",
-        "txn_cdf_feed",
-        "txn_cdf_log_feed",
-        "txn_cdf_log_net_feed",
-        "txn_cdf_rollup_maintenance",
-        "txn_replica_audit",
-        "txn_merge_cdc_read",
-        "txn_replace_where_read",
-        "txn_mor_delete_read",
-        "txn_bloom_point_lookup",
-        # --- (b) last driver grade r03 ---
-        "anti_join_idempotence",
-        "coalesce_filter_key",
-        "constraint_report",
-        "isin_predicate",
-        "json_extract_props",
-        "multimodal_byte_features",
+        # --- (a) stalest: last driver grade r04 ---
+        "jsonl_roundtrip_scan",
+        "orc_roundtrip_scan",
+        "streaming_dedup_exactly_once",
+        "streaming_drift_psi",
+        "streaming_enriched_rollup",
+        "streaming_interval_join_outer",
+        "streaming_media_decode",
+        "streaming_session_window",
+        "streaming_sliding_window",
+        "streaming_stream_stream_join",
+        "streaming_top_users",
+        "streaming_tumbling_window",
+        "salted_collect_stats",
+        "salted_join_segment_revenue",
+        "retention_cohorts",
+        "rolling_user_window",
+        "scalar_subquery_max_qty",
+        "udtf_term_counts",
+        "unpivot_measures",
+        "value_histogram",
+        "range_join_attribution",
+        "local_supplier_revenue",
+        "multimodal_frame_alignment",
+        "quality_band_filter",
+        "score_normalize_per_lang",
+        "hypertable_rollup_daily",
+        "incremental_rollup_merge",
+        # --- (b) round-8 code-touched (+ the new restore query) ---
+        "txn_restore_rollback",
+        "text_token_stats",
+        "text_ngram_topk",
+        "text_tfidf_topk",
+        "text_quality_scores",
+        "text_language_scores",
+        "text_fingerprint",
+        "text_repetition_scores",
+        "text_lang_corpus_stats",
+        "text_bigram_perplexity",
+        "corpus_curation",
+        "numeric_profile",
         "numeric_covariance",
         "outlier_report",
-        "semi_join_probe",
-        "session_windows_events",
-        "streaming_stateful_counts",
-        "text_repetition_scores",
-        "validate_dedup_first_wins",
-        "zorder_clustering_key",
-        # --- (c) last driver grade r04: contracts + wobble watch first ---
-        "contract_bloom_prune",
-        "contract_hll_merge",
-        "decontamination_bloom_prefilter",
-        "dedup_embedding_lsh",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "similarity_ann_ivf",
-        "similarity_ann_lsh",
-        "pq_encode_codes",
-        "pagerank_parts",
-        "recursive_reachability",
-        "cdc_latest_state",
-        "doc_chunking",
         "sequence_packing",
         "training_shard_manifest",
-        "vocab_build",
-        "vocab_coverage_oov",
-        "sample_weighted_by_length",
-        "equidepth_histogram",
-        "exists_correlated_orders",
-        "full_outer_reconciliation",
-        "group_percentiles",
-        "grouping_sets_report",
-        "having_fraction_of_total",
+        "contract_simhash_recall",
+        "dedup_simhash",
+        "streaming_txn_cdf",
+        "txn_maintenance_cycle",
+        "txn_mor_delete_read",
+        "txn_replace_where_read",
+        "txn_merge_cdc_read",
+        # txn_cdf_rollup_maintenance stays just outside the 50 (r07
+        # hash-green; its touched path, maintain_table, is re-gated by
+        # txn_maintenance_cycle above) — re-verified in the local full
+        # sweep regardless.
     ]
 )
 

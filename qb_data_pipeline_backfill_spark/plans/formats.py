@@ -517,6 +517,105 @@ def txn_merge_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_restore_rollback",
+    oracle="""
+    SELECT 'snapshot' AS kind, o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS amt
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'cdc', 'insert', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT 'cdc', 'update_preimage', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 != 0
+    UNION ALL
+    SELECT 'cdc', 'update_postimage', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 != 0
+    UNION ALL
+    SELECT 'cdc', 'delete', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 103 = 0
+    """,
+    doc="Version rollback (operators/txn.py restore_table — Delta "
+    "RESTORE TO VERSION AS OF parity): orders commit (v0, feed on), a "
+    "CoW upsert rewrites priorities (%101) and inserts +10M keys "
+    "(%103) at v1, a CoW delete drops keys %97 at v2, then ONE "
+    "zero-copy restore_table(0) publishes v3 re-referencing v0's "
+    "files. The snapshot half proves the rollback is exact (hash "
+    "equality with plain orders); the cdc half proves the restore "
+    "recorded the head-to-target NET diff in the change feed — "
+    "re-inserts of the deleted keys, update pre/post-image pairs "
+    "reverting the priorities, deletes of the +10M keys — all stated "
+    "in closed form by the oracle. Replay-stable via the pinned-head "
+    "rebuild (a restore is itself history, so replays must not "
+    "lengthen it).",
+)
+def txn_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
+
+    path = os.path.join(
+        _SCRATCH, f"orders_rst_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if txn.current_version(path) != 3:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(
+            8, "o_orderkey"
+        )
+        txn.commit_append_with_stats(
+            spark, orders, path, key="o_orderkey", change_feed=True
+        )
+        k = F.col("o_orderkey")
+        ups = orders.filter(k % 101 == 0).withColumn(
+            "o_orderpriority", F.lit("X-UP")
+        )
+        ins = orders.filter(k % 103 == 0).withColumn(
+            "o_orderkey", k + 10000000
+        )
+        txn.commit_upsert_cow(
+            spark, ups.unionByName(ins), path, key="o_orderkey"
+        )
+        txn.commit_delete(
+            spark,
+            orders.filter(k % 97 == 0).select("o_orderkey"),
+            path,
+            key="o_orderkey",
+        )
+        txn.restore_table(spark, path, 0)
+    snap = (
+        txn.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("o_totalprice").alias("amt"),
+        )
+        .select(
+            F.lit("snapshot").alias("kind"),
+            F.col("o_orderstatus").alias("grp"),
+            F.col("n").cast("long").alias("n"),
+            F.col("amt"),
+        )
+    )
+    cdc = (
+        read_cdf_log(spark, path, from_version=2)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cdc").alias("kind"),
+            F.col("_change_type").alias("grp"),
+            F.col("n").cast("long").alias("n"),
+            F.lit(None).cast("double").alias("amt"),
+        )
+    )
+    return snap.unionByName(cdc)
+
+
+@register(
     "txn_maintenance_cycle",
     oracle="SELECT o_orderstatus, COUNT(*) AS n_orders, "
     "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) "

@@ -852,6 +852,77 @@ def test_cdf_bounded_admission_reader_loop_is_version_granular(spark, tmp_path):
     assert rows == want
 
 
+def _restore_fixture(spark, tmp_path, *, change_feed):
+    path = str(tmp_path / "rst")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 10), path, key="k", change_feed=change_feed
+    )
+    txn.commit_upsert(
+        spark,
+        spark.createDataFrame([(3, -3), (20, 200)], "k long, v long"),
+        path,
+        key="k",
+    )
+    txn.commit_delete_mor(
+        spark, spark.createDataFrame([(5,)], "k long"), path, key="k"
+    )
+    return path
+
+
+def test_restore_table_rolls_back_preserving_history(spark, tmp_path):
+    """Delta RESTORE parity: a new commit re-references the target
+    version's files (zero copy), content equals the target, and the
+    rolled-back versions stay time-travelable."""
+    path = _restore_fixture(spark, tmp_path, change_feed=True)
+    assert txn.restore_table(spark, path, 0) == 3
+    got = {(r["k"], r["v"]) for r in txn.read_table(spark, path).collect()}
+    assert got == {(k, k * 10) for k in range(10)}
+    # history preserved: the rolled-back head still time-travels
+    head2 = {
+        (r["k"], r["v"])
+        for r in txn.read_version(spark, path, 2).collect()
+    }
+    assert (3, -3) in head2 and (5, 50) not in head2
+    # restore-to-head publishes nothing
+    assert txn.restore_table(spark, path, 3) == 3
+    with pytest.raises(ValueError):
+        txn.restore_table(spark, path, 9)
+
+
+def test_restore_records_net_diff_in_change_feed(spark, tmp_path):
+    """A feed-enabled restore records the head→target net diff as
+    ordinary CDC rows, so replicas converge by applying the rollback
+    as data."""
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import read_cdf_log
+
+    path = _restore_fixture(spark, tmp_path, change_feed=True)
+    txn.restore_table(spark, path, 0)
+    rows = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in read_cdf_log(spark, path, from_version=2).collect()
+    }
+    assert rows == {
+        (3, -3, "update_preimage", 3),
+        (3, 30, "update_postimage", 3),
+        (20, 200, "delete", 3),
+        (5, 50, "insert", 3),
+    }
+
+
+def test_restore_without_feed_is_unrecorded(spark, tmp_path):
+    from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
+        CdfNotEnabledError,
+        read_cdf_log,
+    )
+
+    path = _restore_fixture(spark, tmp_path, change_feed=False)
+    txn.restore_table(spark, path, 0)
+    got = {(r["k"], r["v"]) for r in txn.read_table(spark, path).collect()}
+    assert got == {(k, k * 10) for k in range(10)}
+    with pytest.raises(CdfNotEnabledError):
+        read_cdf_log(spark, path, from_version=2).collect()
+
+
 def test_cdf_bounded_admission_across_restarts_no_duplicates(spark, tmp_path):
     """Capped stream driven by repeated availableNow runs (each a
     checkpointed RESTART that drains one capped batch): the reader
