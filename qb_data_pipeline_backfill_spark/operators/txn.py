@@ -712,38 +712,31 @@ def maintain_table(
         "compacted": False,
     }
     if n_dvs > max_dvs or len(small) > max_small_files:
-        rewrite = set(small)
-        if man.get("dvs"):
-            # DV-referenced files must rewrite for the vectors to clear
-            rewrite |= {
-                r["file_name"]
-                for r in spark.read.parquet(
-                    *[os.path.join(path, "data", n) for n in man["dvs"]]
-                )
-                .select("file_name")
-                .distinct()
-                .collect()
-            } & set(man["files"])
-        # publish only when the commit changes something: files to
-        # rewrite, or an inert DV list (every row referencing files
-        # already out of the manifest) that compaction clears so reads
-        # stop loading it. With neither, skip — "a table needing
-        # nothing publishes nothing" (r7 advice).
-        if rewrite or man.get("dvs"):
-            total = sum(sizes[n] for n in rewrite)
-            parts = max(1, -(-total // target_file_bytes))  # ceil
-            commit_compact_files(
-                spark,
-                path,
-                sorted(rewrite),
-                target_partitions=int(parts),
-                expected_base=v,
-            )
-            head = _read_manifest(path, current_version(path))
-            report["compacted"] = True
-            report["files_rewritten"] = len(rewrite)
-            report["files_after"] = len(head["files"])
-            report["dvs_after"] = len(head.get("dvs", []))
+        # This branch always has something to publish: a tripped
+        # small-file threshold means rewrite ⊇ small is non-empty; a
+        # tripped DV threshold means the DV list is non-empty, and the
+        # compaction either materializes it away (referenced files
+        # rewrite) or clears an inert list (every row referencing
+        # files already out of the manifest) so reads stop loading it.
+        # The "needing nothing publishes nothing" rule is the OUTER
+        # threshold gate.
+        dv_refs = _dv_referenced_files(spark, path, man.get("dvs", []))
+        rewrite = set(small) | (dv_refs & set(man["files"]))
+        total = sum(sizes[n] for n in rewrite)
+        parts = max(1, -(-total // target_file_bytes))  # ceil
+        commit_compact_files(
+            spark,
+            path,
+            sorted(rewrite),
+            target_partitions=int(parts),
+            expected_base=v,
+            dv_refs=dv_refs,  # spare compaction the second DV scan
+        )
+        head = _read_manifest(path, current_version(path))
+        report["compacted"] = True
+        report["files_rewritten"] = len(rewrite)
+        report["files_after"] = len(head["files"])
+        report["dvs_after"] = len(head.get("dvs", []))
     # retention-bounded log hygiene: floor = newest version whose
     # commit already aged out of the window (nothing if all younger)
     cutoff = time.time() - retention_seconds
@@ -951,22 +944,13 @@ def commit_compact(
     )
 
 
-def _dvs_still_needed(
-    spark: SparkSession, path: str, man: dict, carried: list[str]
-) -> bool:
-    """True when some deletion-vector row still references a file the
-    commit carries forward BY REFERENCE. When every DV-referenced file
-    is in the rewrite set, the vectors are fully materialized away and
-    the list must NOT carry — inert DV files would otherwise stay in
-    the manifest and every subsequent read would keep loading them in
-    ``_apply_dvs``' broadcast anti-join until a maintenance cycle
-    clears them (r7 advice: upsert/replace-where carried them
-    unconditionally). One distinct scan of the (delete-batch-sized)
-    DV set — file names only, never data-sized driver traffic."""
-    dvs = man.get("dvs") or []
-    if not dvs or not carried:
-        return False
-    ref = {
+def _dv_referenced_files(spark: SparkSession, path: str, dvs: list) -> set:
+    """Distinct file names the deletion-vector rows reference — one
+    scan of the (delete-batch-sized) DV set, file names only, never
+    data-sized driver traffic."""
+    if not dvs:
+        return set()
+    return {
         r["file_name"]
         for r in spark.read.parquet(
             *[os.path.join(path, "data", n) for n in dvs]
@@ -975,6 +959,30 @@ def _dvs_still_needed(
         .distinct()
         .collect()
     }
+
+
+def _dvs_still_needed(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    carried: list[str],
+    dv_refs: set | None = None,
+) -> bool:
+    """True when some deletion-vector row still references a file the
+    commit carries forward BY REFERENCE. When every DV-referenced file
+    is in the rewrite set, the vectors are fully materialized away and
+    the list must NOT carry — inert DV files would otherwise stay in
+    the manifest and every subsequent read would keep loading them in
+    ``_apply_dvs``' broadcast anti-join until a maintenance cycle
+    clears them (r7 advice: upsert/replace-where carried them
+    unconditionally). ``dv_refs`` lets a caller that already scanned
+    the DV set (maintain_table) pass it down instead of re-reading."""
+    dvs = man.get("dvs") or []
+    if not dvs or not carried:
+        return False
+    ref = (
+        _dv_referenced_files(spark, path, dvs) if dv_refs is None else dv_refs
+    )
     return bool(ref & set(carried))
 
 
@@ -984,6 +992,7 @@ def commit_compact_files(
     files_to_rewrite: list[str],
     target_partitions: int = 1,
     expected_base: int | None = None,
+    dv_refs: set | None = None,
 ) -> int:
     """PARTIAL compaction: rewrite only the named files (with their
     deletion vectors materialized away) into ``target_partitions``
@@ -1016,7 +1025,7 @@ def commit_compact_files(
         ).coalesce(target_partitions)
     else:
         merged = read_version(spark, path, base).limit(0)
-    keep_dvs = _dvs_still_needed(spark, path, man, carried)
+    keep_dvs = _dvs_still_needed(spark, path, man, carried, dv_refs=dv_refs)
     stats = man.get("stats", {})
     col_stats = man.get("col_stats", {})
     blooms = man.get("blooms", {})
@@ -1276,6 +1285,43 @@ def _stage_cdc_files(
     return names
 
 
+def _snapshot_diff_cdc(
+    old: DataFrame, new: DataFrame, key: str | None, cols: list[str]
+) -> DataFrame:
+    """Net CDC rows turning ``old`` into ``new`` — the shared diff
+    convention of replace-where and restore commits. The keyed path
+    pairs rows BY KEY (update pre/post-images, left-anti deletes),
+    which is only well-defined when the key is unique on both sides;
+    duplicates (probed with one cheap existence aggregate per side)
+    fall back to the exact multiset ``exceptAll`` path, with old-only
+    rows as deletes and new-only rows as inserts. Identical content
+    nets to an EMPTY change set either way (replay-stable feed)."""
+    from pyspark.sql import functions as FF
+
+    if key is not None and (
+        _duplicate_key_example(old, key) or _duplicate_key_example(new, key)
+    ):
+        key = None
+    if key is not None:
+        upserts = _cdc_upsert_changes(old, new.select(*cols), key, cols)
+        gone = (
+            old.join(new.select(key), key, "left_anti")
+            .select(*cols)
+            .withColumn("_change_type", FF.lit("delete"))
+        )
+        return upserts.unionByName(gone)
+    return (
+        new.select(*cols)
+        .exceptAll(old.select(*cols))
+        .withColumn("_change_type", FF.lit("insert"))
+        .unionByName(
+            old.select(*cols)
+            .exceptAll(new.select(*cols))
+            .withColumn("_change_type", FF.lit("delete"))
+        )
+    )
+
+
 def _commit_replace(
     spark: SparkSession,
     merged: DataFrame,
@@ -1469,6 +1515,7 @@ def commit_delete(
         )
     else:
         cdc = "unrecorded"
+    _keep_dvs = _dvs_still_needed(spark, path, prev, untouched)
     stats = prev.get("stats", {})
     col_stats = prev.get("col_stats", {})
     blooms = prev.get("blooms", {})
@@ -1484,15 +1531,12 @@ def commit_delete(
         carried_col_stats={n: col_stats[n] for n in untouched if n in col_stats},
         bloom_spec=prev.get("bloom_spec"),
         carried_blooms={n: blooms[n] for n in untouched if n in blooms},
-        # DV rows for rewritten files go inert; carry the list only
-        # while some row still references a carried file (the full-
-        # rewrite fallback and reference-free lists carry none).
-        carried_dvs=(
-            prev.get("dvs")
-            if _dvs_still_needed(spark, path, prev, untouched)
-            else None
-        ),
-        dv_key=prev.get("dv_key"),
+        # DV rows for rewritten files go inert; carry the list (and
+        # its key, same convention as upsert/replace-where) only while
+        # some row still references a carried file — the full-rewrite
+        # fallback and reference-free lists carry none.
+        carried_dvs=prev.get("dvs") if _keep_dvs else None,
+        dv_key=prev.get("dv_key") if _keep_dvs else None,
         extra_meta=_carry_meta(prev),
         cdc=cdc,
     )
@@ -2543,39 +2587,15 @@ def commit_replace_where(
         # append-shaped and the staged files ARE the change rows
         cdc = "append"
     elif prev.get("change_feed"):
-        old_slice = target.filter(pred)
-        cols = [f.name for f in target.schema]
-        key = _logical_of(prev, prev.get("stats_col") or prev.get("dv_key"))
-        # The keyed path pairs old and new rows BY KEY, which is only
-        # well-defined when the key is unique on both sides — the
+        # _snapshot_diff_cdc handles the keyed-vs-multiset choice: the
         # stats/DV column is a pruning key, not a declared primary
         # key, and plain commit_append can land duplicates (ADVICE
         # r6: a duplicated key would cross-join old×new per value and
-        # emit a quadratic, wrong update-pair set). One cheap
-        # existence probe per side; duplicates fall back to the exact
-        # multiset path.
-        if key is not None and (
-            _duplicate_key_example(old_slice, key)
-            or _duplicate_key_example(df, key)
-        ):
-            key = None
-        new_rows = df.select(*cols)
-        if key is not None:
-            upserts = _cdc_upsert_changes(old_slice, new_rows, key, cols)
-            gone = old_slice.join(new_rows.select(key), key, "left_anti").withColumn(
-                "_change_type", FF.lit("delete")
-            )
-            cdc = upserts.unionByName(gone)
-        else:
-            cdc = (
-                new_rows.exceptAll(old_slice)
-                .withColumn("_change_type", FF.lit("insert"))
-                .unionByName(
-                    old_slice.exceptAll(new_rows).withColumn(
-                        "_change_type", FF.lit("delete")
-                    )
-                )
-            )
+        # emit a quadratic, wrong update-pair set)
+        old_slice = target.filter(pred)
+        cols = [f.name for f in target.schema]
+        key = _logical_of(prev, prev.get("stats_col") or prev.get("dv_key"))
+        cdc = _snapshot_diff_cdc(old_slice, df.select(*cols), key, cols)
     else:
         cdc = "unrecorded"
     _keep_dvs = _dvs_still_needed(spark, path, prev, untouched)
@@ -2720,8 +2740,6 @@ def restore_table(
         if k in head:
             manifest[k] = head[k]
     if head.get("change_feed"):
-        from pyspark.sql import functions as FF
-
         cols = [f.split(" ")[0] for f in target["schema_ddl"].split(", ")]
         # head rows surfaced under the TARGET's logical schema, so the
         # diff compares values even across renames/drops in the range
@@ -2730,30 +2748,7 @@ def restore_table(
         key = _logical_of(
             target, target.get("stats_col") or target.get("dv_key")
         )
-        if key is not None and (
-            _duplicate_key_example(old, key)
-            or _duplicate_key_example(new, key)
-        ):
-            key = None
-        if key is not None:
-            upserts = _cdc_upsert_changes(old, new.select(*cols), key, cols)
-            gone = (
-                old.join(new.select(key), key, "left_anti")
-                .select(*cols)
-                .withColumn("_change_type", FF.lit("delete"))
-            )
-            cdc_df = upserts.unionByName(gone)
-        else:
-            cdc_df = (
-                new.select(*cols)
-                .exceptAll(old.select(*cols))
-                .withColumn("_change_type", FF.lit("insert"))
-                .unionByName(
-                    old.select(*cols)
-                    .exceptAll(new.select(*cols))
-                    .withColumn("_change_type", FF.lit("delete"))
-                )
-            )
+        cdc_df = _snapshot_diff_cdc(old, new, key, cols)
         manifest["cdc"] = {
             "mode": "files",
             "files": _stage_cdc_files(

@@ -33,7 +33,7 @@ from qb_data_pipeline_backfill_spark.tables import load_table
 # round-7 review found. Negative ids cannot collide with the corpus.
 _EDGE_DOCS: list[tuple[int, str, str, str, int]] = [
     (-1, "", "en", "edge", 0),
-    (-2, "   \t  ", "en", "edge", 7),
+    (-2, "   \t  ", "en", "edge", 6),
     (-3, "Élan déjà vu — naïve café, rêve!", "fr", "edge", 32),
     (-4, "中文文档, 测试: 数据。", "zh", "edge", 13),
     (-5, "!!! ??? ... ,,,", "en", "edge", 15),
