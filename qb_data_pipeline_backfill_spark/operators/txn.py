@@ -669,10 +669,14 @@ def maintain_table(
     max_dvs: int = 4,
     target_file_bytes: int = 128 << 20,
     retention_seconds: float = 24 * 3600.0,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """One-call table housekeeping — the OPTIMIZE + log-cleanup +
     VACUUM loop a deployment schedules nightly, as a single idempotent
-    verb. Policy:
+    verb. ``zorder_by`` additionally lays each compaction pass's
+    rewritten rows along the Morton curve of the named columns
+    (OPTIMIZE ZORDER parity — incremental clustering, see
+    ``commit_compact_files``). Policy:
 
     - PARTIAL COMPACT (``commit_compact_files``) when live deletion
       vectors exceed ``max_dvs`` (every read pays their broadcast
@@ -731,6 +735,7 @@ def maintain_table(
             target_partitions=int(parts),
             expected_base=v,
             dv_refs=dv_refs,  # spare compaction the second DV scan
+            zorder_by=zorder_by,
         )
         head = _read_manifest(path, current_version(path))
         report["compacted"] = True
@@ -993,6 +998,7 @@ def commit_compact_files(
     target_partitions: int = 1,
     expected_base: int | None = None,
     dv_refs: set | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """PARTIAL compaction: rewrite only the named files (with their
     deletion vectors materialized away) into ``target_partitions``
@@ -1002,7 +1008,20 @@ def commit_compact_files(
     where ``commit_compact`` is the full-table rewrite. DV rows
     referencing carried files keep applying; when every DV-referenced
     file is in the rewrite set, the vector list clears entirely.
-    Row-preserving (``cdc`` mode ``none``)."""
+    Row-preserving (``cdc`` mode ``none``).
+
+    ``zorder_by`` (Delta ``OPTIMIZE ... ZORDER BY`` parity): the
+    rewritten rows are laid out along the Morton curve of the named
+    logical columns (operators/zorder.cluster_by_zorder — one range
+    repartition + in-partition sort, the same shuffle price as the
+    compaction itself) and those columns join the manifest's
+    ``stats_cols``, so ``read_table_where_multi`` prunes
+    multiplicatively on every clustered dimension afterwards. Like
+    Delta, clustering is incremental: only THIS pass's rewrite set is
+    clustered; carried files keep their old layout (and, lacking the
+    new column stats, scan conservatively until their turn). The
+    zvalue caller contract applies: non-negative ints fitting the
+    bit budget — bucket or rank wider domains first."""
     base = current_version(path) if expected_base is None else expected_base
     if base < 0:
         raise FileNotFoundError(f"no committed version under {path}")
@@ -1022,13 +1041,26 @@ def commit_compact_files(
                 spark.read.schema(_physical_ddl(man)).parquet(*tfiles),
             ),
             man,
-        ).coalesce(target_partitions)
+        )
+        if zorder_by:
+            from qb_data_pipeline_backfill_spark.operators.zorder import (
+                cluster_by_zorder,
+            )
+
+            merged = cluster_by_zorder(merged, zorder_by, target_partitions)
+        else:
+            merged = merged.coalesce(target_partitions)
     else:
         merged = read_version(spark, path, base).limit(0)
     keep_dvs = _dvs_still_needed(spark, path, man, carried, dv_refs=dv_refs)
     stats = man.get("stats", {})
     col_stats = man.get("col_stats", {})
     blooms = man.get("blooms", {})
+    stats_cols = list(man.get("stats_cols") or [])
+    if zorder_by:
+        stats_cols = sorted(
+            set(stats_cols) | {_phys(man, c) for c in zorder_by}
+        )
     return _commit_replace(
         spark,
         merged,
@@ -1037,7 +1069,7 @@ def commit_compact_files(
         stats_col=man.get("stats_col"),
         carried=carried,
         carried_stats={n: stats[n] for n in carried if n in stats},
-        stats_cols=man.get("stats_cols"),
+        stats_cols=stats_cols or None,
         carried_col_stats={n: col_stats[n] for n in carried if n in col_stats},
         bloom_spec=man.get("bloom_spec"),
         carried_blooms={n: blooms[n] for n in carried if n in blooms},

@@ -71,8 +71,9 @@ prioritize(
         "score_normalize_per_lang",
         "hypertable_rollup_daily",
         "incremental_rollup_merge",
-        # --- (b) round-8 code-touched (+ the new restore query) ---
+        # --- (b) round-8 code-touched (+ the new restore/zorder queries) ---
         "txn_restore_rollback",
+        "txn_zorder_compact",
         "text_token_stats",
         "text_ngram_topk",
         "text_tfidf_topk",
@@ -92,13 +93,12 @@ prioritize(
         "dedup_simhash",
         "streaming_txn_cdf",
         "txn_maintenance_cycle",
-        "txn_mor_delete_read",
         "txn_replace_where_read",
-        "txn_merge_cdc_read",
-        # txn_cdf_rollup_maintenance stays just outside the 50 (r07
-        # hash-green; its touched path, maintain_table, is re-gated by
-        # txn_maintenance_cycle above) — re-verified in the local full
-        # sweep regardless.
+        # txn_mor_delete_read / txn_merge_cdc_read /
+        # txn_cdf_rollup_maintenance sit just outside the 50: all r07
+        # hash-green, their specific commit paths (MoR delete, MERGE,
+        # rollup IVM) unchanged this round, and all re-verified in the
+        # local full sweep + the back-to-back CDC re-runs regardless.
     ]
 )
 

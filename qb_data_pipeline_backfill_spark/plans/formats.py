@@ -517,6 +517,62 @@ def txn_merge_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_zorder_compact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 2 AND 8
+    GROUP BY l_returnflag
+    """,
+    doc="OPTIMIZE ZORDER on the transactional table (operators/txn.py "
+    "commit_compact_files(zorder_by=...) over operators/zorder.py's "
+    "Morton curve): lineitem lands as 12 orderkey-partitioned files — "
+    "worst case for part/supp predicates, every file spans both full "
+    "domains — then one z-ordered compaction rewrites them into 8 "
+    "Morton-clustered files whose (l_partkey, l_suppkey) zone maps "
+    "join the manifest. The read is read_table_where_multi, pruning "
+    "files on BOTH dimensions at once; hash equality with the plain "
+    "SQL range filter proves the clustered rewrite + multi-column "
+    "pruning is row-exact. The multiplicative-pruning property itself "
+    "is asserted by pytest (test_txn.py) on the same layout.",
+)
+def txn_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"li_zorder_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if txn.current_version(path) != 1:
+        shutil.rmtree(path, ignore_errors=True)
+        li = load_table(spark, sf_dir, "lineitem").repartition(
+            12, "l_orderkey"
+        )
+        txn.commit_append_with_stats(spark, li, path, key="l_orderkey")
+        txn.commit_compact_files(
+            spark,
+            path,
+            txn._read_manifest(path, 0)["files"],
+            target_partitions=8,
+            zorder_by=["l_partkey", "l_suppkey"],
+        )
+    got = txn.read_table_where_multi(
+        spark, path, {"l_partkey": (20, 120), "l_suppkey": (2, 8)}
+    )
+    return got.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        decimal_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
     "txn_restore_rollback",
     oracle="""
     SELECT 'snapshot' AS kind, o_orderstatus AS grp,

@@ -852,6 +852,71 @@ def test_cdf_bounded_admission_reader_loop_is_version_granular(spark, tmp_path):
     assert rows == want
 
 
+def test_compact_zorder_prunes_multiplicatively(spark, tmp_path):
+    """OPTIMIZE ZORDER parity: a z-ordered compaction records zone
+    maps on the clustered columns and a small 2-d rectangle predicate
+    prunes most files — where the pre-compaction key layout spans the
+    full domain of both columns in every file."""
+    path = str(tmp_path / "zc")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("k"),
+    )
+    txn.commit_append_with_stats(spark, df.repartition(8, "k"), path, key="k")
+    txn.commit_compact_files(
+        spark,
+        path,
+        txn._read_manifest(path, 0)["files"],
+        target_partitions=8,
+        zorder_by=["x", "y"],
+    )
+    man = txn._read_manifest(path, 1)
+    assert set(man.get("stats_cols", [])) >= {"x", "y"}
+    got = {
+        (r["x"], r["y"], r["k"])
+        for r in txn.read_table_where_multi(
+            spark, path, {"x": (0, 7), "y": (0, 7)}
+        ).collect()
+    }
+    want = {
+        (r["x"], r["y"], r["k"])
+        for r in df.filter(
+            F.col("x").between(0, 7) & F.col("y").between(0, 7)
+        ).collect()
+    }
+    assert got == want and len(got) == 64
+    # multiplicative pruning: only files whose 2-d Morton bounding box
+    # overlaps the 8x8 corner rectangle are scanned — a minority
+    cs = man["col_stats"]
+    overlapping = [
+        n
+        for n in man["files"]
+        if cs.get(n, {}).get("x")
+        and cs.get(n, {}).get("y")
+        and cs[n]["x"][0] <= 7
+        and cs[n]["y"][0] <= 7
+    ]
+    assert 1 <= len(overlapping) <= len(man["files"]) // 2
+
+
+def test_maintain_table_zorder_passthrough(spark, tmp_path):
+    path = str(tmp_path / "zm")
+    df = spark.range(2048).select(
+        (F.col("id") % 32).alias("x"),
+        F.floor(F.col("id") / 32).cast("long").alias("y"),
+        F.col("id").alias("k"),
+    )
+    txn.commit_append_with_stats(spark, df.repartition(12, "k"), path, key="k")
+    report = txn.maintain_table(
+        spark, path, max_small_files=4, zorder_by=["x", "y"]
+    )
+    assert report["compacted"]
+    man = txn._read_manifest(path, txn.current_version(path))
+    assert set(man.get("stats_cols", [])) >= {"x", "y"}
+    assert txn.read_table(spark, path).count() == 2048
+
+
 def _restore_fixture(spark, tmp_path, *, change_feed):
     path = str(tmp_path / "rst")
     txn.commit_append_with_stats(
