@@ -136,6 +136,10 @@ def _carry_meta(prev: dict) -> dict:
             # the change-feed opt-in is a table property, not a
             # per-commit choice — rewrites must not silently drop it
             "change_feed",
+            # per-application transaction watermarks (idempotent
+            # writes): a rewrite dropping them would let a replayed
+            # producer batch double-apply
+            "app_versions",
         )
         if k in prev
     }
@@ -446,8 +450,22 @@ def commit_append(
     bloom_spec: dict | None = None,
     expectations: dict[str, str] | None = None,
     change_feed: bool | None = None,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Atomically append ``df`` as the next version; returns it.
+
+    ``txn_app``/``txn_version`` make BLIND appends idempotent (Delta's
+    ``txn.appId``/``txn.version`` write options): the manifest records
+    each application's high-water transaction version, and a commit
+    whose (app, version) is already at-or-below the recorded watermark
+    returns the current head WITHOUT writing — the exactly-once
+    contract for a keyless producer (e.g. a foreachBatch streaming
+    sink passing its batchId) replaying after a crash. Watermarks are
+    per-app, so independent producers never fence each other, and
+    every rewrite/maintenance commit carries them forward
+    (``_carry_meta``). Keyed appends (``key=``) get idempotence from
+    the anti-join instead; the two compose.
 
     ``change_feed=True`` sets the table's change-feed property (the
     Delta ``delta.enableChangeDataFeed`` analog) from this version on:
@@ -480,6 +498,8 @@ def commit_append(
     Raises ConcurrentCommitError if another writer publishes the same
     version first; staged files stay invisible either way.
     """
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
     base = current_version(path) if expected_base is None else expected_base
     out = df
     if key is not None and base >= 0:
@@ -487,6 +507,13 @@ def commit_append(
         out = df.join(existing, key, "left_anti")
 
     prev0 = _read_manifest(path, base) if base >= 0 else {}
+    if (
+        txn_app is not None
+        and prev0.get("app_versions", {}).get(txn_app, -1) >= txn_version
+    ):
+        # this application's transaction already applied: idempotent
+        # replay returns the head untouched (no staged bytes, no commit)
+        return base
     if expectations and _RESERVED_EXPECTATION in expectations:
         raise ValueError(
             f"expectation name {_RESERVED_EXPECTATION!r} is reserved for "
@@ -524,6 +551,11 @@ def commit_append(
     # matching Delta's ALTER-only property semantics)
     if change_feed or prev0.get("change_feed"):
         extra["change_feed"] = True
+    if txn_app is not None:
+        extra["app_versions"] = {
+            **prev0.get("app_versions", {}),
+            txn_app: int(txn_version),
+        }
     v = _commit_replace(
         spark,
         out,

@@ -74,6 +74,7 @@ prioritize(
         # --- (b) round-8 code-touched (+ the new restore/zorder queries) ---
         "txn_restore_rollback",
         "txn_zorder_compact",
+        "txn_idempotent_stream_append",
         "text_token_stats",
         "text_ngram_topk",
         "text_tfidf_topk",

@@ -517,6 +517,64 @@ def txn_merge_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_idempotent_stream_append",
+    oracle="""
+    WITH land AS (
+        SELECT * FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_price
+    FROM land GROUP BY o_orderstatus
+    """,
+    doc="Idempotent blind appends via per-application transaction "
+    "watermarks (operators/txn.py commit_append txn_app/txn_version — "
+    "Delta txn.appId/txn.version parity, the exactly-once contract of "
+    "a keyless foreachBatch streaming sink): batch 0 commits, its "
+    "crash-replay no-ops, batch 1 commits, then a LATE replay of "
+    "batch 0 is fenced by the watermark. The final snapshot equals "
+    "each batch applied exactly once — stated in closed form by the "
+    "oracle (the %77 keys legitimately appear twice: two different "
+    "batches both carried them, and blind appends do not dedup "
+    "content, they dedup TRANSACTIONS).",
+)
+def txn_idempotent_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_appv_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if txn.current_version(path) != 1:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(
+            8, "o_orderkey"
+        )
+        k = F.col("o_orderkey")
+        b0 = orders.filter(k % 7 == 0)
+        b1 = orders.filter(k % 11 == 0)
+        txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0)
+        txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0)
+        txn.commit_append(spark, b1, path, txn_app="loader", txn_version=1)
+        txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0)
+    return (
+        txn.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            decimal_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
     "txn_zorder_compact",
     oracle="""
     SELECT l_returnflag,

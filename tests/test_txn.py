@@ -852,6 +852,46 @@ def test_cdf_bounded_admission_reader_loop_is_version_granular(spark, tmp_path):
     assert rows == want
 
 
+def test_txn_app_version_makes_blind_appends_idempotent(spark, tmp_path):
+    """Delta txn.appId/txn.version parity: a keyless producer stamping
+    (app, version) can replay a crashed batch without double-applying;
+    watermarks are per-app so independent producers never fence each
+    other."""
+    path = str(tmp_path / "appv")
+    b0, b1 = _df(spark, 0, 10), _df(spark, 5, 15)  # overlapping, keyless
+    assert txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0) == 0
+    # crash-replay of the same transaction: head untouched, no rows
+    assert txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0) == 0
+    assert txn.read_table(spark, path).count() == 10
+    assert txn.commit_append(spark, b1, path, txn_app="loader", txn_version=1) == 1
+    # a LATE replay of an older transaction is fenced too
+    assert txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0) == 1
+    assert txn.read_table(spark, path).count() == 20
+    # an independent application is not fenced
+    assert txn.commit_append(spark, b0, path, txn_app="other", txn_version=0) == 2
+    assert txn.read_table(spark, path).count() == 30
+    with pytest.raises(ValueError, match="together"):
+        txn.commit_append(spark, b0, path, txn_app="loader")
+
+
+def test_app_version_watermarks_survive_maintenance(spark, tmp_path):
+    path = str(tmp_path / "appv2")
+    txn.commit_append_with_stats(spark, _df(spark, 0, 50), path, key="k")
+    txn.commit_append(
+        spark, _df(spark, 50, 60), path, txn_app="loader", txn_version=7
+    )
+    txn.maintain_table(spark, path, max_small_files=0)
+    # the compaction carried the watermark: the replay is still fenced
+    head = txn.current_version(path)
+    assert (
+        txn.commit_append(
+            spark, _df(spark, 50, 60), path, txn_app="loader", txn_version=7
+        )
+        == head
+    )
+    assert txn.read_table(spark, path).count() == 60
+
+
 def test_compact_zorder_prunes_multiplicatively(spark, tmp_path):
     """OPTIMIZE ZORDER parity: a z-ordered compaction records zone
     maps on the clustered columns and a small 2-d rectangle predicate
