@@ -766,3 +766,80 @@ def edit_distance_pairs(
         .filter(F.col("edit_distance") <= k)
         .select("doc_a", "doc_b", "edit_distance")
     )
+
+
+# --------------------------------------------------------------------------
+# paragraph-level dedup (corpus-wide first-occurrence rewrite)
+# --------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup, the Dolma / CCNet curation shape
+    (Soldaini et al. 2024 §2.2; the reference has no content-level
+    analog — its dedup is keyed rows,
+    data_exporters/save_to_raw_customers_py.py:20): split every
+    document on ``sep``, keep each distinct paragraph only at its
+    globally FIRST occurrence (ordered by ``(id_col, position)``), and
+    rewrite each document as its surviving paragraphs joined by
+    ``sep`` in original order. Repeats WITHIN a document collapse to
+    the first position by the same rule. Documents whose every
+    paragraph was seen earlier vanish from the output (Dolma drops
+    empty docs rather than emit "" shells).
+
+    Returns ``(id_col, text_col, n_paragraphs, n_kept)`` — the
+    pre/post paragraph counts per surviving document.
+
+    Scale shape: first-occurrence election is ``groupBy(paragraph
+    hash).agg(min(struct(id, pos)))`` — a map-side-combined partial
+    aggregate, NOT a window, so a boilerplate paragraph repeated
+    across millions of documents combines locally instead of fanning
+    one hot key into a single reducer (the skew guard a
+    ``row_number() OVER (PARTITION BY paragraph)`` plan lacks). Two
+    shuffles total: the election (32-byte sha256 key) and the
+    per-document reassembly."""
+    pid, pos, para, h = "__pd_id", "__pd_pos", "__pd_para", "__pd_h"
+    paras = df.select(
+        F.col(id_col).alias(pid),
+        # \Q..\E: sep is a LITERAL separator (Spark split takes a
+        # regex; an unquoted "." or "|" would split on everything)
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+        ).alias(pos, para),
+    ).withColumn(h, F.sha2(F.col(para), 256))
+    # distinct names on the election side: the semi-join is a self-join
+    # on shared lineage, and same-name references would be ambiguous
+    firsts = (
+        paras.groupBy(h)
+        .agg(F.min(F.struct(F.col(pid), F.col(pos))).alias("__pd_f"))
+        .select(
+            F.col(h).alias("__pd_hr"),
+            F.col("__pd_f." + pid).alias("__pd_idr"),
+            F.col("__pd_f." + pos).alias("__pd_posr"),
+        )
+    )
+    kept = paras.join(
+        firsts,
+        (F.col(h) == F.col("__pd_hr"))
+        & (F.col(pid) == F.col("__pd_idr"))
+        & (F.col(pos) == F.col("__pd_posr")),
+        "left_semi",
+    )
+    totals = paras.groupBy(pid).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    rebuilt = kept.groupBy(pid).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(pos), F.col(para)))),
+                lambda s: s[para],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return rebuilt.join(totals, pid).select(
+        F.col(pid).alias(id_col), text_col, "n_paragraphs", "n_kept"
+    )

@@ -576,6 +576,7 @@ def commit_append(
         dv_key=prev0.get("dv_key"),
         extra_meta=extra,
         cdc="append",
+        op="append",
     )
     if checkpoint_every is not None and v % checkpoint_every == 0:
         checkpoint(path)
@@ -913,6 +914,7 @@ def commit_upsert(
         bloom_spec=prev.get("bloom_spec"),
         extra_meta=_carry_meta(prev),
         cdc=cdc,
+        op="upsert",
     )
 
 
@@ -978,6 +980,7 @@ def commit_compact(
         # row-preserving rewrite: dataChange=false, the change feed
         # skips this version entirely
         cdc="none",
+        op="compact",
     )
 
 
@@ -1109,6 +1112,7 @@ def commit_compact_files(
         dv_key=man.get("dv_key") if keep_dvs else None,
         extra_meta=_carry_meta(man),
         cdc="none",
+        op="compact",
     )
 
 
@@ -1402,6 +1406,7 @@ def _commit_replace(
     dv_key: str | None = None,
     extra_meta: dict | None = None,
     cdc: "str | DataFrame | None" = None,
+    op: str | None = None,
 ) -> int:
     """Publish ``merged``'s rewrite as version base+1: the manifest
     references the newly staged files plus any ``carried`` files
@@ -1483,6 +1488,12 @@ def _commit_replace(
         manifest["dv_key"] = dv_key
     if extra_meta:
         manifest.update(extra_meta)
+    # the commit's operation label (DESCRIBE HISTORY parity) is
+    # per-commit provenance, never inherited: pop anything a caller's
+    # whole-manifest spread dragged along before stamping this commit's
+    manifest.pop("operation", None)
+    if op is not None:
+        manifest["operation"] = op
     if isinstance(cdc, str):
         if cdc == "append":
             manifest["cdc"] = {"mode": "append", "files": new_files}
@@ -1603,6 +1614,7 @@ def commit_delete(
         dv_key=prev.get("dv_key") if _keep_dvs else None,
         extra_meta=_carry_meta(prev),
         cdc=cdc,
+        op="delete",
     )
 
 
@@ -1652,6 +1664,7 @@ def commit_append_with_stats(
         dv_key=man.get("dv_key"),
         extra_meta={**_carry_meta(man), **feed},
         cdc="append",
+        op="append",
     )
 
 
@@ -1844,6 +1857,7 @@ def commit_upsert_cow(
             dv_key=man.get("dv_key"),
             extra_meta=_carry_meta(man),
             cdc="none",
+            op="upsert",
         )
     stats = man.get("stats", {})
     # per-file interval probing, not the batch's [lo, hi] envelope —
@@ -1899,6 +1913,7 @@ def commit_upsert_cow(
         dv_key=man.get("dv_key") if _keep_dvs else None,
         extra_meta=_carry_meta(man),
         cdc=cdc,
+        op="upsert",
     )
 
 
@@ -2136,6 +2151,7 @@ def commit_delete_mor(
         "dvs": man.get("dvs", []) + dv_files,
         "dv_key": pkey,
         "cdc": cdc_rec,
+        "operation": "delete_mor",
     }
     for fld in (
         "stats_col",
@@ -2149,6 +2165,9 @@ def commit_delete_mor(
         "dropped_physical",
         "cdc_applied_version",
         "change_feed",
+        # per-application transaction watermarks: a MoR delete dropping
+        # them would let a replayed idempotent producer double-apply
+        "app_versions",
     ):
         if fld in man:
             manifest[fld] = man[fld]
@@ -2165,9 +2184,17 @@ def commit_delete_mor(
     return base + 1
 
 
-def _publish_metadata_commit(path: str, manifest: dict, base: int) -> int:
+def _publish_metadata_commit(
+    path: str, manifest: dict, base: int, op: str | None = None
+) -> int:
     """Publish a metadata-only manifest (no staged data) as base+1 via
-    the same atomic CAS as data commits."""
+    the same atomic CAS as data commits. ``op`` stamps the commit's
+    operation label (see ``table_history``); any label a caller's
+    whole-manifest spread dragged in is dropped first — provenance is
+    per-commit, never inherited."""
+    manifest.pop("operation", None)
+    if op is not None:
+        manifest["operation"] = op
     os.makedirs(_txn_dir(path), exist_ok=True)
     tmp = os.path.join(_txn_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     _write_manifest_json(manifest, tmp)
@@ -2239,7 +2266,7 @@ def alter_rename_column(path: str, old: str, new: str) -> int:
         manifest["column_map"] = cmap
     else:
         manifest.pop("column_map", None)
-    return _publish_metadata_commit(path, manifest, base)
+    return _publish_metadata_commit(path, manifest, base, op="rename_column")
 
 
 def alter_drop_column(path: str, name: str) -> int:
@@ -2299,7 +2326,7 @@ def alter_drop_column(path: str, name: str) -> int:
         manifest["column_map"] = cmap
     else:
         manifest.pop("column_map", None)
-    return _publish_metadata_commit(path, manifest, base)
+    return _publish_metadata_commit(path, manifest, base, op="drop_column")
 
 
 def drop_expectation(path: str, name: str) -> int:
@@ -2331,7 +2358,7 @@ def drop_expectation(path: str, name: str) -> int:
         manifest["expectations"] = exprs
     else:
         manifest.pop("expectations", None)
-    return _publish_metadata_commit(path, manifest, base)
+    return _publish_metadata_commit(path, manifest, base, op="drop_expectation")
 
 
 def change_feed_enabled(path: str, version: int | None = None) -> bool:
@@ -2373,7 +2400,7 @@ def enable_change_feed(path: str) -> int:
         "change_feed": True,
         "cdc": {"mode": "none"},
     }
-    return _publish_metadata_commit(path, manifest, base)
+    return _publish_metadata_commit(path, manifest, base, op="set_change_feed")
 
 
 def disable_change_feed(path: str) -> int:
@@ -2391,7 +2418,7 @@ def disable_change_feed(path: str) -> int:
         "committed_at": time.time(),
         "cdc": {"mode": "none"},
     }
-    return _publish_metadata_commit(path, manifest, base)
+    return _publish_metadata_commit(path, manifest, base, op="set_change_feed")
 
 
 def dv_file_count(path: str, version: int | None = None) -> int:
@@ -2543,6 +2570,62 @@ def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
     return read_version(spark, path, version_as_of(path, ts))
 
 
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit log as a DataFrame (Delta ``DESCRIBE
+    HISTORY`` parity; reference analog: the run-history metadata Mage
+    keeps per pipeline trigger) — one row per retained manifest,
+    oldest first:
+
+    - ``version`` / ``committed_at`` — the commit and its wall time.
+    - ``operation`` — the commit's provenance label stamped at publish
+      time (``append``, ``upsert``, ``merge``, ``delete``,
+      ``delete_mor``, ``replace_where``, ``compact``, ``clone``,
+      ``restore``, ``rename_column``, ``drop_column``,
+      ``drop_expectation``, ``set_change_feed``); NULL for manifests
+      written before labels existed.
+    - ``n_files`` / ``n_files_added`` / ``n_files_removed`` — the
+      snapshot's data-file count and the file-level diff vs the parent
+      manifest (a compaction shows both added and removed; a metadata
+      commit shows 0/0).
+    - ``n_dv_files`` — deletion-vector files alive at this version.
+    - ``cdc_mode`` — how the commit's change feed is recorded
+      (``append``/``files``/``none``/``unrecorded``; NULL pre-CDC).
+
+    Metadata-only and O(#retained manifests) on the driver — the same
+    cost profile as Delta's history reader, which also scans the log,
+    and bounded by ``expire_manifests``. Versions below the expire
+    floor are absent (their history is gone by design)."""
+    rows = []
+    prev_files: set[str] = set()
+    have_parent = False
+    for v in _manifest_versions(path):
+        man = _read_manifest(path, v)
+        files = set(man.get("files", []))
+        added = len(files - prev_files) if have_parent else len(files)
+        removed = len(prev_files - files) if have_parent else 0
+        rows.append(
+            (
+                v,
+                float(man.get("committed_at", 0.0)),
+                man.get("operation"),
+                len(files),
+                added,
+                removed,
+                len(man.get("dvs", []) or []),
+                (man.get("cdc") or {}).get("mode"),
+            )
+        )
+        prev_files, have_parent = files, True
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "version long, committed_at double, operation string, "
+            "n_files long, n_files_added long, n_files_removed long, "
+            "n_dv_files long, cdc_mode string"
+        ),
+    )
+
+
 def commit_replace_where(
     spark: SparkSession,
     df: DataFrame,
@@ -2684,6 +2767,7 @@ def commit_replace_where(
         dv_key=prev.get("dv_key") if _keep_dvs else None,
         extra_meta=_carry_meta(prev),
         cdc=cdc,
+        op="replace_where",
     )
 
 
@@ -2731,6 +2815,9 @@ def clone_table(
         # inserts (its data files; the source's CDC files are not
         # linked and must not be referenced)
         "cdc": {"mode": "append", "files": man["files"]},
+        # per-commit provenance: the **man spread above must not leak
+        # the SOURCE commit's operation label into the clone's genesis
+        "operation": "clone",
     }
     stage_id = uuid.uuid4().hex
     tmp = os.path.join(_txn_dir(path_dst), f".tmp-{stage_id}.json")
@@ -2821,7 +2908,7 @@ def restore_table(
         }
     else:
         manifest["cdc"] = {"mode": "unrecorded"}
-    return _publish_metadata_commit(path, manifest, base)
+    return _publish_metadata_commit(path, manifest, base, op="restore")
 
 
 def _touched_files_by_probe(
@@ -2921,6 +3008,7 @@ def commit_merge_cow(
             dv_key=man.get("dv_key"),
             extra_meta={**_carry_meta(man), **(meta or {})},
             cdc="none",
+            op="merge",
         )
     touched = _touched_files_by_probe(spark, man, source.select(key), key)
     untouched = [n for n in man["files"] if n not in set(touched)]
@@ -2988,6 +3076,7 @@ def commit_merge_cow(
         dv_key=man.get("dv_key"),
         extra_meta={**_carry_meta(man), **(meta or {})},
         cdc=cdc,
+        op="merge",
     )
 
 
@@ -3088,4 +3177,5 @@ def commit_merge(
         bloom_spec=prev.get("bloom_spec"),
         extra_meta={**_carry_meta(prev), **(meta or {})},
         cdc=cdc,
+        op="merge",
     )

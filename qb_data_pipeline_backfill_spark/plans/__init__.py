@@ -75,6 +75,8 @@ prioritize(
         "txn_restore_rollback",
         "txn_zorder_compact",
         "txn_idempotent_stream_append",
+        "txn_table_history",
+        "dedup_paragraph_rewrite",
         "text_token_stats",
         "text_ngram_topk",
         "text_tfidf_topk",
@@ -87,19 +89,21 @@ prioritize(
         "corpus_curation",
         "numeric_profile",
         "numeric_covariance",
-        "outlier_report",
         "sequence_packing",
         "training_shard_manifest",
         "contract_simhash_recall",
         "dedup_simhash",
         "streaming_txn_cdf",
         "txn_maintenance_cycle",
-        "txn_replace_where_read",
-        # txn_mor_delete_read / txn_merge_cdc_read /
-        # txn_cdf_rollup_maintenance sit just outside the 50: all r07
-        # hash-green, their specific commit paths (MoR delete, MERGE,
-        # rollup IVM) unchanged this round, and all re-verified in the
-        # local full sweep + the back-to-back CDC re-runs regardless.
+        # txn_replace_where_read / txn_mor_delete_read /
+        # txn_merge_cdc_read / txn_cdf_rollup_maintenance / the second
+        # profile sibling (outlier_report) sit just outside the 50:
+        # all r07 hash-green, displaced by the two queries NEW this
+        # round (txn_table_history — commit provenance stamped on
+        # every commit path — and dedup_paragraph_rewrite), whose
+        # untested-by-definition code needs the driver grade more
+        # than twice-green records; all re-verified in the local full
+        # sweep + the back-to-back CDC re-runs regardless.
     ]
 )
 

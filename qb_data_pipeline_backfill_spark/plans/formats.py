@@ -773,3 +773,69 @@ def txn_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "txn_table_history",
+    oracle="""
+    WITH c0 AS (SELECT COUNT(*) AS n FROM orders),
+    c1 AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 61 != 0),
+    c2 AS (SELECT COUNT(*) AS n FROM orders
+           WHERE o_orderkey % 61 != 0 OR o_orderkey % 101 = 0)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation,
+           (SELECT n FROM c0) AS n_rows
+    UNION ALL SELECT 1, 'delete_mor', (SELECT n FROM c1)
+    UNION ALL SELECT 2, 'upsert', (SELECT n FROM c2)
+    UNION ALL SELECT 3, 'rename_column', (SELECT n FROM c2)
+    UNION ALL SELECT 4, 'compact', (SELECT n FROM c2)
+    """,
+    doc="Commit-log audit (operators/txn.py table_history — Delta "
+    "DESCRIBE HISTORY parity): five commits of five different kinds — "
+    "keyed append, MoR delete (%61), CoW upsert re-inserting the "
+    "%101 keys (including previously deleted ones), a metadata-only "
+    "column rename, and a compaction — then table_history() is joined "
+    "with the actual per-version row counts read back by time travel. "
+    "The oracle states every version's operation label AND row count "
+    "in closed form from the source data, so the gate proves both the "
+    "provenance stamping at each commit path and that every "
+    "historical snapshot stays exactly readable underneath it.",
+)
+def txn_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_hist_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if txn.current_version(path) != 4:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(
+            4, "o_orderkey"
+        )
+        k = F.col("o_orderkey")
+        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        txn.commit_delete_mor(
+            spark,
+            orders.filter(k % 61 == 0).select("o_orderkey"),
+            path,
+            key="o_orderkey",
+        )
+        ups = orders.filter(k % 101 == 0).withColumn(
+            "o_orderpriority", F.lit("H-UP")
+        )
+        txn.commit_upsert_cow(spark, ups, path, key="o_orderkey")
+        txn.alter_rename_column(path, "o_orderstatus", "status")
+        txn.commit_compact(spark, path, target_partitions=2)
+    hist = txn.table_history(spark, path).select("version", "operation")
+    counts = None
+    for v in range(5):
+        c = (
+            txn.read_version(spark, path, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(v).cast("long").alias("version"), "n_rows")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return hist.join(counts, "version").select(
+        "version", "operation", "n_rows"
+    )

@@ -1593,3 +1593,60 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup_flags(_embs(spark, sf_dir), stride=50, threshold=0.45)
+
+
+@register(
+    "dedup_paragraph_rewrite",
+    oracle="""
+    WITH base AS ("""
+    + _DOCS_EDGE_SRC
+    + """),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+    p AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   ws[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' '
+               ) AS para
+        FROM w, UNNEST(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)
+    ),
+    f AS (
+        SELECT doc_id, pos, para,
+               ROW_NUMBER() OVER (
+                   PARTITION BY para ORDER BY doc_id, pos
+               ) AS rn
+        FROM p
+    ),
+    k AS (SELECT doc_id, pos, para FROM f WHERE rn = 1),
+    t AS (SELECT doc_id, COUNT(*) AS n_paragraphs FROM p GROUP BY doc_id)
+    SELECT k.doc_id,
+           string_agg(k.para, chr(10) ORDER BY k.pos) AS text,
+           ANY_VALUE(t.n_paragraphs) AS n_paragraphs,
+           COUNT(*) AS n_kept
+    FROM k JOIN t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """,
+    doc="Corpus-wide paragraph dedup (operators/dedup.py "
+    "dedup_paragraphs — the Dolma §2.2 paragraph-level pass): the "
+    "corpus has no newlines, so the gate first derives paragraphs as "
+    "8-word chunks joined by newline, then keeps each distinct "
+    "paragraph only at its globally first (doc_id, position) "
+    "occurrence and rewrites every surviving document. The oracle "
+    "replays the whole pipeline — chunking, first-occurrence "
+    "election, and ordered reassembly — in SQL, so the hash gate "
+    "covers the rewritten text byte-for-byte, not just counts. Scale "
+    "shape under test: the election is a map-side-combined "
+    "min(struct) aggregate on a sha256 key, never a hot-key window.",
+)
+def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_edge(spark, sf_dir)
+    words = F.split(F.col("text"), " ", -1)
+    paras_arr = F.transform(
+        F.sequence(
+            F.lit(0), (F.ceil(F.size(words) / F.lit(8)) - 1).cast("int")
+        ),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    paraized = docs.select(
+        "doc_id", F.array_join(paras_arr, "\n").alias("text")
+    )
+    return D.dedup_paragraphs(paraized)

@@ -912,3 +912,44 @@ def test_bpe_encode_no_merges_is_char_count(spark):
     [r] = X.bpe_encode(df, []).collect()
     # chars of 'ab' + 'c' = 3 subwords, distinct {a, b, c} = 3
     assert (r["n_subwords"], r["n_distinct_subwords"]) == (3, 3)
+
+
+def _pdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in D.dedup_paragraphs(
+            _pdocs(
+                spark,
+                [(1, "alpha\nbeta"), (2, "beta\ngamma"), (3, "alpha\nbeta")],
+            )
+        ).collect()
+    }
+    assert out[1]["text"] == "alpha\nbeta"
+    assert (out[1]["n_paragraphs"], out[1]["n_kept"]) == (2, 2)
+    # doc 2 loses the beta already seen in doc 1, keeps order
+    assert out[2]["text"] == "gamma"
+    assert (out[2]["n_paragraphs"], out[2]["n_kept"]) == (2, 1)
+    # doc 3 is entirely duplicate: dropped, not an empty shell
+    assert 3 not in out
+
+
+def test_paragraph_dedup_within_doc_repeats_collapse(spark):
+    out = D.dedup_paragraphs(
+        _pdocs(spark, [(1, "x\ny\nx\nz\ny")])
+    ).collect()[0]
+    assert out["text"] == "x\ny\nz"
+    assert (out["n_paragraphs"], out["n_kept"]) == (5, 3)
+
+
+def test_paragraph_dedup_separator_is_literal(spark):
+    # '|' is a regex alternation: an unquoted split would explode the
+    # text into single characters
+    out = D.dedup_paragraphs(
+        _pdocs(spark, [(1, "aa|bb"), (2, "bb|cc")]), sep="|"
+    ).collect()
+    got = {r["doc_id"]: r["text"] for r in out}
+    assert got == {1: "aa|bb", 2: "cc"}

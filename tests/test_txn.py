@@ -2888,3 +2888,78 @@ def test_rollup_null_measures_do_not_poison_sum(spark, tmp_path):
         for r in txn.read_table(spark, roll).collect()
     }
     assert got == {"g": (3, Decimal("15.000000"))}
+
+
+def test_table_history_labels_and_diffs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 100).repartition(2), path, key="k"
+    )
+    txn.commit_delete_mor(
+        spark, _df(spark, 0, 10).select("k"), path, key="k"
+    )
+    txn.commit_upsert_cow(
+        spark,
+        _df(spark, 5, 8).withColumn("v", F.lit(-1)),
+        path,
+        key="k",
+    )
+    txn.alter_rename_column(path, "v", "val")
+    txn.commit_compact(spark, path)
+    txn.restore_table(spark, path, 0)
+    h = {
+        r["version"]: r.asDict()
+        for r in txn.table_history(spark, path).collect()
+    }
+    assert [h[v]["operation"] for v in range(6)] == [
+        "append",
+        "delete_mor",
+        "upsert",
+        "rename_column",
+        "compact",
+        "restore",
+    ]
+    # append: everything added, nothing removed
+    assert h[0]["n_files_added"] == h[0]["n_files"] > 0
+    assert h[0]["n_files_removed"] == 0
+    # MoR delete: files untouched, DVs appear
+    assert h[1]["n_files_added"] == h[1]["n_files_removed"] == 0
+    assert h[1]["n_dv_files"] > 0
+    # metadata-only rename: no file churn
+    assert h[3]["n_files_added"] == h[3]["n_files_removed"] == 0
+    # compaction rewrites: both sides of the diff non-zero, DVs cleared
+    assert h[4]["n_files_added"] > 0 and h[4]["n_files_removed"] > 0
+    assert h[4]["n_dv_files"] == 0
+    # restore re-references v0's files
+    assert h[5]["n_files"] == h[0]["n_files"]
+    # versions stay readable underneath the history
+    assert txn.read_version(spark, path, 1).count() == 90
+
+
+def test_history_label_is_not_inherited_by_clone(spark, tmp_path):
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    txn.commit_append(spark, _df(spark, 0, 20), src)
+    txn.commit_delete(spark, _df(spark, 0, 5).select("k"), src, key="k")
+    txn.clone_table(src, dst)
+    ops = [
+        r["operation"] for r in txn.table_history(spark, dst).collect()
+    ]
+    assert ops == ["clone"]
+
+
+def test_mor_delete_carries_app_watermarks(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(
+        spark, _df(spark, 0, 50), path, txn_app="job", txn_version=7
+    )
+    txn.commit_delete_mor(
+        spark, _df(spark, 0, 5).select("k"), path, key="k"
+    )
+    # the watermark must survive the MoR delete: a replay of the
+    # producer's batch 7 after the delete must still be a no-op
+    head = txn.current_version(path)
+    v = txn.commit_append(
+        spark, _df(spark, 0, 50), path, txn_app="job", txn_version=7
+    )
+    assert v == head
+    assert txn.read_table(spark, path).count() == 45
