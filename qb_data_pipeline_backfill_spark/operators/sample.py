@@ -358,3 +358,46 @@ def quota_cap(
         df, safety.filter(~F.col("__safe")), group_col
     ).drop("__safe")
     return exact(safe_rows).unionByName(exact(unsafe_rows))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across the
+    train/test boundary (the contamination failure mode Lee et al.
+    2022 §6.2 measure): resolve the near-dup ``pairs`` (doc_a, doc_b)
+    to clusters, then hash each document's CLUSTER REPRESENTATIVE —
+    not its own id — through the usual :func:`split_column` CASE, so
+    every member of a near-dup cluster inherits one split decision. A
+    per-document hash would independently coin-flip each near-copy,
+    putting ~2·p·(1-p) of every dup pair on opposite sides of the
+    boundary. Documents in no pair are their own singleton cluster
+    (hashed by their own id, so existing singleton assignments match
+    plain :func:`split_column` under the same salt).
+
+    Returns ``docs`` + ``split_key`` (the representative hashed) +
+    ``split``. Scale: the cluster map covers only documents that
+    appear in a pair — vastly smaller than the corpus — so the join
+    is broadcastable; the assignment itself is a pure column
+    expression on top (no persisted random column, no extra shuffle).
+    """
+    from qb_data_pipeline_backfill_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    cc = dedup_clusters(pairs).select(
+        F.col("doc_id").alias("__ls_id"),
+        F.col("cluster_id").alias("__ls_cluster"),
+    )
+    keyed = docs.join(
+        F.broadcast(cc), docs[id_col] == F.col("__ls_id"), "left"
+    ).withColumn(
+        "split_key", F.coalesce(F.col("__ls_cluster"), F.col(id_col))
+    )
+    return keyed.withColumn(
+        "split", split_column(["split_key"], weights, salt=salt)
+    ).drop("__ls_id", "__ls_cluster")

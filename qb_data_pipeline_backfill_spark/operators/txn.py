@@ -63,6 +63,7 @@ import datetime as _dt
 import hashlib
 import json
 import os
+import re
 import time
 import uuid
 from decimal import Decimal
@@ -426,11 +427,16 @@ def _union_schema_ddl(prev: dict, schema) -> str:
     fields: list[tuple[str, str]] = []
     seen: set[str] = set()
     for n, t in _logical_fields(prev):
-        if n in have and have[n] != t:
+        # a batch NARROWER than the table is fine: its files stay
+        # narrow on disk and the scan upcasts them (type widening) —
+        # only a batch the logical schema cannot hold losslessly is a
+        # retype and rejected
+        if n in have and have[n] != t and not _is_safe_widening(have[n], t):
             raise ValueError(
                 f"append batch retypes column {n!r} to {have[n]} but the "
-                f"table records {t}; column types cannot change "
-                "(additive evolution only)"
+                f"table records {t}; column types cannot change at "
+                "append time (additive evolution only) — to widen the "
+                "table's type, call widen_column_type first"
             )
         fields.append((n, t))
         seen.add(n)
@@ -1648,6 +1654,12 @@ def commit_append_with_stats(
     enforce_expectations(out, man.get("expectations", {}))
     stats_cols = man.get("stats_cols") or (list(extra_cols) if extra_cols else None)
     feed = {"change_feed": True} if change_feed else {}
+    # published schema = union of table + batch, exactly as in
+    # commit_append: a batch that omits a column (its files surface
+    # NULL) or carries a narrower widened type must not shrink or
+    # narrow the live schema
+    _guard_new_columns([f.name for f in out.schema], man)
+    schema = {"schema_ddl": _union_schema_ddl(man, out.schema)}
     return _commit_replace(
         spark,
         out,
@@ -1662,7 +1674,7 @@ def commit_append_with_stats(
         carried_blooms=man.get("blooms", {}),
         carried_dvs=man.get("dvs"),
         dv_key=man.get("dv_key"),
-        extra_meta={**_carry_meta(man), **feed},
+        extra_meta={**_carry_meta(man), **feed, **schema},
         cdc="append",
         op="append",
     )
@@ -2267,6 +2279,74 @@ def alter_rename_column(path: str, old: str, new: str) -> int:
     else:
         manifest.pop("column_map", None)
     return _publish_metadata_commit(path, manifest, base, op="rename_column")
+
+
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _is_safe_widening(old: str, new: str) -> bool:
+    """True when every value of physical type ``old`` reads losslessly
+    under logical type ``new`` — the admitted subset of Delta's
+    type-widening table feature, restricted to what Spark 4's
+    vectorized parquet reader upcasts natively (verified empirically):
+    integer widening along tinyint<smallint<int<bigint, float→double,
+    and decimal precision growth at unchanged scale."""
+    old, new = old.lower().strip(), new.lower().strip()
+    if old in _INT_WIDTH and new in _INT_WIDTH:
+        return _INT_WIDTH[new] > _INT_WIDTH[old]
+    if old == "float" and new == "double":
+        return True
+    mo = re.fullmatch(r"decimal\((\d+),(\d+)\)", old)
+    mn = re.fullmatch(r"decimal\((\d+),(\d+)\)", new)
+    if mo and mn:
+        return (
+            int(mn.group(1)) > int(mo.group(1))
+            and mn.group(2) == mo.group(2)
+        )
+    return False
+
+
+def widen_column_type(path: str, col: str, new_type: str) -> int:
+    """Widen a column's logical type WITHOUT rewriting any data file
+    (Delta's type-widening table feature): a metadata-only commit
+    records the wider type in the logical schema; existing files keep
+    their narrower physical type and every snapshot/time-travel scan
+    upcasts them at the parquet reader (native in Spark 4's vectorized
+    reader for the whole admitted set — see ``_is_safe_widening``).
+    Only lossless widenings are admitted; anything else (narrowing,
+    scale changes, string casts) raises. After the widening, appends
+    may carry EITHER width: a still-narrow producer's files stay
+    narrow on disk and upcast at read, while a batch wider than the
+    logical schema remains rejected until the table is widened first
+    (see ``_union_schema_ddl``). Time travel to pre-widening versions
+    shows the old type — each version's manifest carries its own
+    schema."""
+    base = current_version(path)
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    fields = _logical_fields(man)
+    names = [n for n, _ in fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {names}")
+    old_t = dict(fields)[col]
+    if not _is_safe_widening(old_t, new_type):
+        raise ValueError(
+            f"cannot widen column {col!r} from {old_t} to {new_type}: "
+            "only lossless widenings (integer chain, float->double, "
+            "decimal precision growth at unchanged scale) are admitted"
+        )
+    manifest = {
+        **man,
+        "version": base + 1,
+        "parent": base,
+        "committed_at": time.time(),
+        "schema_ddl": ", ".join(
+            f"{n} {new_type if n == col else t}" for n, t in fields
+        ),
+        "cdc": {"mode": "none"},
+    }
+    return _publish_metadata_commit(path, manifest, base, op="widen_column")
 
 
 def alter_drop_column(path: str, name: str) -> int:

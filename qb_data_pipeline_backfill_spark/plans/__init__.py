@@ -77,6 +77,7 @@ prioritize(
         "txn_idempotent_stream_append",
         "txn_table_history",
         "dedup_paragraph_rewrite",
+        "txn_type_widening",
         "text_token_stats",
         "text_ngram_topk",
         "text_tfidf_topk",
@@ -92,10 +93,12 @@ prioritize(
         "sequence_packing",
         "training_shard_manifest",
         "contract_simhash_recall",
-        "dedup_simhash",
+        # dedup_simhash sits just outside: rows-only by design, so the
+        # window slot does more work on a full hash gate; its oracle
+        # twin contract_simhash_recall (the real check) stays in.
+        "leakage_safe_splits",
         "streaming_txn_cdf",
-        "txn_maintenance_cycle",
-        # txn_replace_where_read / txn_mor_delete_read /
+        # txn_maintenance_cycle / txn_replace_where_read / txn_mor_delete_read /
         # txn_merge_cdc_read / txn_cdf_rollup_maintenance / the second
         # profile sibling (outlier_report) sit just outside the 50:
         # all r07 hash-green, displaced by the two queries NEW this

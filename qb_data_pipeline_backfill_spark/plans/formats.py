@@ -839,3 +839,72 @@ def txn_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.join(counts, "version").select(
         "version", "operation", "n_rows"
     )
+
+
+@register(
+    "txn_type_widening",
+    oracle="""
+    WITH gens AS (
+        SELECT o_orderstatus, o_orderkey,
+               CAST(o_totalprice AS REAL) AS price_f
+        FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_orderkey + 10000000000,
+               CAST(o_totalprice AS REAL)
+        FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           SUM(o_orderkey) AS key_sum,
+           CAST(MIN(price_f) AS DOUBLE) AS min_price,
+           CAST(MAX(price_f) AS DOUBLE) AS max_price
+    FROM gens GROUP BY o_orderstatus
+    """,
+    doc="Type widening without rewrites (operators/txn.py "
+    "widen_column_type — Delta's type-widening table feature): orders "
+    "land with o_orderkey as INT and price as FLOAT, two metadata-only "
+    "commits widen them to BIGINT/DOUBLE, then a second keyed append "
+    "lands keys shifted by +10^10 — values only the WIDENED schema can "
+    "hold — while its price column stays FLOAT (a still-narrow "
+    "producer). The final snapshot therefore scans int32 and int64 "
+    "files under one bigint schema and float files under double, "
+    "upcast at the parquet reader with zero data rewritten. The "
+    "closed-form oracle replays both generations; min/max (not sums) "
+    "keep the float lane order-independent and bit-exact across "
+    "engines.",
+)
+def txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_widen_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if txn.current_version(path) != 3:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus",
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_totalprice").cast("float").alias("price_f"),
+        ).repartition(4, "o_orderkey")
+        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        txn.widen_column_type(path, "o_orderkey", "bigint")
+        txn.widen_column_type(path, "price_f", "double")
+        shifted = orders.select(
+            "o_orderstatus",
+            (F.col("o_orderkey").cast("bigint") + 10000000000).alias(
+                "o_orderkey"
+            ),
+            "price_f",
+        )
+        txn.commit_append_with_stats(spark, shifted, path, key="o_orderkey")
+    return (
+        txn.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.min("price_f").alias("min_price"),
+            F.max("price_f").alias("max_price"),
+        )
+    )

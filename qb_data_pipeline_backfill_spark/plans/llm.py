@@ -1650,3 +1650,60 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join(paras_arr, "\n").alias("text")
     )
     return D.dedup_paragraphs(paraized)
+
+
+@register(
+    "leakage_safe_splits",
+    oracle=r"""
+    WITH RECURSIVE toks AS (%s),
+    grams AS (
+        SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM p0
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    keyed AS (
+        SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    )
+    SELECT doc_id, split_key, %s AS split FROM keyed
+    """
+    % (_TOKS, SA.split_column_sql(["split_key"], _SPLIT_WEIGHTS, salt="split")),
+    doc="Contamination-safe train/val/test assignment "
+    "(operators/sample.py leakage_safe_split — the Lee et al. 2022 "
+    "§6.2 failure mode): exact trigram-Jaccard near-dup pairs are "
+    "resolved to clusters (pointer-jumping CC) and every document is "
+    "split-hashed by its CLUSTER representative, so near-duplicates "
+    "can never straddle the train/test boundary; singletons hash "
+    "their own id and therefore match the plain per-doc split under "
+    "the same salt. Per-row oracle: recursive-CTE closure over the "
+    "same pairs + the engine-pair-verified md5 CASE rendering.",
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return SA.leakage_safe_split(
+        docs.select("doc_id"), pairs, _SPLIT_WEIGHTS, salt="split"
+    ).select("doc_id", "split_key", "split")

@@ -157,3 +157,35 @@ def test_quota_cap_prefilter_plan_broadcasts_thresholds(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from qb_data_pipeline_backfill_spark.operators.sample import (
+        leakage_safe_split,
+        split_column,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 101)], "doc_id bigint"
+    )
+    # two clusters: {1,2,3} (transitively) and {50,60}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (50, 60)], "doc_a bigint, doc_b bigint"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, pairs, w, salt="s").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 100
+    # every cluster member shares the representative's decision
+    assert len({by_id[i]["split"] for i in (1, 2, 3)}) == 1
+    assert by_id[1]["split_key"] == by_id[3]["split_key"] == 1
+    assert by_id[50]["split"] == by_id[60]["split"]
+    # singletons match the plain per-doc split under the same salt
+    plain = {
+        r["doc_id"]: r["s"]
+        for r in docs.withColumn(
+            "s", split_column(["doc_id"], w, salt="s")
+        ).collect()
+    }
+    singles = set(range(1, 101)) - {1, 2, 3, 50, 60}
+    assert all(by_id[i]["split"] == plain[i] for i in singles)

@@ -2963,3 +2963,88 @@ def test_mor_delete_carries_app_watermarks(spark, tmp_path):
     )
     assert v == head
     assert txn.read_table(spark, path).count() == 45
+
+
+def test_widen_column_type_reads_mixed_width_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    narrow = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id").cast("double") / 4).cast("float").alias("x"),
+    )
+    txn.commit_append_with_stats(spark, narrow, path, key="k")
+    txn.widen_column_type(path, "k", "bigint")
+    txn.widen_column_type(path, "x", "double")
+    wide = spark.range(0, 10).select(
+        (F.col("id") + 10_000_000_000).alias("k"),
+        F.lit(2.5).alias("x"),
+    )
+    txn.commit_append_with_stats(spark, wide, path, key="k")
+    got = txn.read_table(spark, path)
+    assert dict(got.dtypes) == {"k": "bigint", "x": "double"}
+    assert got.count() == 60
+    assert got.filter(F.col("k") >= 10_000_000_000).count() == 10
+    # int32 files surface exact values under the bigint schema
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(50)) + sum(
+        10_000_000_000 + i for i in range(10)
+    )
+    # time travel shows each version's own (pre-widening) types
+    assert dict(txn.read_version(spark, path, 0).dtypes) == {
+        "k": "int",
+        "x": "float",
+    }
+
+
+def test_widen_decimal_precision(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(5,2)")).alias("m"),
+    )
+    txn.commit_append(spark, df, path)
+    txn.widen_column_type(path, "m", "decimal(12,2)")
+    got = txn.read_table(spark, path)
+    assert dict(got.dtypes)["m"] == "decimal(12,2)"
+    assert got.agg(F.sum("m")).collect()[0][0] == 10
+
+
+def test_widen_rejects_lossy_and_unknown(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 5), path)  # k,v bigint
+    with pytest.raises(ValueError, match="only lossless"):
+        txn.widen_column_type(path, "k", "int")  # narrowing
+    with pytest.raises(ValueError, match="only lossless"):
+        txn.widen_column_type(path, "k", "string")
+    with pytest.raises(ValueError, match="only lossless"):
+        txn.widen_column_type(path, "k", "bigint")  # no-op retype
+    with pytest.raises(ValueError, match="no column"):
+        txn.widen_column_type(path, "missing", "bigint")
+
+
+def test_append_narrow_batch_does_not_regress_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(
+        spark,
+        spark.range(3).select(F.col("id").cast("int").alias("k")),
+        path,
+        key="k",
+    )
+    txn.widen_column_type(path, "k", "bigint")
+    # a still-narrow producer appends int batches after the widening:
+    # files stay int32 on disk, the LOGICAL schema must stay bigint
+    txn.commit_append_with_stats(
+        spark,
+        spark.range(3, 6).select(F.col("id").cast("int").alias("k")),
+        path,
+        key="k",
+    )
+    got = txn.read_table(spark, path)
+    assert dict(got.dtypes) == {"k": "bigint"}
+    assert got.count() == 6
+    # a batch WIDER than the logical schema is still a retype
+    with pytest.raises(ValueError, match="widen_column_type first"):
+        txn.commit_append(
+            spark,
+            spark.range(6, 9).select(F.col("id").cast("decimal(4,0)").alias("k")),
+            path,
+            key="k",
+        )
