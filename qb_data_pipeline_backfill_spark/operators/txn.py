@@ -1441,6 +1441,22 @@ def _commit_replace(
     stats: dict[str, list] = dict(carried_stats or {})
     col_stats: dict[str, dict] = dict(carried_col_stats or {})
     blooms: dict[str, list] = dict(carried_blooms or {})
+    # per-file row counts (Delta numRecords analog): the footer read
+    # already happens for the zero-row check, so recording it is free;
+    # carried files inherit the base manifest's count (footer fallback
+    # for pre-feature manifests), and snapshot_row_count answers
+    # COUNT(*) from metadata alone
+    prev_counts = (
+        _read_manifest(path, base).get("row_counts", {}) if base >= 0 else {}
+    )
+    row_counts: dict[str, int] = {
+        f: (
+            prev_counts[f]
+            if f in prev_counts
+            else _parquet_num_rows(os.path.join(path, "data", f))
+        )
+        for f in (carried or [])
+    }
     staged_blooms: dict[str, list] = (
         _file_blooms(
             spark, stage_dir, bloom_spec["col"], bloom_spec["m"], bloom_spec["k"]
@@ -1454,13 +1470,15 @@ def _commit_replace(
         # zero-row part files never enter the manifest (see
         # commit_append: replay/empty-partition debris would otherwise
         # accrete open-and-discard work for every future reader)
-        if _parquet_num_rows(os.path.join(stage_dir, name)) == 0:
+        n_rows = _parquet_num_rows(os.path.join(stage_dir, name))
+        if n_rows == 0:
             continue
         unique = f"{stage_id}-{name}"
         os.link(
             os.path.join(stage_dir, name), os.path.join(path, "data", unique)
         )
         new_files.append(unique)
+        row_counts[unique] = n_rows
         if stats_col is not None:
             s = _file_stats(os.path.join(stage_dir, name), stats_col)
             if s is not None:
@@ -1479,6 +1497,7 @@ def _commit_replace(
         ),
         "parent": base,
         "committed_at": time.time(),
+        "row_counts": row_counts,
     }
     if stats_col is not None:
         manifest["stats_col"] = stats_col
@@ -2180,6 +2199,10 @@ def commit_delete_mor(
         # per-application transaction watermarks: a MoR delete dropping
         # them would let a replayed idempotent producer double-apply
         "app_versions",
+        # data files are untouched by a MoR delete, so their recorded
+        # row counts stay valid (DV suppression is subtracted at
+        # snapshot_row_count time, not here)
+        "row_counts",
     ):
         if fld in man:
             manifest[fld] = man[fld]
@@ -2648,6 +2671,68 @@ def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
     """Snapshot read as of a wall-clock timestamp (time travel by
     time rather than version number)."""
     return read_version(spark, path, version_as_of(path, ts))
+
+
+def snapshot_row_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Exact ``COUNT(*)`` of a snapshot WITHOUT scanning the data —
+    the Delta/Iceberg answer-count-from-stats optimization. Every
+    commit records per-file row counts in its manifest (``row_counts``
+    in ``_commit_replace`` — free, the footer read already happens for
+    the zero-row check), so a table with no deletion vectors answers
+    from metadata alone: O(#files) dict lookups on the driver, zero
+    executor work, zero bytes of data read.
+
+    With live deletion vectors the suppressed rows must be subtracted.
+    DV cardinality is NOT the answer: a DV row is a distinct
+    ``(file, key)`` pair, which suppresses EVERY row bearing that key
+    in that file (more than one under keyless dup-key appends), and
+    rows referencing since-rewritten files are inert. So the probe
+    scans ONLY the DV-referenced files still in the manifest — the
+    same file-scoping as the delete itself — and counts their
+    suppressed rows exactly; untouched files still answer from
+    metadata. Pre-feature manifests fall back to parquet footer reads
+    per file (still metadata, no data pages)."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    counts = man.get("row_counts", {})
+    total = 0
+    for f in man.get("files", []):
+        total += (
+            counts[f]
+            if f in counts
+            else _parquet_num_rows(os.path.join(path, "data", f))
+        )
+    dvs = man.get("dvs") or []
+    if not dvs:
+        return total
+    live = set(man.get("files", []))
+    dv = (
+        spark.read.parquet(*[os.path.join(path, "data", n) for n in dvs])
+        .select("file_name", man["dv_key"])
+        .dropDuplicates(["file_name", man["dv_key"]])
+        .filter(F.col("file_name").isin(list(live)))
+    )
+    referenced = {r["file_name"] for r in dv.select("file_name").distinct().collect()}
+    if not referenced:
+        return total
+    tagged = (
+        spark.read.schema(_physical_ddl(man))
+        .parquet(*[os.path.join(path, "data", n) for n in sorted(referenced)])
+        .withColumn(
+            "file_name",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+    )
+    suppressed = tagged.join(
+        F.broadcast(dv), ["file_name", man["dv_key"]], "left_semi"
+    ).count()
+    return total - suppressed
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:

@@ -91,13 +91,15 @@ prioritize(
         "numeric_profile",
         "numeric_covariance",
         "sequence_packing",
-        "training_shard_manifest",
+        "txn_snapshot_count",
         "contract_simhash_recall",
         # dedup_simhash sits just outside: rows-only by design, so the
         # window slot does more work on a full hash gate; its oracle
         # twin contract_simhash_recall (the real check) stays in.
         "leakage_safe_splits",
         "streaming_txn_cdf",
+        # training_shard_manifest (its siblings sequence_packing +
+        # the chunking family stay in) /
         # txn_maintenance_cycle / txn_replace_where_read / txn_mor_delete_read /
         # txn_merge_cdc_read / txn_cdf_rollup_maintenance / the second
         # profile sibling (outlier_report) sit just outside the 50:

@@ -908,3 +908,50 @@ def txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_f").alias("max_price"),
         )
     )
+
+
+@register(
+    "txn_snapshot_count",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS version,
+           (SELECT COUNT(*) FROM orders) AS n_rows
+    UNION ALL
+    SELECT 1, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 61 != 0)
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 61 != 0)
+    """,
+    doc="COUNT(*) answered from commit metadata (operators/txn.py "
+    "snapshot_row_count — the Delta/Iceberg count-from-stats "
+    "optimization): every commit records per-file row counts in its "
+    "manifest, so the append (v0) and compacted (v2) snapshots count "
+    "with zero data read, and the MoR-deleted snapshot (v1) counts by "
+    "probing ONLY the DV-referenced files — suppression by matched "
+    "rows, not DV cardinality, so dup-key files can't skew it. The "
+    "closed-form oracle pins all three counts; time travel keeps "
+    "every historical count exact.",
+)
+def txn_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_cnt_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if txn.current_version(path) != 2:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(
+            4, "o_orderkey"
+        )
+        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        txn.commit_delete_mor(
+            spark,
+            orders.filter(F.col("o_orderkey") % 61 == 0).select("o_orderkey"),
+            path,
+            key="o_orderkey",
+        )
+        txn.commit_compact(spark, path, target_partitions=2)
+    rows = [
+        (v, txn.snapshot_row_count(spark, path, v)) for v in range(3)
+    ]
+    return spark.createDataFrame(rows, "version bigint, n_rows bigint")

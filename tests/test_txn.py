@@ -3048,3 +3048,50 @@ def test_append_narrow_batch_does_not_regress_schema(spark, tmp_path):
             path,
             key="k",
         )
+
+
+def test_snapshot_row_count_metadata_and_dv_paths(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 100).repartition(3), path, key="k"
+    )
+    assert txn.snapshot_row_count(spark, path) == 100
+    txn.commit_delete_mor(spark, _df(spark, 0, 7).select("k"), path, key="k")
+    assert txn.snapshot_row_count(spark, path) == 93
+    # time travel: historical counts stay pinned
+    assert txn.snapshot_row_count(spark, path, 0) == 100
+    txn.commit_compact(spark, path)
+    assert txn.snapshot_row_count(spark, path) == 93
+    assert txn.read_table(spark, path).count() == 93
+
+
+def test_snapshot_row_count_dup_keys_in_file(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # keyless append with duplicate keys: one DV (file, key) pair
+    # suppresses BOTH rows — cardinality arithmetic would say 1
+    dup = spark.createDataFrame(
+        [(5, 1), (5, 2), (6, 3)], "k bigint, v bigint"
+    ).coalesce(1)
+    txn.commit_append(spark, dup, path)
+    txn.commit_delete_mor(
+        spark,
+        spark.createDataFrame([(5,)], "k bigint"),
+        path,
+        key="k",
+    )
+    assert txn.read_table(spark, path).count() == 1
+    assert txn.snapshot_row_count(spark, path) == 1
+
+
+def test_snapshot_row_count_no_manifest_counts_falls_back(spark, tmp_path):
+    import json
+
+    path = str(tmp_path / "t")
+    txn.commit_append(spark, _df(spark, 0, 40), path)
+    # simulate a pre-feature manifest: strip the recorded counts
+    mp = txn._manifest_path(path, 0)
+    man = json.load(open(mp))
+    man.pop("row_counts", None)
+    os.unlink(mp)
+    json.dump(man, open(mp, "w"))
+    assert txn.snapshot_row_count(spark, path) == 40
