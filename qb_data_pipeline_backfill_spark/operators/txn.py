@@ -2673,6 +2673,22 @@ def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
     return read_version(spark, path, version_as_of(path, ts))
 
 
+def _dv_referenced_file_names(path: str, dvs: list) -> set:
+    """Distinct ``file_name`` values across the DV files, read on the
+    driver with pyarrow — DV files are small metadata by construction
+    (O(deleted keys)), so this avoids paying a Spark job just to learn
+    which data files need the suppression probe."""
+    import pyarrow.parquet as pq
+
+    out: set[str] = set()
+    for n in dvs:
+        t = pq.read_table(
+            os.path.join(path, "data", n), columns=["file_name"]
+        )
+        out.update(t.column("file_name").to_pylist())
+    return out
+
+
 def snapshot_row_count(
     spark: SparkSession, path: str, version: int | None = None
 ) -> int:
@@ -2711,16 +2727,17 @@ def snapshot_row_count(
     dvs = man.get("dvs") or []
     if not dvs:
         return total
-    live = set(man.get("files", []))
+    referenced = _dv_referenced_file_names(path, dvs) & set(
+        man.get("files", [])
+    )
+    if not referenced:
+        return total
     dv = (
         spark.read.parquet(*[os.path.join(path, "data", n) for n in dvs])
         .select("file_name", man["dv_key"])
         .dropDuplicates(["file_name", man["dv_key"]])
-        .filter(F.col("file_name").isin(list(live)))
+        .filter(F.col("file_name").isin(list(referenced)))
     )
-    referenced = {r["file_name"] for r in dv.select("file_name").distinct().collect()}
-    if not referenced:
-        return total
     tagged = (
         spark.read.schema(_physical_ddl(man))
         .parquet(*[os.path.join(path, "data", n) for n in sorted(referenced)])
@@ -2733,6 +2750,80 @@ def snapshot_row_count(
         F.broadcast(dv), ["file_name", man["dv_key"]], "left_semi"
     ).count()
     return total - suppressed
+
+
+def snapshot_col_minmax(
+    spark: SparkSession, path: str, col: str, version: int | None = None
+) -> tuple:
+    """Exact ``(MIN(col), MAX(col))`` of a snapshot from zone-map
+    metadata (the stats-based aggregate pushdown Delta/Iceberg perform
+    for MIN/MAX): files contribute their manifest-recorded per-file
+    [min, max] — footer fallback when a file predates stats collection
+    — so a DV-free table answers with zero data read.
+
+    Deletion vectors can suppress the extremal row itself, so
+    metadata-only would be WRONG under MoR deletes. The same
+    file-scoping as ``snapshot_row_count`` keeps it exact: files no DV
+    row references answer from metadata; the DV-referenced files are
+    scanned (visible rows only) and folded in. At 100 TB a delete
+    touches a vanishing fraction of files, so the probe stays
+    marginal."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    phys = _phys(man, col)
+    dvs = man.get("dvs") or []
+    referenced: set[str] = set()
+    if dvs:
+        referenced = _dv_referenced_file_names(path, dvs) & set(
+            man.get("files", [])
+        )
+        dv = (
+            spark.read.parquet(*[os.path.join(path, "data", n) for n in dvs])
+            .select("file_name", man["dv_key"])
+            .dropDuplicates(["file_name", man["dv_key"]])
+            .filter(F.col("file_name").isin(list(referenced)))
+        )
+    lo = hi = None
+
+    def _fold(a, b):
+        nonlocal lo, hi
+        if a is not None and (lo is None or a < lo):
+            lo = a
+        if b is not None and (hi is None or b > hi):
+            hi = b
+
+    stats = man.get("stats", {}) if man.get("stats_col") == phys else {}
+    col_stats = man.get("col_stats", {})
+    for f in man.get("files", []):
+        if f in referenced:
+            continue
+        s = stats.get(f) or (col_stats.get(f, {}) or {}).get(phys)
+        if s is None:
+            s = _file_stats(os.path.join(path, "data", f), phys)
+        if s is None:
+            raise ValueError(
+                f"file {f!r} has no usable min/max for column {col!r}"
+            )
+        _fold(_stat_from_json(s[0]), _stat_from_json(s[1]))
+    if referenced:
+        tagged = (
+            spark.read.schema(_physical_ddl(man))
+            .parquet(*[os.path.join(path, "data", n) for n in sorted(referenced)])
+            .withColumn(
+                "file_name",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+        )
+        visible = tagged.join(
+            F.broadcast(dv), ["file_name", man["dv_key"]], "left_anti"
+        )
+        row = visible.agg(F.min(phys), F.max(phys)).collect()[0]
+        _fold(row[0], row[1])
+    return (lo, hi)
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:

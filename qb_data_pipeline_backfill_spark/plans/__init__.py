@@ -100,6 +100,8 @@ prioritize(
         "streaming_txn_cdf",
         # training_shard_manifest (its siblings sequence_packing +
         # the chunking family stay in) /
+        # txn_snapshot_minmax (same metadata-aggregate code path as
+        # the in-window txn_snapshot_count; 3x green locally) /
         # txn_maintenance_cycle / txn_replace_where_read / txn_mor_delete_read /
         # txn_merge_cdc_read / txn_cdf_rollup_maintenance / the second
         # profile sibling (outlier_report) sit just outside the 50:

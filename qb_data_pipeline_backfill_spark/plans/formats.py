@@ -955,3 +955,59 @@ def txn_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v, txn.snapshot_row_count(spark, path, v)) for v in range(3)
     ]
     return spark.createDataFrame(rows, "version bigint, n_rows bigint")
+
+
+@register(
+    "txn_snapshot_minmax",
+    oracle="""
+    WITH surv AS (
+        SELECT * FROM orders
+        WHERE o_orderkey <= (
+            SELECT o_orderkey FROM orders
+            ORDER BY o_orderkey DESC LIMIT 1 OFFSET 100
+        )
+    )
+    SELECT MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM surv
+    """,
+    doc="MIN/MAX answered from zone-map metadata "
+    "(operators/txn.py snapshot_col_minmax — the stats-based "
+    "aggregate pushdown): per-file [min,max] recorded at commit time "
+    "fold into the snapshot extremes with zero data read — EXCEPT "
+    "that this table MoR-deleted its top-100 keys, so the "
+    "metadata-only answer for max_key would be stale-wrong; the "
+    "DV-referenced files (only those) are scanned for visible rows "
+    "and folded in, which the closed-form oracle over the surviving "
+    "rows proves exact for both the clustered key and the secondary "
+    "price zone map.",
+)
+def txn_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_mm_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if txn.current_version(path) != 1:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").repartition(
+            4, "o_orderkey"
+        )
+        txn.commit_append_with_stats(
+            spark, orders, path, key="o_orderkey",
+            extra_cols=["o_totalprice"],
+        )
+        top = (
+            orders.select("o_orderkey")
+            .orderBy(F.col("o_orderkey").desc())
+            .limit(100)
+        )
+        txn.commit_delete_mor(spark, top, path, key="o_orderkey")
+    lo_k, hi_k = txn.snapshot_col_minmax(spark, path, "o_orderkey")
+    lo_p, hi_p = txn.snapshot_col_minmax(spark, path, "o_totalprice")
+    return spark.createDataFrame(
+        [(lo_k, hi_k, float(lo_p), float(hi_p))],
+        "min_key bigint, max_key bigint, min_price double, max_price double",
+    )

@@ -3095,3 +3095,40 @@ def test_snapshot_row_count_no_manifest_counts_falls_back(spark, tmp_path):
     os.unlink(mp)
     json.dump(man, open(mp, "w"))
     assert txn.snapshot_row_count(spark, path) == 40
+
+
+def test_snapshot_minmax_dv_aware(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_append_with_stats(
+        spark, _df(spark, 0, 100).repartition(3), path, key="k",
+        extra_cols=["v"],
+    )
+    assert txn.snapshot_col_minmax(spark, path, "k") == (0, 99)
+    assert txn.snapshot_col_minmax(spark, path, "v") == (0, 990)
+    # delete the extremes: metadata alone would answer stale
+    txn.commit_delete_mor(
+        spark, _df(spark, 95, 100).select("k"), path, key="k"
+    )
+    assert txn.snapshot_col_minmax(spark, path, "k") == (0, 94)
+    assert txn.snapshot_col_minmax(spark, path, "v") == (0, 940)
+    # time travel pins the pre-delete extremes
+    assert txn.snapshot_col_minmax(spark, path, "k", version=0) == (0, 99)
+
+
+def test_snapshot_count_probe_scans_only_referenced_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(8, "k")
+    txn.commit_append_with_stats(spark, df, path, key="k")
+    # a range-local delete: only the low file(s) gain DV references
+    txn.commit_delete_mor(
+        spark, spark.range(0, 50).select(F.col("id").alias("k")), path, key="k"
+    )
+    man = txn._read_manifest(path, 1)
+    referenced = txn._dv_referenced_file_names(path, man["dvs"]) & set(
+        man["files"]
+    )
+    # the probe's cost is proportional to THIS set, not the table
+    assert 1 <= len(referenced) < len(man["files"]) / 2
+    assert txn.snapshot_row_count(spark, path) == 950
