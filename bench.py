@@ -34,6 +34,22 @@ R01_SUBSET = (
     "semi_join_probe", "anti_join_idempotence", "validate_dedup_first_wins",
 )
 
+# Host-drift control set (VERDICT r8 #3): four queries whose code has
+# been untouched since round 4-5, measured min-of-5 every bench run.
+# Their ratio vs the pinned round-7 records IS the host-drift
+# coefficient — round-over-round comparisons of every other query
+# divide by it before being believed (the host shows multi-week state
+# drift: r8 measured these at 1.37-1.63x of r7 on identical code).
+DRIFT_CONTROLS = {
+    # name -> round-7 committed BENCH_full.json record (sf0.1, this
+    # host, min-of-2 — the baseline every later round compares to)
+    "kmeans_codebook": 1.7431,
+    "contract_ivfpq_adc": 1.4472,
+    "dedup_embedding_cosine": 0.888,
+    "txn_bloom_point_lookup": 0.5269,
+}
+DRIFT_CONTROL_PASSES = 5
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,6 +154,31 @@ def main() -> None:
         splits=splits,
     )
 
+    # Drift-control series: the four pinned queries re-timed to a
+    # min-of-5 (they already ran `passes` times above when unfiltered;
+    # the extra passes tighten them to the same min-of-5 the judge's
+    # arbitration uses). The coefficient is the MEDIAN ratio vs the
+    # round-7 records — median, not mean, so one control hitting a
+    # host bad-minute can't skew it.
+    control_items = [
+        (k, plans.REGISTRY[k]) for k in DRIFT_CONTROLS if k in plans.REGISTRY
+    ]
+    extra = max(0, DRIFT_CONTROL_PASSES - (passes if only is None else 0))
+    controls = time_queries(control_items, sf_dir, extra) if extra else {}
+    drift: dict[str, float] = {}
+    for k in DRIFT_CONTROLS:
+        best = [v for v in (timings.get(k), controls.get(k)) if v is not None and v >= 0]
+        if best:
+            drift[k] = min(best)
+    ratios = sorted(drift[k] / DRIFT_CONTROLS[k] for k in drift)
+    drift_coeff = None
+    if ratios:
+        mid = len(ratios) // 2
+        drift_coeff = round(
+            ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2,
+            4,
+        )
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     r01 = set(R01_SUBSET)
     result = {
@@ -172,6 +213,13 @@ def main() -> None:
             for k, v in splits.items()
             if k.startswith(("txn_", "streaming_txn_"))
         },
+        # Host-drift control (SCALING.md §9): min-of-5 on the four
+        # pinned queries, their round-7 references, and the median
+        # ratio. Round-over-round comparisons divide by the
+        # coefficient before calling anything a regression.
+        "drift_control": drift,
+        "drift_control_ref_r7": dict(DRIFT_CONTROLS),
+        "drift_coefficient": drift_coeff,
     }
     # Low-noise companion series (VERDICT r5 #7): the driver-gate
     # window re-timed at sf0.01, where queries run well under the
@@ -198,8 +246,12 @@ def main() -> None:
     line = json.dumps(result)
     # Stdout is the driver contract but its tail can truncate in the
     # round artifact (BENCH_r04 recovered only 55/112 timings from a
-    # clipped log); the committed file is the complete record.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"), "w") as f:
+    # clipped log); the committed file is the complete record. A
+    # FILTERED run (SPARK_GRAFT_BENCH_ONLY) writes to BENCH_only.json
+    # instead: a subset run must never overwrite the round's full
+    # record (the r8 close nearly lost the artifact this way).
+    out_name = "BENCH_only.json" if only is not None else "BENCH_full.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         f.write(line + "\n")
     print(line)
 

@@ -15,6 +15,7 @@ partition discovery too.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,55 @@ _SCRATCH = os.path.join(
 )
 
 
+def _swap_into_place(tmp: str, path: str) -> None:
+    """Publish a fully-built scratch directory with two renames.
+
+    ``rename`` is atomic per call, so a concurrent reader only ever
+    sees the previous complete table or the new complete table —
+    never a half-built one. The brief between-renames window where
+    ``path`` is absent surfaces as a loud read ERROR (retryable),
+    not silently wrong values, which is the failure mode that
+    produced round 8's phantom `txn_type_widening` red (a grader read
+    a table mid-rebuild: right row count and schema, wrong values).
+    """
+    old = f"{path}.old-{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _atomic_rebuild(path: str, version: int, build) -> None:
+    """Rebuild a pinned-head transactional scratch fixture ATOMICALLY.
+
+    The old in-place pattern — ``rmtree(path)`` then commit into it —
+    exposed the half-built table to any concurrent reader for the
+    whole (multi-second) build. ``build(tmp)`` now constructs the
+    entire commit history under a pid-suffixed temp name (manifests
+    reference data files relative to the table root, so the rename is
+    free), and the swap is two renames. If another process won the
+    race and the final path already holds the expected head, the
+    local build is discarded — both builds are deterministic over the
+    same testdata, so either copy is correct.
+    """
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    if txn.current_version(path) == version:
+        return
+    tmp = f"{path}.building-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        build(tmp)
+        try:
+            _swap_into_place(tmp, path)
+        except OSError:
+            if txn.current_version(path) != version:
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "jsonl_roundtrip_scan",
     oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
@@ -39,8 +89,16 @@ _SCRATCH = os.path.join(
 )
 def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_SCRATCH, "documents_jsonl")
-    docs.write.mode("overwrite").partitionBy("lang").json(path)
+    # per-sf path (a concurrent sf0.1 bench must not swap data under a
+    # sf0.01 grade) + tmp-write-then-rename so a concurrent reader
+    # never sees a partial write
+    path = os.path.join(
+        _SCRATCH,
+        f"documents_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    tmp = f"{path}.building-{os.getpid()}"
+    docs.write.mode("overwrite").partitionBy("lang").json(tmp)
+    _swap_into_place(tmp, path)
     back = spark.read.schema(docs.schema).json(path)
     return back.select("doc_id", "text", "lang", "source", "n_chars")
 
@@ -55,8 +113,13 @@ def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    path = os.path.join(_SCRATCH, "customer_orc")
-    cust.write.mode("overwrite").orc(path)
+    path = os.path.join(
+        _SCRATCH,
+        f"customer_orc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    tmp = f"{path}.building-{os.getpid()}"
+    cust.write.mode("overwrite").orc(tmp)
+    _swap_into_place(tmp, path)
     back = spark.read.schema(cust.schema).orc(path)
     return back.select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
@@ -118,16 +181,18 @@ def txn_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _SCRATCH, f"orders_mor_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 1:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").repartition(
             8, "o_orderkey"
         )
-        txn.commit_append(spark, orders, path, key="o_orderkey")
+        txn.commit_append(spark, orders, p, key="o_orderkey")
         doomed = orders.filter(F.col("o_orderkey") % 97 == 0).select(
             "o_orderkey"
         )
-        txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
+        txn.commit_delete_mor(spark, doomed, p, key="o_orderkey")
+
+    _atomic_rebuild(path, 1, _build)
     snap = txn.read_table(spark, path)
     from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
 
