@@ -14,8 +14,10 @@ partition discovery too.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +31,17 @@ _SCRATCH = os.path.join(
     "format_roundtrips",
 )
 
+# Bump to force every pinned scratch fixture to rebuild from zero
+# (e.g. after a change to any fixture BUILD code or to the commit
+# paths it exercises). A cached table built by different code is
+# served only if its stamped rev matches — "head version looks
+# right" alone is no longer proof of a correct build.
+_FIXTURE_REV = "r10.1"
+
+# A sibling .building-*/.old-* dir younger than this may belong to a
+# LIVE concurrent builder; only older ones are swept as orphans.
+_STALE_AFTER_S = 3600.0
+
 
 def _swap_into_place(tmp: str, path: str) -> None:
     """Publish a fully-built scratch directory with two renames.
@@ -40,40 +53,111 @@ def _swap_into_place(tmp: str, path: str) -> None:
     not silently wrong values, which is the failure mode that
     produced round 8's phantom `txn_type_widening` red (a grader read
     a table mid-rebuild: right row count and schema, wrong values).
+    If the second rename fails (e.g. a concurrent winner landed at
+    ``path`` first), the previous table is restored before the error
+    propagates, so a good table is never left stranded aside.
     """
     old = f"{path}.old-{os.getpid()}"
     shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
+    had_prev = os.path.exists(path)
+    if had_prev:
         os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if had_prev and not os.path.exists(path):
+            try:
+                os.rename(old, path)
+            except OSError:
+                pass
+        raise
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _atomic_rebuild(path: str, version: int, build) -> None:
+def _sweep_stale_siblings(path: str) -> None:
+    """Remove orphaned ``{path}.building-*`` / ``{path}.old-*`` dirs
+    left by CRASHED builders (any pid — a later run has a different
+    pid, so pid-scoped cleanup alone accretes scratch disk forever).
+    Young siblings are spared: they may be a live concurrent build."""
+    parent, base = os.path.split(os.path.normpath(path))
+    if not os.path.isdir(parent):
+        return
+    cutoff = time.time() - _STALE_AFTER_S
+    for name in os.listdir(parent):
+        if not (
+            name.startswith(base + ".building-")
+            or name.startswith(base + ".old-")
+        ):
+            continue
+        full = os.path.join(parent, name)
+        try:
+            if os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            continue
+
+
+def _fixture_meta_path(path: str) -> str:
+    # lives at the table root: it travels atomically with the swap
+    # rename, and table reads are manifest-driven (never a directory
+    # listing), so the extra file is invisible to the engine
+    return os.path.join(path, "_fixture.json")
+
+
+def _fixture_current(path: str, version: int, rev: str) -> bool:
+    """True only when the cached fixture's head version AND build
+    fingerprint both match. The fingerprint is what closes round 8's
+    permanent-corruption trap: a table that merely LOOKS complete
+    (right head, e.g. a pre-atomic-era leftover or one built by
+    older fixture code) is rebuilt, not served forever."""
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    if txn.current_version(path) != version:
+        return False
+    try:
+        with open(_fixture_meta_path(path)) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return meta.get("rev") == rev and meta.get("version") == version
+
+
+def _atomic_rebuild(path: str, version: int, build, rev: str = _FIXTURE_REV) -> None:
     """Rebuild a pinned-head transactional scratch fixture ATOMICALLY.
 
     The old in-place pattern — ``rmtree(path)`` then commit into it —
     exposed the half-built table to any concurrent reader for the
-    whole (multi-second) build. ``build(tmp)`` now constructs the
-    entire commit history under a pid-suffixed temp name (manifests
+    whole (multi-second) build. ``build(tmp)`` constructs the entire
+    commit history under a pid-suffixed temp name (manifests
     reference data files relative to the table root, so the rename is
-    free), and the swap is two renames. If another process won the
-    race and the final path already holds the expected head, the
-    local build is discarded — both builds are deterministic over the
-    same testdata, so either copy is correct.
+    free); the build is then verified to have reached exactly the
+    pinned head, stamped with the builder fingerprint, and swapped in
+    with two renames. If another process won the race and the final
+    path already holds the expected fixture, the local build is
+    discarded — both builds are deterministic over the same testdata,
+    so either copy is correct.
     """
     from qb_data_pipeline_backfill_spark.operators import txn
 
-    if txn.current_version(path) == version:
+    _sweep_stale_siblings(path)
+    if _fixture_current(path, version, rev):
         return
     tmp = f"{path}.building-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     try:
         build(tmp)
+        built = txn.current_version(tmp)
+        if built != version:
+            raise RuntimeError(
+                f"fixture build under {tmp} reached head {built}, expected "
+                f"{version}: the build code and the pinned head diverged"
+            )
+        with open(_fixture_meta_path(tmp), "w") as f:
+            json.dump({"rev": rev, "version": version}, f)
         try:
             _swap_into_place(tmp, path)
         except OSError:
-            if txn.current_version(path) != version:
+            if not _fixture_current(path, version, rev):
                 raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -96,6 +180,7 @@ def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCRATCH,
         f"documents_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _sweep_stale_siblings(path)
     tmp = f"{path}.building-{os.getpid()}"
     docs.write.mode("overwrite").partitionBy("lang").json(tmp)
     _swap_into_place(tmp, path)
@@ -117,6 +202,7 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCRATCH,
         f"customer_orc_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _sweep_stale_siblings(path)
     tmp = f"{path}.building-{os.getpid()}"
     cust.write.mode("overwrite").orc(tmp)
     _swap_into_place(tmp, path)
@@ -172,8 +258,6 @@ def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keys, which would accrete DV files a real deployment compacts.",
 )
 def txn_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from pyspark.sql import functions as F
 
     from qb_data_pipeline_backfill_spark.operators import txn
@@ -208,25 +292,25 @@ def _orders_cdc2_table(spark: SparkSession, sf_dir: str) -> str:
     HISTORY, so replaying the build would (correctly) lengthen it — the
     expected head is pinned and the table rebuilt from zero if the
     scratch diverges, making every consumer query replay-stable."""
-    import shutil
-
     from qb_data_pipeline_backfill_spark.operators import txn
 
     path = os.path.join(
         _SCRATCH, f"orders_cdc2_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 1:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
         # feed recording is opt-in (enable_change_feed); this table
         # exists to be tailed, so it opts in at creation
         txn.commit_append_with_stats(
-            spark, orders, path, key="o_orderkey", change_feed=True
+            spark, orders, p, key="o_orderkey", change_feed=True
         )
         doomed = orders.filter(F.col("o_orderkey") % 89 == 0).select(
             "o_orderkey"
         )
-        txn.commit_delete_mor(spark, doomed, path, key="o_orderkey")
+        txn.commit_delete_mor(spark, doomed, p, key="o_orderkey")
+
+    _atomic_rebuild(path, 1, _build)
     return path
 
 
@@ -287,8 +371,6 @@ def txn_cdf_log_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reduction and the snapshot diff agree on the tricky cases.",
 )
 def txn_cdf_log_net_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from pyspark.sql import functions as F
 
     from qb_data_pipeline_backfill_spark.operators import txn
@@ -299,26 +381,28 @@ def txn_cdf_log_net_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _SCRATCH, f"orders_cdc3_{os.path.basename(os.path.normpath(sf_dir))}"
     )
+
     # pinned 3-commit history (append, CoW delete, upsert with updates
     # + inserts incl. delete-then-reupsert); change feeds are
-    # append-only history, so rebuild from zero if the head diverges
-    if txn.current_version(path) != 2:
-        shutil.rmtree(path, ignore_errors=True)
+    # append-only history, so rebuild from zero if the fixture diverges
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").repartition(
             8, "o_orderkey"
         )
         txn.commit_append_with_stats(
-            spark, orders, path, key="o_orderkey", change_feed=True
+            spark, orders, p, key="o_orderkey", change_feed=True
         )
         doomed = orders.filter(F.col("o_orderkey") % 103 == 0).select(
             "o_orderkey"
         )
-        txn.commit_delete(spark, doomed, path, key="o_orderkey")
+        txn.commit_delete(spark, doomed, p, key="o_orderkey")
         upd = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
             "o_orderpriority", F.lit("X-CDC")
         )
         ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
-        txn.commit_upsert(spark, upd.unionByName(ins), path, key="o_orderkey")
+        txn.commit_upsert(spark, upd.unionByName(ins), p, key="o_orderkey")
+
+    _atomic_rebuild(path, 2, _build)
     feed = net_changes_from_log(spark, path, 0)
     return feed.select("o_orderkey", "o_orderpriority", "_change_type")
 
@@ -383,8 +467,6 @@ def txn_replica_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reading the day's deltas.",
 )
 def txn_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from qb_data_pipeline_backfill_spark.operators import txn
     from qb_data_pipeline_backfill_spark.sources.txn_cdf import (
         apply_cdf_to_rollup,
@@ -392,22 +474,39 @@ def txn_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _orders_cdc2_table(spark, sf_dir)
     roll = path + "_rollup"
-    ck = path + "_rollup_ck"
-    # replay stability: the rollup is correct iff its watermark covers
-    # exactly the source head; otherwise rebuild from genesis
-    head = txn.current_version(roll)
-    applied = (
-        txn._read_manifest(roll, head).get("cdc_applied_version", -1)
-        if head >= 0
-        else -1
-    )
-    if applied > txn.current_version(path):
-        shutil.rmtree(roll, ignore_errors=True)
-        shutil.rmtree(ck, ignore_errors=True)
-    q = apply_cdf_to_rollup(
-        spark, path, roll, "o_orderstatus", "o_totalprice", ck
-    )
-    q.awaitTermination()
+    # replay stability + atomicity: the rollup is correct iff its own
+    # transactional watermark covers exactly the pinned source head;
+    # anything else (absent, stale, ahead from a divergent history)
+    # rebuilds FROM GENESIS under a temp name with a throwaway
+    # checkpoint and swaps in — a concurrent reader never sees a
+    # mid-apply rollup state, only the previous or final one.
+    # Exactly-once across restarts is the manifest watermark's job
+    # (verified here), not the streaming checkpoint's.
+    def _watermark(table: str) -> int:
+        head = txn.current_version(table)
+        if head < 0:
+            return -1
+        return txn._read_manifest(table, head).get("cdc_applied_version", -1)
+
+    _sweep_stale_siblings(roll)
+    if _watermark(roll) != txn.current_version(path):
+        tmp_roll = f"{roll}.building-{os.getpid()}"
+        tmp_ck = f"{roll}_ck.building-{os.getpid()}"
+        shutil.rmtree(tmp_roll, ignore_errors=True)
+        shutil.rmtree(tmp_ck, ignore_errors=True)
+        try:
+            q = apply_cdf_to_rollup(
+                spark, path, tmp_roll, "o_orderstatus", "o_totalprice", tmp_ck
+            )
+            q.awaitTermination()
+            try:
+                _swap_into_place(tmp_roll, roll)
+            except OSError:
+                if _watermark(roll) != txn.current_version(path):
+                    raise
+        finally:
+            shutil.rmtree(tmp_roll, ignore_errors=True)
+            shutil.rmtree(tmp_ck, ignore_errors=True)
     return txn.read_table(spark, roll).select(
         "o_orderstatus",
         "n_rows",
@@ -607,8 +706,6 @@ def txn_merge_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "content, they dedup TRANSACTIONS).",
 )
 def txn_idempotent_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from pyspark.sql import functions as F
 
     from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
@@ -617,18 +714,20 @@ def txn_idempotent_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _SCRATCH, f"orders_appv_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 1:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").repartition(
             8, "o_orderkey"
         )
         k = F.col("o_orderkey")
         b0 = orders.filter(k % 7 == 0)
         b1 = orders.filter(k % 11 == 0)
-        txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0)
-        txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0)
-        txn.commit_append(spark, b1, path, txn_app="loader", txn_version=1)
-        txn.commit_append(spark, b0, path, txn_app="loader", txn_version=0)
+        txn.commit_append(spark, b0, p, txn_app="loader", txn_version=0)
+        txn.commit_append(spark, b0, p, txn_app="loader", txn_version=0)
+        txn.commit_append(spark, b1, p, txn_app="loader", txn_version=1)
+        txn.commit_append(spark, b0, p, txn_app="loader", txn_version=0)
+
+    _atomic_rebuild(path, 1, _build)
     return (
         txn.read_table(spark, path)
         .groupBy("o_orderstatus")
@@ -663,8 +762,6 @@ def txn_idempotent_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is asserted by pytest (test_txn.py) on the same layout.",
 )
 def txn_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from pyspark.sql import functions as F
 
     from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
@@ -673,19 +770,21 @@ def txn_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _SCRATCH, f"li_zorder_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 1:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         li = load_table(spark, sf_dir, "lineitem").repartition(
             12, "l_orderkey"
         )
-        txn.commit_append_with_stats(spark, li, path, key="l_orderkey")
+        txn.commit_append_with_stats(spark, li, p, key="l_orderkey")
         txn.commit_compact_files(
             spark,
-            path,
-            txn._read_manifest(path, 0)["files"],
+            p,
+            txn._read_manifest(p, 0)["files"],
             target_partitions=8,
             zorder_by=["l_partkey", "l_suppkey"],
         )
+
+    _atomic_rebuild(path, 1, _build)
     got = txn.read_table_where_multi(
         spark, path, {"l_partkey": (20, 120), "l_suppkey": (2, 8)}
     )
@@ -730,8 +829,6 @@ def txn_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lengthen it).",
 )
 def txn_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from pyspark.sql import functions as F
 
     from qb_data_pipeline_backfill_spark.functions.numeric import decimal_sum
@@ -741,13 +838,13 @@ def txn_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _SCRATCH, f"orders_rst_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 3:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").repartition(
             8, "o_orderkey"
         )
         txn.commit_append_with_stats(
-            spark, orders, path, key="o_orderkey", change_feed=True
+            spark, orders, p, key="o_orderkey", change_feed=True
         )
         k = F.col("o_orderkey")
         ups = orders.filter(k % 101 == 0).withColumn(
@@ -756,16 +853,16 @@ def txn_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ins = orders.filter(k % 103 == 0).withColumn(
             "o_orderkey", k + 10000000
         )
-        txn.commit_upsert_cow(
-            spark, ups.unionByName(ins), path, key="o_orderkey"
-        )
+        txn.commit_upsert_cow(spark, ups.unionByName(ins), p, key="o_orderkey")
         txn.commit_delete(
             spark,
             orders.filter(k % 97 == 0).select("o_orderkey"),
-            path,
+            p,
             key="o_orderkey",
         )
-        txn.restore_table(spark, path, 0)
+        txn.restore_table(spark, p, 0)
+
+    _atomic_rebuild(path, 3, _build)
     snap = (
         txn.read_table(spark, path)
         .groupBy("o_orderstatus")
@@ -866,32 +963,32 @@ def txn_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "historical snapshot stays exactly readable underneath it.",
 )
 def txn_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from qb_data_pipeline_backfill_spark.operators import txn
 
     path = os.path.join(
         _SCRATCH, f"orders_hist_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 4:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").repartition(
             4, "o_orderkey"
         )
         k = F.col("o_orderkey")
-        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        txn.commit_append_with_stats(spark, orders, p, key="o_orderkey")
         txn.commit_delete_mor(
             spark,
             orders.filter(k % 61 == 0).select("o_orderkey"),
-            path,
+            p,
             key="o_orderkey",
         )
         ups = orders.filter(k % 101 == 0).withColumn(
             "o_orderpriority", F.lit("H-UP")
         )
-        txn.commit_upsert_cow(spark, ups, path, key="o_orderkey")
-        txn.alter_rename_column(path, "o_orderstatus", "status")
-        txn.commit_compact(spark, path, target_partitions=2)
+        txn.commit_upsert_cow(spark, ups, p, key="o_orderkey")
+        txn.alter_rename_column(p, "o_orderstatus", "status")
+        txn.commit_compact(spark, p, target_partitions=2)
+
+    _atomic_rebuild(path, 4, _build)
     hist = txn.table_history(spark, path).select("version", "operation")
     counts = None
     for v in range(5):
@@ -910,19 +1007,19 @@ def txn_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txn_type_widening",
     oracle="""
     WITH gens AS (
-        SELECT o_orderstatus, o_orderkey,
-               CAST(o_totalprice AS REAL) AS price_f
+        SELECT o_orderstatus AS status, o_orderkey,
+               CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price_d
         FROM orders
         UNION ALL
         SELECT o_orderstatus, o_orderkey + 10000000000,
-               CAST(o_totalprice AS REAL)
+               CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
         FROM orders
     )
-    SELECT o_orderstatus, COUNT(*) AS n_rows,
-           SUM(o_orderkey) AS key_sum,
-           CAST(MIN(price_f) AS DOUBLE) AS min_price,
-           CAST(MAX(price_f) AS DOUBLE) AS max_price
-    FROM gens GROUP BY o_orderstatus
+    SELECT status, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           MIN(CAST(FLOOR(price_d * 100 + 0.5) AS BIGINT)) AS min_price_c,
+           MAX(CAST(FLOOR(price_d * 100 + 0.5) AS BIGINT)) AS max_price_c
+    FROM gens GROUP BY status
     """,
     doc="Type widening without rewrites (operators/txn.py "
     "widen_column_type — Delta's type-widening table feature): orders "
@@ -930,31 +1027,34 @@ def txn_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "commits widen them to BIGINT/DOUBLE, then a second keyed append "
     "lands keys shifted by +10^10 — values only the WIDENED schema can "
     "hold — while its price column stays FLOAT (a still-narrow "
-    "producer). The final snapshot therefore scans int32 and int64 "
-    "files under one bigint schema and float files under double, "
-    "upcast at the parquet reader with zero data rewritten. The "
-    "closed-form oracle replays both generations; min/max (not sums) "
-    "keep the float lane order-independent and bit-exact across "
-    "engines.",
+    "producer), and a final metadata-only rename proves schema "
+    "evolution composes on top. The snapshot therefore scans int32 and "
+    "int64 files under one bigint schema and float files under double, "
+    "upcast at the parquet reader with zero data rewritten. Every "
+    "output column is a BIGINT: the float lane reduces per row to "
+    "integer cents via FLOOR(x*100 + 0.5) — float32→double is exact "
+    "and x*100 carries ≤31 mantissa bits, so the arithmetic is "
+    "bit-identical in any engine and the hash survives ANY value "
+    "normalizer (no float repr, no DECIMAL/HUGEINT fetch path — the "
+    "two divergence hazards behind the r8/r9 phantom reds; the oracle "
+    "likewise casts its BIGINT sum down from DuckDB's HUGEINT).",
 )
 def txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from qb_data_pipeline_backfill_spark.operators import txn
 
     path = os.path.join(
         _SCRATCH, f"orders_widen_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 3:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderstatus",
             F.col("o_orderkey").cast("int").alias("o_orderkey"),
             F.col("o_totalprice").cast("float").alias("price_f"),
         ).repartition(4, "o_orderkey")
-        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
-        txn.widen_column_type(path, "o_orderkey", "bigint")
-        txn.widen_column_type(path, "price_f", "double")
+        txn.commit_append_with_stats(spark, orders, p, key="o_orderkey")
+        txn.widen_column_type(p, "o_orderkey", "bigint")
+        txn.widen_column_type(p, "price_f", "double")
         shifted = orders.select(
             "o_orderstatus",
             (F.col("o_orderkey").cast("bigint") + 10000000000).alias(
@@ -962,15 +1062,22 @@ def txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "price_f",
         )
-        txn.commit_append_with_stats(spark, shifted, path, key="o_orderkey")
+        txn.commit_append_with_stats(spark, shifted, p, key="o_orderkey")
+        # metadata-only head bump to v4 (r10): forces any cached pre-r10
+        # copy (pinned head 3) to rebuild wherever it may live, and
+        # exercises rename-over-widening composition
+        txn.alter_rename_column(p, "o_orderstatus", "status")
+
+    _atomic_rebuild(path, 4, _build)
+    cents = F.floor(F.col("price_f") * 100 + F.lit(0.5)).cast("long")
     return (
         txn.read_table(spark, path)
-        .groupBy("o_orderstatus")
+        .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("o_orderkey").alias("key_sum"),
-            F.min("price_f").alias("min_price"),
-            F.max("price_f").alias("max_price"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.min(cents).alias("min_price_c"),
+            F.max(cents).alias("max_price_c"),
         )
     )
 
@@ -996,26 +1103,26 @@ def txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every historical count exact.",
 )
 def txn_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from qb_data_pipeline_backfill_spark.operators import txn
 
     path = os.path.join(
         _SCRATCH, f"orders_cnt_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 2:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").repartition(
             4, "o_orderkey"
         )
-        txn.commit_append_with_stats(spark, orders, path, key="o_orderkey")
+        txn.commit_append_with_stats(spark, orders, p, key="o_orderkey")
         txn.commit_delete_mor(
             spark,
             orders.filter(F.col("o_orderkey") % 61 == 0).select("o_orderkey"),
-            path,
+            p,
             key="o_orderkey",
         )
-        txn.commit_compact(spark, path, target_partitions=2)
+        txn.commit_compact(spark, p, target_partitions=2)
+
+    _atomic_rebuild(path, 2, _build)
     rows = [
         (v, txn.snapshot_row_count(spark, path, v)) for v in range(3)
     ]
@@ -1048,20 +1155,18 @@ def txn_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price zone map.",
 )
 def txn_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from qb_data_pipeline_backfill_spark.operators import txn
 
     path = os.path.join(
         _SCRATCH, f"orders_mm_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if txn.current_version(path) != 1:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(p: str) -> None:
         orders = load_table(spark, sf_dir, "orders").repartition(
             4, "o_orderkey"
         )
         txn.commit_append_with_stats(
-            spark, orders, path, key="o_orderkey",
+            spark, orders, p, key="o_orderkey",
             extra_cols=["o_totalprice"],
         )
         top = (
@@ -1069,7 +1174,9 @@ def txn_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("o_orderkey").desc())
             .limit(100)
         )
-        txn.commit_delete_mor(spark, top, path, key="o_orderkey")
+        txn.commit_delete_mor(spark, top, p, key="o_orderkey")
+
+    _atomic_rebuild(path, 1, _build)
     lo_k, hi_k = txn.snapshot_col_minmax(spark, path, "o_orderkey")
     lo_p, hi_p = txn.snapshot_col_minmax(spark, path, "o_totalprice")
     return spark.createDataFrame(
