@@ -155,18 +155,32 @@ def main() -> None:
     )
 
     # Drift-control series: the four pinned queries re-timed to a
-    # min-of-5 (they already ran `passes` times above when unfiltered;
+    # min-of-5 (they already ran `passes` times above when included;
     # the extra passes tighten them to the same min-of-5 the judge's
     # arbitration uses). The coefficient is the MEDIAN ratio vs the
     # round-7 records — median, not mean, so one control hitting a
-    # host bad-minute can't skew it.
-    control_items = [
-        (k, plans.REGISTRY[k]) for k in DRIFT_CONTROLS if k in plans.REGISTRY
+    # host bad-minute can't skew it. Two scoping rules (ADVICE r9):
+    # the references are sf0.1-on-this-host records, so at any other
+    # sf the series is skipped and the coefficient stays null rather
+    # than recording a meaningless number; and a FILTERED run times
+    # only the controls the caller listed (a bisect must stay the
+    # isolated query set it asked for).
+    is_baseline_sf = os.path.abspath(sf_dir) == "/root/testdata/sf0.1"
+    wanted = [
+        k
+        for k in DRIFT_CONTROLS
+        if is_baseline_sf
+        and k in plans.REGISTRY
+        and (only is None or k in only)
     ]
-    extra = max(0, DRIFT_CONTROL_PASSES - (passes if only is None else 0))
-    controls = time_queries(control_items, sf_dir, extra) if extra else {}
+    extra = max(0, DRIFT_CONTROL_PASSES - passes)
+    controls = (
+        time_queries([(k, plans.REGISTRY[k]) for k in wanted], sf_dir, extra)
+        if wanted and extra
+        else {}
+    )
     drift: dict[str, float] = {}
-    for k in DRIFT_CONTROLS:
+    for k in wanted:
         best = [v for v in (timings.get(k), controls.get(k)) if v is not None and v >= 0]
         if best:
             drift[k] = min(best)

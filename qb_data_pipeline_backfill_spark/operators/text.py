@@ -94,26 +94,48 @@ def word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def _with_tokens(
+    df: DataFrame, text_col: str, id_col: str, extra: list[str] | None = None
+) -> DataFrame:
+    """Pre-projection materializing the normalized text (``__norm``)
+    and its token array (``__t``) ONCE per row. Downstream selects
+    reference the aliases many times; because both are non-cheap and
+    multiply-referenced, Catalyst's CollapseProject keeps the barrier
+    instead of inlining — so the regexp+split subtree evaluates once
+    per document, not once per consuming expression (the r8 text-
+    family regression: every score lane re-ran the tokenizer)."""
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra or [])],
+        F.col(text_col).alias("__raw"),
+        normalize_text(text_col).alias("__norm"),
+        tokens(text_col).alias("__t"),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token statistics: counts, distinct counts, mean
     token length, BPE-ish token count. Narrow (no shuffle)."""
-    t = tokens(text_col)
+    pre = _with_tokens(df, text_col, id_col)
+    t = F.col("__t")
+    n_tok = F.size(t)
+    # sum(token lengths) via the normalized-form identity: ``__norm``
+    # is exactly the tokens joined by single spaces, so for n_tok >= 1
+    # the character total is length(__norm) - (n_tok - 1) — an O(1)
+    # codegen'd expression instead of an interpreted aggregate() fold
+    # over the array (value-identical; verified against the oracle).
+    char_total = F.length(F.col("__norm")) - n_tok + 1
     # empty/whitespace-only documents have 0 tokens: the mean token
     # length is NULL (ANSI division by zero would throw; the DuckDB
     # oracle's `// 0` yields NULL — the CASE keeps the engines agreed)
-    return df.select(
+    return pre.select(
         F.col(id_col),
-        F.size(t).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_unique_tokens"),
-        F.when(F.size(t) == 0, F.lit(None).cast("double"))
-        .otherwise(
-            int_ratio(
-                F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)),
-                F.size(t),
-            )
-        )
+        F.when(n_tok == 0, F.lit(None).cast("double"))
+        .otherwise(int_ratio(char_total, n_tok))
         .alias("avg_token_len"),
-        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        bpe_ish_token_count(F.col("__raw")).alias("n_bpe_tokens"),
     )
 
 
@@ -183,9 +205,12 @@ def language_scores(
 
     score(lang) = fraction of tokens that are in that language's
     stopword profile. Prediction = highest score, ties broken by
-    language code. Purely narrow column expressions.
+    language code. Purely narrow column expressions; the token array
+    materializes once (``_with_tokens``) and every language lane
+    reads the same array column.
     """
-    t = tokens(text_col)
+    pre = _with_tokens(df, text_col, id_col)
+    t = F.col("__t")
     cols = [F.col(id_col)]
     score_structs = []
     for lang, profile in sorted(LANG_PROFILES.items()):
@@ -206,7 +231,7 @@ def language_scores(
     # filed under 'de') would silently misroute rows; prediction NULL
     cols.append(
         F.when(
-            F.col(text_col).isNull() | (F.size(t) == 0),
+            F.col("__raw").isNull() | (F.size(t) == 0),
             F.lit(None).cast("string"),
         ).otherwise(
             F.array_sort(F.array(*score_structs))
@@ -214,7 +239,7 @@ def language_scores(
             .getField("lang")
         ).alias("predicted_lang")
     )
-    return df.select(*cols)
+    return pre.select(*cols)
 
 
 def _idiv(a: Column, b: Column) -> Column:
@@ -244,19 +269,26 @@ def quality_scores(
     engines disagree on which side the accumulated double lands —
     integer arithmetic has no such boundary.
     """
-    t = tokens(text_col)
-    raw = F.col(text_col)
+    pre = _with_tokens(df, text_col, id_col)
+    t = F.col("__t")
+    raw = F.col("__raw")
     n_tok = F.size(t)
     bp = F.lit(10000)
-    # Unicode-aware punctuation: strip letters (\p{L}), digits (\p{N})
-    # and whitespace, count what remains. The previous ASCII class
-    # [A-Za-z0-9\s] treated é/ñ/CJK — every non-ASCII letter — as
-    # punctuation, silently tanking the quality score of non-English
-    # documents (a corpus-selection bias for a curation pipeline).
-    # \p{L}/\p{N} behave identically in Java (Spark) and RE2 (DuckDB)
-    # regex engines — verified char-for-char on accented/CJK fixtures.
+    # Unicode-aware punctuation: everything that is not a letter
+    # (\p{L}), digit (\p{N}) or whitespace. The char count is taken as
+    # length(raw) - length(raw with punctuation RUNS removed): same
+    # value as stripping the keep-class char by char, but the regex
+    # engine emits one match event per punctuation RUN instead of one
+    # replacement per kept character — typical prose is ~98% keep-class,
+    # so the per-char form did ~50× more regex events (the r8 perf
+    # regression). \p{L}/\p{N} behave identically in Java (Spark) and
+    # RE2 (DuckDB) — verified char-for-char on accented/CJK fixtures.
     punct_bp = _idiv(
-        F.length(F.regexp_replace(raw, r"[\p{L}\p{N}\s]", "")) * bp,
+        (
+            F.length(raw)
+            - F.length(F.regexp_replace(raw, r"[^\p{L}\p{N}\s]+", ""))
+        )
+        * bp,
         F.greatest(F.length(raw), F.lit(1)),
     )
     prof = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
@@ -269,7 +301,7 @@ def quality_scores(
         4 * tok_bp + 3 * (bp - punct_bp) + 3 * F.least(5 * stop_bp, bp),
         F.lit(10),
     )
-    return df.select(
+    return pre.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         (punct_bp / 10000.0).alias("punct_ratio"),

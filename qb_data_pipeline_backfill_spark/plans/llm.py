@@ -44,16 +44,22 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-# DuckDB source: the documents table + the edge fixtures above.
-_DOCS_EDGE_SRC = (
-    "SELECT doc_id, text, lang, source, n_chars FROM documents"
-    " UNION ALL SELECT * FROM (VALUES "
+# VALUES literal shared by the DuckDB oracles and the Spark plans —
+# the same ANSI text parses in both engines.
+_EDGE_VALUES = (
+    "SELECT * FROM (VALUES "
     + ", ".join(
         f"(CAST({i} AS BIGINT), {_sql_str(t)}, {_sql_str(lg)},"
         f" {_sql_str(src)}, CAST({n} AS BIGINT))"
         for i, t, lg, src, n in _EDGE_DOCS
     )
     + ") AS edge(doc_id, text, lang, source, n_chars)"
+)
+
+# DuckDB source: the documents table + the edge fixtures above.
+_DOCS_EDGE_SRC = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    " UNION ALL " + _EDGE_VALUES
 )
 
 
@@ -99,15 +105,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + the `_EDGE_DOCS` fixtures (the text-family input)."""
+    """documents + the `_EDGE_DOCS` fixtures (the text-family input).
+
+    The edge rows parse as a SQL VALUES literal (a JVM-side
+    LocalRelation) rather than ``spark.createDataFrame``: the Python
+    list→RDD→DataFrame conversion cost ~0.3-0.4 s of plan-construction
+    time PER QUERY — the dominant share of the r8 text-family bench
+    regression (fixed overhead, invisible at corpus scale but ~2× on
+    sub-second gate queries).
+    """
     base = _docs(spark, sf_dir).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    edge = spark.createDataFrame(
-        _EDGE_DOCS,
-        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
-    )
-    return base.unionByName(edge)
+    return base.unionByName(spark.sql(_EDGE_VALUES))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
