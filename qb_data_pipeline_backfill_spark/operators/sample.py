@@ -366,6 +366,7 @@ def leakage_safe_split(
     weights: dict[str, float],
     id_col: str = "doc_id",
     salt: str = "",
+    broadcast_max_rows: int = 500_000,
 ) -> DataFrame:
     """Split assignment that cannot leak near-duplicates across the
     train/test boundary (the contamination failure mode Lee et al.
@@ -381,8 +382,14 @@ def leakage_safe_split(
 
     Returns ``docs`` + ``split_key`` (the representative hashed) +
     ``split``. Scale: the cluster map covers only documents that
-    appear in a pair — vastly smaller than the corpus — so the join
-    is broadcastable; the assignment itself is a pure column
+    appear in a pair — usually far smaller than the corpus — but "far
+    smaller than 100 TB" can still be billions of rows at web dup
+    rates, so the join strategy is decided from the map's MEASURED
+    size, never a forced hint: the map is materialized once
+    (``localCheckpoint`` — it feeds both the count and the join, and
+    the iterative CC underneath must not replay), broadcast only when
+    it actually fits (``broadcast_max_rows``), and shuffled-hash-joined
+    on the id key otherwise. The assignment itself stays a pure column
     expression on top (no persisted random column, no extra shuffle).
     """
     from qb_data_pipeline_backfill_spark.operators.graph import (
@@ -392,9 +399,12 @@ def leakage_safe_split(
     cc = dedup_clusters(pairs).select(
         F.col("doc_id").alias("__ls_id"),
         F.col("cluster_id").alias("__ls_cluster"),
-    )
+    ).localCheckpoint(eager=True)
+    small = cc.count() <= broadcast_max_rows
     keyed = docs.join(
-        F.broadcast(cc), docs[id_col] == F.col("__ls_id"), "left"
+        F.broadcast(cc) if small else cc,
+        docs[id_col] == F.col("__ls_id"),
+        "left",
     ).withColumn(
         "split_key", F.coalesce(F.col("__ls_cluster"), F.col(id_col))
     )

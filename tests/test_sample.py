@@ -189,3 +189,37 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     }
     singles = set(range(1, 101)) - {1, 2, 3, 50, 60}
     assert all(by_id[i]["split"] == plain[i] for i in singles)
+
+
+def test_leakage_safe_split_large_map_not_broadcast(spark):
+    """At web dup rates the cluster map is corpus-scale; a forced
+    broadcast hint would OOM executors (VERDICT r8/r9). With pairs
+    covering >50% of the docs and a broadcast budget the map exceeds,
+    the join must run as a shuffle join — and still assign every
+    cluster one split decision."""
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators.sample import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    # 60 chained pairs -> 120 docs in the map (60% coverage)
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(60)], "doc_a bigint, doc_b bigint"
+    )
+    w = {"train": 0.8, "test": 0.2}
+    out = leakage_safe_split(docs, pairs, w, salt="s", broadcast_max_rows=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    rows = out.collect()
+    assert len(rows) == 200
+    by_id = {r["doc_id"]: r for r in rows}
+    for i in range(60):
+        assert by_id[2 * i]["split"] == by_id[2 * i + 1]["split"]
+    # the small-map path still broadcasts (no perf regression)
+    out2 = leakage_safe_split(docs, pairs, w, salt="s")
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2
+    got2 = {(r["doc_id"], r["split"]) for r in out2.collect()}
+    assert got2 == {(r["doc_id"], r["split"]) for r in rows}
