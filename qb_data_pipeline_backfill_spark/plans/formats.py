@@ -1183,3 +1183,164 @@ def txn_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(lo_k, hi_k, float(lo_p), float(hi_p))],
         "min_key bigint, max_key bigint, min_price double, max_price double",
     )
+
+
+@register(
+    "txn_widening_lanes",
+    oracle="""
+    WITH gens AS (
+        SELECT o_orderstatus AS status,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS odate
+        FROM orders
+        UNION ALL
+        SELECT o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               CAST(o_orderdate AS DATE)
+        FROM orders
+    )
+    SELECT 'snap' AS kind, status AS grp, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(MIN(odate - DATE '1970-01-01') AS BIGINT) AS day_min,
+           CAST(MAX(odate - DATE '1970-01-01') AS BIGINT) AS day_max
+    FROM gens GROUP BY status
+    UNION ALL
+    SELECT 'type', t.g, NULL, NULL, NULL, NULL
+    FROM (VALUES ('v0:cents:int'), ('v0:odate:date'),
+                 ('head:cents:double'), ('head:odate:timestamp_ntz')) AS t(g)
+    """,
+    doc="The round-10 type-widening lanes (operators/txn.py "
+    "_is_safe_widening — completing Delta's type-widening parity): "
+    "orders land with an INT cents column and a DATE column (v0), two "
+    "metadata-only commits widen them to DOUBLE and TIMESTAMP_NTZ, "
+    "then a second append from a STILL-NARROW producer (int + date "
+    "files, admitted by the widening-aware schema union) lands more "
+    "int32/date files. The head snapshot scans every file under the "
+    "widened schema — int32 pages upcast to double, date32 pages to "
+    "ntz midnight timestamps, zero bytes rewritten — while TIME TRAVEL "
+    "to v0 still shows the ORIGINAL types (each manifest carries its "
+    "own schema); the 'type' rows pin both versions' dtypes in closed "
+    "form. Outputs are all BIGINT (cents recovered exactly from the "
+    "upcast doubles; timestamps reduced to epoch days), so the hash "
+    "is normalizer-proof like txn_type_widening's.",
+)
+def txn_widening_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_wlanes_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+
+    def _gen(shift: int) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        return orders.select(
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_orderkey").cast("int") + shift).alias("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("int").alias("cents"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        ).repartition(4, "o_orderkey")
+
+    def _build(p: str) -> None:
+        txn.commit_append_with_stats(spark, _gen(0), p, key="o_orderkey")
+        txn.widen_column_type(p, "cents", "double")
+        txn.widen_column_type(p, "odate", "timestamp_ntz")
+        # narrow producer: int cents + date files under the widened
+        # logical schema (the widening-aware append admission)
+        txn.commit_append_with_stats(spark, _gen(10000000), p, key="o_orderkey")
+
+    _atomic_rebuild(path, 3, _build)
+    d0 = dict(txn.read_version(spark, path, 0).dtypes)
+    snap = txn.read_table(spark, path)
+    dh = dict(snap.dtypes)
+    type_rows = [
+        f"v0:cents:{d0['cents']}",
+        f"v0:odate:{d0['odate']}",
+        f"head:cents:{dh['cents']}",
+        f"head:odate:{dh['odate']}",
+    ]
+    types_df = spark.sql(
+        "SELECT 'type' AS kind, g AS grp, CAST(NULL AS BIGINT) AS n_rows, "
+        "CAST(NULL AS BIGINT) AS cents_sum, CAST(NULL AS BIGINT) AS day_min, "
+        "CAST(NULL AS BIGINT) AS day_max FROM (VALUES "
+        + ", ".join(f"('{g}')" for g in type_rows)
+        + ") AS t(g)"
+    )
+    day = F.datediff(
+        F.col("odate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    agg = (
+        snap.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("cents").cast("long")).cast("long").alias("cents_sum"),
+            F.min(day).alias("day_min"),
+            F.max(day).alias("day_max"),
+        )
+        .select(
+            F.lit("snap").alias("kind"),
+            F.col("status").alias("grp"),
+            "n_rows",
+            "cents_sum",
+            "day_min",
+            "day_max",
+        )
+    )
+    return agg.unionByName(types_df)
+
+
+@register(
+    "txn_count_where",
+    oracle="""
+    WITH surv AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey <= (
+            SELECT o_orderkey FROM orders
+            ORDER BY o_orderkey DESC LIMIT 1 OFFSET 100
+        )
+    )
+    SELECT 'all' AS label,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n
+    UNION ALL
+    SELECT 'mid', (SELECT CAST(COUNT(*) AS BIGINT) FROM surv
+                   WHERE o_orderkey BETWEEN 1001 AND 30000)
+    UNION ALL
+    SELECT 'none', 0
+    """,
+    doc="Predicate-aware COUNT from commit metadata (operators/txn.py "
+    "count_where — zone-map classification per file: full-prune / "
+    "full-keep-from-row-counts / boundary-scan, DV-aware with the "
+    "same file-scoping as snapshot_row_count): orders land as 4 "
+    "RANGE-partitioned files (contiguous key ranges, so the zone maps "
+    "genuinely decide), the top-100 keys MoR-delete (hollowing out "
+    "the last file — its metadata count is stale and it must scan), "
+    "then three predicates pin the three cases in closed form: the "
+    "full key domain (metadata + one DV probe), a mid range fully "
+    "inside clean files (metadata / boundary mix), and a disjoint "
+    "range (all files pruned, exactly 0). The per-file class counts "
+    "themselves are asserted by pytest on the same layout.",
+)
+def txn_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_cw_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+
+    def _build(p: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").repartitionByRange(
+            4, "o_orderkey"
+        )
+        txn.commit_append_with_stats(spark, orders, p, key="o_orderkey")
+        top = (
+            orders.select("o_orderkey")
+            .orderBy(F.col("o_orderkey").desc())
+            .limit(100)
+        )
+        txn.commit_delete_mor(spark, top, p, key="o_orderkey")
+
+    _atomic_rebuild(path, 1, _build)
+    rows = [
+        ("all", txn.count_where(spark, path, 0, 10**12)),
+        ("mid", txn.count_where(spark, path, 1001, 30000)),
+        ("none", txn.count_where(spark, path, -(10**6), -1)),
+    ]
+    return spark.createDataFrame(rows, "label string, n bigint")

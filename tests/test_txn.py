@@ -3020,6 +3020,49 @@ def test_widen_rejects_lossy_and_unknown(spark, tmp_path):
         txn.widen_column_type(path, "missing", "bigint")
 
 
+def test_widening_lane_admission_matrix():
+    """The r10 lanes, pinned to what Spark 4's vectorized parquet
+    reader was VERIFIED to upcast natively (each rejected lane was
+    verified to fail at scan time — admitting it would corrupt or
+    crash reads, so the matrix is load-bearing, not stylistic)."""
+    ok = txn._is_safe_widening
+    # int chain -> double, but never bigint (2^53 rounding)
+    assert ok("tinyint", "double") and ok("smallint", "double")
+    assert ok("int", "double")
+    assert not ok("bigint", "double")
+    # int family -> decimal needs p - s >= 10 (full INT32 range),
+    # even for tinyint files (the reader keys on the physical INT32)
+    assert ok("int", "decimal(10,0)") and ok("int", "decimal(12,2)")
+    assert ok("tinyint", "decimal(10,0)") and ok("smallint", "decimal(11,1)")
+    assert not ok("int", "decimal(9,0)")
+    assert not ok("tinyint", "decimal(3,0)")
+    assert not ok("bigint", "decimal(19,0)")
+    # date -> timestamp_ntz only (tz-adjusting timestamp refused)
+    assert ok("date", "timestamp_ntz")
+    assert not ok("date", "timestamp")
+    assert not ok("int", "timestamp_ntz")
+
+
+def test_widen_int_to_double_and_date_to_ntz_reads(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 10, DATE'2024-03-01'), "
+        "(2, 20, DATE'2024-03-05') AS t(k, x, d)"
+    ).select(F.col("k").cast("int").alias("k"), F.col("x").cast("int").alias("x"), "d")
+    txn.commit_append(spark, df, path)
+    txn.widen_column_type(path, "x", "double")
+    txn.widen_column_type(path, "d", "timestamp_ntz")
+    got = txn.read_table(spark, path)
+    assert dict(got.dtypes) == {"k": "int", "x": "double", "d": "timestamp_ntz"}
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[1]["x"] == 10.0 and rows[2]["x"] == 20.0
+    assert rows[1]["d"].isoformat() == "2024-03-01T00:00:00"
+    # time travel to v0 shows the original narrow types
+    assert dict(txn.read_version(spark, path, 0).dtypes) == {
+        "k": "int", "x": "int", "d": "date"
+    }
+
+
 def test_append_narrow_batch_does_not_regress_schema(spark, tmp_path):
     path = str(tmp_path / "t")
     txn.commit_append_with_stats(
@@ -3132,3 +3175,55 @@ def test_snapshot_count_probe_scans_only_referenced_files(spark, tmp_path):
     # the probe's cost is proportional to THIS set, not the table
     assert 1 <= len(referenced) < len(man["files"]) / 2
     assert txn.snapshot_row_count(spark, path) == 950
+
+
+def test_count_where_classifies_files(spark, tmp_path):
+    """count_where's three per-file cases on a controlled layout:
+    4 range-partitioned files (contiguous [0..24][25..49][50..74]
+    [75..99]), so each predicate's prune/metadata/scan split is
+    deterministic."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn.commit_append_with_stats(
+        spark, df.repartitionByRange(4, "k"), path, key="k"
+    )
+    # fully inside file 2 -> that file scans (straddles endpoints),
+    # files 1,3,4 prune
+    n, d = txn.count_where(spark, path, 30, 40, detail=True)
+    assert n == 11
+    assert d == {"files_pruned": 3, "files_metadata": 0, "files_scanned": 1}
+    # covering files 1-2 exactly -> both answer from metadata
+    n, d = txn.count_where(spark, path, 0, 49, detail=True)
+    assert n == 50
+    assert d == {"files_pruned": 2, "files_metadata": 2, "files_scanned": 0}
+    # disjoint -> everything prunes, zero jobs
+    n, d = txn.count_where(spark, path, 200, 300, detail=True)
+    assert (n, d["files_pruned"]) == (0, 4)
+    assert d["files_metadata"] == d["files_scanned"] == 0
+    # full domain -> all metadata
+    n, d = txn.count_where(spark, path, 0, 99, detail=True)
+    assert n == 100 and d["files_metadata"] == 4
+
+
+def test_count_where_is_dv_aware(spark, tmp_path):
+    """A DV-referenced file's metadata count is stale; count_where
+    must scan it (and only it) even when the predicate fully contains
+    the file's range."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    txn.commit_append_with_stats(
+        spark, df.repartitionByRange(4, "k"), path, key="k"
+    )
+    # delete keys 30..34: hollows out file 2 only
+    txn.commit_delete_mor(
+        spark, df.filter((F.col("k") >= 30) & (F.col("k") <= 34)), path, key="k"
+    )
+    n, d = txn.count_where(spark, path, 0, 99, detail=True)
+    assert n == 95
+    assert d == {"files_pruned": 0, "files_metadata": 3, "files_scanned": 1}
+    # the hollowed file under a predicate inside it
+    n, d = txn.count_where(spark, path, 25, 49, detail=True)
+    assert n == 20 and d["files_scanned"] == 1
+    # secondary zone-map column path + errors
+    with pytest.raises(ValueError, match="no zone-map stats"):
+        txn.count_where(spark, path, 0, 1, col="missing")
