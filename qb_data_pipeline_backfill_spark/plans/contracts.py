@@ -704,7 +704,15 @@ _BPE_PIN_DOCS = [
 
 
 def _bpe_pin_corpus(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_BPE_PIN_DOCS, "doc_id long, text string")
+    # SQL VALUES literal, not createDataFrame: the Python→JVM
+    # conversion costs ~0.3-0.4 s of fixed plan-construction time per
+    # call (see plans/llm._docs_edge) — and this corpus builds once
+    # per BPE contract query
+    return spark.sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in _BPE_PIN_DOCS)
+        + ") AS t(doc_id, text)"
+    )
 
 
 @register(

@@ -97,6 +97,23 @@ def _sweep_stale_siblings(path: str) -> None:
             continue
 
 
+def _values_df(spark: SparkSession, schema_sql: str, rows: list[str]) -> DataFrame:
+    """Tiny driver-computed results as a SQL VALUES literal (a JVM-side
+    LocalRelation). ``spark.createDataFrame`` pays a Python→RDD→
+    DataFrame conversion of ~0.3-0.4 s PER CALL — pure fixed overhead
+    that dominated the sub-second metadata-aggregate gate queries in
+    the bench (same lesson as plans/llm._docs_edge).
+
+    ``schema_sql`` is the ``name CAST-target`` projection, e.g.
+    ``"CAST(a AS BIGINT) AS a, CAST(b AS DOUBLE) AS b"``; ``rows`` are
+    pre-rendered SQL tuples like ``"(1, 2.5)"``."""
+    return spark.sql(
+        f"SELECT {schema_sql} FROM (VALUES "
+        + ", ".join(rows)
+        + f") AS t({', '.join(c.split(' AS ')[-1] for c in schema_sql.split(', '))})"
+    )
+
+
 def _fixture_meta_path(path: str) -> str:
     # lives at the table root: it travels atomically with the swap
     # rename, and table reads are manifest-driven (never a directory
@@ -1123,10 +1140,14 @@ def txn_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.commit_compact(spark, p, target_partitions=2)
 
     _atomic_rebuild(path, 2, _build)
-    rows = [
-        (v, txn.snapshot_row_count(spark, path, v)) for v in range(3)
-    ]
-    return spark.createDataFrame(rows, "version bigint, n_rows bigint")
+    return _values_df(
+        spark,
+        "CAST(version AS BIGINT) AS version, CAST(n_rows AS BIGINT) AS n_rows",
+        [
+            f"({v}, {txn.snapshot_row_count(spark, path, v)})"
+            for v in range(3)
+        ],
+    )
 
 
 @register(
@@ -1179,9 +1200,12 @@ def txn_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     _atomic_rebuild(path, 1, _build)
     lo_k, hi_k = txn.snapshot_col_minmax(spark, path, "o_orderkey")
     lo_p, hi_p = txn.snapshot_col_minmax(spark, path, "o_totalprice")
-    return spark.createDataFrame(
-        [(lo_k, hi_k, float(lo_p), float(hi_p))],
-        "min_key bigint, max_key bigint, min_price double, max_price double",
+    # repr() doubles round-trip exactly through the SQL parser
+    return _values_df(
+        spark,
+        "CAST(min_key AS BIGINT) AS min_key, CAST(max_key AS BIGINT) AS max_key, "
+        "CAST(min_price AS DOUBLE) AS min_price, CAST(max_price AS DOUBLE) AS max_price",
+        [f"({lo_k}, {hi_k}, {float(lo_p)!r}, {float(hi_p)!r})"],
     )
 
 
@@ -1338,9 +1362,12 @@ def txn_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.commit_delete_mor(spark, top, p, key="o_orderkey")
 
     _atomic_rebuild(path, 1, _build)
-    rows = [
-        ("all", txn.count_where(spark, path, 0, 10**12)),
-        ("mid", txn.count_where(spark, path, 1001, 30000)),
-        ("none", txn.count_where(spark, path, -(10**6), -1)),
-    ]
-    return spark.createDataFrame(rows, "label string, n bigint")
+    return _values_df(
+        spark,
+        "CAST(label AS STRING) AS label, CAST(n AS BIGINT) AS n",
+        [
+            f"('all', {txn.count_where(spark, path, 0, 10**12)})",
+            f"('mid', {txn.count_where(spark, path, 1001, 30000)})",
+            f"('none', {txn.count_where(spark, path, -(10**6), -1)})",
+        ],
+    )
