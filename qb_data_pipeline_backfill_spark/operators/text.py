@@ -119,12 +119,16 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pre = _with_tokens(df, text_col, id_col)
     t = F.col("__t")
     n_tok = F.size(t)
-    # sum(token lengths) via the normalized-form identity: ``__norm``
-    # is exactly the tokens joined by single spaces, so for n_tok >= 1
-    # the character total is length(__norm) - (n_tok - 1) — an O(1)
-    # codegen'd expression instead of an interpreted aggregate() fold
-    # over the array (value-identical; verified against the oracle).
-    char_total = F.length(F.col("__norm")) - n_tok + 1
+    # sum(token lengths) via the normalized-form identity: for
+    # n_tok >= 1 the SPACE-trimmed ``__norm`` is exactly the tokens
+    # joined by single spaces, so the character total is its length
+    # minus (n_tok - 1) — an O(1) codegen'd expression instead of an
+    # interpreted aggregate() fold over the array. The extra trim is
+    # load-bearing: ``normalize_text``'s trim strips SPACES only, so a
+    # document with a boundary tab/newline keeps one boundary space
+    # after the \s+ collapse ('hello\n' → 'hello ') and the untrimmed
+    # length would overcount by one per ragged edge (review r10).
+    char_total = F.length(F.trim(F.col("__norm"))) - n_tok + 1
     # empty/whitespace-only documents have 0 tokens: the mean token
     # length is NULL (ANSI division by zero would throw; the DuckDB
     # oracle's `// 0` yields NULL — the CASE keeps the engines agreed)

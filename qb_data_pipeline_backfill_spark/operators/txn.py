@@ -1180,6 +1180,29 @@ def _file_stats(file_path: str, col: str) -> list | None:
     return _stats_from_md(pq.ParquetFile(file_path).metadata, col)
 
 
+def _parquet_null_count(file_path: str, col: str) -> int | None:
+    """NULL count of ``col`` from the parquet footer (no data pages),
+    summed across row groups; None when any row group's statistics
+    omit it. What makes ``count_where``'s full-keep class exact:
+    min/max stats IGNORE NULLs, so a file whose [min, max] sits inside
+    the predicate range can still hold NULL rows that a real scan's
+    BETWEEN would drop — metadata may answer only when the footer
+    proves the column null-free."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    if idx < 0:
+        return None
+    total = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or st.null_count is None:
+            return None
+        total += st.null_count
+    return total
+
+
 def _file_stats_multi(file_path: str, cols: list[str]) -> dict[str, list]:
     """Per-column [min, max] for every ``cols`` entry with usable
     footer stats — ONE footer read for all columns (Delta collects
@@ -2786,10 +2809,14 @@ def count_where(
 
     - FULL PRUNE — the file's [min, max] is disjoint from [lo, hi]:
       contributes zero rows, zero bytes read;
-    - FULL KEEP — the file's range is contained in [lo, hi] and no
-      deletion vector references the file: every row matches, so the
-      manifest's recorded row count answers with zero data read
-      (parquet-footer fallback for pre-stats files);
+    - FULL KEEP — the file's range is contained in [lo, hi], no
+      deletion vector references the file, and the parquet footer
+      proves the column NULL-FREE (min/max stats ignore NULLs, so
+      containment alone only covers the non-null rows): every row
+      matches and the manifest's recorded row count answers with no
+      data pages read — one footer metadata read per file, the
+      lakehouse-stats cost class (a null-count column in the manifest
+      would remove even that);
     - BOUNDARY — the file straddles an endpoint, lacks stats, or is
       DV-referenced (suppression can hollow out any file, so the
       metadata count would be stale-wrong — the same file-scoping as
@@ -2842,7 +2869,18 @@ def count_where(
         if s is not None and (s[1] < lo or s[0] > hi):
             n_pruned += 1  # disjoint: DVs can only shrink 0 matches
             continue
-        if s is not None and lo <= s[0] and s[1] <= hi and f not in referenced:
+        if (
+            s is not None
+            and lo <= s[0]
+            and s[1] <= hi
+            and f not in referenced
+            # min/max stats ignore NULLs: "range contained" proves
+            # every NON-NULL value matches, so the metadata answer is
+            # exact only when the footer proves the column null-free
+            # (a NULL never satisfies BETWEEN; review r10)
+            and _parquet_null_count(os.path.join(path, "data", f), colname)
+            == 0
+        ):
             total += (
                 counts[f]
                 if f in counts

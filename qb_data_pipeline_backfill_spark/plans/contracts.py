@@ -707,10 +707,14 @@ def _bpe_pin_corpus(spark: SparkSession) -> DataFrame:
     # SQL VALUES literal, not createDataFrame: the Python→JVM
     # conversion costs ~0.3-0.4 s of fixed plan-construction time per
     # call (see plans/llm._docs_edge) — and this corpus builds once
-    # per BPE contract query
+    # per BPE contract query. _sql_str escapes quotes: the pin corpus
+    # exists to grow adversarial tokenizer cases, and the first doc
+    # with an apostrophe must not break the SQL at parse time.
+    from qb_data_pipeline_backfill_spark.plans.llm import _sql_str
+
     return spark.sql(
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES "
-        + ", ".join(f"({i}, '{t}')" for i, t in _BPE_PIN_DOCS)
+        + ", ".join(f"({i}, {_sql_str(t)})" for i, t in _BPE_PIN_DOCS)
         + ") AS t(doc_id, text)"
     )
 

@@ -78,7 +78,13 @@ def _sweep_stale_siblings(path: str) -> None:
     """Remove orphaned ``{path}.building-*`` / ``{path}.old-*`` dirs
     left by CRASHED builders (any pid — a later run has a different
     pid, so pid-scoped cleanup alone accretes scratch disk forever).
-    Young siblings are spared: they may be a live concurrent build."""
+    Young siblings are spared: they may be a live concurrent build.
+    Age is max(mtime, ctime): ``os.rename`` PRESERVES a directory's
+    mtime, so a just-renamed ``.old-<pid>`` of an hours-old table
+    would look ancient by mtime alone and a concurrent sweeper could
+    delete it mid-swap, defeating the restore-on-failure path — the
+    rename does bump ctime, which is what makes "renamed seconds ago"
+    visible (review r10)."""
     parent, base = os.path.split(os.path.normpath(path))
     if not os.path.isdir(parent):
         return
@@ -91,7 +97,8 @@ def _sweep_stale_siblings(path: str) -> None:
             continue
         full = os.path.join(parent, name)
         try:
-            if os.path.getmtime(full) < cutoff:
+            st = os.stat(full)
+            if max(st.st_mtime, st.st_ctime) < cutoff:
                 shutil.rmtree(full, ignore_errors=True)
         except OSError:
             continue
@@ -506,6 +513,11 @@ def txn_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return txn._read_manifest(table, head).get("cdc_applied_version", -1)
 
     _sweep_stale_siblings(roll)
+    # the throwaway checkpoints are siblings of `{roll}_ck`, not of
+    # `roll`, so they need their own sweep; the pre-r10 flow also left
+    # a PERSISTENT `{roll}_ck` dir behind that nothing reads anymore
+    _sweep_stale_siblings(roll + "_ck")
+    shutil.rmtree(roll + "_ck", ignore_errors=True)
     if _watermark(roll) != txn.current_version(path):
         tmp_roll = f"{roll}.building-{os.getpid()}"
         tmp_ck = f"{roll}_ck.building-{os.getpid()}"
@@ -1108,18 +1120,32 @@ def txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qb_data_pipeline_backfill_spark.oracle import table_digest
 
     n, cols, digest = table_digest(list(agg.columns), rows)
-    with open(os.path.join(_SCRATCH, "widening_grade_log.jsonl"), "a") as f:
-        json.dump(
-            {
-                "at": time.time(),
-                "sf_dir": sf_dir,
-                "fixture_head": 4,
-                "rows": rows,
-                "digest": digest,
-            },
-            f,
-        )
-        f.write("\n")
+    line = json.dumps(
+        {
+            "at": time.time(),
+            "sf_dir": sf_dir,
+            "fixture_head": 4,
+            "rows": rows,
+            "digest": digest,
+        }
+    )
+    log = os.path.join(_SCRATCH, "widening_grade_log.jsonl")
+    try:
+        # bounded: keep the newest ~200 entries (bench min-of-5 runs
+        # append on every pass, forever)
+        if os.path.getsize(log) > 256 * 1024:
+            with open(log) as f:
+                keep = f.readlines()[-200:]
+            with open(log, "w") as f:
+                f.writelines(keep)
+    except OSError:
+        pass
+    with open(log, "a") as f:
+        # ONE write under O_APPEND: concurrent graders' entries land
+        # whole, never interleaved mid-record (json.dump streams many
+        # small writes and could tear the very evidence this log
+        # exists to preserve)
+        f.write(line + "\n")
     return _values_df(
         spark,
         "CAST(status AS STRING) AS status, CAST(n_rows AS BIGINT) AS n_rows, "

@@ -37,6 +37,14 @@ _EDGE_DOCS: list[tuple[int, str, str, str, int]] = [
     (-3, "Élan déjà vu — naïve café, rêve!", "fr", "edge", 32),
     (-4, "中文文档, 测试: 数据。", "zh", "edge", 13),
     (-5, "!!! ??? ... ,,,", "en", "edge", 15),
+    # ragged boundary whitespace (r10): trim() strips SPACES only, so
+    # a leading/trailing TAB survives into the \s+ collapse as a
+    # boundary space — the case that broke token_stats' norm-length
+    # identity in review; every token statistic must agree with the
+    # oracle on this shape. Tabs, not newlines: the paragraph-dedup
+    # gate derives its synthetic paragraphs with "\n" as separator,
+    # so a literal newline in the corpus would collide with it.
+    (-6, "\tragged edge doc\t", "en", "edge", 17),
 ]
 
 

@@ -137,17 +137,44 @@ def test_swap_failure_restores_previous_table(spark, tmp_path, monkeypatch):
     )
 
 
-def test_sweep_removes_only_stale_orphans(tmp_path):
+def test_sweep_removes_only_stale_orphans(tmp_path, monkeypatch):
+    """Staleness keys on max(mtime, ctime): utime/rename can't age
+    ctime on Linux, so 'stale' is simulated by shrinking the window
+    below zero (cutoff in the future) — which must still never touch
+    a sibling of a DIFFERENT fixture."""
     path = str(tmp_path / "t")
-    stale = str(tmp_path / "t.building-123")
-    fresh = str(tmp_path / "t.old-456")
+    orphan_build = str(tmp_path / "t.building-123")
+    orphan_old = str(tmp_path / "t.old-456")
     other = str(tmp_path / "t2.building-789")
-    for d in (stale, fresh, other):
+    for d in (orphan_build, orphan_old, other):
         os.makedirs(d)
-    old = 10_000.0  # epoch 1970: well past the staleness cutoff
-    os.utime(stale, (old, old))
-    os.utime(other, (old, old))
+    # default window: everything is young -> nothing swept
     formats._sweep_stale_siblings(path)
-    assert not os.path.exists(stale)  # old orphan of `t`: swept
-    assert os.path.exists(fresh)  # young: may be a live builder
+    assert os.path.exists(orphan_build) and os.path.exists(orphan_old)
+    # window below zero: every `t` orphan is past the cutoff
+    monkeypatch.setattr(formats, "_STALE_AFTER_S", -10.0)
+    formats._sweep_stale_siblings(path)
+    assert not os.path.exists(orphan_build)
+    assert not os.path.exists(orphan_old)
     assert os.path.exists(other)  # different fixture: untouched
+
+
+def test_sweep_spares_freshly_renamed_old_of_ancient_table(tmp_path):
+    """os.rename preserves a directory's MTIME, so a just-moved-aside
+    .old-<pid> of an hours-old table looks ancient by mtime; the
+    sweeper must see the rename's CTIME bump and spare it (a
+    concurrent sweep here would break _swap_into_place's
+    restore-on-failure)."""
+    import time as _time
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    ancient = _time.time() - 10 * formats._STALE_AFTER_S
+    os.utime(table, (ancient, ancient))
+    # ctime is NOW after utime on Linux; emulate the worst case by
+    # checking the rename path directly: mtime stays ancient
+    old = str(tmp_path / "t.old-999")
+    os.rename(table, old)
+    assert os.path.getmtime(old) < _time.time() - formats._STALE_AFTER_S
+    formats._sweep_stale_siblings(str(tmp_path / "t"))
+    assert os.path.exists(old)  # spared: ctime says it moved just now
