@@ -1180,17 +1180,14 @@ def _file_stats(file_path: str, col: str) -> list | None:
     return _stats_from_md(pq.ParquetFile(file_path).metadata, col)
 
 
-def _parquet_null_count(file_path: str, col: str) -> int | None:
-    """NULL count of ``col`` from the parquet footer (no data pages),
+def _null_count_from_md(md, col: str) -> int | None:
+    """NULL count of ``col`` from already-read parquet metadata,
     summed across row groups; None when any row group's statistics
     omit it. What makes ``count_where``'s full-keep class exact:
     min/max stats IGNORE NULLs, so a file whose [min, max] sits inside
     the predicate range can still hold NULL rows that a real scan's
-    BETWEEN would drop — metadata may answer only when the footer
-    proves the column null-free."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(file_path).metadata
+    BETWEEN would drop — metadata may answer only when the column is
+    provably null-free."""
     idx = md.schema.to_arrow_schema().get_field_index(col)
     if idx < 0:
         return None
@@ -1201,6 +1198,15 @@ def _parquet_null_count(file_path: str, col: str) -> int | None:
             return None
         total += st.null_count
     return total
+
+
+def _parquet_null_count(file_path: str, col: str) -> int | None:
+    """``_null_count_from_md`` with its own footer read — the query-
+    time fallback for files committed before manifests recorded
+    ``null_counts``."""
+    import pyarrow.parquet as pq
+
+    return _null_count_from_md(pq.ParquetFile(file_path).metadata, col)
 
 
 def _file_stats_multi(file_path: str, cols: list[str]) -> dict[str, list]:
@@ -1469,9 +1475,8 @@ def _commit_replace(
     # carried files inherit the base manifest's count (footer fallback
     # for pre-feature manifests), and snapshot_row_count answers
     # COUNT(*) from metadata alone
-    prev_counts = (
-        _read_manifest(path, base).get("row_counts", {}) if base >= 0 else {}
-    )
+    prev_man = _read_manifest(path, base) if base >= 0 else {}
+    prev_counts = prev_man.get("row_counts", {})
     row_counts: dict[str, int] = {
         f: (
             prev_counts[f]
@@ -1480,6 +1485,16 @@ def _commit_replace(
         )
         for f in (carried or [])
     }
+    # per-file NULL counts for the zone-mapped columns (Delta's
+    # nullCount stats analog): recorded from the same footer at commit
+    # time so count_where's full-keep proof needs no query-time footer
+    # reads; carried files inherit (absent entries fall back to a
+    # footer read at query time — pre-feature manifests)
+    prev_nulls = prev_man.get("null_counts", {})
+    null_counts: dict[str, dict] = {
+        f: prev_nulls[f] for f in (carried or []) if f in prev_nulls
+    }
+    null_cols = ([stats_col] if stats_col else []) + list(stats_cols or [])
     staged_blooms: dict[str, list] = (
         _file_blooms(
             spark, stage_dir, bloom_spec["col"], bloom_spec["m"], bloom_spec["k"]
@@ -1510,6 +1525,17 @@ def _commit_replace(
             col_stats[unique] = _file_stats_multi(
                 os.path.join(stage_dir, name), stats_cols
             )
+        if null_cols:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(os.path.join(stage_dir, name)).metadata
+            per_col = {
+                c: n
+                for c in null_cols
+                if (n := _null_count_from_md(md, c)) is not None
+            }
+            if per_col:
+                null_counts[unique] = per_col
         if bloom_spec and name in staged_blooms:
             blooms[unique] = staged_blooms[name]
     manifest = {
@@ -1528,6 +1554,8 @@ def _commit_replace(
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["col_stats"] = col_stats
+    if null_counts:
+        manifest["null_counts"] = null_counts
     if bloom_spec:
         manifest["bloom_spec"] = bloom_spec
         manifest["blooms"] = blooms
@@ -2226,6 +2254,7 @@ def commit_delete_mor(
         # row counts stay valid (DV suppression is subtracted at
         # snapshot_row_count time, not here)
         "row_counts",
+        "null_counts",
     ):
         if fld in man:
             manifest[fld] = man[fld]
@@ -2810,13 +2839,13 @@ def count_where(
     - FULL PRUNE — the file's [min, max] is disjoint from [lo, hi]:
       contributes zero rows, zero bytes read;
     - FULL KEEP — the file's range is contained in [lo, hi], no
-      deletion vector references the file, and the parquet footer
-      proves the column NULL-FREE (min/max stats ignore NULLs, so
+      deletion vector references the file, and the column is provably
+      NULL-FREE in the file (min/max stats ignore NULLs, so
       containment alone only covers the non-null rows): every row
-      matches and the manifest's recorded row count answers with no
-      data pages read — one footer metadata read per file, the
-      lakehouse-stats cost class (a null-count column in the manifest
-      would remove even that);
+      matches and the manifest's recorded row count answers with zero
+      I/O — null counts are recorded per file at commit time
+      (``null_counts``, the Delta nullCount-stats analog), with a
+      footer metadata read only for pre-feature files;
     - BOUNDARY — the file straddles an endpoint, lacks stats, or is
       DV-referenced (suppression can hollow out any file, so the
       metadata count would be stale-wrong — the same file-scoping as
@@ -2861,6 +2890,14 @@ def count_where(
         else set()
     )
     counts = man.get("row_counts", {})
+    null_counts = man.get("null_counts", {})
+
+    def _nulls(f: str):
+        per_col = null_counts.get(f)
+        if per_col is not None and colname in per_col:
+            return per_col[colname]  # recorded at commit: zero I/O
+        return _parquet_null_count(os.path.join(path, "data", f), colname)
+
     total = 0
     n_pruned = n_meta = 0
     boundary: list[str] = []
@@ -2876,10 +2913,10 @@ def count_where(
             and f not in referenced
             # min/max stats ignore NULLs: "range contained" proves
             # every NON-NULL value matches, so the metadata answer is
-            # exact only when the footer proves the column null-free
-            # (a NULL never satisfies BETWEEN; review r10)
-            and _parquet_null_count(os.path.join(path, "data", f), colname)
-            == 0
+            # exact only when the column is provably null-free in this
+            # file — from the manifest's commit-time null_counts, with
+            # a footer read only for pre-feature files (review r10)
+            and _nulls(f) == 0
         ):
             total += (
                 counts[f]

@@ -3227,3 +3227,39 @@ def test_count_where_is_dv_aware(spark, tmp_path):
     # secondary zone-map column path + errors
     with pytest.raises(ValueError, match="no zone-map stats"):
         txn.count_where(spark, path, 0, 1, col="missing")
+
+
+def test_count_where_null_rows_never_metadata_counted(spark, tmp_path):
+    """min/max stats ignore NULLs: a file whose range sits inside the
+    predicate can still hold NULL rows a real BETWEEN drops. Commit
+    records per-file null counts; full-keep applies only to provably
+    null-free files, NULL-having files scan."""
+    path = str(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        # file of k in [20,30) gets NULL v for odd k; elsewhere v=k
+        F.when((F.col("id") >= 20) & (F.col("id") < 30) & (F.col("id") % 2 == 1),
+               F.lit(None).cast("bigint")).otherwise(F.col("id")).alias("v"),
+    )
+    txn.commit_append_with_stats(
+        spark,
+        df.repartitionByRange(4, "k"),
+        path,
+        key="k",
+        extra_cols=["v"],
+    )
+    man = txn._read_manifest(path, 0)
+    assert "null_counts" in man
+    per_file = man["null_counts"]
+    assert sorted(
+        nc["v"] for nc in per_file.values()
+    ) == [0, 0, 0, 5]  # exactly one file holds the 5 NULLs
+    assert all(nc["k"] == 0 for nc in per_file.values())
+    # full domain on v: the NULL-bearing file must SCAN (its 5 NULL
+    # rows never match BETWEEN), the rest answer from metadata
+    n, d = txn.count_where(spark, path, 0, 100, col="v", detail=True)
+    assert n == 35
+    assert d == {"files_pruned": 0, "files_metadata": 3, "files_scanned": 1}
+    # key column is null-free everywhere: pure metadata
+    n, d = txn.count_where(spark, path, 0, 100, detail=True)
+    assert n == 40 and d["files_metadata"] == 4
