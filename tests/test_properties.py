@@ -225,3 +225,50 @@ def test_bloom_positions_python_matches_spark(spark, value, m, k):
         ]
     ).collect()[0]
     assert [got[f"p{i}"] for i in range(k)] == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-50, 50), st.none()), min_size=1, max_size=60
+    ),
+    lo=st.integers(-60, 60),
+    span=st.integers(0, 60),
+    n_files=st.integers(1, 5),
+    del_mod=st.one_of(st.none(), st.integers(2, 7)),
+)
+def test_count_where_matches_naive_filter(
+    spark, tmp_path_factory, vals, lo, span, n_files, del_mod
+):
+    """count_where == the naive full-scan BETWEEN count on arbitrary
+    layouts: any file count, NULLs anywhere in the stats column, any
+    predicate range (incl. empty/degenerate), with and without MoR
+    deletes — the metadata classification must never change the
+    answer, only how it is produced."""
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    hi = lo + span
+    path = str(tmp_path_factory.mktemp("cwprop") / "t")
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    txn.commit_append_with_stats(
+        spark,
+        df.repartitionByRange(n_files, "k"),
+        path,
+        key="k",
+        extra_cols=["v"],
+    )
+    if del_mod is not None:
+        txn.commit_delete_mor(
+            spark,
+            df.filter(F.col("k") % del_mod == 0).select("k"),
+            path,
+            key="k",
+        )
+    surviving = [
+        (k, v) for k, v in rows if del_mod is None or k % del_mod != 0
+    ]
+    want_v = sum(1 for _, v in surviving if v is not None and lo <= v <= hi)
+    want_k = sum(1 for k, _ in surviving if lo <= k <= hi)
+    assert txn.count_where(spark, path, lo, hi, col="v") == want_v
+    assert txn.count_where(spark, path, lo, hi) == want_k
