@@ -1385,19 +1385,27 @@ def txn_widening_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE o_orderkey BETWEEN 1001 AND 30000)
     UNION ALL
     SELECT 'none', 0
+    UNION ALL
+    SELECT 'vals', (SELECT CAST(COUNT(*) AS BIGINT) FROM surv
+                    WHERE o_orderkey % 10 != 0)
     """,
     doc="Predicate-aware COUNT from commit metadata (operators/txn.py "
     "count_where — zone-map classification per file: full-prune / "
     "full-keep-from-row-counts / boundary-scan, DV-aware with the "
     "same file-scoping as snapshot_row_count): orders land as 4 "
     "RANGE-partitioned files (contiguous key ranges, so the zone maps "
-    "genuinely decide), the top-100 keys MoR-delete (hollowing out "
-    "the last file — its metadata count is stale and it must scan), "
-    "then three predicates pin the three cases in closed form: the "
-    "full key domain (metadata + one DV probe), a mid range fully "
-    "inside clean files (metadata / boundary mix), and a disjoint "
-    "range (all files pruned, exactly 0). The per-file class counts "
-    "themselves are asserted by pytest on the same layout.",
+    "genuinely decide) carrying a NULLABLE secondary stats column "
+    "(price cents, NULL on every 10th key), the top-100 keys "
+    "MoR-delete (hollowing out the last file — its metadata count is "
+    "stale and it must scan), then four predicates pin the cases in "
+    "closed form: the full key domain (metadata + one DV probe), a "
+    "mid range fully inside clean files, a disjoint range (all files "
+    "pruned, exactly 0), and the full domain of the NULLABLE column — "
+    "where every file's range is contained but NONE may answer from "
+    "its row count (min/max stats ignore NULLs; the manifest's "
+    "commit-time null_counts force the scan, and the count must equal "
+    "exactly the non-NULL survivors). Per-file class counts are "
+    "asserted by pytest on the same layout.",
 )
 def txn_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qb_data_pipeline_backfill_spark.operators import txn
@@ -1407,10 +1415,17 @@ def txn_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _build(p: str) -> None:
-        orders = load_table(spark, sf_dir, "orders").repartitionByRange(
-            4, "o_orderkey"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+            .otherwise(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("price_c"),
+        ).repartitionByRange(4, "o_orderkey")
+        txn.commit_append_with_stats(
+            spark, orders, p, key="o_orderkey", extra_cols=["price_c"]
         )
-        txn.commit_append_with_stats(spark, orders, p, key="o_orderkey")
         top = (
             orders.select("o_orderkey")
             .orderBy(F.col("o_orderkey").desc())
@@ -1418,7 +1433,8 @@ def txn_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         txn.commit_delete_mor(spark, top, p, key="o_orderkey")
 
-    _atomic_rebuild(path, 1, _build)
+    # rev suffix: the r10.1 build lacked the price_c column
+    _atomic_rebuild(path, 1, _build, rev=_FIXTURE_REV + "+nullcol")
     return _values_df(
         spark,
         "CAST(label AS STRING) AS label, CAST(n AS BIGINT) AS n",
@@ -1426,5 +1442,6 @@ def txn_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"('all', {txn.count_where(spark, path, 0, 10**12)})",
             f"('mid', {txn.count_where(spark, path, 1001, 30000)})",
             f"('none', {txn.count_where(spark, path, -(10**6), -1)})",
+            f"('vals', {txn.count_where(spark, path, 0, 10**12, col='price_c')})",
         ],
     )
