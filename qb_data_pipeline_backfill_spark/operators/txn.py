@@ -1502,13 +1502,21 @@ def _commit_replace(
         if bloom_spec
         else {}
     )
+    import pyarrow.parquet as pq
+
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
+        # ONE footer read serves the zero-row check, the row count,
+        # every zone-map [min,max], and the null counts — a commit
+        # staging thousands of files pays O(files) driver-side footer
+        # opens, so re-opening per statistic (4× before r10) is pure
+        # commit-latency waste
+        md = pq.ParquetFile(os.path.join(stage_dir, name)).metadata
         # zero-row part files never enter the manifest (see
         # commit_append: replay/empty-partition debris would otherwise
         # accrete open-and-discard work for every future reader)
-        n_rows = _parquet_num_rows(os.path.join(stage_dir, name))
+        n_rows = md.num_rows
         if n_rows == 0:
             continue
         unique = f"{stage_id}-{name}"
@@ -1518,17 +1526,17 @@ def _commit_replace(
         new_files.append(unique)
         row_counts[unique] = n_rows
         if stats_col is not None:
-            s = _file_stats(os.path.join(stage_dir, name), stats_col)
+            s = _stats_from_md(md, stats_col)
             if s is not None:
                 stats[unique] = s
         if stats_cols:
-            col_stats[unique] = _file_stats_multi(
-                os.path.join(stage_dir, name), stats_cols
-            )
+            per_file = {}
+            for c in stats_cols:
+                s = _stats_from_md(md, c)
+                if s is not None:
+                    per_file[c] = s
+            col_stats[unique] = per_file
         if null_cols:
-            import pyarrow.parquet as pq
-
-            md = pq.ParquetFile(os.path.join(stage_dir, name)).metadata
             per_col = {
                 c: n
                 for c in null_cols
