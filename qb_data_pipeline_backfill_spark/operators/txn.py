@@ -1209,21 +1209,6 @@ def _parquet_null_count(file_path: str, col: str) -> int | None:
     return _null_count_from_md(pq.ParquetFile(file_path).metadata, col)
 
 
-def _file_stats_multi(file_path: str, cols: list[str]) -> dict[str, list]:
-    """Per-column [min, max] for every ``cols`` entry with usable
-    footer stats — ONE footer read for all columns (Delta collects
-    stats for its first N columns the same way)."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(file_path).metadata
-    out = {}
-    for c in cols:
-        s = _stats_from_md(md, c)
-        if s is not None:
-            out[c] = s
-    return out
-
-
 # --------------------------------------------------------------------------
 # per-file Bloom index (Delta's bloom filter index analog): prunes POINT
 # lookups on a column whose values are scattered across files, where a
