@@ -3263,3 +3263,35 @@ def test_count_where_null_rows_never_metadata_counted(spark, tmp_path):
     # key column is null-free everywhere: pure metadata
     n, d = txn.count_where(spark, path, 0, 100, detail=True)
     assert n == 40 and d["files_metadata"] == 4
+
+
+def test_count_where_after_type_widening(spark, tmp_path):
+    """Zone-map pruning must survive a type widening: stats recorded
+    from int32 files keep answering under the widened bigint/double
+    logical schema, and the boundary scan reads narrow files upcast."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id").cast("int") * 2).alias("x"),
+    )
+    txn.commit_append_with_stats(
+        spark, df.repartitionByRange(4, "k"), path, key="k", extra_cols=["x"]
+    )
+    txn.widen_column_type(path, "k", "bigint")
+    txn.widen_column_type(path, "x", "double")
+    n, d = txn.count_where(spark, path, 10, 40, detail=True)
+    assert n == 31 and d["files_pruned"] >= 1
+    n2, d2 = txn.count_where(spark, path, 50, 120, col="x", detail=True)
+    assert n2 == 36  # x=2k in [50,120] -> k in [25,60]
+    # wide-typed appends after the widening fold into the same maps
+    txn.commit_append_with_stats(
+        spark,
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"), (F.col("id") * 2.5).alias("x")
+        ),
+        path,
+        key="k",
+        extra_cols=["x"],
+    )
+    assert txn.count_where(spark, path, 0, 2000) == 110
+    assert txn.count_where(spark, path, 2500.0, 2522.5, col="x") == 10
