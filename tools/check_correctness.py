@@ -25,7 +25,12 @@ def main() -> int:
     from qb_data_pipeline_backfill_spark.oracle import compare, duckdb_connection
     from qb_data_pipeline_backfill_spark.session import get_spark
 
-    spark = get_spark("check-correctness")
+    # 8g driver heap like bench.py: a full-registry sweep keeps one
+    # JVM alive across 160+ queries whose localCheckpoint/state-store
+    # residue accumulates — at sf0.1 the 1g default OOMs mid-sweep
+    spark = get_spark(
+        "check-correctness", extra_conf={"spark.driver.memory": "8g"}
+    )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb_connection(sf_dir)
 
@@ -33,6 +38,12 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # same per-query hygiene as bench.py: drop memory-sink temp
+        # views and cached plans so residue never compounds
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
