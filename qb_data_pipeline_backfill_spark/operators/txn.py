@@ -1122,6 +1122,42 @@ def commit_compact_files(
     )
 
 
+def compact_where(
+    spark: SparkSession,
+    path: str,
+    lo,
+    hi,
+    col: str | None = None,
+    target_partitions: int = 1,
+    zorder_by: list[str] | None = None,
+) -> int:
+    """Predicate-scoped compaction (Delta ``OPTIMIZE ... WHERE``
+    parity): rewrite only the files whose zone-map [min, max] on
+    ``col`` (default: the key) overlaps [lo, hi]; everything else
+    carries forward by reference. The selection is the SAME manifest
+    classification ``read_table_where`` prunes with, so "compact
+    yesterday's partition" costs O(yesterday), not O(table) — the
+    nightly-maintenance shape at 100 TB, where a full-table OPTIMIZE
+    is never affordable. Returns the new version (a no-op selection
+    still publishes a row-preserving commit for a uniform caller
+    contract)."""
+    base = current_version(path)
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, base)
+    chosen, _colname = _choose_files(
+        man, _norm_stat(lo), _norm_stat(hi), _phys(man, col) if col else None
+    )
+    return commit_compact_files(
+        spark,
+        path,
+        chosen,
+        target_partitions=target_partitions,
+        expected_base=base,
+        zorder_by=zorder_by,
+    )
+
+
 def _norm_stat(v):
     """tz-aware parquet timestamp stats → naive UTC, matching the
     session's UTC-pinned convention (collect() bounds and DuckDB

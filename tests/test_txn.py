@@ -3295,3 +3295,32 @@ def test_count_where_after_type_widening(spark, tmp_path):
     )
     assert txn.count_where(spark, path, 0, 2000) == 110
     assert txn.count_where(spark, path, 2500.0, 2522.5, col="x") == 10
+
+
+def test_compact_where_rewrites_only_overlapping_files(spark, tmp_path):
+    """OPTIMIZE ... WHERE parity: only files whose zone maps overlap
+    the predicate rewrite; the rest carry forward by reference, and
+    the snapshot is row-identical."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    txn.commit_append_with_stats(
+        spark, df.repartitionByRange(4, "k"), path, key="k"
+    )
+    before = txn._read_manifest(path, 0)["files"]
+    assert len(before) == 4
+    # predicate covering the two middle files only
+    txn.compact_where(spark, path, 30, 60, target_partitions=1)
+    after = txn._read_manifest(path, 1)["files"]
+    carried = set(before) & set(after)
+    assert len(carried) == 2  # first+last untouched, by reference
+    assert len(after) == 3  # 2 carried + 1 compacted
+    got = sorted(r["k"] for r in txn.read_table(spark, path).collect())
+    assert got == list(range(100))
+    # MoR-deleted rows in the rewrite range materialize away
+    txn.commit_delete_mor(
+        spark, df.filter(F.col("k").between(40, 44)).select("k"), path, key="k"
+    )
+    txn.compact_where(spark, path, 30, 60, target_partitions=1)
+    assert txn.dv_file_count(path) == 0
+    got = sorted(r["k"] for r in txn.read_table(spark, path).collect())
+    assert got == [k for k in range(100) if not 40 <= k <= 44]
