@@ -1138,16 +1138,22 @@ def compact_where(
     classification ``read_table_where`` prunes with, so "compact
     yesterday's partition" costs O(yesterday), not O(table) — the
     nightly-maintenance shape at 100 TB, where a full-table OPTIMIZE
-    is never affordable. Returns the new version (a no-op selection
-    still publishes a row-preserving commit for a uniform caller
-    contract)."""
+    is never affordable. Returns the new version — or ``base``
+    unchanged when no file overlaps: scheduled maintenance re-running
+    over an already-clean range must not accrete empty commits
+    (Delta's OPTIMIZE no-ops the same way)."""
     base = current_version(path)
     if base < 0:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, base)
     chosen, _colname = _choose_files(
-        man, _norm_stat(lo), _norm_stat(hi), _phys(man, col) if col else None
+        man,
+        _norm_stat(lo),
+        _norm_stat(hi),
+        _phys(man, col) if col is not None else None,
     )
+    if not chosen:
+        return base
     return commit_compact_files(
         spark,
         path,
@@ -1515,7 +1521,9 @@ def _commit_replace(
     null_counts: dict[str, dict] = {
         f: prev_nulls[f] for f in (carried or []) if f in prev_nulls
     }
-    null_cols = ([stats_col] if stats_col else []) + list(stats_cols or [])
+    null_cols = list(
+        dict.fromkeys(([stats_col] if stats_col else []) + list(stats_cols or []))
+    )
     staged_blooms: dict[str, list] = (
         _file_blooms(
             spark, stage_dir, bloom_spec["col"], bloom_spec["m"], bloom_spec["k"]

@@ -3324,3 +3324,13 @@ def test_compact_where_rewrites_only_overlapping_files(spark, tmp_path):
     assert txn.dv_file_count(path) == 0
     got = sorted(r["k"] for r in txn.read_table(spark, path).collect())
     assert got == [k for k in range(100) if not 40 <= k <= 44]
+
+
+def test_compact_where_no_overlap_is_a_no_op(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    txn.commit_append_with_stats(
+        spark, df.repartitionByRange(2, "k"), path, key="k"
+    )
+    assert txn.compact_where(spark, path, 500, 600) == 0  # head unchanged
+    assert txn.current_version(path) == 0

@@ -25,7 +25,7 @@ def main() -> int:
     from qb_data_pipeline_backfill_spark.oracle import compare, duckdb_connection
     from qb_data_pipeline_backfill_spark.session import get_spark
 
-    # 8g driver heap like bench.py: a full-registry sweep keeps one
+    # 8g driver heap like the repo-root bench.py: a full-registry sweep keeps one
     # JVM alive across 160+ queries whose localCheckpoint/state-store
     # residue accumulates — at sf0.1 the 1g default OOMs mid-sweep
     spark = get_spark(
