@@ -121,6 +121,32 @@ def _values_df(spark: SparkSession, schema_sql: str, rows: list[str]) -> DataFra
     )
 
 
+def _reset_derived_on_source_change(src: str, *derived: str) -> None:
+    """A derived fixture (CDC replica, incremental rollup) must reset
+    when its SOURCE fixture is force-rebuilt (rev bump): the derived
+    state — streaming checkpoints, applied watermarks, merged rows —
+    may encode the OLD build, and nothing else would notice when the
+    rebuilt source has the same pinned head. The source's fixture
+    stamp is mirrored into a ``{derived}.src_fixture`` marker;
+    mismatch wipes the derived dirs so they rebuild from genesis."""
+    try:
+        with open(_fixture_meta_path(src)) as f:
+            want = f.read()
+    except OSError:
+        return
+    for d in derived:
+        marker = d + ".src_fixture"
+        try:
+            with open(marker) as f:
+                have = f.read()
+        except OSError:
+            have = None
+        if have != want:
+            shutil.rmtree(d, ignore_errors=True)
+            with open(marker, "w") as f:
+                f.write(want)
+
+
 def _fixture_meta_path(path: str) -> str:
     # lives at the table root: it travels atomically with the swap
     # rename, and table reads are manifest-driven (never a directory
@@ -455,6 +481,7 @@ def txn_replica_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _orders_cdc2_table(spark, sf_dir)
     replica = src + "_replica"
     ck = src + "_replica_ck"
+    _reset_derived_on_source_change(src, replica, ck)
     apply_cdf_to_table(
         spark, src, replica, key="o_orderkey", checkpoint_dir=ck
     ).awaitTermination()
@@ -518,6 +545,7 @@ def txn_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a PERSISTENT `{roll}_ck` dir behind that nothing reads anymore
     _sweep_stale_siblings(roll + "_ck")
     shutil.rmtree(roll + "_ck", ignore_errors=True)
+    _reset_derived_on_source_change(path, roll)
     if _watermark(roll) != txn.current_version(path):
         tmp_roll = f"{roll}.building-{os.getpid()}"
         tmp_ck = f"{roll}_ck.building-{os.getpid()}"
