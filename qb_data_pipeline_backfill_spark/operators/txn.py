@@ -3055,6 +3055,95 @@ def snapshot_col_minmax(
     return (lo, hi)
 
 
+def table_files(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    col: str | None = None,
+) -> DataFrame:
+    """The snapshot's file inventory as a DataFrame (the Iceberg
+    ``files`` metadata table / Delta ``DESCRIBE DETAIL`` analog) — one
+    row per live data file:
+
+    - ``file_name`` / ``size_bytes`` / ``n_rows`` — physical identity
+      and the manifest's recorded row count (footer fallback for
+      pre-feature manifests). Row counts are FILE-level facts: rows a
+      deletion vector suppresses still count (use
+      ``snapshot_row_count`` for the visible cardinality).
+    - ``min_stat`` / ``max_stat`` / ``null_count`` — the zone-map
+      range and commit-recorded null count of ``col`` (default: the
+      primary stats column), rendered as strings so one schema serves
+      int/date/decimal keys; NULL when the file has no recorded stats.
+    - ``dv_referenced`` — whether any deletion-vector row targets the
+      file (the compaction-priority signal).
+
+    Metadata-only: O(#files) driver work off the manifest plus one
+    pyarrow read of the (small) DV files; emitted as a VALUES literal,
+    so no Spark job runs until the caller aggregates. This is the
+    table an operator dashboard joins for small-file pressure, skew of
+    file sizes, and DV debt."""
+    v = current_version(path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    phys = _phys(man, col) if col is not None else man.get("stats_col")
+    stats = man.get("stats", {}) if man.get("stats_col") == phys else {}
+    col_stats = man.get("col_stats", {})
+    null_counts = man.get("null_counts", {})
+    dvs = man.get("dvs") or []
+    referenced = (
+        _dv_referenced_file_names(path, dvs) & set(man.get("files", []))
+        if dvs
+        else set()
+    )
+    counts = man.get("row_counts", {})
+
+    def _sql_cell(val) -> str:
+        if val is None:
+            return "NULL"
+        if isinstance(val, bool):
+            return "true" if val else "false"
+        if isinstance(val, int):
+            return str(val)
+        return "'" + str(val).replace("'", "''") + "'"
+
+    rows = []
+    for f in man.get("files", []):
+        full = os.path.join(path, "data", f)
+        n = counts[f] if f in counts else _parquet_num_rows(full)
+        s = stats.get(f) or (col_stats.get(f, {}) or {}).get(phys)
+        nc = (null_counts.get(f) or {}).get(phys) if phys else None
+        rows.append(
+            "("
+            + ", ".join(
+                _sql_cell(x)
+                for x in (
+                    f,
+                    os.path.getsize(full),
+                    n,
+                    str(s[0]) if s else None,
+                    str(s[1]) if s else None,
+                    nc,
+                    f in referenced,
+                )
+            )
+            + ")"
+        )
+    return spark.sql(
+        "SELECT CAST(file_name AS STRING) AS file_name, "
+        "CAST(size_bytes AS BIGINT) AS size_bytes, "
+        "CAST(n_rows AS BIGINT) AS n_rows, "
+        "CAST(min_stat AS STRING) AS min_stat, "
+        "CAST(max_stat AS STRING) AS max_stat, "
+        "CAST(null_count AS BIGINT) AS null_count, "
+        "CAST(dv_referenced AS BOOLEAN) AS dv_referenced "
+        "FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(file_name, size_bytes, n_rows, min_stat, max_stat, "
+        "null_count, dv_referenced)"
+    )
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """The table's commit log as a DataFrame (Delta ``DESCRIBE
     HISTORY`` parity; reference analog: the run-history metadata Mage

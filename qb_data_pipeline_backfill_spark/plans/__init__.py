@@ -43,6 +43,7 @@ prioritize(
         "txn_type_widening",
         "txn_widening_lanes",
         "txn_count_where",
+        "txn_files_metadata",
         "txn_mor_delete_read",
         "txn_cdf_log_feed",
         "txn_cdf_log_net_feed",
@@ -90,7 +91,10 @@ prioritize(
         "pagerank_parts",
         "triangle_counts_parts",
         "dedup_cluster_resolution",
-        "recursive_reachability",
+        # recursive_reachability (same r05-era graph block) yields its
+        # slot to txn_files_metadata, new this round — untested-by-
+        # definition code needs the driver grade more than a third
+        # stale-but-green record; it stays in the local full sweep.
         # The r8/r9-green blocks (streaming_*, salted_*, the window/
         # subquery/unpivot block, profile, packing, simhash, the
         # remaining txn CDC queries) rotate out this round: their

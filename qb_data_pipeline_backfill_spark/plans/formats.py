@@ -1396,6 +1396,42 @@ def txn_widening_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unionByName(types_df)
 
 
+def _orders_cw_table(spark: SparkSession, sf_dir: str) -> str:
+    """Pinned metadata-stats fixture shared by txn_count_where and
+    txn_files_metadata: orders as 4 RANGE-partitioned files with a
+    nullable price-cents column (NULL on every 10th key), top-100 keys
+    MoR-deleted — contiguous zone maps, commit-recorded null counts,
+    and exactly one DV-referenced file."""
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_cw_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+
+    def _build(p: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+            .otherwise(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("price_c"),
+        ).repartitionByRange(4, "o_orderkey")
+        txn.commit_append_with_stats(
+            spark, orders, p, key="o_orderkey", extra_cols=["price_c"]
+        )
+        top = (
+            orders.select("o_orderkey")
+            .orderBy(F.col("o_orderkey").desc())
+            .limit(100)
+        )
+        txn.commit_delete_mor(spark, top, p, key="o_orderkey")
+
+    # rev suffix: the r10.1 build lacked the price_c column
+    _atomic_rebuild(path, 1, _build, rev=_FIXTURE_REV + "+nullcol")
+    return path
+
+
 @register(
     "txn_count_where",
     oracle="""
@@ -1438,31 +1474,7 @@ def txn_widening_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txn_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qb_data_pipeline_backfill_spark.operators import txn
 
-    path = os.path.join(
-        _SCRATCH, f"orders_cw_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-
-    def _build(p: str) -> None:
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
-            .otherwise(F.round(F.col("o_totalprice") * 100))
-            .cast("long")
-            .alias("price_c"),
-        ).repartitionByRange(4, "o_orderkey")
-        txn.commit_append_with_stats(
-            spark, orders, p, key="o_orderkey", extra_cols=["price_c"]
-        )
-        top = (
-            orders.select("o_orderkey")
-            .orderBy(F.col("o_orderkey").desc())
-            .limit(100)
-        )
-        txn.commit_delete_mor(spark, top, p, key="o_orderkey")
-
-    # rev suffix: the r10.1 build lacked the price_c column
-    _atomic_rebuild(path, 1, _build, rev=_FIXTURE_REV + "+nullcol")
+    path = _orders_cw_table(spark, sf_dir)
     return _values_df(
         spark,
         "CAST(label AS STRING) AS label, CAST(n AS BIGINT) AS n",
@@ -1472,4 +1484,58 @@ def txn_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"('none', {txn.count_where(spark, path, -(10**6), -1)})",
             f"('vals', {txn.count_where(spark, path, 0, 10**12, col='price_c')})",
         ],
+    )
+
+
+@register(
+    "txn_files_metadata",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           (SELECT COUNT(*) FROM orders) AS total_rows,
+           (SELECT CAST(MIN(o_orderkey) AS BIGINT) FROM orders) AS min_key,
+           (SELECT CAST(MAX(o_orderkey) AS BIGINT) FROM orders) AS max_key,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 10 = 0) AS price_nulls,
+           (SELECT CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) FROM orders
+            WHERE o_orderkey % 10 != 0) AS min_price_c,
+           CAST(1 AS BIGINT) AS n_dv_referenced
+    """,
+    doc="Files metadata table (operators/txn.py table_files — the "
+    "Iceberg `files` / Delta DESCRIBE DETAIL analog) over the "
+    "count_where fixture (4 range-partitioned files, a nullable price "
+    "column, top-100 keys MoR-deleted): aggregating the inventory "
+    "must reproduce, in closed form, the file count, the PHYSICAL row "
+    "total (DV-suppressed rows still count at file level), the global "
+    "key range folded from per-file zone maps, the commit-recorded "
+    "null total and non-null minimum of the nullable column, and "
+    "exactly one DV-referenced file. Metadata-only: the inventory is "
+    "a VALUES relation off the manifest — no data pages are read to "
+    "answer any of it.",
+)
+def txn_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = _orders_cw_table(spark, sf_dir)
+    keyf = txn.table_files(spark, path)
+    pricef = txn.table_files(spark, path, col="price_c")
+    key_agg = keyf.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min(F.col("min_stat").cast("long")).alias("min_key"),
+        F.max(F.col("max_stat").cast("long")).alias("max_key"),
+        F.sum(F.col("dv_referenced").cast("long")).alias("n_dv_referenced"),
+    )
+    price_agg = pricef.agg(
+        F.sum("null_count").alias("price_nulls"),
+        F.min(F.col("min_stat").cast("long")).alias("min_price_c"),
+    )
+    return key_agg.crossJoin(price_agg).select(
+        "n_files",
+        "total_rows",
+        "min_key",
+        "max_key",
+        "price_nulls",
+        "min_price_c",
+        "n_dv_referenced",
     )

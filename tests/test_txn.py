@@ -3334,3 +3334,28 @@ def test_compact_where_no_overlap_is_a_no_op(spark, tmp_path):
     )
     assert txn.compact_where(spark, path, 500, 600) == 0  # head unchanged
     assert txn.current_version(path) == 0
+
+
+def test_table_files_inventory(spark, tmp_path):
+    """Files metadata table: per-file rows/size/zone-map/null/DV facts
+    off the manifest, string-rendered stats so one schema serves any
+    key type (here: DATE)."""
+    path = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id AS k, DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d "
+        "FROM RANGE(40)"
+    )
+    txn.commit_append_with_stats(
+        spark, df.repartitionByRange(2, "k"), path, key="k", extra_cols=["d"]
+    )
+    txn.commit_delete_mor(
+        spark, df.filter(F.col("k") < 3).select("k"), path, key="k"
+    )
+    inv = {r["file_name"]: r for r in txn.table_files(spark, path).collect()}
+    assert len(inv) == 2
+    assert sum(r["n_rows"] for r in inv.values()) == 40  # physical rows
+    assert sum(r["dv_referenced"] for r in inv.values()) == 1
+    assert all(r["size_bytes"] > 0 and r["null_count"] == 0 for r in inv.values())
+    assert sorted(r["min_stat"] for r in inv.values()) == ["0", "20"]
+    dates = {r["min_stat"] for r in txn.table_files(spark, path, col="d").collect()}
+    assert dates == {"2024-01-01", "2024-01-21"}
