@@ -2780,6 +2780,31 @@ def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
     return read_version(spark, path, version_as_of(path, ts))
 
 
+def _dv_live_refs(path: str, man: dict) -> set:
+    """The manifest files some deletion-vector row still references —
+    the exact set whose metadata answers (row counts, zone-map
+    extremes) are stale and must be re-derived by scanning. DV rows
+    pointing at since-rewritten files are inert, hence the
+    intersection. Shared by every metadata-answering read
+    (snapshot_row_count / snapshot_col_minmax / count_where /
+    table_files), so the inert-DV scoping rule lives in ONE place."""
+    dvs = man.get("dvs") or []
+    if not dvs:
+        return set()
+    return _dv_referenced_file_names(path, dvs) & set(man.get("files", []))
+
+
+def _file_row_count(path: str, man: dict, f: str) -> int:
+    """A file's row count from the manifest, falling back to one
+    parquet-footer read for pre-feature manifests."""
+    counts = man.get("row_counts", {})
+    return (
+        counts[f]
+        if f in counts
+        else _parquet_num_rows(os.path.join(path, "data", f))
+    )
+
+
 def _dv_referenced_file_names(path: str, dvs: list) -> set:
     """Distinct ``file_name`` values across the DV files, read on the
     driver with pyarrow — DV files are small metadata by construction
@@ -2823,22 +2848,13 @@ def snapshot_row_count(
     if v < 0:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
-    counts = man.get("row_counts", {})
     total = 0
     for f in man.get("files", []):
-        total += (
-            counts[f]
-            if f in counts
-            else _parquet_num_rows(os.path.join(path, "data", f))
-        )
-    dvs = man.get("dvs") or []
-    if not dvs:
-        return total
-    referenced = _dv_referenced_file_names(path, dvs) & set(
-        man.get("files", [])
-    )
+        total += _file_row_count(path, man, f)
+    referenced = _dv_live_refs(path, man)
     if not referenced:
         return total
+    dvs = man["dvs"]
     dv = (
         spark.read.parquet(*[os.path.join(path, "data", n) for n in dvs])
         .select("file_name", man["dv_key"])
@@ -2920,13 +2936,7 @@ def count_where(
         colname = phys
         col_stats = man.get("col_stats", {})
         lookup = lambda n: (col_stats.get(n) or {}).get(phys)  # noqa: E731
-    dvs = man.get("dvs") or []
-    referenced = (
-        _dv_referenced_file_names(path, dvs) & set(man.get("files", []))
-        if dvs
-        else set()
-    )
-    counts = man.get("row_counts", {})
+    referenced = _dv_live_refs(path, man)
     null_counts = man.get("null_counts", {})
 
     def _nulls(f: str):
@@ -2955,11 +2965,7 @@ def count_where(
             # a footer read only for pre-feature files (review r10)
             and _nulls(f) == 0
         ):
-            total += (
-                counts[f]
-                if f in counts
-                else _parquet_num_rows(os.path.join(path, "data", f))
-            )
+            total += _file_row_count(path, man, f)
             n_meta += 1
             continue
         boundary.append(f)
@@ -3005,11 +3011,8 @@ def snapshot_col_minmax(
     man = _read_manifest(path, v)
     phys = _phys(man, col)
     dvs = man.get("dvs") or []
-    referenced: set[str] = set()
-    if dvs:
-        referenced = _dv_referenced_file_names(path, dvs) & set(
-            man.get("files", [])
-        )
+    referenced = _dv_live_refs(path, man)
+    if referenced:
         dv = (
             spark.read.parquet(*[os.path.join(path, "data", n) for n in dvs])
             .select("file_name", man["dv_key"])
@@ -3079,24 +3082,41 @@ def table_files(
 
     Metadata-only: O(#files) driver work off the manifest plus one
     pyarrow read of the (small) DV files; emitted as a VALUES literal,
-    so no Spark job runs until the caller aggregates. This is the
-    table an operator dashboard joins for small-file pressure, skew of
-    file sizes, and DV debt."""
+    so no Spark job runs until the caller aggregates. Each per-column
+    call re-derives the inventory (including the DV read) — surface
+    several stats columns by joining calls on ``file_name``, or keep
+    it to the hot column. This is the table an operator dashboard
+    joins for small-file pressure, skew of file sizes, and DV debt."""
     v = current_version(path) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
-    phys = _phys(man, col) if col is not None else man.get("stats_col")
-    stats = man.get("stats", {}) if man.get("stats_col") == phys else {}
+    primary = man.get("stats_col")
+    phys = _phys(man, col) if col is not None else primary
+    if col is not None and phys != primary and phys not in (
+        man.get("stats_cols") or []
+    ):
+        # all-NULL stats for a typo'd column would read as "no stats
+        # recorded" — fail like count_where/read_table_where instead
+        raise ValueError(
+            f"no zone-map stats for column {col!r}; recorded: "
+            f"{[primary] + (man.get('stats_cols') or [])}"
+        )
+    stats = man.get("stats", {}) if primary == phys else {}
     col_stats = man.get("col_stats", {})
     null_counts = man.get("null_counts", {})
-    dvs = man.get("dvs") or []
-    referenced = (
-        _dv_referenced_file_names(path, dvs) & set(man.get("files", []))
-        if dvs
-        else set()
+    referenced = _dv_live_refs(path, man)
+
+    _SCHEMA = (
+        "file_name string, size_bytes bigint, n_rows bigint, "
+        "min_stat string, max_stat string, null_count bigint, "
+        "dv_referenced boolean"
     )
-    counts = man.get("row_counts", {})
+    if not man.get("files"):
+        # a committed-but-empty snapshot (e.g. CoW-deleted everything)
+        # is a supported state everywhere else; VALUES with zero rows
+        # is not parseable SQL, so return the empty inventory directly
+        return spark.createDataFrame([], _SCHEMA)
 
     def _sql_cell(val) -> str:
         if val is None:
@@ -3105,12 +3125,19 @@ def table_files(
             return "true" if val else "false"
         if isinstance(val, int):
             return str(val)
-        return "'" + str(val).replace("'", "''") + "'"
+        # Spark's default parser processes BACKSLASH escapes inside
+        # string literals, so backslashes must double before quotes
+        # are escaped — a stats min like "C:\temp" or one ending in a
+        # backslash would otherwise decode wrong or break the parse
+        return (
+            "'"
+            + str(val).replace("\\", "\\\\").replace("'", "\\'")
+            + "'"
+        )
 
     rows = []
     for f in man.get("files", []):
         full = os.path.join(path, "data", f)
-        n = counts[f] if f in counts else _parquet_num_rows(full)
         s = stats.get(f) or (col_stats.get(f, {}) or {}).get(phys)
         nc = (null_counts.get(f) or {}).get(phys) if phys else None
         rows.append(
@@ -3120,7 +3147,7 @@ def table_files(
                 for x in (
                     f,
                     os.path.getsize(full),
-                    n,
+                    _file_row_count(path, man, f),
                     str(s[0]) if s else None,
                     str(s[1]) if s else None,
                     nc,

@@ -143,6 +143,14 @@ def _reset_derived_on_source_change(src: str, *derived: str) -> None:
             have = None
         if have != want:
             shutil.rmtree(d, ignore_errors=True)
+            if os.path.exists(d):
+                # a silent rmtree failure with the marker updated
+                # would accept the stale derived state FOREVER — fail
+                # loudly and leave the marker so the next run retries
+                raise OSError(
+                    f"could not remove stale derived fixture {d}; "
+                    "its source was rebuilt and the old state must go"
+                )
             with open(marker, "w") as f:
                 f.write(want)
 

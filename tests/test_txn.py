@@ -3359,3 +3359,15 @@ def test_table_files_inventory(spark, tmp_path):
     assert sorted(r["min_stat"] for r in inv.values()) == ["0", "20"]
     dates = {r["min_stat"] for r in txn.table_files(spark, path, col="d").collect()}
     assert dates == {"2024-01-01", "2024-01-21"}
+
+
+def test_table_files_empty_snapshot_and_bad_col(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    txn.commit_append_with_stats(spark, df, path, key="k")
+    txn.commit_delete(spark, df.select("k"), path, key="k")  # CoW: drops all
+    empty = txn.table_files(spark, path)
+    assert empty.count() == 0
+    assert "min_stat" in empty.columns
+    with pytest.raises(ValueError, match="no zone-map stats"):
+        txn.table_files(spark, path, version=0, col="nope")
