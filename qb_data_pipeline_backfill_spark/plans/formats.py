@@ -212,11 +212,27 @@ def _atomic_rebuild(path: str, version: int, build, rev: str = _FIXTURE_REV) -> 
             )
         with open(_fixture_meta_path(tmp), "w") as f:
             json.dump({"rev": rev, "version": version}, f)
+        # ADOPT, don't replace: if another builder finished while this
+        # one was building, swapping our (identical) copy in would
+        # delete the winner's data files out from under any reader
+        # that already planned against them — per-build uuid file
+        # names mean the reader's file list dies with the replaced
+        # copy (measured: losing racers took FAILED_READ_FILE in the
+        # 3-way race probe). Both builds are deterministic over the
+        # same testdata, so the winner's table serves everyone.
+        if _fixture_current(path, version, rev):
+            return
         try:
             _swap_into_place(tmp, path)
         except OSError:
-            if not _fixture_current(path, version, rev):
-                raise
+            # a concurrent winner mid-swap: give it a moment to
+            # finish publishing before deciding this is a real error
+            deadline = time.time() + 10.0
+            while time.time() < deadline:
+                if _fixture_current(path, version, rev):
+                    return
+                time.sleep(0.2)
+            raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
