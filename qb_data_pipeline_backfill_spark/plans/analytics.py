@@ -99,12 +99,17 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") > F.lit("1996-03-15")
     )
-    # The filtered customer side is small relative to the facts —
-    # broadcast it so the orders join is shuffle-free; the
-    # lineitem⋈orders join shuffles once on orderkey.
+    # The filtered customer side (~1/5 of customers) GROWS WITH THE
+    # CORPUS, so it must never carry a forced broadcast hint — at 100×
+    # it is tens of GB and would OOM every executor. No hint: AQE
+    # measures the side at runtime and broadcasts only when it
+    # actually fits (spark.sql.autoBroadcastJoinThreshold /
+    # adaptive.autoBroadcastJoinThreshold), falling back to a
+    # shuffled join otherwise. The lineitem⋈orders join shuffles once
+    # on orderkey either way.
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
     )
     return (
         joined.groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
@@ -1628,9 +1633,10 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q5 shape: 6-table snowflake join (region->nation-> "
     "supplier + customer->orders->lineitem, co-nation constraint) with "
     "a selective region filter and a date window. Exercises Catalyst "
-    "join reordering: the three dimension tables broadcast, the two "
-    "fact joins shuffle on their keys, and the region/date filters "
-    "push into the scans.",
+    "join reordering: nation/region (fixed 25/5 rows) broadcast, the "
+    "fact-scaled customer/supplier sides are left to AQE (broadcast "
+    "only when they measurably fit), the two fact joins shuffle on "
+    "their keys, and the region/date filters push into the scans.",
 )
 def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -1644,8 +1650,13 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # customer and supplier are fact-scaled dimensions (they grow
+        # linearly with the corpus) — no forced broadcast; AQE picks
+        # broadcast only while the side measurably fits. Only the
+        # fixed-cardinality nation (25) / region (5) tables below are
+        # legitimately always-broadcast.
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

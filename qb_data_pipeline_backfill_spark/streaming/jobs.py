@@ -78,17 +78,27 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def enriched_segment_rollup(
-    stream: DataFrame, dim: DataFrame, watermark: str = "1 hour"
+    stream: DataFrame,
+    dim: DataFrame,
+    watermark: str = "1 hour",
+    broadcast_max_rows: int = 500_000,
 ) -> DataFrame:
     """Stream-static enrichment: join the event stream to a static
-    dimension (broadcast — re-read per micro-batch by the engine, so a
+    dimension (re-read per micro-batch by the engine, so a
     slowly-refreshed dimension table is picked up without restarts)
     and roll up hourly per segment. The canonical streaming-enrichment
-    shape: the stream never shuffles for the join; only the windowed
-    aggregate keeps state."""
+    shape broadcasts the dimension so the stream never shuffles for
+    the join — but a ``user_id → segment`` map scales with the user
+    base, so the hint is SIZE-GATED from the dimension's measured row
+    count (same pattern as ``operators/sample.py``
+    :func:`leakage_safe_split`): broadcast only when it fits
+    (``broadcast_max_rows``), otherwise a plain join lets the engine
+    shuffle the stream side. ``dim.count()`` is a one-time batch
+    action at plan-construction time (the dimension is static)."""
+    small = dim.count() <= broadcast_max_rows
     return (
         stream.withWatermark("ts", watermark)
-        .join(F.broadcast(dim), "user_id")
+        .join(F.broadcast(dim) if small else dim, "user_id")
         .groupBy(F.window("ts", "1 hour"), "segment")
         .agg(
             F.count(F.lit(1)).alias("n"),

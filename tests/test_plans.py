@@ -35,17 +35,36 @@ def test_pricing_summary_prunes_columns_and_partials(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_top_revenue_orders_broadcasts_filtered_dim(spark):
+def test_top_revenue_orders_dim_broadcast_is_chosen_not_forced(spark):
+    """The filtered customer side grows with the corpus, so the query
+    must NOT carry a forced broadcast hint (it would OOM at 100×);
+    the planner/AQE may still *choose* broadcast at this sf because
+    the side measurably fits."""
+    df = plans.REGISTRY["top_revenue_orders"].spark(spark, SF)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower()
     plan = _plan(spark, "top_revenue_orders")
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the segment filter runs at the customer scan, pre-broadcast
+    # the segment filter runs at the customer scan, pre-join
     scan = [
         ln
         for ln in plan.splitlines()
         if "FileScan parquet" in ln and "c_mktsegment" in ln
     ]
     assert scan and "BUILDING" in scan[0]
+
+
+def test_local_supplier_revenue_only_fixed_dims_hinted(spark):
+    """Q5 analog: nation/region (fixed 25/5 rows) keep their broadcast
+    hints; fact-scaled customer/supplier must not be hinted."""
+    df = plans.REGISTRY["local_supplier_revenue"].spark(spark, SF)
+    logical = df._jdf.queryExecution().logical().toString()
+    hinted = [
+        ln for ln in logical.splitlines() if "hint" in ln.lower()
+    ]
+    assert len(hinted) == 2, hinted  # nation + region only
+    plan = _plan(spark, "local_supplier_revenue")
+    assert "CartesianProduct" not in plan
 
 
 def test_fuzzy_dedup_paths_have_no_cartesian_product(spark):

@@ -69,6 +69,30 @@ def test_enriched_rollup_matches_batch_join(spark):
     assert _rowset(got) == _rowset(batch)
 
 
+def test_enriched_rollup_gates_dim_broadcast(spark):
+    """A dimension above ``broadcast_max_rows`` must take the
+    non-broadcast path (no forced ResolvedHint in the plan) and still
+    produce the same rows — the broadcast hint is chosen, not forced,
+    so a fact-scaled user dimension can't OOM executors at 100×."""
+    from qb_data_pipeline_backfill_spark.streaming import enriched_segment_rollup
+
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    gated = enriched_segment_rollup(
+        events_stream(spark, SF), dim, broadcast_max_rows=10
+    )
+    forced = enriched_segment_rollup(
+        events_stream(spark, SF), dim, broadcast_max_rows=10**9
+    )
+    # The gated plan must not carry the broadcast hint; the permissive
+    # one must (proving the gate, not Spark defaults, made the call).
+    assert "broadcast" not in gated._jdf.queryExecution().logical().toString().lower()
+    assert "broadcast" in forced._jdf.queryExecution().logical().toString().lower()
+    assert _rowset(run_available_now(gated)) == _rowset(run_available_now(forced))
+
+
 def test_session_window_matches_islands(spark):
     got = run_available_now(session_aggregates(events_stream(spark, SF)))
     # batch gaps-and-islands twin (same shape as plans/analytics.py)
