@@ -1173,6 +1173,22 @@ def _norm_stat(v):
     return v
 
 
+def _cmp_stat(v):
+    """Ordering key for zone-map comparisons: promotes a plain
+    ``datetime.date`` to its midnight ``datetime``. After a
+    date→timestamp_ntz widening (``widen_column_type``), pre-widening
+    files keep DATE min/max in the manifest while post-widening files
+    and query bounds carry datetimes — Python refuses to order date
+    against datetime, and midnight is exactly the value the upcasting
+    parquet reader gives those rows, so promoting at comparison time
+    is both safe and semantically the widened value. Identity for
+    every other type (a pure-date column promotes uniformly, ordering
+    unchanged)."""
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return _dt.datetime(v.year, v.month, v.day)
+    return v
+
+
 def _stats_from_md(md, col: str) -> list | None:
     """[min, max] of ``col`` from already-read parquet metadata.
 
@@ -1792,7 +1808,10 @@ def _choose_files(man: dict, lo, hi, col: str | None) -> tuple[list[str], str]:
 
     col=None resolves to the primary key zone map; otherwise the
     column must be in the manifest's ``stats_cols`` set. Files without
-    stats for the column are scanned conservatively."""
+    stats for the column are scanned conservatively. All orderings go
+    through ``_cmp_stat`` so a date-widened column's mixed
+    date/datetime stats stay comparable."""
+    lo, hi = _cmp_stat(lo), _cmp_stat(hi)
     primary = man.get("stats_col")
     if col is None or col == primary:
         if primary is None:
@@ -1801,7 +1820,10 @@ def _choose_files(man: dict, lo, hi, col: str | None) -> tuple[list[str], str]:
         return [
             n
             for n in man["files"]
-            if n not in stats or not (stats[n][1] < lo or stats[n][0] > hi)
+            if n not in stats
+            or not (
+                _cmp_stat(stats[n][1]) < lo or _cmp_stat(stats[n][0]) > hi
+            )
         ], primary
     if col not in (man.get("stats_cols") or []):
         raise ValueError(
@@ -1812,7 +1834,9 @@ def _choose_files(man: dict, lo, hi, col: str | None) -> tuple[list[str], str]:
     chosen = []
     for n in man["files"]:
         pair = col_stats.get(n, {}).get(col)
-        if pair is None or not (pair[1] < lo or pair[0] > hi):
+        if pair is None or not (
+            _cmp_stat(pair[1]) < lo or _cmp_stat(pair[0]) > hi
+        ):
             chosen.append(n)
     return chosen, col
 
@@ -2948,15 +2972,20 @@ def count_where(
     total = 0
     n_pruned = n_meta = 0
     boundary: list[str] = []
+    # _cmp_stat keys: a date-widened column mixes date (pre-widening
+    # files) and datetime (post-widening files / bounds) in its stats
+    clo, chi = _cmp_stat(lo), _cmp_stat(hi)
     for f in man.get("files", []):
         s = lookup(f)
-        if s is not None and (s[1] < lo or s[0] > hi):
+        if s is not None and (
+            _cmp_stat(s[1]) < clo or _cmp_stat(s[0]) > chi
+        ):
             n_pruned += 1  # disjoint: DVs can only shrink 0 matches
             continue
         if (
             s is not None
-            and lo <= s[0]
-            and s[1] <= hi
+            and clo <= _cmp_stat(s[0])
+            and _cmp_stat(s[1]) <= chi
             and f not in referenced
             # min/max stats ignore NULLs: "range contained" proves
             # every NON-NULL value matches, so the metadata answer is
@@ -3020,9 +3049,18 @@ def snapshot_col_minmax(
             .filter(F.col("file_name").isin(list(referenced)))
         )
     lo = hi = None
+    # After a date→timestamp_ntz widening, pre-widening files carry
+    # DATE stats while newer files carry datetimes; when the CURRENT
+    # logical type is timestamp-like, promote dates to midnight (what
+    # the upcasting reader yields for those rows) so folding is both
+    # comparable and returns values in the snapshot's logical type.
+    ltype = dict(_logical_fields(man)).get(_logical_of(man, phys), "")
+    promote = ltype.startswith("timestamp")
 
     def _fold(a, b):
         nonlocal lo, hi
+        if promote:
+            a, b = _cmp_stat(a), _cmp_stat(b)
         if a is not None and (lo is None or a < lo):
             lo = a
         if b is not None and (hi is None or b > hi):

@@ -14,6 +14,7 @@ partition discovery too.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -74,6 +75,53 @@ def _swap_into_place(tmp: str, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+# A publish lock should only ever be held for the check+swap
+# (milliseconds); one older than this belongs to a dead process.
+_PUBLISH_LOCK_STALE_S = 300.0
+
+
+@contextlib.contextmanager
+def _publish_lock(path: str, timeout: float = 60.0):
+    """Serializes the adopt-check + two-rename publish of a pinned
+    fixture with an ``O_CREAT|O_EXCL`` lock file. The adopt-don't-
+    replace check alone left a residual window (advice r10): between
+    ``_fixture_current(path, ...)`` returning False and the swap's two
+    renames, a concurrent builder could publish — and this builder
+    would then rename the winner's table aside and delete it under
+    readers that had already planned against its uuid-named files.
+    Holding the lock across check+swap closes that window. The lock
+    never covers the build itself, so contention lasts milliseconds;
+    a lock left by a dead process is broken by age."""
+    lock = path + ".publish-lock"
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode("ascii"))
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock).st_mtime > _PUBLISH_LOCK_STALE_S:
+                    os.unlink(lock)  # dead holder; next loop retries
+                    continue
+            except OSError:
+                continue  # holder released between open and stat
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"fixture publish lock {lock!r} not released in "
+                    f"{timeout}s — check+swap should take milliseconds"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def _sweep_stale_siblings(path: str) -> None:
     """Remove orphaned ``{path}.building-*`` / ``{path}.old-*`` dirs
     left by CRASHED builders (any pid — a later run has a different
@@ -113,11 +161,23 @@ def _values_df(spark: SparkSession, schema_sql: str, rows: list[str]) -> DataFra
 
     ``schema_sql`` is the ``name CAST-target`` projection, e.g.
     ``"CAST(a AS BIGINT) AS a, CAST(b AS DOUBLE) AS b"``; ``rows`` are
-    pre-rendered SQL tuples like ``"(1, 2.5)"``."""
+    pre-rendered SQL tuples like ``"(1, 2.5)"``. The VALUES alias list
+    is the trailing identifier of each TOP-LEVEL comma-separated item
+    (split tracks paren depth, so a ``DECIMAL(12, 2)`` cast target or
+    a function call in the projection can't corrupt it — advice r10)."""
+    depth, start, names = 0, 0, []
+    for i, ch in enumerate(schema_sql + ","):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(schema_sql[start:i].strip().split()[-1])
+            start = i + 1
     return spark.sql(
         f"SELECT {schema_sql} FROM (VALUES "
         + ", ".join(rows)
-        + f") AS t({', '.join(c.split(' AS ')[-1] for c in schema_sql.split(', '))})"
+        + f") AS t({', '.join(names)})"
     )
 
 
@@ -219,20 +279,13 @@ def _atomic_rebuild(path: str, version: int, build, rev: str = _FIXTURE_REV) -> 
         # names mean the reader's file list dies with the replaced
         # copy (measured: losing racers took FAILED_READ_FILE in the
         # 3-way race probe). Both builds are deterministic over the
-        # same testdata, so the winner's table serves everyone.
-        if _fixture_current(path, version, rev):
-            return
-        try:
+        # same testdata, so the winner's table serves everyone. The
+        # check+swap pair runs under _publish_lock so no winner can
+        # land BETWEEN the check and the renames (advice r10).
+        with _publish_lock(path):
+            if _fixture_current(path, version, rev):
+                return
             _swap_into_place(tmp, path)
-        except OSError:
-            # a concurrent winner mid-swap: give it a moment to
-            # finish publishing before deciding this is a real error
-            deadline = time.time() + 10.0
-            while time.time() < deadline:
-                if _fixture_current(path, version, rev):
-                    return
-                time.sleep(0.2)
-            raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -45,11 +45,29 @@ _EDGE_DOCS: list[tuple[int, str, str, str, int]] = [
     # gate derives its synthetic paragraphs with "\n" as separator,
     # so a literal newline in the corpus would collide with it.
     (-6, "\tragged edge doc\t", "en", "edge", 17),
+    # backslashes (r11): Spark's default parser processes \-escapes in
+    # string literals, DuckDB's ANSI parser does not — this doc keeps
+    # _sql_str's chr(92)-splice rendering honest in BOTH engines and
+    # pushes a backslash through every tokenizer/regex in the family
+    (-7, "win\\path \\ trailing\\", "en", "edge", 20),
 ]
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    """Single-quoted SQL literal that decodes IDENTICALLY in Spark
+    (whose default parser processes backslash escapes inside string
+    literals) and DuckDB (ANSI: backslash is literal). Quotes double
+    (both parsers accept ``''``); any backslash is spliced in via
+    ``chr(92)`` concatenation so NEITHER parser ever sees a raw
+    backslash — doubling alone would decode to one backslash in Spark
+    but two in DuckDB (advice r10)."""
+
+    def q(piece: str) -> str:
+        return "'" + piece.replace("'", "''") + "'"
+
+    if "\\" not in s:
+        return q(s)
+    return "(" + " || chr(92) || ".join(q(p) for p in s.split("\\")) + ")"
 
 
 # VALUES literal shared by the DuckDB oracles and the Spark plans —

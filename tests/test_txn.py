@@ -3297,6 +3297,48 @@ def test_count_where_after_type_widening(spark, tmp_path):
     assert txn.count_where(spark, path, 2500.0, 2522.5, col="x") == 10
 
 
+def test_count_where_after_date_widening(spark, tmp_path):
+    """date→timestamp_ntz widening leaves DATE min/max in pre-widening
+    manifests while post-widening files and query bounds are
+    datetimes — every zone-map-comparing path (count_where,
+    read_table_where, snapshot_col_minmax, compact_where) must order
+    the mixed stats instead of raising TypeError (advice r10)."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"), F.col("id").cast("int")
+        ).alias("d"),
+    )
+    txn.commit_append_with_stats(
+        spark, df.repartitionByRange(4, "k"), path, key="k", extra_cols=["d"]
+    )
+    txn.widen_column_type(path, "d", "timestamp_ntz")
+    wide = spark.range(200, 210).select(
+        F.col("id").alias("k"),
+        (
+            F.lit("2021-06-01 12:00:00").cast("timestamp_ntz")
+            + F.expr("make_interval(0, 0, 0, cast(id as int))")
+        ).alias("d"),
+    )
+    txn.commit_append_with_stats(spark, wide, path, key="k", extra_cols=["d"])
+    lo, hi = dt.datetime(2020, 1, 10), dt.datetime(2020, 2, 1)
+    n, detail = txn.count_where(spark, path, lo, hi, col="d", detail=True)
+    assert n == 23  # 2020-01-10 .. 2020-02-01 inclusive
+    assert detail["files_pruned"] >= 1  # date stats still prune
+    assert txn.read_table_where(spark, path, lo, hi, col="d").count() == 23
+    mn, mx = txn.snapshot_col_minmax(spark, path, "d")
+    # returned extremes carry the CURRENT logical type (datetimes),
+    # with pre-widening dates promoted to midnight
+    assert mn == dt.datetime(2020, 1, 1) and mx == dt.datetime(
+        2021, 12, 27, 12, 0
+    )
+    assert txn.compact_where(spark, path, lo, hi, col="d") > 0
+    assert txn.count_where(spark, path, lo, hi, col="d") == 23
+
+
 def test_compact_where_rewrites_only_overlapping_files(spark, tmp_path):
     """OPTIMIZE ... WHERE parity: only files whose zone maps overlap
     the predicate rewrite; the rest carry forward by reference, and
