@@ -3209,6 +3209,65 @@ def table_files(
     )
 
 
+def table_health(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    col: str | None = None,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """One-row operational health report over :func:`table_files` —
+    the DESCRIBE DETAIL + OPTIMIZE-planning companion every lakehouse
+    ships. Columns:
+
+    - ``n_files`` / ``total_bytes`` / ``total_rows`` — inventory
+      totals (rows are PHYSICAL, DV-suppressed rows included).
+    - ``size_skew`` / ``rows_skew`` — max-file / mean-file ratios; a
+      skewed layout makes scans straggle on the big file and is the
+      signal to re-bin (``compact``/``cluster_by_zorder``).
+    - ``n_small_files`` — files under ``small_file_bytes`` (default
+      32 MiB): small-file pressure, the primary OPTIMIZE trigger at
+      100 TB where per-file open cost dominates tiny scans.
+    - ``n_dv_referenced`` / ``dv_density`` — files carrying deletion-
+      vector debt and their fraction; high density means MoR reads
+      pay the anti-join on most files and a REWRITE is due.
+    - ``null_count`` / ``null_fraction`` — recorded NULLs of the
+      stats column (``col``, default primary); NULL when any file
+      predates null-count recording (an unknown is not a zero).
+
+    Same cost profile as ``table_files`` itself: O(#files) driver
+    work, one Spark aggregate over a VALUES literal — metadata-only,
+    no data read at any scale."""
+    from pyspark.sql import functions as F
+
+    inv = table_files(spark, path, version=version, col=col)
+    return inv.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("total_bytes"),
+        F.sum("n_rows").alias("total_rows"),
+        (F.max("size_bytes") / F.avg("size_bytes")).alias("size_skew"),
+        (F.max("n_rows") / F.avg("n_rows")).alias("rows_skew"),
+        F.sum(
+            (F.col("size_bytes") < small_file_bytes).cast("long")
+        ).alias("n_small_files"),
+        F.sum(F.col("dv_referenced").cast("long")).alias("n_dv_referenced"),
+        (
+            F.sum(F.col("dv_referenced").cast("long"))
+            / F.count(F.lit(1))
+        ).alias("dv_density"),
+        # any file without a recorded null count poisons the total:
+        # sum() would skip the NULL and understate — report unknown
+        F.when(
+            F.count(F.lit(1)) == F.count("null_count"),
+            F.sum("null_count"),
+        ).alias("null_count"),
+        F.when(
+            F.count(F.lit(1)) == F.count("null_count"),
+            F.sum("null_count") / F.sum("n_rows"),
+        ).alias("null_fraction"),
+    )
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """The table's commit log as a DataFrame (Delta ``DESCRIBE
     HISTORY`` parity; reference analog: the run-history metadata Mage

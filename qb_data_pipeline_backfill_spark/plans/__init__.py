@@ -25,38 +25,33 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-10 rotation (VERDICT r9 #5): (a) everything round 10 touched —
-# the two queries NEW this round (txn_widening_lanes, txn_count_where),
-# txn_type_widening (driver-red in r8+r9, now rewritten hash-trivial
-# with a forced fixture rebuild — the round's #1 done criterion), every
-# pinned fixture converted to the fingerprinted _atomic_rebuild, the
-# whole _docs_edge/text family (VALUES-literal edge rows + tokenizer
-# materialization + run-quantified punctuation), and leakage_safe_splits
-# (size-gated cluster-map join); then (b) the stalest never-regraded
-# block — last driver grade r05-r07: cdc/scd2/funnel, the sample_*
-# family, the sketch contracts, pii_scrub, timeseries_gap_fill, and
-# the graph family. The full registry is additionally verified locally
-# each round (tools/check_correctness.py, sf0.01, full sweep).
+# Round-11 rotation (VERDICT r10 #2): (a) everything round 11 touched —
+# the de-hinted TPC-H Q3/Q5 analogs (forced fact-scaled-dim broadcasts
+# dropped, AQE chooses), the size-gated streaming dim join, the query
+# NEW this round (txn_table_health), the zone-map paths fixed for
+# date-widened stats (_cmp_stat), the _sql_str/_values_df literal
+# rendering plus the new backslash edge doc that changes the whole
+# text-family input, and the BPE contracts that share _sql_str; then
+# (b) the now-stalest blocks — last driver grade r08/r09: streaming_*,
+# salted_*, the window/subquery/unpivot/rollup block,
+# numeric_profile/covariance, sequence packing, simhash, the remaining
+# txn CDC queries, and recursive_reachability (which gave its r10 slot
+# to txn_files_metadata). The full registry is additionally verified
+# locally each round (tools/check_correctness.py, sf0.01, full sweep).
 prioritize(
     [
-        # --- (a) round-10 code-touched ---
+        # --- (a) round-11 code-touched ---
+        "txn_table_health",
+        "top_revenue_orders",
+        "local_supplier_revenue",
+        "streaming_enriched_rollup",
         "txn_type_widening",
         "txn_widening_lanes",
         "txn_count_where",
-        "txn_files_metadata",
-        "txn_mor_delete_read",
-        "txn_cdf_log_feed",
-        "txn_cdf_log_net_feed",
-        "txn_cdf_rollup_maintenance",
-        "txn_replica_audit",
-        "txn_idempotent_stream_append",
-        "txn_zorder_compact",
-        "txn_restore_rollback",
-        "txn_table_history",
-        "txn_snapshot_count",
         "txn_snapshot_minmax",
-        "jsonl_roundtrip_scan",
-        "orc_roundtrip_scan",
+        "txn_files_metadata",
+        "contract_bpe_merge_replay",
+        "contract_bpe_encode_replay",
         "text_token_stats",
         "text_ngram_topk",
         "text_tfidf_topk",
@@ -68,39 +63,41 @@ prioritize(
         "text_bigram_perplexity",
         "corpus_curation",
         "dedup_paragraph_rewrite",
-        "leakage_safe_splits",
-        # --- (b) stalest: last driver grade r05-r07 ---
-        "cdc_latest_state",
-        "scd2_intervals",
-        "funnel_conversion",
-        "pii_scrub",
-        "timeseries_gap_fill",
-        "drift_psi_report",
-        "sample_eval_holdout",
-        "sample_train_val_test",
-        "sample_stratified_rebalance",
-        "sample_temperature_mixture",
-        "sample_domain_quota",
-        "sample_weighted_by_length",
-        "cms_frequency_contract",
-        "quantile_sketch_contract",
-        "contract_approx_median",
-        "contract_bloom_prune",
-        "contract_hll_intersection",
-        "contract_hll_merge",
-        "pagerank_parts",
-        "triangle_counts_parts",
-        "dedup_cluster_resolution",
-        # recursive_reachability (same r05-era graph block) yields its
-        # slot to txn_files_metadata, new this round — untested-by-
-        # definition code needs the driver grade more than a third
-        # stale-but-green record; it stays in the local full sweep.
-        # The r8/r9-green blocks (streaming_*, salted_*, the window/
-        # subquery/unpivot block, profile, packing, simhash, the
-        # remaining txn CDC queries) rotate out this round: their
-        # records are at most two rounds old, while everything above
-        # is either code-touched this round or 3+ rounds stale; all
-        # are re-verified in the local full sweep regardless.
+        # --- (b) stalest: last driver grade r08/r09 ---
+        "streaming_tumbling_window",
+        "streaming_sliding_window",
+        "streaming_stream_stream_join",
+        "streaming_session_window",
+        "streaming_stateful_counts",
+        "streaming_dedup_exactly_once",
+        "streaming_interval_join_outer",
+        "streaming_top_users",
+        "streaming_media_decode",
+        "streaming_txn_cdf",
+        "streaming_drift_psi",
+        "salted_collect_stats",
+        "salted_join_segment_revenue",
+        "window_function_suite",
+        "rolling_user_window",
+        "session_windows_events",
+        "scalar_subquery_max_qty",
+        "unpivot_measures",
+        "region_nation_rollup",
+        "numeric_profile",
+        "numeric_covariance",
+        "sequence_packing",
+        "dedup_simhash",
+        "txn_cdf_feed",
+        "txn_replace_where_read",
+        "txn_merge_cdc_read",
+        "txn_maintenance_cycle",
+        "recursive_reachability",
+        # The r10-graded blocks (the remaining txn fixtures, jsonl/orc
+        # round trips, leakage, cdc/scd2/funnel, the sample_* and
+        # sketch families, the graph family) rotate out this round:
+        # their records are one round old, while everything above is
+        # either code-touched this round or 2+ rounds stale; all are
+        # re-verified in the local full sweep regardless.
     ]
 )
 

@@ -1616,3 +1616,45 @@ def txn_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price_c",
         "n_dv_referenced",
     )
+
+
+@register(
+    "txn_table_health",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           (SELECT COUNT(*) FROM orders) AS total_rows,
+           CAST(4 AS BIGINT) AS n_small_files,
+           CAST(1 AS BIGINT) AS n_dv_referenced,
+           CAST(0.25 AS DOUBLE) AS dv_density,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 10 = 0) AS null_count,
+           true AS size_balanced,
+           true AS rows_balanced
+    """,
+    doc="Operational health report (operators/txn.py table_health — "
+    "the DESCRIBE DETAIL + OPTIMIZE-planning companion) over the "
+    "count_where fixture: file count, physical row total, small-file "
+    "pressure (every sf0.01 file is under the 32 MiB target), DV debt "
+    "count and density (exactly 1 of 4 files carries deletion-vector "
+    "references), the commit-recorded NULL total of the price column, "
+    "and balance flags asserting the range-partitioned layout keeps "
+    "size/row skew under 3x mean. Metadata-only: one aggregate over "
+    "the manifest's VALUES relation — exact sizes/skews are physical "
+    "facts the oracle can't know, so the gate pins their HEALTH "
+    "classification, not their bytes.",
+)
+def txn_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = _orders_cw_table(spark, sf_dir)
+    h = txn.table_health(spark, path, col="price_c")
+    return h.select(
+        "n_files",
+        "total_rows",
+        "n_small_files",
+        "n_dv_referenced",
+        F.col("dv_density").cast("double").alias("dv_density"),
+        "null_count",
+        (F.col("size_skew") < 3.0).alias("size_balanced"),
+        (F.col("rows_skew") < 3.0).alias("rows_balanced"),
+    )

@@ -3403,6 +3403,47 @@ def test_table_files_inventory(spark, tmp_path):
     assert dates == {"2024-01-01", "2024-01-21"}
 
 
+def test_table_health_report(spark, tmp_path):
+    """Health report over table_files: totals, skew ratios, small-file
+    pressure, DV density, and null fractions — with 'unknown' (not
+    zero) null totals when any file predates null-count recording."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("v"),
+    )
+    txn.commit_append_with_stats(
+        spark, df.repartitionByRange(4, "k"), path, key="k", extra_cols=["v"]
+    )
+    txn.commit_delete_mor(
+        spark, df.filter(F.col("k") < 5).select("k"), path, key="k"
+    )
+    r = txn.table_health(spark, path, col="v").collect()[0]
+    assert r["n_files"] == 4 and r["total_rows"] == 100
+    assert r["n_small_files"] == 4  # tiny local files
+    assert r["n_dv_referenced"] == 1 and r["dv_density"] == 0.25
+    assert r["null_count"] == 25 and r["null_fraction"] == 0.25
+    assert 1.0 <= r["size_skew"] < 3.0 and 1.0 <= r["rows_skew"] < 3.0
+    # a file without a recorded null count must poison the total to
+    # NULL (unknown), never silently understate it — edit the raw
+    # manifest JSON on disk (re-dumping the revived dict would corrupt
+    # the type-tagged stats)
+    import json as _json
+
+    head = txn.current_version(path)
+    mpath = txn._manifest_path(path, head)
+    with open(mpath) as f:
+        raw = _json.load(f)
+    victim = raw["files"][0]
+    del raw["null_counts"][victim]
+    with open(mpath, "w") as f:
+        _json.dump(raw, f)
+    r2 = txn.table_health(spark, path, col="v").collect()[0]
+    assert r2["null_count"] is None and r2["null_fraction"] is None
+
+
 def test_table_files_empty_snapshot_and_bad_col(spark, tmp_path):
     path = str(tmp_path / "t")
     df = spark.range(5).select(F.col("id").alias("k"))
