@@ -34,19 +34,35 @@ R01_SUBSET = (
     "semi_join_probe", "anti_join_idempotence", "validate_dedup_first_wins",
 )
 
-# Host-drift control set (VERDICT r8 #3): four queries whose code has
-# been untouched since round 4-5, measured min-of-5 every bench run.
-# Their ratio vs the pinned round-7 records IS the host-drift
+# Host-drift control set (VERDICT r8 #3, widened r11 per VERDICT r10
+# #4): queries whose code is untouched, measured min-of-5 every bench
+# run. Their ratio vs the pinned records IS the host-drift
 # coefficient — round-over-round comparisons of every other query
 # divide by it before being believed (the host shows multi-week state
-# drift: r8 measured these at 1.37-1.63x of r7 on identical code).
+# drift: r8 measured the original four at 1.37-1.63x of r7 on
+# identical code). The r10 verdict found four controls too coarse:
+# they spread 0.63-1.51x of their records IN THE SAME RUN, so no
+# single query could be adjudicated within ~1.5x. The r11 set is
+# eight controls spanning the engine's execution shapes — iterative
+# numpy/Arrow (kmeans, ivfpq), Arrow-batched pandas UDF (cosine),
+# metadata point lookup (bloom), scan+shuffle aggregate (pricing),
+# window function (running_total), Python DataSource (rest scan),
+# format sink+source round trip (orc) — and the coefficient is their
+# TRIMMED MEAN (drop min and max, mean the rest), so one control
+# hitting a host bad-minute OR a lucky cache can't skew it.
 DRIFT_CONTROLS = {
-    # name -> round-7 committed BENCH_full.json record (sf0.1, this
-    # host, min-of-2 — the baseline every later round compares to)
-    "kmeans_codebook": 1.7431,
-    "contract_ivfpq_adc": 1.4472,
-    "dedup_embedding_cosine": 0.888,
-    "txn_bloom_point_lookup": 0.5269,
+    # name -> round-11 fresh-session min-of-5 record (sf0.1, this
+    # host; epoch re-pinned r11 so all eight share one baseline —
+    # the retired r7 records for the original four are in
+    # SCALING.md §9 with the r7→r11 mapping)
+    "kmeans_codebook": 1.7237,
+    "contract_ivfpq_adc": 1.5349,
+    "dedup_embedding_cosine": 1.065,
+    "txn_bloom_point_lookup": 0.661,
+    "pricing_summary": 1.7953,
+    "running_total_per_customer": 0.3976,
+    "rest_source_scan": 1.538,
+    "orc_roundtrip_scan": 0.2535,
 }
 DRIFT_CONTROL_PASSES = 5
 
@@ -186,7 +202,13 @@ def main() -> None:
             drift[k] = min(best)
     ratios = sorted(drift[k] / DRIFT_CONTROLS[k] for k in drift)
     drift_coeff = None
-    if ratios:
+    if len(ratios) >= 5:
+        # trimmed mean: drop the single best and worst control so one
+        # bad-minute or lucky-cache outlier can't move the instrument
+        trimmed = ratios[1:-1]
+        drift_coeff = round(sum(trimmed) / len(trimmed), 4)
+    elif ratios:
+        # filtered runs may time fewer controls: fall back to median
         mid = len(ratios) // 2
         drift_coeff = round(
             ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2,
@@ -227,12 +249,12 @@ def main() -> None:
             for k, v in splits.items()
             if k.startswith(("txn_", "streaming_txn_"))
         },
-        # Host-drift control (SCALING.md §9): min-of-5 on the four
-        # pinned queries, their round-7 references, and the median
-        # ratio. Round-over-round comparisons divide by the
+        # Host-drift control (SCALING.md §9): min-of-5 on the eight
+        # pinned queries, their r11-epoch references, and the trimmed-
+        # mean ratio. Round-over-round comparisons divide by the
         # coefficient before calling anything a regression.
         "drift_control": drift,
-        "drift_control_ref_r7": dict(DRIFT_CONTROLS),
+        "drift_control_ref_r11": dict(DRIFT_CONTROLS),
         "drift_coefficient": drift_coeff,
     }
     # Low-noise companion series (VERDICT r5 #7): the driver-gate
