@@ -60,7 +60,12 @@ def constraint_report(
     )
 
     for name, (fk, dim, dim_key) in (ref_rules or {}).items():
-        keys = F.broadcast(dim.select(F.col(dim_key).alias(fk)).distinct())
+        # no forced broadcast: a referential dimension (customer,
+        # user) is fact-scaled — it grows with the corpus, so the
+        # anti-join strategy is AQE's call from the measured size of
+        # the distinct-key side (same reasoning as the de-hinted
+        # Q3/Q5 analogs in plans/analytics.py, round 11)
+        keys = dim.select(F.col(dim_key).alias(fk)).distinct()
         n_checked = df.select(fk)
         n_bad = n_checked.join(keys, fk, "left_anti")
         row = n_checked.agg(

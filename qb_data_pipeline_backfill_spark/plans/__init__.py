@@ -52,6 +52,7 @@ prioritize(
         "txn_files_metadata",
         "contract_bpe_merge_replay",
         "contract_bpe_encode_replay",
+        "constraint_report",
         "text_token_stats",
         "text_ngram_topk",
         "text_tfidf_topk",
@@ -79,7 +80,6 @@ prioritize(
         "salted_join_segment_revenue",
         "window_function_suite",
         "rolling_user_window",
-        "session_windows_events",
         "scalar_subquery_max_qty",
         "unpivot_measures",
         "region_nation_rollup",
