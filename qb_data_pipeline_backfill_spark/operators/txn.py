@@ -3877,3 +3877,256 @@ def commit_merge(
         cdc=cdc,
         op="merge",
     )
+
+
+_SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_current(spark: SparkSession, path: str) -> DataFrame:
+    """The SCD2 table's current snapshot — one row per live key (the
+    type-1 view of a type-2 history; deleted keys are absent)."""
+    from pyspark.sql import functions as FF
+
+    return read_table(spark, path).filter(FF.col("is_current"))
+
+
+def apply_changes_scd2(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str | None = None,
+    delete_ops: tuple = ("delete", "d"),
+    batch_id: str | None = None,
+    expected_base: int | None = None,
+) -> int:
+    """Incrementally maintain a TYPE-2 slowly-changing-dimension table
+    from a change feed (the ``APPLY CHANGES ... STORED AS SCD TYPE 2``
+    verb of Delta Live Tables; the batch analog of the reference's
+    last-wins CDC compaction, keeping history instead of discarding
+    it). The target's schema is the change payload plus three
+    maintained columns: ``valid_from`` / ``valid_to`` (the ``seq_col``
+    interval, ``valid_to`` NULL while current) and ``is_current``.
+
+    Batch semantics, per key ordered by ``seq_col``:
+
+    - every insert/update op opens a version row at its sequence and
+      closes at the NEXT op's sequence (any type) — multiple changes
+      for one key in one batch fold into adjacent intervals;
+    - a delete op (``op_col`` value in ``delete_ops``, case-
+      insensitive) closes the preceding interval and opens nothing —
+      a tombstone for an absent key is a no-op (the CDC-apply
+      convention, same as ``commit_merge``);
+    - the target's current row for each batch key closes at the key's
+      FIRST batch sequence.
+
+    Ordering contract: ``(key, seq)`` must be unique in the batch and
+    every batch sequence must be STRICTLY greater than everything the
+    target already recorded for that key (max of ``valid_from`` and
+    any close) — out-of-order arrivals would silently corrupt history,
+    so they raise instead. Exactly-once under at-least-once delivery:
+    pass ``batch_id``; the id lands in the manifest atomically with
+    the commit, and a replay of the SAME last batch returns the head
+    unchanged (the foreachBatch replay guard, same watermark mechanism
+    as ``commit_merge(meta=...)``).
+
+    Scale: copy-on-write with zone-map/bloom file pruning on ``key``
+    (same protocol as ``commit_upsert_cow``) — only files that may
+    hold a batch key are rewritten; everything else carries forward by
+    reference with its stats. CDC (feed-enabled tables): closed
+    current rows emit update_preimage/update_postimage, new version
+    rows emit insert.
+    """
+    from pyspark.sql import functions as FF
+    from pyspark.sql.window import Window as _W
+
+    base = current_version(path) if expected_base is None else expected_base
+    reserved = set(_SCD2_COLS)
+    payload = [
+        c for c in changes.columns if c not in {key, seq_col, op_col}
+    ]
+    clash = sorted(reserved & set(payload) | reserved & {key, seq_col})
+    if clash:
+        raise ValueError(
+            f"change columns collide with maintained SCD2 columns: {clash}"
+        )
+    if changes.limit(1).count() == 0:
+        return base
+    dup = (
+        changes.groupBy(key, seq_col)
+        .count()
+        .filter(FF.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate (key, seq) in change batch: "
+            f"({dup[0][key]!r}, {dup[0][seq_col]!r}) — the fold order "
+            "would be nondeterministic"
+        )
+    if changes.filter(FF.col(seq_col).isNull()).limit(1).count():
+        raise ValueError(f"NULL {seq_col!r} in change batch")
+    if base >= 0 and batch_id is not None:
+        if _read_manifest(path, base).get("scd2_last_batch") == batch_id:
+            return base  # replayed last batch: exactly-once no-op
+
+    is_del = (
+        FF.lower(FF.col(op_col).cast("string")).isin(
+            [o.lower() for o in delete_ops]
+        )
+        if op_col is not None
+        else FF.lit(False)
+    )
+    w = _W.partitionBy(key).orderBy(seq_col)
+    folded = changes.withColumn("__del", is_del).select(
+        key,
+        *payload,
+        FF.col(seq_col).alias("valid_from"),
+        FF.lead(seq_col).over(w).alias("valid_to"),
+        "__del",
+    )
+    new_rows = folded.filter(~FF.col("__del")).select(
+        key,
+        *payload,
+        "valid_from",
+        "valid_to",
+        FF.col("valid_to").isNull().alias("is_current"),
+    )
+    first_seq = changes.groupBy(key).agg(
+        FF.min(seq_col).alias("__first_seq")
+    )
+    meta_mark = {"scd2_last_batch": batch_id} if batch_id is not None else {}
+
+    if base < 0:
+        # bootstrap: the fold IS the table (absent-key tombstones
+        # already dropped); zone-map stats on the key for CoW pruning
+        return _commit_replace(
+            spark,
+            new_rows,
+            path,
+            base,
+            stats_col=key,
+            extra_meta=meta_mark or None,
+            cdc="append",
+            op="scd2_apply",
+        )
+
+    man = _read_manifest(path, base)
+    if man.get("stats_col") != _phys(man, key):
+        raise ValueError(
+            f"SCD2 table at {path} lacks zone-map stats on {key!r}"
+        )
+    table_cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
+    missing = [c for c in new_rows.columns if c not in table_cols]
+    if missing:
+        raise ValueError(
+            f"change payload adds columns absent from the SCD2 table: "
+            f"{missing} (widen the table first)"
+        )
+    enforce_expectations(new_rows, man.get("expectations", {}))
+    touched = _touched_files_by_probe(spark, man, changes.select(key), key)
+    untouched = [n for n in man["files"] if n not in set(touched)]
+    if touched:
+        tfiles = [os.path.join(path, "data", n) for n in touched]
+        existing = _to_logical(
+            _apply_dvs(
+                spark,
+                path,
+                man,
+                spark.read.schema(_physical_ddl(man)).parquet(*tfiles),
+            ),
+            man,
+        )
+    else:
+        existing = read_version(spark, path, base).limit(0)
+    hit = existing.join(FF.broadcast(first_seq), key, "left")
+    # out-of-order guard: the key's whole recorded history must
+    # precede the batch (closes included — re-opening a deleted key
+    # below its deletion sequence would interleave intervals)
+    viol = (
+        hit.filter(FF.col("__first_seq").isNotNull())
+        .filter(
+            FF.greatest(
+                FF.col("valid_from"),
+                FF.coalesce(FF.col("valid_to"), FF.col("valid_from")),
+            )
+            >= FF.col("__first_seq")
+        )
+        .limit(1)
+        .collect()
+    )
+    if viol:
+        raise ValueError(
+            f"out-of-order change batch: key {viol[0][key]!r} already "
+            f"records history at/after the batch's first sequence "
+            f"{viol[0]['__first_seq']!r}"
+        )
+    closing = FF.col("is_current") & FF.col("__first_seq").isNotNull()
+    rewritten = hit.select(
+        *[
+            c
+            for c in table_cols
+            if c not in ("valid_to", "is_current")
+        ],
+        FF.when(closing, FF.col("__first_seq"))
+        .otherwise(FF.col("valid_to"))
+        .alias("valid_to"),
+        FF.when(closing, FF.lit(False))
+        .otherwise(FF.col("is_current"))
+        .alias("is_current"),
+    ).select(*table_cols)
+    merged = rewritten.unionByName(new_rows.select(*table_cols))
+    if man.get("change_feed"):
+        # closed current rows: pre-image (still-open) + post-image
+        # (closed at the key's first batch sequence); every new
+        # version row is an insert — the same Delta-CDF row grammar
+        # the feed reader and IVM consumers already speak
+        pre = hit.filter(closing).select(
+            *table_cols, FF.lit("update_preimage").alias("_change_type")
+        )
+        post = (
+            hit.filter(closing)
+            .select(
+                *[
+                    c
+                    for c in table_cols
+                    if c not in ("valid_to", "is_current")
+                ],
+                FF.col("__first_seq").alias("valid_to"),
+                FF.lit(False).alias("is_current"),
+            )
+            .select(*table_cols)
+            .withColumn("_change_type", FF.lit("update_postimage"))
+        )
+        ins = new_rows.select(*table_cols).withColumn(
+            "_change_type", FF.lit("insert")
+        )
+        cdc = ins.unionByName(pre).unionByName(post)
+    else:
+        cdc = "unrecorded"
+    _keep = _dvs_still_needed(spark, path, man, untouched)
+    stats = man.get("stats", {})
+    col_stats = man.get("col_stats", {})
+    blooms = man.get("blooms", {})
+    return _commit_replace(
+        spark,
+        merged,
+        path,
+        base,
+        stats_col=_phys(man, key),
+        carried=untouched,
+        carried_stats={n: stats[n] for n in untouched if n in stats},
+        stats_cols=man.get("stats_cols"),
+        carried_col_stats={
+            n: col_stats[n] for n in untouched if n in col_stats
+        },
+        bloom_spec=man.get("bloom_spec"),
+        carried_blooms={n: blooms[n] for n in untouched if n in blooms},
+        carried_dvs=man.get("dvs") if _keep else None,
+        dv_key=man.get("dv_key") if _keep else None,
+        extra_meta={**_carry_meta(man), **meta_mark},
+        cdc=cdc,
+        op="scd2_apply",
+    )

@@ -42,6 +42,7 @@ prioritize(
     [
         # --- (a) round-11 code-touched ---
         "txn_table_health",
+        "txn_scd2_apply",
         "top_revenue_orders",
         "local_supplier_revenue",
         "streaming_enriched_rollup",
@@ -49,7 +50,9 @@ prioritize(
         "txn_widening_lanes",
         "txn_count_where",
         "txn_snapshot_minmax",
-        "txn_files_metadata",
+        # txn_files_metadata (r10-graded, table_files untouched this
+        # round) yields its slot to txn_scd2_apply, new this round;
+        # it stays in the local full sweep
         "contract_bpe_merge_replay",
         "contract_bpe_encode_replay",
         "constraint_report",

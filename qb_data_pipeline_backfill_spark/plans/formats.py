@@ -1658,3 +1658,129 @@ def txn_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("size_skew") < 3.0).alias("size_balanced"),
         (F.col("rows_skew") < 3.0).alias("rows_balanced"),
     )
+
+
+def _orders_scd2_table(spark: SparkSession, sf_dir: str) -> str:
+    """Pinned SCD2 fixture: orders bootstrapped at seq 1 (4 range-
+    partitioned files), then one change batch — every key%7==0
+    updated (price +1 cent) at seq 2, every key%11==0 deleted at
+    seq 3 (key 0 gets both: its update interval closes at the
+    delete). Head pinned at 1."""
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = os.path.join(
+        _SCRATCH, f"orders_scd2_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+
+    def _src(p=None):
+        return load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+
+    def _build(p: str) -> None:
+        b1 = _src().select(
+            "k",
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("i").alias("op"),
+            "status",
+            "price_c",
+        ).repartitionByRange(4, "k")
+        txn.apply_changes_scd2(
+            spark, p, b1, "k", "seq", op_col="op", batch_id="b1"
+        )
+        upd = _src().filter(F.col("k") % 7 == 0).select(
+            "k",
+            F.lit(2).cast("long").alias("seq"),
+            F.lit("u").alias("op"),
+            "status",
+            (F.col("price_c") + 1).alias("price_c"),
+        )
+        dele = _src().filter(F.col("k") % 11 == 0).select(
+            "k",
+            F.lit(3).cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("long").alias("price_c"),
+        )
+        txn.apply_changes_scd2(
+            spark,
+            p,
+            upd.unionByName(dele),
+            "k",
+            "seq",
+            op_col="op",
+            batch_id="b2",
+        )
+
+    _atomic_rebuild(path, 1, _build)
+    return path
+
+
+@register(
+    "txn_scd2_apply",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey < 300
+    )
+    SELECT k, status, price_c,
+           CAST(1 AS BIGINT) AS valid_from,
+           CAST(CASE WHEN k % 7 = 0 THEN 2
+                     WHEN k % 11 = 0 THEN 3 END AS BIGINT) AS valid_to,
+           (k % 7 <> 0 AND k % 11 <> 0) AS is_current,
+           CAST(1 AS BIGINT) AS head_version
+    FROM src
+    UNION ALL
+    SELECT k, status, price_c + 1,
+           CAST(2 AS BIGINT),
+           CAST(CASE WHEN k % 11 = 0 THEN 3 END AS BIGINT),
+           k % 11 <> 0,
+           CAST(1 AS BIGINT)
+    FROM src WHERE k % 7 = 0
+    """,
+    doc="Incremental SCD TYPE 2 maintenance (operators/txn.py "
+    "apply_changes_scd2 — the APPLY CHANGES ... STORED AS SCD TYPE 2 "
+    "verb): orders bootstrapped at seq 1, then one CDC batch updating "
+    "every 7th key and deleting every 11th; the resulting validity "
+    "intervals (update closes-and-opens, delete closes-only, key 0's "
+    "in-batch chain folds) must match the closed-form history. Every "
+    "grade also REPLAYS the last batch against the cached table and "
+    "pins head_version=1 — the batch-id watermark makes at-least-once "
+    "delivery exactly-once. CoW with zone-map file pruning: only "
+    "files holding changed keys rewrote.",
+)
+def txn_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = _orders_scd2_table(spark, sf_dir)
+    # exactly-once proof at grade time: replaying the last applied
+    # batch must leave the head untouched
+    replay = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("u").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            + 1
+        ).alias("price_c"),
+    )
+    head = txn.apply_changes_scd2(
+        spark, path, replay, "k", "seq", op_col="op", batch_id="b2"
+    )
+    return txn.read_table(spark, path).filter(F.col("k") < 300).select(
+        "k",
+        "status",
+        "price_c",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.lit(head).cast("long").alias("head_version"),
+    )
