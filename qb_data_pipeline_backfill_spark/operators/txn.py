@@ -4025,6 +4025,14 @@ def apply_changes_scd2(
             f"change payload adds columns absent from the SCD2 table: "
             f"{missing} (widen the table first)"
         )
+    absent = [c for c in table_cols if c not in new_rows.columns]
+    if absent:
+        raise ValueError(
+            f"change batch lacks SCD2 table columns {absent}: APPLY "
+            "CHANGES writes full rows — project the missing columns "
+            "into the batch (carrying forward a partial payload would "
+            "silently null history)"
+        )
     enforce_expectations(new_rows, man.get("expectations", {}))
     touched = _touched_files_by_probe(spark, man, changes.select(key), key)
     untouched = [n for n in man["files"] if n not in set(touched)]
@@ -4041,7 +4049,10 @@ def apply_changes_scd2(
         )
     else:
         existing = read_version(spark, path, base).limit(0)
-    hit = existing.join(FF.broadcast(first_seq), key, "left")
+    # no forced broadcast: first_seq is one row per BATCH key, and a
+    # backfill batch can be corpus-sized — AQE picks the strategy from
+    # its measured size (it broadcasts the common micro-batch case)
+    hit = existing.join(first_seq, key, "left")
     # out-of-order guard: the key's whole recorded history must
     # precede the batch (closes included — re-opening a deleted key
     # below its deletion sequence would interleave intervals)
