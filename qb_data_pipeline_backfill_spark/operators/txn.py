@@ -3890,6 +3890,25 @@ def scd2_current(spark: SparkSession, path: str) -> DataFrame:
     return read_table(spark, path).filter(FF.col("is_current"))
 
 
+def scd2_as_of(spark: SparkSession, path: str, seq) -> DataFrame:
+    """Point-in-time view of the SCD2 history: each key's row whose
+    validity interval contains ``seq`` (``valid_from <= seq <
+    valid_to``, open intervals unbounded above) — at most one row per
+    key by the non-overlap invariant ``apply_changes_scd2`` maintains,
+    so the filter IS the as-of join (no window, no self-join; one
+    predicate the scan pushes down). Keys deleted at or before ``seq``
+    are absent, matching ``scd2_current`` at ``seq = +inf``."""
+    from pyspark.sql import functions as FF
+
+    return read_table(spark, path).filter(
+        (FF.col("valid_from") <= FF.lit(seq))
+        & (
+            FF.col("valid_to").isNull()
+            | (FF.col("valid_to") > FF.lit(seq))
+        )
+    )
+
+
 def apply_changes_scd2(
     spark: SparkSession,
     path: str,
@@ -4140,4 +4159,41 @@ def apply_changes_scd2(
         extra_meta={**_carry_meta(man), **meta_mark},
         cdc=cdc,
         op="scd2_apply",
+    )
+
+
+def stream_scd2(
+    source: DataFrame,
+    path: str,
+    *,
+    key: str,
+    seq_col: str,
+    op_col: str | None = None,
+    checkpoint_dir: str,
+):
+    """Streaming SCD TYPE 2 maintenance: each micro-batch of the
+    change stream applies through :func:`apply_changes_scd2` inside
+    foreachBatch — the streaming face of APPLY CHANGES. Exactly-once
+    is double-layered: the streaming checkpoint absorbs micro-batch
+    replays across restarts, and the engine-generated ``batch_id``
+    lands in the manifest so even a replay that slips past the
+    checkpoint (foreachBatch retry after a sink-side crash) is a
+    provable no-op. Returns the started query."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes_scd2(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key,
+            seq_col,
+            op_col=op_col,
+            batch_id=f"stream-{batch_id}",
+        )
+
+    return (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
