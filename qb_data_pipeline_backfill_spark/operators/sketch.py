@@ -89,3 +89,92 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min("__n").alias("estimate"))
     )
+
+
+def frequent_items(
+    df: DataFrame, col: str, capacity: int = 128
+) -> DataFrame:
+    """Heavy hitters via MERGEABLE Misra–Gries summaries (Misra &
+    Gries 1982; mergeability per Agarwal et al. 2012) — the frequent-
+    items companion to the Count-Min grid above, for when you want
+    the ITEMS, not per-probe estimates.
+
+    The 100 TB problem: "which keys dominate this column" over
+    billions of distinct values. Exact ``groupBy(col).count()``
+    shuffles every distinct key; here each PARTITION maintains at most
+    ``capacity`` counters (one Arrow-batched ``mapInPandas`` pass —
+    per-batch ``value_counts`` does the heavy lifting in C, and the
+    classic decrement step subtracts the (capacity+1)-th largest
+    count, removing at least (capacity+1)x that mass, so each
+    partition's total decrement is <= n_p/(capacity+1)), and only the
+    ``capacity``-bounded summaries shuffle.
+
+    Returns ``(item, cnt_lb, err_ub)`` — at most
+    ``partitions x capacity`` rows merged down to one per surviving
+    item:
+
+    - ``cnt_lb`` never overestimates: ``cnt_lb <= true count``;
+    - ``true count <= cnt_lb + err_ub`` where ``err_ub`` (same value
+      on every row: the summed per-partition decrements) is
+      ``<= N/(capacity+1)``;
+    - any item with true count ``> err_ub`` is GUARANTEED present —
+      no false negatives among true heavy hitters.
+
+    Top-k = ``orderBy(desc("cnt_lb")).limit(k)`` on the result. NULL
+    items are dropped (a NULL is missingness, not a key).
+    ``contract_heavy_hitters`` hash-gates all three properties against
+    DuckDB's exact counts."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark import TaskContext
+
+    m = int(capacity)
+    if m < 1:
+        raise ValueError("capacity must be >= 1")
+    item_t = df.schema[col].dataType.simpleString()
+    out_schema = f"item {item_t}, __cnt long, __err long, __pid int"
+
+    def summarize(batches):
+        counts: dict = {}
+        dec = 0
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > m:
+                vals = sorted(counts.values(), reverse=True)
+                c_star = vals[m]  # (m+1)-th largest
+                counts = {
+                    i: c - c_star for i, c in counts.items() if c > c_star
+                }
+                dec += c_star
+        pid = TaskContext.get().partitionId()
+        if not counts:
+            # still ship the partition's decrement: the global error
+            # bound must count EVERY partition's loss, including one
+            # whose summary emptied out
+            yield pd.DataFrame(
+                {"item": [None], "__cnt": [0], "__err": [dec], "__pid": [pid]}
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "item": list(counts.keys()),
+                "__cnt": list(counts.values()),
+                "__err": [dec] * len(counts),
+                "__pid": [pid] * len(counts),
+            }
+        )
+
+    summaries = df.select(col).mapInPandas(summarize, out_schema)
+    # global bound: one decrement total per partition, summed
+    bound = summaries.groupBy("__pid").agg(
+        F.max("__err").alias("__e")
+    ).agg(F.sum("__e").alias("err_ub"))
+    merged = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("__cnt").alias("cnt_lb"))
+        .filter(F.col("cnt_lb") > 0)
+    )
+    return merged.crossJoin(F.broadcast(bound))

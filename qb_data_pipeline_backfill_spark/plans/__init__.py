@@ -27,8 +27,9 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # The driver's correctness gate covers the first 50 registry entries.
 # Round-11 rotation (VERDICT r10 #2): (a) everything round 11 touched —
 # the de-hinted TPC-H Q3/Q5 analogs (forced fact-scaled-dim broadcasts
-# dropped, AQE chooses), the size-gated streaming dim join, the query
-# NEW this round (txn_table_health), the zone-map paths fixed for
+# dropped, AQE chooses), the size-gated streaming dim join, the three
+# queries NEW this round (txn_table_health, txn_scd2_apply,
+# contract_heavy_hitters), the zone-map paths fixed for
 # date-widened stats (_cmp_stat), the _sql_str/_values_df literal
 # rendering plus the new backslash edge doc that changes the whole
 # text-family input, and the BPE contracts that share _sql_str; then
@@ -55,6 +56,7 @@ prioritize(
         # it stays in the local full sweep
         "contract_bpe_merge_replay",
         "contract_bpe_encode_replay",
+        "contract_heavy_hitters",
         "constraint_report",
         "text_token_stats",
         "text_ngram_topk",
@@ -82,7 +84,9 @@ prioritize(
         "salted_collect_stats",
         "salted_join_segment_revenue",
         "window_function_suite",
-        "rolling_user_window",
+        # rolling_user_window: same r08/r09 window block, represented
+        # by window_function_suite; its slot goes to the NEW
+        # contract_heavy_hitters (untested-by-definition code first)
         "scalar_subquery_max_qty",
         "unpivot_measures",
         "region_nation_rollup",

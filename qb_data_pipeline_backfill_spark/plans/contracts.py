@@ -777,3 +777,61 @@ def contract_bpe_encode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in X.train_bpe(corpus, n_merges=10).orderBy("rank").collect()
     ]
     return X.bpe_encode(corpus, merges)
+
+
+@register(
+    "contract_heavy_hitters",
+    oracle="""
+    WITH hk AS (
+        SELECT l_orderkey % 10 AS item
+        FROM lineitem WHERE l_orderkey % 3 = 0
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS true_n,
+           TRUE AS present,
+           TRUE AS never_overestimates,
+           TRUE AS within_bound
+    FROM hk GROUP BY item
+    """,
+    doc="Misra-Gries heavy-hitters tolerance contract "
+    "(operators/sketch.py frequent_items — capacity-bounded mergeable "
+    "summaries; the shuffle ships partitions x capacity counters, "
+    "never the key cardinality): a deterministically skewed key "
+    "(every 3rd lineitem folds onto 10 hot keys, the rest stay "
+    "unique) must surface ALL 10 hot keys — each holds ~N/30 of the "
+    "mass, above the N/(capacity+1) retention guarantee — with "
+    "counts that never overestimate and undershoot by at most the "
+    "summed per-partition decrements. DuckDB pins the exact hot-key "
+    "counts; any summary/merge/bound bug flips a boolean or drops a "
+    "row and the hash goes red.",
+)
+def contract_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.sketch import (
+        frequent_items,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 3 == 0, F.col("l_orderkey") % 10
+        )
+        .otherwise(F.col("l_orderkey") + F.lit(10_000_000))
+        .alias("hk")
+    )
+    summary = frequent_items(li, "hk", capacity=64)
+    trues = (
+        li.filter(F.col("hk") < 10)
+        .groupBy(F.col("hk").alias("item"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return trues.join(
+        summary.withColumnRenamed("item", "__i"),
+        trues.item == F.col("__i"),
+        "left",
+    ).select(
+        "item",
+        "true_n",
+        F.col("__i").isNotNull().alias("present"),
+        (F.col("cnt_lb") <= F.col("true_n")).alias("never_overestimates"),
+        (F.col("true_n") - F.col("cnt_lb") <= F.col("err_ub")).alias(
+            "within_bound"
+        ),
+    )

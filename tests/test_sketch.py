@@ -127,3 +127,53 @@ def test_cms_estimate_survives_reserved_column_names(spark):
             for r in cms_estimate(sk, df.distinct(), name).collect()
         }
         assert got["x"] >= 2 and got["y"] >= 1
+
+
+def test_frequent_items_exact_when_under_capacity(spark):
+    """Cardinality <= capacity: no decrements, counts exact, bound 0."""
+    from qb_data_pipeline_backfill_spark.operators.sketch import frequent_items
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)], "k string"
+    ).coalesce(2)
+    got = {r["item"]: (r["cnt_lb"], r["err_ub"]) for r in
+           frequent_items(df, "k", capacity=8).collect()}
+    assert got == {"a": (5, 0), "b": (3, 0), "c": (1, 0)}  # NULL dropped
+
+
+def test_frequent_items_guarantees_under_eviction(spark):
+    """Forced eviction (capacity << cardinality): every true heavy
+    hitter survives, counts never overestimate, undershoot <= err_ub,
+    and err_ub <= N/(capacity+1)."""
+    from qb_data_pipeline_backfill_spark.operators.sketch import frequent_items
+
+    # 10 hot keys with 200 rows each + 4000 singletons, shuffled
+    hot = spark.range(2000).select((F.col("id") % 10).alias("k"))
+    tail = spark.range(4000).select((F.col("id") + 1000).alias("k"))
+    df = hot.unionByName(tail).repartition(8)
+    n_total = 6000
+    cap = 50
+    rows = frequent_items(df, "k", capacity=cap).collect()
+    by_item = {r["item"]: r for r in rows}
+    err = rows[0]["err_ub"]
+    # sum of per-partition decrements <= sum n_p/(cap+1) = N/(cap+1)
+    assert err <= n_total // (cap + 1)
+    for k in range(10):
+        assert k in by_item, f"hot key {k} evicted"
+        r = by_item[k]
+        assert r["cnt_lb"] <= 200
+        assert 200 - r["cnt_lb"] <= err
+    assert len(rows) <= 8 * cap  # summary-bounded output
+
+
+def test_frequent_items_err_counts_emptied_partitions(spark):
+    """A partition whose summary empties must still contribute its
+    decrement to the global bound (the bound is a promise about TRUE
+    counts — dropping a partition's loss would break it)."""
+    from qb_data_pipeline_backfill_spark.operators.sketch import frequent_items
+
+    # all-singleton partition with capacity 1: everything evicts
+    df = spark.range(100).select(F.col("id").alias("k")).coalesce(1)
+    rows = frequent_items(df, "k", capacity=1).collect()
+    if rows:  # whatever survives, the bound must cover the evictions
+        assert rows[0]["err_ub"] >= 49
