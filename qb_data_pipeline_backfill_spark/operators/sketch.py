@@ -166,7 +166,15 @@ def frequent_items(
             }
         )
 
-    summaries = df.select(col).mapInPandas(summarize, out_schema)
+    # materialize the (partitions x capacity)-bounded summaries ONCE:
+    # the bound and the merge are two different aggregates over this
+    # subtree, and without the checkpoint each would re-run the full
+    # input scan + Python summarization (review r11)
+    summaries = (
+        df.select(col)
+        .mapInPandas(summarize, out_schema)
+        .localCheckpoint(eager=True)
+    )
     # global bound: one decrement total per partition, summed
     bound = summaries.groupBy("__pid").agg(
         F.max("__err").alias("__e")

@@ -141,6 +141,11 @@ def _carry_meta(prev: dict) -> dict:
             # writes): a rewrite dropping them would let a replayed
             # producer batch double-apply
             "app_versions",
+            # the SCD2 apply watermark (apply_changes_scd2 batch_id):
+            # a maintenance commit dropping it would make the next
+            # foreachBatch retry of the SAME batch trip the
+            # out-of-order guard and crash-loop the stream
+            "scd2_last_batch",
         )
         if k in prev
     }
@@ -3970,7 +3975,19 @@ def apply_changes_scd2(
         raise ValueError(
             f"change columns collide with maintained SCD2 columns: {clash}"
         )
+    # replay guard FIRST: one small manifest read — a foreachBatch
+    # retry must no-op without paying any Spark job (review r11)
+    if base >= 0 and batch_id is not None:
+        if _read_manifest(path, base).get("scd2_last_batch") == batch_id:
+            return base  # replayed last batch: exactly-once no-op
+    # cache the batch: validations, the fold, first_seq, and the key
+    # probe otherwise re-evaluate the source ~6 times. persist (not
+    # localCheckpoint): checkpointing severs the plan and with it the
+    # batch's output partitioning, which the window fold reuses to
+    # stage range-clustered files (the zone maps CoW pruning lives on)
+    changes = changes.persist()
     if changes.limit(1).count() == 0:
+        changes.unpersist()
         return base
     dup = (
         changes.groupBy(key, seq_col)
@@ -3987,9 +4004,6 @@ def apply_changes_scd2(
         )
     if changes.filter(FF.col(seq_col).isNull()).limit(1).count():
         raise ValueError(f"NULL {seq_col!r} in change batch")
-    if base >= 0 and batch_id is not None:
-        if _read_manifest(path, base).get("scd2_last_batch") == batch_id:
-            return base  # replayed last batch: exactly-once no-op
 
     is_del = (
         FF.lower(FF.col(op_col).cast("string")).isin(
@@ -4021,7 +4035,7 @@ def apply_changes_scd2(
     if base < 0:
         # bootstrap: the fold IS the table (absent-key tombstones
         # already dropped); zone-map stats on the key for CoW pruning
-        return _commit_replace(
+        v = _commit_replace(
             spark,
             new_rows,
             path,
@@ -4031,6 +4045,8 @@ def apply_changes_scd2(
             cdc="append",
             op="scd2_apply",
         )
+        changes.unpersist()
+        return v
 
     man = _read_manifest(path, base)
     if man.get("stats_col") != _phys(man, key):
@@ -4140,7 +4156,7 @@ def apply_changes_scd2(
     stats = man.get("stats", {})
     col_stats = man.get("col_stats", {})
     blooms = man.get("blooms", {})
-    return _commit_replace(
+    v = _commit_replace(
         spark,
         merged,
         path,
@@ -4160,6 +4176,10 @@ def apply_changes_scd2(
         cdc=cdc,
         op="scd2_apply",
     )
+    # unpersist on the success paths; a validation raise kills the
+    # caller's stream anyway, so that leak is bounded by one batch
+    changes.unpersist()
+    return v
 
 
 def stream_scd2(

@@ -76,12 +76,14 @@ def _swap_into_place(tmp: str, path: str) -> None:
 
 
 # A publish lock should only ever be held for the check+swap
-# (milliseconds); one older than this belongs to a dead process.
-_PUBLISH_LOCK_STALE_S = 300.0
+# (milliseconds); one older than this belongs to a dead process. Must
+# stay well under the acquire timeout below, or waiters behind a
+# crashed holder would time out before the age-break could fire.
+_PUBLISH_LOCK_STALE_S = 30.0
 
 
 @contextlib.contextmanager
-def _publish_lock(path: str, timeout: float = 60.0):
+def _publish_lock(path: str, timeout: float = 120.0):
     """Serializes the adopt-check + two-rename publish of a pinned
     fixture with an ``O_CREAT|O_EXCL`` lock file. The adopt-don't-
     replace check alone left a residual window (advice r10): between
@@ -91,7 +93,12 @@ def _publish_lock(path: str, timeout: float = 60.0):
     readers that had already planned against its uuid-named files.
     Holding the lock across check+swap closes that window. The lock
     never covers the build itself, so contention lasts milliseconds;
-    a lock left by a dead process is broken by age."""
+    a lock left by a dead process is broken by age — via an atomic
+    RENAME to a per-breaker name, so when several waiters judge the
+    same lock stale exactly one wins the break and the losers' rename
+    fails harmlessly (a stat-then-unlink break would let a second
+    breaker unlink the first breaker's freshly ACQUIRED lock and
+    reopen the two-builders window — review r11)."""
     lock = path + ".publish-lock"
     deadline = time.time() + timeout
     while True:
@@ -102,11 +109,28 @@ def _publish_lock(path: str, timeout: float = 60.0):
             break
         except FileExistsError:
             try:
-                if time.time() - os.stat(lock).st_mtime > _PUBLISH_LOCK_STALE_S:
-                    os.unlink(lock)  # dead holder; next loop retries
-                    continue
+                st = os.stat(lock)
             except OSError:
                 continue  # holder released between open and stat
+            if time.time() - st.st_mtime > _PUBLISH_LOCK_STALE_S:
+                broken = f"{lock}.break-{os.getpid()}"
+                try:
+                    # re-verify identity at the last instant: if the
+                    # stale lock was already broken AND re-acquired
+                    # fresh since our stat, the inode changed and we
+                    # must not steal the new holder's lock. (A
+                    # sub-microsecond TOCTOU remains between this stat
+                    # and the rename; crossing it needs a full
+                    # break+reacquire cycle by two other processes
+                    # inside that window, against ms-scale holds and a
+                    # 30 s staleness horizon — accepted residual.)
+                    if os.stat(lock).st_ino != st.st_ino:
+                        continue
+                    os.rename(lock, broken)  # atomic: one breaker wins
+                    os.unlink(broken)
+                except OSError:
+                    pass  # another waiter broke it first
+                continue
             if time.time() > deadline:
                 raise TimeoutError(
                     f"fixture publish lock {lock!r} not released in "

@@ -94,7 +94,14 @@ def enriched_segment_rollup(
     :func:`leakage_safe_split`): broadcast only when it fits
     (``broadcast_max_rows``), otherwise a plain join lets the engine
     shuffle the stream side. ``dim.count()`` is a one-time batch
-    action at plan-construction time (the dimension is static)."""
+    action at plan-construction time, and the decision is baked into
+    the (static) streaming plan — the per-micro-batch dim re-read
+    picks up refreshed VALUES, not a new join strategy, so a
+    dimension that GROWS past the threshold during the stream's
+    lifetime keeps broadcasting until a restart re-gates it. Size the
+    threshold for the dimension's projected lifetime growth, or
+    restart on a schedule; re-gating per batch would need the
+    foreachBatch form (review r11)."""
     small = dim.count() <= broadcast_max_rows
     return (
         stream.withWatermark("ts", watermark)

@@ -166,14 +166,42 @@ def test_frequent_items_guarantees_under_eviction(spark):
     assert len(rows) <= 8 * cap  # summary-bounded output
 
 
-def test_frequent_items_err_counts_emptied_partitions(spark):
-    """A partition whose summary empties must still contribute its
-    decrement to the global bound (the bound is a promise about TRUE
-    counts — dropping a partition's loss would break it)."""
+def test_frequent_items_decrement_accounting_closed_form(spark):
+    """One partition, capacity 2, counts {a:5, b:5, c:1} in a single
+    Arrow batch: the decrement subtracts c_star = the 3rd-largest
+    count (1), so the summary is exactly {a:4, b:4} with err_ub 1 —
+    and the bound covers both the survivors' undershoot and the
+    evicted singleton's whole mass (true(c)=1 <= err_ub)."""
     from qb_data_pipeline_backfill_spark.operators.sketch import frequent_items
 
-    # all-singleton partition with capacity 1: everything evicts
-    df = spark.range(100).select(F.col("id").alias("k")).coalesce(1)
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 5 + [("c",)], "k string"
+    ).coalesce(1)
+    rows = {r["item"]: r for r in frequent_items(df, "k", capacity=2).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["cnt_lb"] == 4 and rows["b"]["cnt_lb"] == 4
+    assert rows["a"]["err_ub"] == 1  # covers 5-4 undershoot AND true(c)
+
+
+def test_frequent_items_emptied_partition_still_ships_decrement(spark):
+    """A partition whose summary empties ENTIRELY must still ship its
+    decrement (the null-item row): the merged err_ub is a promise
+    about TRUE counts, and dropping an emptied partition's loss would
+    break it. Two controlled partitions: A = [a, b] with capacity 1
+    (both evict, dec=1, summary empty); B = [c, c, c] (survives,
+    dec=0). c's row must carry err_ub = 1 — partition A's loss —
+    which is what bounds true(a) = true(b) = 1."""
+    from qb_data_pipeline_backfill_spark.operators.sketch import frequent_items
+
+    # explicit RDD slices, NOT createDataFrame/union: Catalyst
+    # collapses local unions to one partition, which would merge both
+    # groups into a single summary
+    rdd = spark.sparkContext.parallelize(
+        [("a",), ("b",), ("c",), ("c",), ("c",)], 2
+    )
+    df = spark.createDataFrame(rdd, "k string")
+    assert df.rdd.getNumPartitions() == 2  # [a, b] | [c, c, c]
     rows = frequent_items(df, "k", capacity=1).collect()
-    if rows:  # whatever survives, the bound must cover the evictions
-        assert rows[0]["err_ub"] >= 49
+    by = {r["item"]: r for r in rows}
+    assert set(by) == {"c"}
+    assert by["c"]["cnt_lb"] == 3 and by["c"]["err_ub"] == 1

@@ -3539,6 +3539,30 @@ def test_apply_changes_scd2_exactly_once_and_ordering(spark, tmp_path):
             txn.apply_changes_scd2(spark, path, one, "k", "seq", op_col="op")
 
 
+def test_scd2_watermark_survives_maintenance(spark, tmp_path):
+    """The scd2_last_batch watermark must carry through maintenance
+    commits (review r11): a compaction between an apply and its
+    foreachBatch RETRY would otherwise drop the watermark, the retry
+    would trip the out-of-order guard, and the stream would crash-loop
+    on a batch it already applied."""
+    path = str(tmp_path / "scd2")
+    txn.apply_changes_scd2(
+        spark, path, _scd2_batch1(spark), "k", "seq", op_col="op",
+        batch_id="b1",
+    )
+    txn.apply_changes_scd2(
+        spark, path, _scd2_batch2(spark), "k", "seq", op_col="op",
+        batch_id="b2",
+    )
+    txn.commit_compact(spark, path, target_partitions=1)
+    head = txn.current_version(path)
+    # the retry of b2 after the compaction: still an exactly-once no-op
+    assert txn.apply_changes_scd2(
+        spark, path, _scd2_batch2(spark), "k", "seq", op_col="op",
+        batch_id="b2",
+    ) == head
+
+
 def test_apply_changes_scd2_validation(spark, tmp_path):
     path = str(tmp_path / "scd2")
     dup = spark.createDataFrame(
