@@ -1808,3 +1808,34 @@ def txn_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         F.lit(head).cast("long").alias("head_version"),
     )
+
+
+@register(
+    "txn_scd2_as_of",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
+               AS price_c,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS valid_from,
+           CAST(CASE WHEN o_orderkey % 11 = 0 THEN 3 END
+                AS BIGINT) AS valid_to,
+           o_orderkey % 11 <> 0 AS is_current
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="Point-in-time SCD2 lookup (operators/txn.py scd2_as_of — one "
+    "pushed interval predicate IS the as-of join, by the non-overlap "
+    "invariant apply_changes_scd2 maintains): the history at sequence "
+    "2 shows every key exactly once — updated keys at their seq-2 "
+    "version, everyone else at bootstrap, seq-3 deletes NOT yet "
+    "applied (their rows still carry the future close) — matching the "
+    "closed-form derivation from orders.",
+)
+def txn_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = _orders_scd2_table(spark, sf_dir)
+    return txn.scd2_as_of(spark, path, 2).filter(F.col("k") < 300).select(
+        "k", "status", "price_c", "valid_from", "valid_to", "is_current"
+    )
