@@ -3986,200 +3986,201 @@ def apply_changes_scd2(
     # batch's output partitioning, which the window fold reuses to
     # stage range-clustered files (the zone maps CoW pruning lives on)
     changes = changes.persist()
-    if changes.limit(1).count() == 0:
-        changes.unpersist()
-        return base
-    dup = (
-        changes.groupBy(key, seq_col)
-        .count()
-        .filter(FF.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"duplicate (key, seq) in change batch: "
-            f"({dup[0][key]!r}, {dup[0][seq_col]!r}) — the fold order "
-            "would be nondeterministic"
+    try:
+        if changes.limit(1).count() == 0:
+            return base
+        dup = (
+            changes.groupBy(key, seq_col)
+            .count()
+            .filter(FF.col("count") > 1)
+            .limit(1)
+            .collect()
         )
-    if changes.filter(FF.col(seq_col).isNull()).limit(1).count():
-        raise ValueError(f"NULL {seq_col!r} in change batch")
+        if dup:
+            raise ValueError(
+                f"duplicate (key, seq) in change batch: "
+                f"({dup[0][key]!r}, {dup[0][seq_col]!r}) — the fold order "
+                "would be nondeterministic"
+            )
+        if changes.filter(FF.col(seq_col).isNull()).limit(1).count():
+            raise ValueError(f"NULL {seq_col!r} in change batch")
 
-    is_del = (
-        FF.lower(FF.col(op_col).cast("string")).isin(
-            [o.lower() for o in delete_ops]
+        is_del = (
+            FF.lower(FF.col(op_col).cast("string")).isin(
+                [o.lower() for o in delete_ops]
+            )
+            if op_col is not None
+            else FF.lit(False)
         )
-        if op_col is not None
-        else FF.lit(False)
-    )
-    w = _W.partitionBy(key).orderBy(seq_col)
-    folded = changes.withColumn("__del", is_del).select(
-        key,
-        *payload,
-        FF.col(seq_col).alias("valid_from"),
-        FF.lead(seq_col).over(w).alias("valid_to"),
-        "__del",
-    )
-    new_rows = folded.filter(~FF.col("__del")).select(
-        key,
-        *payload,
-        "valid_from",
-        "valid_to",
-        FF.col("valid_to").isNull().alias("is_current"),
-    )
-    first_seq = changes.groupBy(key).agg(
-        FF.min(seq_col).alias("__first_seq")
-    )
-    meta_mark = {"scd2_last_batch": batch_id} if batch_id is not None else {}
+        w = _W.partitionBy(key).orderBy(seq_col)
+        folded = changes.withColumn("__del", is_del).select(
+            key,
+            *payload,
+            FF.col(seq_col).alias("valid_from"),
+            FF.lead(seq_col).over(w).alias("valid_to"),
+            "__del",
+        )
+        new_rows = folded.filter(~FF.col("__del")).select(
+            key,
+            *payload,
+            "valid_from",
+            "valid_to",
+            FF.col("valid_to").isNull().alias("is_current"),
+        )
+        first_seq = changes.groupBy(key).agg(
+            FF.min(seq_col).alias("__first_seq")
+        )
+        meta_mark = {"scd2_last_batch": batch_id} if batch_id is not None else {}
 
-    if base < 0:
-        # bootstrap: the fold IS the table (absent-key tombstones
-        # already dropped); zone-map stats on the key for CoW pruning
+        if base < 0:
+            # bootstrap: the fold IS the table (absent-key tombstones
+            # already dropped); zone-map stats on the key for CoW pruning
+            v = _commit_replace(
+                spark,
+                new_rows,
+                path,
+                base,
+                stats_col=key,
+                extra_meta=meta_mark or None,
+                cdc="append",
+                op="scd2_apply",
+            )
+            return v
+
+        man = _read_manifest(path, base)
+        if man.get("stats_col") != _phys(man, key):
+            raise ValueError(
+                f"SCD2 table at {path} lacks zone-map stats on {key!r}"
+            )
+        table_cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
+        missing = [c for c in new_rows.columns if c not in table_cols]
+        if missing:
+            raise ValueError(
+                f"change payload adds columns absent from the SCD2 table: "
+                f"{missing} (widen the table first)"
+            )
+        absent = [c for c in table_cols if c not in new_rows.columns]
+        if absent:
+            raise ValueError(
+                f"change batch lacks SCD2 table columns {absent}: APPLY "
+                "CHANGES writes full rows — project the missing columns "
+                "into the batch (carrying forward a partial payload would "
+                "silently null history)"
+            )
+        enforce_expectations(new_rows, man.get("expectations", {}))
+        touched = _touched_files_by_probe(spark, man, changes.select(key), key)
+        untouched = [n for n in man["files"] if n not in set(touched)]
+        if touched:
+            tfiles = [os.path.join(path, "data", n) for n in touched]
+            existing = _to_logical(
+                _apply_dvs(
+                    spark,
+                    path,
+                    man,
+                    spark.read.schema(_physical_ddl(man)).parquet(*tfiles),
+                ),
+                man,
+            )
+        else:
+            existing = read_version(spark, path, base).limit(0)
+        # no forced broadcast: first_seq is one row per BATCH key, and a
+        # backfill batch can be corpus-sized — AQE picks the strategy from
+        # its measured size (it broadcasts the common micro-batch case)
+        hit = existing.join(first_seq, key, "left")
+        # out-of-order guard: the key's whole recorded history must
+        # precede the batch (closes included — re-opening a deleted key
+        # below its deletion sequence would interleave intervals)
+        viol = (
+            hit.filter(FF.col("__first_seq").isNotNull())
+            .filter(
+                FF.greatest(
+                    FF.col("valid_from"),
+                    FF.coalesce(FF.col("valid_to"), FF.col("valid_from")),
+                )
+                >= FF.col("__first_seq")
+            )
+            .limit(1)
+            .collect()
+        )
+        if viol:
+            raise ValueError(
+                f"out-of-order change batch: key {viol[0][key]!r} already "
+                f"records history at/after the batch's first sequence "
+                f"{viol[0]['__first_seq']!r}"
+            )
+        closing = FF.col("is_current") & FF.col("__first_seq").isNotNull()
+        rewritten = hit.select(
+            *[
+                c
+                for c in table_cols
+                if c not in ("valid_to", "is_current")
+            ],
+            FF.when(closing, FF.col("__first_seq"))
+            .otherwise(FF.col("valid_to"))
+            .alias("valid_to"),
+            FF.when(closing, FF.lit(False))
+            .otherwise(FF.col("is_current"))
+            .alias("is_current"),
+        ).select(*table_cols)
+        merged = rewritten.unionByName(new_rows.select(*table_cols))
+        if man.get("change_feed"):
+            # closed current rows: pre-image (still-open) + post-image
+            # (closed at the key's first batch sequence); every new
+            # version row is an insert — the same Delta-CDF row grammar
+            # the feed reader and IVM consumers already speak
+            pre = hit.filter(closing).select(
+                *table_cols, FF.lit("update_preimage").alias("_change_type")
+            )
+            post = (
+                hit.filter(closing)
+                .select(
+                    *[
+                        c
+                        for c in table_cols
+                        if c not in ("valid_to", "is_current")
+                    ],
+                    FF.col("__first_seq").alias("valid_to"),
+                    FF.lit(False).alias("is_current"),
+                )
+                .select(*table_cols)
+                .withColumn("_change_type", FF.lit("update_postimage"))
+            )
+            ins = new_rows.select(*table_cols).withColumn(
+                "_change_type", FF.lit("insert")
+            )
+            cdc = ins.unionByName(pre).unionByName(post)
+        else:
+            cdc = "unrecorded"
+        _keep = _dvs_still_needed(spark, path, man, untouched)
+        stats = man.get("stats", {})
+        col_stats = man.get("col_stats", {})
+        blooms = man.get("blooms", {})
         v = _commit_replace(
             spark,
-            new_rows,
+            merged,
             path,
             base,
-            stats_col=key,
-            extra_meta=meta_mark or None,
-            cdc="append",
+            stats_col=_phys(man, key),
+            carried=untouched,
+            carried_stats={n: stats[n] for n in untouched if n in stats},
+            stats_cols=man.get("stats_cols"),
+            carried_col_stats={
+                n: col_stats[n] for n in untouched if n in col_stats
+            },
+            bloom_spec=man.get("bloom_spec"),
+            carried_blooms={n: blooms[n] for n in untouched if n in blooms},
+            carried_dvs=man.get("dvs") if _keep else None,
+            dv_key=man.get("dv_key") if _keep else None,
+            extra_meta={**_carry_meta(man), **meta_mark},
+            cdc=cdc,
             op="scd2_apply",
         )
-        changes.unpersist()
         return v
-
-    man = _read_manifest(path, base)
-    if man.get("stats_col") != _phys(man, key):
-        raise ValueError(
-            f"SCD2 table at {path} lacks zone-map stats on {key!r}"
-        )
-    table_cols = [f.split(" ")[0] for f in man["schema_ddl"].split(", ")]
-    missing = [c for c in new_rows.columns if c not in table_cols]
-    if missing:
-        raise ValueError(
-            f"change payload adds columns absent from the SCD2 table: "
-            f"{missing} (widen the table first)"
-        )
-    absent = [c for c in table_cols if c not in new_rows.columns]
-    if absent:
-        raise ValueError(
-            f"change batch lacks SCD2 table columns {absent}: APPLY "
-            "CHANGES writes full rows — project the missing columns "
-            "into the batch (carrying forward a partial payload would "
-            "silently null history)"
-        )
-    enforce_expectations(new_rows, man.get("expectations", {}))
-    touched = _touched_files_by_probe(spark, man, changes.select(key), key)
-    untouched = [n for n in man["files"] if n not in set(touched)]
-    if touched:
-        tfiles = [os.path.join(path, "data", n) for n in touched]
-        existing = _to_logical(
-            _apply_dvs(
-                spark,
-                path,
-                man,
-                spark.read.schema(_physical_ddl(man)).parquet(*tfiles),
-            ),
-            man,
-        )
-    else:
-        existing = read_version(spark, path, base).limit(0)
-    # no forced broadcast: first_seq is one row per BATCH key, and a
-    # backfill batch can be corpus-sized — AQE picks the strategy from
-    # its measured size (it broadcasts the common micro-batch case)
-    hit = existing.join(first_seq, key, "left")
-    # out-of-order guard: the key's whole recorded history must
-    # precede the batch (closes included — re-opening a deleted key
-    # below its deletion sequence would interleave intervals)
-    viol = (
-        hit.filter(FF.col("__first_seq").isNotNull())
-        .filter(
-            FF.greatest(
-                FF.col("valid_from"),
-                FF.coalesce(FF.col("valid_to"), FF.col("valid_from")),
-            )
-            >= FF.col("__first_seq")
-        )
-        .limit(1)
-        .collect()
-    )
-    if viol:
-        raise ValueError(
-            f"out-of-order change batch: key {viol[0][key]!r} already "
-            f"records history at/after the batch's first sequence "
-            f"{viol[0]['__first_seq']!r}"
-        )
-    closing = FF.col("is_current") & FF.col("__first_seq").isNotNull()
-    rewritten = hit.select(
-        *[
-            c
-            for c in table_cols
-            if c not in ("valid_to", "is_current")
-        ],
-        FF.when(closing, FF.col("__first_seq"))
-        .otherwise(FF.col("valid_to"))
-        .alias("valid_to"),
-        FF.when(closing, FF.lit(False))
-        .otherwise(FF.col("is_current"))
-        .alias("is_current"),
-    ).select(*table_cols)
-    merged = rewritten.unionByName(new_rows.select(*table_cols))
-    if man.get("change_feed"):
-        # closed current rows: pre-image (still-open) + post-image
-        # (closed at the key's first batch sequence); every new
-        # version row is an insert — the same Delta-CDF row grammar
-        # the feed reader and IVM consumers already speak
-        pre = hit.filter(closing).select(
-            *table_cols, FF.lit("update_preimage").alias("_change_type")
-        )
-        post = (
-            hit.filter(closing)
-            .select(
-                *[
-                    c
-                    for c in table_cols
-                    if c not in ("valid_to", "is_current")
-                ],
-                FF.col("__first_seq").alias("valid_to"),
-                FF.lit(False).alias("is_current"),
-            )
-            .select(*table_cols)
-            .withColumn("_change_type", FF.lit("update_postimage"))
-        )
-        ins = new_rows.select(*table_cols).withColumn(
-            "_change_type", FF.lit("insert")
-        )
-        cdc = ins.unionByName(pre).unionByName(post)
-    else:
-        cdc = "unrecorded"
-    _keep = _dvs_still_needed(spark, path, man, untouched)
-    stats = man.get("stats", {})
-    col_stats = man.get("col_stats", {})
-    blooms = man.get("blooms", {})
-    v = _commit_replace(
-        spark,
-        merged,
-        path,
-        base,
-        stats_col=_phys(man, key),
-        carried=untouched,
-        carried_stats={n: stats[n] for n in untouched if n in stats},
-        stats_cols=man.get("stats_cols"),
-        carried_col_stats={
-            n: col_stats[n] for n in untouched if n in col_stats
-        },
-        bloom_spec=man.get("bloom_spec"),
-        carried_blooms={n: blooms[n] for n in untouched if n in blooms},
-        carried_dvs=man.get("dvs") if _keep else None,
-        dv_key=man.get("dv_key") if _keep else None,
-        extra_meta={**_carry_meta(man), **meta_mark},
-        cdc=cdc,
-        op="scd2_apply",
-    )
-    # unpersist on the success paths; a validation raise kills the
-    # caller's stream anyway, so that leak is bounded by one batch
-    changes.unpersist()
-    return v
+    finally:
+        # idempotent and cheap on the success path; without it every
+        # raise (validation, expectation, commit conflict) leaked the
+        # persisted batch for callers that catch and retry
+        changes.unpersist()
 
 
 def stream_scd2(
@@ -4190,6 +4191,7 @@ def stream_scd2(
     seq_col: str,
     op_col: str | None = None,
     checkpoint_dir: str,
+    app_id: str | None = None,
 ):
     """Streaming SCD TYPE 2 maintenance: each micro-batch of the
     change stream applies through :func:`apply_changes_scd2` inside
@@ -4198,7 +4200,18 @@ def stream_scd2(
     replays across restarts, and the engine-generated ``batch_id``
     lands in the manifest so even a replay that slips past the
     checkpoint (foreachBatch retry after a sink-side crash) is a
-    provable no-op. Returns the started query."""
+    provable no-op. Returns the started query.
+
+    The manifest watermark is namespaced by a stable writer identity —
+    ``app_id`` when given, else a digest of the (absolute) checkpoint
+    directory — because streaming batch ids restart at 0 with a fresh
+    checkpoint: an un-namespaced numeric match would silently skip the
+    first batches of a checkpoint-loss recovery as "replays" (the same
+    per-writer watermark Delta solves with ``txnAppId`` and this repo's
+    ``commit_append`` solves with ``(txn_app, txn_version)``)."""
+    ident = app_id or hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_changes_scd2(
@@ -4208,7 +4221,7 @@ def stream_scd2(
             key,
             seq_col,
             op_col=op_col,
-            batch_id=f"stream-{batch_id}",
+            batch_id=f"{ident}-{batch_id}",
         )
 
     return (

@@ -3710,3 +3710,55 @@ def test_stream_scd2_applies_and_survives_rerun(spark, tmp_path):
     head = txn.current_version(path)
     run("ck1")  # same checkpoint: replays nothing
     assert txn.current_version(path) == head
+
+
+def test_stream_scd2_fresh_checkpoint_is_not_a_replay(spark, tmp_path):
+    """The manifest watermark is namespaced by writer identity
+    (checkpoint digest / app_id): streaming batch ids restart at 0 on
+    a NEW checkpoint, so a numerically-colliding batch id from a
+    different checkpoint must apply, not silently skip (the
+    checkpoint-loss recovery path; Delta's txnAppId rationale)."""
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "scd2")
+    schema = "k long, seq long, op string, val long"
+    spark.createDataFrame([(1, 1, "i", 10)], schema).write.parquet(
+        src + "/f1.parquet"
+    )
+
+    def run(ck: str, glob: str):
+        stream = spark.readStream.schema(schema).parquet(src + "/" + glob)
+        q = txn.stream_scd2(
+            stream, path, key="k", seq_col="seq", op_col="op",
+            checkpoint_dir=str(tmp_path / ck),
+        )
+        q.awaitTermination()
+
+    run("ck1", "f1.parquet")  # batch 0 of writer ck1
+    head = txn.current_version(path)
+    # a SECOND writer (fresh checkpoint) also starts at batch 0; its
+    # batch carries new data and must commit despite the numeric tie
+    spark.createDataFrame([(1, 2, "u", 11)], schema).write.parquet(
+        src + "/f2.parquet"
+    )
+    run("ck2", "f2.parquet")
+    assert txn.current_version(path) > head
+    cur = {r.k: r.val for r in txn.scd2_current(spark, path).collect()}
+    assert cur == {1: 11}  # the colliding batch APPLIED
+
+
+def test_apply_changes_scd2_unpersists_on_raise(spark, tmp_path):
+    """Every raise path must release the persisted batch: a caller
+    that catches the ValueError and retries (fix-and-resubmit) would
+    otherwise accumulate one persisted batch per failure for the life
+    of the session."""
+    import pytest as _pt
+
+    path = str(tmp_path / "scd2")
+    txn.apply_changes_scd2(spark, path, _scd2_batch1(spark), "k", "seq", op_col="op")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    bad = spark.createDataFrame(
+        [(1, 99, "i", 1), (1, 99, "i", 2)], "k long, seq long, op string, val long"
+    )
+    with _pt.raises(ValueError, match="duplicate"):
+        txn.apply_changes_scd2(spark, path, bad, "k", "seq", op_col="op")
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
