@@ -662,3 +662,108 @@ def bpe_encode(
 
     out = df.select(F.col(id_col), stats(F.col(text_col)).alias("s"))
     return out.select(id_col, "s.n_subwords", "s.n_distinct_subwords")
+
+
+# --------------------------------------------------------------------------
+# hashed-n-gram linear quality classifier (fastText shape)
+# --------------------------------------------------------------------------
+# The CCNet/GPT-3 curation step between heuristic quality scores and
+# perplexity filtering: a linear model over hashed word n-grams
+# (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+# Classification" — fastText's architecture: hash features, look up
+# weights, sum, squash). Weights here are PINNED IN CLOSED FORM — a
+# multiplicative scramble of the feature hash — so the whole model is
+# replayable in ANSI SQL and the gate can hash-compare the score
+# arithmetic end to end. Swapping in trained weights = replacing
+# `_feature_weight` with a broadcast map lookup; every other part of
+# the plan (one narrow scan, zero shuffles, pure codegen expressions)
+# is the production shape.
+#
+# All arithmetic is exact BIGINT in micro-units (1e-6): float dot
+# products differ in ULPs across engines, integers never do. The
+# squash is the hard sigmoid (clip(x/4 + 1/2, 0, 1) — Courbariaux et
+# al. 2016's binarized-net activation), whose integer form is exact;
+# it is monotone in the score, so thresholding prob is thresholding
+# the dot product, which is all a filter consumes.
+
+CLS_HASH_MOD = 1_000_003  # prime modulus of the char-fold feature hash
+CLS_WEIGHT_SPAN = 1997  # prime; weights lie in [-998, 998] micro-units
+_CLS_SCRAMBLE = 2_654_435_761  # Knuth's multiplicative-hash constant
+_CLS_PAIR_MIX = 8191  # 2^13 - 1, Mersenne prime for bigram mixing
+
+
+def _char_fold_hash(tok: Column) -> Column:
+    """Deterministic polynomial string hash: fold codepoints with
+    ``h = (h*31 + cp) % CLS_HASH_MOD``. Verified byte-identical between
+    Spark (`aggregate`/`split`/`ascii`) and DuckDB
+    (`list_reduce`/`string_split`/`ascii`) including non-ASCII."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % CLS_HASH_MOD,
+    )
+
+
+def _feature_weight(h: Column) -> Column:
+    """Closed-form pinned weight (micro-units) for feature hash ``h``:
+    scramble the hash, fold into ``[-998, 998]``. Stands in for a
+    trained weight table; same formula rendered in the oracle SQL."""
+    return (h * _CLS_SCRAMBLE) % CLS_WEIGHT_SPAN - (CLS_WEIGHT_SPAN - 1) // 2
+
+
+def classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias_micro: int = 0,
+) -> DataFrame:
+    """Score every document with the hashed-bigram linear classifier.
+
+    Returns ``(id_col, n_feats, score_micro, prob_micro, label)``:
+
+    - features = word unigrams + adjacent-word bigrams of the
+      normalized whitespace tokens (fastText ``wordNgrams=2``);
+      unigram hash = char fold, bigram hash = ``(h1*8191 + h2) % M``;
+    - ``score_micro`` = bias + sum of feature weights (exact BIGINT
+      micro-units; fastText's mean-vs-sum difference is a monotone
+      rescale, irrelevant to thresholding);
+    - ``prob_micro`` = hard sigmoid ``clip(500000 + score//4, 0, 1e6)``
+      (``div`` truncates toward zero on both engines);
+    - ``label`` = ``score_micro > 0``.
+
+    Plan shape: one narrow projection over the scan — tokens, hashes,
+    weights, and the two fold-sums are all codegen'd higher-order
+    functions; no shuffle, no UDF, no driver round-trip. An empty
+    document scores exactly the bias.
+    """
+    toks = tokens(text_col)
+    hs = F.transform(toks, _char_fold_hash)
+    uni = F.aggregate(
+        hs, F.lit(0).cast("long"), lambda a, h: a + _feature_weight(h)
+    )
+    n = F.size(hs)
+    bi_hs = F.zip_with(
+        F.slice(hs, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(hs, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: (a * _CLS_PAIR_MIX + b) % CLS_HASH_MOD,
+    )
+    bi = F.aggregate(
+        bi_hs, F.lit(0).cast("long"), lambda a, h: a + _feature_weight(h)
+    )
+    score = F.lit(int(bias_micro)).cast("long") + uni + bi
+    # truncate-toward-zero score/4 without engine-specific div: the %
+    # remainder carries the dividend's sign on both engines, so
+    # (score - score % 4) is the exact trunc multiple and the double
+    # division by 4 is lossless (power of two)
+    quarter = ((score - score % 4) / 4).cast("long")
+    prob = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.lit(500_000).cast("long") + quarter),
+    )
+    return df.select(
+        F.col(id_col),
+        (n + F.greatest(n - 1, F.lit(0))).cast("long").alias("n_feats"),
+        score.alias("score_micro"),
+        prob.alias("prob_micro"),
+        (score > 0).alias("label"),
+    )

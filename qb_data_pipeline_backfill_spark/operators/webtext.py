@@ -1,0 +1,231 @@
+"""Raw-web text extraction: markup -> clean text, the front end of the
+LLM training-data pipeline.
+
+Every curation operator in this repo (dedup, quality, language-ID,
+packing) consumes CLEAN text; the web corpus a 100 TB pipeline starts
+from is HTML. This module is the missing first stage: strip markup,
+decode entities, drop boilerplate (navigation, footers, link farms),
+keep the content blocks — the published density heuristics of
+Kohlschütter et al., "Boilerplate Detection using Shallow Text
+Features" (WSDM 2010, the boilerpipe line of work) reduced to their
+deterministic core:
+
+- the page is segmented into BLOCKS at block-level element boundaries
+  (``p``/``div``/``h*``/``li``/...);
+- a block inside a semantic boilerplate container (``nav``/``footer``/
+  ``aside``/``header``) is boilerplate by markup;
+- otherwise a block whose LINK DENSITY exceeds 1/3 (anchor-text words
+  x3 > total words — boilerpipe's classic threshold, kept in exact
+  integer form so the classification is replayable in SQL) is
+  boilerplate: link farms, "share/subscribe" bars, related-article
+  strips;
+- everything else is content, emitted in document order joined by
+  newlines, entities decoded, whitespace collapsed per block.
+
+Execution shape: one Arrow-batched ``mapInPandas`` pass (the same
+vectorized-Python boundary policy as the media codecs in
+``multimodal.py`` — parsing HTML is inherently sequential per
+document, exactly the case the module docstring of ``text.py``
+reserves for Python), narrow (no shuffle), parser = the stdlib
+``html.parser`` state machine (tolerant of unclosed tags, uppercase
+tags, attributes containing ``>``, CDATA script bodies with ``<``).
+At 100 TB this is a single map stage over the raw-web table; the
+output feeds straight into ``operators/text.py`` / ``dedup.py``.
+
+Reference parity: generalizes the reference's semi-structured payload
+extraction (SURVEY.md §2 op 8 — nested-field extraction from API
+envelopes, reference transformers/transform_customers_py.py) from
+JSON envelopes to web markup, the same way ``decode_media``
+generalized it to binary envelopes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Block-level elements: entering OR leaving one ends the current text
+# block (the boilerpipe segmentation grain). br is NOT here — a lone
+# line break is an in-block separator, not a block boundary.
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd td th tr table thead "
+    "tbody tfoot section article blockquote pre figure figcaption "
+    "form fieldset hr main body html header footer nav aside "
+    "address center".split()
+)
+# Content inside these never reaches the text stream (code, styling,
+# embedded documents). head is handled separately so <title> survives.
+_SKIP_TAGS = frozenset(
+    "script style noscript template svg iframe object canvas".split()
+)
+# Semantic boilerplate containers (HTML5): any block opened while one
+# of these is on the stack is boilerplate by markup, before the
+# density rule even looks at it.
+_DROP_CONTAINERS = frozenset("nav footer aside header".split())
+# Elements the HTML spec defines as void (never closed): only the ones
+# that matter to text flow are handled specially.
+_VOID_BREAKS = frozenset(("br", "hr"))
+
+
+class _BoilerpipeExtractor(HTMLParser):
+    """One-pass block segmenter + density classifier.
+
+    Collects ``(text, n_words, n_anchor_words, in_drop_container)``
+    per block; classification happens in :meth:`result` so the rule
+    stays in one place. ``convert_charrefs=True`` decodes entities
+    (``&amp;`` ``&#39;`` ...) before ``handle_data`` — script/style
+    bodies are exempt per the parser's CDATA handling, and we skip
+    them anyway.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._frags: list[tuple[str, bool]] = []  # (fragment, in_anchor)
+        self._blocks: list[tuple[str, int, int, bool]] = []
+        self._skip_depth = 0
+        self._drop_depth = 0
+        self._anchor_depth = 0
+        self._in_title = False
+        self._title_frags: list[str] = []
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        if not self._frags:
+            return
+        text = " ".join("".join(f for f, _ in self._frags).split())
+        # anchors joined WITH a separator: two adjacent <a> texts are
+        # two words for the density rule even when no whitespace node
+        # sits between them (the full text uses raw concatenation so
+        # entity-split words stay whole)
+        anchor = " ".join(f for f, a in self._frags if a)
+        self._frags = []
+        n_words = len(text.split())
+        if n_words == 0:
+            return  # inter-tag whitespace, not a block
+        self._blocks.append(
+            (text, n_words, len(anchor.split()), self._drop_depth > 0)
+        )
+
+    # -- parser callbacks --------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_BREAKS:
+            # <br>/<hr> written without the self-closing slash
+            self.handle_startendtag(tag, attrs)
+            return
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag == "title":
+            self._in_title = True
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _DROP_CONTAINERS:
+                self._drop_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip_depth:
+            self._skip_depth -= 1
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if tag == "title":
+            self._in_title = False
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _DROP_CONTAINERS and self._drop_depth:
+                self._drop_depth -= 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "br":
+            self._frags.append((" ", self._anchor_depth > 0))
+        elif tag in _BLOCK_TAGS:  # e.g. <hr/>
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self._title_frags.append(data)
+            return
+        if data:
+            self._frags.append((data, self._anchor_depth > 0))
+
+    # -- result ------------------------------------------------------------
+    def result(self) -> tuple[str | None, str, int, int]:
+        self._flush()  # text after the last closed block
+        kept: list[str] = []
+        dropped = 0
+        for text, n_words, n_anchor, in_container in self._blocks:
+            # integer form of link_density > 1/3 — exact, SQL-replayable
+            if in_container or 3 * n_anchor > n_words:
+                dropped += 1
+            else:
+                kept.append(text)
+        title = " ".join("".join(self._title_frags).split())
+        return (title or None, "\n".join(kept), len(kept), dropped)
+
+
+def extract_html(html: str) -> tuple[str | None, str, int, int]:
+    """Extract one document: ``(title, text, n_blocks, n_dropped)``.
+
+    ``text`` is the kept content blocks in document order, one per
+    line, entities decoded, whitespace collapsed. Driver-side helper
+    and the unit under test; the distributed face is
+    :func:`html_extract`.
+    """
+    p = _BoilerpipeExtractor()
+    p.feed(html)
+    p.close()
+    return p.result()
+
+
+def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Markup -> clean text over a DataFrame: every column except
+    ``html_col`` passes through; ``title`` / ``text`` / ``n_blocks``
+    / ``n_dropped`` are appended (see module docstring for the block
+    and boilerplate semantics).
+
+    One narrow Arrow-batched ``mapInPandas`` stage — no shuffle, no
+    driver involvement; NULL html yields NULL title/text and zero
+    counts (missingness, not an empty page).
+    """
+    carry = [f for f in df.schema.fields if f.name != html_col]
+    out_schema = T.StructType(
+        [
+            *carry,
+            T.StructField("title", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("n_blocks", T.IntegerType(), True),
+            T.StructField("n_dropped", T.IntegerType(), True),
+        ]
+    )
+    carry_names = [f.name for f in carry]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            titles, texts, nb, nd = [], [], [], []
+            for h in pdf[html_col]:
+                if h is None or (isinstance(h, float) and pd.isna(h)):
+                    titles.append(None)
+                    texts.append(None)
+                    nb.append(0)
+                    nd.append(0)
+                    continue
+                t, x, b, d = extract_html(h)
+                titles.append(t)
+                texts.append(x)
+                nb.append(b)
+                nd.append(d)
+            out = pdf[carry_names].copy()
+            out["title"] = titles
+            out["text"] = texts
+            out["n_blocks"] = nb
+            out["n_dropped"] = nd
+            yield out
+
+    return df.mapInPandas(run, out_schema)

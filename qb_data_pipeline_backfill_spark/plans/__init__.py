@@ -25,86 +25,75 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-11 rotation (VERDICT r10 #2): (a) everything round 11 touched —
-# the de-hinted TPC-H Q3/Q5 analogs (forced fact-scaled-dim broadcasts
-# dropped, AQE chooses), the size-gated streaming dim join, the three
-# queries NEW this round (txn_table_health, txn_scd2_apply,
-# contract_heavy_hitters), the zone-map paths fixed for
-# date-widened stats (_cmp_stat), the _sql_str/_values_df literal
-# rendering plus the new backslash edge doc that changes the whole
-# text-family input, and the BPE contracts that share _sql_str; then
-# (b) the now-stalest blocks — last driver grade r08/r09: streaming_*,
-# salted_*, the window/subquery/unpivot/rollup block,
-# numeric_profile/covariance, sequence packing, simhash, the remaining
-# txn CDC queries, and recursive_reachability (which gave its r10 slot
-# to txn_files_metadata). The full registry is additionally verified
-# locally each round (tools/check_correctness.py, sf0.01, full sweep).
+# Round-12 rotation (VERDICT r11 #1): (a) the never-driver-graded
+# txn_scd2_as_of first, then the four queries NEW this round
+# (text_html_extract, text_classifier_scores,
+# contract_incremental_minhash, streaming_scd2_apply) and the two
+# whose code round 12 touched (txn_scd2_apply: watermark namespacing +
+# unpersist-on-raise; contract_heavy_hitters: the mergeable merge
+# level replacing localCheckpoint); then (b) the now-stalest blocks —
+# last driver grade r10: the txn fixture family, the CDC-log feeds,
+# jsonl/orc round trips, leakage + the sample_* family, the sketch
+# contracts, the graph family, and the 2-round-stale approximate
+# recall twins. The r11-graded blocks (streaming_*, salted_*,
+# window/subquery/rollup, numeric, text_*, txn CDC) rotate out — one
+# round old — and every query is re-verified in the local full sweep
+# regardless (tools/check_correctness.py, sf0.01).
 prioritize(
     [
-        # --- (a) round-11 code-touched ---
-        "txn_table_health",
+        # --- (a) never-graded / new / r12-code-touched ---
+        "txn_scd2_as_of",
+        "text_html_extract",
+        "text_classifier_scores",
+        "contract_incremental_minhash",
+        "streaming_scd2_apply",
         "txn_scd2_apply",
-        "top_revenue_orders",
-        "local_supplier_revenue",
-        "streaming_enriched_rollup",
-        "txn_type_widening",
-        "txn_widening_lanes",
-        "txn_count_where",
-        "txn_snapshot_minmax",
-        # txn_files_metadata (r10-graded, table_files untouched this
-        # round) yields its slot to txn_scd2_apply, new this round;
-        # it stays in the local full sweep
-        "contract_bpe_merge_replay",
-        "contract_bpe_encode_replay",
         "contract_heavy_hitters",
-        "constraint_report",
-        "text_token_stats",
-        "text_ngram_topk",
-        "text_tfidf_topk",
-        "text_quality_scores",
-        "text_language_scores",
-        "text_fingerprint",
-        "text_repetition_scores",
-        "text_lang_corpus_stats",
-        "text_bigram_perplexity",
-        "corpus_curation",
-        "dedup_paragraph_rewrite",
-        # --- (b) stalest: last driver grade r08/r09 ---
-        "streaming_tumbling_window",
-        "streaming_sliding_window",
-        "streaming_stream_stream_join",
-        "streaming_session_window",
-        "streaming_stateful_counts",
-        "streaming_dedup_exactly_once",
-        "streaming_interval_join_outer",
-        "streaming_top_users",
-        "streaming_media_decode",
-        "streaming_txn_cdf",
-        "streaming_drift_psi",
-        "salted_collect_stats",
-        "salted_join_segment_revenue",
-        "window_function_suite",
-        # rolling_user_window: same r08/r09 window block, represented
-        # by window_function_suite; its slot goes to the NEW
-        # contract_heavy_hitters (untested-by-definition code first)
-        "scalar_subquery_max_qty",
-        "unpivot_measures",
-        "region_nation_rollup",
-        "numeric_profile",
-        "numeric_covariance",
-        "sequence_packing",
-        "dedup_simhash",
-        "txn_cdf_feed",
-        "txn_replace_where_read",
-        "txn_merge_cdc_read",
-        "txn_maintenance_cycle",
-        "recursive_reachability",
-        # The r10-graded blocks (the remaining txn fixtures, jsonl/orc
-        # round trips, leakage, cdc/scd2/funnel, the sample_* and
-        # sketch families, the graph family) rotate out this round:
-        # their records are one round old, while everything above is
-        # either code-touched this round or 2+ rounds stale; all are
-        # re-verified in the local full sweep regardless.
+        # --- (b) stalest: last driver grade r10 ---
+        "txn_files_metadata",
+        "txn_snapshot_count",
+        "txn_restore_rollback",
+        "txn_zorder_compact",
+        "txn_idempotent_stream_append",
+        "txn_table_history",
+        "txn_replica_audit",
+        "txn_cdf_log_feed",
+        "txn_cdf_log_net_feed",
+        "txn_cdf_rollup_maintenance",
+        "txn_bloom_point_lookup",
+        "txn_mor_delete_read",
+        "txn_table_health",
+        "jsonl_roundtrip_scan",
+        "orc_roundtrip_scan",
+        "leakage_safe_splits",
+        "sample_eval_holdout",
+        "sample_train_val_test",
+        "sample_stratified_rebalance",
+        "sample_temperature_mixture",
+        "sample_domain_quota",
+        "sample_weighted_by_length",
+        "cms_frequency_contract",
+        "contract_hll_merge",
+        "contract_hll_intersection",
+        "quantile_sketch_contract",
+        "pagerank_parts",
+        "triangle_counts_parts",
+        "dedup_cluster_resolution",
+        "contract_simhash_recall",
+        "contract_minhash_recall",
+        "contract_embedding_lsh_recall",
+        "contract_ann_lsh_recall",
+        "contract_ann_ivf_recall",
+        "contract_ivfpq_adc",
+        "contract_approx_median",
+        "contract_bloom_prune",
+        "contract_substring_hash_parity",
+        "dedup_exact_text",
+        "dedup_ngram_jaccard",
+        "dedup_repeated_substrings",
+        "dedup_edit_distance",
+        "dedup_semantic_prune",
+        "dedup_embedding_cosine",
     ]
 )
 

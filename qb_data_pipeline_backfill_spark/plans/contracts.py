@@ -835,3 +835,33 @@ def contract_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+@register(
+    "contract_incremental_minhash",
+    oracle=_EXACT_PAIRS_CTE
+    + """
+    SELECT doc_a, doc_b, jaccard, TRUE AS caught FROM exact_pairs
+    WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+""",
+    doc="Oracle twin for dedup_incremental_minhash (the only rows-only "
+    "query whose certification previously lived solely in pytest): "
+    "two deterministic batches — history = even doc_ids (persisted "
+    "band index via minhash_band_index), new = odd doc_ids — and "
+    "every exact trigram-Jaccard ≥ 0.9 pair TOUCHING the new batch "
+    "must be caught by incremental_minhash_pairs at the operator's "
+    "own (b=16, r=4, est ≥ 0.7) point without re-shingling history. "
+    "The oracle derives the touching-pair set in SQL and asserts "
+    "caught=TRUE, so an index/probe/band bug that loses a cross-batch "
+    "or within-batch pair flips the hash red.",
+)
+def contract_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    index = D.minhash_band_index(docs.filter(F.col("doc_id") % 2 == 0))
+    caught = D.incremental_minhash_pairs(
+        index, docs.filter(F.col("doc_id") % 2 == 1), threshold=0.7
+    )
+    exact = _exact_near_dups(spark, sf_dir).filter(
+        (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)
+    )
+    return _flag_caught(exact, caught, ["doc_a", "doc_b"])

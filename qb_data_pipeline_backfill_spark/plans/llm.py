@@ -22,6 +22,7 @@ from qb_data_pipeline_backfill_spark.operators import multimodal as M
 from qb_data_pipeline_backfill_spark.operators import sample as SA
 from qb_data_pipeline_backfill_spark.operators import similarity as S
 from qb_data_pipeline_backfill_spark.operators import text as X
+from qb_data_pipeline_backfill_spark.operators import webtext as W
 from qb_data_pipeline_backfill_spark.plans.registry import register
 from qb_data_pipeline_backfill_spark.tables import load_table
 
@@ -1743,3 +1744,116 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.leakage_safe_split(
         docs.select("doc_id"), pairs, _SPLIT_WEIGHTS, salt="split"
     ).select("doc_id", "split_key", "split")
+
+
+# --------------------------------------------------------------------------
+# raw-web front end: markup -> clean text
+# --------------------------------------------------------------------------
+@register(
+    "text_html_extract",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id || ' (' || lang || ')' AS title,
+           'Doc ' || doc_id || chr(10) || 'Q&A: ' || text AS text,
+           CAST(2 AS INTEGER) AS n_blocks,
+           CAST(3 AS INTEGER) AS n_dropped
+    FROM documents
+    """,
+    doc="Raw-web text extraction (operators/webtext.py html_extract — "
+    "boilerpipe-style block segmentation + link-density boilerplate "
+    "drop in one Arrow mapInPandas pass): every document is wrapped "
+    "in a deterministic page template (head with style/script CDATA "
+    "traps, a nav bar, an h1+p content div with an entity in the "
+    "kept text, a link-farm div right at the 3*anchors>words "
+    "threshold, a footer) and the extractor must recover EXACTLY the "
+    "title, the two content blocks (entities decoded), and the 2/3 "
+    "kept/dropped block classification — the oracle derives all five "
+    "columns from the raw text, so any parser/segmenter/classifier "
+    "drift goes hash-red. Nasty-markup edges (comments, uppercase "
+    "tags, unclosed blocks, attributes containing '>') are pytest-"
+    "covered in tests/test_webtext.py.",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(" ("),
+        F.col("lang"),
+        F.lit(")</title><style>p{color:red}</style>"),
+        F.lit("<script>if(1<2){x=1;}</script></head><body>"),
+        F.lit('<nav><a href="/">Home</a> <a href="/x">Next</a></nav>'),
+        F.lit('<div class="content"><h1>Doc '),
+        did,
+        F.lit("</h1><p>Q&amp;A: "),
+        esc,
+        F.lit("</p></div>"),
+        F.lit('<div><a href="/a">like</a> <a href="/b">share</a>'),
+        F.lit(" subscribe now</div>"),
+        F.lit("<footer>&copy; 2026 Example</footer></body></html>"),
+    )
+    return W.html_extract(docs.select("doc_id", page.alias("html")), "html")
+
+
+# --------------------------------------------------------------------------
+# classifier-based quality filtering (fastText shape)
+# --------------------------------------------------------------------------
+_CLS_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc,x) -> (acc*31+x) % 1000003)"
+)
+
+
+@register(
+    "text_classifier_scores",
+    oracle=r"""
+    WITH toks AS (%s),
+    hs AS (
+        SELECT doc_id,
+               list_transform(ts, t -> %s) AS h
+        FROM toks
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(h) + greatest(len(h) - 1, 0) AS BIGINT) AS n_feats,
+               CAST(
+                   2500
+                   + COALESCE(list_sum(list_transform(h,
+                         x -> (x * 2654435761) %% 1997 - 998)), 0)
+                   + COALESCE(list_sum(list_transform(
+                         generate_series(1, len(h) - 1),
+                         i -> ((h[i] * 8191 + h[i+1]) %% 1000003)
+                              * 2654435761 %% 1997 - 998)), 0)
+               AS BIGINT) AS score_micro
+        FROM hs
+    )
+    SELECT doc_id, n_feats, score_micro,
+           CAST(least(1000000, greatest(0,
+                500000 + CAST((score_micro - score_micro %% 4) / 4 AS BIGINT)
+           )) AS BIGINT) AS prob_micro,
+           score_micro > 0 AS label
+    FROM feat
+    """
+    % (_TOKS_EDGE, _CLS_HASH_SQL),
+    doc="Hashed-bigram linear quality classifier "
+    "(operators/text.py classifier_scores — the fastText architecture "
+    "of Joulin et al. 2016, the CCNet/GPT-3 curation step between "
+    "heuristic quality scores and perplexity): unigram+bigram feature "
+    "hashes via the engine-pair-verified char fold, closed-form "
+    "pinned weights (Knuth scramble into [-998,998] micro-units), "
+    "exact BIGINT dot product + hard-sigmoid squash. One narrow "
+    "codegen projection — no shuffle, no UDF; the oracle replays the "
+    "entire model in SQL so one flipped weight or a hash drift on "
+    "ANY token (unicode edges included) goes red.",
+)
+def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.classifier_scores(_docs_edge(spark, sf_dir), bias_micro=2500)

@@ -451,3 +451,124 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ref_n"))
     )
     return psi_from_counts(ref_counts, cur_counts, n_bins=10)
+
+
+def _scd2_stream_table(spark: SparkSession, sf_dir: str) -> str:
+    """Pinned SCD2 scratch table built THROUGH the streaming path:
+    three change batches (insert wave at seq 1, update/delete wave at
+    seq 2, late delete wave at seq 3) flow file-by-file through
+    ``stream_scd2``'s foreachBatch into ``apply_changes_scd2`` —
+    bootstrap v0 + two incremental commits = pinned head 2. The
+    fixture adopts/rebuilds atomically like every other pinned scratch
+    table, so grading replays read the once-built history."""
+    import os
+    import shutil
+    import time
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.plans.formats import (
+        _SCRATCH,
+        _atomic_rebuild,
+    )
+    from qb_data_pipeline_backfill_spark.tables import load_table
+
+    path = os.path.join(
+        _SCRATCH, f"scd2_stream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+
+    def _build(p: str) -> None:
+        keys = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 199 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("v")
+            )
+        )
+        one = F.lit(1).cast("long")
+        b1 = keys.select(
+            "k", one.alias("seq"), F.lit("i").alias("op"),
+            F.col("v").alias("val"),
+        )
+        b2 = keys.filter(F.col("k") % 2 == 0).select(
+            "k", F.lit(2).cast("long").alias("seq"), F.lit("u").alias("op"),
+            (F.col("v") + 1000).alias("val"),
+        ).unionByName(
+            keys.filter((F.col("k") % 2 == 1) & (F.col("k") % 3 == 0)).select(
+                "k", F.lit(2).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+                F.lit(None).cast("long").alias("val"),
+            )
+        )
+        b3 = keys.filter(F.col("k") % 10 == 0).select(
+            "k", F.lit(3).cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("long").alias("val"),
+        )
+        work = p + ".stream-work"
+        src, ck = os.path.join(work, "src"), os.path.join(work, "ck")
+        shutil.rmtree(work, ignore_errors=True)
+        for i, b in enumerate((b1, b2, b3)):
+            b.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        # the file source orders batches by (mtime, path); pin mtimes
+        # so the seq waves arrive in order (a same-millisecond tie
+        # would trip the operator's out-of-order guard — correctly,
+        # but flakily; same pinning as the pytest twin)
+        now = time.time()
+        for i in range(3):
+            d = os.path.join(src, f"b{i}.parquet")
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("k long, seq long, op string, val long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = txn.stream_scd2(
+            stream, p, key="k", seq_col="seq", op_col="op",
+            checkpoint_dir=ck,
+        )
+        q.awaitTermination()
+        shutil.rmtree(work, ignore_errors=True)
+
+    _atomic_rebuild(path, 2, _build)
+    return path
+
+
+@register(
+    "streaming_scd2_apply",
+    oracle="""
+    WITH keys AS (
+        SELECT o_orderkey AS k, o_custkey AS v
+        FROM orders WHERE o_orderkey % 199 = 0
+    )
+    SELECT k, v AS val, CAST(1 AS BIGINT) AS valid_from,
+           CASE WHEN k % 2 = 0 OR k % 3 = 0 THEN CAST(2 AS BIGINT) END
+               AS valid_to,
+           (k % 2 <> 0 AND k % 3 <> 0) AS is_current
+    FROM keys
+    UNION ALL
+    SELECT k, v + 1000 AS val, CAST(2 AS BIGINT) AS valid_from,
+           CASE WHEN k % 10 = 0 THEN CAST(3 AS BIGINT) END AS valid_to,
+           k % 10 <> 0 AS is_current
+    FROM keys WHERE k % 2 = 0
+    """,
+    doc="Streaming APPLY CHANGES ... STORED AS SCD TYPE 2, gated end "
+    "to end (operators/txn.py stream_scd2 — the streaming face of "
+    "apply_changes_scd2, VERDICT r11 #7): three change waves replay "
+    "through foreachBatch micro-batches (engine batch ids = "
+    "writer-namespaced manifest watermarks, so the build is "
+    "exactly-once under at-least-once delivery) and the resulting "
+    "interval history must hash-match the closed-form expectation — "
+    "insert wave opens every key at seq 1; the update wave closes "
+    "even keys and reopens them at seq 2 while deleting odd multiples "
+    "of 3; the final wave tombstones multiples of 10. Any fold, "
+    "watermark, or out-of-order bug shifts an interval or resurrects "
+    "a deleted key and the hash goes red.",
+)
+def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    path = _scd2_stream_table(spark, sf_dir)
+    return txn.read_table(spark, path).select(
+        "k", "val", "valid_from", "valid_to", "is_current"
+    )

@@ -1,0 +1,124 @@
+"""Raw-web extraction (operators/webtext.py) — the markup edges the
+oracle gate's clean template can't exercise: comments, uppercase and
+unclosed tags, attributes containing '>', CDATA script bodies, void
+elements, nested drop containers, NULL input, and the link-density
+threshold boundary itself.
+"""
+
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators.webtext import (
+    extract_html,
+    html_extract,
+)
+
+
+def test_script_style_and_comments_never_leak():
+    t, x, nb, nd = extract_html(
+        "<head><title>T</title><style>p{}</style>"
+        "<script>if(1<2){document.write('<p>fake</p>');}</script></head>"
+        "<!-- <p>also fake</p> --><p>real</p>"
+    )
+    assert (t, x, nb, nd) == ("T", "real", 1, 0)
+
+
+def test_uppercase_unclosed_and_attr_gt():
+    t, x, nb, nd = extract_html(
+        '<P>Hello <B>world</B><p>second<DIV data-x="a>b">third'
+    )
+    assert t is None
+    assert x == "Hello world\nsecond\nthird"
+    assert (nb, nd) == (3, 0)
+
+
+def test_entities_decode_and_whitespace_collapses():
+    _, x, nb, _ = extract_html(
+        "<p>  AT&amp;T   &lt;tag&gt;\n\t &#39;q&#39;  </p>"
+    )
+    assert x == "AT&T <tag> 'q'"
+    assert nb == 1
+
+
+def test_br_is_inline_not_a_block_boundary():
+    _, x, nb, _ = extract_html("<p>one<br>two<br/>three</p>")
+    assert x == "one two three"
+    assert nb == 1
+
+
+def test_link_density_threshold_is_exact():
+    # 2 anchor words of 4: 3*2 > 4 -> dropped
+    _, x, nb, nd = extract_html(
+        '<p><a href="a">like</a> <a href="b">share</a> subscribe now</p>'
+    )
+    assert (x, nb, nd) == ("", 0, 1)
+    # 1 anchor word of 3: 3*1 <= 3 -> kept (boundary case, not >)
+    _, x, nb, nd = extract_html('<p><a href="a">see</a> full report</p>')
+    assert (x, nb, nd) == ("see full report", 1, 0)
+    # adjacent anchors with no whitespace node still count as 2 words
+    _, x, nb, nd = extract_html(
+        '<p><a href="a">like</a><a href="b">share</a> subscribe now</p>'
+    )
+    assert (nb, nd) == (0, 1)
+
+
+def test_drop_containers_beat_density():
+    # long plain-text block, but inside <nav>: boilerplate by markup
+    _, x, nb, nd = extract_html(
+        "<nav><p>this perfectly normal long sentence lives in the "
+        "navigation chrome</p></nav><p>content</p>"
+    )
+    assert (x, nb, nd) == ("content", 1, 1)
+    # nested containers: still dropped after the inner one closes
+    _, x, nb, nd = extract_html(
+        "<footer><div><p>a b c d e</p></div><p>f g h</p></footer>"
+    )
+    assert (x, nb, nd) == ("", 0, 2)
+
+
+def test_text_after_last_block_is_flushed():
+    _, x, nb, _ = extract_html("<p>first</p>trailing tail words")
+    assert x == "first\ntrailing tail words"
+    assert nb == 2
+
+
+def test_html_extract_dataframe_face(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "<title>A</title><p>one two</p>"),
+            (2, None),
+            (3, "<nav><a href='/'>x</a></nav><p>kept text</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {r.doc_id: r for r in html_extract(df, "html").collect()}
+    assert rows[1].title == "A" and rows[1].text == "one two"
+    assert rows[2].title is None and rows[2].text is None
+    assert rows[2].n_blocks == 0 and rows[2].n_dropped == 0
+    assert rows[3].text == "kept text" and rows[3].n_dropped == 1
+    # passthrough column survives with its type
+    assert set(rows) == {1, 2, 3}
+
+
+def test_classifier_plan_is_one_narrow_projection(spark):
+    """No shuffle, no Python: the classifier must stay a codegen'd
+    projection over the scan (the 100 TB contract of the operator)."""
+    from qb_data_pipeline_backfill_spark.operators.text import (
+        classifier_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "")], "doc_id long, text string"
+    )
+    out = classifier_scores(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan  # JVM-side only
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[2].n_feats == 0 and rows[2].score_micro == 0  # bias=0
+    assert rows[2].prob_micro == 500_000 and rows[2].label is False
+    assert rows[1].n_feats == 5  # 3 unigrams + 2 bigrams
+    # hard sigmoid is the exact integer form
+    s = rows[1].score_micro
+    expected = min(1_000_000, max(0, 500_000 + int(s / 4 if s >= 0 else -(-s // 4))))
+    assert rows[1].prob_micro == expected
