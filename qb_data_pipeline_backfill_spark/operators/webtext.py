@@ -46,7 +46,8 @@ from html.parser import HTMLParser
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Block-level elements: entering OR leaving one ends the current text
@@ -229,3 +230,121 @@ def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# URL curation: canonicalization, host blocklists, URL-level dedup
+# --------------------------------------------------------------------------
+# The step BEFORE fetch/extract in a web pipeline (C4, RefinedWeb
+# §3.1 "URL filtering"): canonicalize every URL, drop blocklisted
+# hosts, dedup exact canonical URLs. All pure codegen expressions —
+# at 100 TB this must ride the scan, not a UDF.
+#
+# Canonicalization = RFC 3986 §6.2 safe normalizations + tracking-
+# param removal: lowercase scheme and authority (path/query stay
+# case-significant per the RFC), drop the fragment, drop default
+# ports (:80 http / :443 https), drop tracking query parameters
+# (utm_*, fbclid, gclid, msclkid, ref). Path and parameter ORDER are
+# preserved — reordering is not semantics-preserving in general.
+
+_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of an absolute URL (see block comment above).
+    NULL-safe; a string with no ``scheme://`` authority is returned
+    with only fragment/tracking cleanup (best effort, never NULL)."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment never reaches a server
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    tail = F.substr(u, F.length(head) + 1)
+    head = F.lower(head)  # scheme + userinfo/host/port only
+    head = F.regexp_replace(head, r"^(https://[^/:?#]+):443$", r"$1")
+    head = F.regexp_replace(head, r"^(http://[^/:?#]+):80$", r"$1")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    qs = F.regexp_extract(tail, r"^[^?]*\?(.*)$", 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    q2 = F.array_join(kept, "&")
+    base = F.concat(head, path)
+    return F.when(q2 == "", base).otherwise(
+        F.concat(base, F.lit("?"), q2)
+    )
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of an absolute URL (userinfo and port
+    stripped); NULL when the string has no authority."""
+    u = F.col(col) if isinstance(col, str) else col
+    h = F.lower(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
+        )
+    )
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All registrable-suffix candidates of a host, most-specific
+    first: ``www.a.example.com`` -> ``[www.a.example.com,
+    a.example.com, example.com, com]``. The scale trick for blocklist
+    matching: exploding these turns "host equals OR is a subdomain
+    of a blocked domain" into an EQUI-join (hash join, broadcastable)
+    instead of a broadcast nested-loop ``endswith`` join."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+    )
+
+
+def host_blocklist_flag(
+    df: DataFrame, url_col: str, blocked: DataFrame, flag_col: str = "blocked"
+) -> DataFrame:
+    """Append a boolean ``flag_col``: the URL's host equals or is a
+    subdomain of any domain in ``blocked`` (one ``domain`` string
+    column; RefinedWeb's curated-blocklist step).
+
+    Plan: explode the host's suffix chain, equi-join against the
+    (broadcast) blocklist, aggregate back per row id — no nested-loop
+    join, no per-domain scan. The blocklist side is deduped and
+    broadcast: at any realistic size (even millions of domains) it is
+    dwarfed by a 100 TB fact side."""
+    from pyspark.sql.functions import broadcast
+
+    sfx = F.explode_outer(host_suffixes(url_host(url_col))).alias("__sfx")
+    b = broadcast(
+        blocked.select(F.lower("domain").alias("__sfx")).dropDuplicates()
+    ).withColumn("__hit", F.lit(True))
+    tagged = (
+        df.withColumn("__rid", F.monotonically_increasing_id())
+        .select("*", sfx)
+        .join(b, "__sfx", "left")
+    )
+    keys = [c for c in df.columns] + ["__rid"]
+    return (
+        tagged.groupBy(*keys)
+        .agg(F.max(F.coalesce("__hit", F.lit(False))).alias(flag_col))
+        .drop("__rid")
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL-level dedup on the canonical form: one row per
+    canonical URL with the smallest-id keeper and the duplicate count
+    (smallest-id-wins is the explicit policy, same as the text dedup
+    family). One hash shuffle on the canonical string."""
+    canon = canonicalize_url(url_col).alias("url_canon")
+    return (
+        df.select(canon, F.col(id_col))
+        .groupBy("url_canon")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dupes"),
+        )
+    )

@@ -47,6 +47,9 @@ prioritize(
         "text_classifier_scores",
         "contract_incremental_minhash",
         "streaming_scd2_apply",
+        "url_canonicalize",
+        "url_blocklist_filter",
+        "url_dedup_exact",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -90,10 +93,10 @@ prioritize(
         "contract_substring_hash_parity",
         "dedup_exact_text",
         "dedup_ngram_jaccard",
-        "dedup_repeated_substrings",
-        "dedup_edit_distance",
-        "dedup_semantic_prune",
-        "dedup_embedding_cosine",
+        # dedup_{repeated_substrings,edit_distance,semantic_prune,
+        # embedding_cosine} yield their slots to the three new url_*
+        # queries + dedup_exact_text's block cap; local full sweep
+        # still covers them every round.
     ]
 )
 

@@ -1857,3 +1857,139 @@ _CLS_HASH_SQL = (
 )
 def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.classifier_scores(_docs_edge(spark, sf_dir), bias_micro=2500)
+
+
+# --------------------------------------------------------------------------
+# URL curation (the step before fetch/extract: C4 / RefinedWeb §3.1)
+# --------------------------------------------------------------------------
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL synthesis over documents (the
+    synthesize_images pattern: formula-built adversarial input, real
+    operator, formula-derived oracle): mixed-case scheme and host,
+    default and non-default ports, tracking params around the real
+    one, fragments — every mess class canonicalization must fix."""
+    did = F.col("doc_id")
+    m = (did % 50).cast("string")
+    tld = F.when(did % 2 == 0, ".com").otherwise(".org")
+    host = F.concat(F.lit("www."), F.col("source"), tld)
+    url = F.concat(
+        F.when(did % 3 == 0, "HTTPS").otherwise("http"),
+        F.lit("://"),
+        F.when(did % 5 == 0, F.upper(host)).otherwise(host),
+        F.when(
+            did % 4 == 0,
+            F.when(did % 3 == 0, ":443").otherwise(":80"),
+        ).otherwise(F.when(did % 4 == 1, ":8080").otherwise("")),
+        F.lit("/Articles/"),
+        m,
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), m, F.lit("&utm_campaign=x")),
+        ).otherwise(F.concat(F.lit("?id="), m)),
+        F.when(did % 3 == 1, "#Section2").otherwise(""),
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+# the canonical form, derived from the same columns in SQL
+_URL_CANON_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END
+    || '://www.' || source
+    || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+    || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+    || '/Articles/' || CAST(doc_id % 50 AS VARCHAR)
+    || '?id=' || CAST(doc_id % 50 AS VARCHAR)
+"""
+_URL_HOST_SQL = """
+    'www.' || source || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+"""
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    SELECT doc_id, {_URL_CANON_SQL} AS url_canon, {_URL_HOST_SQL} AS host
+    FROM documents
+    """,
+    doc="URL canonicalization (operators/webtext.py canonicalize_url — "
+    "RFC 3986 §6.2 safe normalizations + tracking-param removal, the "
+    "C4/RefinedWeb URL-filtering front end): formula-built messy URLs "
+    "(mixed-case scheme/authority, default ports :80/:443, :8080 kept, "
+    "utm_*/fragment noise) must normalize to the closed-form canonical "
+    "the oracle rebuilds from the same columns. Pure codegen "
+    "expressions — rides the scan, no UDF, no shuffle.",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        canonicalize_url,
+        url_host,
+    )
+
+    u = _messy_urls(spark, sf_dir)
+    return u.select(
+        "doc_id",
+        canonicalize_url("url").alias("url_canon"),
+        url_host("url").alias("host"),
+    )
+
+
+@register(
+    "url_blocklist_filter",
+    oracle=f"""
+    SELECT doc_id, {_URL_HOST_SQL} AS host,
+           (source = 'src3' AND doc_id % 2 = 0)
+           OR (source = 'src7' AND doc_id % 2 = 1)
+           OR (source = 'src1' AND doc_id % 2 = 1) AS blocked
+    FROM documents
+    """,
+    doc="Host-blocklist filtering (operators/webtext.py "
+    "host_blocklist_flag): a URL is blocked when its host equals or "
+    "is a SUBDOMAIN of a blocked domain — implemented by exploding "
+    "the host's label-suffix chain and hash-equi-joining the "
+    "broadcast blocklist (never endswith nested-loop; label-safe: "
+    "src11.org must NOT match blocked src1.org, which the oracle "
+    "pins via exact source equality). Blocklist fixture: src3.com, "
+    "src7.org, src1.org, spam.example.",
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        host_blocklist_flag,
+    )
+
+    u = _messy_urls(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [("src3.com",), ("src7.org",), ("src1.org",), ("spam.example",)],
+        "domain string",
+    )
+    return host_blocklist_flag(u, "url", blocked).select(
+        "doc_id",
+        F.lower(
+            F.regexp_extract(
+                "url", r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
+            )
+        ).alias("host"),
+        "blocked",
+    )
+
+
+@register(
+    "url_dedup_exact",
+    oracle=f"""
+    WITH canon AS (
+        SELECT doc_id, {_URL_CANON_SQL} AS url_canon FROM documents
+    )
+    SELECT url_canon, MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM canon GROUP BY url_canon
+    """,
+    doc="Exact URL-level dedup on the canonical form (operators/"
+    "webtext.py url_dedup — RefinedWeb's exact-URL dedup before any "
+    "content fetch): scheme/port/tracking/fragment variants of the "
+    "same resource collapse to one canonical key, smallest doc_id "
+    "wins (explicit policy, same as the text dedup family). One hash "
+    "shuffle on the canonical string.",
+)
+def url_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.webtext import url_dedup
+
+    return url_dedup(_messy_urls(spark, sf_dir), "url")

@@ -122,3 +122,98 @@ def test_classifier_plan_is_one_narrow_projection(spark):
     s = rows[1].score_micro
     expected = min(1_000_000, max(0, 500_000 + int(s / 4 if s >= 0 else -(-s // 4))))
     assert rows[1].prob_micro == expected
+
+
+# --------------------------------------------------------------------------
+# URL curation
+# --------------------------------------------------------------------------
+def test_canonicalize_url_edges(spark):
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        canonicalize_url,
+        url_host,
+    )
+
+    cases = [
+        # authority lowered, path case preserved, default port dropped
+        ("HTTP://WWW.Example.COM:80/Path/X?a=1#frag", "http://www.example.com/Path/X?a=1"),
+        # https default port
+        ("https://a.example.com:443/", "https://a.example.com/"),
+        # non-default port kept
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # tracking params stripped, order of the rest preserved
+        (
+            "http://e.com/p?utm_source=x&b=2&fbclid=abc&a=1&gclid=9",
+            "http://e.com/p?b=2&a=1",
+        ),
+        # ALL params tracking -> no '?'
+        ("http://e.com/p?utm_a=1&ref=x", "http://e.com/p"),
+        # userinfo survives canonicalization (lowered with authority)
+        ("http://User@E.com/p", "http://user@e.com/p"),
+        # no authority: best-effort cleanup only, never NULL
+        ("not a url#frag", "not a url"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.select("want", canonicalize_url("url").alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, (r.want, r.got)
+    hosts = spark.createDataFrame(
+        [("http://User:pw@WWW.E.com:8080/p",), ("nope",)], "url string"
+    ).select(url_host("url").alias("h")).collect()
+    assert hosts[0].h == "www.e.com" and hosts[1].h is None
+
+
+def test_host_suffix_chain_is_label_safe(spark):
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        host_suffixes,
+    )
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(host_suffixes(F.lit("www.a.example.com")).alias("s"))
+        .collect()[0]
+    )
+    assert row.s == ["www.a.example.com", "a.example.com", "example.com", "com"]
+
+
+def test_blocklist_flag_subdomains_not_substrings(spark):
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        host_blocklist_flag,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://spam.example/x"),        # exact host match
+            (2, "http://sub.spam.example/x"),    # subdomain -> blocked
+            (3, "http://notspam.example/x"),     # substring only -> clean
+            (4, "http://src11.org/x"),           # label-safe vs src1.org
+            (5, None),                           # NULL url -> clean
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("spam.example",), ("src1.org",)], "domain string"
+    )
+    got = {
+        r.doc_id: r.blocked
+        for r in host_blocklist_flag(df, "url", blocked).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_url_canonicalize_plan_is_narrow_jvm(spark):
+    """The canonicalization must ride the scan: no shuffle, no Python."""
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame([("http://e.com/p?a=1",)], "url string")
+    plan = (
+        df.select(canonicalize_url("url").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
