@@ -26,10 +26,11 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 
 # The driver's correctness gate covers the first 50 registry entries.
 # Round-12 rotation (VERDICT r11 #1): (a) the never-driver-graded
-# txn_scd2_as_of first, then the four queries NEW this round
+# txn_scd2_as_of first, then the eight queries NEW this round
 # (text_html_extract, text_classifier_scores,
-# contract_incremental_minhash, streaming_scd2_apply) and the two
-# whose code round 12 touched (txn_scd2_apply: watermark namespacing +
+# contract_incremental_minhash, streaming_scd2_apply, the url_*
+# family, web_corpus_pipeline) and the two whose code round 12
+# touched (txn_scd2_apply: watermark namespacing +
 # unpersist-on-raise; contract_heavy_hitters: the mergeable merge
 # level replacing localCheckpoint); then (b) the now-stalest blocks —
 # last driver grade r10: the txn fixture family, the CDC-log feeds,
@@ -50,6 +51,7 @@ prioritize(
         "url_canonicalize",
         "url_blocklist_filter",
         "url_dedup_exact",
+        "web_corpus_pipeline",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -92,7 +94,6 @@ prioritize(
         "contract_bloom_prune",
         "contract_substring_hash_parity",
         "dedup_exact_text",
-        "dedup_ngram_jaccard",
         # dedup_{repeated_substrings,edit_distance,semantic_prune,
         # embedding_cosine} yield their slots to the three new url_*
         # queries + dedup_exact_text's block cap; local full sweep

@@ -1775,6 +1775,17 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return W.html_extract(
+        docs.select("doc_id", _doc_page().alias("html")), "html"
+    )
+
+
+def _doc_page() -> F.Column:
+    """The deterministic page template wrapped around every document
+    (see text_html_extract's doc for the trap inventory); expected
+    extraction in SQL: title = 'Doc '||doc_id||' ('||lang||')',
+    text = 'Doc '||doc_id||chr(10)||'Q&A: '||text, blocks 2 kept /
+    3 dropped. Requires doc_id/lang/text columns in scope."""
     esc = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
@@ -1783,7 +1794,7 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "&gt;",
     )
     did = F.col("doc_id").cast("string")
-    page = F.concat(
+    return F.concat(
         F.lit("<html><head><title>Doc "),
         did,
         F.lit(" ("),
@@ -1800,7 +1811,6 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" subscribe now</div>"),
         F.lit("<footer>&copy; 2026 Example</footer></body></html>"),
     )
-    return W.html_extract(docs.select("doc_id", page.alias("html")), "html")
 
 
 # --------------------------------------------------------------------------
@@ -1993,3 +2003,102 @@ def url_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qb_data_pipeline_backfill_spark.operators.webtext import url_dedup
 
     return url_dedup(_messy_urls(spark, sf_dir), "url")
+
+
+@register(
+    "web_corpus_pipeline",
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id, lang, text, source, %s AS url_canon,
+               (source = 'src3' AND doc_id %% 2 = 0)
+               OR (source = 'src7' AND doc_id %% 2 = 1)
+               OR (source = 'src1' AND doc_id %% 2 = 1) AS blocked
+        FROM documents
+    ),
+    keep AS (
+        SELECT u.*, MIN(doc_id) OVER (PARTITION BY url_canon) AS keeper_id
+        FROM u
+    ),
+    ext AS (
+        SELECT doc_id, lang,
+               'Doc ' || doc_id || chr(10) || 'Q&A: ' || text AS text
+        FROM keep WHERE NOT blocked AND doc_id = keeper_id
+    ),
+    toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(regexp_replace(lower(trim(text)),
+                           '\s+', ' ', 'g'), ' '), t -> t != '') AS ts
+        FROM ext
+    ),
+    hs AS (
+        SELECT doc_id, lang, len(ts) AS n_toks,
+               list_transform(ts, t -> %s) AS h
+        FROM toks
+    ),
+    feat AS (
+        SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_tokens,
+               CAST(
+                   2500
+                   + COALESCE(list_sum(list_transform(h,
+                         x -> (x * 2654435761) %% 1997 - 998)), 0)
+                   + COALESCE(list_sum(list_transform(
+                         generate_series(1, len(h) - 1),
+                         i -> ((h[i] * 8191 + h[i+1]) %% 1000003)
+                              * 2654435761 %% 1997 - 998)), 0)
+               AS BIGINT) AS score_micro
+        FROM hs
+    )
+    SELECT doc_id, lang, n_tokens, score_micro
+    FROM feat WHERE score_micro > 0
+    """
+    % (_URL_CANON_SQL, _CLS_HASH_SQL),
+    doc="The raw-web front end COMPOSED end to end (the showpiece of "
+    "the round-12 additions): messy URL -> canonicalize -> host "
+    "blocklist (suffix equi-join) -> exact URL dedup (smallest-id "
+    "keeper over the full corpus, computed before survival filters) "
+    "-> page fetch stand-in -> boilerpipe HTML extraction (Arrow "
+    "mapInPandas) -> hashed-bigram classifier filter (codegen "
+    "projection, keep label=TRUE) -> per-doc token counts. Every "
+    "stage is closed-form, so the oracle replays the ENTIRE pipeline "
+    "in SQL and one wrong survivor, one token drifted by the "
+    "extractor, or one flipped classifier bit goes hash-red. Plan "
+    "shape at 100 TB: two small broadcast joins (blocklist, keeper "
+    "set is an aggregate of the URL column only), one narrow Python "
+    "stage (HTML parse), everything else codegen.",
+)
+def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        host_blocklist_flag,
+        html_extract,
+        url_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    urls = _messy_urls(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [("src3.com",), ("src7.org",), ("src1.org",), ("spam.example",)],
+        "domain string",
+    )
+    flags = host_blocklist_flag(urls, "url", blocked)
+    keep_ids = url_dedup(urls, "url").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    alive = (
+        docs.join(flags.select("doc_id", "blocked"), "doc_id")
+        .filter(~F.col("blocked"))
+        .join(keep_ids, "doc_id", "left_semi")
+    )
+    pages = alive.select("doc_id", "lang", _doc_page().alias("html"))
+    extracted = html_extract(pages, "html")
+    scored = X.classifier_scores(extracted, bias_micro=2500)
+    return (
+        extracted.select(
+            "doc_id",
+            "lang",
+            F.size(X.tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .join(
+            scored.filter("label").select("doc_id", "score_micro"), "doc_id"
+        )
+        .select("doc_id", "lang", "n_tokens", "score_micro")
+    )
