@@ -572,3 +572,42 @@ def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn.read_table(spark, path).select(
         "k", "val", "valid_from", "valid_to", "is_current"
     )
+
+
+@register(
+    "streaming_html_extract",
+    # Same closed-form oracle family as text_html_extract: extraction
+    # is deterministic, so batch and streaming must agree bit-for-bit.
+    # Restricted to doc_id % 10 = 0 (the streaming_media_decode
+    # convention: the streaming twin certifies composition, the batch
+    # twin carries the full-corpus load).
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id || ' (' || lang || ')' AS title,
+           'Doc ' || doc_id || chr(10) || 'Q&A: ' || text AS text,
+           CAST(2 AS INTEGER) AS n_blocks,
+           CAST(3 AS INTEGER) AS n_dropped
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    doc="Raw-web extraction under the Structured Streaming engine: the "
+    "documents FILE STREAM flows through the deterministic page "
+    "template + the boilerpipe extractor's Arrow mapInPandas pass per "
+    "micro-batch — stateless, append-mode, no watermark — and must "
+    "land bit-identical to the batch twin text_html_extract. The "
+    "continuous-ingest shape of a crawling pipeline: pages land, "
+    "extraction rides each micro-batch, downstream curation consumes "
+    "clean text with no batch/stream fork in the operator code.",
+)
+def streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.webtext import html_extract
+    from qb_data_pipeline_backfill_spark.plans.llm import _doc_page
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+        run_available_now,
+    )
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
+    pages = docs.select("doc_id", _doc_page().alias("html"))
+    return run_available_now(html_extract(pages, "html"), output_mode="append")
