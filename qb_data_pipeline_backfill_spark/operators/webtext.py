@@ -348,3 +348,60 @@ def url_dedup(
             F.count(F.lit(1)).cast("long").alias("n_dupes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# line-level quality filters (RefinedWeb §3.3 / Dolma line-wise rules)
+# --------------------------------------------------------------------------
+def line_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Line-wise cleanup of extracted text — the published line rules
+    between extraction and document-level filtering, in deterministic
+    integer form so the whole pass is SQL-replayable:
+
+    a line SURVIVES iff it has at least ``min_words`` whitespace
+    words, is not ALL-CAPS shouting (equal to its uppercase while
+    differing from its lowercase — a line with no letters is exempt),
+    and is not digit-heavy (digit count x2 > length). Survivors
+    rejoin in order under ``out_col``; ``n_lines`` / ``n_kept``
+    report the pass. NULL text stays NULL with zero counts.
+
+    Pure higher-order-function expressions (split / filter /
+    array_join) — codegen, narrow, rides the scan like
+    :func:`canonicalize_url`; at 100 TB this must never be a UDF.
+    """
+    nl = "\n"
+
+    def _words(line: Column) -> Column:
+        return F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+
+    def _keep(line: Column) -> Column:
+        digits = F.length(line) - F.length(
+            F.regexp_replace(line, "[0-9]", "")
+        )
+        shouting = (line == F.upper(line)) & (line != F.lower(line))
+        return (
+            (_words(line) >= F.lit(int(min_words)))
+            & ~shouting
+            & ~(digits * 2 > F.length(line))
+        )
+
+    lines = F.split(F.col(text_col), nl)
+    kept = F.filter(lines, _keep)
+    is_null = F.col(text_col).isNull()
+
+    def _count(arr: Column) -> Column:
+        # explicit NULL guard: under ANSI, size(NULL) is NULL, and the
+        # contract is "missing text -> zero lines", not unknown
+        return F.when(is_null, F.lit(0)).otherwise(F.size(arr)).cast("long")
+
+    return df.select(
+        "*",
+        F.array_join(kept, nl).alias(out_col),
+        _count(lines).alias("n_lines"),
+        _count(kept).alias("n_kept"),
+    )

@@ -2102,3 +2102,42 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens", "score_micro")
     )
+
+
+@register(
+    "text_line_filters",
+    oracle="""
+    SELECT doc_id, text AS text_clean,
+           CAST(4 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_kept
+    FROM documents
+    """,
+    doc="Line-level quality filtering (operators/webtext.py "
+    "line_quality_filter — the RefinedWeb §3.3 / Dolma line-wise "
+    "rules between extraction and document filtering): every document "
+    "is wrapped in three deterministic junk lines — an ALL-CAPS shout "
+    "(3 words: passes min_words, dies to the caps rule), a 2-word id "
+    "line (dies to min_words), a digit-heavy line (3 words, 9 digits "
+    "of 11 chars: dies to 2*digits>length) — and exactly the original "
+    "text line must survive, with the 4/1 line accounting pinned. "
+    "Pure codegen higher-order functions: narrow, no UDF, no shuffle "
+    "(plan-asserted in pytest).",
+)
+def text_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        line_quality_filter,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HEADER SHOUT LINE\nid "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\n12345 67 89"),
+        ).alias("t"),
+    )
+    return line_quality_filter(built, "t").select(
+        "doc_id", "text_clean", "n_lines", "n_kept"
+    )

@@ -217,3 +217,49 @@ def test_url_canonicalize_plan_is_narrow_jvm(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_line_quality_filter_rules(spark):
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        line_quality_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "good long line here\nSHOUTING AT EVERYONE NOW\nno\n"
+                "route 66 is fine\n123 456 789 0"),
+            (2, None),
+            (3, "12:30 PM — 3 of 4 lines\n\n...\na b c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in line_quality_filter(df, "text").collect()
+    }
+    # caps dropped, 'no' (1 word) dropped, digit-only dropped; a line
+    # with SOME digits ('route 66 is fine': 2 of 16 chars) survives
+    assert out[1].text_clean == "good long line here\nroute 66 is fine"
+    assert (out[1].n_lines, out[1].n_kept) == (5, 2)
+    assert out[2].text_clean is None
+    assert (out[2].n_lines, out[2].n_kept) == (0, 0)
+    # '12:30 PM — 3 of 4 lines': digits 4 of 23 -> kept; empty line and
+    # '...' have 0/1 words -> dropped; 'a b c' = 3 words, no caps -> kept
+    assert out[3].text_clean == "12:30 PM — 3 of 4 lines\na b c"
+    assert (out[3].n_lines, out[3].n_kept) == (4, 2)
+
+
+def test_line_quality_filter_plan_is_narrow_jvm(spark):
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        line_quality_filter,
+    )
+
+    df = spark.createDataFrame([(1, "a b c\nd")], "doc_id long, text string")
+    plan = (
+        line_quality_filter(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
