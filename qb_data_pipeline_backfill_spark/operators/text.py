@@ -711,6 +711,33 @@ def _feature_weight(h: Column) -> Column:
     return (h * _CLS_SCRAMBLE) % CLS_WEIGHT_SPAN - (CLS_WEIGHT_SPAN - 1) // 2
 
 
+def classifier_score_expr(
+    text_col: Column | str = "text", bias_micro: int = 0
+) -> tuple[Column, Column]:
+    """The classifier as a COLUMN pair ``(n_feats, score_micro)`` —
+    composable inside a wider projection (e.g. the raw-web pipeline
+    scores right after extraction without a self-join that would
+    re-run the upstream Python stage; review r12). See
+    :func:`classifier_scores` for the model definition."""
+    toks = tokens(text_col)
+    hs = F.transform(toks, _char_fold_hash)
+    uni = F.aggregate(
+        hs, F.lit(0).cast("long"), lambda a, h: a + _feature_weight(h)
+    )
+    n = F.size(hs)
+    bi_hs = F.zip_with(
+        F.slice(hs, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(hs, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: (a * _CLS_PAIR_MIX + b) % CLS_HASH_MOD,
+    )
+    bi = F.aggregate(
+        bi_hs, F.lit(0).cast("long"), lambda a, h: a + _feature_weight(h)
+    )
+    score = F.lit(int(bias_micro)).cast("long") + uni + bi
+    n_feats = (n + F.greatest(n - 1, F.lit(0))).cast("long")
+    return n_feats, score
+
+
 def classifier_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -736,21 +763,7 @@ def classifier_scores(
     functions; no shuffle, no UDF, no driver round-trip. An empty
     document scores exactly the bias.
     """
-    toks = tokens(text_col)
-    hs = F.transform(toks, _char_fold_hash)
-    uni = F.aggregate(
-        hs, F.lit(0).cast("long"), lambda a, h: a + _feature_weight(h)
-    )
-    n = F.size(hs)
-    bi_hs = F.zip_with(
-        F.slice(hs, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(hs, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: (a * _CLS_PAIR_MIX + b) % CLS_HASH_MOD,
-    )
-    bi = F.aggregate(
-        bi_hs, F.lit(0).cast("long"), lambda a, h: a + _feature_weight(h)
-    )
-    score = F.lit(int(bias_micro)).cast("long") + uni + bi
+    n_feats, score = classifier_score_expr(text_col, bias_micro)
     # truncate-toward-zero score/4 without engine-specific div: the %
     # remainder carries the dividend's sign on both engines, so
     # (score - score % 4) is the exact trunc multiple and the double
@@ -762,7 +775,7 @@ def classifier_scores(
     )
     return df.select(
         F.col(id_col),
-        (n + F.greatest(n - 1, F.lit(0))).cast("long").alias("n_feats"),
+        n_feats.alias("n_feats"),
         score.alias("score_micro"),
         prob.alias("prob_micro"),
         (score > 0).alias("label"),

@@ -2062,9 +2062,12 @@ def url_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage is closed-form, so the oracle replays the ENTIRE pipeline "
     "in SQL and one wrong survivor, one token drifted by the "
     "extractor, or one flipped classifier bit goes hash-red. Plan "
-    "shape at 100 TB: two small broadcast joins (blocklist, keeper "
-    "set is an aggregate of the URL column only), one narrow Python "
-    "stage (HTML parse), everything else codegen.",
+    "shape at 100 TB: one broadcast join (the blocklist), one id "
+    "equi-join against the keeper set (O(distinct URLs) — AQE picks "
+    "broadcast at bench scale, shuffle hash at corpus scale; never a "
+    "nested loop), ONE narrow Python stage (the classifier scores "
+    "inline in the post-extraction projection — a self-join here "
+    "would plan the HTML parse twice), everything else codegen.",
 )
 def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qb_data_pipeline_backfill_spark.operators.webtext import (
@@ -2090,18 +2093,17 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = alive.select("doc_id", "lang", _doc_page().alias("html"))
     extracted = html_extract(pages, "html")
-    scored = X.classifier_scores(extracted, bias_micro=2500)
-    return (
-        extracted.select(
-            "doc_id",
-            "lang",
-            F.size(X.tokens("text")).cast("long").alias("n_tokens"),
-        )
-        .join(
-            scored.filter("label").select("doc_id", "score_micro"), "doc_id"
-        )
-        .select("doc_id", "lang", "n_tokens", "score_micro")
-    )
+    # score INLINE in the post-extraction projection: joining a
+    # classifier_scores() DataFrame back onto `extracted` would plan
+    # the HTML-parse MapInPandas subtree twice (Spark does not dedup
+    # common subtrees) — caught by .explain audit, review r12
+    _, score = X.classifier_score_expr("text", bias_micro=2500)
+    return extracted.select(
+        "doc_id",
+        "lang",
+        F.size(X.tokens("text")).cast("long").alias("n_tokens"),
+        score.alias("score_micro"),
+    ).filter(F.col("score_micro") > 0)
 
 
 @register(
