@@ -308,28 +308,44 @@ def host_blocklist_flag(
     subdomain of any domain in ``blocked`` (one ``domain`` string
     column; RefinedWeb's curated-blocklist step).
 
-    Plan: explode the host's suffix chain, equi-join against the
-    (broadcast) blocklist, aggregate back per row id — no nested-loop
-    join, no per-domain scan. The blocklist side is deduped and
-    broadcast: at any realistic size (even millions of domains) it is
-    dwarfed by a 100 TB fact side."""
+    Plan, chosen for the 100 TB fact side (review r12 — the first cut
+    exploded every fact row's suffix chain and grouped the FULL rows
+    back, a corpus-wide shuffle): the match is decided per HOST, and
+    distinct hosts are orders of magnitude fewer than rows, so (1)
+    aggregate the pruned host column to its distinct set (map-side
+    partial; the rescan reads ONE parquet column), (2) explode only
+    those hosts' suffix chains into a semi-join against the broadcast
+    blocklist — the blocklist is a caller-curated dimension, bounded
+    by construction, so the hint is safe — and (3) join the resulting
+    bad-host set back on the host VALUE (deterministic key, no
+    synthetic row id). The bad-host side is data-dependent, so step 3
+    carries NO broadcast hint: AQE measures it (micro-batches and
+    typical corpora broadcast; an adversarial list degrades to a hash
+    join, never a nested loop)."""
     from pyspark.sql.functions import broadcast
 
-    sfx = F.explode_outer(host_suffixes(url_host(url_col))).alias("__sfx")
+    host = url_host(url_col)
+    hosts = (
+        df.select(host.alias("__host"))
+        .where(F.col("__host").isNotNull())
+        .distinct()
+    )
+    sfx = hosts.select(
+        "__host", F.explode(host_suffixes(F.col("__host"))).alias("__sfx")
+    )
     b = broadcast(
         blocked.select(F.lower("domain").alias("__sfx")).dropDuplicates()
-    ).withColumn("__hit", F.lit(True))
-    tagged = (
-        df.withColumn("__rid", F.monotonically_increasing_id())
-        .select("*", sfx)
-        .join(b, "__sfx", "left")
     )
-    keys = [c for c in df.columns] + ["__rid"]
-    return (
-        tagged.groupBy(*keys)
-        .agg(F.max(F.coalesce("__hit", F.lit(False))).alias(flag_col))
-        .drop("__rid")
+    bad = (
+        sfx.join(b, "__sfx", "left_semi")
+        .select("__host")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
     )
+    out = df.withColumn("__host", host).join(bad, "__host", "left")
+    return out.withColumn(
+        flag_col, F.coalesce("__hit", F.lit(False))
+    ).drop("__host", "__hit")
 
 
 def url_dedup(
