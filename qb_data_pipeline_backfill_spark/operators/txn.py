@@ -4183,6 +4183,31 @@ def apply_changes_scd2(
         changes.unpersist()
 
 
+def _checkpoint_writer_id(checkpoint_dir: str) -> str:
+    """The writer identity co-located with a streaming checkpoint: a
+    uuid minted atomically (O_CREAT|O_EXCL; racers adopt the winner's)
+    on first use and re-read on every resume. Its lifetime IS the
+    checkpoint's lifetime — deleting the checkpoint deletes the
+    identity, which is exactly what makes a same-path recreation a
+    new writer whose batch 0 must apply."""
+    marker = os.path.join(checkpoint_dir, ".writer_id")
+    try:
+        with open(marker, encoding="ascii") as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        pass
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ident = uuid.uuid4().hex[:12]
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, ident.encode("ascii"))
+        os.close(fd)
+        return ident
+    except FileExistsError:
+        with open(marker, encoding="ascii") as f:
+            return f.read().strip()
+
+
 def stream_scd2(
     source: DataFrame,
     path: str,
@@ -4203,15 +4228,20 @@ def stream_scd2(
     provable no-op. Returns the started query.
 
     The manifest watermark is namespaced by a stable writer identity —
-    ``app_id`` when given, else a digest of the (absolute) checkpoint
-    directory — because streaming batch ids restart at 0 with a fresh
-    checkpoint: an un-namespaced numeric match would silently skip the
-    first batches of a checkpoint-loss recovery as "replays" (the same
-    per-writer watermark Delta solves with ``txnAppId`` and this repo's
-    ``commit_append`` solves with ``(txn_app, txn_version)``)."""
-    ident = app_id or hashlib.sha256(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    ``app_id`` when given, else a uuid PERSISTED INSIDE the checkpoint
+    directory on first use — because streaming batch ids restart at 0
+    with a fresh checkpoint: an un-namespaced numeric match would
+    silently skip the first batches of a checkpoint-loss recovery as
+    "replays" (the same per-writer watermark Delta solves with
+    ``txnAppId`` and this repo's ``commit_append`` solves with
+    ``(txn_app, txn_version)``). The marker lives WITH the checkpoint,
+    not derived from its path (review r12): a checkpoint deleted and
+    recreated at the SAME path is a new writer — its marker died with
+    the old checkpoint, so it mints a new identity and its batch 0
+    applies — while a resumed checkpoint re-reads the same uuid and
+    stays exactly-once. Callers supplying ``app_id`` own that
+    lifecycle themselves (reset batch ids => supply a new app_id)."""
+    ident = app_id or _checkpoint_writer_id(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_changes_scd2(

@@ -13,7 +13,9 @@ deterministic core:
 - the page is segmented into BLOCKS at block-level element boundaries
   (``p``/``div``/``h*``/``li``/...);
 - a block inside a semantic boilerplate container (``nav``/``footer``/
-  ``aside``/``header``) is boilerplate by markup;
+  ``aside``/``header``) is boilerplate when it also LOOKS like chrome
+  (under 10 words, or link-dense) — container-only dropping would let
+  one unclosed ``<nav>`` silently swallow the rest of the page;
 - otherwise a block whose LINK DENSITY exceeds 1/3 (anchor-text words
   x3 > total words — boilerpipe's classic threshold, kept in exact
   integer form so the classification is replayable in SQL) is
@@ -71,6 +73,11 @@ _DROP_CONTAINERS = frozenset("nav footer aside header".split())
 # Elements the HTML spec defines as void (never closed): only the ones
 # that matter to text flow are handled specially.
 _VOID_BREAKS = frozenset(("br", "hr"))
+# A block inside a drop container is boilerplate only when it also
+# LOOKS like chrome: fewer words than this, or link-dense. Bounds the
+# damage of the common unclosed-<nav>/<header> malformation to the
+# chrome itself instead of the whole remaining page.
+_CONTAINER_PROSE_WORDS = 10
 
 
 class _BoilerpipeExtractor(HTMLParser):
@@ -162,8 +169,18 @@ class _BoilerpipeExtractor(HTMLParser):
         kept: list[str] = []
         dropped = 0
         for text, n_words, n_anchor, in_container in self._blocks:
-            # integer form of link_density > 1/3 — exact, SQL-replayable
-            if in_container or 3 * n_anchor > n_words:
+            # integer forms — exact, SQL-replayable. A boilerplate
+            # container drops only blocks that LOOK like chrome (short
+            # or link-dense): real-web pages routinely leave <nav>/
+            # <header> unclosed, and an unconditional container drop
+            # would then silently zero the whole remaining document
+            # (review r12) — long prose survives wherever the markup
+            # says it sits, which is also the density-first spirit of
+            # the boilerpipe heuristics.
+            chrome_like = (
+                n_words < _CONTAINER_PROSE_WORDS or 3 * n_anchor > n_words
+            )
+            if (in_container and chrome_like) or 3 * n_anchor > n_words:
                 dropped += 1
             else:
                 kept.append(text)
@@ -194,8 +211,21 @@ def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
     One narrow Arrow-batched ``mapInPandas`` stage — no shuffle, no
     driver involvement; NULL html yields NULL title/text and zero
     counts (missingness, not an empty page).
+
+    Carried columns may not be named ``title``/``text``/``n_blocks``/
+    ``n_dropped`` — the appended outputs would silently shadow them in
+    pandas and then crash the Arrow schema check mid-job (review r12);
+    rename before extracting (raw-web tables often carry a prior
+    ``text``).
     """
     carry = [f for f in df.schema.fields if f.name != html_col]
+    reserved = {"title", "text", "n_blocks", "n_dropped"}
+    clash = sorted(reserved & {f.name for f in carry})
+    if clash:
+        raise ValueError(
+            f"input columns collide with html_extract outputs: {clash} — "
+            "rename them before extraction"
+        )
     out_schema = T.StructType(
         [
             *carry,
@@ -247,20 +277,38 @@ def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
 # (utm_*, fbclid, gclid, msclkid, ref). Path and parameter ORDER are
 # preserved — reordering is not semantics-preserving in general.
 
-_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+# Case-insensitive (crawls carry UTM_SOURCE=...), and matched with or
+# without a value (bare ?fbclid occurs) — but only as the WHOLE name:
+# `reference=5` must not match `ref`.
+_TRACKING_PARAM_RE = r"^(?i:utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)"
 
 
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical form of an absolute URL (see block comment above).
     NULL-safe; a string with no ``scheme://`` authority is returned
-    with only fragment/tracking cleanup (best effort, never NULL)."""
+    with only fragment/tracking cleanup (best effort, never NULL).
+    Userinfo keeps its case — RFC 3986 §6.2.2.1 makes only the scheme
+    and host case-insensitive (review r12)."""
     u = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(u, r"#.*$", "")  # fragment never reaches a server
     head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
     tail = F.substr(u, F.length(head) + 1)
-    head = F.lower(head)  # scheme + userinfo/host/port only
-    head = F.regexp_replace(head, r"^(https://[^/:?#]+):443$", r"$1")
-    head = F.regexp_replace(head, r"^(http://[^/:?#]+):80$", r"$1")
+    # lowercase scheme and host:port, preserve userinfo verbatim (the
+    # host cannot contain '@', so the LAST '@' in the authority ends
+    # the userinfo)
+    scheme = F.lower(F.regexp_extract(head, r"^([^:]+)://", 1))
+    auth = F.regexp_extract(head, r"^[^:]+://(.*)$", 1)
+    user = F.regexp_extract(auth, r"^(.*@)", 1)  # greedy: up to last @
+    hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    head = F.when(
+        head == "", head
+    ).otherwise(F.concat(scheme, F.lit("://"), user, hostport))
+    head = F.regexp_replace(
+        head, r"^(https://(?:[^/?#]*@)?[^/:?#]+):443$", r"$1"
+    )
+    head = F.regexp_replace(
+        head, r"^(http://(?:[^/?#]*@)?[^/:?#]+):80$", r"$1"
+    )
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
     qs = F.regexp_extract(tail, r"^[^?]*\?(.*)$", 1)
     kept = F.filter(
@@ -393,7 +441,9 @@ def line_quality_filter(
     nl = "\n"
 
     def _words(line: Column) -> Column:
-        return F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+        # WHITESPACE words, as documented — a tab-separated line must
+        # count every column, not one word per space run (review r12)
+        return F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
 
     def _keep(line: Column) -> Column:
         digits = F.length(line) - F.length(

@@ -1964,6 +1964,7 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qb_data_pipeline_backfill_spark.operators.webtext import (
         host_blocklist_flag,
+        url_host,
     )
 
     u = _messy_urls(spark, sf_dir)
@@ -1971,14 +1972,11 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("src3.com",), ("src7.org",), ("src1.org",), ("spam.example",)],
         "domain string",
     )
+    # the gate reports the host through the SAME helper the operator
+    # uses — an inline regex copy would de-synchronize from any future
+    # host-parsing fix (review r12)
     return host_blocklist_flag(u, "url", blocked).select(
-        "doc_id",
-        F.lower(
-            F.regexp_extract(
-                "url", r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
-            )
-        ).alias("host"),
-        "blocked",
+        "doc_id", url_host("url").alias("host"), "blocked"
     )
 
 

@@ -3744,6 +3744,25 @@ def test_stream_scd2_fresh_checkpoint_is_not_a_replay(spark, tmp_path):
     assert txn.current_version(path) > head
     cur = {r.k: r.val for r in txn.scd2_current(spark, path).collect()}
     assert cur == {1: 11}  # the colliding batch APPLIED
+    # SAME-PATH recreation: the writer identity lives IN the
+    # checkpoint (a .writer_id marker), so deleting ck2 and reusing
+    # its exact path is a NEW writer — its batch 0 must also apply
+    # (a path-derived identity would silently skip it; review r12)
+    import shutil as _sh
+
+    _sh.rmtree(str(tmp_path / "ck2"))
+    spark.createDataFrame([(1, 3, "u", 12)], schema).write.parquet(
+        src + "/f3.parquet"
+    )
+    head2 = txn.current_version(path)
+    run("ck2", "f3.parquet")
+    assert txn.current_version(path) > head2
+    cur = {r.k: r.val for r in txn.scd2_current(spark, path).collect()}
+    assert cur == {1: 12}
+    # and a RESUMED checkpoint still replays nothing
+    head3 = txn.current_version(path)
+    run("ck2", "f3.parquet")
+    assert txn.current_version(path) == head3
 
 
 def test_apply_changes_scd2_unpersists_on_raise(spark, tmp_path):

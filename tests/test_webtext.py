@@ -61,18 +61,38 @@ def test_link_density_threshold_is_exact():
     assert (nb, nd) == (0, 1)
 
 
-def test_drop_containers_beat_density():
-    # long plain-text block, but inside <nav>: boilerplate by markup
+def test_drop_containers_take_chrome_not_prose():
+    # short/linky blocks inside <nav>: boilerplate by markup
     _, x, nb, nd = extract_html(
-        "<nav><p>this perfectly normal long sentence lives in the "
-        "navigation chrome</p></nav><p>content</p>"
+        '<nav><a href="/">Home</a> docs</nav><p>content</p>'
     )
     assert (x, nb, nd) == ("content", 1, 1)
-    # nested containers: still dropped after the inner one closes
+    # nested containers: short blocks dropped after the inner closes
     _, x, nb, nd = extract_html(
         "<footer><div><p>a b c d e</p></div><p>f g h</p></footer>"
     )
     assert (x, nb, nd) == ("", 0, 2)
+    # >= 10 words of plain prose survives even inside a container —
+    # the bounded-damage rule (an unconditional container drop would
+    # let one unclosed <nav> swallow the page)
+    _, x, nb, nd = extract_html(
+        "<nav><p>this perfectly normal long sentence lives in the "
+        "navigation chrome today</p></nav><p>content</p>"
+    )
+    assert nb == 2 and nd == 0 and x.endswith("\ncontent")
+
+
+def test_unclosed_container_does_not_swallow_the_page():
+    # the common real-web malformation: <header> never closed. The
+    # page's real paragraphs must survive; only the chrome-like
+    # heading is dropped.
+    t, x, nb, nd = extract_html(
+        "<header><h1>Site</h1><p>real content paragraph with many "
+        "plain words standing right here</p><p>and a second real "
+        "paragraph with plenty of words in it</p>"
+    )
+    assert nb == 2 and nd == 1
+    assert x.startswith("real content") and "second real paragraph" in x
 
 
 def test_text_after_last_block_is_flushed():
@@ -147,8 +167,14 @@ def test_canonicalize_url_edges(spark):
         ),
         # ALL params tracking -> no '?'
         ("http://e.com/p?utm_a=1&ref=x", "http://e.com/p"),
-        # userinfo survives canonicalization (lowered with authority)
-        ("http://User@E.com/p", "http://user@e.com/p"),
+        # tracking params match case-insensitively and value-less...
+        ("http://e.com/p?UTM_SOURCE=feed&a=1&fbclid", "http://e.com/p?a=1"),
+        # ...but only as the whole name: reference= is not ref=
+        ("http://e.com/p?reference=5", "http://e.com/p?reference=5"),
+        # userinfo keeps its CASE (RFC 3986: only scheme/host are
+        # case-insensitive); host still lowers, default port drops
+        ("http://User@E.com/p", "http://User@e.com/p"),
+        ("https://U:Pw@E.com:443/x", "https://U:Pw@e.com/x"),
         # no authority: best-effort cleanup only, never NULL
         ("not a url#frag", "not a url"),
     ]
@@ -263,3 +289,30 @@ def test_line_quality_filter_plan_is_narrow_jvm(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_html_extract_rejects_output_column_collisions(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, "prior text", "<p>x</p>")], "doc_id long, text string, html string"
+    )
+    with _pt.raises(ValueError, match="collide"):
+        from qb_data_pipeline_backfill_spark.operators.webtext import (
+            html_extract,
+        )
+
+        html_extract(df, "html")
+
+
+def test_line_filter_counts_whitespace_words(spark):
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        line_quality_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "foo\tbar baz")], "doc_id long, text string"
+    )
+    row = line_quality_filter(df, "text").collect()[0]
+    # 3 whitespace-delimited words: survives min_words=3
+    assert row.n_kept == 1 and row.text_clean == "foo\tbar baz"
