@@ -780,3 +780,64 @@ def classifier_scores(
         prob.alias("prob_micro"),
         (score > 0).alias("label"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (the CCNet/C4 text-normalization step)
+# --------------------------------------------------------------------------
+# Web text arrives in mixed normalization forms: 'café' as U+00E9 or
+# as 'e' + U+0301 are byte-different, hash-different, dedup-different
+# strings for the same rendered text. CCNet (Wenzek et al. 2019)
+# normalizes before hashing for exactly this reason. Two passes:
+#
+# - nfc_text: Unicode NFC (canonical composition) — the lossless
+#   canonical form every hash/dedup/fingerprint key should see;
+# - fold_accents_text: NFD -> drop combining marks (category Mn) ->
+#   NFC — CCNet's lowercase-and-strip-accents shape for dedup keys
+#   (lossy by design; pair with lower() at the call site).
+#
+# Spark has no built-in normalizer, so both run as Arrow-batched
+# pandas_udfs over Python's unicodedata (the same UAX#15 tables
+# DuckDB's utf8proc implements — gate-verified equal engine-pair).
+# This is an edge-of-plan stage like the media codecs: normalize once
+# at ingest, persist, and every downstream key operator stays codegen.
+
+
+def nfc_text(col: Column | str) -> Column:
+    """Unicode NFC normalization of a string column (NULL-safe)."""
+    import unicodedata  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
+def fold_accents_text(col: Column | str) -> Column:
+    """Accent folding: NFD, drop combining marks, recompose (NFC).
+    'Élan déjà' -> 'Elan deja'; non-Latin scripts pass through
+    (combining marks are dropped in ANY script — the CCNet dedup-key
+    convention, lossy by design). NULL-safe."""
+    import unicodedata  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            d = unicodedata.normalize("NFD", t)
+            return unicodedata.normalize(
+                "NFC",
+                "".join(c for c in d if unicodedata.category(c) != "Mn"),
+            )
+
+        return s.map(one)
+
+    return _fold(F.col(col) if isinstance(col, str) else col)

@@ -26,11 +26,11 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 
 # The driver's correctness gate covers the first 50 registry entries.
 # Round-12 rotation (VERDICT r11 #1): (a) the never-driver-graded
-# txn_scd2_as_of first, then the ten queries NEW this round
+# txn_scd2_as_of first, then the twelve queries NEW this round
 # (text_html_extract, text_classifier_scores,
 # contract_incremental_minhash, streaming_scd2_apply, the url_*
 # family, web_corpus_pipeline, streaming_html_extract,
-# text_line_filters) and the two whose code round 12
+# text_line_filters, text_nfc_normalize, text_accent_fold) and the two whose code round 12
 # touched (txn_scd2_apply: watermark namespacing +
 # unpersist-on-raise; contract_heavy_hitters: the mergeable merge
 # level replacing localCheckpoint); then (b) the now-stalest blocks —
@@ -55,6 +55,8 @@ prioritize(
         "web_corpus_pipeline",
         "streaming_html_extract",
         "text_line_filters",
+        "text_nfc_normalize",
+        "text_accent_fold",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -93,9 +95,8 @@ prioritize(
         "contract_ann_lsh_recall",
         "contract_ann_ivf_recall",
         "contract_ivfpq_adc",
-        "contract_approx_median",
-        "contract_bloom_prune",
-        # contract_substring_hash_parity + dedup_{exact_text,
+        # contract_{approx_median,bloom_prune,substring_hash_parity}
+        # + dedup_{exact_text,
         # ngram_jaccard,repeated_substrings,edit_distance,
         # semantic_prune,embedding_cosine} yield their slots to the
         # ten new r12 queries; the local full sweep still covers

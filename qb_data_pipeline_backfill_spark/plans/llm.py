@@ -2141,3 +2141,70 @@ def text_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_quality_filter(built, "t").select(
         "doc_id", "text_clean", "n_lines", "n_kept"
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization gates (CCNet normalization step)
+# --------------------------------------------------------------------------
+# Adversarial suffix appended to every document in BOTH engines:
+# decomposed e+U+0301 (composes to é), U+2126 OHM SIGN (canonical
+# singleton -> U+03A9 Ω), decomposed A+U+030A (-> Å). The corpus side
+# brings precomposed accents (fr edge doc) and CJK (zh edge doc).
+_NFC_SUFFIX_SPARK = " cafe\u0301 \u2126 A\u030a"  # decomposed, by escape
+_NFC_SUFFIX_SQL = "' cafe' || chr(769) || ' ' || chr(8486) || ' A' || chr(778)"
+_NFC_BUILT_SQL = (
+    "SELECT doc_id, text || " + _NFC_SUFFIX_SQL + " AS t FROM (%s)"
+) % _DOCS_EDGE_SRC
+
+
+@register(
+    "text_nfc_normalize",
+    oracle=f"""
+    WITH built AS ({_NFC_BUILT_SQL})
+    SELECT doc_id, nfc_normalize(t) AS text_nfc,
+           CAST(length(t) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc
+    FROM built
+    """,
+    doc="Unicode NFC normalization (operators/text.py nfc_text — the "
+    "CCNet step that makes byte-different spellings of the same "
+    "rendered text hash-equal before any dedup/fingerprint key): "
+    "every document gets a decomposed suffix (e+combining acute, OHM "
+    "SIGN, A+combining ring) and the Arrow pandas_udf's output must "
+    "match DuckDB's utf8proc nfc_normalize exactly, codepoint counts "
+    "included (the length drop proves composition actually happened). "
+    "Same UAX#15 tables on both engines — any normalizer drift goes "
+    "hash-red.",
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    built = F.concat(F.col("text"), F.lit(_NFC_SUFFIX_SPARK))
+    nfc = X.nfc_text(built)
+    return _docs_edge(spark, sf_dir).select(
+        "doc_id",
+        nfc.alias("text_nfc"),
+        F.length(built).cast("long").alias("len_raw"),
+        F.length(nfc).cast("long").alias("len_nfc"),
+    )
+
+
+@register(
+    "text_accent_fold",
+    oracle=f"""
+    WITH built AS ({_NFC_BUILT_SQL})
+    SELECT doc_id, strip_accents(nfc_normalize(t)) AS folded
+    FROM built
+    """,
+    doc="Accent folding for dedup keys (operators/text.py "
+    "fold_accents_text — CCNet's strip-accents convention: NFD, drop "
+    "combining marks, recompose): 'Élan déjà' folds to 'Elan deja', "
+    "canonical singletons (OHM->Omega) survive, CJK passes through. "
+    "Engine pair: Python unicodedata NFD/Mn/NFC vs DuckDB "
+    "strip_accents(nfc_normalize(...)) — verified equal on the "
+    "accent, singleton, CJK, and punctuation classes this corpus + "
+    "suffix exercises.",
+)
+def text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    built = F.concat(F.col("text"), F.lit(_NFC_SUFFIX_SPARK))
+    return _docs_edge(spark, sf_dir).select(
+        "doc_id", X.fold_accents_text(built).alias("folded")
+    )

@@ -316,3 +316,33 @@ def test_line_filter_counts_whitespace_words(spark):
     row = line_quality_filter(df, "text").collect()[0]
     # 3 whitespace-delimited words: survives min_words=3
     assert row.n_kept == 1 and row.text_clean == "foo\tbar baz"
+
+
+def test_unicode_normalization_ops(spark):
+    from qb_data_pipeline_backfill_spark.operators.text import (
+        fold_accents_text,
+        nfc_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "café Ω Å"),  # decomposed + singleton
+            (2, "Élan déjà"),                   # precomposed
+            (3, "中文 ok"),                      # CJK passthrough
+            (4, None),
+        ],
+        "doc_id long, t string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            nfc_text("t").alias("nfc"),
+            fold_accents_text("t").alias("fold"),
+        ).collect()
+    }
+    assert rows[1].nfc == "café Ω Å"  # composed forms
+    assert rows[1].fold == "cafe Ω A"
+    assert rows[2].nfc == "Élan déjà" and rows[2].fold == "Elan deja"
+    assert rows[3].nfc == "中文 ok" and rows[3].fold == "中文 ok"
+    assert rows[4].nfc is None and rows[4].fold is None
