@@ -272,3 +272,64 @@ def test_count_where_matches_naive_filter(
     want_k = sum(1 for k, _ in surviving if lo <= k <= hi)
     assert txn.count_where(spark, path, lo, hi, col="v") == want_v
     assert txn.count_where(spark, path, lo, hi) == want_k
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization: idempotence + totality (round 12)
+# --------------------------------------------------------------------------
+_URL_PIECES = st.text(
+    alphabet="abXY19.:/?&=#@_-%~", min_size=0, max_size=24
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS", ""]),
+    host=st.sampled_from(
+        ["E.com", "www.Ex.org:8080", "a.b.C.net:443", "x.io:80", ""]
+    ),
+    rest=_URL_PIECES,
+)
+def test_canonicalize_url_is_idempotent_and_total(spark, scheme, host, rest):
+    """canon(canon(u)) == canon(u) for arbitrary URL-ish strings, and
+    canon never returns NULL for non-NULL input — the two properties a
+    dedup key function must have (a non-idempotent canonicalizer
+    splits re-processed corpora into distinct keys)."""
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        canonicalize_url,
+    )
+
+    u = (f"{scheme}://{host}" if scheme and host else "") + rest
+    df = spark.createDataFrame([(u,)], "url string")
+    once = df.select(canonicalize_url("url").alias("c"))
+    twice = once.select(F.col("c"), canonicalize_url("c").alias("cc"))
+    row = twice.collect()[0]
+    assert row.cc == row.c, (u, row.c, row.cc)
+    assert row.c is not None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcé19 ", min_size=0, max_size=12), max_size=6
+    )
+)
+def test_nfc_is_idempotent_and_fold_is_nfc_stable(spark, words):
+    """NFC(NFC(x)) == NFC(x), and accent folding's output is already
+    NFC (folding then normalizing changes nothing) — so running a
+    corpus through ingest normalization twice is a no-op."""
+    from qb_data_pipeline_backfill_spark.operators.text import (
+        fold_accents_text,
+        nfc_text,
+    )
+
+    t = " ".join(words) + " café Ω"
+    df = spark.createDataFrame([(t,)], "t string")
+    row = df.select(
+        nfc_text("t").alias("n1"),
+        nfc_text(nfc_text("t")).alias("n2"),
+        fold_accents_text("t").alias("f1"),
+        nfc_text(fold_accents_text("t")).alias("f2"),
+    ).collect()[0]
+    assert row.n1 == row.n2
+    assert row.f1 == row.f2
