@@ -26,7 +26,7 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 
 # The driver's correctness gate covers the first 50 registry entries.
 # Round-12 rotation (VERDICT r11 #1): (a) the never-driver-graded
-# txn_scd2_as_of first, then the twelve queries NEW this round
+# txn_scd2_as_of first, then the thirteen queries NEW this round
 # (text_html_extract, text_classifier_scores,
 # contract_incremental_minhash, streaming_scd2_apply, the url_*
 # family, web_corpus_pipeline, streaming_html_extract,
@@ -57,6 +57,7 @@ prioritize(
         "text_line_filters",
         "text_nfc_normalize",
         "text_accent_fold",
+        "streaming_classifier_scores",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -94,8 +95,8 @@ prioritize(
         "contract_embedding_lsh_recall",
         "contract_ann_lsh_recall",
         "contract_ann_ivf_recall",
-        "contract_ivfpq_adc",
-        # contract_{approx_median,bloom_prune,substring_hash_parity}
+        # contract_{approx_median,bloom_prune,substring_hash_parity,
+        # ivfpq_adc}
         # + dedup_{exact_text,
         # ngram_jaccard,repeated_substrings,edit_distance,
         # semantic_prune,embedding_cosine} yield their slots to the

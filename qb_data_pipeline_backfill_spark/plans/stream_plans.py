@@ -611,3 +611,73 @@ def streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select("doc_id", _doc_page().alias("html"))
     return run_available_now(html_extract(pages, "html"), output_mode="append")
+
+
+_CLS_STREAM_TOKS = """
+    SELECT doc_id,
+           list_filter(string_split(regexp_replace(lower(trim(text)),
+                       '\\s+', ' ', 'g'), ' '), t -> t != '') AS ts
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "streaming_classifier_scores",
+    # same closed-form model replay as text_classifier_scores,
+    # restricted to the streaming twin's doc_id % 10 = 0 subset
+    oracle="""
+    WITH toks AS (%s),
+    hs AS (
+        SELECT doc_id,
+               list_transform(ts, t ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(t,''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                       (acc,x) -> (acc*31+x) %% 1000003)) AS h
+        FROM toks
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(h) + greatest(len(h) - 1, 0) AS BIGINT) AS n_feats,
+               CAST(
+                   2500
+                   + COALESCE(list_sum(list_transform(h,
+                         x -> (x * 2654435761) %% 1997 - 998)), 0)
+                   + COALESCE(list_sum(list_transform(
+                         generate_series(1, len(h) - 1),
+                         i -> ((h[i] * 8191 + h[i+1]) %% 1000003)
+                              * 2654435761 %% 1997 - 998)), 0)
+               AS BIGINT) AS score_micro
+        FROM hs
+    )
+    SELECT doc_id, n_feats, score_micro, score_micro > 0 AS label
+    FROM feat
+    """
+    % _CLS_STREAM_TOKS,
+    doc="The hashed-bigram quality classifier under the Structured "
+    "Streaming engine: the documents file stream scores per "
+    "micro-batch through the SAME codegen column expressions as the "
+    "batch twin (classifier_score_expr — stateless, append-mode, no "
+    "watermark, no UDF even under streaming) and must land "
+    "bit-identical to the closed-form SQL replay. Completes the "
+    "continuous-ingest story: extract (streaming_html_extract) then "
+    "score, with no batch/stream fork anywhere in the operator code.",
+)
+def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import text as X
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+        run_available_now,
+    )
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
+    n_feats, score = X.classifier_score_expr("text", bias_micro=2500)
+    out = docs.select(
+        "doc_id",
+        n_feats.alias("n_feats"),
+        score.alias("score_micro"),
+        (score > 0).alias("label"),
+    )
+    return run_available_now(out, output_mode="append")
