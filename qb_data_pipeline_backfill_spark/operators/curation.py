@@ -201,3 +201,184 @@ def percentile_band_filter(
 def doc_token_count(text_col: str = "text") -> Column:
     """BPE-ish token count column (shared with text.token_stats)."""
     return bpe_ish_token_count(text_col).cast("long")
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# --------------------------------------------------------------------------
+# The published successor to classifier-based quality filtering
+# ("Data Selection for Language Models via Importance Resampling",
+# NeurIPS 2023): estimate two bag-of-hashed-n-grams models — p̂ from a
+# small TARGET corpus (the distribution you want more of) and q̂ from
+# the RAW pool — and weight every raw document by its log importance
+# ratio  log w(x) = Σ_f count_x(f) · (ln p̂[f] − ln q̂[f]),  then keep
+# the top-k (the paper resamples with Gumbel noise; deterministic
+# top-k is its temperature→0 limit, and adding a hash-derived Gumbel
+# term is a one-line change orthogonal to the plan shape).
+#
+# Unlike the fastText-shape classifier (operators/text.py), whose
+# weights are pinned, DSIR's model IS estimated from the data — so the
+# plan has two corpus passes by construction:
+#
+#   fit:    explode n-gram buckets → ONE map-side-combined aggregate
+#           on a ``n_buckets``-cardinality key (metadata-sized result
+#           regardless of corpus size; target counts ride the same
+#           pass as a conditional sum — the target corpus is a flagged
+#           slice, never a second scan);
+#   λ:      the per-bucket log-ratio table — ``n_buckets`` rows, the
+#           MODEL ARTIFACT. It comes to the driver exactly like the
+#           BPE merge table does (bounded at n_buckets, never grows
+#           with data) and is re-shipped as a literal array, so
+#   score:  one narrow codegen projection (tokens → hashes → bucket
+#           ids → element_at fold-sum) — no shuffle, no UDF, no join;
+#   select: TakeOrderedAndProject top-k — per-partition heads, k·P
+#           rows to the driver, never a global sort.
+#
+# All weight arithmetic is exact BIGINT micro-units: the one
+# transcendental per bucket (ln of a single exactly-computed integer
+# ratio) is quantized to integers at the λ table — per-document sums
+# are order-free integer additions, the drift_psi determinism recipe.
+# Laplace(+1) smoothing keeps every bucket finite; a bucket never seen
+# in either corpus gets lr = ln((raw_tot+B)/(tgt_tot+B)) — the prior
+# odds — and a document of unseen grams scores the prior, not zero.
+
+from qb_data_pipeline_backfill_spark.operators.text import (  # noqa: E402
+    CLS_HASH_MOD,
+    _char_fold_hash,
+    _CLS_PAIR_MIX,
+)
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_bucket_features(
+    text_col: Column | str = "text", n_buckets: int = DSIR_BUCKETS
+) -> Column:
+    """Hashed unigram+bigram bucket ids of the whitespace tokens, as
+    one ``array<bigint>`` — the paper's hashed n-gram featurization,
+    sharing the engine-pair-verified char-fold hash and bigram mix of
+    the quality classifier so both models see identical features."""
+    toks = tokens(text_col)
+    hs = F.transform(toks, _char_fold_hash)
+    n = F.size(hs)
+    uni = F.transform(hs, lambda h: h % n_buckets)
+    bi = F.zip_with(
+        F.slice(hs, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(hs, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: ((a * _CLS_PAIR_MIX + b) % CLS_HASH_MOD) % n_buckets,
+    )
+    return F.concat(uni, bi)
+
+
+def dsir_fit(
+    df: DataFrame,
+    target: Column,
+    *,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Estimate the λ table: ``(bucket, raw_n, tgt_n, lr_micro)`` over
+    all ``n_buckets`` buckets (a dense spine — scoring may look up any
+    bucket).
+
+    ``lr_micro = round(1e6 · ln(p̂/q̂))`` with Laplace(+1)-smoothed
+    ``p̂ = (tgt_n+1)/(tgt_tot+B)``, ``q̂ = (raw_n+1)/(raw_tot+B)``; the
+    ratio is composed as ONE division of two exactly-representable
+    integer products — ``(tgt_n+1)·(raw_tot+B) / (raw_n+1)·(tgt_tot+B)``
+    — so both engines feed ``ln`` the identical double.
+
+    One explode + one map-side-combined aggregate over the corpus;
+    everything after is ≤ ``n_buckets`` rows (spine join and totals
+    are broadcasts of metadata-sized relations).
+    """
+    spark = df.sparkSession
+    feats = df.select(
+        target.alias("_t"),
+        F.explode(dsir_bucket_features(text_col, n_buckets)).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tgt_n"),
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("raw_n"), F.lit(0)).alias("_raw_tot"),
+        F.coalesce(F.sum("tgt_n"), F.lit(0)).alias("_tgt_tot"),
+    )
+    spine = spark.range(n_buckets).withColumnRenamed("id", "bucket")
+    b = F.lit(n_buckets).cast("long")
+    raw_n = F.coalesce("raw_n", F.lit(0)).cast("long")
+    tgt_n = F.coalesce("tgt_n", F.lit(0)).cast("long")
+    num = ((tgt_n + 1) * (F.col("_raw_tot") + b)).cast("double")
+    den = ((raw_n + 1) * (F.col("_tgt_tot") + b)).cast("double")
+    return (
+        spine.join(F.broadcast(counts), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            raw_n.alias("raw_n"),
+            tgt_n.alias("tgt_n"),
+            F.round(F.log(num / den) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    lr_by_bucket: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against a fitted λ table (``lr_by_bucket``:
+    the ``n_buckets``-long list of ``lr_micro``, bucket-indexed — the
+    driver-side model artifact from :func:`dsir_fit`).
+
+    Returns ``(id_col, n_feats, logw_micro)`` as ONE narrow codegen
+    projection: bucket ids fold through ``element_at`` on the literal
+    weight array — no shuffle, no UDF, no join. An empty document
+    scores 0 with 0 features.
+    """
+    arr = F.lit([int(x) for x in lr_by_bucket])
+    bs = dsir_bucket_features(text_col, len(lr_by_bucket))
+    logw = F.aggregate(
+        bs,
+        F.lit(0).cast("long"),
+        lambda acc, bkt: acc
+        + F.element_at(arr, (bkt + 1).cast("int")).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(bs).cast("long").alias("n_feats"),
+        logw.alias("logw_micro"),
+    )
+
+
+def dsir_select_topk(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Fit on the flagged corpus, score every document, keep the top-k
+    by importance weight (ties broken by ``id_col`` — a total order, so
+    the selection is deterministic on both engines).
+
+    The λ collect is bounded at ``n_buckets`` rows whatever the corpus
+    size (the model artifact, same driver contract as the BPE merge
+    table); selection is ``TakeOrderedAndProject`` — per-partition
+    top-k heads merged on the driver, never a corpus-wide sort.
+    """
+    lam = dsir_fit(df, target, text_col=text_col, n_buckets=n_buckets)
+    rows = lam.select("bucket", "lr_micro").collect()
+    lr = [0] * n_buckets
+    for r in rows:
+        lr[r["bucket"]] = r["lr_micro"]
+    scored = dsir_log_weights(df, lr, id_col=id_col, text_col=text_col)
+    return scored.orderBy(
+        F.desc("logw_micro"), F.asc(id_col)
+    ).limit(int(k))

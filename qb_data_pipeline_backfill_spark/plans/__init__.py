@@ -58,6 +58,7 @@ prioritize(
         "text_nfc_normalize",
         "text_accent_fold",
         "streaming_classifier_scores",
+        "dsir_select_topk",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -94,7 +95,6 @@ prioritize(
         "contract_minhash_recall",
         "contract_embedding_lsh_recall",
         "contract_ann_lsh_recall",
-        "contract_ann_ivf_recall",
         # contract_{approx_median,bloom_prune,substring_hash_parity,
         # ivfpq_adc}
         # + dedup_{exact_text,

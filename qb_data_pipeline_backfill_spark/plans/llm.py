@@ -2208,3 +2208,88 @@ def text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs_edge(spark, sf_dir).select(
         "doc_id", X.fold_accents_text(built).alias("folded")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023 — importance resampling)
+# --------------------------------------------------------------------------
+_DSIR_ORACLE = f"""
+    WITH src AS ({_DOCS_EDGE_SRC}),
+    toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(regexp_replace(lower(trim(text)),
+                           '\\s+', ' ', 'g'), ' '), t -> t != '') AS ts
+        FROM src
+    ),
+    hs AS (
+        SELECT doc_id, lang, list_transform(ts, t -> {_CLS_HASH_SQL}) AS h
+        FROM toks
+    ),
+    fb AS (
+        SELECT doc_id, lang,
+               list_concat(
+                   list_transform(h, x -> x % 1024),
+                   list_transform(generate_series(1, len(h) - 1),
+                       i -> ((h[i] * 8191 + h[i+1]) % 1000003) % 1024)
+               ) AS bs
+        FROM hs
+    ),
+    feats AS (SELECT doc_id, lang, unnest(bs) AS bucket FROM fb),
+    counts AS (
+        SELECT bucket, COUNT(*) AS raw_n,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_n
+        FROM feats GROUP BY bucket
+    ),
+    tot AS (
+        SELECT COALESCE(SUM(raw_n), 0) AS raw_tot,
+               COALESCE(SUM(tgt_n), 0) AS tgt_tot
+        FROM counts
+    ),
+    lam AS (
+        SELECT g.bucket,
+               CAST(round(ln(
+                   CAST((COALESCE(c.tgt_n, 0) + 1) * (t.raw_tot + 1024)
+                        AS DOUBLE)
+                   / CAST((COALESCE(c.raw_n, 0) + 1) * (t.tgt_tot + 1024)
+                          AS DOUBLE)
+               ) * 1e6, 0) AS BIGINT) AS lr_micro
+        FROM generate_series(0, 1023) AS g(bucket)
+        LEFT JOIN counts c ON c.bucket = g.bucket
+        CROSS JOIN tot t
+    ),
+    w AS (
+        SELECT f.doc_id, COUNT(*) AS n_feats, SUM(l.lr_micro) AS logw_micro
+        FROM feats f JOIN lam l ON l.bucket = f.bucket
+        GROUP BY f.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(w.logw_micro, 0) AS BIGINT) AS logw_micro
+    FROM src s LEFT JOIN w ON w.doc_id = s.doc_id
+    ORDER BY logw_micro DESC, s.doc_id
+    LIMIT 150
+"""
+
+
+@register(
+    "dsir_select_topk",
+    oracle=_DSIR_ORACLE,
+    doc="DSIR data selection (operators/curation.py dsir_select_topk — "
+    "Xie et al. 2023, 'Data Selection for Language Models via "
+    "Importance Resampling'): hashed unigram+bigram bag features, "
+    "Laplace-smoothed target (lang='en') vs raw bucket models "
+    "ESTIMATED FROM THE CORPUS in one conditional map-side-combined "
+    "aggregate, per-bucket log-ratios quantized to BIGINT micro-units "
+    "(one ln over one exactly-computed integer ratio — the drift_psi "
+    "determinism recipe), then a narrow codegen rescore against the "
+    "literal λ array and a TakeOrderedAndProject top-150 (ties broken "
+    "by doc_id). The oracle replays the ENTIRE method in SQL — fit, "
+    "smoothing, quantization, scoring, selection — so one drifted "
+    "count or weight goes hash-red.",
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+
+    return C.dsir_select_topk(
+        _docs_edge(spark, sf_dir), F.col("lang") == "en", 150
+    )

@@ -127,3 +127,68 @@ def test_language_scores_null_text_predicts_null(spark):
     )
     got = {r["doc_id"]: r["predicted_lang"] for r in language_scores(df).collect()}
     assert got[1] == "en" and got[2] is None
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling
+# --------------------------------------------------------------------------
+def test_dsir_prefers_target_like_documents(spark):
+    # target docs share a distinctive vocabulary; raw-only docs another.
+    rows = (
+        [(i, "alpha beta gamma", "en") for i in range(4)]
+        + [(10 + i, "zork quux blorp", "de") for i in range(4)]
+        + [(20, "alpha beta gamma", "de")]  # target-LIKE but raw-labelled
+    )
+    df = _docs(spark, rows)
+    all9 = C.dsir_select_topk(df, F.col("lang") == "en", 9).collect()
+    ids = {r.doc_id for r in all9[:5]}
+    # the five target-vocabulary docs strictly outrank every zork doc
+    assert ids == {0, 1, 2, 3, 20}
+    assert min(r.logw_micro for r in all9[:5]) > max(
+        r.logw_micro for r in all9[5:]
+    )
+
+
+def test_dsir_empty_doc_scores_zero_and_ties_break_by_id(spark):
+    df = _docs(
+        spark,
+        [(3, "", "en"), (1, "   ", "de"), (2, "", "de")],
+    )
+    got = C.dsir_select_topk(df, F.col("lang") == "en", 2).collect()
+    # all weights 0 (no features anywhere) -> tie broken by doc_id asc
+    assert [(r.doc_id, r.n_feats, r.logw_micro) for r in got] == [
+        (1, 0, 0),
+        (2, 0, 0),
+    ]
+
+
+def test_dsir_unseen_bucket_gets_prior_odds(spark):
+    # one target doc, three raw docs with disjoint vocab: a bucket
+    # seen only in raw must carry a NEGATIVE log-ratio; buckets seen
+    # only in target a positive one.
+    df = _docs(
+        spark,
+        [(1, "tok", "en"), (2, "other", "de"), (3, "other", "de")],
+    )
+    lam = C.dsir_fit(df, F.col("lang") == "en", n_buckets=64)
+    rows = {r.bucket: r for r in lam.collect()}
+    assert len(rows) == 64
+    tgt_only = [r for r in rows.values() if r.tgt_n > 0 and r.raw_n == r.tgt_n]
+    raw_only = [r for r in rows.values() if r.tgt_n == 0 and r.raw_n > 0]
+    assert tgt_only and all(r.lr_micro > 0 for r in tgt_only)
+    assert raw_only and all(r.lr_micro < 0 for r in raw_only)
+    # unseen buckets score the prior odds ln((raw_tot+B)/(tgt_tot+B)),
+    # identical for every unseen bucket
+    unseen = {r.lr_micro for r in rows.values() if r.raw_n == 0}
+    assert len(unseen) == 1
+
+
+def test_dsir_scoring_stage_is_narrow_codegen(spark):
+    df = _docs(spark, [(1, "a b c", "en"), (2, "d e", "de")])
+    scored = C.dsir_log_weights(df, [0] * 64)
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
