@@ -471,3 +471,170 @@ def line_quality_filter(
         _count(lines).alias("n_lines"),
         _count(kept).alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# WARC record parsing — the container format upstream of HTML extraction
+# --------------------------------------------------------------------------
+# Web crawls ship as WARC/1.0 files (ISO 28500: CommonCrawl's format) —
+# concatenated records, each a version line, CRLF-terminated named
+# headers, a blank line, then exactly Content-Length payload octets,
+# then two CRLFs. The parser below is the strict core of that grammar:
+#
+# - record boundaries are found by ADVANCING Content-Length bytes,
+#   never by searching for the next "WARC/1.0" marker — a payload that
+#   CONTAINS a record-start line (trap pinned in the gate) must stay
+#   one payload. All offset arithmetic runs on UTF-8 octets, matching
+#   the octet semantics of Content-Length;
+# - `application/http` response payloads split once more at the first
+#   blank line into status line + HTTP headers vs body (the part the
+#   extraction pipeline wants); other record kinds (warcinfo, request,
+#   metadata) pass their payload through with a NULL http_status;
+# - malformed input (missing version line, unterminated header block,
+#   truncated payload, unparseable Content-Length) raises ValueError —
+#   the engine's fail-loudly convention; a crawl shard that parses
+#   halfway is a silent-partial extract, the reference bug this repo
+#   deliberately does not replicate.
+#
+# Execution shape: one narrow Arrow-batched ``mapInPandas`` pass, one
+# input blob -> many record rows, no shuffle, no driver involvement.
+# At 100 TB the unit of work is a WARC FILE (CommonCrawl: ~1 GB each,
+# read whole via binaryFile/wholetext so records never straddle a task
+# boundary — the same per-file guarantee real WARC readers rely on);
+# the gate's fixture assembles blob "files" from the corpus at ingest,
+# which stands in for that file layout, not for the operator.
+
+_WARC_VERSION = b"WARC/1.0\r\n"
+
+
+def parse_warc(blob: str) -> list[dict]:
+    """Parse one WARC blob into record dicts — driver-side unit and
+    the single implementation the distributed face wraps. Keys:
+    ``record_id, warc_type, target_uri, warc_date, http_status,
+    content_length, body``."""
+    b = blob.encode("utf-8")
+    n = len(b)
+    out: list[dict] = []
+    i = 0
+    while i < n:
+        while b.startswith(b"\r\n", i):  # inter-record CRLFs
+            i += 2
+        if i >= n:
+            break
+        if not b.startswith(_WARC_VERSION, i):
+            raise ValueError(f"malformed WARC: no version line at offset {i}")
+        i += len(_WARC_VERSION)
+        end = b.find(b"\r\n\r\n", i)
+        if end < 0:
+            raise ValueError("malformed WARC: unterminated header block")
+        headers: dict[str, str] = {}
+        for line in b[i:end].split(b"\r\n"):
+            name, sep, value = line.partition(b":")
+            if not sep:
+                raise ValueError(
+                    f"malformed WARC header line: {line[:80]!r}"
+                )
+            headers[name.strip().lower().decode("utf-8")] = value.strip().decode(
+                "utf-8"
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("malformed WARC: bad Content-Length") from exc
+        payload = b[end + 4 : end + 4 + clen]
+        if len(payload) != clen:
+            raise ValueError(
+                f"truncated WARC payload: want {clen}, have {len(payload)}"
+            )
+        i = end + 4 + clen
+        status: int | None = None
+        body = payload
+        if headers.get("content-type", "").startswith("application/http"):
+            hb_end = payload.find(b"\r\n\r\n")
+            line_end = payload.find(b"\r\n")
+            if hb_end < 0 or line_end < 0:
+                raise ValueError("malformed HTTP payload in WARC record")
+            parts = payload[:line_end].split(b" ")
+            if len(parts) < 2 or not parts[1].isdigit():
+                raise ValueError("malformed HTTP status line in WARC record")
+            status = int(parts[1])
+            body = payload[hb_end + 4 :]
+        out.append(
+            {
+                "record_id": headers.get("warc-record-id"),
+                "warc_type": headers.get("warc-type"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "http_status": status,
+                "content_length": clen,
+                "body": body.decode("utf-8"),
+            }
+        )
+    return out
+
+
+def warc_parse(df: DataFrame, blob_col: str = "warc") -> DataFrame:
+    """WARC blobs -> record rows (one input row fans out to its record
+    count). Every column except ``blob_col`` carries through; the seven
+    record fields are appended (NULL blob yields zero records — a
+    missing file, matching ``html_extract``'s missingness convention).
+
+    One narrow Arrow-batched ``mapInPandas`` stage; see the section
+    comment for grammar, strictness, and the 100 TB file-unit layout.
+    """
+    carry = [f for f in df.schema.fields if f.name != blob_col]
+    reserved = {
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "content_length",
+        "body",
+    }
+    clash = sorted(reserved & {f.name for f in carry})
+    if clash:
+        raise ValueError(
+            f"input columns collide with warc_parse outputs: {clash} — "
+            "rename them before parsing"
+        )
+    out_schema = T.StructType(
+        [
+            *carry,
+            T.StructField("record_id", T.StringType(), True),
+            T.StructField("warc_type", T.StringType(), True),
+            T.StructField("target_uri", T.StringType(), True),
+            T.StructField("warc_date", T.StringType(), True),
+            T.StructField("http_status", T.IntegerType(), True),
+            T.StructField("content_length", T.LongType(), True),
+            T.StructField("body", T.StringType(), True),
+        ]
+    )
+    carry_names = [f.name for f in carry]
+    rec_names = [
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "content_length",
+        "body",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[list] = []
+            for idx in range(len(pdf)):
+                blob = pdf[blob_col].iloc[idx]
+                if blob is None or (
+                    isinstance(blob, float) and pd.isna(blob)
+                ):
+                    continue
+                carried = [pdf[c].iloc[idx] for c in carry_names]
+                for rec in parse_warc(blob):
+                    rows.append(carried + [rec[k] for k in rec_names])
+            yield pd.DataFrame(
+                rows, columns=carry_names + rec_names
+            ).astype(object)
+
+    return df.mapInPandas(run, out_schema)

@@ -59,6 +59,7 @@ prioritize(
         "text_accent_fold",
         "streaming_classifier_scores",
         "dsir_select_topk",
+        "warc_record_parse",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -94,7 +95,6 @@ prioritize(
         "contract_simhash_recall",
         "contract_minhash_recall",
         "contract_embedding_lsh_recall",
-        "contract_ann_lsh_recall",
         # contract_{approx_median,bloom_prune,substring_hash_parity,
         # ivfpq_adc}
         # + dedup_{exact_text,

@@ -2293,3 +2293,144 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dsir_select_topk(
         _docs_edge(spark, sf_dir), F.col("lang") == "en", 150
     )
+
+
+# --------------------------------------------------------------------------
+# WARC container parsing (ISO 28500 — the CommonCrawl record format)
+# --------------------------------------------------------------------------
+_CRLF = "\r\n"
+
+
+def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WARC "files" built from documents (+edge) — the
+    synthesize_images pattern: formula-built container, real parser,
+    formula-derived oracle. Per document: one response record whose
+    HTTP body is the raw text, prefixed for every ``doc_id % 7 == 0``
+    with a LITERAL record-start line ("WARC/1.0" + headers + blank
+    line) — the trap a boundary-searching parser shreds and a
+    Content-Length-advancing parser must keep. Records group into
+    ~14-record blobs (doc_id mod 37, sorted) behind a warcinfo head
+    record the parser must classify, not skip-by-luck."""
+    d = _docs_edge(spark, sf_dir)
+    body = F.concat(
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.lit("WARC/1.0" + _CRLF + "WARC-Type: trap" + _CRLF + _CRLF),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    http_block = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK" + _CRLF
+            + "Content-Type: text/html; charset=utf-8" + _CRLF + _CRLF
+        ),
+        body,
+    )
+    uri = F.concat(
+        F.lit("http://www."),
+        F.col("source"),
+        F.lit(".com/articles/"),
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+    )
+    date = F.concat(
+        F.lit("2026-01-"),
+        F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z"),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: response" + _CRLF),
+        F.lit("WARC-Record-ID: <urn:doc:"),
+        F.col("doc_id").cast("string"),
+        F.lit(">" + _CRLF + "WARC-Target-URI: "),
+        uri,
+        F.lit(_CRLF + "WARC-Date: "),
+        date,
+        F.lit(
+            _CRLF + "Content-Type: application/http; msgtype=response"
+            + _CRLF + "Content-Length: "
+        ),
+        F.octet_length(http_block).cast("string"),
+        F.lit(_CRLF + _CRLF),
+        http_block,
+        F.lit(_CRLF + _CRLF),
+    )
+    recs = d.select(
+        F.pmod(F.col("doc_id"), F.lit(37)).alias("seg"),
+        F.col("doc_id"),
+        rec.alias("rec"),
+    )
+    grouped = recs.groupBy("seg").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                lambda s: s["rec"],
+            ),
+            "",
+        ).alias("recs_blob")
+    )
+    info_payload = "software: spark-graft-engine"
+    info = F.concat(
+        F.lit(
+            "WARC/1.0" + _CRLF + "WARC-Type: warcinfo" + _CRLF
+            + "WARC-Record-ID: <urn:warcinfo:"
+        ),
+        F.col("seg").cast("string"),
+        F.lit(
+            ">" + _CRLF + f"Content-Length: {len(info_payload)}"
+            + _CRLF + _CRLF + info_payload + _CRLF + _CRLF
+        ),
+    )
+    return grouped.select(
+        "seg", F.concat(info, F.col("recs_blob")).alias("warc")
+    )
+
+
+@register(
+    "warc_record_parse",
+    oracle=f"""
+    WITH src AS ({_DOCS_EDGE_SRC}),
+    b AS (
+        SELECT doc_id, source,
+               CASE WHEN ((doc_id %% 7) + 7) %% 7 = 0
+                    THEN 'WARC/1.0' || chr(13) || chr(10)
+                         || 'WARC-Type: trap' || chr(13) || chr(10)
+                         || chr(13) || chr(10)
+                    ELSE '' END || text AS body
+        FROM src
+    )
+    SELECT doc_id,
+           'http://www.' || source || '.com/articles/'
+               || CAST(((doc_id %% 50) + 50) %% 50 AS VARCHAR) AS target_uri,
+           '2026-01-' || lpad(CAST(((doc_id %% 28) + 28) %% 28 + 1 AS VARCHAR),
+                              2, '0') || 'T00:00:00Z' AS warc_date,
+           CAST(200 AS BIGINT) AS http_status,
+           CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+                || 'Content-Type: text/html; charset=utf-8'
+                || chr(13) || chr(10) || chr(13) || chr(10) || body)
+                AS BIGINT) AS content_length,
+           body
+    FROM b
+    """.replace("%%", "%"),
+    doc="WARC/1.0 container parsing (operators/webtext.py warc_parse — "
+    "ISO 28500, the CommonCrawl crawl format upstream of "
+    "html_extract): formula-built multi-record blobs (warcinfo head "
+    "record + ~14 response records each; every doc_id%7==0 body "
+    "EMBEDS a literal record-start line) parsed by Content-Length "
+    "octet advancement in one Arrow mapInPandas pass. The oracle "
+    "derives every field — URI, date, status, octet-exact "
+    "Content-Length, trap-preserving body — closed-form from the "
+    "corpus, so a boundary-searching parser or any off-by-one in the "
+    "octet arithmetic goes hash-red.",
+)
+def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = W.warc_parse(_warc_blobs(spark, sf_dir), "warc")
+    return parsed.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("record_id", "<urn:doc:(-?\\d+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "warc_date",
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_length",
+        "body",
+    )

@@ -346,3 +346,73 @@ def test_unicode_normalization_ops(spark):
     assert rows[2].nfc == "Élan déjà" and rows[2].fold == "Elan deja"
     assert rows[3].nfc == "中文 ok" and rows[3].fold == "中文 ok"
     assert rows[4].nfc is None and rows[4].fold is None
+
+
+# --------------------------------------------------------------------------
+# WARC record parsing
+# --------------------------------------------------------------------------
+def _warc_record(body: str, *, rid: str = "<urn:doc:1>", http: bool = True) -> str:
+    if http:
+        payload = (
+            "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        ctype = "application/http; msgtype=response"
+    else:
+        payload = body
+        ctype = "text/plain"
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        "WARC-Target-URI: http://x.test/\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload.encode('utf-8'))}\r\n"
+        "\r\n" + payload + "\r\n\r\n"
+    )
+
+
+def test_warc_parse_trap_body_stays_one_payload():
+    from qb_data_pipeline_backfill_spark.operators.webtext import parse_warc
+
+    trap = "before\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+    recs = parse_warc(_warc_record(trap) + _warc_record("second", rid="<urn:doc:2>"))
+    assert [r["record_id"] for r in recs] == ["<urn:doc:1>", "<urn:doc:2>"]
+    assert recs[0]["body"] == trap
+    assert recs[0]["http_status"] == 404
+
+
+def test_warc_parse_non_http_and_unicode_octets():
+    from qb_data_pipeline_backfill_spark.operators.webtext import parse_warc
+
+    body = "café — 中文"  # multi-byte: Content-Length must count octets
+    recs = parse_warc(_warc_record(body, http=False))
+    assert recs[0]["http_status"] is None
+    assert recs[0]["body"] == body
+    assert recs[0]["content_length"] == len(body.encode("utf-8"))
+
+
+def test_warc_parse_fails_loudly_on_malformed_input():
+    import pytest as _pytest
+
+    from qb_data_pipeline_backfill_spark.operators.webtext import parse_warc
+
+    good = _warc_record("x")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_warc(good[:-10])
+    with _pytest.raises(ValueError, match="no version line"):
+        parse_warc("HTTP/1.1 200 OK\r\n\r\n")
+    with _pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(
+            "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload\r\n\r\n"
+        )
+
+
+def test_warc_parse_distributed_fanout_and_null_blob(spark):
+    from qb_data_pipeline_backfill_spark.operators import webtext as W
+
+    blob = _warc_record("a") + _warc_record("b", rid="<urn:doc:2>")
+    df = spark.createDataFrame(
+        [(1, blob), (2, None)], "file_id long, warc string"
+    )
+    got = W.warc_parse(df, "warc").collect()
+    assert [(r.file_id, r.body) for r in got] == [(1, "a"), (1, "b")]
