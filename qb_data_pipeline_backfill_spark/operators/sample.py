@@ -411,3 +411,81 @@ def leakage_safe_split(
     return keyed.withColumn(
         "split", split_column(["split_key"], weights, salt=salt)
     ).drop("__ls_id", "__ls_cluster")
+
+
+def hash_full(cols: list[str | Column], salt: str = "") -> Column:
+    """Full 32-hex md5 over the salted, '|'-joined key — the total
+    ORDER key of :func:`global_shuffle` (``hash_prefix`` keeps 8 hex
+    chars, plenty for thresholds but collision-prone as a sort key at
+    billions of rows)."""
+    parts = [F.lit(salt)] + [
+        _escaped(F.col(c) if isinstance(c, str) else c) for c in cols
+    ]
+    return F.md5(F.concat_ws(_SALT_SEP, *parts))
+
+
+def hash_full_sql(cols: list[str], salt: str = "") -> str:
+    """DuckDB rendering of :func:`hash_full`."""
+    parts = [f"'{_q(salt)}'"] + [_escaped_sql(c) for c in cols]
+    return f"md5(concat_ws('{_SALT_SEP}', {', '.join(parts)}))"
+
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def hash_u32(key: Column) -> Column:
+    """First 8 hex chars of a hash key folded to their uint32 value —
+    pure codegen (char positions in the hex alphabet, base-16 fold);
+    the same fold renders in ANSI SQL, where no hex-parse builtin is
+    engine-portable."""
+    return F.aggregate(
+        F.split(F.substring(key, 1, 8), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 16 + (F.position(c, F.lit(_HEX_DIGITS)) - 1),
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    cols: list[str],
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a
+    ``(shard, pos)`` — which output shard it belongs to and its
+    position within that shard — reproducible across runs, engines,
+    partitionings, and cluster sizes (the property a training pipeline
+    needs to resume mid-epoch or re-derive an example's global step).
+
+    The permutation is the md5 order of the salted key; the shard is
+    the CONTIGUOUS RANGE ``floor(u32(key) · n_shards / 2^32)`` of that
+    same order, so shard files concatenated in shard order reproduce
+    the single global permutation exactly, and different salts give
+    independent epoch orders.
+
+    100 TB shape: key and shard are narrow codegen; the only movement
+    is one hash repartition by ``shard`` with a per-shard sort (the
+    window below is partitioned by shard — Spark plans it as exchange
+    + in-partition sort), which is the exact topology that WRITES the
+    shards; a global ``orderBy`` would range-sample and sort the whole
+    corpus for no additional benefit. Shards should outnumber executor
+    cores; md5 uniformity bounds shard skew at √ variance.
+
+    Ties: md5 collisions order by the key columns themselves —
+    deterministic total order even then.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    key = hash_full(cols, salt)
+    shard = F.floor(
+        (hash_u32(key) * F.lit(int(n_shards))) / F.lit(float(2**32))
+    ).cast("long")
+    with_key = df.withColumn("__key", key).withColumn("__shard", shard)
+    w = Window.partitionBy("__shard").orderBy("__key", *cols)
+    return (
+        with_key.withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumnRenamed("__shard", "shard")
+        .drop("__key")
+    )

@@ -60,6 +60,7 @@ prioritize(
         "streaming_classifier_scores",
         "dsir_select_topk",
         "warc_record_parse",
+        "sample_global_shuffle",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -94,7 +95,6 @@ prioritize(
         "dedup_cluster_resolution",
         "contract_simhash_recall",
         "contract_minhash_recall",
-        "contract_embedding_lsh_recall",
         # contract_{approx_median,bloom_prune,substring_hash_parity,
         # ivfpq_adc}
         # + dedup_{exact_text,

@@ -2434,3 +2434,44 @@ def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         "body",
     )
+
+
+@register(
+    "sample_global_shuffle",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id, {SA.hash_full_sql(['doc_id'], salt='epoch-0')} AS key
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, key,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substring(key, 1, 8), ''),
+                       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) AS u32
+        FROM k
+    )
+    SELECT doc_id,
+           CAST(floor(u32 * 8 / 4294967296.0) AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY CAST(floor(u32 * 8 / 4294967296.0) AS BIGINT)
+               ORDER BY key, doc_id
+           ) AS BIGINT) AS pos
+    FROM u
+    """,
+    doc="Deterministic global training shuffle (operators/sample.py "
+    "global_shuffle): every document gets (shard, pos) — md5-order "
+    "permutation, shard = contiguous u32 range of that same order (so "
+    "concatenating shards in order reproduces ONE global permutation), "
+    "salt = epoch. The u32 is a codegen base-16 char fold (no "
+    "engine-portable hex-parse builtin); position is a per-shard "
+    "window — exchange-by-shard + in-partition sort, the exact "
+    "topology that writes training shards, never a global orderBy. "
+    "The oracle replays key, fold, shard ranges, and positions in "
+    "SQL, proving the permutation row-for-row across engines.",
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shuffled = SA.global_shuffle(
+        load_table(spark, sf_dir, "documents"), ["doc_id"], 8, salt="epoch-0"
+    )
+    return shuffled.select("doc_id", "shard", "pos")

@@ -223,3 +223,47 @@ def test_leakage_safe_split_large_map_not_broadcast(spark):
     assert "BroadcastHashJoin" in plan2
     got2 = {(r["doc_id"], r["split"]) for r in out2.collect()}
     assert got2 == {(r["doc_id"], r["split"]) for r in rows}
+
+
+# --------------------------------------------------------------------------
+# global_shuffle
+# --------------------------------------------------------------------------
+def test_global_shuffle_shards_are_contiguous_ranges_of_one_permutation(spark):
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    got = SA.global_shuffle(df, ["doc_id"], 4, salt="e0")
+    rows = got.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == 200 and {r.shard for r in rows} <= set(range(4))
+    # per-shard positions are exactly 1..n_shard
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # concatenating shards in order reproduces the single md5 order
+    keyed = got.withColumn(
+        "key", SA.hash_full(["doc_id"], salt="e0")
+    ).collect()
+    global_order = [
+        (r.doc_id) for r in sorted(keyed, key=lambda r: (r.key, r.doc_id))
+    ]
+    shard_concat = [
+        r.doc_id for r in sorted(keyed, key=lambda r: (r.shard, r.pos))
+    ]
+    assert shard_concat == global_order
+
+
+def test_global_shuffle_salt_changes_permutation_and_validates(spark):
+    import pytest as _pytest
+
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in SA.global_shuffle(df, ["doc_id"], 1, salt="e0")
+         .orderBy("pos").collect()]
+    b = [r.doc_id for r in SA.global_shuffle(df, ["doc_id"], 1, salt="e1")
+         .orderBy("pos").collect()]
+    assert a != b and sorted(a) == sorted(b) == list(range(50))
+    with _pytest.raises(ValueError, match="n_shards"):
+        SA.global_shuffle(df, ["doc_id"], 0)
