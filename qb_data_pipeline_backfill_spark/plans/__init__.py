@@ -41,6 +41,13 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # window/subquery/rollup, numeric, text_*, txn CDC) rotate out — one
 # round old — and every query is re-verified in the local full sweep
 # regardless (tools/check_correctness.py, sf0.01).
+#
+# Late-r12 additions (DSIR, WARC, global shuffle, the five TPC-H
+# shapes) join section (a) — a first driver grade outranks a
+# re-grade — displacing the equally-stale ANN recall twins, sketch
+# contracts, and the ORC round trip from (b): those are closed-form
+# contracts whose code r12 never touched, still covered by the local
+# full sweep and the judge's serial sweep every round.
 prioritize(
     [
         # --- (a) never-graded / new / r12-code-touched ---
@@ -61,6 +68,11 @@ prioritize(
         "dsir_select_topk",
         "warc_record_parse",
         "sample_global_shuffle",
+        "nation_trade_volume",
+        "profit_by_nation_year",
+        "small_qty_part_revenue",
+        "large_qty_order_customers",
+        "dormant_customer_balances",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -78,7 +90,6 @@ prioritize(
         "txn_mor_delete_read",
         "txn_table_health",
         "jsonl_roundtrip_scan",
-        "orc_roundtrip_scan",
         "leakage_safe_splits",
         "sample_eval_holdout",
         "sample_train_val_test",
@@ -86,10 +97,6 @@ prioritize(
         "sample_temperature_mixture",
         "sample_domain_quota",
         "sample_weighted_by_length",
-        "cms_frequency_contract",
-        "contract_hll_merge",
-        "contract_hll_intersection",
-        "quantile_sketch_contract",
         "pagerank_parts",
         "triangle_counts_parts",
         "dedup_cluster_resolution",

@@ -1711,3 +1711,272 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = triangle_counts(edges)
     return out.select(F.col("node").alias("part"), "n_triangles")
+
+
+# --------------------------------------------------------------------------
+# TPC-H shape suite, round 12: Q7 / Q9 / Q17 / Q18 / Q22 analogs
+# --------------------------------------------------------------------------
+# The remaining classic join/decorrelation shapes the surface lacked
+# (partsupp-based Q2/Q11/Q16/Q20 have no source table here). Float
+# policy as module docstring; threshold comparisons against derived
+# aggregates are EXACT (cross-multiplied decimal integers) so no row
+# can flip membership on an engine's last ULP.
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume by "
+    "ship year. Both nation dims filter to the two names BEFORE "
+    "joining (25-row fixed-cardinality broadcasts — the only hinted "
+    "sides, per the broadcast policy), which makes the supplier and "
+    "customer joins selective; lineitem⋈orders shuffles once on "
+    "orderkey, AQE sizes the rest.",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair)
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n2_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_nationkey"))
+        .filter(F.col("n_name") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("supp_nation"),
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("volume")
+        )
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
+           CAST(ROUND(SUM(CAST(
+               l.l_extendedprice * (1 - l.l_discount)
+               - 0.5 * p.p_retailprice * l.l_quantity
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape: per-nation per-year profit over a filtered "
+    "part class (PROMO; cost stands in as 0.5·retail·qty — no "
+    "partsupp supplycost in this schema). The p_type filter pushes "
+    "into the part scan; part and supplier joins are AQE-sized (both "
+    "scale with SF — never force-hinted), nation/25 broadcasts.",
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(decimal_sum(profit).alias("profit"))
+    )
+
+
+@register(
+    "small_qty_part_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+               COUNT(*) AS nq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq    ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND CAST(l.l_quantity AS DECIMAL(18,6)) * 2 * pq.nq < pq.sq
+    """,
+    doc="TPC-H Q17 shape (small-quantity revenue): the correlated "
+    "per-part AVG(quantity) subquery DECORRELATED into one map-side-"
+    "combined aggregate on partkey joined back to the brand-filtered "
+    "probe (what Catalyst does to the correlated form, written "
+    "explicitly). The threshold l_quantity < 0.5·avg is the EXACT "
+    "cross-multiplication 2·qty·n < sum in decimals — no engine can "
+    "flip a boundary row on a double ULP.",
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
+    ).withColumnRenamed("l_partkey", "pq_partkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    probe = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == F.col("pq_partkey"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,6)") * 2 * F.col("nq")
+            < F.col("sq")
+        )
+    )
+    return probe.agg(
+        (decimal_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+@register(
+    "large_qty_order_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(big.total_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): the IN-over-grouped-"
+    "HAVING subquery as its decorrelated form — one map-side-combined "
+    "aggregate on orderkey whose >300 filter reduces it to a tiny "
+    "keeper set BEFORE any wide join (AQE broadcasts it), then "
+    "orders/customer enrichment and TakeOrderedAndProject top-100. "
+    "Quantities aggregate in exact decimals; the threshold is "
+    "integer-exact.",
+)
+def large_qty_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("tq"))
+        .filter(F.col("tq") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "dormant_customer_balances",
+    oracle="""
+    WITH pos AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sp, COUNT(*) AS np
+        FROM customer WHERE c_acctbal > 0
+    ),
+    rich AS (
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        FROM customer c, pos
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * pos.np > pos.sp
+    )
+    SELECT r.c_nationkey AS nationkey,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(r.c_acctbal AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS total_bal
+    FROM rich r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = r.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-06-01'
+    )
+    GROUP BY r.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (dormant high-balance customers): scalar "
+    "subquery threshold (above-average POSITIVE balance, exact "
+    "cross-multiplied comparison — one tiny aggregate broadcast back) "
+    "+ anti-join against recent orders (the o_orderdate filter pushes "
+    "into the orders scan so the anti side is months, not history) + "
+    "final rollup by nation. Every customer here HAS orders, so the "
+    "classic no-orders-ever form returns empty; recency dormancy is "
+    "the live variant.",
+)
+def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sp"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(18,6)") * F.col("np") > F.col("sp")
+    )
+    dormant = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        decimal_sum("c_acctbal").alias("total_bal"),
+    )
