@@ -73,6 +73,7 @@ prioritize(
         "small_qty_part_revenue",
         "large_qty_order_customers",
         "dormant_customer_balances",
+        "streaming_warc_parse",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -101,7 +102,6 @@ prioritize(
         "triangle_counts_parts",
         "dedup_cluster_resolution",
         "contract_simhash_recall",
-        "contract_minhash_recall",
         # contract_{approx_median,bloom_prune,substring_hash_parity,
         # ivfpq_adc}
         # + dedup_{exact_text,

@@ -13,7 +13,7 @@ operation order on both engines — rounded to 4dp in the output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2301,17 +2301,12 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CRLF = "\r\n"
 
 
-def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic WARC "files" built from documents (+edge) — the
-    synthesize_images pattern: formula-built container, real parser,
-    formula-derived oracle. Per document: one response record whose
-    HTTP body is the raw text, prefixed for every ``doc_id % 7 == 0``
-    with a LITERAL record-start line ("WARC/1.0" + headers + blank
-    line) — the trap a boundary-searching parser shreds and a
-    Content-Length-advancing parser must keep. Records group into
-    ~14-record blobs (doc_id mod 37, sorted) behind a warcinfo head
-    record the parser must classify, not skip-by-luck."""
-    d = _docs_edge(spark, sf_dir)
+
+def _warc_record_col() -> Column:
+    """One WARC response record per document as a narrow codegen
+    expression — shared by the batch fixture (grouped into multi-record
+    blobs) and the streaming twin (one record per stream row; a
+    grouping stage would not be stateless)."""
     body = F.concat(
         F.when(
             F.pmod(F.col("doc_id"), F.lit(7)) == 0,
@@ -2337,7 +2332,7 @@ def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"), 2, "0"),
         F.lit("T00:00:00Z"),
     )
-    rec = F.concat(
+    return F.concat(
         F.lit("WARC/1.0" + _CRLF + "WARC-Type: response" + _CRLF),
         F.lit("WARC-Record-ID: <urn:doc:"),
         F.col("doc_id").cast("string"),
@@ -2354,6 +2349,20 @@ def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         http_block,
         F.lit(_CRLF + _CRLF),
     )
+
+
+def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WARC "files" built from documents (+edge) — the
+    synthesize_images pattern: formula-built container, real parser,
+    formula-derived oracle. Per document: one response record whose
+    HTTP body is the raw text, prefixed for every ``doc_id % 7 == 0``
+    with a LITERAL record-start line ("WARC/1.0" + headers + blank
+    line) — the trap a boundary-searching parser shreds and a
+    Content-Length-advancing parser must keep. Records group into
+    ~14-record blobs (doc_id mod 37, sorted) behind a warcinfo head
+    record the parser must classify, not skip-by-luck."""
+    d = _docs_edge(spark, sf_dir)
+    rec = _warc_record_col()
     recs = d.select(
         F.pmod(F.col("doc_id"), F.lit(37)).alias("seg"),
         F.col("doc_id"),

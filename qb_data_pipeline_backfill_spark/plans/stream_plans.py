@@ -681,3 +681,52 @@ def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (score > 0).alias("label"),
     )
     return run_available_now(out, output_mode="append")
+
+
+@register(
+    "streaming_warc_parse",
+    # Same closed-form family as warc_record_parse, restricted to the
+    # streaming twin's doc_id % 10 = 0 subset (one record per stream
+    # row — the grouping into multi-record blobs is a batch-fixture
+    # concern; a real crawl stream delivers records as they land).
+    oracle="""
+    SELECT doc_id,
+           'http://www.' || source || '.com/articles/'
+               || CAST(((doc_id % 50) + 50) % 50 AS VARCHAR) AS target_uri,
+           CAST(200 AS BIGINT) AS http_status,
+           CASE WHEN ((doc_id % 7) + 7) % 7 = 0
+                THEN 'WARC/1.0' || chr(13) || chr(10)
+                     || 'WARC-Type: trap' || chr(13) || chr(10)
+                     || chr(13) || chr(10)
+                ELSE '' END || text AS body
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    doc="WARC parsing under the Structured Streaming engine: the "
+    "documents file stream builds one response record per row (the "
+    "shared codegen record expression of the batch fixture) and "
+    "parses it back through warc_parse's Arrow mapInPandas pass per "
+    "micro-batch — stateless, append-mode — landing bit-identical to "
+    "the batch twin's fields, trap bodies included. The crawl-ingest "
+    "shape: records stream in, parsing rides each micro-batch, no "
+    "batch/stream fork in operator code.",
+)
+def streaming_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators.webtext import warc_parse
+    from qb_data_pipeline_backfill_spark.plans.llm import _warc_record_col
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+        run_available_now,
+    )
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
+    blobs = docs.select("doc_id", _warc_record_col().alias("warc"))
+    parsed = warc_parse(blobs, "warc")
+    out = parsed.select(
+        "doc_id",
+        "target_uri",
+        F.col("http_status").cast("long").alias("http_status"),
+        "body",
+    )
+    return run_available_now(out, output_mode="append")

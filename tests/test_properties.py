@@ -333,3 +333,126 @@ def test_nfc_is_idempotent_and_fold_is_nfc_stable(spark, words):
     ).collect()[0]
     assert row.n1 == row.n2
     assert row.f1 == row.f2
+
+
+# --------------------------------------------------------------------------
+# WARC round trip: build records from arbitrary text, parse, recover
+# --------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    bodies=st.lists(
+        st.text(
+            alphabet=st.sampled_from("aé中\r\n <>:/W"),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_warc_roundtrip_matches_inputs(bodies):
+    from qb_data_pipeline_backfill_spark.operators.webtext import parse_warc
+
+    blob = ""
+    for i, body in enumerate(bodies):
+        payload = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+        )
+        blob += (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:p:{i}>\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(payload.encode('utf-8'))}\r\n"
+            "\r\n" + payload + "\r\n\r\n"
+        )
+    recs = parse_warc(blob)
+    assert [r["body"] for r in recs] == bodies
+    assert [r["record_id"] for r in recs] == [
+        f"<urn:p:{i}>" for i in range(len(bodies))
+    ]
+
+
+# --------------------------------------------------------------------------
+# global_shuffle: partitioning-invariant permutation
+# --------------------------------------------------------------------------
+@settings(max_examples=5, deadline=None)
+@given(n=st.integers(1, 60), shards=st.integers(1, 5), parts=st.integers(1, 7))
+def test_global_shuffle_is_partitioning_invariant(spark, n, shards, parts):
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    base = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in SA.global_shuffle(df, ["doc_id"], shards, salt="s").collect()
+    )
+    re = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in SA.global_shuffle(
+            df.repartition(parts), ["doc_id"], shards, salt="s"
+        ).collect()
+    )
+    assert base == re
+    # shard ids in range; positions are a permutation of 1..n overall
+    assert all(0 <= s < shards for _, s, _ in base)
+    assert sorted(p for *_, p in base) == sorted(
+        p
+        for sh in range(shards)
+        for p in range(1, sum(1 for _, s, _ in base if s == sh) + 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR: λ fit matches a plain-Python recomputation of the spec
+# --------------------------------------------------------------------------
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.text(alphabet=st.sampled_from("ab é "), max_size=20),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dsir_fit_matches_python_spec(spark, docs):
+    import math
+
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+    from qb_data_pipeline_backfill_spark.operators.text import CLS_HASH_MOD
+
+    nb = 32
+    df = spark.createDataFrame(
+        [(i, t, tgt) for i, (t, tgt) in enumerate(docs)],
+        "doc_id long, text string, tgt boolean",
+    )
+    got = {
+        r.bucket: (r.raw_n, r.tgt_n, r.lr_micro)
+        for r in C.dsir_fit(df, F.col("tgt"), n_buckets=nb).collect()
+    }
+    # python spec
+    def fold(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % CLS_HASH_MOD
+        return h
+
+    raw = [0] * nb
+    tgt = [0] * nb
+    for t, is_t in docs:
+        toks = [x for x in " ".join(t.lower().strip().split()).split(" ") if x]
+        hs = [fold(x) for x in toks]
+        bs = [h % nb for h in hs] + [
+            ((a * 8191 + b) % CLS_HASH_MOD) % nb
+            for a, b in zip(hs, hs[1:])
+        ]
+        for b in bs:
+            raw[b] += 1
+            if is_t:
+                tgt[b] += 1
+    rt, tt = sum(raw), sum(tgt)
+    for b in range(nb):
+        num = (tgt[b] + 1) * (rt + nb)
+        den = (raw[b] + 1) * (tt + nb)
+        lr = round(math.log(num / den) * 1e6)
+        assert got[b] == (raw[b], tgt[b], lr), b
