@@ -20,9 +20,12 @@ boundary policy as the media codecs).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from qb_data_pipeline_backfill_spark.functions import int_ratio
@@ -841,3 +844,364 @@ def fold_accents_text(col: Column | str) -> Column:
         return s.map(one)
 
     return _fold(F.col(col) if isinstance(col, str) else col)
+
+
+# --------------------------------------------------------------------------
+# unigram-LM tokenizer (Kudo 2018 — SentencePiece's second family)
+# --------------------------------------------------------------------------
+# The other major subword tokenizer next to BPE ("Subword
+# Regularization: Improving Neural Network Translation Models with
+# Multiple Subword Candidates", ACL 2018): a unigram language model
+# over a piece vocabulary, trained by EM over the segmentation
+# lattice, pruned down to the target vocabulary, decoded by Viterbi.
+# Deterministic core implemented here (deviations documented):
+#
+# - seed vocabulary = the top substrings (length ≤ max_len) of the
+#   DISTINCT-WORD frequency table by occurrence count — the same
+#   vocab-reduction trick as train_bpe: every stage below scales with
+#   |vocab|, never corpus tokens. All single characters are always
+#   kept (words stay segmentable; SentencePiece's required-char rule).
+# - EM: the E-step runs forward-backward over each word's lattice in
+#   one Arrow mapInPandas pass (per-word float DP — the inherently
+#   sequential inner loop, same Python boundary as bpe_encode), and
+#   each word's expected piece counts are QUANTIZED TO INTEGER
+#   MICRO-UNITS before the corpus-wide aggregate — the PSI/perplexity
+#   trick — so the M-step consumes an order-free integer sum and
+#   training is bit-reproducible across partitionings and cluster
+#   sizes. New log-probs are re-quantized to micro-units between
+#   rounds, so every round's inputs are integers.
+# - pruning keeps the top pieces by expected count (shrink factor
+#   0.75/round toward vocab_size, single chars exempt). SentencePiece
+#   ranks by likelihood-loss-on-removal instead; that refinement
+#   replaces only this ranking — the distributed shape (per-round:
+#   one lattice pass, one bounded aggregate, one |V|-row driver
+#   collect, the BPE-trainer driver contract) is unchanged. The
+#   Bayesian digamma smoothing of the reference implementation is
+#   likewise omitted for cross-engine determinism.
+# - Viterbi encode: integer micro-unit scores, ties broken by fewer
+#   pieces then longer last piece — a total, engine-replayable order.
+#
+# Certification mirrors the BPE family: closed-form pinned-replay
+# contracts (micro-corpus EM + encode, derived with an independent
+# pure-Python implementation, gated as DuckDB VALUES) plus rows-only
+# corpus runs; pytest re-derives both against the reference
+# implementation in tests.
+
+UNIGRAM_UNK_MICRO = -20_000_000  # lp of an out-of-vocabulary character
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word frequency table ``(w, f)`` — the vocab-collapse
+    every tokenizer-training stage starts from (one map-side-combined
+    shuffle over running words)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+def seed_unigram_pieces(
+    words: DataFrame, *, max_len: int = 4, seed_size: int = 300
+) -> DataFrame:
+    """Seed piece table ``(piece, cnt, lp_micro)``: all substrings of
+    length ≤ ``max_len`` counted with word multiplicity (codegen
+    nested-sequence explode over the |vocab|-sized word table), top
+    ``seed_size`` by (count desc, piece asc) plus every single
+    character; initial log-probs ∝ count, quantized to micro-units."""
+    n = F.length("w")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_len), n - i + 1)),
+                lambda ln: F.col("w").substr(i, ln),
+            ),
+        )
+    )
+    pieces = (
+        words.select(F.explode(subs).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").cast("long").alias("cnt"))
+    )
+    # rank over the AGGREGATED piece table (bounded by |vocab|·max_len
+    # distinct substrings, not corpus tokens) — build_vocab precedent
+    rnk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("piece")))
+    kept = (
+        pieces.withColumn("rnk", rnk)
+        .filter((F.col("rnk") <= seed_size) | (F.length("piece") == 1))
+        .drop("rnk")
+    )
+    tot = kept.agg(F.sum("cnt").alias("t"))
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("t").cast("double"))
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+
+
+def _logaddexp(a: float, b: float) -> float:
+    import math
+
+    if a < b:
+        a, b = b, a
+    if b <= -1e29:
+        return a
+    return a + math.log1p(math.exp(b - a))
+
+
+def unigram_expected_counts(
+    word: str, lp: dict[str, float], max_len: int
+) -> dict[str, float]:
+    """Forward-backward expected piece counts for ONE word occurrence
+    under the current model — the E-step inner loop (driver-side unit;
+    the distributed face batches it through mapInPandas). Pieces not
+    in ``lp`` are skipped; single characters are assumed present (the
+    seed guarantees it), so every word is segmentable."""
+    import math
+
+    n = len(word)
+    NEG = -1e30
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        acc = NEG
+        for j in range(max(0, i - max_len), i):
+            v = lp.get(word[j:i])
+            if v is None or alpha[j] <= -1e29:
+                continue
+            acc = _logaddexp(acc, alpha[j] + v)
+        alpha[i] = acc
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        acc = NEG
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            v = lp.get(word[j:i])
+            if v is None or beta[i] <= -1e29:
+                continue
+            acc = _logaddexp(acc, v + beta[i])
+        beta[j] = acc
+    z = alpha[n]
+    out: dict[str, float] = {}
+    if z <= -1e29:
+        return out
+    for j in range(n):
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            p = word[j:i]
+            v = lp.get(p)
+            if v is None or alpha[j] <= -1e29 or beta[i] <= -1e29:
+                continue
+            ll = alpha[j] + v + beta[i] - z
+            if ll > -60.0:
+                out[p] = out.get(p, 0.0) + math.exp(ll)
+    return out
+
+
+def _unigram_estep(
+    words: DataFrame, pieces_lp_micro: dict[str, int], max_len: int
+) -> DataFrame:
+    """One distributed E-step: expected piece counts over the word
+    table, quantized to integer micro-units per WORD TYPE (weight f
+    applied before rounding) so the corpus aggregate is an order-free
+    integer sum. Returns ``(piece, e_micro)``."""
+    out_schema = T.StructType(
+        [
+            T.StructField("piece", T.StringType(), False),
+            T.StructField("e_micro", T.LongType(), False),
+        ]
+    )
+    lp = {p: m / 1e6 for p, m in pieces_lp_micro.items()}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for w, f in zip(pdf["w"], pdf["f"]):
+                for p, e in unigram_expected_counts(w, lp, max_len).items():
+                    m = int(round(e * int(f) * 1e6))
+                    if m:
+                        acc[p] = acc.get(p, 0) + m
+            yield pd.DataFrame(
+                {"piece": list(acc.keys()), "e_micro": list(acc.values())}
+            )
+
+    return (
+        words.mapInPandas(run, out_schema)
+        .groupBy("piece")
+        .agg(F.sum("e_micro").alias("e_micro"))
+    )
+
+
+def train_unigram(
+    df: DataFrame,
+    *,
+    vocab_size: int = 120,
+    max_len: int = 4,
+    seed_size: int = 300,
+    em_rounds: int = 3,
+    shrink: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the unigram-LM piece vocabulary; returns ``(piece,
+    e_micro, lp_micro)`` — final expected counts and quantized
+    log-probs, deterministically ordered facts.
+
+    Driver contract (the BPE-trainer precedent): per round, ONE
+    |pieces|-bounded collect — the model artifact — plus one lattice
+    pass over the |vocab| word table; nothing corpus-sized ever moves.
+    See the section comment for the determinism and pruning design.
+    """
+    import math
+
+    if em_rounds < 1 or vocab_size < 1:
+        raise ValueError("em_rounds and vocab_size must be >= 1")
+    spark = df.sparkSession
+    words = word_frequencies(df, text_col).persist()
+    try:
+        seed = seed_unigram_pieces(
+            words, max_len=max_len, seed_size=seed_size
+        ).collect()
+        pieces = {r["piece"]: int(r["lp_micro"]) for r in seed}
+        e_final: dict[str, int] = {}
+        for rnd in range(em_rounds):
+            rows = _unigram_estep(words, pieces, max_len).collect()
+            e = {r["piece"]: int(r["e_micro"]) for r in rows}
+            # prune toward the target (single chars exempt, never
+            # dropped): keep top by (e_micro desc, piece asc)
+            multi = sorted(
+                ((p, m) for p, m in e.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )
+            n_multi = len(multi)
+            keep_multi = max(
+                vocab_size - sum(1 for p in e if len(p) == 1),
+                int(n_multi * shrink) if rnd < em_rounds - 1 else 0,
+            )
+            keep_multi = max(keep_multi, 0)
+            kept = {p for p, _ in multi[:keep_multi]} | {
+                p for p in e if len(p) == 1
+            }
+            total = sum(m for p, m in e.items() if p in kept)
+            pieces = {
+                p: int(round(math.log(m / total) * 1e6))
+                for p, m in e.items()
+                if p in kept and m > 0
+            }
+            e_final = {p: m for p, m in e.items() if p in pieces}
+    finally:
+        words.unpersist()
+    rows = [
+        (p, e_final.get(p, 0), lp)
+        for p, lp in sorted(pieces.items())
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, e_micro long, lp_micro long"
+    )
+
+
+def unigram_viterbi(
+    word: str, lp_micro: dict[str, int], max_len: int
+) -> list[str]:
+    """Best segmentation under integer micro-unit piece scores —
+    maximize total score; ties: fewer pieces, then longer last piece
+    (a total, engine-replayable order). Out-of-vocabulary single
+    characters score ``UNIGRAM_UNK_MICRO``."""
+    n = len(word)
+    NEG = -(10**18)
+    # dp[i] = (score, -n_pieces); back[i] = start of best last piece
+    dp: list[tuple[int, int]] = [(NEG, 0)] * (n + 1)
+    dp[0] = (0, 0)
+    back = [-1] * (n + 1)
+    for i in range(1, n + 1):
+        best_key = None
+        best_j = -1
+        for j in range(max(0, i - max_len), i):
+            if dp[j][0] <= NEG // 2:
+                continue
+            v = lp_micro.get(word[j:i])
+            if v is None:
+                if i - j == 1:
+                    v = UNIGRAM_UNK_MICRO
+                else:
+                    continue
+            key = (dp[j][0] + v, dp[j][1] - 1, j)
+            if best_key is None or key > best_key:
+                best_key, best_j = key, j
+        if best_key is not None:
+            dp[i] = (best_key[0], best_key[1])
+            back[i] = best_j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces_lp_micro: dict[str, int],
+    *,
+    max_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Viterbi-encode every document under a trained piece table:
+    ``(id, n_pieces, n_distinct_pieces, n_unk, score_micro)`` — exact
+    integer totals, so the whole encode is replayable. Arrow-batched
+    ``pandas_udf`` with a per-batch word cache (Zipf: each distinct
+    word segments once per batch), the bpe_encode execution shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    lp = dict(pieces_lp_micro)
+    ml = int(max_len)
+
+    @pandas_udf(
+        "n_pieces long, n_distinct_pieces long, n_unk long, score_micro long"
+    )
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, list[str]] = {}
+        np_, nd, nu, sc = [], [], [], []
+        for t in texts:
+            words = " ".join((t or "").lower().strip().split()).split(" ")
+            segs: list[str] = []
+            for w in words:
+                if not w:
+                    continue
+                hit = cache.get(w)
+                if hit is None:
+                    hit = unigram_viterbi(w, lp, ml)
+                    cache[w] = hit
+                segs.extend(hit)
+            np_.append(len(segs))
+            nd.append(len(set(segs)))
+            nu.append(sum(1 for p in segs if p not in lp))
+            sc.append(
+                sum(lp.get(p, UNIGRAM_UNK_MICRO) for p in segs)
+            )
+        return pd.DataFrame(
+            {
+                "n_pieces": np_,
+                "n_distinct_pieces": nd,
+                "n_unk": nu,
+                "score_micro": sc,
+            }
+        )
+
+    out = df.select(F.col(id_col), stats(F.col(text_col)).alias("s"))
+    return out.select(
+        id_col,
+        "s.n_pieces",
+        "s.n_distinct_pieces",
+        "s.n_unk",
+        "s.score_micro",
+    )

@@ -47,7 +47,10 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # re-grade — displacing the equally-stale ANN recall twins, sketch
 # contracts, and the ORC round trip from (b): those are closed-form
 # contracts whose code r12 never touched, still covered by the local
-# full sweep and the judge's serial sweep every round.
+# full sweep and the judge's serial sweep every round. The unigram
+# tokenizer family (late r12) likewise displaces the graph family —
+# unchanged since r10 and hash-green in this session's full local
+# sweep (186 pass / 0 fail / 9 rows-only-by-design).
 prioritize(
     [
         # --- (a) never-graded / new / r12-code-touched ---
@@ -74,6 +77,9 @@ prioritize(
         "large_qty_order_customers",
         "dormant_customer_balances",
         "streaming_warc_parse",
+        "contract_unigram_em_replay",
+        "contract_unigram_encode_replay",
+        "unigram_train_pieces",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -98,9 +104,6 @@ prioritize(
         "sample_temperature_mixture",
         "sample_domain_quota",
         "sample_weighted_by_length",
-        "pagerank_parts",
-        "triangle_counts_parts",
-        "dedup_cluster_resolution",
         "contract_simhash_recall",
         # contract_{approx_median,bloom_prune,substring_hash_parity,
         # ivfpq_adc}

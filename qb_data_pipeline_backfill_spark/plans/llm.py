@@ -2484,3 +2484,138 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), ["doc_id"], 8, salt="epoch-0"
     )
     return shuffled.select("doc_id", "shard", "pos")
+
+
+# --------------------------------------------------------------------------
+# unigram-LM tokenizer (Kudo 2018) — training + encode, BPE-style gates
+# --------------------------------------------------------------------------
+# Pinned micro-corpus whose full EM trajectory (seed → 3 rounds with
+# 0.75-shrink pruning → final expected counts + quantized log-probs)
+# and Viterbi segmentations were derived with the INDEPENDENT
+# pure-Python reference implementation in tests/test_llm_operators.py
+# (ref_unigram_train / ref_unigram_viterbi — no code shared with
+# operators/text.py), then gated as DuckDB VALUES: the
+# contract_bpe_*_replay certification pattern. Exercises seed
+# pruning, piece elimination (abc/cab die, ca survives), lattice
+# mass splitting between overlapping pieces, and the unk path.
+_UNIGRAM_CORPUS_SQL = (
+    "SELECT * FROM (VALUES "
+    "(CAST(0 AS BIGINT), 'ab ab ab abc bc'), "
+    "(CAST(1 AS BIGINT), 'bc c a ab ab'), "
+    "(CAST(2 AS BIGINT), 'abc abc b ca cab'), "
+    "(CAST(3 AS BIGINT), 'ab ca ca c')"
+    ") AS t(doc_id, text)"
+)
+
+
+@register(
+    "contract_unigram_em_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a', CAST(2654859 AS BIGINT), CAST(-2238120 AS BIGINT)),
+        ('ab', CAST(9174310 AS BIGINT), CAST(-998105 AS BIGINT)),
+        ('b', CAST(2061966 AS BIGINT), CAST(-2490852 AS BIGINT)),
+        ('bc', CAST(1763724 AS BIGINT), CAST(-2647084 AS BIGINT)),
+        ('c', CAST(7065445 AS BIGINT), CAST(-1259296 AS BIGINT)),
+        ('ca', CAST(2170831 AS BIGINT), CAST(-2439402 AS BIGINT))
+    ) AS t(piece, e_micro, lp_micro)
+    """,
+    doc="Unigram-LM trainer replay (operators/text.py train_unigram — "
+    "Kudo 2018, SentencePiece's second tokenizer family next to the "
+    "BPE trainer): the pinned micro-corpus' full EM trajectory — "
+    "substring seed with top-8 pruning, 3 forward-backward rounds "
+    "with per-word-type integer micro-unit quantization (order-free "
+    "corpus sums), 0.75-shrink pruning to vocab 6 (single chars "
+    "exempt), re-quantized log-probs between rounds — must land on "
+    "the exact (piece, e_micro, lp_micro) table the independent "
+    "reference implementation derives. One drifted expected count, "
+    "a wrong prune, or a quantization-point change goes hash-red.",
+)
+def contract_unigram_em_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.sql(_UNIGRAM_CORPUS_SQL)
+    return X.train_unigram(
+        df, vocab_size=6, max_len=3, seed_size=8, em_rounds=3
+    )
+
+
+_UNIGRAM_ENC_PIECES = {
+    "a": -1_000_000,
+    "b": -1_500_000,
+    "c": -2_000_000,
+    "ab": -1_800_000,
+    "bc": -2_200_000,
+    "abc": -3_100_000,
+}
+
+
+@register(
+    "contract_unigram_encode_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+         CAST(1 AS BIGINT), CAST(-27100000 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(-11600000 AS BIGINT))
+    ) AS t(doc_id, n_pieces, n_distinct_pieces, n_unk, score_micro)
+    """,
+    doc="Unigram Viterbi encode replay (operators/text.py "
+    "unigram_encode): under a pinned integer piece table, the "
+    "segmentations ['ab','abc','x','bc'] (x = out-of-vocabulary char "
+    "at UNIGRAM_UNK_MICRO), [] for the empty doc, and "
+    "['c','c','c','c','ab','ab'] — counts, distincts, unk count, and "
+    "exact micro-unit scores all derived with the independent "
+    "reference Viterbi (fewer-pieces / longer-last-piece tiebreaks). "
+    "Any DP or tiebreak drift goes hash-red.",
+)
+def contract_unigram_encode_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    df = spark.sql(
+        "SELECT * FROM (VALUES "
+        "(CAST(0 AS BIGINT), 'ab abc xbc'), "
+        "(CAST(1 AS BIGINT), ''), "
+        "(CAST(2 AS BIGINT), 'cccc abab')"
+        ") AS t(doc_id, text)"
+    )
+    return X.unigram_encode(df, _UNIGRAM_ENC_PIECES, max_len=3)
+
+
+@register(
+    "unigram_train_pieces",
+    # rows-only: corpus-scale training (float lattice internals are
+    # engine-specific); certified by contract_unigram_em_replay +
+    # the exact-equality pytest vs the pure-Python reference.
+    doc="Unigram-LM training over the documents corpus (+edge): "
+    "vocab-collapsed (distinct words with counts — stages scale with "
+    "|vocab|, not corpus tokens), 2 EM rounds, vocab target 100. "
+    "Rows-only; the EM arithmetic is certified closed-form by "
+    "contract_unigram_em_replay.",
+)
+def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.train_unigram(
+        _docs_edge(spark, sf_dir),
+        vocab_size=100,
+        max_len=4,
+        seed_size=200,
+        em_rounds=2,
+    )
+
+
+@register(
+    "unigram_encode_stats",
+    # rows-only: depends on the corpus-trained piece table above.
+    doc="Corpus encode under the corpus-trained unigram pieces "
+    "(train → collect the |V|-bounded model artifact → one narrow "
+    "Arrow pandas_udf encode pass with a per-batch word cache, the "
+    "bpe_encode execution shape). Rows-only; the Viterbi arithmetic "
+    "is certified closed-form by contract_unigram_encode_replay.",
+)
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_edge(spark, sf_dir)
+    pieces = X.train_unigram(
+        docs, vocab_size=100, max_len=4, seed_size=200, em_rounds=2
+    ).collect()
+    lpm = {r["piece"]: int(r["lp_micro"]) for r in pieces}
+    return X.unigram_encode(docs, lpm, max_len=4)

@@ -953,3 +953,230 @@ def test_paragraph_dedup_separator_is_literal(spark):
     ).collect()
     got = {r["doc_id"]: r["text"] for r in out}
     assert got == {1: "aa|bb", 2: "cc"}
+
+
+# --------------------------------------------------------------------------
+# unigram-LM tokenizer: independent reference implementation
+# --------------------------------------------------------------------------
+# Written against Kudo 2018 + the operator's documented determinism
+# spec (integer micro-unit quantization points), sharing NO code with
+# operators/text.py — the certification mirror the BPE trainer has.
+import math
+
+
+def ref_unigram_seed(freq: dict[str, int], max_len: int, seed_size: int):
+    cnt: dict[str, int] = {}
+    for w, f in freq.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i : i + ln]
+                cnt[p] = cnt.get(p, 0) + f
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {p for p, _ in ranked[:seed_size]} | {
+        p for p in cnt if len(p) == 1
+    }
+    tot = sum(c for p, c in cnt.items() if p in kept)
+    return {
+        p: (cnt[p], round(math.log(cnt[p] / tot) * 1e6)) for p in kept
+    }
+
+
+def ref_unigram_expected(word: str, lp: dict[str, float], max_len: int):
+    n = len(word)
+    NEG = float("-inf")
+
+    def lse(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = max(a, b)
+        return m + math.log1p(math.exp(min(a, b) - m))
+
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            v = lp.get(word[j:i])
+            if v is not None and alpha[j] != NEG:
+                alpha[i] = lse(alpha[i], alpha[j] + v)
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            v = lp.get(word[j:i])
+            if v is not None and beta[i] != NEG:
+                beta[j] = lse(beta[j], v + beta[i])
+    z = alpha[n]
+    out: dict[str, float] = {}
+    if z == NEG:
+        return out
+    for j in range(n):
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            p = word[j:i]
+            v = lp.get(p)
+            if v is None or alpha[j] == NEG or beta[i] == NEG:
+                continue
+            ll = alpha[j] + v + beta[i] - z
+            if ll > -60.0:
+                out[p] = out.get(p, 0.0) + math.exp(ll)
+    return out
+
+
+def ref_unigram_train(
+    freq: dict[str, int],
+    *,
+    vocab_size: int,
+    max_len: int,
+    seed_size: int,
+    em_rounds: int,
+    shrink: float = 0.75,
+):
+    seed = ref_unigram_seed(freq, max_len, seed_size)
+    pieces = {p: lpm for p, (_, lpm) in seed.items()}
+    e_final: dict[str, int] = {}
+    for rnd in range(em_rounds):
+        lp = {p: m / 1e6 for p, m in pieces.items()}
+        e: dict[str, int] = {}
+        for w, f in freq.items():
+            for p, ec in ref_unigram_expected(w, lp, max_len).items():
+                m = int(round(ec * f * 1e6))
+                if m:
+                    e[p] = e.get(p, 0) + m
+        multi = sorted(
+            ((p, m) for p, m in e.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        keep_multi = max(
+            vocab_size - sum(1 for p in e if len(p) == 1),
+            int(len(multi) * shrink) if rnd < em_rounds - 1 else 0,
+        )
+        keep_multi = max(keep_multi, 0)
+        kept = {p for p, _ in multi[:keep_multi]} | {
+            p for p in e if len(p) == 1
+        }
+        total = sum(m for p, m in e.items() if p in kept)
+        pieces = {
+            p: int(round(math.log(m / total) * 1e6))
+            for p, m in e.items()
+            if p in kept and m > 0
+        }
+        e_final = {p: m for p, m in e.items() if p in pieces}
+    return {p: (e_final.get(p, 0), lpm) for p, lpm in pieces.items()}
+
+
+def ref_unigram_viterbi(word: str, lpm: dict[str, int], max_len: int, unk: int):
+    n = len(word)
+    dp = [None] * (n + 1)
+    dp[0] = (0, 0, -1)  # score, -pieces, back
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_len), i):
+            if dp[j] is None:
+                continue
+            v = lpm.get(word[j:i])
+            if v is None:
+                if i - j == 1:
+                    v = unk
+                else:
+                    continue
+            cand = (dp[j][0] + v, dp[j][1] - 1, j)
+            if best is None or cand > best:
+                best = cand
+        dp[i] = best
+    segs = []
+    i = n
+    while i > 0:
+        j = dp[i][2]
+        segs.append(word[j:i])
+        i = j
+    segs.reverse()
+    return segs
+
+
+def _word_freq_py(texts):
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in " ".join(t.lower().strip().split()).split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    return freq
+
+
+def test_unigram_train_matches_reference_exactly(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    texts = [
+        "ab ab ab abc bc",
+        "bc c a ab ab",
+        "abc abc b ca cab",
+        "ab ca ca c",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.piece: (r.e_micro, r.lp_micro)
+        for r in X.train_unigram(
+            df, vocab_size=6, max_len=3, seed_size=8, em_rounds=3
+        ).collect()
+    }
+    want = ref_unigram_train(
+        _word_freq_py(texts),
+        vocab_size=6,
+        max_len=3,
+        seed_size=8,
+        em_rounds=3,
+    )
+    assert got == want
+
+
+def test_unigram_encode_matches_reference_and_handles_unk(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    lpm = {
+        "a": -1_000_000,
+        "b": -1_500_000,
+        "c": -2_000_000,
+        "ab": -1_800_000,
+        "bc": -2_200_000,
+        "abc": -3_100_000,
+    }
+    texts = ["ab abc xbc", "", "cccc abab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_pieces, r.n_distinct_pieces, r.n_unk, r.score_micro)
+        for r in X.unigram_encode(df, lpm, max_len=3).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        segs = []
+        for w in " ".join(t.lower().strip().split()).split(" "):
+            if w:
+                segs.extend(
+                    ref_unigram_viterbi(w, lpm, 3, X.UNIGRAM_UNK_MICRO)
+                )
+        want[i] = (
+            len(segs),
+            len(set(segs)),
+            sum(1 for p in segs if p not in lpm),
+            sum(lpm.get(p, X.UNIGRAM_UNK_MICRO) for p in segs),
+        )
+    assert got == want
+    # the unk char really surfaced
+    assert got[0][2] == 1
+
+
+def test_unigram_viterbi_tiebreaks_prefer_fewer_then_longer(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    # 'ab' exactly equals 'a'+'b' in score -> fewer pieces wins
+    lpm = {"a": -1_000_000, "b": -2_000_000, "ab": -3_000_000}
+    assert X.unigram_viterbi("ab", lpm, 2) == ["ab"]
+    # equal score AND equal piece count -> longer LAST piece wins
+    lpm2 = {"a": -1_000_000, "b": -1_000_000, "ab": -1_000_000}
+    # 'aab': a+ab (last piece ab) vs ab+b (last piece b) — both 2
+    # pieces at -2.0 total; longer last piece = a+ab
+    assert X.unigram_viterbi("aab", lpm2, 2) == ["a", "ab"]
