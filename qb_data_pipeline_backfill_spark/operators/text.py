@@ -1205,3 +1205,112 @@ def unigram_encode(
         "s.n_unk",
         "s.score_micro",
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson-Spärck Jones / Okapi)
+# --------------------------------------------------------------------------
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under Okapi BM25
+    (k1 = 1.2, b = 0.75) — the corpus search/inspection primitive
+    (find the documents most like a probe query: contamination
+    spot-checks, quality auditing, eval-set neighborhood checks).
+
+    Exactness: with k1 = 6/5 and b = 3/4, each term's score is the
+    rational  idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    = idf_micro · 22·tf·TL / (10·TL·tf + 3·TL + 9·dl·N)
+    after multiplying through by 10·TL (TL = total corpus tokens,
+    N = docs, dl = doc length) — numerator and denominator are EXACT
+    BIGINTs, the one division per (doc, term) is IEEE-identical on
+    identical integers, and idf_micro = round(1e6·ln((2N+2)/(2df+1)))
+    — Lucene's non-negative idf form ln(1+(N−df+0.5)/(df+0.5)), so a
+    term appearing in over half the corpus dampens instead of
+    flipping the ranking — is the PSI recipe (one ln over one exact
+    integer ratio). Per-doc totals sum the rounded per-term micro scores —
+    order-free integers. At 100 TB the BIGINT products approach 2^63;
+    swap the two product expressions to DECIMAL(38,0) (same plan,
+    wider accumulator — the decimal_sum trade documented in
+    functions/numeric.py).
+
+    Plan shape: one tokenize+explode restricted to the query terms
+    BEFORE any shuffle (the filter rides the scan projection), one
+    map-side-combined (doc, term) tf aggregate, a term-level df
+    aggregate of |query| rows broadcast back, corpus stats (N, TL) as
+    one broadcast row, and TakeOrderedAndProject for the top-k —
+    never a global sort, nothing corpus-wide moves except the
+    qualifying postings.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qt = sorted({t.lower() for t in query_terms})
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    lens = toks.select(F.col(id_col), F.size("t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    # dl rides the postings (functionally dependent on the doc id), so
+    # scoring never re-joins the corpus-sized lengths table
+    hits = (
+        toks.select(
+            F.col(id_col),
+            F.size("t").cast("long").alias("dl"),
+            F.explode("t").alias("term"),
+        )
+        .filter(F.col("term").isin(qt))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct(id_col).cast("long").alias("dfreq")
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (2 * F.col("n_docs") + 2).cast("double")
+                / (2 * F.col("dfreq") + 1).cast("double")
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = (
+        hits.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(
+                (
+                    F.col("idf_micro") * 22 * F.col("tf") * F.col("total_len")
+                ).cast("double")
+                / (
+                    10 * F.col("total_len") * F.col("tf")
+                    + 3 * F.col("total_len")
+                    + 9 * F.col("dl") * F.col("n_docs")
+                ).cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("term_score_micro"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.sum("term_score_micro").alias("score_micro"),
+    )
+    return per_doc.orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    ).limit(int(k))

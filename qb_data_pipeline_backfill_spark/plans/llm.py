@@ -2619,3 +2619,64 @@ def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     lpm = {r["piece"]: int(r["lp_micro"]) for r in pieces}
     return X.unigram_encode(docs, lpm, max_len=4)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS ({_TOKS_EDGE}),
+    lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM lens),
+    posts AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+    hits AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM posts WHERE term IN ('merge', 'spark', 'window')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS dfq FROM hits GROUP BY 1
+    ),
+    idf AS (
+        SELECT term,
+               CAST(round(ln(
+                   CAST(2 * n_docs + 2 AS DOUBLE)
+                   / CAST(2 * dfq + 1 AS DOUBLE)
+               ) * 1e6, 0) AS BIGINT) AS idf_micro
+        FROM dfreq CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT h.doc_id,
+               CAST(round(
+                   CAST(i.idf_micro * 22 * h.tf * s.total_len AS DOUBLE)
+                   / CAST(10 * s.total_len * h.tf + 3 * s.total_len
+                          + 9 * l.dl * s.n_docs AS DOUBLE), 0
+               ) AS BIGINT) AS tsm
+        FROM hits h
+        JOIN idf i USING (term)
+        JOIN lens l ON l.doc_id = h.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           CAST(SUM(tsm) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Okapi BM25 top-k retrieval (operators/text.py bm25_topk — "
+    "the corpus search/inspection primitive: contamination "
+    "spot-checks, eval-neighborhood audits). k1=6/5, b=3/4 multiplied "
+    "through so every per-(doc,term) score is ONE division of two "
+    "exact BIGINTs (IEEE-identical cross-engine) rounded to "
+    "micro-units; idf is the PSI-recipe quantized ln over an exact "
+    "integer ratio; per-doc totals are order-free integer sums. Plan: "
+    "postings filter to the query terms BEFORE any shuffle, dl rides "
+    "the postings (no corpus re-join), |query|-row idf broadcast, "
+    "TakeOrderedAndProject top-10. The oracle replays idf, the "
+    "rational, the rounding, and the ranking end to end. idf uses "
+    "Lucene's non-negative form ln(1+(N-df+0.5)/(df+0.5)).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bm25_topk(
+        _docs_edge(spark, sf_dir), ["merge", "spark", "window"], k=10
+    )

@@ -1180,3 +1180,44 @@ def test_unigram_viterbi_tiebreaks_prefer_fewer_then_longer(spark):
     # 'aab': a+ab (last piece ab) vs ab+b (last piece b) — both 2
     # pieces at -2.0 total; longer last piece = a+ab
     assert X.unigram_viterbi("aab", lpm2, 2) == ["a", "ab"]
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval
+# --------------------------------------------------------------------------
+def test_bm25_rare_term_outranks_common_and_length_normalizes(spark):
+    import pytest as _pytest
+
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    docs = [
+        (1, "zebra apple"),            # rare term, short doc
+        (2, "apple apple apple apple"),  # common term, repeated
+        (3, "apple banana cherry date egg fig grape"),  # long, one hit
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = X.bm25_topk(df, ["zebra", "apple"], k=4).collect()
+    ranks = [r.doc_id for r in got]
+    # doc 4 never hits; zebra's idf dominates apple's
+    assert 4 not in ranks and ranks[0] == 1
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].n_hit_terms == 2
+    # length normalization: one 'apple' in a long doc scores below
+    # one-ish apples in shorter docs
+    assert by_id[3].score_micro < by_id[2].score_micro
+    with _pytest.raises(ValueError, match="non-empty"):
+        X.bm25_topk(df, [])
+
+
+def test_bm25_query_terms_dedupe_and_case_fold(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "Apple pie"), (2, "no fruit")], "doc_id long, text string"
+    )
+    a = X.bm25_topk(df, ["APPLE", "apple", "Apple"], k=2).collect()
+    b = X.bm25_topk(df, ["apple"], k=2).collect()
+    assert [(r.doc_id, r.score_micro) for r in a] == [
+        (r.doc_id, r.score_micro) for r in b
+    ]
