@@ -382,3 +382,49 @@ def dsir_select_topk(
     return scored.orderBy(
         F.desc("logw_micro"), F.asc(id_col)
     ).limit(int(k))
+
+
+def budget_fill(
+    df: DataFrame,
+    *,
+    budget: int,
+    score: Column,
+    tok: Column,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked token-budget selection: within each group, keep
+    documents in (score desc, id asc) order while the running token
+    total stays ≤ ``budget`` — the "fill the training budget with the
+    best documents first" curation step (GPT-3/LLaMA-style quality
+    buckets with a fixed token allowance per language/domain).
+
+    The running total is over ALL ranked rows (monotone
+    nondecreasing), so ``cum_tok <= budget`` selects exactly the
+    maximal prefix — a document that overflows the budget also blocks
+    everything behind it, which keeps the rule order-stable and
+    engine-replayable (no knapsack backfilling).
+
+    Scale: one cumulative-sum window per group — each group
+    serializes through one task, fine while groups are
+    language/domain-grained and bounded. When a single group is
+    corpus-sized, production switches to the two-pass threshold form
+    (aggregate a score quantile at the budget point, then a narrow
+    filter — percentile_band_filter's shape) and trades exactness at
+    the boundary for full parallelism; this operator is the exact
+    variant that also serves as its oracle.
+    """
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        tok.cast("long").alias("tok"),
+        score.cast("long").alias("score_micro"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ranked.withColumn(
+        "cum_tok", F.sum("tok").over(w)
+    ).filter(F.col("cum_tok") <= int(budget))

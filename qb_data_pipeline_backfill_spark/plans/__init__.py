@@ -81,6 +81,7 @@ prioritize(
         "contract_unigram_encode_replay",
         "unigram_train_pieces",
         "text_bm25_topk",
+        "sample_budget_fill",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -103,7 +104,6 @@ prioritize(
         "sample_train_val_test",
         "sample_stratified_rebalance",
         "sample_temperature_mixture",
-        "sample_domain_quota",
         "contract_simhash_recall",
         # contract_{approx_median,bloom_prune,substring_hash_parity,
         # ivfpq_adc}

@@ -2680,3 +2680,64 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25_topk(
         _docs_edge(spark, sf_dir), ["merge", "spark", "window"], k=10
     )
+
+
+@register(
+    "sample_budget_fill",
+    oracle=r"""
+    WITH toks AS (%s),
+    hs AS (
+        SELECT doc_id, list_transform(ts, t -> %s) AS h
+        FROM toks
+    ),
+    sc AS (
+        SELECT doc_id,
+               CAST(
+                   COALESCE(list_sum(list_transform(h,
+                       x -> (x * 2654435761) %% 1997 - 998)), 0)
+                   + COALESCE(list_sum(list_transform(
+                       generate_series(1, len(h) - 1),
+                       i -> ((h[i] * 8191 + h[i+1]) %% 1000003)
+                            * 2654435761 %% 1997 - 998)), 0)
+               AS BIGINT) AS score_micro
+        FROM hs
+    ),
+    tokc AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT t.doc_id, t.lang, t.tok, s.score_micro,
+               SUM(t.tok) OVER (
+                   PARTITION BY t.lang
+                   ORDER BY s.score_micro DESC, t.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tok
+        FROM tokc t JOIN sc s USING (doc_id)
+    )
+    SELECT doc_id, lang, tok, score_micro, cum_tok
+    FROM c WHERE cum_tok <= 3000
+    """
+    % (_TOKS, _CLS_HASH_SQL),
+    doc="Quality-ranked token-budget fill (operators/curation.py "
+    "budget_fill): per language, keep the best-classifier-scored "
+    "documents while the running BPE-ish token total stays within a "
+    "3000-token budget — the maximal-prefix rule (an overflowing doc "
+    "blocks everything behind it), order-stable and engine-"
+    "replayable. Ranking key = the pinned fastText-shape classifier "
+    "score, token count = the proven BPE-ish pre-tokenizer; ONE "
+    "cumulative window per bounded group. The oracle replays scoring, "
+    "ranking, running totals, and the cut end to end.",
+)
+def sample_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+
+    _, score = X.classifier_score_expr("text", 0)
+    return C.budget_fill(
+        _docs(spark, sf_dir),
+        budget=3000,
+        score=score,
+        tok=C.doc_token_count("text"),
+    )

@@ -192,3 +192,39 @@ def test_dsir_scoring_stage_is_narrow_codegen(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_budget_fill_is_maximal_prefix_per_group(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", 40, 100),
+            (2, "en", 50, 90),   # cum 90 -> kept
+            (3, "en", 30, 80),   # cum 120 > 100: blocks
+            (4, "en", 5, 70),    # would fit alone, but prefix rule blocks
+            (5, "de", 60, 10),   # own group
+        ],
+        "doc_id long, lang string, tok int, q int",
+    )
+    got = C.budget_fill(
+        df, budget=100, score=F.col("q"), tok=F.col("tok")
+    ).collect()
+    assert {(r.doc_id, r.cum_tok) for r in got} == {
+        (1, 40),
+        (2, 90),
+        (5, 60),
+    }
+
+
+def test_budget_fill_ties_break_by_id_and_zero_budget_empty(spark):
+    df = spark.createDataFrame(
+        [(2, "en", 10, 5), (1, "en", 10, 5)],
+        "doc_id long, lang string, tok int, q int",
+    )
+    got = C.budget_fill(
+        df, budget=10, score=F.col("q"), tok=F.col("tok")
+    ).collect()
+    assert [(r.doc_id,) for r in got] == [(1,)]
+    assert (
+        C.budget_fill(df, budget=0, score=F.col("q"), tok=F.col("tok")).count()
+        == 0
+    )
