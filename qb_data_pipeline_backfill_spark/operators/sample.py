@@ -489,3 +489,68 @@ def global_shuffle(
         .withColumnRenamed("__shard", "shard")
         .drop("__key")
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    *,
+    budget_tokens: int,
+    weights: dict[str, int],
+    tok: Column,
+    group_col: str = "source",
+) -> DataFrame:
+    """Data-constrained repetition plan (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a total token
+    budget and integer per-group target weights, compute per group how
+    many tokens it must contribute (``target_tokens = budget ·
+    w_g / Σw``, floor), how many FULL epochs of the group that takes
+    (``epochs = ceil(target/available)``), and the leftover the final
+    partial epoch must sample (``last_epoch_tokens``). All integer
+    arithmetic — a plan two engines and two runs always agree on.
+
+    Groups absent from ``weights`` get weight 0 (excluded, reported
+    with zeroes). One map-side-combined aggregate on the group key +
+    a broadcast of the |groups|-row plan arithmetic; nothing
+    corpus-sized moves.
+    """
+    if budget_tokens < 0 or not weights:
+        raise ValueError("budget_tokens must be >= 0 and weights non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    wsum = sum(weights.values())
+    if wsum == 0:
+        raise ValueError("weights must not all be zero")
+    avail = df.groupBy(group_col).agg(
+        F.sum(tok.cast("long")).alias("avail_tokens")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    w = F.coalesce(
+        wmap[F.col(group_col)], F.lit(0)
+    ).cast("long")
+    def _floor_div(a: Column, b: Column) -> Column:
+        # exact non-negative integer division (the functions.numeric
+        # pmod construction) — never a double rounding near a boundary
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    target = _floor_div(
+        w * F.lit(int(budget_tokens)), F.lit(int(wsum)).cast("long")
+    )
+    epochs = F.when(
+        (target > 0) & (F.col("avail_tokens") > 0),
+        _floor_div(
+            target + F.col("avail_tokens") - 1, F.col("avail_tokens")
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    last = F.when(
+        epochs > 0, target - (epochs - 1) * F.col("avail_tokens")
+    ).otherwise(F.lit(0)).cast("long")
+    return avail.select(
+        group_col,
+        "avail_tokens",
+        w.alias("weight"),
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        last.alias("last_epoch_tokens"),
+    )

@@ -1314,3 +1314,80 @@ def bm25_topk(
     return per_doc.orderBy(
         F.desc("score_micro"), F.asc(id_col)
     ).limit(int(k))
+
+
+# --------------------------------------------------------------------------
+# sentence segmentation (RE2-portable rule-based splitter)
+# --------------------------------------------------------------------------
+# One regex, no lookaround (DuckDB is RE2; Java regex has lookbehind
+# but the oracle could not replay it): a sentence is a maximal run of
+# non-terminator characters followed by its run of terminators
+# ([.!?]+); a trailing unterminated fragment is its own sentence.
+# Empty docs yield zero sentences. The chunker packs CONSECUTIVE
+# sentences greedily into a character budget — the chunk boundary
+# quality step between char-blind chunk_documents and model windows
+# (splitting mid-sentence degrades training examples) — as a pure
+# codegen fold over the sentence array: no shuffle, no window, no UDF.
+_SENTENCE_RE = r"[^.!?]+[.!?]*|[.!?]+"
+
+
+def sentences(text_col: Column | str = "text") -> Column:
+    """``array<string>`` of trimmed, non-empty sentences."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    raw = F.regexp_extract_all(c, F.lit(_SENTENCE_RE), 0)
+    # explicit 1-arg lambda: transform hands (element, index) to any
+    # 2-arg callable, and F.trim's optional second parameter would
+    # silently become a trim-character list (review: the deprecation
+    # warning was the only symptom)
+    return F.filter(F.transform(raw, lambda s: F.trim(s)), lambda s: s != "")
+
+
+def sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc sentence accounting: count, total/max sentence chars,
+    and the greedy sentence-boundary chunk count for a 200-char
+    budget (a sentence longer than the budget takes a chunk alone) —
+    all from one codegen fold, replayable in SQL."""
+    sents = sentences(text_col)
+    lens = F.transform(sents, F.length)
+    # greedy pack: state = (chunks_so_far, chars_in_open_chunk)
+    packed = F.aggregate(
+        lens,
+        F.struct(
+            F.lit(0).cast("long").alias("chunks"),
+            F.lit(0).cast("long").alias("open"),
+        ),
+        lambda acc, ln: F.when(
+            acc["chunks"] == 0,
+            F.struct(
+                F.lit(1).cast("long").alias("chunks"),
+                ln.cast("long").alias("open"),
+            ),
+        )
+        .when(
+            acc["open"] + ln <= 200,
+            F.struct(
+                acc["chunks"].alias("chunks"),
+                (acc["open"] + ln).alias("open"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                (acc["chunks"] + 1).alias("chunks"),
+                ln.cast("long").alias("open"),
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0),
+        ).alias("sentence_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias(
+            "max_sentence_chars"
+        ),
+        packed["chunks"].alias("n_chunks_200"),
+    )

@@ -638,3 +638,40 @@ def warc_parse(df: DataFrame, blob_col: str = "warc") -> DataFrame:
             ).astype(object)
 
     return df.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# blocklist-word filtering (C4 §2.2's "bad words" page filter)
+# --------------------------------------------------------------------------
+def badword_stats(
+    df: DataFrame,
+    badwords: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document blocklist-word accounting: ``(id, n_bad_tokens,
+    flagged)`` — C4 drops any page containing a blocklisted word;
+    the count supports softer policies (thresholds, per-domain
+    overrides) from the same pass.
+
+    Matching is on lowercased WHITESPACE TOKENS (word boundaries),
+    never substrings — "class" must not trip a blocklist containing
+    "ass". Pure codegen: the blocklist rides as an array literal and
+    the count is one higher-order filter over the token array — no
+    UDF, no shuffle, no join; at 100 TB this is a free rider on
+    whatever scan already tokenizes the document.
+    """
+    if not badwords:
+        raise ValueError("badwords must be non-empty")
+    bw = sorted({w.lower() for w in badwords})
+    from qb_data_pipeline_backfill_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    n_bad = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.lit(bw), t))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_bad.alias("n_bad_tokens"),
+        (n_bad > 0).alias("flagged"),
+    )

@@ -82,6 +82,9 @@ prioritize(
         "unigram_train_pieces",
         "text_bm25_topk",
         "sample_budget_fill",
+        "text_badword_filter",
+        "sample_epoch_plan",
+        "text_sentence_stats",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -98,12 +101,9 @@ prioritize(
         "txn_bloom_point_lookup",
         "txn_mor_delete_read",
         "txn_table_health",
-        "jsonl_roundtrip_scan",
         "leakage_safe_splits",
         "sample_eval_holdout",
         "sample_train_val_test",
-        "sample_stratified_rebalance",
-        "sample_temperature_mixture",
         "contract_simhash_recall",
         # contract_{approx_median,bloom_prune,substring_hash_parity,
         # ivfpq_adc}

@@ -2741,3 +2741,130 @@ def sample_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         score=score,
         tok=C.doc_token_count("text"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4 badword page filter / epoch plan / sentence segmentation
+# --------------------------------------------------------------------------
+@register(
+    "text_badword_filter",
+    oracle=f"""
+    WITH toks AS ({_TOKS_EDGE})
+    SELECT doc_id,
+           CAST(len(list_filter(ts,
+               t -> list_contains(['blorp', 'slow', 'spam'], t)))
+               AS BIGINT) AS n_bad_tokens,
+           len(list_filter(ts,
+               t -> list_contains(['blorp', 'slow', 'spam'], t))) > 0
+               AS flagged
+    FROM toks
+    """,
+    doc="Blocklist-word page filter (operators/webtext.py "
+    "badword_stats — C4 §2.2's bad-words rule: drop any page "
+    "containing a blocklisted WORD): matching on lowercased "
+    "whitespace tokens, never substrings ('class' must not trip "
+    "'ass'); the blocklist rides as an array literal and the count "
+    "is one codegen higher-order filter — no UDF, no shuffle, no "
+    "join. Oracle replays tokenization, matching, and counts.",
+)
+def text_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.badword_stats(
+        _docs_edge(spark, sf_dir), ["slow", "SPAM", "blorp", "spam"]
+    )
+
+
+_EPOCH_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}  # Σ = 60
+
+
+@register(
+    "sample_epoch_plan",
+    oracle=r"""
+    WITH avail AS (
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT)
+                   AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    p AS (
+        SELECT source, avail_tokens,
+               CAST((CAST(substring(source, 4) AS BIGINT) % 5) + 1
+                    AS BIGINT) AS weight
+        FROM avail
+    )
+    SELECT source, avail_tokens, weight,
+           (weight * 2000000) // 60 AS target_tokens,
+           CASE WHEN (weight * 2000000) // 60 > 0 AND avail_tokens > 0
+                THEN ((weight * 2000000) // 60 + avail_tokens - 1)
+                     // avail_tokens
+                ELSE 0 END AS epochs,
+           CASE WHEN (weight * 2000000) // 60 > 0 AND avail_tokens > 0
+                THEN (weight * 2000000) // 60
+                     - (((weight * 2000000) // 60 + avail_tokens - 1)
+                        // avail_tokens - 1) * avail_tokens
+                ELSE 0 END AS last_epoch_tokens
+    FROM p
+    """,
+    doc="Data-constrained repetition plan (operators/sample.py "
+    "epoch_plan — Muennighoff et al. 2023, 'Scaling Data-Constrained "
+    "Language Models': when the target mixture wants more tokens "
+    "than a source HAS, the source repeats for several epochs): per "
+    "source, available tokens, pinned integer weight, floor-exact "
+    "target share of a 2M-token budget, ceil-exact epoch count, and "
+    "the final partial epoch's token take — all pmod-construction "
+    "integer division, no double ever rounds near a boundary. One "
+    "map-side-combined aggregate on the group key.",
+)
+def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+
+    return SA.epoch_plan(
+        _docs(spark, sf_dir),
+        budget_tokens=2_000_000,
+        weights=_EPOCH_WEIGHTS,
+        tok=C.doc_token_count("text"),
+    )
+
+
+@register(
+    "text_sentence_stats",
+    oracle=r"""
+    WITH src AS (%s),
+    sents AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       regexp_extract_all(text, '[^.!?]+[.!?]*|[.!?]+'),
+                       x -> trim(x)),
+                   s -> s != '') AS ss
+        FROM src
+    ),
+    lens AS (
+        SELECT doc_id, list_transform(ss, s -> CAST(length(s) AS BIGINT)) AS ls
+        FROM sents
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_sum(ls), 0) AS BIGINT) AS sentence_chars,
+           CAST(COALESCE(list_max(ls), 0) AS BIGINT) AS max_sentence_chars,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
+               (acc, x) -> CASE
+                   WHEN acc = 0 THEN 1000000 + x
+                   WHEN acc %% 1000000 + x <= 200 THEN acc + x
+                   ELSE acc - (acc %% 1000000) + 1000000 + x
+               END) // 1000000 AS BIGINT) AS n_chunks_200
+    FROM lens
+    """
+    % _DOCS_EDGE_SRC,
+    doc="Rule-based sentence segmentation + sentence-boundary "
+    "chunking (operators/text.py sentences/sentence_stats): one "
+    "RE2-portable regex (no lookaround — the oracle must replay it), "
+    "maximal non-terminator runs with their terminators; the greedy "
+    "200-char chunk count is a pure codegen fold over the sentence "
+    "array (no shuffle, no window, no UDF) the oracle replays as an "
+    "integer-encoded (chunks·1e6+open) list_reduce. The chunk-"
+    "boundary-quality step between char-blind chunking and model "
+    "windows.",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.sentence_stats(_docs_edge(spark, sf_dir))

@@ -1221,3 +1221,23 @@ def test_bm25_query_terms_dedupe_and_case_fold(spark):
     assert [(r.doc_id, r.score_micro) for r in a] == [
         (r.doc_id, r.score_micro) for r in b
     ]
+
+
+def test_sentence_stats_segmentation_and_greedy_chunks(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two two! Three?? Unterminated tail"),
+            (2, ""),
+            (3, "x" * 450 + ". short."),  # oversized sentence chunks alone
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_sentences, r.max_sentence_chars, r.n_chunks_200)
+        for r in X.sentence_stats(df).collect()
+    }
+    assert got[1] == (4, 17, 1)      # all fit one 200-char chunk
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (2, 451, 2)     # giant sentence alone, then 'short.'

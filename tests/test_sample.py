@@ -267,3 +267,43 @@ def test_global_shuffle_salt_changes_permutation_and_validates(spark):
     assert a != b and sorted(a) == sorted(b) == list(range(50))
     with _pytest.raises(ValueError, match="n_shards"):
         SA.global_shuffle(df, ["doc_id"], 0)
+
+
+def test_epoch_plan_exact_integer_arithmetic(spark):
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 50), ("b", 10), ("c", 7)],
+        "source string, tok int",
+    )
+    got = {
+        r.source: (r.avail_tokens, r.weight, r.target_tokens, r.epochs,
+                   r.last_epoch_tokens)
+        for r in SA.epoch_plan(
+            df, budget_tokens=300, weights={"a": 1, "b": 2},
+            tok=F.col("tok"),
+        ).collect()
+    }
+    # wsum=3: a target=100 (1 epoch of 150 avail, last=100);
+    # b target=200 over 10 avail -> 20 epochs, last epoch = 10;
+    # c has weight 0 -> excluded with zeroes
+    assert got == {
+        "a": (150, 1, 100, 1, 100),
+        "b": (10, 2, 200, 20, 10),
+        "c": (7, 0, 0, 0, 0),
+    }
+
+
+def test_epoch_plan_validates(spark):
+    import pytest as _pytest
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a", 1)], "source string, tok int")
+    with _pytest.raises(ValueError):
+        SA.epoch_plan(df, budget_tokens=10, weights={}, tok=F.col("tok"))
+    with _pytest.raises(ValueError):
+        SA.epoch_plan(df, budget_tokens=10, weights={"a": 0}, tok=F.col("tok"))
+    with _pytest.raises(ValueError):
+        SA.epoch_plan(df, budget_tokens=10, weights={"a": -1}, tok=F.col("tok"))

@@ -416,3 +416,18 @@ def test_warc_parse_distributed_fanout_and_null_blob(spark):
     )
     got = W.warc_parse(df, "warc").collect()
     assert [(r.file_id, r.body) for r in got] == [(1, "a"), (1, "b")]
+
+
+def test_badword_matches_words_not_substrings(spark):
+    from qb_data_pipeline_backfill_spark.operators import webtext as W
+
+    df = spark.createDataFrame(
+        [(1, "the CLASS is great"), (2, "an ass appears twice ass"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bad_tokens, r.flagged)
+           for r in W.badword_stats(df, ["ass"]).collect()}
+    assert got == {1: (0, False), 2: (2, True), 3: (0, False)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        W.badword_stats(df, [])
