@@ -428,3 +428,112 @@ def budget_fill(
     return ranked.withColumn(
         "cum_tok", F.sum("tok").over(w)
     ).filter(F.col("cum_tok") <= int(budget))
+
+
+def budget_fill_scalable(
+    df: DataFrame,
+    *,
+    budget: int,
+    score: Column,
+    tok: Column,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB form of :func:`budget_fill` — SAME selected set,
+    no corpus-wide window. Two passes:
+
+    REQUIRES A QUANTIZED RANKING KEY: the level table is bounded by
+    DISTINCT scores, so feed a bucketed score (e.g. micro-units
+    floored to 1e4) — a raw per-document-unique score degenerates the
+    level table back to corpus size and with it the level window.
+    Production threshold selection quantizes for exactly this reason;
+    the boundary-repair step is what keeps the result EXACT anyway
+    (the coarser the buckets, the more work moves to step 2).
+
+    1. aggregate tokens per (group, score) — map-side combinable,
+       bounded by distinct scores — and run the cumulative window
+       over THAT table (thousands of rows, not the corpus):
+       score levels whose running total fits the budget are kept
+       wholesale; the single BOUNDARY level per group (the first
+       whose total overflows) carries its remaining budget;
+    2. only boundary-level documents (one score level per group)
+       window among themselves in id order to fill the remainder —
+       the quota_cap exact-repair pattern.
+
+    The maximal-prefix semantics are preserved exactly: ordering by
+    (score desc, id) first exhausts whole score levels, and the
+    within-level prefix is what step 2 computes. Certified by
+    `contract_budget_fill_scale`, whose oracle IS the exact
+    single-window replay — the two algorithms must agree row for row.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        tok.cast("long").alias("tok"),
+        score.cast("long").alias("score_micro"),
+    )
+    levels = scored.groupBy(group_col, "score_micro").agg(
+        F.sum("tok").alias("level_tok")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("score_micro"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = levels.withColumn("cum", F.sum("level_tok").over(w))
+    b = F.lit(int(budget)).cast("long")
+    keep_levels = cum.filter(F.col("cum") <= b).select(
+        group_col, "score_micro"
+    )
+    boundary = cum.filter(
+        (F.col("cum") > b) & (F.col("cum") - F.col("level_tok") <= b)
+    ).select(
+        group_col,
+        F.col("score_micro").alias("__bscore"),
+        (b - (F.col("cum") - F.col("level_tok"))).alias("__remaining"),
+        (F.col("cum") - F.col("level_tok")).alias("__prev_cum"),
+    )
+    whole = scored.join(
+        keep_levels, [group_col, "score_micro"], "left_semi"
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    partial = (
+        scored.join(F.broadcast(boundary), group_col)
+        .filter(F.col("score_micro") == F.col("__bscore"))
+        .withColumn("__run", F.sum("tok").over(wb))
+        .filter(F.col("__run") <= F.col("__remaining"))
+        .select(
+            id_col,
+            group_col,
+            "tok",
+            "score_micro",
+            (F.col("__prev_cum") + F.col("__run")).alias("cum_tok"),
+        )
+    )
+    # rebuild the exact-window cum_tok so both forms return identical
+    # rows: cum at the level's START (from the bounded level table) +
+    # a running total WITHIN the level (partitioned by (group, score)
+    # — fine-grained, parallel; never a per-group corpus window)
+    level_start = cum.select(
+        group_col,
+        "score_micro",
+        (F.col("cum") - F.col("level_tok")).alias("__start"),
+    )
+    w_in = (
+        Window.partitionBy(group_col, "score_micro")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole_rows = (
+        whole.join(level_start, [group_col, "score_micro"])
+        .withColumn(
+            "cum_tok", F.col("__start") + F.sum("tok").over(w_in)
+        )
+    )
+    return whole_rows.select(
+        id_col, group_col, "tok", "score_micro", "cum_tok"
+    ).unionByName(partial)

@@ -2868,3 +2868,72 @@ def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.sentence_stats(_docs_edge(spark, sf_dir))
+
+
+@register(
+    "contract_budget_fill_scale",
+    # The oracle is the EXACT single-window replay (sample_budget_fill's
+    # SQL under the quantized key): the scalable two-pass algorithm
+    # must reproduce the exact algorithm's selection row for row.
+    oracle=r"""
+    WITH toks AS (%s),
+    hs AS (
+        SELECT doc_id, list_transform(ts, t -> %s) AS h
+        FROM toks
+    ),
+    sc AS (
+        SELECT doc_id,
+               CAST(
+                   COALESCE(list_sum(list_transform(h,
+                       x -> (x * 2654435761) %% 1997 - 998)), 0)
+                   + COALESCE(list_sum(list_transform(
+                       generate_series(1, len(h) - 1),
+                       i -> ((h[i] * 8191 + h[i+1]) %% 1000003)
+                            * 2654435761 %% 1997 - 998)), 0)
+               AS BIGINT) AS raw
+        FROM hs
+    ),
+    q AS (
+        SELECT doc_id, raw - ((raw %% 10000 + 10000) %% 10000) AS score_micro
+        FROM sc
+    ),
+    tokc AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT t.doc_id, t.lang, t.tok, q.score_micro,
+               SUM(t.tok) OVER (
+                   PARTITION BY t.lang
+                   ORDER BY q.score_micro DESC, t.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tok
+        FROM tokc t JOIN q USING (doc_id)
+    )
+    SELECT doc_id, lang, tok, score_micro, cum_tok
+    FROM c WHERE cum_tok <= 3000
+    """
+    % (_TOKS, _CLS_HASH_SQL),
+    doc="Scale-path certification for budget selection "
+    "(operators/curation.py budget_fill_scalable): the two-pass form "
+    "— bounded (group, score-level) cumulative table for wholesale "
+    "level keeps + a boundary-level-only repair window — must "
+    "reproduce the EXACT single-window maximal prefix row for row, "
+    "cum_tok included; the oracle IS the exact algorithm's replay. "
+    "Ranking key = the classifier score floored to 1e4 micro-units "
+    "(the quantization the scale form requires; floor toward -inf on "
+    "both engines via the double-pmod construction).",
+)
+def contract_budget_fill_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+
+    _, raw = X.classifier_score_expr("text", 0)
+    qscore = raw - F.pmod(F.pmod(raw, 10000) + 10000, 10000)
+    return C.budget_fill_scalable(
+        _docs(spark, sf_dir),
+        budget=3000,
+        score=qscore,
+        tok=C.doc_token_count("text"),
+    )

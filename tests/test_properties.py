@@ -456,3 +456,42 @@ def test_dsir_fit_matches_python_spec(spark, docs):
         den = (raw[b] + 1) * (tt + nb)
         lr = round(math.log(num / den) * 1e6)
         assert got[b] == (raw[b], tgt[b], lr), b
+
+
+# --------------------------------------------------------------------------
+# budget_fill_scalable ≡ budget_fill (the scale path is exact)
+# --------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.integers(1, 40),       # tok
+            st.integers(-3, 3),       # quantized score level
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.integers(0, 200),
+)
+def test_budget_fill_scalable_equals_exact(spark, rows, budget):
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [(i, g, t, q) for i, (g, t, q) in enumerate(rows)],
+        "doc_id long, lang string, tok int, q int",
+    )
+    def canon(out):
+        return sorted(
+            (r.doc_id, r.lang, r.tok, r.score_micro, r.cum_tok)
+            for r in out.collect()
+        )
+    exact = canon(
+        C.budget_fill(df, budget=budget, score=F.col("q"), tok=F.col("tok"))
+    )
+    scale = canon(
+        C.budget_fill_scalable(
+            df, budget=budget, score=F.col("q"), tok=F.col("tok")
+        )
+    )
+    assert scale == exact
