@@ -86,6 +86,7 @@ prioritize(
         "sample_epoch_plan",
         "text_sentence_stats",
         "contract_budget_fill_scale",
+        "streaming_dsir_scores",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -102,7 +103,6 @@ prioritize(
         "txn_bloom_point_lookup",
         "txn_mor_delete_read",
         "txn_table_health",
-        "leakage_safe_splits",
         "sample_train_val_test",
         "contract_simhash_recall",
         # contract_{approx_median,bloom_prune,substring_hash_parity,

@@ -2213,7 +2213,7 @@ def text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # DSIR data selection (Xie et al. 2023 — importance resampling)
 # --------------------------------------------------------------------------
-_DSIR_ORACLE = f"""
+_DSIR_CTES = f"""
     WITH src AS ({_DOCS_EDGE_SRC}),
     toks AS (
         SELECT doc_id, lang,
@@ -2262,6 +2262,11 @@ _DSIR_ORACLE = f"""
         FROM feats f JOIN lam l ON l.bucket = f.bucket
         GROUP BY f.doc_id
     )
+"""
+
+_DSIR_ORACLE = (
+    _DSIR_CTES
+    + """
     SELECT s.doc_id,
            CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
            CAST(COALESCE(w.logw_micro, 0) AS BIGINT) AS logw_micro
@@ -2269,6 +2274,7 @@ _DSIR_ORACLE = f"""
     ORDER BY logw_micro DESC, s.doc_id
     LIMIT 150
 """
+)
 
 
 @register(

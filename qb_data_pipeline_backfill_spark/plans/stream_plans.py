@@ -730,3 +730,57 @@ def streaming_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "body",
     )
     return run_available_now(out, output_mode="append")
+
+
+@register(
+    "streaming_dsir_scores",
+    # batch-fit model, stream-applied: the λ CTEs fit over the FULL
+    # batch corpus (+edge, same as dsir_select_topk's oracle); only
+    # the scored rows restrict to the stream twin's subset.
+    oracle=None,  # assembled below to share the batch gate's CTEs
+    doc="DSIR model application under Structured Streaming: the λ "
+    "table fits ONCE on the batch corpus (the model artifact, "
+    "n_buckets-bounded), ships as a literal array, and every "
+    "micro-batch of the documents file stream scores through the "
+    "same narrow codegen fold as the batch twin — stateless append "
+    "mode, no UDF, no shuffle, no batch/stream fork in operator "
+    "code. The deploy shape of data selection: fit offline, apply "
+    "on the ingest stream.",
+)
+def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+    from qb_data_pipeline_backfill_spark.plans.llm import _docs_edge
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+        run_available_now,
+    )
+
+    lam = C.dsir_fit(
+        _docs_edge(spark, sf_dir), F.col("lang") == "en"
+    ).select("bucket", "lr_micro").collect()
+    lr = [0] * 1024
+    for r in lam:
+        lr[r["bucket"]] = r["lr_micro"]
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
+    return run_available_now(C.dsir_log_weights(docs, lr), output_mode="append")
+
+
+# splice the shared fit CTEs from the batch gate into this oracle
+import dataclasses as _dc  # noqa: E402
+
+from qb_data_pipeline_backfill_spark.plans import llm as _llm  # noqa: E402
+from qb_data_pipeline_backfill_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_dsir_scores"] = _dc.replace(
+    _REG["streaming_dsir_scores"],
+    oracle=_llm._DSIR_CTES
+    + """
+    SELECT s.doc_id,
+           CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(w.logw_micro, 0) AS BIGINT) AS logw_micro
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) s
+    LEFT JOIN w ON w.doc_id = s.doc_id
+    """,
+)
