@@ -87,6 +87,7 @@ prioritize(
         "text_sentence_stats",
         "contract_budget_fill_scale",
         "streaming_dsir_scores",
+        "streaming_minhash_dedup",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -99,7 +100,6 @@ prioritize(
         "txn_replica_audit",
         "txn_cdf_log_feed",
         "txn_cdf_log_net_feed",
-        "txn_cdf_rollup_maintenance",
         "txn_bloom_point_lookup",
         "txn_mor_delete_read",
         "txn_table_health",

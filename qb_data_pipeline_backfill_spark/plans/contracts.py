@@ -865,3 +865,122 @@ def contract_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)
     )
     return _flag_caught(exact, caught, ["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# streaming incremental near-dup (the stream face of the band index)
+# --------------------------------------------------------------------------
+_MINHASH_STREAM_REV = "r12a"
+
+
+def _minhash_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated pairs table of the streamed fixture: bootstrap band
+    index = even doc_ids (one batch commit), odd doc_ids streamed in
+    THREE micro-batches (pmod 3 file groups, maxFilesPerTrigger=1)
+    through ``stream_minhash_dedup``. Adopt/rebuild like the other
+    pinned scratch fixtures (marker file; deterministic build)."""
+    import os
+    import shutil
+    import time
+
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        stream_minhash_dedup,
+    )
+
+    parent = os.path.join(
+        _SCRATCH,
+        f"minhash_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    index_p = os.path.join(parent, "index")
+    pairs_p = os.path.join(parent, "pairs")
+    marker = os.path.join(parent, "BUILT")
+
+    def _current() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read().strip() == _MINHASH_STREAM_REV
+        except OSError:
+            return False
+
+    if not _current():
+        tmp = f"{parent}.building-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        t_index = os.path.join(tmp, "index")
+        t_pairs = os.path.join(tmp, "pairs")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        even = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        txn.commit_append(
+            spark, D.minhash_band_index(even), t_index
+        )
+        work = os.path.join(tmp, "stream-work")
+        src, ck = os.path.join(work, "src"), os.path.join(work, "ck")
+        odd = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+        for i in range(3):
+            odd.filter(F.pmod("doc_id", F.lit(6)) == 2 * i + 1).coalesce(
+                1
+            ).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        now = time.time()
+        for i in range(3):
+            d = os.path.join(src, f"b{i}.parquet")
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = stream_minhash_dedup(
+            stream,
+            index_path=t_index,
+            pairs_path=t_pairs,
+            checkpoint_dir=ck,
+        )
+        q.awaitTermination()
+        head = txn.current_version(t_index)
+        if head != 3:
+            raise RuntimeError(
+                f"minhash stream fixture reached index head {head}, "
+                "expected 3 (bootstrap + three micro-batches)"
+            )
+        shutil.rmtree(work, ignore_errors=True)
+        with open(os.path.join(tmp, "BUILT"), "w") as f:
+            f.write(_MINHASH_STREAM_REV)
+        shutil.rmtree(parent, ignore_errors=True)
+        try:
+            os.rename(tmp, parent)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost an adopt race
+    from qb_data_pipeline_backfill_spark.operators import txn as _t
+
+    return _t.read_table(spark, pairs_p)
+
+
+@register(
+    "streaming_minhash_dedup",
+    oracle=_EXACT_PAIRS_CTE
+    + """
+    SELECT doc_a, doc_b, jaccard, TRUE AS caught FROM exact_pairs
+    WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+""",
+    doc="Streaming incremental near-dup detection, gated end to end "
+    "(streaming/jobs.py stream_minhash_dedup): even doc_ids bootstrap "
+    "the persisted band index; odd doc_ids arrive in three "
+    "micro-batches, each probing the index and appending its own "
+    "band rows so later batches see earlier ones as history — "
+    "cross-batch, within-batch, and batch-vs-bootstrap pairs must "
+    "together catch every exact trigram-Jaccard ≥ 0.9 pair touching "
+    "an odd doc (the same closed form as the one-shot incremental "
+    "contract). Both per-batch commits are fenced by writer-"
+    "namespaced (txn_app, batch_id) manifest watermarks — the "
+    "exactly-once posture of stream_scd2 — with pairs committing "
+    "before index rows so a crash replay can never probe an index "
+    "holding its own batch.",
+)
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_stream_pairs(spark, sf_dir)
+    exact = _exact_near_dups(spark, sf_dir).filter(
+        (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)
+    )
+    return _flag_caught(exact, pairs, ["doc_a", "doc_b"])

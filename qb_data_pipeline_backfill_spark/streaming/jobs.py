@@ -435,3 +435,82 @@ def dedup_exactly_once(stream: DataFrame, watermark: str = "1 hour") -> DataFram
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_minhash_dedup(
+    source: DataFrame,
+    *,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+):
+    """Streaming near-duplicate detection: each micro-batch of the
+    document stream probes the PERSISTED MinHash band index
+    (operators/dedup.py incremental_minhash_pairs — history is never
+    re-shingled), appends the discovered pairs to one transactional
+    table and its own band rows to the index table, so the next
+    micro-batch sees it as history. Cross-batch, within-batch, and
+    batch-vs-bootstrap pairs all surface exactly as the one-shot
+    incremental run would emit them (gate: streaming_minhash_dedup).
+
+    Exactly-once is double-layered like :func:`~...operators.txn.
+    stream_scd2`: the streaming checkpoint absorbs replays across
+    restarts, and BOTH commits carry per-writer ``(txn_app,
+    txn_version=batch_id)`` manifest watermarks namespaced by the
+    checkpoint-persisted writer identity, so a foreachBatch retry
+    that slips past the checkpoint is a provable no-op on each table.
+    Pairs commit BEFORE index rows: if a crash lands between them,
+    the replay's pairs append is fenced by its watermark and the
+    index append completes — no pair is ever computed against an
+    index already containing the probing batch's own rows.
+
+    Returns the started query (availableNow trigger).
+    """
+    from qb_data_pipeline_backfill_spark.operators import dedup as D
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    ident = app_id or txn._checkpoint_writer_id(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bdf = batch_df.persist()
+        try:
+            try:
+                index = txn.read_table(spark, index_path)
+            except FileNotFoundError:
+                index = D.minhash_band_index(
+                    bdf.limit(0), text_col, id_col, num_hashes, bands,
+                    shingle_k,
+                )
+            pairs = D.incremental_minhash_pairs(
+                index, bdf, text_col, id_col, num_hashes, bands,
+                shingle_k, threshold, max_bucket,
+            )
+            txn.commit_append(
+                spark, pairs, pairs_path,
+                txn_app=f"{ident}-pairs", txn_version=int(batch_id),
+            )
+            rows = D.minhash_band_index(
+                bdf, text_col, id_col, num_hashes, bands, shingle_k
+            )
+            txn.commit_append(
+                spark, rows, index_path,
+                txn_app=f"{ident}-index", txn_version=int(batch_id),
+            )
+        finally:
+            bdf.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

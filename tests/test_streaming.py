@@ -282,3 +282,49 @@ def test_stream_to_jdbc_idempotent_against_real_derby(spark, tmp_path):
     )
     q2.awaitTermination()
     assert load().count() == 4
+
+
+def test_stream_minhash_dedup_rerun_is_exactly_once(spark, tmp_path):
+    """Replaying the whole stream with a FRESH checkpoint (new writer
+    identity) must re-discover pairs but never duplicate index rows
+    for the same writer; and a resumed checkpoint replay is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import dedup as D
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        stream_minhash_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, base), (2, base + " iota"), (3, "totally different words here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src + "/b0.parquet")
+    index_p, pairs_p = str(tmp_path / "idx"), str(tmp_path / "prs")
+    ck = str(tmp_path / "ck")
+
+    def run(ckdir):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = stream_minhash_dedup(
+            stream, index_path=index_p, pairs_path=pairs_p,
+            checkpoint_dir=ckdir,
+        )
+        q.awaitTermination()
+
+    run(ck)
+    pairs1 = {(r.doc_a, r.doc_b) for r in txn.read_table(spark, pairs_p).collect()}
+    assert pairs1 == {(1, 2)}
+    idx_v1 = txn.current_version(index_p)
+    n_idx1 = txn.read_table(spark, index_p).count()
+
+    # resumed checkpoint: availableNow already consumed the file — no-op
+    run(ck)
+    assert txn.current_version(index_p) == idx_v1
+    assert txn.read_table(spark, index_p).count() == n_idx1
