@@ -218,7 +218,33 @@ def ivf_ann_topk(
     if centroids is None:
         centroids = deterministic_centroids(corpus, stride, id_col, vec_col)
     inv = ivf_assign(corpus, centroids, id_col, vec_col)
+    return ivf_topk_from_index(
+        inv, centroids, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
 
+
+def ivf_topk_from_index(
+    inv: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a PREBUILT inverted file ``(id, vec, v_norm,
+    cell)`` — the search half of :func:`ivf_ann_topk`, split out so a
+    PERSISTED index can grow incrementally: new vector batches assign
+    under the FROZEN centroids (``ivf_assign`` with the stored
+    codebook — one narrow broadcast argmax per batch, no history
+    touched) and append their postings; searches over the appended
+    index are bit-identical to a fresh build over the full corpus
+    under the same centroids (pytest-certified). Centroid retraining
+    (codebook drift as the corpus shifts) is a REBUILD by design —
+    assignments are a pure function of the codebook, so mixing
+    codebook generations in one index would silently corrupt cells.
+    """
     # nprobe nearest cells per query (same broadcast quantizer)
     q = queries.select(
         F.col(id_col).alias("query_id"),

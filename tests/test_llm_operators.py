@@ -1241,3 +1241,29 @@ def test_sentence_stats_segmentation_and_greedy_chunks(spark):
     assert got[1] == (4, 17, 1)      # all fit one 200-char chunk
     assert got[2] == (0, 0, 0)
     assert got[3] == (2, 451, 2)     # giant sentence alone, then 'short.'
+
+
+def test_ivf_index_append_is_bit_identical_to_fresh_build(spark):
+    """Appending a new vector batch to a persisted inverted file under
+    the FROZEN codebook must search bit-identically to a fresh build
+    over the full corpus with the same centroids."""
+    import random
+
+    from qb_data_pipeline_backfill_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = df.filter("vec_id % 2 = 0")
+    new = df.filter("vec_id % 2 = 1")
+    queries = df.filter("vec_id % 17 = 0")
+    cents = S.deterministic_centroids(old, stride=10)
+
+    appended = S.ivf_assign(old, cents).unionByName(S.ivf_assign(new, cents))
+    via_index = S.ivf_topk_from_index(appended, cents, queries, k=3, nprobe=2)
+    fresh = S.ivf_ann_topk(df, queries, k=3, nprobe=2, centroids=cents)
+    a = sorted(map(tuple, via_index.collect()))
+    b = sorted(map(tuple, fresh.collect()))
+    assert a == b and len(a) > 0
