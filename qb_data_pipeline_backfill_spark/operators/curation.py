@@ -355,6 +355,25 @@ def dsir_log_weights(
     )
 
 
+def dsir_fit_weights(
+    df: DataFrame,
+    target: Column,
+    *,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> list[int]:
+    """Fit and collect the λ table as the bucket-indexed weight list
+    :func:`dsir_log_weights` consumes — the driver-side model
+    artifact, shared by the batch selector and the streaming scorer
+    so bucket-count and assembly can never drift apart (review r12).
+    """
+    lam = dsir_fit(df, target, text_col=text_col, n_buckets=n_buckets)
+    lr = [0] * n_buckets
+    for r in lam.select("bucket", "lr_micro").collect():
+        lr[r["bucket"]] = int(r["lr_micro"])
+    return lr
+
+
 def dsir_select_topk(
     df: DataFrame,
     target: Column,
@@ -373,11 +392,9 @@ def dsir_select_topk(
     table); selection is ``TakeOrderedAndProject`` — per-partition
     top-k heads merged on the driver, never a corpus-wide sort.
     """
-    lam = dsir_fit(df, target, text_col=text_col, n_buckets=n_buckets)
-    rows = lam.select("bucket", "lr_micro").collect()
-    lr = [0] * n_buckets
-    for r in rows:
-        lr[r["bucket"]] = r["lr_micro"]
+    lr = dsir_fit_weights(
+        df, target, text_col=text_col, n_buckets=n_buckets
+    )
     scored = dsir_log_weights(df, lr, id_col=id_col, text_col=text_col)
     return scored.orderBy(
         F.desc("logw_micro"), F.asc(id_col)
@@ -417,7 +434,7 @@ def budget_fill(
     ranked = df.select(
         F.col(id_col),
         F.col(group_col),
-        tok.cast("long").alias("tok"),
+        F.coalesce(tok.cast("long"), F.lit(0)).alias("tok"),
         score.cast("long").alias("score_micro"),
     )
     w = (
@@ -469,7 +486,7 @@ def budget_fill_scalable(
     scored = df.select(
         F.col(id_col),
         F.col(group_col),
-        tok.cast("long").alias("tok"),
+        F.coalesce(tok.cast("long"), F.lit(0)).alias("tok"),
         score.cast("long").alias("score_micro"),
     )
     levels = scored.groupBy(group_col, "score_micro").agg(
@@ -493,17 +510,30 @@ def budget_fill_scalable(
         (b - (F.col("cum") - F.col("level_tok"))).alias("__remaining"),
         (F.col("cum") - F.col("level_tok")).alias("__prev_cum"),
     )
+    # every join below matches NULL group/score levels too (eqNullSafe
+    # — groupBy and window partitioning treat NULL as a real group, so
+    # plain column joins would silently drop those rows from the
+    # selection while the exact window form keeps them; review r12)
+    kl = keep_levels.select(
+        F.col(group_col).alias("__kg"), F.col("score_micro").alias("__ks")
+    )
     whole = scored.join(
-        keep_levels, [group_col, "score_micro"], "left_semi"
+        kl,
+        F.col(group_col).eqNullSafe(F.col("__kg"))
+        & F.col("score_micro").eqNullSafe(F.col("__ks")),
+        "left_semi",
     )
     wb = (
         Window.partitionBy(group_col)
         .orderBy(F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    bnd = boundary.withColumnRenamed(group_col, "__bg")
     partial = (
-        scored.join(F.broadcast(boundary), group_col)
-        .filter(F.col("score_micro") == F.col("__bscore"))
+        scored.join(
+            F.broadcast(bnd), F.col(group_col).eqNullSafe(F.col("__bg"))
+        )
+        .filter(F.col("score_micro").eqNullSafe(F.col("__bscore")))
         .withColumn("__run", F.sum("tok").over(wb))
         .filter(F.col("__run") <= F.col("__remaining"))
         .select(
@@ -528,8 +558,17 @@ def budget_fill_scalable(
         .orderBy(F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    ls = level_start.select(
+        F.col(group_col).alias("__lg"),
+        F.col("score_micro").alias("__ls"),
+        "__start",
+    )
     whole_rows = (
-        whole.join(level_start, [group_col, "score_micro"])
+        whole.join(
+            ls,
+            F.col(group_col).eqNullSafe(F.col("__lg"))
+            & F.col("score_micro").eqNullSafe(F.col("__ls")),
+        )
         .withColumn(
             "cum_tok", F.col("__start") + F.sum("tok").over(w_in)
         )

@@ -530,9 +530,13 @@ def epoch_plan(
         wmap[F.col(group_col)], F.lit(0)
     ).cast("long")
     def _floor_div(a: Column, b: Column) -> Column:
-        # exact non-negative integer division (the functions.numeric
-        # pmod construction) — never a double rounding near a boundary
-        return ((a - F.pmod(a, b)) / b).cast("long")
+        # exact non-negative integer division in DECIMAL(38,0): the
+        # pmod subtraction makes the numerator exactly divisible, and
+        # decimals keep it exact past 2^53 where a double numerator
+        # would round (review r12 — weight x budget can exceed 9e15)
+        a38 = a.cast("decimal(38,0)")
+        b38 = b.cast("decimal(38,0)")
+        return ((a38 - F.pmod(a38, b38)) / b38).cast("long")
 
     target = _floor_div(
         w * F.lit(int(budget_tokens)), F.lit(int(wsum)).cast("long")

@@ -1088,6 +1088,16 @@ def train_unigram(
             kept = {p for p, _ in multi[:keep_multi]} | {
                 p for p in e if len(p) == 1
             }
+            # single chars are REQUIRED (the seed guarantee that every
+            # word stays segmentable): a char whose corpus expectation
+            # quantizes to 0 micro-units would otherwise vanish and
+            # silently drop every word containing it from later
+            # rounds' lattices (review r12) — floor required chars at
+            # one micro-unit instead
+            e = {
+                p: (max(m, 1) if len(p) == 1 else m)
+                for p, m in e.items()
+            }
             total = sum(m for p, m in e.items() if p in kept)
             pieces = {
                 p: int(round(math.log(m / total) * 1e6))
@@ -1131,7 +1141,10 @@ def unigram_viterbi(
                     v = UNIGRAM_UNK_MICRO
                 else:
                     continue
-            key = (dp[j][0] + v, dp[j][1] - 1, j)
+            # longer last piece = SMALLER j, so j negates in the
+            # maximized key (review r12: the un-negated form preferred
+            # the shorter last piece, inverting the documented order)
+            key = (dp[j][0] + v, dp[j][1] - 1, -j)
             if best_key is None or key > best_key:
                 best_key, best_j = key, j
         if best_key is not None:

@@ -732,12 +732,22 @@ def streaming_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append")
 
 
+from qb_data_pipeline_backfill_spark.plans.llm import _DSIR_CTES  # noqa: E402
+
+
 @register(
     "streaming_dsir_scores",
     # batch-fit model, stream-applied: the λ CTEs fit over the FULL
-    # batch corpus (+edge, same as dsir_select_topk's oracle); only
-    # the scored rows restrict to the stream twin's subset.
-    oracle=None,  # assembled below to share the batch gate's CTEs
+    # batch corpus (+edge, shared with dsir_select_topk's oracle);
+    # only the scored rows restrict to the stream twin's subset.
+    oracle=_DSIR_CTES
+    + """
+    SELECT s.doc_id,
+           CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(w.logw_micro, 0) AS BIGINT) AS logw_micro
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) s
+    LEFT JOIN w ON w.doc_id = s.doc_id
+    """,
     doc="DSIR model application under Structured Streaming: the λ "
     "table fits ONCE on the batch corpus (the model artifact, "
     "n_buckets-bounded), ships as a literal array, and every "
@@ -755,32 +765,10 @@ def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    lam = C.dsir_fit(
+    lr = C.dsir_fit_weights(
         _docs_edge(spark, sf_dir), F.col("lang") == "en"
-    ).select("bucket", "lr_micro").collect()
-    lr = [0] * 1024
-    for r in lam:
-        lr[r["bucket"]] = r["lr_micro"]
+    )
     docs = documents_stream(spark, sf_dir).filter(
         F.pmod(F.col("doc_id"), F.lit(10)) == 0
     )
     return run_available_now(C.dsir_log_weights(docs, lr), output_mode="append")
-
-
-# splice the shared fit CTEs from the batch gate into this oracle
-import dataclasses as _dc  # noqa: E402
-
-from qb_data_pipeline_backfill_spark.plans import llm as _llm  # noqa: E402
-from qb_data_pipeline_backfill_spark.plans.registry import REGISTRY as _REG  # noqa: E402
-
-_REG["streaming_dsir_scores"] = _dc.replace(
-    _REG["streaming_dsir_scores"],
-    oracle=_llm._DSIR_CTES
-    + """
-    SELECT s.doc_id,
-           CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
-           CAST(COALESCE(w.logw_micro, 0) AS BIGINT) AS logw_micro
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) s
-    LEFT JOIN w ON w.doc_id = s.doc_id
-    """,
-)

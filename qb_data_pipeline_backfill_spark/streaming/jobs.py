@@ -472,6 +472,13 @@ def stream_minhash_dedup(
     index append completes — no pair is ever computed against an
     index already containing the probing batch's own rows.
 
+    A FRESH checkpoint mints a NEW writer identity whose batch ids
+    restart at 0 and legitimately apply (the stream_scd2 lifecycle
+    contract) — but unlike SCD2's sequence fold, these appends are
+    blind, so re-streaming consumed input under a new checkpoint into
+    the SAME tables duplicates pairs and index rows. Checkpoint loss
+    => rebuild the tables (or supply the old app_id to keep fencing).
+
     Returns the started query (availableNow trigger).
     """
     from qb_data_pipeline_backfill_spark.operators import dedup as D

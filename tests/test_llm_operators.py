@@ -1055,6 +1055,7 @@ def ref_unigram_train(
         kept = {p for p, _ in multi[:keep_multi]} | {
             p for p in e if len(p) == 1
         }
+        e = {p: (max(m, 1) if len(p) == 1 else m) for p, m in e.items()}
         total = sum(m for p, m in e.items() if p in kept)
         pieces = {
             p: int(round(math.log(m / total) * 1e6))
@@ -1080,10 +1081,10 @@ def ref_unigram_viterbi(word: str, lpm: dict[str, int], max_len: int, unk: int):
                     v = unk
                 else:
                     continue
-            cand = (dp[j][0] + v, dp[j][1] - 1, j)
-            if best is None or cand > best:
+            cand = (dp[j][0] + v, dp[j][1] - 1, -j, j)
+            if best is None or cand[:3] > best[:3]:
                 best = cand
-        dp[i] = best
+        dp[i] = (best[0], best[1], best[3]) if best else None
     segs = []
     i = n
     while i > 0:
@@ -1176,9 +1177,10 @@ def test_unigram_viterbi_tiebreaks_prefer_fewer_then_longer(spark):
     lpm = {"a": -1_000_000, "b": -2_000_000, "ab": -3_000_000}
     assert X.unigram_viterbi("ab", lpm, 2) == ["ab"]
     # equal score AND equal piece count -> longer LAST piece wins
-    lpm2 = {"a": -1_000_000, "b": -1_000_000, "ab": -1_000_000}
-    # 'aab': a+ab (last piece ab) vs ab+b (last piece b) — both 2
-    # pieces at -2.0 total; longer last piece = a+ab
+    # (a genuine tie: 'aab' as aa+b vs a+ab, both 2 pieces, equal
+    # score — the review found the previous fixture never tied)
+    lpm2 = {"a": -1_000_000, "b": -1_000_000, "ab": -1_000_000,
+            "aa": -1_000_000}
     assert X.unigram_viterbi("aab", lpm2, 2) == ["a", "ab"]
 
 

@@ -285,9 +285,11 @@ def test_stream_to_jdbc_idempotent_against_real_derby(spark, tmp_path):
 
 
 def test_stream_minhash_dedup_rerun_is_exactly_once(spark, tmp_path):
-    """Replaying the whole stream with a FRESH checkpoint (new writer
-    identity) must re-discover pairs but never duplicate index rows
-    for the same writer; and a resumed checkpoint replay is a no-op."""
+    """A resumed-checkpoint replay is a no-op on both tables (the
+    availableNow run already consumed the file; watermarks fence any
+    foreachBatch retry). A FRESH checkpoint is deliberately a NEW
+    writer whose appends apply — point it at fresh tables (operator
+    docstring caveat), so that path is not exercised here."""
     import os
 
     from pyspark.sql import functions as F

@@ -45,7 +45,7 @@ def main() -> None:
     per_blob = 50
     blob_expr = F.concat(
         *[
-            F.format_string(rec.replace("%d", "%d", 2), F.col("id") * per_blob + i,
+            F.format_string(rec, F.col("id") * per_blob + i,
                             F.col("id") * per_blob + i)
             for i in range(per_blob)
         ]
