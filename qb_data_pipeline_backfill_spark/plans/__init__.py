@@ -88,6 +88,9 @@ prioritize(
         "contract_budget_fill_scale",
         "streaming_dsir_scores",
         "streaming_minhash_dedup",
+        "nation_market_share",
+        "promo_revenue_share",
+        "disjunctive_brand_revenue",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
@@ -99,9 +102,6 @@ prioritize(
         "txn_table_history",
         "txn_replica_audit",
         "txn_cdf_log_feed",
-        "txn_cdf_log_net_feed",
-        "txn_bloom_point_lookup",
-        "txn_mor_delete_read",
         "txn_table_health",
         "sample_train_val_test",
         "contract_simhash_recall",

@@ -1980,3 +1980,181 @@ def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         decimal_sum("c_acctbal").alias("total_bal"),
     )
+
+
+# --- TPC-H Q8 / Q14 / Q19 shapes (late round 12) -----------------------------
+# Share arithmetic: per-row volumes become EXACT micro-unit integers
+# (functions.numeric.micro_units) so numerator/denominator are
+# order-free integer sums and the share is one exact truncated integer
+# division (int_ratio) — no double ratio ever rounds near a boundary.
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS order_year,
+               n1.n_name AS supp_nation,
+               CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v_micro
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n2.n_regionkey
+        WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN v_micro ELSE 0 END) AS BIGINT) AS num_micro,
+           CAST(SUM(v_micro) AS BIGINT) AS den_micro,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                              THEN v_micro ELSE 0 END) AS HUGEINT)
+                * 1000000 // SUM(v_micro) AS DOUBLE) / 1000000.0 AS share
+    FROM vol GROUP BY order_year
+    """,
+    doc="TPC-H Q8 shape (national market share): NATION_3's share of "
+    "ECONOMY-part revenue sold into ASIA customers, by order year. "
+    "Seven-table join tree — part-type and region filters push into "
+    "their scans, nation/region broadcast by hint (fixed "
+    "cardinality), everything else AQE-sized; the share is an exact "
+    "truncated micro-unit integer division (int_ratio), never a "
+    "rounded double ratio.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.functions import int_ratio
+    from qb_data_pipeline_backfill_spark.functions.numeric import micro_units
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    v = micro_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", v).otherwise(F.lit(0))
+    )
+    den = F.sum(v)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            num.cast("long").alias("num_micro"),
+            den.cast("long").alias("den_micro"),
+            int_ratio(num, den, 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    WITH w AS (
+        SELECT p.p_type,
+               CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v_micro
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-09-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1997-10-01'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN v_micro ELSE 0 END)
+                AS BIGINT) AS promo_micro,
+           CAST(SUM(v_micro) AS BIGINT) AS total_micro,
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN v_micro ELSE 0 END)
+                AS HUGEINT) * 1000000 // SUM(v_micro) AS DOUBLE)
+                / 1000000.0 AS promo_share
+    FROM w
+    """,
+    doc="TPC-H Q14 shape (promotion revenue share): PROMO parts' share "
+    "of one ship month's revenue — the date window pushes into the "
+    "lineitem scan, one AQE-sized part join, one conditional "
+    "aggregate; share arithmetic exact micro-unit integers.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.functions import int_ratio
+    from qb_data_pipeline_backfill_spark.functions.numeric import micro_units
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    v = micro_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    num = F.sum(F.when(F.col("p_type") == "PROMO", v).otherwise(F.lit(0)))
+    den = F.sum(v)
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        num.cast("long").alias("promo_micro"),
+        den.cast("long").alias("total_micro"),
+        int_ratio(num, den, 6).alias("promo_share"),
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive multi-attribute predicate): "
+    "three OR-blocks mixing part attributes and lineitem quantity "
+    "over one join. Catalyst factors the part-only disjuncts "
+    "(brand/size) into the part scan and the quantity bounds into "
+    "the lineitem scan (CNF conversion), so each side scans a "
+    "superset filter before the join and the full disjunction "
+    "evaluates post-join — the pushdown shape this query exists to "
+    "exercise.",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
