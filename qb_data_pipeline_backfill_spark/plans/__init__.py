@@ -91,17 +91,17 @@ prioritize(
         "nation_market_share",
         "promo_revenue_share",
         "disjunctive_brand_revenue",
+        "min_cost_supplier",
+        "important_stock_parts",
+        "supplier_part_counts",
+        "excess_stock_suppliers",
         "txn_scd2_apply",
         "contract_heavy_hitters",
         # --- (b) stalest: last driver grade r10 ---
         "txn_files_metadata",
         "txn_snapshot_count",
-        "txn_restore_rollback",
-        "txn_zorder_compact",
         "txn_idempotent_stream_append",
-        "txn_table_history",
         "txn_replica_audit",
-        "txn_cdf_log_feed",
         "txn_table_health",
         "sample_train_val_test",
         "contract_simhash_recall",

@@ -2158,3 +2158,271 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# --- TPC-H partsupp family: Q2 / Q11 / Q16 / Q20 (late round 12) -------------
+# The source schema has no partsupp table, so one is FORMULA-BUILT
+# from part x supplier (the synthesize_images / messy-URL pattern:
+# deterministic fixture, real operators, formula-derived oracle):
+# each part gets 4 suppliers at key (p_partkey + k*13 + 1) mod |S|
+# (13 is coprime with every power-of-ten |S|, so the 4 keys are
+# distinct), an integer supply cost in CENTS (no binary-inexact
+# decimal ever compares), and an integer availqty. Both engines build
+# it from the same columns, so the relation itself is part of what
+# the gates certify.
+_PARTSUPP_SQL = """
+    ps AS (
+        SELECT p_partkey,
+               (p_partkey + k.k * 13 + 1)
+                   % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+               (p_partkey * 31
+                + ((p_partkey + k.k * 13 + 1)
+                   % (SELECT COUNT(*) FROM supplier)) * 17) % 9000
+                   + 1000 AS cost_cents,
+               (p_partkey * 7
+                + ((p_partkey + k.k * 13 + 1)
+                   % (SELECT COUNT(*) FROM supplier)) * 3) % 1000
+                   + 1 AS availqty
+        FROM part, (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s_count = load_table(spark, sf_dir, "supplier").count()
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    sk = F.pmod(F.col("p_partkey") + F.col("k") * 13 + 1, F.lit(s_count))
+    return p.select("p_partkey", k).select(
+        "p_partkey",
+        sk.alias("ps_suppkey"),
+        (
+            F.pmod(F.col("p_partkey") * 31 + sk * 17, F.lit(9000)) + 1000
+        ).alias("cost_cents"),
+        (
+            F.pmod(F.col("p_partkey") * 7 + sk * 3, F.lit(1000)) + 1
+        ).alias("availqty"),
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p.p_partkey, eu.s_name, eu.n_name, ps.cost_cents,
+               MIN(ps.cost_cents) OVER (PARTITION BY p.p_partkey)
+                   AS min_cost
+        FROM part p
+        JOIN ps ON ps.p_partkey = p.p_partkey
+        JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+        WHERE p.p_size = 5 AND p.p_type = 'STANDARD'
+    )
+    SELECT p_partkey, s_name, n_name, CAST(cost_cents AS BIGINT) AS cost_cents
+    FROM cand WHERE cost_cents = min_cost
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): for each STANDARD "
+    "size-5 part, every EUROPE supplier at the per-part MINIMUM "
+    "supply cost — the correlated MIN subquery decorrelated into a "
+    "per-part window over the (region-filtered) candidate set. Costs "
+    "are integer cents, so the min comparison is exact; ties return "
+    "all minimal suppliers (TPC-H semantics). partsupp is the "
+    "formula-built relation both engines derive from part x "
+    "supplier.",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cand = (
+        p.select("p_partkey")
+        .join(ps, "p_partkey")
+        .join(eu, ps.ps_suppkey == eu.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.col("cost_cents").cast("long").alias("cost_cents"),
+        )
+    )
+
+
+@register(
+    "important_stock_parts",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    nat AS (
+        SELECT s.s_suppkey FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+    ),
+    v AS (
+        SELECT ps.p_partkey,
+               SUM(ps.cost_cents * ps.availqty) AS value_cents
+        FROM ps JOIN nat ON nat.s_suppkey = ps.ps_suppkey
+        GROUP BY ps.p_partkey
+    ),
+    tot AS (
+        SELECT SUM(value_cents) AS total_cents, COUNT(*) AS n_parts FROM v
+    )
+    SELECT v.p_partkey, CAST(v.value_cents AS BIGINT) AS value_cents
+    FROM v, tot
+    WHERE v.value_cents * tot.n_parts > 2 * tot.total_cents
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part inventory value "
+    "held by NATION_7 suppliers, kept when a part's value exceeds "
+    "TWICE THE AVERAGE part value — Q11's fixed fraction scales with "
+    "SF (0.0001/SF in the spec), so the mean-relative form keeps the "
+    "gate non-vacuous at every scale factor; the threshold is an "
+    "exact integer cross-multiplication (value*n > 2*total) so no "
+    "boundary part flips on a double ULP. One group aggregate + one "
+    "broadcast scalar.",
+)
+def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    v = (
+        ps.join(nat, ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(F.col("cost_cents") * F.col("availqty")).alias("value_cents")
+        )
+    )
+    tot = v.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_cents") * F.col("n_parts")
+            > 2 * F.col("total_cents")
+        )
+        .select("p_partkey", F.col("value_cents").cast("long").alias("value_cents"))
+    )
+
+
+@register(
+    "supplier_part_counts",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.p_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_suppkey % 17 = 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (supplier-part relationship counts): distinct "
+    "suppliers per (brand, type, size) excluding one brand, one type, "
+    "and a 'complaints' supplier set (formula stand-in s_suppkey %% 17 "
+    "= 0 for the reference's LIKE filter) — the NOT IN realized as a "
+    "broadcast anti-join, never a per-row subquery; COUNT(DISTINCT) "
+    "over the joined postings.",
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 17 == 0
+    ).select(F.col("s_suppkey").alias("__bad"))
+    kept = ps.join(
+        F.broadcast(bad), ps.ps_suppkey == F.col("__bad"), "left_anti"
+    )
+    return (
+        kept.join(p, "p_partkey")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    excess AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.p_partkey
+        JOIN shipped sh ON sh.l_partkey = ps.p_partkey
+                       AND sh.l_suppkey = ps.ps_suppkey
+        WHERE p.p_brand = 'Brand#9'
+          AND CAST(ps.availqty AS DECIMAL(18,6)) * 2 > sh.qty
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN excess e ON e.ps_suppkey = s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape (excess-stock suppliers): suppliers holding "
+    "more than half a year's shipped quantity of a Brand#9 part — "
+    "nested IN-subqueries decorrelated into one (part, supp)-keyed "
+    "shipped aggregate joined to the formula-built partsupp, the "
+    "threshold as an exact decimal cross-multiplication "
+    "(2*availqty > qty), and a distinct semi-join back to supplier.",
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#9"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty")
+    )
+    excess = (
+        ps.join(p, "p_partkey")
+        .join(
+            shipped,
+            (ps.p_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("availqty").cast("decimal(18,6)") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(excess, s.s_suppkey == F.col("ps_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )
