@@ -307,3 +307,19 @@ def test_epoch_plan_validates(spark):
         SA.epoch_plan(df, budget_tokens=10, weights={"a": 0}, tok=F.col("tok"))
     with _pytest.raises(ValueError):
         SA.epoch_plan(df, budget_tokens=10, weights={"a": -1}, tok=F.col("tok"))
+
+
+def test_epoch_plan_exact_past_double_precision(spark):
+    """The review-fix claim: target division stays exact past 2^53.
+    weight*budget = 999_999_999_999_999_989 (prime-ish, not exactly
+    representable as a double) divided by 3 must floor exactly."""
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+
+    big = 999_999_999_999_999_989
+    df = spark.createDataFrame([("a", 1)], "source string, tok int")
+    got = SA.epoch_plan(
+        df, budget_tokens=big, weights={"a": 1, "b": 2}, tok=F.col("tok")
+    ).collect()[0]
+    assert got.target_tokens == big // 3  # python int division = ground truth

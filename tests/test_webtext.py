@@ -431,3 +431,14 @@ def test_badword_matches_words_not_substrings(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         W.badword_stats(df, [])
+
+
+def test_badword_null_text_stays_null(spark):
+    """NULL text is missingness, not a clean page: counts and flag
+    surface NULL (the line_quality_filter convention) so a downstream
+    keep-filter must decide the NULL policy explicitly."""
+    from qb_data_pipeline_backfill_spark.operators import webtext as W
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = W.badword_stats(df, ["x"]).collect()[0]
+    assert r.n_bad_tokens is None and r.flagged is None
