@@ -476,6 +476,15 @@ def global_shuffle(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # appended outputs + temporaries must not clobber or shadow input
+    # columns (warc_parse's guard pattern; review r13)
+    reserved = {"shard", "pos", "__key", "__shard"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"global_shuffle reserves output/temp columns {sorted(reserved)}; "
+            f"input already has {clash} — rename them first"
+        )
     from pyspark.sql.window import Window
 
     key = hash_full(cols, salt)

@@ -1039,6 +1039,55 @@ def _unigram_estep(
     )
 
 
+def _unigram_mstep(
+    e: dict[str, int],
+    pieces: dict[str, int],
+    *,
+    vocab_size: int,
+    shrink: float,
+    final_round: bool,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """One M-step: prune + re-quantize from integer expected counts.
+
+    Returns ``(new_pieces_lp_micro, e_final)``. Single chars are
+    REQUIRED, never dropped (the seed guarantee that every word stays
+    segmentable): the floor is seeded from the CURRENT model, not just
+    the aggregated counts — a single char whose every per-word
+    expectation rounds below half a micro-unit never leaves the E-step
+    at all (the ``if m:`` guard in ``_unigram_estep``), so a floor on
+    only the aggregated dict would never see it and the char — and
+    every word containing it — would silently vanish from later
+    rounds' lattices (review r13)."""
+    import math
+
+    e = dict(e)
+    for p in pieces:
+        if len(p) == 1:
+            e.setdefault(p, 1)
+    # prune toward the target (single chars exempt): keep top by
+    # (e_micro desc, piece asc)
+    multi = sorted(
+        ((p, m) for p, m in e.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    keep_multi = max(
+        vocab_size - sum(1 for p in e if len(p) == 1),
+        0 if final_round else int(len(multi) * shrink),
+    )
+    keep_multi = max(keep_multi, 0)
+    kept = {p for p, _ in multi[:keep_multi]} | {
+        p for p in e if len(p) == 1
+    }
+    e = {p: (max(m, 1) if len(p) == 1 else m) for p, m in e.items()}
+    total = sum(m for p, m in e.items() if p in kept)
+    new_pieces = {
+        p: int(round(math.log(m / total) * 1e6))
+        for p, m in e.items()
+        if p in kept and m > 0
+    }
+    return new_pieces, {p: m for p, m in e.items() if p in new_pieces}
+
+
 def train_unigram(
     df: DataFrame,
     *,
@@ -1058,8 +1107,6 @@ def train_unigram(
     pass over the |vocab| word table; nothing corpus-sized ever moves.
     See the section comment for the determinism and pruning design.
     """
-    import math
-
     if em_rounds < 1 or vocab_size < 1:
         raise ValueError("em_rounds and vocab_size must be >= 1")
     spark = df.sparkSession
@@ -1073,38 +1120,13 @@ def train_unigram(
         for rnd in range(em_rounds):
             rows = _unigram_estep(words, pieces, max_len).collect()
             e = {r["piece"]: int(r["e_micro"]) for r in rows}
-            # prune toward the target (single chars exempt, never
-            # dropped): keep top by (e_micro desc, piece asc)
-            multi = sorted(
-                ((p, m) for p, m in e.items() if len(p) > 1),
-                key=lambda kv: (-kv[1], kv[0]),
+            pieces, e_final = _unigram_mstep(
+                e,
+                pieces,
+                vocab_size=vocab_size,
+                shrink=shrink,
+                final_round=rnd == em_rounds - 1,
             )
-            n_multi = len(multi)
-            keep_multi = max(
-                vocab_size - sum(1 for p in e if len(p) == 1),
-                int(n_multi * shrink) if rnd < em_rounds - 1 else 0,
-            )
-            keep_multi = max(keep_multi, 0)
-            kept = {p for p, _ in multi[:keep_multi]} | {
-                p for p in e if len(p) == 1
-            }
-            # single chars are REQUIRED (the seed guarantee that every
-            # word stays segmentable): a char whose corpus expectation
-            # quantizes to 0 micro-units would otherwise vanish and
-            # silently drop every word containing it from later
-            # rounds' lattices (review r12) — floor required chars at
-            # one micro-unit instead
-            e = {
-                p: (max(m, 1) if len(p) == 1 else m)
-                for p, m in e.items()
-            }
-            total = sum(m for p, m in e.items() if p in kept)
-            pieces = {
-                p: int(round(math.log(m / total) * 1e6))
-                for p, m in e.items()
-                if p in kept and m > 0
-            }
-            e_final = {p: m for p, m in e.items() if p in pieces}
     finally:
         words.unpersist()
     rows = [

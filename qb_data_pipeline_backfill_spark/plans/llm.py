@@ -2723,7 +2723,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS cum_tok
         FROM tokc t JOIN sc s USING (doc_id)
     )
-    SELECT doc_id, lang, tok, score_micro, cum_tok
+    SELECT doc_id, lang, tok, score_micro,
+           CAST(cum_tok AS BIGINT) AS cum_tok
     FROM c WHERE cum_tok <= 3000
     """
     % (_TOKS, _CLS_HASH_SQL),
@@ -2855,10 +2856,11 @@ def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(list_max(ls), 0) AS BIGINT) AS max_sentence_chars,
            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
                (acc, x) -> CASE
-                   WHEN acc = 0 THEN 1000000 + x
-                   WHEN acc %% 1000000 + x <= 200 THEN acc + x
-                   ELSE acc - (acc %% 1000000) + 1000000 + x
-               END) // 1000000 AS BIGINT) AS n_chunks_200
+                   WHEN acc = 0 THEN 1000000000000 + x
+                   WHEN acc %% 1000000000000 + x <= 200 THEN acc + x
+                   ELSE acc - (acc %% 1000000000000)
+                        + 1000000000000 + x
+               END) // 1000000000000 AS BIGINT) AS n_chunks_200
     FROM lens
     """
     % _DOCS_EDGE_SRC,
@@ -2868,7 +2870,9 @@ def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maximal non-terminator runs with their terminators; the greedy "
     "200-char chunk count is a pure codegen fold over the sentence "
     "array (no shuffle, no window, no UDF) the oracle replays as an "
-    "integer-encoded (chunks·1e6+open) list_reduce. The chunk-"
+    "integer-encoded (chunks·1e12+open) list_reduce — the wide base "
+    "keeps the encoding exact for any single sentence under 1e12 "
+    "chars (review r13; the old 1e6 base corrupted at 1M+). The chunk-"
     "boundary-quality step between char-blind chunking and model "
     "windows.",
 )
@@ -2918,7 +2922,8 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS cum_tok
         FROM tokc t JOIN q USING (doc_id)
     )
-    SELECT doc_id, lang, tok, score_micro, cum_tok
+    SELECT doc_id, lang, tok, score_micro,
+           CAST(cum_tok AS BIGINT) AS cum_tok
     FROM c WHERE cum_tok <= 3000
     """
     % (_TOKS, _CLS_HASH_SQL),

@@ -1043,6 +1043,9 @@ def ref_unigram_train(
                 m = int(round(ec * f * 1e6))
                 if m:
                     e[p] = e.get(p, 0) + m
+        for p in pieces:  # model-seeded single-char floor (r13)
+            if len(p) == 1:
+                e.setdefault(p, 1)
         multi = sorted(
             ((p, m) for p, m in e.items() if len(p) > 1),
             key=lambda kv: (-kv[1], kv[0]),
@@ -1182,6 +1185,32 @@ def test_unigram_viterbi_tiebreaks_prefer_fewer_then_longer(spark):
     lpm2 = {"a": -1_000_000, "b": -1_000_000, "ab": -1_000_000,
             "aa": -1_000_000}
     assert X.unigram_viterbi("aab", lpm2, 2) == ["a", "ab"]
+
+
+def test_unigram_mstep_floor_is_seeded_from_model_not_counts():
+    """Review r13: a single char in the CURRENT model whose every
+    per-word expectation rounded below half a micro-unit (so the
+    E-step's `if m:` guard dropped it from the aggregated dict
+    entirely) must still survive the M-step at the one-micro-unit
+    floor — otherwise every word containing it becomes unsegmentable
+    in later rounds."""
+    from qb_data_pipeline_backfill_spark.operators.text import (
+        _unigram_mstep,
+    )
+
+    pieces = {"a": -100, "z": -15_000_000, "ab": -50}
+    # 'z' got zero aggregated mass — absent from e altogether
+    e = {"a": 4_000_000, "ab": 9_000_000}
+    new_pieces, e_final = _unigram_mstep(
+        e, pieces, vocab_size=3, shrink=0.75, final_round=True
+    )
+    assert "z" in new_pieces and e_final["z"] == 1
+    # and the floor still applies to chars that aggregated to zero
+    e2 = {"a": 4_000_000, "z": 0, "ab": 9_000_000}
+    np2, ef2 = _unigram_mstep(
+        e2, pieces, vocab_size=3, shrink=0.75, final_round=True
+    )
+    assert np2 == new_pieces and ef2 == e_final
 
 
 # --------------------------------------------------------------------------

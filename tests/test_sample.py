@@ -269,6 +269,23 @@ def test_global_shuffle_salt_changes_permutation_and_validates(spark):
         SA.global_shuffle(df, ["doc_id"], 0)
 
 
+def test_global_shuffle_rejects_reserved_column_collisions(spark):
+    """Review r13: inputs already carrying an output ('shard'/'pos')
+    or temporary ('__key'/'__shard') column name must fail loudly,
+    not get silently clobbered or ambiguous (warc_parse's guard)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+
+    base = spark.range(10).withColumnRenamed("id", "doc_id")
+    for bad in ("shard", "pos", "__key", "__shard"):
+        df = base.withColumn(bad, F.lit(1))
+        with _pytest.raises(ValueError, match=bad):
+            SA.global_shuffle(df, ["doc_id"], 2)
+
+
 def test_epoch_plan_exact_integer_arithmetic(spark):
     from qb_data_pipeline_backfill_spark.operators import sample as SA
     from pyspark.sql import functions as F
