@@ -43,7 +43,9 @@ generalized it to binary envelopes.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
+from html import unescape
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -78,6 +80,11 @@ _VOID_BREAKS = frozenset(("br", "hr"))
 # damage of the common unclosed-<nav>/<header> malformation to the
 # chrome itself instead of the whole remaining page.
 _CONTAINER_PROSE_WORDS = 10
+# Union of every tag the callbacks react to — the one-lookup gate for
+# the (common) unknown-tag case.
+_ANY_SPECIAL = (
+    _BLOCK_TAGS | _SKIP_TAGS | _VOID_BREAKS | frozenset(("a", "title"))
+)
 
 
 class _BoilerpipeExtractor(HTMLParser):
@@ -103,15 +110,32 @@ class _BoilerpipeExtractor(HTMLParser):
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
-        if not self._frags:
+        frags = self._frags
+        if not frags:
             return
-        text = " ".join("".join(f for f, _ in self._frags).split())
+        self._frags = []
+        if len(frags) == 1:
+            # the overwhelmingly common block shape (one text node):
+            # same words either way, skip the generator joins
+            f0, a0 = frags[0]
+            words = f0.split()
+            if not words:
+                return
+            self._blocks.append(
+                (
+                    " ".join(words),
+                    len(words),
+                    len(words) if a0 else 0,
+                    self._drop_depth > 0,
+                )
+            )
+            return
+        text = " ".join("".join(f for f, _ in frags).split())
         # anchors joined WITH a separator: two adjacent <a> texts are
         # two words for the density rule even when no whitespace node
         # sits between them (the full text uses raw concatenation so
         # entity-split words stay whole)
-        anchor = " ".join(f for f, a in self._frags if a)
-        self._frags = []
+        anchor = " ".join(f for f, a in frags if a)
         n_words = len(text.split())
         if n_words == 0:
             return  # inter-tag whitespace, not a block
@@ -121,6 +145,8 @@ class _BoilerpipeExtractor(HTMLParser):
 
     # -- parser callbacks --------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag not in _ANY_SPECIAL:
+            return  # unknown tags never change state
         if tag in _VOID_BREAKS:
             # <br>/<hr> written without the self-closing slash
             self.handle_startendtag(tag, attrs)
@@ -137,6 +163,8 @@ class _BoilerpipeExtractor(HTMLParser):
                 self._drop_depth += 1
 
     def handle_endtag(self, tag: str) -> None:
+        if tag not in _ANY_SPECIAL:
+            return
         if tag in _SKIP_TAGS and self._skip_depth:
             self._skip_depth -= 1
         if tag == "a" and self._anchor_depth:
@@ -188,6 +216,129 @@ class _BoilerpipeExtractor(HTMLParser):
         return (title or None, "\n".join(kept), len(kept), dropped)
 
 
+# --------------------------------------------------------------------------
+# Fast tokenizer (r13): the stdlib html.parser floor measured at
+# ~5.7 MB/s/core (SCALING §13) is the 100 TB front-end wall, and the
+# sandbox has no C parser (selectolax/lxml both absent — measured, see
+# SCALING §13). This whole-document scanner drives the SAME extractor
+# callbacks with the SAME tokenization semantics as HTMLParser
+# (CPython 3.11 html/parser.py goahead + parse_* — each branch below
+# cites the behavior it mirrors) for the constructs that cover
+# essentially all real markup, and returns False — caller falls back
+# to the stdlib parser on a fresh extractor — the moment it meets
+# anything whose tolerant-mode handling it cannot prove equivalent
+# (quoted junk in tags, EOF-truncated constructs, marked sections,
+# attribute-bearing end tags). Exactness is therefore by
+# construction: the fast path either produces the identical callback
+# sequence or declines the document. Parity is pinned by the trap
+# corpus + a hypothesis fuzz in tests/test_webtext.py.
+#
+# A start tag is eligible iff it matches this regex, a strict SUBSET
+# of locatestarttagend_tolerant's grammar that provably ends at the
+# same '>' and yields end-token '>' or '/>' (attrs whitespace-
+# separated, values absent / bare / fully quoted — quoted values may
+# contain '>'):
+_FAST_TAG = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"(?:\s+[^\s/=>'\"]+(?:\s*=\s*(?:'[^']*'|\"[^\"]*\"|[^>\s'\"]*))?)*"
+    r"\s*(/?)>"
+)
+# verbatim pattern texts from html.parser (endtagfind / commentclose /
+# set_cdata_mode's interesting) so boundaries match bit-for-bit:
+_FAST_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_FAST_COMMENT_CLOSE = re.compile(r"--\s*>")
+_FAST_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+
+
+def _fast_tokenize(s: str, p: _BoilerpipeExtractor) -> bool:
+    """Emit the HTMLParser-identical callback sequence for ``s`` into
+    ``p``; return False (partial state — discard ``p``) if any
+    construct falls outside the proven-equivalent subset."""
+    n = len(s)
+    i = 0
+    hd, hs, he = p.handle_data, p.handle_starttag, p.handle_endtag
+    hse = p.handle_startendtag
+    find = s.find
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            # goahead: trailing text, charref-decoded
+            hd(unescape(s[i:]))
+            return True
+        if j > i:
+            hd(unescape(s[i:j]))
+        c = s[j + 1 : j + 2]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):  # starttagopen
+            m = _FAST_TAG.match(s, j)
+            if not m:
+                return False  # tolerant-grammar tag or EOF-truncated
+            tag = m.group(1).lower()
+            i = m.end()
+            if m.group(2):
+                hse(tag, ())  # parse_starttag end=='/>'
+            else:
+                hs(tag, ())
+                if tag in _FAST_CDATA_CLOSE:  # CDATA_CONTENT_ELEMENTS
+                    cm = _FAST_CDATA_CLOSE[tag].search(s, i)
+                    if not cm:
+                        # unterminated CDATA: goahead(1) drops the
+                        # tail when cdata_elem is set — emit nothing
+                        return True
+                    # body would be handle_data'd raw, but script and
+                    # style are both _SKIP_TAGS: provably dropped
+                    he(tag)
+                    i = cm.end()
+        elif c == "/":
+            m = _FAST_ENDTAG.match(s, j)
+            if m:
+                he(m.group(1).lower())
+                i = m.end()
+                continue
+            c2 = s[j + 2 : j + 3]
+            if ("a" <= c2 <= "z") or ("A" <= c2 <= "Z"):
+                return False  # '</tag junk>' tolerant path
+            if s.startswith("</>", j):
+                i = j + 3  # parse_endtag: silently consumed
+                continue
+            pos = find(">", j + 2)
+            if pos < 0:
+                return False  # EOF bogus comment
+            i = pos + 1  # parse_bogus_comment: no-op callback
+        elif c == "!":
+            if s.startswith("<!--", j):
+                cm = _FAST_COMMENT_CLOSE.search(s, j + 4)
+                if not cm:
+                    return False  # EOF comment
+                i = cm.end()  # handle_comment: no-op
+            elif s.startswith("<![", j):
+                return False  # marked section: tolerant machinery
+            elif s[j : j + 9].lower() == "<!doctype":
+                pos = find(">", j + 9)
+                if pos < 0:
+                    return False
+                i = pos + 1  # handle_decl: no-op
+            else:
+                pos = find(">", j + 2)
+                if pos < 0:
+                    return False
+                i = pos + 1  # parse_bogus_comment: no-op
+        elif c == "?":
+            pos = find(">", j + 2)  # piclose
+            if pos < 0:
+                return False  # EOF PI
+            i = pos + 1  # handle_pi: no-op
+        elif c == "":
+            hd("<")  # lone '<' at EOF: goahead end-branch
+            return True
+        else:
+            hd("<")  # '<' not opening a construct: literal data
+            i = j + 1
+    return True
+
+
 def extract_html(html: str) -> tuple[str | None, str, int, int]:
     """Extract one document: ``(title, text, n_blocks, n_dropped)``.
 
@@ -195,7 +346,15 @@ def extract_html(html: str) -> tuple[str | None, str, int, int]:
     line, entities decoded, whitespace collapsed. Driver-side helper
     and the unit under test; the distributed face is
     :func:`html_extract`.
+
+    Tries the fast whole-document tokenizer first (identical callback
+    sequence by construction, ~3x the stdlib parser); any document it
+    declines is re-run through the stdlib ``html.parser`` machinery
+    on a fresh extractor, so output never depends on which path ran.
     """
+    p = _BoilerpipeExtractor()
+    if _fast_tokenize(html, p):
+        return p.result()
     p = _BoilerpipeExtractor()
     p.feed(html)
     p.close()
@@ -208,9 +367,13 @@ def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
     / ``n_dropped`` are appended (see module docstring for the block
     and boilerplate semantics).
 
-    One narrow Arrow-batched ``mapInPandas`` stage — no shuffle, no
-    driver involvement; NULL html yields NULL title/text and zero
-    counts (missingness, not an empty page).
+    One narrow ``mapInArrow`` stage — no shuffle, no driver
+    involvement; NULL html yields NULL title/text and zero counts
+    (missingness, not an empty page). Arrow RecordBatches are consumed
+    and produced directly (r13): the values leave Arrow only as the
+    Python strings the parser needs anyway, skipping the
+    pandas object-array round trip on both sides — measured ~1.2x on
+    the probe over the mapInPandas form it replaces (SCALING §13).
 
     Carried columns may not be named ``title``/``text``/``n_blocks``/
     ``n_dropped`` — the appended outputs would silently shadow them in
@@ -237,29 +400,35 @@ def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
     )
     carry_names = [f.name for f in carry]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def run(batches):
+        import pyarrow as pa
+
+        for b in batches:
             titles, texts, nb, nd = [], [], [], []
-            for h in pdf[html_col]:
-                if h is None or (isinstance(h, float) and pd.isna(h)):
+            for h in b.column(html_col).to_pylist():
+                if h is None:
                     titles.append(None)
                     texts.append(None)
                     nb.append(0)
                     nd.append(0)
                     continue
-                t, x, b, d = extract_html(h)
+                t, x, blk, d = extract_html(h)
                 titles.append(t)
                 texts.append(x)
-                nb.append(b)
+                nb.append(blk)
                 nd.append(d)
-            out = pdf[carry_names].copy()
-            out["title"] = titles
-            out["text"] = texts
-            out["n_blocks"] = nb
-            out["n_dropped"] = nd
-            yield out
+            yield pa.RecordBatch.from_arrays(
+                [
+                    *(b.column(c) for c in carry_names),
+                    pa.array(titles, pa.string()),
+                    pa.array(texts, pa.string()),
+                    pa.array(nb, pa.int32()),
+                    pa.array(nd, pa.int32()),
+                ],
+                names=[*carry_names, "title", "text", "n_blocks", "n_dropped"],
+            )
 
-    return df.mapInPandas(run, out_schema)
+    return df.mapInArrow(run, out_schema)
 
 
 # --------------------------------------------------------------------------

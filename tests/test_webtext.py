@@ -442,3 +442,131 @@ def test_badword_null_text_stays_null(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = W.badword_stats(df, ["x"]).collect()[0]
     assert r.n_bad_tokens is None and r.flagged is None
+
+
+# --------------------------------------------------------------------------
+# fast tokenizer parity (r13): _fast_tokenize must either produce the
+# HTMLParser-identical callback sequence or decline the document
+# --------------------------------------------------------------------------
+def _stdlib_extract(html):
+    from qb_data_pipeline_backfill_spark.operators import webtext as W
+
+    p = W._BoilerpipeExtractor()
+    p.feed(html)
+    p.close()
+    return p.result()
+
+
+def _fast_extract(html):
+    from qb_data_pipeline_backfill_spark.operators import webtext as W
+
+    p = W._BoilerpipeExtractor()
+    return (W._fast_tokenize(html, p), p)
+
+
+_PARITY_TRAPS = [
+    # clean prose + chrome
+    '<html><head><title>T</title></head><body><nav><a href="/">x</a>'
+    "</nav><p>real prose with many plain words here okay</p></body></html>",
+    # CDATA script with tags and angle brackets inside
+    "<script>if(1<2){document.write('<p>fake</p>');}</script><p>kept</p>",
+    "<SCRIPT TYPE=\"a\">x</SCRIPT ><p>after</p>",
+    "<style>p{content:'<'}</style><p>s</p>",
+    # unterminated script swallows the tail (parser cdata semantics)
+    "<p>head</p><script>var x = 1;",
+    # attributes: quoted '>' inside value, unquoted values, empty vals
+    '<div data-x="a>b">third</div>',
+    "<a href=/about title='hi there'>link words</a><p>many plain words "
+    "to beat the density rule okay</p>",
+    "<input value=\"a>b\" disabled><p>q</p>",
+    "<p class=>bare empty</p>",
+    # self-closing forms
+    "<p>one<br>two<br/>three<br />four</p><hr/><p>five</p>",
+    # comments incl. tricky closers
+    "<!-- <p>fake</p> --><p>real</p>",
+    "<!-- double -- dash --><p>r</p>",
+    "<!-- spaced close -- ><p>in comment</p> --><p>out</p>",
+    # doctype / PI / bogus comments / marked sections
+    "<!DOCTYPE html><p>d</p>",
+    "<!doctype html><?php echo 1 ?><p>pi</p>",
+    "</><p>empty endtag</p>",
+    "</ bogus ><p>b</p>",
+    "<!weird decl><p>w</p>",
+    "<![CDATA[raw <p>stuff</p>]]><p>m</p>",
+    # stray '<' and entities in text
+    "<p>1 < 2 and x <3 and AT&amp;T &lt;tag&gt; &#39;q&#39;</p>",
+    "<p>truncated entity &am</p>",
+    "<p>tail<",
+    "<p>tail< ",
+    # uppercase, unclosed blocks, nesting
+    "<P>Hello <B>world</B><p>second<DIV>third",
+    "<ul><li>a<li>b<li>c</ul>",
+    # end tag with attributes (tolerant junk path -> must fall back)
+    "<p>x</p attr='1'><p>y</p>",
+    # EOF-truncated constructs
+    "<p>x<div class='open",
+    "<p>x<!-- open comment",
+    "<p>x<?php open",
+    "<p>x</div",
+    # NUL and weird chars in tags
+    "<p\x00junk>x</p>",
+    "<p a==b>double eq</p>",
+    "<p =x>eq attr</p>",
+    "<p a/b>slash attr</p>",
+    "<p/ >spaced slash</p>",
+    # non-ASCII letter after '<' is data, not a tag
+    "<p>a <é b</p>",
+    # title fragments and head traps
+    "<title>A &amp; B</title><p>body words</p>",
+]
+
+
+def test_fast_tokenizer_parity_on_trap_corpus():
+    n_fast = 0
+    for doc in _PARITY_TRAPS:
+        ok, p = _fast_extract(doc)
+        if ok:
+            n_fast += 1
+            assert p.result() == _stdlib_extract(doc), doc
+    # the fast path must actually cover most of the corpus, or the
+    # speedup is fiction
+    assert n_fast >= len(_PARITY_TRAPS) * 2 // 3, n_fast
+
+
+def test_fast_tokenizer_handles_the_common_shape():
+    # the gate corpus template (plans side) and probe synth shape
+    doc = (
+        "<html><head><title>t &amp; u</title><style>p{}</style></head>"
+        "<body><nav><a href='/'>home</a> <a href='/a'>a</a></nav>"
+        "<div id='main'><p>plain prose " + "word " * 40 + "</p>"
+        "<p>more prose " + "word " * 40 + "</p></div>"
+        "<footer><a href='/x'>x</a></footer></body></html>"
+    )
+    ok, p = _fast_extract(doc)
+    assert ok and p.result() == _stdlib_extract(doc)
+
+
+def test_fast_tokenizer_fuzz_parity():
+    """Random markup soup: whenever the fast path accepts, the result
+    must equal the stdlib parser's bit-for-bit."""
+    import random
+
+    atoms = [
+        "<p>", "</p>", "<div class='a'>", "</div>", "<br>", "<br/>",
+        "<a href=\"/x\">", "</a>", "<nav>", "</nav>", "<script>",
+        "</script>", "<style>", "</style>", "<!-- c -->", "<!-- ",
+        "<!DOCTYPE html>", "<![CDATA[x]]>", "<?pi?>", "</>", "</ x>",
+        "<p a=1 b='2' c=\"3>4\">", "<P>", "</P attr>", "<", ">", "&amp;",
+        "&lt;", "&#39;", "&bogus;", "&am", "word", " ", "\n", "1<2",
+        "<p\x00>", "<p/ >", "<p a/b>", "x", "<title>", "</title>",
+        "<li>", "<hr/>", "<td>", "</td>", "é<é", "<b>", "</b>",
+    ]
+    rng = random.Random(13)
+    n_fast = 0
+    for _ in range(400):
+        doc = "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 40)))
+        ok, p = _fast_extract(doc)
+        if ok:
+            n_fast += 1
+            assert p.result() == _stdlib_extract(doc), repr(doc)
+    assert n_fast > 50  # fast path engages on a real fraction
