@@ -292,11 +292,34 @@ def _formula_pixels(media_id: int, w: int, h: int):
     return ((np.arange(w * h * 3) + media_id * 31) % 256).astype(np.uint8)
 
 
-def _encode_ppm(media_id: int, w: int, h: int) -> bytes:
+def _noise_pixels(media_id: int, w: int, h: int):
+    """md5-derived pixels: byte i is hex pair ``i % 16`` of
+    ``md5(f"{media_id}:{i // 16}")`` — engine-replayable like the
+    formula pixels (both Spark and DuckDB expose md5-of-varchar), but
+    statistically uniform, so perceptual hashes of DIFFERENT images
+    land ~uniform on 64 bits and only planted duplicates collide.
+    The near-dup fixture (dedup_image_dhash); the arithmetic-formula
+    pixels stay the decode/replay fixture."""
+    import hashlib
+
+    import numpy as np
+
+    n = w * h * 3
+    digests = b"".join(
+        hashlib.md5(f"{media_id}:{blk}".encode()).digest()
+        for blk in range((n + 15) // 16)
+    )
+    return np.frombuffer(digests[:n], dtype=np.uint8)
+
+
+def _encode_ppm(
+    media_id: int, w: int, h: int, noise: bool = False
+) -> bytes:
     comment = b"# synthetic\n" if media_id % 4 == 0 else b""
+    px = _noise_pixels if noise else _formula_pixels
     return (
         b"P6\n" + comment + f"{w} {h}\n255\n".encode()
-        + _formula_pixels(media_id, w, h).tobytes()
+        + px(media_id, w, h).tobytes()
     )
 
 
@@ -642,19 +665,28 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synthesize_images(
-    df: DataFrame, id_col: str = "doc_id", fmt: str = "ppm"
+    df: DataFrame, id_col: str = "doc_id", fmt: str = "ppm",
+    noise: bool = False,
 ) -> DataFrame:
     """Deterministic REAL image files (tiny PPM or BMP) keyed by
     ``id_col``: width = id%8+2, height = id%5+2, payload byte i =
-    (id*31 + i) % 256. Unlike ``synthesize_media``'s opaque hash
-    bytes, these decode — the fixture for ``decode_media`` — and the
-    pixel formula is SQL-replayable for the oracle gate."""
+    (id*31 + i) % 256 — or, with ``noise=True`` (PPM only), the
+    md5-derived bytes of ``_noise_pixels``. Unlike
+    ``synthesize_media``'s opaque hash bytes, these decode — the
+    fixture for ``decode_media`` — and either pixel recipe is
+    SQL-replayable for the oracle gate."""
 
     if fmt not in ("ppm", "bmp"):
         raise ValueError(f"fmt must be 'ppm' or 'bmp', got {fmt!r}")
+    if noise and fmt != "ppm":
+        raise ValueError("noise pixels are generated for fmt='ppm' only")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        enc = _encode_ppm if fmt == "ppm" else _encode_bmp
+        if fmt == "ppm":
+            def enc(mid, w, h):
+                return _encode_ppm(mid, w, h, noise=noise)
+        else:
+            enc = _encode_bmp
         for pdf in batches:
             rows = []
             for mid in pdf[id_col]:
@@ -677,3 +709,140 @@ def synthesize_images(
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return df.select(F.col(id_col)).mapInPandas(synth, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# perceptual image near-dup: difference hash (dHash) + banded Hamming
+# --------------------------------------------------------------------------
+# The image-level analog of the text near-dup family (dedup.py): a
+# 64-bit perceptual fingerprint per image, then the SAME pigeonhole
+# banding the SimHash path uses — agree on one whole chunk or the
+# pair is never compared, buckets capped, no all-pairs anywhere.
+# dHash (Krawetz's published construction, the perceptual-hash
+# family's cheapest member): shrink to a (tw+1) x th grayscale grid
+# with the engine's deterministic nearest-neighbor index math, then
+# bit (y, x) = 1 iff gray(y, x) > gray(y, x+1) — gradient direction,
+# robust to uniform brightness/contrast shifts and re-encoding.
+#
+# Split of labor (the decode_media precedent): Python touches ONLY
+# the codec (decode_media's Arrow pass); the resize sampling, the
+# grayscale sums, and all 64 bit comparisons are codegen expressions
+# over the pixels array — SQL-replayable, so the oracle gate can
+# recompute the hash bit-for-bit from the formula pixels.
+def image_dhash(media: DataFrame, grid_w: int = 8, grid_h: int = 8) -> DataFrame:
+    """64-bit dHash per image: ``(media_id, width, height, dhash)``.
+
+    ``grid_w x grid_h`` comparison grid (default 8x8 = 64 bits) over a
+    ``(grid_w+1) x grid_h`` nearest-neighbor shrink. Bit ``y*grid_w+x``
+    is set iff the grayscale (channel-sum — division-free, order-
+    preserving) at sampled cell (y, x) exceeds its right neighbor.
+    Bit 63 folds into the BIGINT sign bit, the signature convention
+    the SimHash chunks already use (dedup.py:_simhash_chunks_agg).
+    """
+    if grid_w * grid_h != 64:
+        raise ValueError(
+            f"grid must cover exactly 64 bits, got {grid_w}x{grid_h}"
+        )
+    d = decode_media(media)
+    w, h = F.col("width").cast("long"), F.col("height").cast("long")
+
+    def src(t: int, n: int, dim) -> "F.Column":
+        # nearest-neighbor source index: min(dim-1, t*dim // n) —
+        # exactly _resize_nearest's sampling arithmetic
+        return F.least(dim - 1, F.floor((F.lit(t) * dim) / F.lit(n)).cast("long"))
+
+    def gray(ty: int, tx: int) -> "F.Column":
+        i0 = (src(ty, grid_h, h) * w + src(tx, grid_w + 1, w)) * 3
+        px = F.col("pixels")
+        return F.get(px, i0.cast("int")) + F.get(
+            px, (i0 + 1).cast("int")
+        ) + F.get(px, (i0 + 2).cast("int"))
+
+    grays = d.select(
+        "media_id",
+        "width",
+        "height",
+        *[
+            gray(ty, tx).alias(f"_g_{ty}_{tx}")
+            for ty in range(grid_h)
+            for tx in range(grid_w + 1)
+        ],
+    )
+    bits = []
+    for ty in range(grid_h):
+        for tx in range(grid_w):
+            b = ty * grid_w + tx
+            val = -(1 << 63) if b == 63 else 1 << b
+            bits.append(
+                F.when(
+                    F.col(f"_g_{ty}_{tx}") > F.col(f"_g_{ty}_{tx + 1}"),
+                    F.lit(val).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+    dhash = bits[0]
+    for t in bits[1:]:
+        dhash = dhash + t
+    return grays.select(
+        "media_id", "width", "height", dhash.cast("bigint").alias("dhash")
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Image pairs with dHash Hamming distance <= ``max_hamming``:
+    ``(doc_a, doc_b, hamming)`` keyed by media_id.
+
+    Pigeonhole banding with ``max_hamming + 1`` chunks of the 64-bit
+    hash (dedup.py:simhash_near_dup_pairs' exact topology — one
+    shuffle on the band hash, buckets capped at ``max_bucket``,
+    in-bucket comparisons only). 100 TB: never all-pairs; the corpus
+    moves once, as (id, 64-bit sig) rows."""
+    from qb_data_pipeline_backfill_spark.operators.dedup import (
+        _bucket_pairs,
+        _chunk_bounds,
+    )
+
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    bounds = _chunk_bounds(n_chunks)
+    dh = F.col("dhash")
+    chunks = [
+        dh
+        if width == 64
+        else F.shiftrightunsigned(dh, start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        ).cast("bigint")
+        for start, width in bounds
+    ]
+    with_sig = image_dhash(media).select(
+        "media_id", F.array(*chunks).alias("sig"), dh.alias("_dh")
+    )
+    # carry the full hash through the bucket join inside the sig
+    # array (last element) so distance is exact, then band on chunks
+    sig_full = with_sig.select(
+        "media_id",
+        F.concat(F.col("sig"), F.array(F.col("_dh"))).alias("sig"),
+    )
+    band_exprs = [
+        F.struct(
+            F.lit(c).alias("band_idx"),
+            F.get(F.col("sig"), c).cast("bigint").alias("band_hash"),
+        )
+        for c in range(n_chunks)
+    ]
+
+    def hamming(sa, sb):
+        a = F.element_at(sa, -1)
+        b = F.element_at(sb, -1)
+        return F.bit_count(a.bitwiseXOR(b)).cast("double")
+
+    out = _bucket_pairs(
+        sig_full, "media_id", "sig", band_exprs, max_bucket, hamming
+    )
+    return out.filter(F.col("est") <= max_hamming).select(
+        "doc_a", "doc_b", F.col("est").cast("int").alias("hamming")
+    )

@@ -2948,3 +2948,159 @@ def contract_budget_fill_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         score=qscore,
         tok=C.doc_token_count("text"),
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual image near-dup (r13): dHash replay + banded-Hamming pairs
+# --------------------------------------------------------------------------
+# The formula image (multimodal.py:_formula_pixels — payload byte i of
+# media m is (m*31+i)%256, dims w=m%8+2, h=m%5+2) makes the ENTIRE
+# perceptual-hash path closed-form: the oracle re-derives every
+# sampled grayscale cell, every gradient bit (incl. the bit-63 sign
+# fold), and every qualifying pair from ids alone — the
+# contract_ivfpq_adc certification pattern applied to images.
+_DHASH_HASHES_SQL = """
+    dims AS (
+        SELECT media_id, src,
+               (src % 8 + 2) AS w, (src % 5 + 2) AS h
+        FROM ids
+    ),
+    g AS (
+        SELECT media_id, ty, tx,
+               ((src*31 + (least(h-1,(ty*h)//8)*w
+                           + least(w-1,(tx*w)//9))*3 + 0) % 256
+              + (src*31 + (least(h-1,(ty*h)//8)*w
+                           + least(w-1,(tx*w)//9))*3 + 1) % 256
+              + (src*31 + (least(h-1,(ty*h)//8)*w
+                           + least(w-1,(tx*w)//9))*3 + 2) % 256) AS gray
+        FROM dims, range(0,8) a(ty), range(0,9) b(tx)
+    ),
+    bits AS (
+        SELECT l.media_id, l.ty*8 + l.tx AS bit
+        FROM g l JOIN g r
+          ON l.media_id = r.media_id AND l.ty = r.ty AND r.tx = l.tx + 1
+        WHERE l.tx < 8 AND l.gray > r.gray
+    ),
+    hashes AS (
+        SELECT i.media_id,
+               CAST(COALESCE(SUM(CASE WHEN bit = 63
+                        THEN (CAST(1 AS BIGINT) << 62) * -2
+                        ELSE CAST(1 AS BIGINT) << bit END), 0)
+                    AS BIGINT) AS dhash
+        FROM ids i LEFT JOIN bits b USING (media_id)
+        GROUP BY i.media_id
+    )
+"""
+
+
+@register(
+    "contract_image_dhash_replay",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src
+        FROM range(0, 48) t(i)
+    ),
+    %s
+    SELECT h.media_id, d.w AS width, d.h AS height, h.dhash
+    FROM hashes h JOIN dims d USING (media_id)
+    """
+    % _DHASH_HASHES_SQL,
+    doc="Perceptual dHash replay (operators/multimodal.py image_dhash "
+    "— Krawetz's difference hash): decode the 48 pinned formula "
+    "images with the real PPM codec, shrink 9x8 by the deterministic "
+    "nearest-neighbor index math, channel-sum grayscale, 64 gradient "
+    "bits with the bit-63 sign fold — and land on the exact BIGINT "
+    "the oracle re-derives closed-form. The grid spans every (w, h) "
+    "the fixture generates (2..9 x 2..6), so both up- and "
+    "down-sampling index paths are pinned.",
+)
+def contract_image_dhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.range(48).withColumnRenamed("id", "doc_id")
+    return M.image_dhash(M.synthesize_images(ids, fmt="ppm"))
+
+
+# Noise-pixel variant: same cell sampling, grays from the md5-derived
+# bytes of _noise_pixels — byte j of image src is hex pair j%16 of
+# md5('{src}:{j//16}'). Uniform bits => different images collide on a
+# 64-bit hash with probability ~0; only planted duplicates pair up.
+_DHASH_NOISE_G_SQL = """
+    dims AS (
+        SELECT media_id, src,
+               (src % 8 + 2) AS w, (src % 5 + 2) AS h
+        FROM ids
+    ),
+    cells AS (
+        SELECT media_id, src, ty, tx,
+               (least(h-1,(ty*h)//8)*w + least(w-1,(tx*w)//9))*3 AS i0
+        FROM dims, range(0,8) a(ty), range(0,9) b(tx)
+    ),
+    g AS (
+        SELECT media_id, ty, tx,
+               CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+                    CAST((i0+0)//16 AS VARCHAR)), ((i0+0)%16)*2+1, 2))
+                    AS INTEGER)
+             + CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+                    CAST((i0+1)//16 AS VARCHAR)), ((i0+1)%16)*2+1, 2))
+                    AS INTEGER)
+             + CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+                    CAST((i0+2)//16 AS VARCHAR)), ((i0+2)%16)*2+1, 2))
+                    AS INTEGER) AS gray
+        FROM cells
+    ),
+    bits AS (
+        SELECT l.media_id, l.ty*8 + l.tx AS bit
+        FROM g l JOIN g r
+          ON l.media_id = r.media_id AND l.ty = r.ty AND r.tx = l.tx + 1
+        WHERE l.tx < 8 AND l.gray > r.gray
+    ),
+    hashes AS (
+        SELECT i.media_id,
+               CAST(COALESCE(SUM(CASE WHEN bit = 63
+                        THEN (CAST(1 AS BIGINT) << 62) * -2
+                        ELSE CAST(1 AS BIGINT) << bit END), 0)
+                    AS BIGINT) AS dhash
+        FROM ids i LEFT JOIN bits b USING (media_id)
+        GROUP BY i.media_id
+    )
+"""
+
+
+@register(
+    "dedup_image_dhash",
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id %% 3 = 0
+    ),
+    ids AS (
+        SELECT doc_id AS media_id, doc_id AS src FROM ids0
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id FROM ids0
+    ),
+    %s
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """
+    % _DHASH_NOISE_G_SQL,
+    doc="Image near-dup pairs (operators/multimodal.py "
+    "image_near_dup_pairs): dHash over md5-noise images + the SimHash "
+    "path's pigeonhole banding (3 chunks at radius 2, one band-hash "
+    "shuffle, capped buckets — never all-pairs). Corpus = every 3rd "
+    "document's noise image plus a re-keyed exact copy; noise pixels "
+    "make non-duplicate hashes ~uniform on 64 bits, so the result is "
+    "essentially the planted-copy set — and the oracle computes the "
+    "full closed-form all-pairs ground truth, certifying banding "
+    "recall at the operating point EXACTLY.",
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    )
+    media = M.synthesize_images(docs, fmt="ppm", noise=True)
+    copies = media.withColumn(
+        "media_id", F.col("media_id") + F.lit(10000000)
+    )
+    return M.image_near_dup_pairs(
+        media.unionByName(copies), max_hamming=2, max_bucket=1000
+    )

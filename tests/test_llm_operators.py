@@ -1298,3 +1298,98 @@ def test_ivf_index_append_is_bit_identical_to_fresh_build(spark):
     a = sorted(map(tuple, via_index.collect()))
     b = sorted(map(tuple, fresh.collect()))
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# perceptual image near-dup (r13): dHash + banded Hamming
+# --------------------------------------------------------------------------
+def test_image_dhash_matches_formula_reference(spark):
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+
+    df = spark.range(12).withColumnRenamed("id", "doc_id")
+    got = {
+        r.media_id: r.dhash
+        for r in M.image_dhash(M.synthesize_images(df)).collect()
+    }
+
+    def ref(mid):
+        w, h = mid % 8 + 2, mid % 5 + 2
+
+        def gray(sy, sx):
+            i0 = (sy * w + sx) * 3
+            return sum((mid * 31 + i0 + c) % 256 for c in range(3))
+
+        val = 0
+        for ty in range(8):
+            sy = min(h - 1, ty * h // 8)
+            g = [gray(sy, min(w - 1, tx * w // 9)) for tx in range(9)]
+            for tx in range(8):
+                if g[tx] > g[tx + 1]:
+                    b = ty * 8 + tx
+                    val += -(1 << 63) if b == 63 else 1 << b
+        return val
+
+    assert got == {m: ref(m) for m in range(12)}
+
+
+def test_image_near_dup_finds_perturbed_copy_not_unrelated(spark):
+    """A one-byte brightness bump moves at most a couple of gradient
+    bits: the perturbed copy must pair with its source within radius
+    2 while md5-noise strangers stay unpaired."""
+    import pandas as pd
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _encode_ppm,
+        _noise_pixels,
+    )
+
+    base = _encode_ppm(7, 9, 6, noise=True)  # largest fixture dims
+    px_off = len(base) - 9 * 6 * 3
+    # bump ONE channel byte a little (clamped): a tiny brightness edit
+    tweak = bytearray(base)
+    idx = px_off + (3 * 9 + 4) * 3
+    tweak[idx] = min(255, tweak[idx] + 8)
+    rows = [
+        (1, "image/ppm", bytes(base)),
+        (2, "image/ppm", bytes(tweak)),
+        (3, "image/ppm", _encode_ppm(1001, 9, 6, noise=True)),
+        (4, "image/ppm", _encode_ppm(1002, 9, 6, noise=True)),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M.image_near_dup_pairs(media, max_hamming=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_image_near_dup_radius_zero_uses_whole_hash_band(spark):
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+
+    df = spark.range(6).withColumnRenamed("id", "doc_id")
+    media = M.synthesize_images(df, noise=True)
+    copies = media.withColumn("media_id", F.col("media_id") + 100)
+    pairs = M.image_near_dup_pairs(
+        media.unionByName(copies), max_hamming=0
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert {(i, i + 100) for i in range(6)} <= found
+    assert all(r.hamming == 0 for r in pairs)
+
+
+def test_image_dhash_validates_grid_and_synthesize_noise_guard(spark):
+    import pytest as _pytest
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+
+    df = spark.range(2).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="64 bits"):
+        M.image_dhash(M.synthesize_images(df), grid_w=9, grid_h=8)
+    with _pytest.raises(ValueError, match="ppm"):
+        M.synthesize_images(df, fmt="bmp", noise=True)
