@@ -515,6 +515,96 @@ def bigram_lm_scores(
     )
 
 
+def trigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document quality score from a corpus-trained INTERPOLATED
+    trigram LM — the strength upgrade over :func:`bigram_lm_scores`
+    toward CCNet's actual filter (a 5-gram Kneser-Ney KenLM):
+    absolute discounting with interpolation (Ney/Essen/Kneser 1994;
+    the recursion Chen & Goodman 1999 eq. 10 write KN in), with the
+    unigram level being the Kneser-Ney CONTINUATION distribution
+    (how many distinct contexts a word completes, not how often it
+    occurs — the KN signature that demotes "Francisco"-style words).
+
+        p3(w3|w1w2) = (c123 − D)/c12 + D·N1+(w1w2·)/c12 · p2(w3|w2)
+        p2(w3|w2)   = (c23 − D)/c2  + D·N1+(w2·)/c2   · pc(w3)
+        pc(w3)      = N1+(·w3) / N1+(··)
+
+    Every scored instance has c123 ≥ 1 > D, so no zero-probability
+    path exists when scoring the training corpus. Scores are mean
+    −ln p over a document's trigram instances, quantized to integer
+    micro-units per instance BEFORE summing (order-free integer
+    sums — the bigram scorer's determinism recipe). Documents with
+    fewer than 3 tokens produce no row.
+
+    Distribution shape: three map-side-combinable counts (trigram,
+    bigram, both history tables derived FROM them — never a corpus
+    rescan), one broadcast scalar (distinct-bigram total); the
+    probability assembles on the DISTINCT-trigram table and the huge
+    per-instance table joins it ONCE on (w1, w2, w3)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    tri = toks.select(
+        F.col(id_col), F.explode(gram_positions(F.col("t"), 3)).alias("i"), "t"
+    ).select(
+        F.col(id_col),
+        F.get("t", F.col("i")).alias("w1"),
+        F.get("t", F.col("i") + 1).alias("w2"),
+        F.get("t", F.col("i") + 2).alias("w3"),
+    )
+    bi = toks.select(
+        F.col(id_col), F.explode(gram_positions(F.col("t"), 2)).alias("i"), "t"
+    ).select(
+        F.get("t", F.col("i")).alias("w2"),
+        F.get("t", F.col("i") + 1).alias("w3"),
+    )
+    c123 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    h12 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n12")
+    )
+    c23 = bi.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
+    h2 = c23.groupBy("w2").agg(
+        F.sum("c23").alias("c2"), F.count(F.lit(1)).alias("n2")
+    )
+    # KN continuation: N1+(·w3) per word, N1+(··) total
+    cont = c23.groupBy("w3").agg(F.count(F.lit(1)).alias("np3"))
+    nb = c23.agg(F.count(F.lit(1)).alias("nb"))
+    D = F.lit(float(discount))
+    pc = F.col("np3") / F.col("nb")
+    p2 = (F.col("c23") - D) / F.col("c2") + D * F.col("n2") / F.col("c2") * pc
+    probs2 = (
+        c23.join(h2, "w2")
+        .join(cont, "w3")
+        .crossJoin(F.broadcast(nb))
+        .select("w2", "w3", p2.alias("p2"))
+    )
+    p3 = (
+        (F.col("c123") - D) / F.col("c12")
+        + D * F.col("n12") / F.col("c12") * F.col("p2")
+    )
+    probs3 = (
+        c123.join(h12, ["w1", "w2"])
+        .join(probs2, ["w2", "w3"])
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(-F.log(p3) * F.lit(1e6), 0).cast("long").alias("nll"),
+        )
+    )
+    terms = tri.join(probs3, ["w1", "w2", "w3"]).select(F.col(id_col), "nll")
+    return terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("nll").alias("nll_micro"),
+        F.floor(F.sum("nll") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("nll_micro_avg"),
+    )
+
+
 def train_bpe(
     df: DataFrame, n_merges: int = 10, text_col: str = "text"
 ) -> DataFrame:

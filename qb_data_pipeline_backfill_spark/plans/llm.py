@@ -3104,3 +3104,79 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_near_dup_pairs(
         media.unionByName(copies), max_hamming=2, max_bucket=1000
     )
+
+
+@register(
+    "text_trigram_perplexity",
+    oracle=r"""
+    WITH toks AS (%s),
+    tri AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0)))
+                 AS g(i)
+    ),
+    bi AS (
+        SELECT ts[i] AS w2, ts[i+1] AS w3
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                 AS g(i)
+    ),
+    c123 AS (
+        SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri GROUP BY w1, w2, w3
+    ),
+    h12 AS (
+        SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+               COUNT(*) AS n12
+        FROM c123 GROUP BY w1, w2
+    ),
+    c23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM bi GROUP BY w2, w3),
+    h2 AS (
+        SELECT w2, CAST(SUM(c23) AS BIGINT) AS c2, COUNT(*) AS n2
+        FROM c23 GROUP BY w2
+    ),
+    cont AS (SELECT w3, COUNT(*) AS np3 FROM c23 GROUP BY w3),
+    nb AS (SELECT COUNT(*) AS nb FROM c23),
+    probs2 AS (
+        SELECT c23.w2, c23.w3,
+               (c23.c23 - 0.75) / h2.c2
+               + 0.75 * h2.n2 / h2.c2 * (cont.np3 / CAST(nb.nb AS DOUBLE))
+                   AS p2
+        FROM c23
+        JOIN h2 USING (w2)
+        JOIN cont USING (w3)
+        CROSS JOIN nb
+    ),
+    probs3 AS (
+        SELECT c123.w1, c123.w2, c123.w3,
+               CAST(ROUND(-LN(
+                   (c123.c123 - 0.75) / h12.c12
+                   + 0.75 * h12.n12 / h12.c12 * probs2.p2
+               ) * 1000000, 0) AS BIGINT) AS nll
+        FROM c123
+        JOIN h12 USING (w1, w2)
+        JOIN probs2 USING (w2, w3)
+    ),
+    terms AS (
+        SELECT t.doc_id, p.nll
+        FROM tri t JOIN probs3 p USING (w1, w2, w3)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           CAST(SUM(nll) AS BIGINT) AS nll_micro,
+           CAST(FLOOR(SUM(nll) / COUNT(*) + 0.5) AS BIGINT) AS nll_micro_avg
+    FROM terms GROUP BY doc_id
+    """
+    % _TOKS_EDGE,
+    doc="Interpolated-Kneser-Ney-flavored trigram perplexity filter "
+    "(operators/text.py trigram_lm_scores) — the strength upgrade "
+    "over text_bigram_perplexity toward CCNet's 5-gram KenLM: "
+    "absolute discounting (D=0.75) interpolating trigram -> bigram "
+    "-> KN CONTINUATION unigram (distinct-context counts, the KN "
+    "signature). Three map-side-combined count tables, probability "
+    "assembly on the distinct-trigram table, ONE per-instance join; "
+    "per-instance -ln p in integer micro-units so per-doc sums are "
+    "order-free. The oracle replays the full recursion end to end.",
+)
+def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.trigram_lm_scores(_docs_edge(spark, sf_dir))

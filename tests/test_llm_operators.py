@@ -1393,3 +1393,67 @@ def test_image_dhash_validates_grid_and_synthesize_noise_guard(spark):
         M.image_dhash(M.synthesize_images(df), grid_w=9, grid_h=8)
     with _pytest.raises(ValueError, match="ppm"):
         M.synthesize_images(df, fmt="bmp", noise=True)
+
+
+def test_trigram_lm_scores_match_python_reference_and_rank_garbled(spark):
+    import math
+
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat on the rug"),
+        (2, "the cat sat on the mat and the cat sat on the rug"),
+        (3, "rug mat zz cat qq on xx the sat"),  # garbled word salad
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in X.trigram_lm_scores(df).collect()}
+
+    # independent reference: same recursion, plain dicts
+    toks = {
+        d: [w for w in t.lower().split() if w] for d, t in rows
+    }
+    tri, bi = {}, {}
+    for ts in toks.values():
+        for i in range(len(ts) - 2):
+            tri[ts[i], ts[i + 1], ts[i + 2]] = (
+                tri.get((ts[i], ts[i + 1], ts[i + 2]), 0) + 1
+            )
+        for i in range(len(ts) - 1):
+            bi[ts[i], ts[i + 1]] = bi.get((ts[i], ts[i + 1]), 0) + 1
+    c12, n12, c2, n2, np3 = {}, {}, {}, {}, {}
+    for (a, b, _), c in tri.items():
+        c12[a, b] = c12.get((a, b), 0) + c
+        n12[a, b] = n12.get((a, b), 0) + 1
+    for (a, b), c in bi.items():
+        c2[a] = c2.get(a, 0) + c
+        n2[a] = n2.get(a, 0) + 1
+        np3[b] = np3.get(b, 0) + 1
+    nb = len(bi)
+
+    def nll(a, b, c):
+        pc = np3[c] / nb
+        p2 = (bi[b, c] - 0.75) / c2[b] + 0.75 * n2[b] / c2[b] * pc
+        p3 = (tri[a, b, c] - 0.75) / c12[a, b] + 0.75 * n12[a, b] / c12[
+            a, b
+        ] * p2
+        return round(-math.log(p3) * 1e6)
+
+    for d, ts in toks.items():
+        inst = [tuple(ts[i : i + 3]) for i in range(len(ts) - 2)]
+        want_sum = sum(nll(*g) for g in inst)
+        assert got[d].n_trigrams == len(inst)
+        assert got[d].nll_micro == want_sum, d
+        assert got[d].nll_micro_avg == math.floor(want_sum / len(inst) + 0.5)
+    # duplicate docs score identically; garbled scores strictly worse
+    assert got[1].nll_micro_avg == got[2].nll_micro_avg
+    assert got[3].nll_micro_avg > got[1].nll_micro_avg
+
+
+def test_trigram_lm_short_docs_produce_no_row(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, "a b c")], ["doc_id", "text"]
+    )
+    got = {r.doc_id for r in X.trigram_lm_scores(df).collect()}
+    assert got == {3}
