@@ -772,3 +772,115 @@ def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(10)) == 0
     )
     return run_available_now(C.dsir_log_weights(docs, lr), output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# r13 curation twins: budget admission + epoch plan under streaming
+# --------------------------------------------------------------------------
+from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+
+
+@register(
+    "streaming_budget_fill",
+    # the stream twin must admit EXACTLY the batch-selected rows of
+    # its subset, so the oracle is the batch query's oracle verbatim,
+    # re-projected (cum_tok is a corpus-order fact no stream can
+    # carry) and restricted to the streamed subset
+    oracle="""
+    SELECT doc_id, lang, tok, score_micro
+    FROM (%s) WHERE doc_id %% 5 = 0
+    """
+    % _REG["sample_budget_fill"].oracle,
+    doc="Token-budget selection under Structured Streaming — the "
+    "deploy shape of budget_fill (operators/curation.py): the exact "
+    "windowed selection runs ONCE on the batch corpus; what ships to "
+    "the stream is only the per-group ADMISSION CUTOFF — the (score, "
+    "id) key of the last admitted row, a |groups|-row broadcast. "
+    "Because the batch selection is a prefix of the (score desc, id "
+    "asc) order, cutoff admission reproduces the selected set "
+    "row-for-row: every micro-batch filters against the cutoff in "
+    "stateless append mode — no window, no state store, no "
+    "batch/stream fork in operator code. The same artifact-then-"
+    "apply split as streaming_dsir_scores.",
+)
+def streaming_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+    from qb_data_pipeline_backfill_spark.operators import text as X
+    from qb_data_pipeline_backfill_spark.plans.llm import _docs
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+    )
+
+    _, score = X.classifier_score_expr("text", 0)
+    tok = C.doc_token_count("text")
+    sel = C.budget_fill(
+        _docs(spark, sf_dir), budget=3000, score=score, tok=tok
+    )
+    # last admitted key per group under (score desc, id asc): the
+    # lexicographic min of (score_micro, -doc_id) over the selection
+    cutoff = sel.groupBy("lang").agg(
+        F.min(
+            F.struct(
+                F.col("score_micro").alias("s"),
+                (F.col("doc_id") * -1).alias("neg_id"),
+            )
+        ).alias("cut")
+    )
+    _, score_s = X.classifier_score_expr("text", 0)
+    scored = (
+        documents_stream(spark, sf_dir)
+        .filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(
+                C.doc_token_count("text").cast("long"), F.lit(0)
+            ).alias("tok"),
+            score_s.cast("long").alias("score_micro"),
+        )
+    )
+    admitted = (
+        scored.join(F.broadcast(cutoff), "lang")
+        .filter(
+            (F.col("score_micro") > F.col("cut.s"))
+            | (
+                (F.col("score_micro") == F.col("cut.s"))
+                & ((F.col("doc_id") * -1) >= F.col("cut.neg_id"))
+            )
+        )
+        .select("doc_id", "lang", "tok", "score_micro")
+    )
+    return run_available_now(admitted, output_mode="append")
+
+
+@register(
+    "streaming_epoch_plan",
+    # group-grained aggregate: the stream consumes the whole table,
+    # so the oracle IS the batch twin's, verbatim
+    oracle=_REG["sample_epoch_plan"].oracle,
+    doc="Data-constrained epoch plan under Structured Streaming "
+    "(operators/sample.py epoch_plan): the per-source token "
+    "availability aggregates across micro-batches in complete mode "
+    "(one map-side-combined streaming agg on the group key), and the "
+    "integer plan arithmetic — floor-exact target share, ceil-exact "
+    "epoch count, final-epoch take — projects over the streaming "
+    "aggregate unchanged. Batch and stream share the operator; only "
+    "the source differs.",
+)
+def streaming_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+    from qb_data_pipeline_backfill_spark.plans.llm import _EPOCH_WEIGHTS
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+    )
+
+    plan = SA.epoch_plan(
+        documents_stream(spark, sf_dir),
+        budget_tokens=2_000_000,
+        weights=_EPOCH_WEIGHTS,
+        tok=C.doc_token_count("text"),
+    )
+    return run_available_now(plan, output_mode="complete")
