@@ -25,93 +25,78 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-12 rotation (VERDICT r11 #1): (a) the never-driver-graded
-# txn_scd2_as_of first, then the thirteen queries NEW this round
-# (text_html_extract, text_classifier_scores,
-# contract_incremental_minhash, streaming_scd2_apply, the url_*
-# family, web_corpus_pipeline, streaming_html_extract,
-# text_line_filters, text_nfc_normalize, text_accent_fold) and the two whose code round 12
-# touched (txn_scd2_apply: watermark namespacing +
-# unpersist-on-raise; contract_heavy_hitters: the mergeable merge
-# level replacing localCheckpoint); then (b) the now-stalest blocks —
-# last driver grade r10: the txn fixture family, the CDC-log feeds,
-# jsonl/orc round trips, leakage + the sample_* family, the sketch
-# contracts, the graph family, and the 2-round-stale approximate
-# recall twins. The r11-graded blocks (streaming_*, salted_*,
-# window/subquery/rollup, numeric, text_*, txn CDC) rotate out — one
-# round old — and every query is re-verified in the local full sweep
-# regardless (tools/check_correctness.py, sf0.01).
-#
-# Late-r12 additions (DSIR, WARC, global shuffle, the five TPC-H
-# shapes) join section (a) — a first driver grade outranks a
-# re-grade — displacing the equally-stale ANN recall twins, sketch
-# contracts, and the ORC round trip from (b): those are closed-form
-# contracts whose code r12 never touched, still covered by the local
-# full sweep and the judge's serial sweep every round. The unigram
-# tokenizer family (late r12) likewise displaces the graph family —
-# unchanged since r10 and hash-green in this session's full local
-# sweep (186 pass / 0 fail / 9 rows-only-by-design).
+# Round-13 rotation (VERDICT r12 #1/#2): (a) the two r12 driver-red
+# queries FIRST — sample_budget_fill / contract_budget_fill_scale,
+# whose oracles' cum_tok now casts to BIGINT (the DuckDB HUGEINT
+# promotion the judge root-caused) — then the never-driver-graded
+# unigram_encode_stats; (b) the queries NEW in round 13 (the image
+# dHash pair, trigram perplexity, the two streaming curation twins);
+# (c) every query whose code or oracle round 13 touched: the html
+# front end (fast tokenizer + mapInArrow), the unigram family (the
+# model-seeded single-char floor), text_sentence_stats (oracle
+# encoding base), sample_global_shuffle (reserved-column guard);
+# (d) the stalest blocks VERDICT r12 named — last driver grade r10:
+# the ANN recall twins, the sketch contracts, the graph family, and
+# the ORC round trip. The r12-graded blocks (txn fixture family,
+# WARC/DSIR/url_*, TPC-H shapes) rotate out — one round old — and
+# every query is still re-verified in the local full sweep
+# (tools/check_correctness.py, sf0.01) each round regardless.
 prioritize(
     [
-        # --- (a) never-graded / new / r12-code-touched ---
-        "txn_scd2_as_of",
+        # --- (a) r12 driver-red, fixed this round + never-graded ---
+        "sample_budget_fill",
+        "contract_budget_fill_scale",
+        "unigram_encode_stats",
+        # --- (b) new in r13 ---
+        "contract_image_dhash_replay",
+        "dedup_image_dhash",
+        "text_trigram_perplexity",
+        "streaming_budget_fill",
+        "streaming_epoch_plan",
+        # --- (c) r13-code/oracle-touched ---
         "text_html_extract",
-        "text_classifier_scores",
-        "contract_incremental_minhash",
-        "streaming_scd2_apply",
-        "url_canonicalize",
-        "url_blocklist_filter",
-        "url_dedup_exact",
-        "web_corpus_pipeline",
         "streaming_html_extract",
-        "text_line_filters",
-        "text_nfc_normalize",
-        "text_accent_fold",
-        "streaming_classifier_scores",
-        "dsir_select_topk",
-        "warc_record_parse",
-        "sample_global_shuffle",
-        "nation_trade_volume",
-        "profit_by_nation_year",
-        "small_qty_part_revenue",
-        "large_qty_order_customers",
-        "dormant_customer_balances",
-        "streaming_warc_parse",
+        "web_corpus_pipeline",
         "contract_unigram_em_replay",
         "contract_unigram_encode_replay",
         "unigram_train_pieces",
-        "text_bm25_topk",
-        "sample_budget_fill",
-        "text_badword_filter",
-        "sample_epoch_plan",
         "text_sentence_stats",
-        "contract_budget_fill_scale",
-        "streaming_dsir_scores",
-        "streaming_minhash_dedup",
-        "nation_market_share",
-        "promo_revenue_share",
-        "disjunctive_brand_revenue",
-        "min_cost_supplier",
-        "important_stock_parts",
-        "supplier_part_counts",
-        "excess_stock_suppliers",
-        "txn_scd2_apply",
-        "contract_heavy_hitters",
-        # --- (b) stalest: last driver grade r10 ---
-        "txn_files_metadata",
-        "txn_snapshot_count",
-        "txn_idempotent_stream_append",
-        "txn_replica_audit",
-        "txn_table_health",
-        "sample_train_val_test",
-        "contract_simhash_recall",
-        # contract_{approx_median,bloom_prune,substring_hash_parity,
-        # ivfpq_adc}
-        # + dedup_{exact_text,
-        # ngram_jaccard,repeated_substrings,edit_distance,
-        # semantic_prune,embedding_cosine} yield their slots to the
-        # ten new r12 queries; the local full sweep still covers
-        # them every round.
+        "sample_global_shuffle",
+        "multimodal_decode_stats",
+        "text_bigram_perplexity",
+        # --- (d) stalest: last driver grade r10 ---
+        "contract_ann_lsh_recall",
+        "contract_ann_ivf_recall",
+        "contract_ivfpq_adc",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "similarity_ann_ivfpq",
+        "contract_hll_intersection",
+        "contract_hll_merge",
+        "cms_frequency_contract",
+        "quantile_sketch_contract",
+        "contract_approx_median",
+        "contract_bloom_prune",
+        "approx_distinct_report",
+        "pagerank_parts",
+        "triangle_counts_parts",
+        "dedup_cluster_resolution",
+        "hypertable_rollup_daily",
+        "orc_roundtrip_scan",
+        "dedup_exact_text",
+        "dedup_ngram_jaccard",
+        "dedup_repeated_substrings",
+        "dedup_edit_distance",
+        "dedup_semantic_prune",
+        "dedup_embedding_cosine",
+        "contract_substring_hash_parity",
+        "decontamination_bloom_prefilter",
+        "txn_bloom_point_lookup",
+        "dedup_incremental_minhash",
+        "kmeans_codebook",
+        "pricing_summary",
+        "bpe_train_merges",
+        "dedup_minhash_lsh",
     ]
 )
 
