@@ -384,6 +384,131 @@ def repetition_scores(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher document-quality rule suite (Rae et al. 2021,
+    Appendix A1.1 plus the duplicate-line rule of A1.2) — the
+    published heuristics MassiveWeb was filtered with, and the
+    rule-level complement of the coarse composite in
+    :func:`quality_scores`:
+
+    - word count in [50, 100 000] (whitespace words of the RAW text)
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio (``#`` chars + ``...``/``…`` ellipses)
+      at most 0.1
+    - at most 90 % of lines starting with a bullet (``-``/``*``/``•``)
+    - at most 30 % of lines ending with an ellipsis
+    - at least 80 % of words containing an alphabetic character
+    - at least 2 of the 8 canonical English stop words present
+    - duplicate-line fraction at most 30 %
+
+    Emits every metric in integer BASIS POINTS (the engine's exact-
+    ratio convention), one boolean per rule, and the conjunction
+    ``keep``. Everything is codegen higher-order expressions over the
+    split word/line arrays — no UDF, no shuffle, fully SQL-replayable.
+    Lines are newline-split, trimmed, empties dropped before the
+    line-level rules."""
+    raw = F.col(text_col)
+    words = F.filter(F.split(raw, r"\s+"), lambda w: w != "")
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    pre = df.select(
+        F.col(id_col),
+        raw.alias("__raw"),
+        words.alias("__w"),
+        lines.alias("__l"),
+    )
+    w, ln = F.col("__w"), F.col("__l")
+    raw = F.col("__raw")
+    n_words = F.size(w).cast("long")
+    n_lines = F.size(ln).cast("long")
+    d_words = F.greatest(n_words, F.lit(1))
+    d_lines = F.greatest(n_lines, F.lit(1))
+    word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#")))
+    n_ell = _idiv(
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."))), F.lit(3)
+    ) + (F.length(raw) - F.length(F.replace(raw, F.lit("…"))))
+    n_bullet = F.size(
+        F.filter(
+            ln,
+            lambda x: F.substring(x, 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(
+            ln,
+            lambda x: x.endswith("...") | x.endswith("…"),
+        )
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(w, lambda x: x.rlike("[a-zA-Z]"))
+    ).cast("long")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(w, lambda x: F.lower(x))), stops
+        )
+    ).cast("long")
+    n_dup_lines = n_lines - F.size(F.array_distinct(ln)).cast("long")
+
+    mean_word_len_bp = _idiv(word_chars * 10000, d_words)
+    symbol_bp = _idiv((n_hash + n_ell) * 10000, d_words)
+    bullet_bp = _idiv(n_bullet * 10000, d_lines)
+    ellipsis_bp = _idiv(n_ell_end * 10000, d_lines)
+    alpha_bp = _idiv(n_alpha * 10000, d_words)
+    dup_line_bp = _idiv(n_dup_lines * 10000, d_lines)
+
+    scored = pre.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len_bp.alias("mean_word_len_bp"),
+        symbol_bp.alias("symbol_bp"),
+        bullet_bp.alias("bullet_bp"),
+        ellipsis_bp.alias("ellipsis_bp"),
+        alpha_bp.alias("alpha_bp"),
+        n_stop.alias("n_stopwords"),
+        dup_line_bp.alias("dup_line_bp"),
+    )
+    ok_words = F.col("n_words").between(50, 100_000)
+    ok_wlen = F.col("mean_word_len_bp").between(30_000, 100_000)
+    ok_symbol = F.col("symbol_bp") <= 1_000
+    ok_bullet = F.col("bullet_bp") <= 9_000
+    ok_ellipsis = F.col("ellipsis_bp") <= 3_000
+    ok_alpha = F.col("alpha_bp") >= 8_000
+    ok_stop = F.col("n_stopwords") >= 2
+    ok_dup = F.col("dup_line_bp") <= 3_000
+    return scored.select(
+        "*",
+        ok_words.alias("ok_word_count"),
+        ok_wlen.alias("ok_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        ok_dup.alias("ok_dup_lines"),
+        (
+            ok_words
+            & ok_wlen
+            & ok_symbol
+            & ok_bullet
+            & ok_ellipsis
+            & ok_alpha
+            & ok_stop
+            & ok_dup
+        ).alias("keep"),
+    )
+
+
 def lang_corpus_stats(
     df: DataFrame,
     lang_col: str = "lang",

@@ -3180,3 +3180,91 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.trigram_lm_scores(_docs_edge(spark, sf_dir))
+
+
+@register(
+    "text_gopher_quality",
+    oracle=r"""
+    WITH src AS (%s),
+    split AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'),
+                           w -> w != '') AS w,
+               list_filter(
+                   list_transform(string_split(text, chr(10)),
+                                  x -> trim(x)),
+                   x -> x != '') AS l
+        FROM src
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(w) AS BIGINT) AS nw,
+               CAST(len(l) AS BIGINT) AS nl,
+               CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+                    AS BIGINT) AS word_chars,
+               CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+                   AS n_hash,
+               CAST((len(text) - len(replace(text, '...', ''))) // 3
+                    + (len(text) - len(replace(text, '…', '')))
+                    AS BIGINT) AS n_ell,
+               CAST(len(list_filter(l, x ->
+                   list_contains(['-', '*', '•'], substr(x, 1, 1))))
+                   AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(l, x ->
+                   ends_with(x, '...') OR ends_with(x, '…')))
+                   AS BIGINT) AS n_ell_end,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   AS BIGINT) AS n_alpha,
+               CAST(len(list_intersect(
+                   list_distinct(list_transform(w, x -> lower(x))),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                   AS BIGINT) AS n_stopwords,
+               CAST(len(l) - len(list_distinct(l)) AS BIGINT) AS n_dup
+        FROM split
+    ),
+    bp AS (
+        SELECT doc_id, n_words, n_stopwords,
+               CAST(word_chars * 10000 // greatest(nw, 1) AS BIGINT)
+                   AS mean_word_len_bp,
+               CAST((n_hash + n_ell) * 10000 // greatest(nw, 1) AS BIGINT)
+                   AS symbol_bp,
+               CAST(n_bullet * 10000 // greatest(nl, 1) AS BIGINT)
+                   AS bullet_bp,
+               CAST(n_ell_end * 10000 // greatest(nl, 1) AS BIGINT)
+                   AS ellipsis_bp,
+               CAST(n_alpha * 10000 // greatest(nw, 1) AS BIGINT)
+                   AS alpha_bp,
+               CAST(n_dup * 10000 // greatest(nl, 1) AS BIGINT)
+                   AS dup_line_bp
+        FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len_bp, symbol_bp, bullet_bp,
+           ellipsis_bp, alpha_bp, n_stopwords, dup_line_bp,
+           n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           mean_word_len_bp BETWEEN 30000 AND 100000 AS ok_word_len,
+           symbol_bp <= 1000 AS ok_symbol_ratio,
+           bullet_bp <= 9000 AS ok_bullet_lines,
+           ellipsis_bp <= 3000 AS ok_ellipsis_lines,
+           alpha_bp >= 8000 AS ok_alpha_words,
+           n_stopwords >= 2 AS ok_stopwords,
+           dup_line_bp <= 3000 AS ok_dup_lines,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len_bp BETWEEN 30000 AND 100000)
+           AND symbol_bp <= 1000 AND bullet_bp <= 9000
+           AND ellipsis_bp <= 3000 AND alpha_bp >= 8000
+           AND n_stopwords >= 2 AND dup_line_bp <= 3000 AS keep
+    FROM bp
+    """
+    % _DOCS_EDGE_SRC,
+    doc="The Gopher quality-rule suite (operators/text.py "
+    "gopher_quality — Rae et al. 2021 App. A1.1 + the duplicate-line "
+    "rule of A1.2): word-count bounds, mean word length, symbol-to-"
+    "word ratio, bullet/ellipsis line fractions, alphabetic-word "
+    "floor, stop-word floor, duplicate-line cap — every metric in "
+    "integer basis points, one boolean per rule, conjunction `keep`. "
+    "Pure codegen higher-order expressions over split word/line "
+    "arrays; the oracle replays every rule end to end.",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.gopher_quality(_docs_edge(spark, sf_dir))

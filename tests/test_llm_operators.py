@@ -1457,3 +1457,36 @@ def test_trigram_lm_short_docs_produce_no_row(spark):
     )
     got = {r.doc_id for r in X.trigram_lm_scores(df).collect()}
     assert got == {3}
+
+
+def test_gopher_quality_rules_trigger_individually(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs far away "
+        "to be with all of that good company which they have found near "
+        "the river bank today while many other animals watch with great "
+        "interest and some measure of quiet amusement in the afternoon "
+        "sun before they all head home for a warm evening meal"
+    )
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short text only"),                      # word count < 50
+        (3, good + " ####### ## ### ## # # # # ##"), # symbol ratio
+        (4, good + "\n" + "\n".join("- item" for _ in range(200))),  # bullets
+        (5, good + "\n" + "\n".join(f"line {i}..." for i in range(200))),  # ellipses
+        (6, good + "\n" + "same line\n" * 100),      # dup lines
+        (7, " ".join("zq9" for _ in range(60))),     # no stopwords+alpha ok
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in X.gopher_quality(df).collect()}
+    assert got[1].keep
+    assert not got[2].ok_word_count and not got[2].keep
+    assert not got[3].ok_symbol_ratio and got[3].ok_word_count
+    assert not got[4].ok_bullet_lines
+    assert not got[5].ok_ellipsis_lines
+    assert not got[6].ok_dup_lines
+    assert not got[7].ok_stopwords and got[7].ok_alpha_words
+    # metric sanity on the clean doc
+    assert 30_000 <= got[1].mean_word_len_bp <= 100_000
+    assert got[1].n_stopwords >= 2 and got[1].dup_line_bp == 0
