@@ -1,0 +1,181 @@
+"""Distributed ExactSubstr dedup: prefix-doubled substring classes.
+
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better") showed the strongest dedup for LLM corpora is EXACT-SUBSTRING:
+mark every span whose text occurs elsewhere in the corpus (min length
+L) and cut it. Their implementation is a single-node memory-mapped
+suffix array; this module re-derives the result Spark-first — and the
+road to this shape is instructive, so it is documented:
+
+- A suffix array needs a TOTAL ORDER of suffixes; every scalable
+  global-ranking construction tried here was either
+  nondeterministic under Spark's recompute-on-demand execution
+  (``repartitionByRange`` samples boundaries per physical plan, so
+  collected offsets and partition ids drift between evaluations — a
+  correctness bug the oracle gate's brute-force replay caught) or
+  O(rounds^2)-to-exponential in plan size (each prefix-doubling
+  round that references its input TWICE — a self-join, or an
+  aggregate + join pair — doubles the lazy plan; measured 17 s
+  collect-per-round and 88 s fully-lazy at sf0.1).
+- The fix is the observation that DUPLICATE DETECTION NEEDS NO
+  ORDER: prefix doubling works just as well on EQUALITY CLASSES.
+  Each round assigns every position the class id of its first 2^m
+  characters, where the id is the MINIMUM (doc, pos) encoding in the
+  class — a representative, not a rank. That is ONE window function
+  (``min() OVER (PARTITION BY r, r2)``), and the partner class is
+  ONE ``lead()`` over the per-document position order — so a round
+  references its input exactly once, the whole chain is a single
+  linear lazy DAG, and there are zero driver round-trips after the
+  collected (bounded, broadcast) alphabet map. Measured 3.8 s at
+  sf0.1 where the ranked forms took 17-88 s (SCALING §15).
+
+A length-L window at position p then has composite key
+``(class_m[p], class_m[p + L - h])`` with ``h = 2^floor(log2 L)``
+(two overlapping h-prefixes cover the window); duplicated windows are
+the classes with count >= 2 (one more window function), and matched
+spans merge per document with gaps-and-islands. Strings are touched
+exactly once, at the single-character explode; every later round
+moves only integers.
+
+100 TB notes: class windows partition by the class-pair key — the
+popular-prefix class (runs of spaces) is the skew exposure, same as
+any groupBy on that key; per-document windows are bounded by document
+length. Encodings assume non-negative doc_id < 2^31 and positions
+< 2^32 (the ``enc = doc_id * 2^32 + pos`` packing) — a documented
+contract; wider id spaces swap the encoding for a struct min.
+
+Reference parity: the corpus-level exact analog of the in-document
+``repeated_substring_spans`` (dedup.py) and the exact counterpart of
+the MinHash/SimHash near-dup family.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def char_classes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode to ``(doc_id, pos, r)`` with ``r`` a per-character
+    class id from the collected corpus alphabet — a bounded,
+    deterministic, broadcast model artifact (the BPE/unigram-trainer
+    pattern). Ids are arbitrary-but-stable; only equality matters."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "c"),
+    ).filter(F.col("c") != "")
+    vocab = sorted(r["c"] for r in chars.select("c").distinct().collect())
+    cmap = F.create_map(
+        *[F.lit(x) for i, c in enumerate(vocab) for x in (c, i + 1)]
+    )
+    return chars.select(
+        "doc_id", "pos", cmap[F.col("c")].cast("long").alias("r")
+    )
+
+
+def suffix_prefix_classes(
+    df: DataFrame,
+    *,
+    target_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int]:
+    """Prefix-doubled substring equality classes: returns
+    ``(classes, h)`` where ``classes`` is ``(doc_id, pos, r)`` — two
+    positions share ``r`` iff their first ``h = 2^floor(log2
+    target_len)`` characters (truncated at document end) are equal —
+    via ``floor(log2 h)`` rounds of two window functions each:
+
+        r2 = lead(r, step) OVER (PARTITION BY doc_id ORDER BY pos)
+        r  = min(doc_id·2^32 + pos) OVER (PARTITION BY r, r2)
+
+    The min-encoding representative is deterministic, needs no global
+    order, and keeps every round a SINGLE reference to its input —
+    the linear-plan property the module docstring explains. Suffixes
+    never cross documents; a missing partner (suffix shorter than the
+    offset) keys as -1, the sentinel below every class."""
+    if target_len < 2:
+        raise ValueError(f"target_len must be >= 2, got {target_len}")
+    h = 1 << int(math.floor(math.log2(target_len)))
+    classes = char_classes(df, text_col, id_col)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    enc = F.col("doc_id") * F.lit(1 << 32) + F.col("pos")
+    step = 1
+    while step < h:
+        paired = classes.withColumn(
+            "r2", F.coalesce(F.lead("r", step).over(w_doc), F.lit(-1))
+        )
+        classes = paired.withColumn(
+            "r", F.min(enc).over(Window.partitionBy("r", "r2"))
+        ).select("doc_id", "pos", "r")
+        step *= 2
+    return classes, h
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    *,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr duplicate marking (Lee et al. 2021): every maximal
+    span covered by length-``min_len`` windows whose text occurs at
+    least twice in the corpus (any document, including self-repeats),
+    as ``(doc_id, start, end)`` with ``end`` exclusive, 0-based.
+
+    Pipeline: prefix-doubled classes to h = 2^floor(log2 min_len);
+    window key = (class[p], class[p + min_len - h]) via one more
+    per-doc ``lead``; duplicated keys found with a count window; spans
+    merged per document with gaps-and-islands. One linear DAG, no
+    self-joins, no driver collects beyond the alphabet."""
+    classes, h = suffix_prefix_classes(
+        df, target_len=min_len, text_col=text_col, id_col=id_col
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    w_len = Window.partitionBy("doc_id")
+    windows = (
+        classes.withColumn(
+            "r_tail", F.lead("r", min_len - h).over(w_doc)
+        )
+        .withColumn("__len", F.max("pos").over(w_len) + 1)
+        .filter(F.col("pos") + F.lit(min_len) <= F.col("__len"))
+    )
+    marked = (
+        windows.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("r", "r_tail"))
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.col("pos").alias("start"),
+            (F.col("pos") + F.lit(min_len)).alias("end"),
+        )
+    )
+    # gaps-and-islands per document: a new island starts where the
+    # window begins past every previous end
+    w_isl = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w_isl.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("start") > F.coalesce(prev_max_end, F.lit(-1)), 1
+            ).otherwise(0)
+        ).over(w_isl),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("long").alias("start"),
+            F.max("end").cast("long").alias("end"),
+        )
+        .select("doc_id", "start", "end")
+    )

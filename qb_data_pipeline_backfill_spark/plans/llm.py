@@ -3268,3 +3268,66 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.gopher_quality(_docs_edge(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr dedup (r13): distributed generalized suffix machinery
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_substring",
+    oracle=r"""
+    WITH src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    win AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+               substr(text, i, 20) AS s
+        FROM src,
+             LATERAL unnest(generate_series(1,
+                 greatest(len(text) - 19, 0))) AS g(i)
+    ),
+    dup AS (SELECT s FROM win GROUP BY s HAVING COUNT(*) >= 2),
+    marked AS (
+        SELECT w.doc_id, w.start, w.start + 20 AS e
+        FROM win w JOIN dup USING (s)
+    ),
+    pm AS (
+        SELECT doc_id, start, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM marked
+    ),
+    isl AS (
+        SELECT doc_id, start, e,
+               SUM(CASE WHEN start > COALESCE(prev_end, -1)
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM pm
+    )
+    SELECT doc_id, CAST(MIN(start) AS BIGINT) AS start,
+           CAST(MAX(e) AS BIGINT) AS "end"
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="ExactSubstr duplicate marking (operators/suffix.py "
+    "exact_substring_spans — Lee et al. 2021's strongest dedup, their "
+    "single-node suffix array re-expressed Spark-native): maximal "
+    "spans covered by 20-char windows occurring >= 2x anywhere in "
+    "the corpus. Engine path: one character explode, prefix-doubled "
+    "global dense ranks (log L rounds of integer shuffles; the "
+    "global_dense_rank primitive ranks without a single-partition "
+    "window — range exchange + per-partition ranks + a "
+    "|partitions|-row offset table), two-overlapping-prefix window "
+    "keys, one hash aggregate, bounded per-doc island merge. The "
+    "oracle brute-forces the same spans from raw substrings — "
+    "tractable at gate scale, impossible at 100 TB, which is the "
+    "point of the rank path.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    )
+    return SX.exact_substring_spans(docs, min_len=20)

@@ -1,0 +1,106 @@
+"""ExactSubstr dedup (operators/suffix.py): brute-force parity on
+crafted corpora, boundary behavior, and plan hygiene."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from qb_data_pipeline_backfill_spark.operators import suffix as SX
+
+
+def _brute_spans(docs: list[tuple[int, str]], L: int) -> list[tuple]:
+    cnt = Counter()
+    for _, t in docs:
+        for p in range(len(t) - L + 1):
+            cnt[t[p : p + L]] += 1
+    out = []
+    for d, t in docs:
+        merged: list[list[int]] = []
+        for p in range(len(t) - L + 1):
+            if cnt[t[p : p + L]] < 2:
+                continue
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + L)
+            else:
+                merged.append([p, p + L])
+        out.extend((d, s, e) for s, e in merged)
+    return sorted(out)
+
+
+def _spark_spans(spark, docs, L):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return sorted(
+        (r.doc_id, r.start, r.end)
+        for r in SX.exact_substring_spans(df, min_len=L).collect()
+    )
+
+
+def test_exact_substring_matches_brute_force(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "something unrelated entirely here with no repeats at all!"),
+        (3, "zz the quick brown fox jumps over the lazy dog zz ok fine"),
+        (4, "abcabcabcabcabcabcabcabcabcabc"),  # self-overlapping repeats
+        (5, "short"),
+        (6, ""),
+    ]
+    for L in (8, 12, 20):
+        assert _spark_spans(spark, docs, L) == _brute_spans(docs, L), L
+
+
+def test_exact_substring_non_power_of_two_and_tail_dupes(spark):
+    # L=12 -> h=8, tail offset 4: the two-overlapping-prefix key path.
+    # Docs share a 13-char tail; a 12-window must match, but an
+    # 11-char shared tail must NOT (the truncated-class trap: equal
+    # short suffixes across docs may share classes yet not span L).
+    docs = [
+        (1, "xxxxxxxxx-ends with this"),
+        (2, "yyyyyyyyyyy-ends with this"),
+        (3, "qqqqqq-ends with thi"),  # only 11 shared tail chars...
+    ]
+    L = 12
+    assert _spark_spans(spark, docs, L) == _brute_spans(docs, L)
+
+
+def test_exact_substring_unicode_and_whitespace_runs(spark):
+    docs = [
+        (1, "é漢字 répété motif here é漢字 répété motif here ok"),
+        (2, "   many   spaces   inside   this   one   doc   "),
+        (3, "   many   spaces   inside   another   doc   too  "),
+    ]
+    for L in (8, 10):
+        assert _spark_spans(spark, docs, L) == _brute_spans(docs, L), L
+
+
+def test_suffix_classes_group_equal_prefixes_only(spark):
+    docs = [(1, "abcdefgh"), (2, "abcdxyzw"), (3, "abcdefgh")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    classes, h = SX.suffix_prefix_classes(df, target_len=8)
+    assert h == 8
+    at0 = {r.doc_id: r.r for r in classes.filter(F.col("pos") == 0).collect()}
+    assert at0[1] == at0[3] and at0[1] != at0[2]
+
+
+def test_exact_substring_validates_min_len(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="target_len"):
+        SX.exact_substring_spans(df, min_len=1).collect()
+
+
+def test_exact_substring_plan_is_joinless_and_cartesian_free(spark):
+    docs = [(i, f"document number {i} with shared shared shared text") for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    plan = (
+        SX.exact_substring_spans(df, min_len=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the class-based form has no joins at all — windows and one agg
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
