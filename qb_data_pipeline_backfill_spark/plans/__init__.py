@@ -53,6 +53,8 @@ prioritize(
         "text_trigram_perplexity",
         "streaming_budget_fill",
         "streaming_epoch_plan",
+        "dedup_exact_substring",
+        "text_gopher_quality",
         # --- (c) r13-code/oracle-touched ---
         "text_html_extract",
         "streaming_html_extract",
