@@ -179,3 +179,73 @@ def exact_substring_spans(
         )
         .select("doc_id", "start", "end")
     )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ExactSubstr cuts: remove every ``(start, end)`` span
+    (0-based, end-exclusive, non-overlapping — the
+    :func:`exact_substring_spans` contract) from its document and
+    return ``(doc_id, clean_text, n_spans, cut_chars)``. Documents
+    with no spans pass through unchanged (0 / 0).
+
+    Lee et al. 2021 cut every duplicated byte (all occurrences), which
+    is exactly the marked-span set; a keep-first policy is a caller-
+    side filter on the spans before cutting.
+
+    Shape: one join of the span table onto its documents (span rows
+    only — documents without duplicates never shuffle), a per-doc
+    ``lag`` window to find each inter-span segment, and one per-doc
+    aggregate that stitches segments in order. All bounded per-doc
+    work; the untouched majority of the corpus takes the
+    anti-join-free left path.
+    """
+    w = Window.partitionBy(id_col).orderBy("start")
+    seg = (
+        spans.join(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .withColumn(
+            "prev_end", F.coalesce(F.lag("end").over(w), F.lit(0))
+        )
+        .withColumn(
+            "seg",
+            F.substring(
+                F.col(text_col),
+                (F.col("prev_end") + 1).cast("int"),
+                (F.col("start") - F.col("prev_end")).cast("int"),
+            ),
+        )
+    )
+    cut = seg.groupBy(id_col).agg(
+        F.concat(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("start", "seg"))
+                    ),
+                    lambda s: s.getField("seg"),
+                ),
+            ),
+            F.substring(
+                F.first(F.col(text_col)),
+                (F.max("end") + 1).cast("int"),
+                F.lit(1 << 30),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("end") - F.col("start")).cast("long").alias("cut_chars"),
+    )
+    untouched = df.join(spans.select(id_col).distinct(), id_col, "left_anti")
+    return cut.unionByName(
+        untouched.select(
+            F.col(id_col),
+            F.col(text_col).alias("clean_text"),
+            F.lit(0).cast("long").alias("n_spans"),
+            F.lit(0).cast("long").alias("cut_chars"),
+        )
+    )

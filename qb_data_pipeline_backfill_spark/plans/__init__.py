@@ -54,6 +54,7 @@ prioritize(
         "streaming_budget_fill",
         "streaming_epoch_plan",
         "dedup_exact_substring",
+        "dedup_exact_substring_cut",
         "text_gopher_quality",
         # --- (c) r13-code/oracle-touched ---
         "text_html_extract",

@@ -3331,3 +3331,64 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(3)) == 0
     )
     return SX.exact_substring_spans(docs, min_len=20)
+
+
+from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REGISTRY,
+)
+
+
+@register(
+    "dedup_exact_substring_cut",
+    # the span oracle (dedup_exact_substring, registered above) is
+    # reused verbatim as the spans CTE, then the cut is replayed with
+    # lag segments + ordered string_agg
+    oracle="""
+    WITH spans AS (%s),
+    src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id %% 3 = 0
+    ),
+    segs AS (
+        SELECT doc_id, start, "end",
+               COALESCE(LAG("end") OVER (
+                   PARTITION BY doc_id ORDER BY start), 0) AS prev_end
+        FROM spans
+    ),
+    cuts AS (
+        SELECT g.doc_id,
+               string_agg(
+                   substr(x.text, CAST(g.prev_end + 1 AS INTEGER),
+                          CAST(g.start - g.prev_end AS INTEGER)),
+                   '' ORDER BY g.start)
+               || substr(x.text, CAST(MAX(g."end") + 1 AS INTEGER))
+                   AS clean_text,
+               COUNT(*) AS n_spans,
+               SUM(g."end" - g.start) AS cut_chars
+        FROM segs g JOIN src x USING (doc_id)
+        GROUP BY g.doc_id, x.text
+    )
+    SELECT doc_id, clean_text, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(cut_chars AS BIGINT) AS cut_chars
+    FROM cuts
+    UNION ALL
+    SELECT doc_id, text, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM src WHERE doc_id NOT IN (SELECT doc_id FROM spans)
+    """
+    % _REGISTRY["dedup_exact_substring"].oracle,
+    doc="ExactSubstr CUT (operators/suffix.py cut_spans — the second "
+    "half of Lee et al. 2021's dedup: remove every duplicated span "
+    "from the corpus): inter-span segments via a per-doc lag window, "
+    "stitched in order by one per-doc aggregate; documents without "
+    "duplicates take the anti-join pass-through and never carry span "
+    "state. The oracle replays the span marking (the "
+    "dedup_exact_substring oracle verbatim) and the cut end to end, "
+    "so the hash certifies the exact deduplicated corpus text.",
+)
+def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    )
+    spans = SX.exact_substring_spans(docs, min_len=20)
+    return SX.cut_spans(docs, spans)

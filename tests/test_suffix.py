@@ -104,3 +104,44 @@ def test_exact_substring_plan_is_joinless_and_cartesian_free(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the class-based form has no joins at all — windows and one agg
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_cut_spans_edge_positions(spark):
+    docs = [
+        (1, "0123456789"),
+        (2, "abcdefghij"),
+        (3, "untouched"),
+        (4, "xyz"),
+    ]
+    spans = [
+        (1, 0, 3),   # span at document start
+        (1, 7, 10),  # span at document end
+        (2, 4, 6),   # interior span
+        (4, 0, 3),   # whole document
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sp = spark.createDataFrame(spans, ["doc_id", "start", "end"])
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+
+    got = {r.doc_id: r for r in SX.cut_spans(df, sp).collect()}
+    assert (got[1].clean_text, got[1].n_spans, got[1].cut_chars) == ("3456", 2, 6)
+    assert (got[2].clean_text, got[2].cut_chars) == ("abcdghij", 2)
+    assert (got[3].clean_text, got[3].n_spans) == ("untouched", 0)
+    assert (got[4].clean_text, got[4].cut_chars) == ("", 3)
+
+
+def test_cut_spans_composes_with_marking(spark):
+    # cutting all marked spans leaves no length-L duplicate windows
+    docs = [
+        (1, "prefix SHARED-SEGMENT-HERE suffix one"),
+        (2, "other SHARED-SEGMENT-HERE ending two"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+
+    spans = SX.exact_substring_spans(df, min_len=12)
+    clean = SX.cut_spans(df, spans).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    respans = SX.exact_substring_spans(clean, min_len=12).collect()
+    assert respans == []
