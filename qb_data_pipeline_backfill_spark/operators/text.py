@@ -349,6 +349,87 @@ def fingerprints(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every character ``k``-gram, slide
+    a window of ``w`` consecutive hashes, and select each window's
+    MINIMUM hash (rightmost position on ties). Output: one row per
+    selected ``(doc_id, pos, fp)``, distinct per document.
+
+    The published guarantee: any substring match of length at least
+    ``w + k - 1`` between two documents shares at least one selected
+    fingerprint — the local-sampling property that makes winnowing
+    the standard plagiarism/overlap detector, with density ~2/(w+1).
+
+    Engine shape: gram hashes are md5 HEX STRINGS compared
+    lexicographically (the ``fingerprints`` portability idiom — no
+    engine-specific int hashing), hashed inside codegen on the
+    exploded gram rows, then re-collected per document (bounded
+    per-doc arrays) for the O(n*w) window scan in higher-order
+    expressions. Documents shorter than ``k + w - 1`` chars produce
+    no fingerprints."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1 (got k={k}, w={w})")
+    # guard: Spark's sequence(0, negative) counts DOWN — short docs
+    # must yield an empty gram list, not a descending explosion
+    gram_positions_seq = F.when(
+        F.length(text_col) >= k,
+        F.sequence(F.lit(0), F.length(text_col) - F.lit(k)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(gram_positions_seq).alias("pos"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.md5(
+            F.substring(F.col(text_col), F.col("pos") + 1, k)
+        ).alias("gh"),
+    )
+    per_doc = grams.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "gh"))),
+            lambda s: s.getField("gh"),
+        ).alias("hs")
+    )
+    hs = F.col("hs")
+    n = F.size(hs)
+
+    def window_pick(j: Column) -> Column:
+        win = F.slice(hs, j + 1, w)
+        minv = F.array_min(win)
+        cand = F.filter(
+            F.sequence(j, j + F.lit(w - 1)),
+            lambda p: F.get(hs, p) == minv,
+        )
+        return F.struct(
+            F.array_max(cand).alias("pos"), minv.alias("fp")
+        )
+
+    window_starts = F.when(
+        n >= w, F.sequence(F.lit(0), n - F.lit(w))
+    ).otherwise(F.array().cast("array<int>"))
+    picked = per_doc.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(window_starts, window_pick))
+        ).alias("sel"),
+    )
+    return picked.select(
+        F.col(id_col),
+        F.col("sel.pos").cast("long").alias("pos"),
+        F.col("sel.fp").alias("fp"),
+    )
+
+
 def repetition_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:

@@ -56,6 +56,8 @@ prioritize(
         "dedup_exact_substring",
         "dedup_exact_substring_cut",
         "text_gopher_quality",
+        "streaming_gopher_quality",
+        "text_winnow_fingerprints",
         # --- (c) r13-code/oracle-touched ---
         "text_html_extract",
         "streaming_html_extract",

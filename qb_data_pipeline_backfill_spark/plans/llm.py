@@ -3392,3 +3392,47 @@ def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = SX.exact_substring_spans(docs, min_len=20)
     return SX.cut_spans(docs, spans)
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=r"""
+    WITH src AS (%s),
+    grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               md5(substr(text, i, 8)) AS gh
+        FROM src,
+             LATERAL unnest(generate_series(1,
+                 greatest(len(text) - 7, 0))) AS g(i)
+    ),
+    arr AS (
+        SELECT doc_id, list(gh ORDER BY pos) AS hs
+        FROM grams GROUP BY doc_id
+    ),
+    win AS (
+        SELECT doc_id, hs, j
+        FROM arr,
+             LATERAL unnest(generate_series(0, len(hs) - 4)) AS t(j)
+        WHERE len(hs) >= 4
+    )
+    SELECT DISTINCT doc_id,
+           CAST(list_max(list_filter(generate_series(j, j + 3),
+                p -> hs[p + 1] = list_min(hs[j+1:j+4]))) AS BIGINT)
+               AS pos,
+           list_min(hs[j+1:j+4]) AS fp
+    FROM win
+    """
+    % _DOCS_EDGE_SRC,
+    doc="Winnowing fingerprints (operators/text.py winnow_fingerprints "
+    "— Schleimer, Wilkerson & Aiken 2003, the MOSS algorithm): hash "
+    "every 8-char gram (md5 hex, the engine's portable-hash idiom), "
+    "slide a 4-hash window, select each window's lexicographic "
+    "minimum (rightmost on ties), emit distinct (pos, fp) rows. "
+    "Published guarantee: any >= w+k-1 = 11-char match between "
+    "documents shares a fingerprint, at ~2/(w+1) selection density. "
+    "Gram hashing runs codegen on exploded rows; the O(n*w) window "
+    "scan folds over bounded per-doc arrays. The oracle replays "
+    "hashing, windowing, and the tie rule end to end.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.winnow_fingerprints(_docs_edge(spark, sf_dir), k=8, w=4)

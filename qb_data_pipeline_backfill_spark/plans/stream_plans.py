@@ -884,3 +884,33 @@ def streaming_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok=C.doc_token_count("text"),
     )
     return run_available_now(plan, output_mode="complete")
+
+
+@register(
+    "streaming_gopher_quality",
+    # stateless codegen rules: stream result == batch result on the
+    # streamed subset; oracle = the batch oracle, filtered
+    # doc_id >= 0: the batch oracle includes the negative-id edge
+    # fixtures, which the parquet file stream never carries
+    oracle="""
+    SELECT * FROM (%s) WHERE doc_id %% 4 = 0 AND doc_id >= 0
+    """
+    % _REG["text_gopher_quality"].oracle,
+    doc="Gopher quality rules under Structured Streaming "
+    "(operators/text.py gopher_quality): the full rule suite is "
+    "stateless codegen over each document, so every micro-batch "
+    "scores in append mode with no state store and no batch/stream "
+    "fork — the filter a landing-directory corpus applies on "
+    "ingest. Oracle shared with the batch twin, restricted to the "
+    "streamed subset.",
+)
+def streaming_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import text as X
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+    )
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    )
+    return run_available_now(X.gopher_quality(docs), output_mode="append")

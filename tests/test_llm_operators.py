@@ -1490,3 +1490,51 @@ def test_gopher_quality_rules_trigger_individually(spark):
     # metric sanity on the clean doc
     assert 30_000 <= got[1].mean_word_len_bp <= 100_000
     assert got[1].n_stopwords >= 2 and got[1].dup_line_bp == 0
+
+
+def test_winnow_fingerprints_match_reference_and_guarantee(spark):
+    import hashlib
+
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    docs = [
+        (1, "the winnowing algorithm picks local minima deterministically"),
+        (2, "zz the winnowing algorithm zz something else entirely here"),
+        (3, "short"),
+        (4, ""),
+        (5, "aaaaaaaaaaaaaaaa"),  # identical grams: rightmost-tie path
+    ]
+    k, w = 8, 4
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in X.winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    want = set()
+    for d, t in docs:
+        if len(t) < k:
+            continue
+        hs = [
+            hashlib.md5(t[p : p + k].encode()).hexdigest()
+            for p in range(len(t) - k + 1)
+        ]
+        for j in range(len(hs) - w + 1):
+            m = min(hs[j : j + w])
+            pos = max(p for p in range(j, j + w) if hs[p] == m)
+            want.add((d, pos, m))
+    assert got == want
+    # published guarantee: docs 1 and 2 share a >= w+k-1 char
+    # substring ("the winnowing algorithm") -> shared fingerprint
+    fp1 = {f for d, _, f in got if d == 1}
+    fp2 = {f for d, _, f in got if d == 2}
+    assert fp1 & fp2
+    # doc 3 ("short") and doc 4 ("") emit nothing
+    assert not any(d in (3, 4) for d, _, _ in got)
+
+
+def test_winnow_validates_params(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="k and w"):
+        X.winnow_fingerprints(df, k=0, w=4)
