@@ -430,6 +430,68 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS's matching phase: document pairs ranked by the number of
+    winnowing fingerprints they share — ``(doc_a, doc_b, n_shared)``
+    with ``doc_a < doc_b`` and ``n_shared >= min_shared``.
+
+    By the winnowing guarantee, every cross-document exact match of
+    at least ``w + k - 1`` characters contributes at least one shared
+    fingerprint, so high ``n_shared`` ranks heavy textual overlap
+    (plagiarism, boilerplate reuse, mirrored pages) without any
+    pairwise text comparison.
+
+    100 TB shape: an inverted-index join on the fingerprint value —
+    one shuffle on ``fp``, in-bucket pair generation bounded by
+    ``max_bucket`` (a fingerprint shared by more documents than the
+    cap is stopword-grade boilerplate and is dropped, the
+    ``dedup.minhash_lsh_pairs`` skew rule), then one map-side-combined
+    count per pair. Never all-pairs."""
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), "fp").distinct()
+    members = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("docs"))
+        .filter(
+            (F.size("docs") >= 2) & (F.size("docs") <= max_bucket)
+        )
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("docs"),
+                            i + F.lit(2),
+                            F.size(F.col("docs")),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("doc_a"), b.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
 def repetition_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:

@@ -58,6 +58,7 @@ prioritize(
         "text_gopher_quality",
         "streaming_gopher_quality",
         "text_winnow_fingerprints",
+        "dedup_winnow_pairs",
         # --- (c) r13-code/oracle-touched ---
         "text_html_extract",
         "streaming_html_extract",

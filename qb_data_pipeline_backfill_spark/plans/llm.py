@@ -3436,3 +3436,57 @@ def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnow_fingerprints(_docs_edge(spark, sf_dir), k=8, w=4)
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=r"""
+    WITH src AS (%s),
+    grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               md5(substr(text, i, 8)) AS gh
+        FROM src,
+             LATERAL unnest(generate_series(1,
+                 greatest(len(text) - 7, 0))) AS g(i)
+    ),
+    arr AS (
+        SELECT doc_id, list(gh ORDER BY pos) AS hs
+        FROM grams GROUP BY doc_id
+    ),
+    win AS (
+        SELECT doc_id, hs, j
+        FROM arr,
+             LATERAL unnest(generate_series(0, len(hs) - 4)) AS t(j)
+        WHERE len(hs) >= 4
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, list_min(hs[j+1:j+4]) AS fp
+        FROM win
+    ),
+    buckets AS (
+        SELECT fp FROM sel GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND 1000
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sel a
+    JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    JOIN buckets ON buckets.fp = a.fp
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 25
+    """
+    % _DOCS_EDGE_SRC,
+    doc="MOSS matching (operators/text.py winnow_overlap_pairs): "
+    "document pairs ranked by shared winnowing fingerprints — the "
+    "textual-overlap detector the fingerprints exist for. Inverted-"
+    "index join on the fingerprint value (one shuffle, capped "
+    "buckets, never all-pairs), map-side-combined pair counts, "
+    "min_shared=25 floor (the synthetic corpus draws from a small "
+    "vocabulary, so low floors pair nearly everything). The oracle "
+    "replays fingerprint selection "
+    "and the pair counting end to end, cap included.",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.winnow_overlap_pairs(
+        _docs_edge(spark, sf_dir), k=8, w=4, min_shared=25
+    )

@@ -1538,3 +1538,21 @@ def test_winnow_validates_params(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="k and w"):
         X.winnow_fingerprints(df, k=0, w=4)
+
+
+def test_winnow_overlap_pairs_rank_heavy_overlap(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    shared = "this exact long passage is copied between two documents"
+    docs = [
+        (1, "intro text. " + shared + " outro one."),
+        (2, "different opening. " + shared + " and a different close."),
+        (3, "no overlap with anything else at all in this one"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in X.winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all({a, b} == {1, 2} for a, b in pairs)
