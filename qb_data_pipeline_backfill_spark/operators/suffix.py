@@ -70,6 +70,13 @@ def char_classes(
         F.posexplode(F.split(F.col(text_col), "")).alias("pos", "c"),
     ).filter(F.col("c") != "")
     vocab = sorted(r["c"] for r in chars.select("c").distinct().collect())
+    if not vocab:
+        # all-empty corpus: an empty create_map() types as VOID and
+        # fails analysis (hypothesis-found edge) — no characters means
+        # no class rows
+        return chars.select(
+            "doc_id", "pos", F.lit(None).cast("long").alias("r")
+        ).filter(F.lit(False))
     cmap = F.create_map(
         *[F.lit(x) for i, c in enumerate(vocab) for x in (c, i + 1)]
     )

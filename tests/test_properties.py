@@ -495,3 +495,77 @@ def test_budget_fill_scalable_equals_exact(spark, rows, budget):
         )
     )
     assert scale == exact
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("ab c.é"), max_size=40),
+        min_size=1,
+        max_size=5,
+    ),
+    min_len=st.integers(2, 10),
+)
+def test_exact_substring_spans_match_brute_force(spark, texts, min_len):
+    from collections import Counter
+
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.start, r.end)
+        for r in SX.exact_substring_spans(df, min_len=min_len).collect()
+    )
+    cnt = Counter()
+    for _, t in docs:
+        for p in range(len(t) - min_len + 1):
+            cnt[t[p : p + min_len]] += 1
+    want = []
+    for d, t in docs:
+        merged: list[list[int]] = []
+        for p in range(len(t) - min_len + 1):
+            if cnt[t[p : p + min_len]] < 2:
+                continue
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + min_len)
+            else:
+                merged.append([p, p + min_len])
+        want.extend((d, s, e) for s, e in merged)
+    assert got == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("abc d"), max_size=30),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(2, 6),
+    w=st.integers(1, 5),
+)
+def test_winnow_fingerprints_match_reference(spark, texts, k, w):
+    import hashlib
+
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in X.winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    want = set()
+    for d, t in docs:
+        if len(t) < k:
+            continue
+        hs = [
+            hashlib.md5(t[p : p + k].encode()).hexdigest()
+            for p in range(len(t) - k + 1)
+        ]
+        for j in range(len(hs) - w + 1):
+            m = min(hs[j : j + w])
+            pos = max(p for p in range(j, j + w) if hs[p] == m)
+            want.add((d, pos, m))
+    assert got == want
