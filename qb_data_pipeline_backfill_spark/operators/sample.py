@@ -567,3 +567,97 @@ def epoch_plan(
         epochs.alias("epochs"),
         last.alias("last_epoch_tokens"),
     )
+
+
+def unimax_mixture(
+    df: DataFrame,
+    *,
+    budget_tokens: int,
+    max_epochs: int,
+    tok: Column,
+    group_col: str = "source",
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a token budget as UNIFORMLY as possible
+    across groups, capping each group at ``max_epochs`` passes over
+    its available data — the fairness-first alternative to
+    temperature sampling that never over-repeats a low-resource group.
+
+    Exact integer waterfill: with per-group capacity ``cap_g =
+    avail_g * max_epochs`` sorted ascending, the capped set is a
+    prefix of that order (``cap_i * (G-i+1) + prefix_{i-1} <=
+    budget`` — monotone, so one window decides it); uncapped groups
+    share the remaining budget at level ``U = floor(rem / n_uncapped)``
+    with the ``rem - U * n_uncapped`` leftover tokens granted one
+    each to the first uncapped groups in (capacity, group) order — a
+    total, engine-replayable tie rule. Invariants (pytest-pinned):
+    ``sum(alloc) = min(budget, sum(cap))``, ``alloc_g <= cap_g``,
+    uncapped allocations differ by at most one token.
+
+    Scale: one map-side-combined aggregate on the group key; the
+    waterfill windows order the |groups|-row table (languages/domains
+    — bounded by design, the vocab-window convention, never corpus
+    rows).
+    """
+    from pyspark.sql.window import Window
+
+    if budget_tokens < 0 or max_epochs < 1:
+        raise ValueError(
+            "budget_tokens must be >= 0 and max_epochs >= 1 "
+            f"(got {budget_tokens}, {max_epochs})"
+        )
+    avail = df.groupBy(group_col).agg(
+        F.coalesce(F.sum(tok.cast("long")), F.lit(0)).alias("avail_tokens")
+    )
+    caps = avail.withColumn(
+        "cap_tokens", F.col("avail_tokens") * F.lit(int(max_epochs))
+    )
+    w = Window.orderBy("cap_tokens", group_col)
+    w_all = Window.partitionBy()
+    B = F.lit(int(budget_tokens))
+    staged = (
+        caps.withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            "__pre",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__g", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("__g") - F.col("__i") + 1)
+            + F.col("__pre")
+            <= B,
+        )
+    )
+    s_capped = F.coalesce(
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(w_all),
+        F.lit(0),
+    )
+    n_unc = F.col("__g") - F.count(
+        F.when(F.col("capped"), F.lit(1))
+    ).over(w_all)
+    rem = B - s_capped
+    # exact integer floor-division in DECIMAL(38,0) (the epoch_plan
+    # recipe): a double quotient rounds past 2^53
+    rem38 = rem.cast("decimal(38,0)")
+    n38 = n_unc.cast("decimal(38,0)")
+    level = ((rem38 - F.pmod(rem38, n38)) / n38).cast("long")
+    extra = rem - level * n_unc
+    # uncapped rank in (cap, group) order: 1-based among uncapped
+    j = F.col("__i") - (F.col("__g") - n_unc)
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        level + F.when(j <= extra, F.lit(1)).otherwise(F.lit(0))
+    )
+    return staged.select(
+        group_col,
+        "avail_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        "capped",
+    )

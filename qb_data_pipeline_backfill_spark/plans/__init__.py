@@ -53,6 +53,7 @@ prioritize(
         "text_trigram_perplexity",
         "streaming_budget_fill",
         "streaming_epoch_plan",
+        "sample_unimax_mixture",
         "dedup_exact_substring",
         "dedup_exact_substring_cut",
         "text_gopher_quality",

@@ -3490,3 +3490,74 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnow_overlap_pairs(
         _docs_edge(spark, sf_dir), k=8, w=4, min_shared=25
     )
+
+
+@register(
+    "sample_unimax_mixture",
+    oracle=r"""
+    WITH avail AS (
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT)
+                   AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    caps AS (
+        SELECT source, avail_tokens,
+               avail_tokens * 2 AS cap_tokens
+        FROM avail
+    ),
+    st AS (
+        SELECT source, avail_tokens, cap_tokens,
+               ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS i,
+               COALESCE(SUM(cap_tokens) OVER (
+                   ORDER BY cap_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pre,
+               COUNT(*) OVER () AS g
+        FROM caps
+    ),
+    c2 AS (
+        SELECT *,
+               cap_tokens * (g - i + 1) + pre <= 40000 AS capped
+        FROM st
+    ),
+    c3 AS (
+        SELECT *,
+               COALESCE(SUM(CASE WHEN capped THEN cap_tokens END)
+                   OVER (), 0) AS s_capped,
+               COUNT(CASE WHEN capped THEN 1 END) OVER () AS n_capped
+        FROM c2
+    )
+    SELECT source, avail_tokens, cap_tokens,
+           CAST(CASE WHEN capped THEN cap_tokens
+                ELSE (40000 - s_capped) // (g - n_capped)
+                     + CASE WHEN i - n_capped <=
+                           (40000 - s_capped)
+                           - ((40000 - s_capped) // (g - n_capped))
+                             * (g - n_capped)
+                       THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_tokens,
+           capped
+    FROM c3
+    """,
+    doc="UniMax mixture allocation (operators/sample.py "
+    "unimax_mixture — Chung et al. 2023): distribute a 40k-token "
+    "budget as uniformly as possible across sources, each capped at "
+    "2 epochs of its available data — the fairness-first alternative "
+    "to temperature sampling. Exact integer waterfill: the capped "
+    "set is a prefix of the capacity order (one window decides it), "
+    "uncapped groups share the remainder at a floor level with the "
+    "leftover granted one token each in capacity order. The oracle "
+    "replays the entire waterfill; windows order only the "
+    "|sources|-row table.",
+)
+def sample_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+
+    return SA.unimax_mixture(
+        _docs(spark, sf_dir),
+        budget_tokens=40_000,
+        max_epochs=2,
+        tok=C.doc_token_count("text"),
+    )

@@ -340,3 +340,50 @@ def test_epoch_plan_exact_past_double_precision(spark):
         df, budget_tokens=big, weights={"a": 1, "b": 2}, tok=F.col("tok")
     ).collect()[0]
     assert got.target_tokens == big // 3  # python int division = ground truth
+
+
+def test_unimax_waterfill_invariants_and_reference(spark):
+    from pyspark.sql import functions as F
+
+    from qb_data_pipeline_backfill_spark.operators import sample as SA
+
+    rows = [("a", 10), ("a", 5), ("b", 100), ("c", 3), ("d", 0), ("e", 40)]
+    df = spark.createDataFrame(rows, "source string, tok int")
+    avails = {"a": 15, "b": 100, "c": 3, "d": 0, "e": 40}
+
+    def ref(B, E):
+        caps = sorted((a * E, g) for g, a in avails.items())
+        G, pre, alloc, k = len(caps), 0, {}, None
+        for i, (c, g) in enumerate(caps, start=1):
+            if c * (G - i + 1) + pre <= B:
+                alloc[g] = c
+                pre += c
+            else:
+                k = i
+                break
+        if k is not None:
+            unc = caps[k - 1 :]
+            rem = B - sum(alloc.values())
+            U, r = rem // len(unc), rem % len(unc)
+            for j, (c, g) in enumerate(unc, start=1):
+                alloc[g] = U + (1 if j <= r else 0)
+        return alloc
+
+    for B, E in [(100, 2), (0, 1), (10**6, 3), (37, 1), (7, 4)]:
+        got = {
+            r.source: r.alloc_tokens
+            for r in SA.unimax_mixture(
+                df, budget_tokens=B, max_epochs=E, tok=F.col("tok")
+            ).collect()
+        }
+        assert got == ref(B, E), (B, E)
+        caps = {g: a * E for g, a in avails.items()}
+        assert sum(got.values()) == min(B, sum(caps.values()))
+        assert all(got[g] <= caps[g] for g in got)
+        unc = [v for g, v in got.items() if v < caps[g]]
+        assert not unc or max(unc) - min(unc) <= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        SA.unimax_mixture(df, budget_tokens=-1, max_epochs=1, tok=F.col("tok"))
