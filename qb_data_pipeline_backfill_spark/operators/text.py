@@ -873,6 +873,52 @@ def trigram_lm_scores(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.3):
+    per language, split documents into perplexity TERCILES under the
+    corpus LM — ``head`` (lowest third of per-doc NLL: most fluent),
+    ``middle``, ``tail``. The bucket label is CCNet's primary quality
+    signal; training recipes typically keep head+middle.
+
+    Built on :func:`trigram_lm_scores`; thresholds are exact
+    ``percentile_disc`` terciles (element-selecting — no
+    interpolation arithmetic to diverge cross-engine) computed per
+    language and broadcast back, so the corpus-sized side takes one
+    narrow join and no window. Boundary rule: ``nll <= t33`` is head,
+    ``<= t67`` middle, else tail (ties fall toward the better
+    bucket, the deterministic direction)."""
+    scores = trigram_lm_scores(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    scored = scores.join(langs, id_col)
+    thresholds = scored.groupBy(lang_col).agg(
+        F.expr(
+            "percentile_disc(CAST(1 AS DOUBLE)/3) "
+            "WITHIN GROUP (ORDER BY nll_micro_avg)"
+        ).alias("t33"),
+        F.expr(
+            "percentile_disc(CAST(2 AS DOUBLE)/3) "
+            "WITHIN GROUP (ORDER BY nll_micro_avg)"
+        ).alias("t67"),
+    )
+    labeled = scored.join(F.broadcast(thresholds), lang_col)
+    bucket = (
+        F.when(F.col("nll_micro_avg") <= F.col("t33"), F.lit("head"))
+        .when(F.col("nll_micro_avg") <= F.col("t67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return labeled.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "nll_micro_avg",
+        bucket.alias("ppl_bucket"),
+    )
+
+
 def train_bpe(
     df: DataFrame, n_merges: int = 10, text_col: str = "text"
 ) -> DataFrame:

@@ -51,6 +51,7 @@ prioritize(
         "contract_image_dhash_replay",
         "dedup_image_dhash",
         "text_trigram_perplexity",
+        "text_perplexity_buckets",
         "streaming_budget_fill",
         "streaming_epoch_plan",
         "sample_unimax_mixture",

@@ -3561,3 +3561,47 @@ def sample_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_epochs=2,
         tok=C.doc_token_count("text"),
     )
+
+
+@register(
+    "text_perplexity_buckets",
+    # the trigram oracle (registered above) is spliced in verbatim as
+    # the scores CTE; terciles replay as quantile_disc (the proven
+    # percentile_disc twin), boundary rule included
+    oracle="""
+    WITH scores AS (%s),
+    langs AS (
+        SELECT doc_id, lang FROM (%s)
+    ),
+    scored AS (
+        SELECT s.doc_id, l.lang, s.nll_micro_avg
+        FROM scores s JOIN langs l USING (doc_id)
+    ),
+    th AS (
+        SELECT lang,
+               quantile_disc(nll_micro_avg, CAST(1 AS DOUBLE)/3) AS t33,
+               quantile_disc(nll_micro_avg, CAST(2 AS DOUBLE)/3) AS t67
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.nll_micro_avg,
+           CASE WHEN s.nll_micro_avg <= th.t33 THEN 'head'
+                WHEN s.nll_micro_avg <= th.t67 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored s JOIN th USING (lang)
+    """
+    % (
+        _REGISTRY["text_trigram_perplexity"].oracle,
+        _DOCS_EDGE_SRC,
+    ),
+    doc="CCNet head/middle/tail perplexity partition (operators/"
+    "text.py perplexity_buckets — Wenzek et al. 2020 §4.3): per "
+    "language, exact percentile_disc terciles of the per-doc trigram "
+    "NLL split the corpus into the fluency buckets CCNet publishes "
+    "(training recipes keep head+middle). Thresholds are an "
+    "element-selecting |langs|-row dim broadcast back onto the "
+    "corpus — one narrow join, no corpus window; ties fall toward "
+    "the better bucket. The oracle splices the full trigram-LM "
+    "replay and re-derives thresholds and labels end to end.",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.perplexity_buckets(_docs_edge(spark, sf_dir))

@@ -1556,3 +1556,26 @@ def test_winnow_overlap_pairs_rank_heavy_overlap(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_perplexity_buckets_terciles_and_tie_rule(spark):
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    # 9 docs in one lang: clean prose to garbled word salads; the
+    # per-lang terciles must 3/3/3 them head/middle/tail
+    base = "the cat sat on the mat and the dog lay by the door"
+    rows = []
+    for i in range(9):
+        salt = " ".join(f"w{i}x{j}" for j in range(i))  # increasing noise
+        rows.append((i, (base + " " + salt).strip(), "en"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.doc_id: r for r in X.perplexity_buckets(df).collect()}
+    assert len(got) == 9
+    counts = {"head": 0, "middle": 0, "tail": 0}
+    for r in got.values():
+        counts[r.ppl_bucket] += 1
+    assert counts == {"head": 3, "middle": 3, "tail": 3}
+    # bucket order must follow NLL order
+    by_nll = sorted(got.values(), key=lambda r: r.nll_micro_avg)
+    labels = [r.ppl_bucket for r in by_nll]
+    assert labels == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
