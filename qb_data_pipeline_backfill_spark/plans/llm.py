@@ -3465,7 +3465,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     buckets AS (
         SELECT fp FROM sel GROUP BY fp
-        HAVING COUNT(*) BETWEEN 2 AND 1000
+        HAVING COUNT(*) BETWEEN 2 AND 256
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -3488,7 +3488,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnow_overlap_pairs(
-        _docs_edge(spark, sf_dir), k=8, w=4, min_shared=25
+        _docs_edge(spark, sf_dir), k=8, w=4, min_shared=25, max_bucket=256
     )
 
 
