@@ -55,6 +55,7 @@ prioritize(
         "streaming_budget_fill",
         "streaming_epoch_plan",
         "sample_unimax_mixture",
+        "curation_pipeline",
         "dedup_exact_substring",
         "dedup_exact_substring_cut",
         "text_gopher_quality",

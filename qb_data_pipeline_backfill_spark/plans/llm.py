@@ -3605,3 +3605,158 @@ def sample_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.perplexity_buckets(_docs_edge(spark, sf_dir))
+
+
+@register(
+    "curation_pipeline",
+    # Full-chain replay: gopher flags (the registered oracle spliced
+    # verbatim), brute-force ExactSubstr spans + cut over the keepers,
+    # then classifier-ranked budget fill over the CLEAN text. One
+    # wrong keeper, one mis-cut span, or one drifted clean-text token
+    # anywhere in the chain goes hash-red.
+    oracle=r"""
+    WITH gq AS (
+        SELECT doc_id,
+               (ok_word_count AND ok_word_len AND ok_symbol_ratio
+                AND ok_bullet_lines AND ok_ellipsis_lines
+                AND ok_alpha_words AND ok_dup_lines) AS keep2
+        FROM (@GOPHER@)
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text, d.lang
+        FROM documents d JOIN gq USING (doc_id)
+        WHERE gq.keep2
+    ),
+    win AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+               substr(text, i, 20) AS s
+        FROM kept,
+             LATERAL unnest(generate_series(1,
+                 greatest(len(text) - 19, 0))) AS g(i)
+    ),
+    dup AS (SELECT s FROM win GROUP BY s HAVING COUNT(*) >= 2),
+    markedw AS (
+        SELECT w.doc_id, w.start, w.start + 20 AS e
+        FROM win w JOIN dup USING (s)
+    ),
+    pmw AS (
+        SELECT doc_id, start, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM markedw
+    ),
+    islw AS (
+        SELECT doc_id, start, e,
+               SUM(CASE WHEN start > COALESCE(prev_end, -1)
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM pmw
+    ),
+    spans AS (
+        SELECT doc_id, MIN(start) AS start, MAX(e) AS e
+        FROM islw GROUP BY doc_id, island
+    ),
+    segs AS (
+        SELECT doc_id, start, e,
+               COALESCE(LAG(e) OVER (
+                   PARTITION BY doc_id ORDER BY start), 0) AS prev_end
+        FROM spans
+    ),
+    cutsq AS (
+        SELECT g.doc_id,
+               string_agg(
+                   substr(x.text, CAST(g.prev_end + 1 AS INTEGER),
+                          CAST(g.start - g.prev_end AS INTEGER)),
+                   '' ORDER BY g.start)
+               || substr(x.text, CAST(MAX(g.e) + 1 AS INTEGER))
+                   AS clean_text
+        FROM segs g JOIN kept x USING (doc_id)
+        GROUP BY g.doc_id, x.text
+    ),
+    clean AS (
+        SELECT k.doc_id, k.lang,
+               COALESCE(c.clean_text, k.text) AS text
+        FROM kept k LEFT JOIN cutsq c USING (doc_id)
+    ),
+    toksq AS (
+        SELECT doc_id, text,
+               list_filter(string_split(regexp_replace(lower(trim(text)),
+                   '\s+', ' ', 'g'), ' '), t -> t != '') AS ts
+        FROM clean
+    ),
+    hsq AS (
+        SELECT doc_id, list_transform(ts, t -> @CLS@) AS h FROM toksq
+    ),
+    scq AS (
+        SELECT doc_id,
+               CAST(
+                   COALESCE(list_sum(list_transform(h,
+                       x -> (x * 2654435761) % 1997 - 998)), 0)
+                   + COALESCE(list_sum(list_transform(
+                       generate_series(1, len(h) - 1),
+                       i -> ((h[i] * 8191 + h[i+1]) % 1000003)
+                            * 2654435761 % 1997 - 998)), 0)
+               AS BIGINT) AS score_micro
+        FROM hsq
+    ),
+    tokcq AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS tok
+        FROM clean
+    ),
+    cq AS (
+        SELECT t.doc_id, t.lang, t.tok, s.score_micro,
+               SUM(t.tok) OVER (
+                   PARTITION BY t.lang
+                   ORDER BY s.score_micro DESC, t.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tok
+        FROM tokcq t JOIN scq s USING (doc_id)
+    )
+    SELECT doc_id, lang, tok, score_micro,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM cq WHERE cum_tok <= 3000
+    """.replace("@GOPHER@", _REGISTRY["text_gopher_quality"].oracle)
+       .replace("@CLS@", _CLS_HASH_SQL),
+    doc="End-to-end curation composite: Gopher rule filter (every "
+    "rule except the stop-word floor — the synthetic vocabulary "
+    "contains no English function words, so that one rule is gated "
+    "separately and excluded here) -> ExactSubstr span marking + "
+    "cutting over the keepers -> classifier-ranked per-language "
+    "token-budget fill over the CLEAN text. Chains five certified "
+    "stages (gopher_quality, exact_substring_spans, cut_spans, "
+    "classifier_score_expr, budget_fill) through one plan: filters "
+    "and rules codegen, the class rounds window-only, one cumulative "
+    "window per bounded language group. The oracle replays the "
+    "entire chain.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import curation as C
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+
+    docs = _docs(spark, sf_dir)
+    flags = X.gopher_quality(docs)
+    keep2 = (
+        F.col("ok_word_count")
+        & F.col("ok_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines")
+        & F.col("ok_alpha_words")
+        & F.col("ok_dup_lines")
+    )
+    keepers = flags.filter(keep2).select("doc_id")
+    kept = docs.select("doc_id", "text", "lang").join(keepers, "doc_id")
+    spans = SX.exact_substring_spans(kept, min_len=20)
+    clean = (
+        SX.cut_spans(kept, spans)
+        .join(kept.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+    )
+    _, score = X.classifier_score_expr("text", 0)
+    return C.budget_fill(
+        clean, budget=3000, score=score, tok=C.doc_token_count("text")
+    )
