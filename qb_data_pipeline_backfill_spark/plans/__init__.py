@@ -62,6 +62,8 @@ prioritize(
         "streaming_gopher_quality",
         "text_winnow_fingerprints",
         "dedup_winnow_pairs",
+        "streaming_winnow_fingerprints",
+        "streaming_image_dhash",
         # --- (c) r13-code/oracle-touched ---
         "text_html_extract",
         "streaming_html_extract",

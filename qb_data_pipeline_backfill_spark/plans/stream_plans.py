@@ -914,3 +914,77 @@ def streaming_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(4)) == 0
     )
     return run_available_now(X.gopher_quality(docs), output_mode="append")
+
+
+@register(
+    "streaming_image_dhash",
+    # the contract replay's closed-form hashes over the streamed
+    # subset: decode + perceptual hash are deterministic, so batch
+    # and stream must agree bit-for-bit
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id, doc_id AS src
+        FROM documents WHERE doc_id %% 6 = 0
+    ),
+    %s
+    SELECT h.media_id, d.w AS width, d.h AS height, h.dhash
+    FROM hashes h JOIN dims d USING (media_id)
+    """
+    % __import__(
+        "qb_data_pipeline_backfill_spark.plans.llm", fromlist=["x"]
+    )._DHASH_HASHES_SQL,
+    doc="Perceptual dHash under Structured Streaming: every 6th "
+    "document's formula image decodes and hashes per micro-batch "
+    "through the SAME codec + codegen gradient expressions as the "
+    "batch twin (contract_image_dhash_replay) — stateless append "
+    "mode, the ingest-time fingerprinting shape of an image "
+    "near-dup pipeline. Oracle = the closed-form dhash replay over "
+    "the streamed subset.",
+)
+def streaming_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+    )
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(6)) == 0
+    )
+    out = M.image_dhash(M.synthesize_images(docs, fmt="ppm"))
+    return run_available_now(out, output_mode="append")
+
+
+@register(
+    "streaming_winnow_fingerprints",
+    # stateless per-doc selection: oracle = the batch oracle verbatim,
+    # restricted to the streamed subset (file stream carries no
+    # negative-id edge fixtures)
+    oracle="""
+    SELECT * FROM (%s) WHERE doc_id %% 6 = 0 AND doc_id >= 0
+    """
+    % _REG["text_winnow_fingerprints"].oracle,
+    doc="Winnowing fingerprints under Structured Streaming "
+    "(operators/text.py winnow_fingerprints): per-document selection "
+    "is per-document, so the stream fingerprints via its per-doc "
+    "aggregation in complete mode "
+    "through the same expressions as the batch twin — the ingest-"
+    "time fingerprinting half of MOSS matching (the pair phase joins "
+    "against an accumulating index downstream). Oracle shared with "
+    "the batch twin, restricted to the streamed subset.",
+)
+def streaming_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import text as X
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+    )
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(6)) == 0
+    )
+    # the per-doc hash-array rebuild is a streaming aggregation:
+    # complete mode (no watermark — the bounded file stream finishes)
+    return run_available_now(
+        X.winnow_fingerprints(docs, k=8, w=4), output_mode="complete"
+    )
