@@ -434,8 +434,29 @@ def _formula_samples(media_id: int, n: int):
     return (((np.arange(n) * 31 + media_id * 17) % 65536) - 32768).astype("<i2")
 
 
-def _encode_wav(media_id: int, n: int, rate: int) -> bytes:
-    data = _formula_samples(media_id, n).tobytes()
+def _noise_samples(media_id: int, n: int):
+    """md5-derived int16 samples: sample i is the little-endian int16
+    at bytes (2i, 2i+1) of the digest stream md5(f"{media_id}:{i//8}")
+    — engine-replayable (both engines expose md5-of-varchar) and
+    statistically uniform, so perceptual fingerprints of DIFFERENT
+    clips land ~uniform on 64 bits; the audio analog of
+    :func:`_noise_pixels`."""
+    import hashlib
+
+    import numpy as np
+
+    digests = b"".join(
+        hashlib.md5(f"{media_id}:{blk}".encode()).digest()
+        for blk in range((2 * n + 15) // 16)
+    )
+    return np.frombuffer(digests[: 2 * n], dtype="<i2").copy()
+
+
+def _encode_wav(
+    media_id: int, n: int, rate: int, noise: bool = False
+) -> bytes:
+    sampler = _noise_samples if noise else _formula_samples
+    data = sampler(media_id, n).tobytes()
     # a LIST chunk before data, so decoders must really walk chunks
     info = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
     fmt = (
@@ -633,10 +654,14 @@ def synthesize_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(synth, MEDIA_SCHEMA)
 
 
-def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_audio(
+    df: DataFrame, id_col: str = "doc_id", noise: bool = False
+) -> DataFrame:
     """Deterministic real WAV files keyed by ``id_col``: n_samples =
-    id % 50 + 20, rate = 8000 + (id % 3) * 4000, formula samples —
-    the audio fixture for :func:`decode_audio`, oracle-replayable."""
+    id % 50 + 20, rate = 8000 + (id % 3) * 4000, formula samples (or
+    the md5-noise samples of ``_noise_samples`` with ``noise=True`` —
+    the near-dup fixture) — the audio fixture for
+    :func:`decode_audio`, oracle-replayable either way."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -645,7 +670,7 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 mid = int(mid)
                 n = mid % 50 + 20
                 rate = 8000 + (mid % 3) * 4000
-                content = _encode_wav(mid, n, rate)
+                content = _encode_wav(mid, n, rate, noise=noise)
                 rows.append(
                     {
                         "media_id": mid,
@@ -787,19 +812,20 @@ def image_dhash(media: DataFrame, grid_w: int = 8, grid_h: int = 8) -> DataFrame
     )
 
 
-def image_near_dup_pairs(
-    media: DataFrame,
-    max_hamming: int = 2,
-    max_bucket: int = 1000,
+def hash64_band_pairs(
+    hashes: DataFrame,
+    max_hamming: int,
+    max_bucket: int,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
 ) -> DataFrame:
-    """Image pairs with dHash Hamming distance <= ``max_hamming``:
-    ``(doc_a, doc_b, hamming)`` keyed by media_id.
-
-    Pigeonhole banding with ``max_hamming + 1`` chunks of the 64-bit
-    hash (dedup.py:simhash_near_dup_pairs' exact topology — one
-    shuffle on the band hash, buckets capped at ``max_bucket``,
-    in-bucket comparisons only). 100 TB: never all-pairs; the corpus
-    moves once, as (id, 64-bit sig) rows."""
+    """Banded-Hamming pairing of 64-bit perceptual hashes — the shared
+    back half of the image/audio near-dup paths: pigeonhole banding
+    with ``max_hamming + 1`` chunks (dedup.py:simhash_near_dup_pairs'
+    exact topology — one shuffle on the band hash, buckets capped at
+    ``max_bucket``, in-bucket comparisons only, exact bit_count
+    distance on the carried hash). 100 TB: never all-pairs; the
+    corpus moves once, as (id, 64-bit sig) rows."""
     from qb_data_pipeline_backfill_spark.operators.dedup import (
         _bucket_pairs,
         _chunk_bounds,
@@ -809,7 +835,7 @@ def image_near_dup_pairs(
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
     bounds = _chunk_bounds(n_chunks)
-    dh = F.col("dhash")
+    dh = F.col(hash_col)
     chunks = [
         dh
         if width == 64
@@ -818,14 +844,11 @@ def image_near_dup_pairs(
         ).cast("bigint")
         for start, width in bounds
     ]
-    with_sig = image_dhash(media).select(
-        "media_id", F.array(*chunks).alias("sig"), dh.alias("_dh")
-    )
     # carry the full hash through the bucket join inside the sig
     # array (last element) so distance is exact, then band on chunks
-    sig_full = with_sig.select(
-        "media_id",
-        F.concat(F.col("sig"), F.array(F.col("_dh"))).alias("sig"),
+    sig_full = hashes.select(
+        F.col(id_col),
+        F.concat(F.array(*chunks), F.array(dh.cast("bigint"))).alias("sig"),
     )
     band_exprs = [
         F.struct(
@@ -841,8 +864,80 @@ def image_near_dup_pairs(
         return F.bit_count(a.bitwiseXOR(b)).cast("double")
 
     out = _bucket_pairs(
-        sig_full, "media_id", "sig", band_exprs, max_bucket, hamming
+        sig_full, id_col, "sig", band_exprs, max_bucket, hamming
     )
     return out.filter(F.col("est") <= max_hamming).select(
         "doc_a", "doc_b", F.col("est").cast("int").alias("hamming")
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Image pairs with dHash Hamming distance <= ``max_hamming``:
+    ``(doc_a, doc_b, hamming)`` keyed by media_id — dHash front end
+    over :func:`hash64_band_pairs`' shared banding."""
+    return hash64_band_pairs(image_dhash(media), max_hamming, max_bucket)
+
+
+def audio_dhash(media: DataFrame, n_points: int = 65) -> DataFrame:
+    """64-bit waveform difference hash: ``(media_id, n_samples,
+    dhash)`` — the audio member of the perceptual near-dup family
+    (the Haitsma-Kalker 2002 sign-of-difference fingerprint reduced
+    to its deterministic core, exactly parallel to the image dHash):
+    resample the decoded waveform to ``n_points`` by the engine's
+    nearest-neighbor index math, then bit ``j`` = 1 iff point ``j``
+    exceeds point ``j+1``. Sign-of-difference is invariant to
+    uniform gain, the audio analog of dHash's brightness invariance.
+
+    Python stays confined to the WAV codec (``decode_audio``'s Arrow
+    pass); resampling and all 64 comparisons are codegen expressions
+    over the samples array — SQL-replayable, so the oracle recomputes
+    the hash bit-for-bit from the closed-form samples. Bit 63 folds
+    into the BIGINT sign bit (the family convention)."""
+    if n_points != 65:
+        raise ValueError("the 64-bit layout requires n_points=65")
+    d = decode_audio(media)
+    n = F.size("samples").cast("long")
+
+    def point(j: int) -> "F.Column":
+        idx = F.least(n - 1, F.floor((F.lit(j) * n) / F.lit(65)).cast("long"))
+        return F.get(F.col("samples"), idx.cast("int"))
+
+    pts = d.select(
+        "media_id",
+        n.alias("n_samples"),
+        *[point(j).alias(f"_p_{j}") for j in range(65)],
+    )
+    bits = []
+    for j in range(64):
+        val = -(1 << 63) if j == 63 else 1 << j
+        bits.append(
+            F.when(
+                F.col(f"_p_{j}") > F.col(f"_p_{j + 1}"),
+                F.lit(val).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    dhash = bits[0]
+    for t in bits[1:]:
+        dhash = dhash + t
+    return pts.select(
+        "media_id", "n_samples", dhash.cast("bigint").alias("dhash")
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Audio pairs with waveform-dHash Hamming distance <=
+    ``max_hamming`` — :func:`audio_dhash` over
+    :func:`hash64_band_pairs`' shared pigeonhole banding."""
+    return hash64_band_pairs(
+        audio_dhash(media).select("media_id", "dhash"),
+        max_hamming,
+        max_bucket,
     )

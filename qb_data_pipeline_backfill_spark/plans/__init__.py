@@ -50,6 +50,8 @@ prioritize(
         # --- (b) new in r13 ---
         "contract_image_dhash_replay",
         "dedup_image_dhash",
+        "contract_audio_dhash_replay",
+        "dedup_audio_dhash",
         "text_trigram_perplexity",
         "text_perplexity_buckets",
         "streaming_budget_fill",

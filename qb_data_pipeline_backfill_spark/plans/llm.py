@@ -3760,3 +3760,125 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.budget_fill(
         clean, budget=3000, score=score, tok=C.doc_token_count("text")
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual audio near-dup (r13): waveform dHash replay + banded pairs
+# --------------------------------------------------------------------------
+_AUDIO_DHASH_TAIL_SQL = """
+    bits AS (
+        SELECT l.media_id, l.j AS bit
+        FROM pnts l JOIN pnts r
+          ON l.media_id = r.media_id AND r.j = l.j + 1
+        WHERE l.j < 64 AND l.p > r.p
+    ),
+    hashes AS (
+        SELECT i.media_id,
+               CAST(COALESCE(SUM(CASE WHEN bit = 63
+                        THEN (CAST(1 AS BIGINT) << 62) * -2
+                        ELSE CAST(1 AS BIGINT) << bit END), 0)
+                    AS BIGINT) AS dhash
+        FROM ids i LEFT JOIN bits b USING (media_id)
+        GROUP BY i.media_id
+    )
+"""
+
+
+@register(
+    "contract_audio_dhash_replay",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src
+        FROM range(0, 48) t(i)
+    ),
+    dims AS (
+        SELECT media_id, src, (src %% 50 + 20) AS n FROM ids
+    ),
+    pnts AS (
+        SELECT media_id, j,
+               ((least(n - 1, (j * n) // 65) * 31 + src * 17) %% 65536)
+               - 32768 AS p
+        FROM dims, range(0, 65) t(j)
+    ),
+    %s
+    SELECT h.media_id, CAST(d.n AS BIGINT) AS n_samples, h.dhash
+    FROM hashes h JOIN dims d USING (media_id)
+    """
+    % _AUDIO_DHASH_TAIL_SQL,
+    doc="Waveform dHash replay (operators/multimodal.py audio_dhash "
+    "— the Haitsma-Kalker sign-of-difference fingerprint's "
+    "deterministic core): decode the 48 pinned formula WAVs with the "
+    "real RIFF parser, 65-point nearest-neighbor resample, 64 "
+    "sign-of-difference bits with the bit-63 sign fold — landing on "
+    "the exact BIGINT the oracle re-derives closed-form from the "
+    "sample formula. Clip lengths 20..69 span both up- and "
+    "down-sampling index paths.",
+)
+def contract_audio_dhash_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ids = spark.range(48).withColumnRenamed("id", "doc_id")
+    return M.audio_dhash(M.synthesize_audio(ids))
+
+
+@register(
+    "dedup_audio_dhash",
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id %% 3 = 0
+    ),
+    ids AS (
+        SELECT doc_id AS media_id, doc_id AS src FROM ids0
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id FROM ids0
+    ),
+    dims AS (
+        SELECT media_id, src, (src %% 50 + 20) AS n FROM ids
+    ),
+    pnts AS (
+        SELECT media_id, j,
+               raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS p
+        FROM (
+            SELECT media_id, j,
+                   CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+                       CAST((2 * ix) // 16 AS VARCHAR)),
+                       ((2 * ix) %% 16) * 2 + 1, 2)) AS INTEGER)
+                 + 256 * CAST(('0x' || substr(md5(CAST(src AS VARCHAR)
+                       || ':' || CAST((2 * ix + 1) // 16 AS VARCHAR)),
+                       ((2 * ix + 1) %% 16) * 2 + 1, 2)) AS INTEGER)
+                     AS raw
+            FROM (
+                SELECT media_id, src, j,
+                       least(n - 1, (j * n) // 65) AS ix
+                FROM dims, range(0, 65) t(j)
+            )
+        )
+    ),
+    %s
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """
+    % _AUDIO_DHASH_TAIL_SQL,
+    doc="Audio near-dup pairs (operators/multimodal.py "
+    "audio_near_dup_pairs): waveform dHash over md5-noise clips + "
+    "the family's shared pigeonhole banding (hash64_band_pairs — 3 "
+    "chunks at radius 2, one band-hash shuffle, capped buckets, "
+    "never all-pairs). Corpus = every 3rd document's noise clip plus "
+    "a re-keyed exact copy; noise samples make non-duplicate hashes "
+    "~uniform, so the result is essentially the planted-copy set — "
+    "and the oracle computes the full closed-form all-pairs ground "
+    "truth, certifying banding recall EXACTLY.",
+)
+def dedup_audio_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    )
+    media = M.synthesize_audio(docs, noise=True)
+    copies = media.withColumn(
+        "media_id", F.col("media_id") + F.lit(10000000)
+    )
+    return M.audio_near_dup_pairs(
+        media.unionByName(copies), max_hamming=2, max_bucket=1000
+    )

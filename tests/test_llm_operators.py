@@ -1579,3 +1579,99 @@ def test_perplexity_buckets_terciles_and_tie_rule(spark):
     by_nll = sorted(got.values(), key=lambda r: r.nll_micro_avg)
     labels = [r.ppl_bucket for r in by_nll]
     assert labels == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_audio_dhash_matches_reference_and_finds_copies(spark):
+    import hashlib
+
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    media = M.synthesize_audio(df, noise=True)
+    got = {
+        r.media_id: (r.n_samples, r.dhash)
+        for r in M.audio_dhash(media).collect()
+    }
+
+    def ref(mid):
+        n = mid % 50 + 20
+        dig = b"".join(
+            hashlib.md5(f"{mid}:{b}".encode()).digest()
+            for b in range((2 * n + 15) // 16)
+        )
+        s = np.frombuffer(dig[: 2 * n], dtype="<i2")
+        pts = [int(s[min(n - 1, j * n // 65)]) for j in range(65)]
+        v = 0
+        for j in range(64):
+            if pts[j] > pts[j + 1]:
+                v += -(1 << 63) if j == 63 else 1 << j
+        return (n, v)
+
+    assert got == {m: ref(m) for m in range(10)}
+    copies = media.withColumn("media_id", F.col("media_id") + 1000)
+    pairs = M.audio_near_dup_pairs(
+        media.unionByName(copies), max_hamming=1
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {
+        (i, i + 1000) for i in range(10)
+    }
+    assert all(r.hamming == 0 for r in pairs)
+
+
+def test_audio_dhash_gain_invariance_and_validation(spark):
+    """Sign-of-difference is invariant to uniform positive gain: a
+    clip scaled by 2 (clipped to int16) hashes within small Hamming
+    of the original, while md5-noise strangers stay far."""
+    import pandas as pd
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _encode_wav,
+        _noise_samples,
+    )
+
+    import numpy as np
+
+    n, rate = 69, 8000
+    base = _noise_samples(7, n)
+    # halve instead of double: no clipping, ORDER preserved exactly
+    scaled = (base.astype(np.int32) // 2).astype("<i2")
+
+    def wav(samples):
+        data = samples.tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+        if len(data) & 1:
+            chunks += b"\x00"
+        return (
+            b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+            + b"WAVE" + chunks
+        )
+
+    rows = [
+        (1, "audio/wav", wav(base)),
+        (2, "audio/wav", wav(scaled)),
+        (3, "audio/wav", _encode_wav(501, 69, rate, noise=True)),
+    ]
+    mdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+    )
+    h = {r.media_id: r.dhash for r in M.audio_dhash(mdf).collect()}
+    # halving preserves strict inequalities except ties created by
+    # integer floor — allow a small Hamming drift, require closeness
+    drift = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    far = bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1")
+    assert drift <= 8 < far
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_points"):
+        M.audio_dhash(mdf, n_points=33)
