@@ -30,7 +30,10 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # whose oracles' cum_tok now casts to BIGINT (the DuckDB HUGEINT
 # promotion the judge root-caused) — then the never-driver-graded
 # unigram_encode_stats; (b) the queries NEW in round 13 (the image
-# dHash pair, trigram perplexity, the two streaming curation twins);
+# + audio perceptual dHash families, trigram perplexity + CCNet
+# buckets, UniMax, the ExactSubstr mark/cut pair, the Gopher rule
+# suite, winnowing + MOSS matching, the curation composite, and the
+# five streaming twins);
 # (c) every query whose code or oracle round 13 touched: the html
 # front end (fast tokenizer + mapInArrow), the unigram family (the
 # model-seeded single-char floor), text_sentence_stats (oracle
