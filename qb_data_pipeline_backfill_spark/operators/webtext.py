@@ -44,6 +44,7 @@ generalized it to binary envelopes.
 from __future__ import annotations
 
 import re
+import sys
 from collections.abc import Iterator
 from html import unescape
 from html.parser import HTMLParser
@@ -252,6 +253,16 @@ _FAST_CDATA_CLOSE = {
     "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
 
+# The fast path mirrors CPython's html/parser.py tokenization branch by
+# branch, and that module's tolerant-mode details do change across
+# CPython releases (e.g. `<!-->` / bogus-comment handling). Parity is
+# therefore certified PER INTERPRETER LINE: the trap corpus + hypothesis
+# fuzz in tests/test_webtext.py compare against the RUNNING stdlib, so a
+# version goes in this set only after that suite passes on it. On an
+# uncertified interpreter the fast path self-disables and every document
+# takes the stdlib parser — slower, never divergent.
+_FAST_PATH_CERTIFIED = sys.version_info[:2] in {(3, 11)}
+
 
 def _fast_tokenize(s: str, p: _BoilerpipeExtractor) -> bool:
     """Emit the HTMLParser-identical callback sequence for ``s`` into
@@ -353,7 +364,7 @@ def extract_html(html: str) -> tuple[str | None, str, int, int]:
     on a fresh extractor, so output never depends on which path ran.
     """
     p = _BoilerpipeExtractor()
-    if _fast_tokenize(html, p):
+    if _FAST_PATH_CERTIFIED and _fast_tokenize(html, p):
         return p.result()
     p = _BoilerpipeExtractor()
     p.feed(html)

@@ -2870,9 +2870,11 @@ def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maximal non-terminator runs with their terminators; the greedy "
     "200-char chunk count is a pure codegen fold over the sentence "
     "array (no shuffle, no window, no UDF) the oracle replays as an "
-    "integer-encoded (chunks·1e12+open) list_reduce — the wide base "
-    "keeps the encoding exact for any single sentence under 1e12 "
-    "chars (review r13; the old 1e6 base corrupted at 1M+). The chunk-"
+    "integer-encoded (chunks·1e12+open) list_reduce — exact while "
+    "every sentence is under 1e12 chars AND the document's total "
+    "chunk count stays below 2^63/1e12 ≈ 9.2M chunks (~1.8B chars/"
+    "doc), past which the accumulator itself overflows BIGINT "
+    "(review r13/r14; the old 1e6 base corrupted at 1M+). The chunk-"
     "boundary-quality step between char-blind chunking and model "
     "windows.",
 )

@@ -732,7 +732,13 @@ def streaming_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append")
 
 
-from qb_data_pipeline_backfill_spark.plans.llm import _DSIR_CTES  # noqa: E402
+# Oracle building blocks shared with the batch twins in plans.llm; the
+# module-level import makes the llm -> stream_plans ordering dependency
+# explicit (plans/__init__ imports llm first).
+from qb_data_pipeline_backfill_spark.plans.llm import (  # noqa: E402
+    _DHASH_HASHES_SQL,
+    _DSIR_CTES,
+)
 
 
 @register(
@@ -930,9 +936,7 @@ def streaming_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT h.media_id, d.w AS width, d.h AS height, h.dhash
     FROM hashes h JOIN dims d USING (media_id)
     """
-    % __import__(
-        "qb_data_pipeline_backfill_spark.plans.llm", fromlist=["x"]
-    )._DHASH_HASHES_SQL,
+    % _DHASH_HASHES_SQL,
     doc="Perceptual dHash under Structured Streaming: every 6th "
     "document's formula image decodes and hashes per micro-batch "
     "through the SAME codec + codegen gradient expressions as the "

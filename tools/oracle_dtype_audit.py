@@ -37,14 +37,18 @@ PORTABLE = {
 }
 _DECIMAL_RE = re.compile(r"^DECIMAL\(\d+,\d+\)$")
 # Nested types are portable iff every leaf is; strip containers first.
-_CONTAINER_RE = re.compile(r"^(?:(\w+)\[\]|MAP\((.*)\)|STRUCT\((.*)\))$")
+# Limitation: STRUCT field names quoted with embedded spaces
+# (`STRUCT("a b" INT)`) would misparse below; no registered oracle
+# emits one, and the LIMIT-0 plan step would still catch an execution
+# failure.
+_CONTAINER_RE = re.compile(r"^(?:MAP|STRUCT)\((.*)\)$")
 
 
 def _leaf_types(dtype: str) -> list[str]:
     dtype = dtype.strip()
     if dtype.endswith("[]"):
         return _leaf_types(dtype[:-2])
-    m = re.match(r"^(?:MAP|STRUCT)\((.*)\)$", dtype)
+    m = _CONTAINER_RE.match(dtype)
     if m:
         inner, leaves, depth, cur = m.group(1), [], 0, ""
         for ch in inner:
