@@ -280,16 +280,48 @@ def main() -> None:
         result["sf001_sec"] = round(sum(ok001.values()), 4)
         result["sf001_queries"] = sf001
     line = json.dumps(result)
-    # Stdout is the driver contract but its tail can truncate in the
-    # round artifact (BENCH_r04 recovered only 55/112 timings from a
-    # clipped log); the committed file is the complete record. A
-    # FILTERED run (SPARK_GRAFT_BENCH_ONLY) writes to BENCH_only.json
-    # instead: a subset run must never overwrite the round's full
-    # record (the r8 close nearly lost the artifact this way).
+    # Stdout is the driver contract but its tail truncates at 2,000
+    # chars in the round artifact (BENCH_r04 recovered only 55/112
+    # timings from a clipped log; BENCH_r13 parsed as null) — the
+    # committed file is the complete record. A FILTERED run
+    # (SPARK_GRAFT_BENCH_ONLY) writes to BENCH_only.json instead: a
+    # subset run must never overwrite the round's full record (the r8
+    # close nearly lost the artifact this way).
     out_name = "BENCH_only.json" if only is not None else "BENCH_full.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         f.write(line + "\n")
-    print(line)
+    # The ONE stdout JSON line must itself fit the driver's 2,000-char
+    # tail so BENCH_r{N}.json stands alone (VERDICT r13 #3): same
+    # headline scalars, but `queries` carries only the 50-entry
+    # driver-gate window (what CORRECTNESS_r{N} grades), rounded to
+    # 0.01 s; the full 232-query dict lives in the committed file.
+    gate = {kv[0] for kv in list(plans.REGISTRY.items())[:50]}
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {
+            k: round(v, 2)
+            for k, v in timings.items()
+            if k in gate or only is not None
+        },
+        "sf": sf,
+        "n_queries": len(timings),
+        "r01_subset_sec": result["r01_subset_sec"],
+        "contract_sec": result["contract_sec"],
+        "drift_coefficient": drift_coeff,
+        "queries_note": "gate window only; all %d in BENCH_full.json"
+        % len(timings),
+    }
+    if "sf001_sec" in result:
+        compact["sf001_sec"] = result["sf001_sec"]
+    cline = json.dumps(compact, separators=(",", ":"))
+    if len(cline) > 1950:  # belt-and-braces: drop to 0.1 s rounding
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
+        cline = json.dumps(compact, separators=(",", ":"))
+    print(cline)
 
 
 if __name__ == "__main__":
