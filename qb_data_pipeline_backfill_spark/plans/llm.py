@@ -3109,6 +3109,105 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contract_png_decode_replay",
+    # The decoded pixels must equal the closed-form formula bytes
+    # (multimodal.py:_formula_pixels) — but the PNG path stores them
+    # FILTERED (scanline y of image m carries filter (m+y)%5, so the
+    # 48 pinned images cover None/Sub/Up/Average/Paeth many times
+    # over) and DEFLATED, split across two IDAT chunks every 3rd
+    # image, with an ancillary tEXt every 4th. Landing on the formula
+    # therefore certifies a real decode: chunk walk + CRC-32 verify +
+    # multi-IDAT inflate + all five unfilters. pos_checksum weights
+    # each byte by its position (i%97+1): a plain sum survives
+    # byte permutations — exactly the failure mode a wrong Paeth
+    # neighbor produces — the weighted one does not. Integer-exact
+    # both sides (values ≤ 255·98·486 ≈ 1.2e7 per image).
+    oracle="""
+    WITH m AS (
+        SELECT CAST(i AS BIGINT) AS media_id,
+               (i % 8 + 2) AS width, (i % 5 + 2) AS height
+        FROM range(0, 48) t(i)
+    ),
+    px AS (
+        SELECT media_id, width, height, i,
+               (media_id * 31 + i) % 256 AS v
+        FROM m, LATERAL unnest(generate_series(0, width * height * 3 - 1)) AS t(i)
+    )
+    SELECT media_id, width, height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM px
+    GROUP BY media_id, width, height
+    """,
+    doc="REAL PNG decode, oracle-gated (operators/multimodal.py "
+    "_decode_png — ISO 15948 subset: 8-bit RGB, non-interlaced): 48 "
+    "pinned formula images round-trip through a genuine filtered+"
+    "deflated PNG (per-scanline filters cycling all five spec types, "
+    "CRC-verified chunk walk, multi-IDAT, ancillary-chunk skip) and "
+    "must land bit-exactly on the closed-form pixels, checked by a "
+    "position-weighted checksum. Converts the perceptual-dedup "
+    "family's certified input surface from synthetic PPM to the "
+    "container format web corpora actually carry.",
+)
+def contract_png_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.range(48).withColumnRenamed("id", "doc_id")
+    decoded = M.decode_media(M.synthesize_images(ids, fmt="png"))
+    ex = decoded.select(
+        "media_id", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
+@register(
+    "dedup_image_dhash_png",
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id %% 3 = 1
+    ),
+    ids AS (
+        SELECT doc_id AS media_id, doc_id AS src FROM ids0
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id FROM ids0
+    ),
+    %s
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """
+    % _DHASH_NOISE_G_SQL,
+    doc="Perceptual near-dup over REAL PNGs: every-3rd-document noise "
+    "pixels encoded as filtered+deflated PNG files, decoded by the "
+    "engine's stdlib codec, dHash + 3-chunk pigeonhole banding — the "
+    "same certified pipeline as dedup_image_dhash, now fed by the "
+    "container format 100 TB web corpora carry. The oracle re-derives "
+    "the md5-noise pixels closed-form (the PNG round trip is "
+    "pixel-lossless, pinned by contract_png_decode_replay), computes "
+    "the all-pairs ground truth, and the banded result must match it "
+    "exactly at radius 2.",
+)
+def dedup_image_dhash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 1
+    )
+    media = M.synthesize_images(docs, fmt="png", noise=True)
+    copies = media.withColumn(
+        "media_id", F.col("media_id") + F.lit(10000000)
+    )
+    return M.image_near_dup_pairs(
+        media.unionByName(copies), max_hamming=2, max_bucket=1000
+    )
+
+
+@register(
     "text_trigram_perplexity",
     oracle=r"""
     WITH toks AS (%s),

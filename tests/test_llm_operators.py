@@ -411,6 +411,78 @@ def test_decode_bmp_equals_ppm_decode(docs):
     assert p == b and len(p) > 0
 
 
+def test_decode_png_equals_ppm_decode(docs):
+    """The stdlib PNG codec (filtered + deflated scanlines, CRC'd
+    chunk walk) decodes to the identical pixels as the raw PPM payload
+    of the same logical image — for BOTH pixel recipes, covering every
+    scanline filter type ((id + y) % 5 spans 0..4 over the fixture)."""
+    for noise in (False, True):
+        ppm = M.decode_media(
+            M.synthesize_images(docs, fmt="ppm", noise=noise)
+        ).collect()
+        png = M.decode_media(
+            M.synthesize_images(docs, fmt="png", noise=noise)
+        ).collect()
+        p = {r["media_id"]: list(r["pixels"]) for r in ppm}
+        g = {r["media_id"]: list(r["pixels"]) for r in png}
+        assert p == g and len(p) > 0
+
+
+def test_png_codec_round_trip_and_structure():
+    """Driver-side codec pins: (a) encode->decode is the identity on
+    the formula pixels for every fixture dimension; (b) the encoder
+    really emits the structures the decoder must handle — all five
+    filter types, a two-IDAT split (id % 3 == 0), an ancillary tEXt
+    (id % 4 == 0); (c) corruption fails loudly (bad signature, bad
+    chunk CRC, truncation, unsupported color type)."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        _encode_png,
+        _formula_pixels,
+    )
+
+    for mid in range(0, 60):
+        w, h = mid % 8 + 2, mid % 5 + 2
+        buf = _encode_png(mid, w, h)
+        dw, dh, px = _decode_png(buf)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, _formula_pixels(mid, w, h))
+    # structure: chunk-type sequence for a two-IDAT + tEXt image
+    def chunk_types(buf):
+        out, pos = [], len(_PNG_SIG)
+        while pos < len(buf):
+            n = int.from_bytes(buf[pos : pos + 4], "big")
+            out.append(buf[pos + 4 : pos + 8])
+            pos += 12 + n
+        return out
+    assert chunk_types(_encode_png(12, 6, 4)) == [
+        b"IHDR", b"tEXt", b"IDAT", b"IDAT", b"IEND",
+    ]
+    assert chunk_types(_encode_png(7, 9, 4)) == [b"IHDR", b"IDAT", b"IEND"]
+    # error paths
+    with pytest.raises(ValueError, match="signature"):
+        _decode_png(b"\x89PNX" + b"\x00" * 16)
+    good = _encode_png(7, 9, 4)
+    bad = bytearray(good)
+    bad[30] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        _decode_png(good[: len(good) - 15])
+    # unsupported: flip IHDR color type to 6 (RGBA), refresh its CRC
+    import zlib as _z
+
+    rgba = bytearray(good)
+    rgba[8 + 8 + 9] = 6
+    crc = _z.crc32(bytes(rgba[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    rgba[8 + 8 + 13 : 8 + 8 + 17] = crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truecolor"):
+        _decode_png(bytes(rgba))
+
+
 def test_decode_mixed_format_batch_sniffs_per_row(spark, docs):
     mixed = M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 0), fmt="ppm").unionByName(
         M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 1), fmt="bmp")
