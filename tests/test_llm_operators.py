@@ -1531,6 +1531,65 @@ def test_trigram_lm_short_docs_produce_no_row(spark):
     assert got == {3}
 
 
+def test_fivegram_lm_scores_match_python_reference(spark):
+    """Order-5 instance of the generalized KN recursion vs an
+    independent plain-dict reference running all four interpolation
+    levels; also pins the short-doc cutoff (< 5 tokens → no row) and
+    the duplicate-doc / garbled-doc ranking invariants."""
+    import math
+
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat on the rug again"),
+        (2, "the cat sat on the mat and the cat sat on the rug again"),
+        (3, "rug mat zz cat qq on xx the sat again and"),  # garbled
+        (4, "too few words here"),  # 4 tokens: below order, no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in X.ngram_lm_scores(df, order=5).collect()}
+    assert set(got) == {1, 2, 3}
+
+    toks = {d: [w for w in t.lower().split() if w] for d, t in rows}
+    cnt = {k: {} for k in (2, 3, 4, 5)}
+    for ts in toks.values():
+        for k in (2, 3, 4, 5):
+            for i in range(len(ts) - k + 1):
+                g = tuple(ts[i : i + k])
+                cnt[k][g] = cnt[k].get(g, 0) + 1
+    ch, nh = {k: {} for k in (2, 3, 4, 5)}, {k: {} for k in (2, 3, 4, 5)}
+    for k in (2, 3, 4, 5):
+        for g, c in cnt[k].items():
+            h = g[:-1]
+            ch[k][h] = ch[k].get(h, 0) + c
+            nh[k][h] = nh[k].get(h, 0) + 1
+    npn = {}
+    for (_, b), _c in cnt[2].items():
+        npn[b] = npn.get(b, 0) + 1
+    nb = len(cnt[2])
+
+    def nll(g5):
+        p = npn[g5[-1]] / nb  # KN continuation base
+        for k in (2, 3, 4, 5):
+            g, h = g5[-k:], g5[-k:-1]
+            p = (cnt[k][g] - 0.75) / ch[k][h] + 0.75 * nh[k][h] / ch[k][
+                h
+            ] * p
+        return round(-math.log(p) * 1e6)
+
+    for d in (1, 2, 3):
+        ts = toks[d]
+        inst = [tuple(ts[i : i + 5]) for i in range(len(ts) - 4)]
+        want = sum(nll(g) for g in inst)
+        assert got[d].n_ngrams == len(inst)
+        assert got[d].nll_micro == want, d
+        assert got[d].nll_micro_avg == math.floor(want / len(inst) + 0.5)
+    assert got[1].nll_micro_avg == got[2].nll_micro_avg
+    assert got[3].nll_micro_avg > got[1].nll_micro_avg
+    with pytest.raises(ValueError, match="order"):
+        X.ngram_lm_scores(df, order=1)
+
+
 def test_gopher_quality_rules_trigger_individually(spark):
     from qb_data_pipeline_backfill_spark.operators import text as X
 
