@@ -91,6 +91,7 @@ def suffix_prefix_classes(
     target_len: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> tuple[DataFrame, int]:
     """Prefix-doubled substring equality classes: returns
     ``(classes, h)`` where ``classes`` is ``(doc_id, pos, r)`` — two
@@ -105,7 +106,22 @@ def suffix_prefix_classes(
     order, and keeps every round a SINGLE reference to its input —
     the linear-plan property the module docstring explains. Suffixes
     never cross documents; a missing partner (suffix shorter than the
-    offset) keys as -1, the sentinel below every class."""
+    offset) keys as -1, the sentinel below every class.
+
+    ``skew_safe=True`` (VERDICT r13 #4) computes the SAME class min
+    through a map-side-combinable aggregate + join instead of the
+    window: ``min`` is algebraic, so Spark's partial aggregation
+    collapses even the hottest class (whitespace runs) to one partial
+    row per map task before the shuffle, and the join back is
+    AQE-skew-splittable — a window partition, by contrast, must
+    assemble ALL of the hot class's rows in ONE task, the corpus-scale
+    ceiling. The round's input is consumed twice in this form (agg +
+    probe), which is exactly the plan-doubling trap SCALING §15
+    documents — so each round first ``localCheckpoint(eager=True)``'s
+    the paired table (the BPE-trainer lineage-truncation precedent):
+    one materialization per round, constant plan size, no recompute.
+    Results are bit-identical either way (min over the same groups);
+    the probe row in SCALING §15 records the measured trade."""
     if target_len < 2:
         raise ValueError(f"target_len must be >= 2, got {target_len}")
     h = 1 << int(math.floor(math.log2(target_len)))
@@ -117,9 +133,16 @@ def suffix_prefix_classes(
         paired = classes.withColumn(
             "r2", F.coalesce(F.lead("r", step).over(w_doc), F.lit(-1))
         )
-        classes = paired.withColumn(
-            "r", F.min(enc).over(Window.partitionBy("r", "r2"))
-        ).select("doc_id", "pos", "r")
+        if skew_safe:
+            paired = paired.localCheckpoint(eager=True)
+            mins = paired.groupBy("r", "r2").agg(F.min(enc).alias("__nr"))
+            classes = paired.join(mins, ["r", "r2"]).select(
+                "doc_id", "pos", F.col("__nr").alias("r")
+            )
+        else:
+            classes = paired.withColumn(
+                "r", F.min(enc).over(Window.partitionBy("r", "r2"))
+            ).select("doc_id", "pos", "r")
         step *= 2
     return classes, h
 
@@ -130,6 +153,7 @@ def exact_substring_spans(
     min_len: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """ExactSubstr duplicate marking (Lee et al. 2021): every maximal
     span covered by length-``min_len`` windows whose text occurs at
@@ -140,9 +164,19 @@ def exact_substring_spans(
     window key = (class[p], class[p + min_len - h]) via one more
     per-doc ``lead``; duplicated keys found with a count window; spans
     merged per document with gaps-and-islands. One linear DAG, no
-    self-joins, no driver collects beyond the alphabet."""
+    self-joins, no driver collects beyond the alphabet.
+
+    ``skew_safe=True`` routes BOTH class-keyed windows (the per-round
+    class min and this function's duplicate-count) through map-side-
+    combinable aggregates + AQE-skew-splittable joins, lifting the
+    one-task-per-hot-class ceiling at corpus scale — bit-identical
+    output; see :func:`suffix_prefix_classes`."""
     classes, h = suffix_prefix_classes(
-        df, target_len=min_len, text_col=text_col, id_col=id_col
+        df,
+        target_len=min_len,
+        text_col=text_col,
+        id_col=id_col,
+        skew_safe=skew_safe,
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     w_len = Window.partitionBy("doc_id")
@@ -153,17 +187,37 @@ def exact_substring_spans(
         .withColumn("__len", F.max("pos").over(w_len) + 1)
         .filter(F.col("pos") + F.lit(min_len) <= F.col("__len"))
     )
-    marked = (
-        windows.withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("r", "r_tail"))
+    if skew_safe:
+        # duplicated window keys via partial-combined count + inner
+        # join back: count is algebraic, so the hot key arrives at its
+        # reducer as per-map partials, and the join's hot partition is
+        # AQE-splittable. The probe side is consumed twice (agg +
+        # join) — checkpoint once, same rationale as the round loop.
+        windows = windows.localCheckpoint(eager=True)
+        dup_keys = (
+            windows.groupBy("r", "r_tail")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("r", "r_tail")
         )
-        .filter(F.col("n") >= 2)
-        .select(
+        marked = windows.join(dup_keys, ["r", "r_tail"]).select(
             "doc_id",
             F.col("pos").alias("start"),
             (F.col("pos") + F.lit(min_len)).alias("end"),
         )
-    )
+    else:
+        marked = (
+            windows.withColumn(
+                "n",
+                F.count(F.lit(1)).over(Window.partitionBy("r", "r_tail")),
+            )
+            .filter(F.col("n") >= 2)
+            .select(
+                "doc_id",
+                F.col("pos").alias("start"),
+                (F.col("pos") + F.lit(min_len)).alias("end"),
+            )
+        )
     # gaps-and-islands per document: a new island starts where the
     # window begins past every previous end
     w_isl = Window.partitionBy("doc_id").orderBy("start")

@@ -52,6 +52,38 @@ def test_exact_substring_matches_brute_force(spark):
         assert _spark_spans(spark, docs, L) == _brute_spans(docs, L), L
 
 
+def test_exact_substring_skew_safe_path_is_identical(spark):
+    """skew_safe=True (agg+join class min, agg+join dup count —
+    the corpus-scale hot-class path, VERDICT r13 #4) must reproduce
+    the window path bit-for-bit, including on a planted hot class:
+    long whitespace runs shared by many documents — the exact key
+    the verdict names as the one-task funnel."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "something unrelated entirely here with no repeats at all!"),
+        (3, "zz the quick brown fox jumps over the lazy dog zz ok fine"),
+        (4, "abcabcabcabcabcabcabcabcabcabc"),
+        (5, "short"),
+        (6, ""),
+    ] + [
+        # hot class: every doc carries the same 30-space run
+        (100 + i, f"doc{i} " + " " * 30 + f"tail{i}") for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for L in (8, 12, 20):
+        window_path = sorted(
+            (r.doc_id, r.start, r.end)
+            for r in SX.exact_substring_spans(df, min_len=L).collect()
+        )
+        agg_path = sorted(
+            (r.doc_id, r.start, r.end)
+            for r in SX.exact_substring_spans(
+                df, min_len=L, skew_safe=True
+            ).collect()
+        )
+        assert agg_path == window_path == _brute_spans(docs, L), L
+
+
 def test_exact_substring_non_power_of_two_and_tail_dupes(spark):
     # L=12 -> h=8, tail offset 4: the two-overlapping-prefix key path.
     # Docs share a 13-char tail; a 12-window must match, but an
