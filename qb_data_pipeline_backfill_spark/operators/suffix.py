@@ -218,8 +218,14 @@ def exact_substring_spans(
                 (F.col("pos") + F.lit(min_len)).alias("end"),
             )
         )
-    # gaps-and-islands per document: a new island starts where the
-    # window begins past every previous end
+    return _merge_spans(marked)
+
+
+def _merge_spans(marked: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of ``(doc_id, start, end)`` window marks
+    into maximal spans per document: a new island starts where the
+    window begins past every previous end. Bounded per-doc window
+    state — shared by the one-shot and incremental marking paths."""
     w_isl = Window.partitionBy("doc_id").orderBy("start")
     prev_max_end = F.max("end").over(
         w_isl.rowsBetween(Window.unboundedPreceding, -1)
@@ -240,6 +246,102 @@ def exact_substring_spans(
         )
         .select("doc_id", "start", "end")
     )
+
+
+def _window_hashes(
+    df: DataFrame, min_len: int, text_col: str, id_col: str
+) -> DataFrame:
+    """``(doc_id, pos, win_hash)`` — the xxhash64 of every length-
+    ``min_len`` character window. The substring materializes only
+    transiently inside the scan stage's codegen (explode → substr →
+    hash in one projection); nothing wider than the 8-byte hash ever
+    reaches a shuffle."""
+    pos_idx = F.when(
+        F.length(text_col) >= min_len,
+        F.sequence(F.lit(0), F.length(text_col) - min_len),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(pos_idx).alias("pos"),
+        F.col(text_col),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.xxhash64(
+            F.col(text_col).substr(F.col("pos") + 1, F.lit(min_len))
+        ).alias("win_hash"),
+    )
+
+
+def substring_window_index(
+    df: DataFrame,
+    *,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PERSISTABLE ExactSubstr index of a corpus batch: one row
+    ``(win_hash, n)`` per distinct length-``min_len`` window hash —
+    the cross-RUN face of the dedup (the ``minhash_band_index``
+    pattern, dedup.py). Write it once, append each new batch's rows
+    (duplicate ``win_hash`` rows across appends are fine — the probe
+    reads membership), and incremental marking never re-explodes a
+    character of history. At 100 TB the index is |distinct windows|
+    8-byte keys — orders smaller than the corpus — and bucketing it
+    on ``win_hash`` (operators/layout.py) makes every later probe
+    join co-located.
+
+    The hash key trades the one-shot path's exact-by-construction
+    class equality for xxhash64 equality: a collision can fabricate a
+    false duplicate window (never lose one) with probability ~2^-64
+    per window pair — the documented ``repeated_substring_spans
+    (hash_grams=True)`` trade, gated the same way (the incremental
+    query's oracle replays raw strings)."""
+    return (
+        _window_hashes(df, min_len, text_col, id_col)
+        .groupBy("win_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def incremental_substring_spans(
+    index: DataFrame,
+    new_docs: DataFrame,
+    *,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr marking of a NEW batch against a persisted window
+    index — without touching a character of history (VERDICT r13 #7;
+    the ``incremental_minhash_pairs`` protocol). A new-batch window is
+    duplicated iff it occurs ≥ 2 times within the batch OR at least
+    once in history; that is exactly the one-shot
+    :func:`exact_substring_spans` over (history ∪ batch) RESTRICTED to
+    the batch's documents (pinned by the oracle-gated
+    dedup_incremental_substring, whose DuckDB replay brute-forces the
+    union, and by pytest on crafted batches).
+
+    Plan: one explode+hash pass over the batch only, one map-side-
+    combined count, one semi-join of 8-byte keys against the index
+    (broadcast or co-located when the index is bucketed), the shared
+    bounded island merge. History never re-explodes; the batch moves
+    as (doc, pos, hash) integers."""
+    wins = _window_hashes(new_docs, min_len, text_col, id_col)
+    batch_counts = wins.groupBy("win_hash").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    in_batch_dups = batch_counts.filter(F.col("__n") >= 2).select("win_hash")
+    in_history = batch_counts.select("win_hash").join(
+        index.select("win_hash"), "win_hash", "left_semi"
+    )
+    dup_keys = in_batch_dups.unionByName(in_history).distinct()
+    marked = wins.join(dup_keys, "win_hash").select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        (F.col("pos") + F.lit(min_len)).alias("end"),
+    )
+    return _merge_spans(marked)
 
 
 def cut_spans(

@@ -3569,6 +3569,76 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: E402
 
 
 @register(
+    "dedup_incremental_substring",
+    # Cross-RUN ExactSubstr (VERDICT r13 #7): the oracle brute-forces
+    # the ONE-SHOT marking over history ∪ batch and restricts to the
+    # batch's documents — which is the incremental contract itself
+    # (batch+persisted-index ≡ one-shot over the union), so this gate
+    # is the certification twin AND the operator query in one: the
+    # engine's xxhash64 window keys never appear in the output, only
+    # spans, so a collision-free raw-string replay hash-gates it
+    # directly (no rows-only needed).
+    oracle=r"""
+    WITH uni AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    win AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+               substr(text, i, 20) AS s
+        FROM uni,
+             LATERAL unnest(generate_series(1,
+                 greatest(len(text) - 19, 0))) AS g(i)
+    ),
+    dup AS (SELECT s FROM win GROUP BY s HAVING COUNT(*) >= 2),
+    marked AS (
+        SELECT w.doc_id, w.start, w.start + 20 AS e
+        FROM win w JOIN dup USING (s)
+        WHERE w.doc_id % 6 = 3
+    ),
+    pm AS (
+        SELECT doc_id, start, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM marked
+    ),
+    isl AS (
+        SELECT doc_id, start, e,
+               SUM(CASE WHEN start > COALESCE(prev_end, -1)
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM pm
+    )
+    SELECT doc_id, CAST(MIN(start) AS BIGINT) AS start,
+           CAST(MAX(e) AS BIGINT) AS "end"
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="Cross-RUN ExactSubstr dedup (operators/suffix.py "
+    "substring_window_index + incremental_substring_spans — the "
+    "minhash_band_index protocol applied to Lee et al. 2021's exact "
+    "marking): history (doc_id%6=0) persists once as (win_hash, n) "
+    "rows — 8-byte keys, orders smaller than the corpus, appendable "
+    "per batch — and the new batch (doc_id%6=3) marks its spans with "
+    "one explode+hash pass over ITS OWN characters, a map-side "
+    "combined count, and one semi-join against the index; history is "
+    "never re-exploded. The oracle replays the one-shot union "
+    "marking restricted to the batch, so the hash certifies the "
+    "incremental ≡ one-shot contract directly.",
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    )
+    history = docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == 3)
+    index = SX.substring_window_index(history, min_len=20)
+    return SX.incremental_substring_spans(index, batch, min_len=20)
+
+
+@register(
     "dedup_exact_substring_cut",
     # the span oracle (dedup_exact_substring, registered above) is
     # reused verbatim as the spans CTE, then the cut is replayed with

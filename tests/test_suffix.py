@@ -177,3 +177,73 @@ def test_cut_spans_composes_with_marking(spark):
     )
     respans = SX.exact_substring_spans(clean, min_len=12).collect()
     assert respans == []
+
+
+def test_incremental_substring_equals_one_shot_restricted(spark):
+    """The cross-run contract (VERDICT r13 #7): marking a new batch
+    against the persisted window index must equal the one-shot
+    exact_substring_spans over history ∪ batch RESTRICTED to the
+    batch's documents — covering a cross-batch duplicate, a
+    within-batch self-repeat, a whole-doc duplicate of history, and a
+    clean doc. Also pins the first-run case (empty index ≡ one-shot
+    on the batch alone) and index appendability (union of per-batch
+    index rows probes identically to the index of the union)."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "nothing in common with anything else here at all really!"),
+        (3, "zz the quick brown fox jumps over the lazy dog zz ok fine"),
+        (4, "abcabcabcabcabcabcabcabcabcabc"),
+        (5, "totally novel text that matches nothing anywhere honestly"),
+        (6, "nothing in common with anything else here at all really!"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    hist = df.filter(F.col("doc_id") <= 2)
+    batch = df.filter(F.col("doc_id") >= 3)
+    for L in (8, 12, 20):
+        idx = SX.substring_window_index(hist, min_len=L)
+        inc = sorted(
+            (r.doc_id, r.start, r.end)
+            for r in SX.incremental_substring_spans(
+                idx, batch, min_len=L
+            ).collect()
+        )
+        full = sorted(
+            (r.doc_id, r.start, r.end)
+            for r in SX.exact_substring_spans(df, min_len=L).collect()
+            if r.doc_id >= 3
+        )
+        assert inc == full, L
+    empty = SX.substring_window_index(
+        hist.filter(F.lit(False)), min_len=8
+    )
+    first_run = sorted(
+        (r.doc_id, r.start, r.end)
+        for r in SX.incremental_substring_spans(
+            empty, batch, min_len=8
+        ).collect()
+    )
+    solo = sorted(
+        (r.doc_id, r.start, r.end)
+        for r in SX.exact_substring_spans(batch, min_len=8).collect()
+    )
+    assert first_run == solo
+    appended = SX.substring_window_index(
+        hist.filter(F.col("doc_id") == 1), min_len=8
+    ).unionByName(
+        SX.substring_window_index(
+            hist.filter(F.col("doc_id") == 2), min_len=8
+        )
+    )
+    via_append = sorted(
+        (r.doc_id, r.start, r.end)
+        for r in SX.incremental_substring_spans(
+            appended, batch, min_len=8
+        ).collect()
+    )
+    via_union = sorted(
+        (r.doc_id, r.start, r.end)
+        for r in SX.incremental_substring_spans(
+            SX.substring_window_index(hist, min_len=8), batch, min_len=8
+        ).collect()
+    )
+    assert via_append == via_union
