@@ -25,94 +25,79 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-13 rotation (VERDICT r12 #1/#2): (a) the two r12 driver-red
-# queries FIRST — sample_budget_fill / contract_budget_fill_scale,
-# whose oracles' cum_tok now casts to BIGINT (the DuckDB HUGEINT
-# promotion the judge root-caused) — then the never-driver-graded
-# unigram_encode_stats; (b) the queries NEW in round 13 (the image
-# + audio perceptual dHash families, trigram perplexity + CCNet
-# buckets, UniMax, the ExactSubstr mark/cut pair, the Gopher rule
-# suite, winnowing + MOSS matching, the curation composite, and the
-# five streaming twins);
-# (c) every query whose code or oracle round 13 touched: the html
-# front end (fast tokenizer + mapInArrow), the unigram family (the
-# model-seeded single-char floor), text_sentence_stats (oracle
-# encoding base), sample_global_shuffle (reserved-column guard);
-# (d) the stalest blocks VERDICT r12 named — last driver grade r10:
-# the ANN recall twins, the sketch contracts, the graph family, and
-# the ORC round trip. The r12-graded blocks (txn fixture family,
-# WARC/DSIR/url_*, TPC-H shapes) rotate out — one round old — and
-# every query is still re-verified in the local full sweep
-# (tools/check_correctness.py, sf0.01) each round regardless.
+# Round-14 rotation (VERDICT r13 #1/#8): (a) the queries NEW in r14
+# (PNG decode replay + PNG perceptual dedup, 5-gram KN perplexity,
+# incremental ExactSubstr) and every query whose code or oracle r14
+# touched (perplexity_buckets re-pointed at order 5; the trigram
+# query now runs through the generalized recursion;
+# exact_substring/_cut after the skew_safe refactor; html_extract
+# after the interpreter-certification gate); (b) the four rows-only
+# stragglers VERDICT r13 #8 named; (c) MECHANICAL OLDEST-FIRST fill
+# from per-name last-graded rounds computed over CORRECTNESS_r01..13
+# — the reference-surface core (envelope/integrity/probe/REST/CSV
+# r5-r6 block) that had gone 6+ rounds ungraded. The r11-r13 blocks
+# rotate out (one-to-three rounds old) and every query is still
+# re-verified in the local full sweep (tools/check_correctness.py,
+# sf0.01) each round regardless. Next-oldest names left outside the
+# 50 (for the r15 window): status_priority_cube,
+# topk_orders_per_customer, tumbling_window_events, then the r7
+# block alphabetically.
 prioritize(
     [
-        # --- (a) r12 driver-red, fixed this round + never-graded ---
-        "sample_budget_fill",
-        "contract_budget_fill_scale",
-        "unigram_encode_stats",
-        # --- (b) new in r13 ---
-        "contract_image_dhash_replay",
-        "dedup_image_dhash",
-        "contract_audio_dhash_replay",
-        "dedup_audio_dhash",
-        "text_trigram_perplexity",
+        # --- (a) new in r14 / r14-code-or-oracle-touched ---
+        "contract_png_decode_replay",
+        "dedup_image_dhash_png",
+        "text_fivegram_perplexity",
         "text_perplexity_buckets",
-        "streaming_budget_fill",
-        "streaming_epoch_plan",
-        "sample_unimax_mixture",
-        "curation_pipeline",
+        "dedup_incremental_substring",
         "dedup_exact_substring",
         "dedup_exact_substring_cut",
-        "text_gopher_quality",
-        "streaming_gopher_quality",
-        "text_winnow_fingerprints",
-        "dedup_winnow_pairs",
-        "streaming_winnow_fingerprints",
-        "streaming_image_dhash",
-        # --- (c) r13-code/oracle-touched ---
+        "text_trigram_perplexity",
         "text_html_extract",
-        "streaming_html_extract",
-        "web_corpus_pipeline",
-        "contract_unigram_em_replay",
-        "contract_unigram_encode_replay",
-        "unigram_train_pieces",
-        "text_sentence_stats",
-        "sample_global_shuffle",
-        "multimodal_decode_stats",
-        "text_bigram_perplexity",
-        # --- (d) stalest: last driver grade r10 ---
-        "contract_ann_lsh_recall",
-        "contract_ann_ivf_recall",
-        "contract_ivfpq_adc",
-        "similarity_ann_lsh",
-        "similarity_ann_ivf",
-        "similarity_ann_ivfpq",
-        "contract_hll_intersection",
-        "contract_hll_merge",
-        "cms_frequency_contract",
-        "quantile_sketch_contract",
-        "contract_approx_median",
-        "contract_bloom_prune",
-        "approx_distinct_report",
-        "pagerank_parts",
-        "triangle_counts_parts",
-        "dedup_cluster_resolution",
-        "hypertable_rollup_daily",
-        "orc_roundtrip_scan",
-        "dedup_exact_text",
-        "dedup_ngram_jaccard",
-        "dedup_repeated_substrings",
-        "dedup_edit_distance",
-        "dedup_semantic_prune",
-        "dedup_embedding_cosine",
-        "contract_substring_hash_parity",
-        "decontamination_bloom_prefilter",
-        "txn_bloom_point_lookup",
-        "dedup_incremental_minhash",
-        "kmeans_codebook",
-        "pricing_summary",
-        "bpe_train_merges",
+        # --- (b) VERDICT r13 #8 rows-only stragglers ---
+        "bpe_encode_stats",
+        "dedup_embedding_lsh",
+        "dedup_simhash",
         "dedup_minhash_lsh",
+        # --- (c) oldest-first: last graded r5 ---
+        "bpe_pair_counts",
+        "corpus_dup_gram_stats",
+        "dedup_edit_distance",
+        "dedup_embedding_cosine",
+        "dedup_incremental_minhash",
+        "dedup_ngram_jaccard",
+        "dup_detection_having",
+        "envelope_projection",
+        "hypertable_ohlc_bars",
+        "hypertable_time_weighted",
+        "ingest_validate_dedup",
+        "integrity_report",
+        "invoice_line_explode",
+        "multimodal_audio_stats",
+        "multimodal_video_frame_stats",
+        "pandas_udaf_cents_sum",
+        "set_ops_report",
+        "similarity_cosine_topk",
+        "upper_median_by_segment",
+        "volumetry_unionall",
+        # --- (c) oldest-first: last graded r6 ---
+        "asof_join_last_order",
+        "bpe_train_merges",
+        "contract_embedding_lsh_recall",
+        "contract_minhash_recall",
+        "contract_substring_hash_parity",
+        "csv_http_scan",
+        "date_window_filter",
+        "decontamination_overlap",
+        "dedup_repeated_substrings",
+        "filtered_aggregates",
+        "kmeans_codebook",
+        "minmax_dates",
+        "pivot_status_by_priority",
+        "pricing_summary",
+        "rest_source_filtered",
+        "rest_source_scan",
+        "running_total_per_customer",
     ]
 )
 
