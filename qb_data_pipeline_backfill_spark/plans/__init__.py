@@ -39,9 +39,9 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # rotate out (one-to-three rounds old) and every query is still
 # re-verified in the local full sweep (tools/check_correctness.py,
 # sf0.01) each round regardless. Next-oldest names left outside the
-# 50 (for the r15 window): status_priority_cube,
-# topk_orders_per_customer, tumbling_window_events, then the r7
-# block alphabetically.
+# 50 (for the r15 window): running_total_per_customer,
+# status_priority_cube, topk_orders_per_customer,
+# tumbling_window_events, then the r7 block alphabetically.
 prioritize(
     [
         # --- (a) new in r14 / r14-code-or-oracle-touched ---
@@ -50,6 +50,7 @@ prioritize(
         "text_fivegram_perplexity",
         "text_perplexity_buckets",
         "dedup_incremental_substring",
+        "streaming_incremental_substring",
         "dedup_exact_substring",
         "dedup_exact_substring_cut",
         "text_trigram_perplexity",
@@ -97,7 +98,6 @@ prioritize(
         "pricing_summary",
         "rest_source_filtered",
         "rest_source_scan",
-        "running_total_per_customer",
     ]
 )
 

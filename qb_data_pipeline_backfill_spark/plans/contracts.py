@@ -984,3 +984,173 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)
     )
     return _flag_caught(exact, pairs, ["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# streaming incremental ExactSubstr (the stream face of the window index)
+# --------------------------------------------------------------------------
+_SUBSTR_STREAM_REV = "r14a"
+
+
+def _substring_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated spans table of the streamed ExactSubstr fixture:
+    bootstrap window index = doc_id%6==0 (one batch commit),
+    doc_id%6==3 streamed in THREE micro-batches keyed by
+    (doc_id//6)%3 (file groups, maxFilesPerTrigger=1) through
+    ``stream_substring_dedup``. Adopt/rebuild like the other pinned
+    scratch fixtures (marker file; deterministic build)."""
+    import os
+    import shutil
+    import time
+
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        stream_substring_dedup,
+    )
+
+    parent = os.path.join(
+        _SCRATCH,
+        f"substr_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    index_p = os.path.join(parent, "index")
+    spans_p = os.path.join(parent, "spans")
+    marker = os.path.join(parent, "BUILT")
+
+    def _current() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read().strip() == _SUBSTR_STREAM_REV
+        except OSError:
+            return False
+
+    if not _current():
+        tmp = f"{parent}.building-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        t_index = os.path.join(tmp, "index")
+        t_spans = os.path.join(tmp, "spans")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        boot = docs.filter(F.pmod("doc_id", F.lit(6)) == 0)
+        txn.commit_append(
+            spark, SX.substring_window_index(boot, min_len=20), t_index
+        )
+        work = os.path.join(tmp, "stream-work")
+        src, ck = os.path.join(work, "src"), os.path.join(work, "ck")
+        streamed = docs.filter(F.pmod("doc_id", F.lit(6)) == 3)
+        grp = F.pmod(F.floor(F.col("doc_id") / 6).cast("long"), F.lit(3))
+        for i in range(3):
+            streamed.filter(grp == i).coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}.parquet")
+            )
+        now = time.time()
+        for i in range(3):
+            d = os.path.join(src, f"b{i}.parquet")
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = stream_substring_dedup(
+            stream,
+            index_path=t_index,
+            spans_path=t_spans,
+            checkpoint_dir=ck,
+        )
+        q.awaitTermination()
+        head = txn.current_version(t_index)
+        if head != 3:
+            raise RuntimeError(
+                f"substr stream fixture reached index head {head}, "
+                "expected 3 (bootstrap + three micro-batches)"
+            )
+        shutil.rmtree(work, ignore_errors=True)
+        with open(os.path.join(tmp, "BUILT"), "w") as f:
+            f.write(_SUBSTR_STREAM_REV)
+        shutil.rmtree(parent, ignore_errors=True)
+        try:
+            os.rename(tmp, parent)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost an adopt race
+    from qb_data_pipeline_backfill_spark.operators import txn as _t
+
+    return _t.read_table(spark, spans_p)
+
+
+@register(
+    "streaming_incremental_substring",
+    # Cumulative-batch replay: a window of streamed batch b (batches
+    # 1..3; bootstrap = 0) is duplicated iff its TOTAL count over
+    # batches <= b reaches 2 — i.e. it repeats within its own batch or
+    # already exists in what that batch saw as history. The oracle
+    # derives, per distinct window text, the FIRST batch at which its
+    # cumulative count hits 2, marks each streamed window whose batch
+    # is at or past that point, and merges islands per document
+    # (every document lives in exactly one batch, so the per-doc merge
+    # is batch-consistent). One late batch marked against too much or
+    # too little history flips the hash red.
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 6 = 0 THEN 0
+                    ELSE 1 + CAST((doc_id // 6) % 3 AS INTEGER)
+               END AS batch
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    win AS (
+        SELECT doc_id, batch, CAST(i - 1 AS BIGINT) AS start,
+               substr(text, i, 20) AS s
+        FROM docs,
+             LATERAL unnest(generate_series(1,
+                 greatest(len(text) - 19, 0))) AS g(i)
+    ),
+    cnt AS (SELECT s, batch, COUNT(*) AS c FROM win GROUP BY s, batch),
+    cum AS (
+        SELECT s, batch,
+               SUM(c) OVER (PARTITION BY s ORDER BY batch) AS cc
+        FROM cnt
+    ),
+    dup AS (SELECT s, MIN(batch) AS fb FROM cum WHERE cc >= 2 GROUP BY s),
+    marked AS (
+        SELECT w.doc_id, w.start, w.start + 20 AS e
+        FROM win w JOIN dup d USING (s)
+        WHERE w.batch >= 1 AND w.batch >= d.fb
+    ),
+    pm AS (
+        SELECT doc_id, start, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM marked
+    ),
+    isl AS (
+        SELECT doc_id, start, e,
+               SUM(CASE WHEN start > COALESCE(prev_end, -1)
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM pm
+    )
+    SELECT doc_id, CAST(MIN(start) AS BIGINT) AS start,
+           CAST(MAX(e) AS BIGINT) AS "end"
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="Streaming incremental ExactSubstr, gated end to end "
+    "(streaming/jobs.py stream_substring_dedup): doc_id%6==0 "
+    "bootstraps the persisted window index; doc_id%6==3 arrives in "
+    "three micro-batches, each marking its spans against the index "
+    "and appending its own (win_hash, n) rows so later batches see "
+    "earlier ones as history — history never re-explodes a "
+    "character. Both per-batch commits are fenced by writer-"
+    "namespaced (txn_app, batch_id) manifest watermarks with spans "
+    "committing before index rows (a crash replay can never mark a "
+    "batch against an index holding its own windows). The oracle "
+    "replays the cumulative-batch marking closed-form from raw "
+    "substrings.",
+)
+def streaming_incremental_substring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _substring_stream_spans(spark, sf_dir)

@@ -521,3 +521,85 @@ def stream_minhash_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_substring_dedup(
+    source: DataFrame,
+    *,
+    index_path: str,
+    spans_path: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming ExactSubstr marking — the stream face of the
+    cross-run incremental dedup (operators/suffix.py
+    substring_window_index + incremental_substring_spans), mirroring
+    :func:`stream_minhash_dedup`'s protocol exactly: each micro-batch
+    marks its spans against the PERSISTED window index (history never
+    re-explodes a character), appends the spans to one transactional
+    table and its own (win_hash, n) rows to the index table, so the
+    next micro-batch sees it as history. Cross-batch, within-batch,
+    and batch-vs-bootstrap duplicates all surface exactly as the
+    cumulative one-shot marking would emit them
+    (gate: streaming_incremental_substring).
+
+    Exactly-once: both commits carry writer-namespaced
+    ``(txn_app, txn_version=batch_id)`` manifest watermarks on top of
+    the streaming checkpoint; spans commit BEFORE index rows, so a
+    crash replay can never mark a batch against an index already
+    holding that batch's own windows (which would turn every window
+    into a self-duplicate). Same fresh-checkpoint lifecycle caveat as
+    the MinHash twin: these appends are blind, so re-streaming
+    consumed input under a new checkpoint duplicates rows — rebuild
+    the tables or supply the old ``app_id``.
+
+    Returns the started query (availableNow trigger).
+    """
+    from qb_data_pipeline_backfill_spark.operators import suffix as SX
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    ident = app_id or txn._checkpoint_writer_id(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bdf = batch_df.persist()
+        try:
+            try:
+                index = txn.read_table(spark, index_path)
+            except FileNotFoundError:
+                index = SX.substring_window_index(
+                    bdf.limit(0),
+                    min_len=min_len,
+                    text_col=text_col,
+                    id_col=id_col,
+                )
+            spans = SX.incremental_substring_spans(
+                index,
+                bdf,
+                min_len=min_len,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            txn.commit_append(
+                spark, spans, spans_path,
+                txn_app=f"{ident}-spans", txn_version=int(batch_id),
+            )
+            rows = SX.substring_window_index(
+                bdf, min_len=min_len, text_col=text_col, id_col=id_col
+            )
+            txn.commit_append(
+                spark, rows, index_path,
+                txn_app=f"{ident}-index", txn_version=int(batch_id),
+            )
+        finally:
+            bdf.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
