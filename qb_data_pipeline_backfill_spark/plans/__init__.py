@@ -46,6 +46,7 @@ prioritize(
     [
         # --- (a) new in r14 / r14-code-or-oracle-touched ---
         "contract_png_decode_replay",
+        "contract_jpeg_decode_replay",
         "dedup_image_dhash_png",
         "text_fivegram_perplexity",
         "text_perplexity_buckets",
@@ -55,10 +56,12 @@ prioritize(
         "dedup_exact_substring_cut",
         "text_trigram_perplexity",
         "text_html_extract",
-        # --- (b) VERDICT r13 #8 rows-only stragglers ---
+        # --- (b) VERDICT r13 #8 rows-only stragglers (dedup_simhash,
+        # also named there, turned out to be r11-graded — the least
+        # stale name in the draft window — so it yields its slot to
+        # the new JPEG contract and rotates to r15) ---
         "bpe_encode_stats",
         "dedup_embedding_lsh",
-        "dedup_simhash",
         "dedup_minhash_lsh",
         # --- (c) oldest-first: last graded r5 ---
         "bpe_pair_counts",

