@@ -629,18 +629,21 @@ def _jpeg_block_pixels(media_id: int, c: int, b: int):
 def _jpeg_expected_pixels(media_id: int, w: int, h: int):
     """Expected RGB output of decoding the fixture JPEG — formula
     coefficients through the pinned integer IDCT + color transform;
-    what the real decoder must reproduce bit-for-bit."""
+    what the real decoder must reproduce bit-for-bit. Block index
+    b = by * n_bx + bx (MCU scan order)."""
     import numpy as np
 
     bw = (w + 7) // 8
+    bh = (h + 7) // 8
     comps = []
     for c in range(3):
-        plane = [[0] * (bw * 8) for _ in range(8)]
-        for bx in range(bw):
-            blk = _jpeg_block_pixels(media_id, c, bx)
-            for r in range(8):
-                for col in range(8):
-                    plane[r][bx * 8 + col] = blk[r][col]
+        plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = _jpeg_block_pixels(media_id, c, by * bw + bx)
+                for r in range(8):
+                    for col in range(8):
+                        plane[by * 8 + r][bx * 8 + col] = blk[r][col]
         comps.append(plane)
 
     def fl(t: int) -> int:
@@ -753,7 +756,7 @@ def _encode_jpeg(media_id: int, w: int, h: int) -> bytes:
     out += seg(0xDA, sos)
 
     bw_ = _BitWriter()
-    n_bx = (w + 7) // 8
+    n_bx, n_by = (w + 7) // 8, (h + 7) // 8
     prev_dc = [0, 0, 0]
 
     def put_val(v: int, size: int) -> None:
@@ -763,9 +766,9 @@ def _encode_jpeg(media_id: int, w: int, h: int) -> bytes:
     def size_of(v: int) -> int:
         return 0 if v == 0 else abs(v).bit_length()
 
-    for bx in range(n_bx):
+    for b in range(n_by * n_bx):
         for c in range(3):
-            coefs = [_jpeg_coef(media_id, c, bx, k) for k in range(64)]
+            coefs = [_jpeg_coef(media_id, c, b, k) for k in range(64)]
             diff = coefs[0] - prev_dc[c]
             prev_dc[c] = coefs[0]
             s = size_of(diff)

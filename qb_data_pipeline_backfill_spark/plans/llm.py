@@ -3201,6 +3201,8 @@ _JPEG_A_VALUES = ", ".join(
     ),
     zz(k, u, v) AS (VALUES %s),
     a(u, x, val) AS (VALUES %s),
+    -- fixture dims (h in 2..6) always fit ONE block row, so the MCU
+    -- index b equals bx here (engine side: b = by*n_bx + bx)
     blk AS (
         SELECT media_id, w, h, c, bx
         FROM m

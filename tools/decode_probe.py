@@ -9,7 +9,13 @@ the FLOOR — a production deployment swaps PIL/ffmpeg into the same
 mapInPandas slot (identical schema/batching) and only this stage
 speeds up.
 
-Usage: python tools/decode_probe.py [n_images] [side]
+Usage: python tools/decode_probe.py [n_images] [side] [fmt]
+fmt in {ppm, png, jpeg} (default ppm). PNG payloads are real
+deflate-compressed files (filter 0 scanlines — the vectorizable
+decode path; the per-byte unfilter loops of Sub/Up/Avg/Paeth are
+strictly slower, so this row is the PNG path's CEILING). JPEG
+payloads are real baseline Huffman streams; the bit-serial entropy
+decode is the measured floor a C codec would replace.
 Prints one JSON line; human summary to stderr.
 """
 
@@ -34,21 +40,55 @@ from qb_data_pipeline_backfill_spark.session import get_spark
 def main() -> None:
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     side = int(sys.argv[2]) if len(sys.argv) > 2 else 224
+    fmt = sys.argv[3] if len(sys.argv) > 3 else "ppm"
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
     spark = get_spark("decode-probe", extra_conf={"spark.driver.memory": "8g"})
 
-    # realistic payloads: side x side RGB PPMs (~150 KB at 224),
+    # realistic payloads: side x side RGB files (~150 KB raw at 224),
     # synthesized once executor-side and persisted so the probe times
     # DECODE, not synthesis.
     def synth(batches):
+        import zlib
+
         for pdf in batches:
             rows = []
             for mid in pdf["id"]:
                 mid = int(mid)
-                header = f"P6\n{side} {side}\n255\n".encode()
-                px = ((np.arange(side * side * 3) + mid) % 256).astype(np.uint8)
-                rows.append({"media_id": mid, "content": header + px.tobytes()})
+                if fmt == "png":
+                    # incompressible noise so deflated bytes ~= raw
+                    # bytes and MB/s measures real work, not a ramp
+                    # that deflate crushes 200x
+                    px = np.random.default_rng(mid).integers(
+                        0, 256, side * side * 3, dtype=np.uint8
+                    )
+                else:
+                    px = ((np.arange(side * side * 3) + mid) % 256).astype(np.uint8)
+                if fmt == "ppm":
+                    header = f"P6\n{side} {side}\n255\n".encode()
+                    content = header + px.tobytes()
+                elif fmt == "png":
+                    # real PNG, filter-0 scanlines built vectorized
+                    rowsb = px.reshape(side, side * 3)
+                    raw = np.zeros((side, side * 3 + 1), dtype=np.uint8)
+                    raw[:, 1:] = rowsb
+                    ihdr = (
+                        side.to_bytes(4, "big") * 2
+                        + bytes([8, 2, 0, 0, 0])
+                    )
+                    content = (
+                        M._PNG_SIG
+                        + M._png_chunk(b"IHDR", ihdr)
+                        + M._png_chunk(
+                            b"IDAT", zlib.compress(raw.tobytes(), 6)
+                        )
+                        + M._png_chunk(b"IEND", b"")
+                    )
+                elif fmt == "jpeg":
+                    content = M._encode_jpeg(mid, side, side)
+                else:
+                    raise SystemExit(f"unknown fmt {fmt!r}")
+                rows.append({"media_id": mid, "content": content})
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = (
@@ -82,13 +122,17 @@ def main() -> None:
 
     # (b) decode → reduce INSIDE the batch → emit scalars: the shape a
     # real feature extractor should use (pixels never cross Arrow).
-    from qb_data_pipeline_backfill_spark.operators.multimodal import _decode_ppm
+    _dec = {
+        "ppm": M._decode_ppm,
+        "png": M._decode_png,
+        "jpeg": M._decode_jpeg,
+    }[fmt]
 
     def fused(batches):
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, px = _decode_ppm(bytes(content))
+                w, h, px = _dec(bytes(content))
                 rows.append(
                     {"media_id": mid, "s": float(px.sum(dtype="int64"))}
                 )
@@ -97,6 +141,7 @@ def main() -> None:
     t_fused = timed(media.mapInPandas(fused, "media_id long, s double"))
     out = {
         "probe": "decode_throughput",
+        "fmt": fmt,
         "n_images": n_images,
         "side": side,
         "total_mb": round(total_mb, 1),
@@ -108,7 +153,7 @@ def main() -> None:
         "passes": passes,
     }
     print(
-        f"{n_images} x {side}x{side} PPM = {total_mb:.0f} MB: "
+        f"{n_images} x {side}x{side} {fmt.upper()} = {total_mb:.0f} MB: "
         f"emit-pixels {t_pixels:.2f}s ({out['pixels_out_mb_s']:.0f} MB/s) vs "
         f"fused decode+reduce {t_fused:.2f}s ({out['fused_mb_s']:.0f} MB/s)",
         file=sys.stderr,
