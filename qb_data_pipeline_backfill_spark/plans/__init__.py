@@ -39,9 +39,11 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # rotate out (one-to-three rounds old) and every query is still
 # re-verified in the local full sweep (tools/check_correctness.py,
 # sf0.01) each round regardless. Next-oldest names left outside the
-# 50 (for the r15 window): running_total_per_customer,
-# status_priority_cube, topk_orders_per_customer,
-# tumbling_window_events, then the r7 block alphabetically.
+# 50 (for the r15 window): dedup_image_dhash_jpeg (late r14 addition,
+# sweep-verified; its certification twin contract_jpeg_decode_replay
+# IS in this window), running_total_per_customer, status_priority_cube,
+# topk_orders_per_customer, tumbling_window_events, then the r7 block
+# alphabetically.
 prioritize(
     [
         # --- (a) new in r14 / r14-code-or-oracle-touched ---

@@ -3181,37 +3181,24 @@ _JPEG_A_VALUES = ", ".join(
     f"({u}, {x}, {_JPEG_A[u][x]})" for u in range(8) for x in range(8)
 )
 
-
-@register(
-    "contract_jpeg_decode_replay",
-    # Full closed-form replay of the post-entropy decode pipeline:
-    # formula coefficients -> dequant (formula tables) -> de-zigzag
-    # (generated scan VALUES) -> the pinned integer IDCT (A-table
-    # VALUES imported from the codec) -> level shift/clamp -> crop ->
-    # integer YCbCr->RGB. Every step is integer-or-exact-double, so
-    # the engine's REAL decode (marker walk, DHT Huffman, byte
-    # unstuffing, DC prediction, EXTEND) must land on these exact
-    # bytes — a one-bit Huffman or predictor slip shifts coefficients
-    # and flips the position-weighted checksum red.
-    oracle="""
-    WITH m AS (
-        SELECT CAST(i AS BIGINT) AS media_id,
-               (i %% 8 + 2) AS w, (i %% 5 + 2) AS h
-        FROM range(0, 48) t(i)
-    ),
+# Shared replay fragment: expects a preceding CTE
+# ``dims(media_id, src, w, h)`` (src keys the coefficient formula, so
+# re-keyed copies decode identically) and yields ``rgb(media_id, w,
+# h, r, cpos, rv, gv, bv)`` — the decoded pixel grid. Fixture dims
+# (h in 2..6) always fit ONE block row, so the MCU index b equals bx
+# (engine side: b = by*n_bx + bx).
+_JPEG_RGB_SQL = """
     zz(k, u, v) AS (VALUES %s),
     a(u, x, val) AS (VALUES %s),
-    -- fixture dims (h in 2..6) always fit ONE block row, so the MCU
-    -- index b equals bx here (engine side: b = by*n_bx + bx)
     blk AS (
-        SELECT media_id, w, h, c, bx
-        FROM m
+        SELECT media_id, src, w, h, c, bx
+        FROM dims
         CROSS JOIN (VALUES (0), (1), (2)) cc(c),
         LATERAL unnest(generate_series(0, (w + 7) // 8 - 1)) bb(bx)
     ),
     coef AS (
         SELECT media_id, w, h, c, bx, zz.u, zz.v,
-               ((media_id * 31 + c * 7 + bx * 11 + zz.k * 5) %% 19 - 9)
+               ((src * 31 + c * 7 + bx * 11 + zz.k * 5) %% 19 - 9)
                * (CASE WHEN c = 0 THEN zz.k %% 7 + 1
                        ELSE zz.k %% 5 + 1 END) AS f
         FROM blk, zz
@@ -3246,7 +3233,28 @@ _JPEG_A_VALUES = ", ".join(
                least(255, greatest(0, y + CAST(FLOOR((116130 * cb + 32768)
                    / 65536.0) AS BIGINT))) AS bv
         FROM ycc
+    )
+""" % (_JPEG_ZZ_VALUES, _JPEG_A_VALUES)
+
+
+@register(
+    "contract_jpeg_decode_replay",
+    # Full closed-form replay of the post-entropy decode pipeline:
+    # formula coefficients -> dequant (formula tables) -> de-zigzag
+    # (generated scan VALUES) -> the pinned integer IDCT (A-table
+    # VALUES imported from the codec) -> level shift/clamp -> crop ->
+    # integer YCbCr->RGB. Every step is integer-or-exact-double, so
+    # the engine's REAL decode (marker walk, DHT Huffman, byte
+    # unstuffing, DC prediction, EXTEND) must land on these exact
+    # bytes — a one-bit Huffman or predictor slip shifts coefficients
+    # and flips the position-weighted checksum red.
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+               (i % 8 + 2) AS w, (i % 5 + 2) AS h
+        FROM range(0, 48) t(i)
     ),
+    @RGB@,
     flat AS (
         SELECT media_id, w, h, (r * w + cpos) * 3 + 0 AS i, rv AS v FROM rgb
         UNION ALL
@@ -3257,11 +3265,10 @@ _JPEG_A_VALUES = ", ".join(
     SELECT media_id, w AS width, h AS height,
            CAST(COUNT(*) AS BIGINT) AS n_values,
            CAST(SUM(v) AS BIGINT) AS pixel_sum,
-           CAST(SUM(v * (i %% 97 + 1)) AS BIGINT) AS pos_checksum
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
     FROM flat
     GROUP BY media_id, w, h
-    """
-    % (_JPEG_ZZ_VALUES, _JPEG_A_VALUES),
+    """.replace("@RGB@", _JPEG_RGB_SQL),
     doc="REAL baseline-JPEG decode, oracle-gated (operators/"
     "multimodal.py _decode_jpeg — ITU-T T.81 subset: 8-bit, 3 "
     "components, 4:4:4): 48 pinned Huffman-coded JFIF files whose "
@@ -3288,6 +3295,90 @@ def contract_jpeg_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
         .cast("long")
         .alias("pos_checksum"),
+    )
+
+
+@register(
+    "dedup_image_dhash_jpeg",
+    # Full ground truth over REAL JPEGs: the shared coefficient->pixel
+    # replay (keyed by src, so the re-keyed copies decode identically)
+    # feeds the closed-form dHash — nearest-neighbor cell sampling,
+    # channel-sum gray, 64 gradient bits with the bit-63 fold — and
+    # the exact all-pairs Hamming<=2 set. The engine's banded result
+    # must match it EXACTLY, certifying codec + hash + banding recall
+    # over the lossy container end to end.
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id % 12 = 2
+    ),
+    base AS (
+        SELECT doc_id AS media_id, doc_id AS src FROM ids0
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id FROM ids0
+    ),
+    dims AS (
+        SELECT media_id, src, (src % 8 + 2) AS w, (src % 5 + 2) AS h
+        FROM base
+    ),
+    @RGB@,
+    cells AS (
+        SELECT media_id, w, h, ty, tx,
+               least(h - 1, (ty * h) // 8) AS rr,
+               least(w - 1, (tx * w) // 9) AS cc2
+        FROM dims, range(0, 8) aa(ty), range(0, 9) bb2(tx)
+    ),
+    g AS (
+        SELECT c2.media_id, c2.ty, c2.tx,
+               rgb.rv + rgb.gv + rgb.bv AS gray
+        FROM cells c2
+        JOIN rgb ON rgb.media_id = c2.media_id
+                AND rgb.r = c2.rr AND rgb.cpos = c2.cc2
+    ),
+    bits AS (
+        SELECT l.media_id, l.ty * 8 + l.tx AS bit
+        FROM g l JOIN g r2
+          ON l.media_id = r2.media_id AND l.ty = r2.ty
+         AND r2.tx = l.tx + 1
+        WHERE l.tx < 8 AND l.gray > r2.gray
+    ),
+    hashes AS (
+        SELECT d.media_id,
+               CAST(COALESCE(SUM(CASE WHEN bit = 63
+                        THEN (CAST(1 AS BIGINT) << 62) * -2
+                        ELSE CAST(1 AS BIGINT) << bit END), 0)
+                    AS BIGINT) AS dhash
+        FROM dims d LEFT JOIN bits b USING (media_id)
+        GROUP BY d.media_id
+    )
+    SELECT a2.media_id AS doc_a, b2.media_id AS doc_b,
+           CAST(bit_count(xor(a2.dhash, b2.dhash)) AS INTEGER) AS hamming
+    FROM hashes a2 JOIN hashes b2 ON a2.media_id < b2.media_id
+    WHERE bit_count(xor(a2.dhash, b2.dhash)) <= 2
+    """.replace("@RGB@", _JPEG_RGB_SQL),
+    doc="Perceptual near-dup over REAL JPEGs: every-12th-document "
+    "formula-coefficient files decoded by the engine's baseline-JPEG "
+    "codec (Huffman + pinned integer IDCT + integer color), dHash + "
+    "3-chunk pigeonhole banding — the certified pipeline of "
+    "dedup_image_dhash/_png fed by the web's dominant lossy "
+    "container. The oracle splices the full coefficient->pixel "
+    "replay (shared fragment, keyed by src so re-keyed copies decode "
+    "identically), re-derives every hash closed-form, and computes "
+    "the exact all-pairs ground truth at radius 2.",
+)
+def dedup_image_dhash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(12)) == 2
+    )
+    # the bit-serial Python decode is ~3 ms/image (SCALING §5) and the
+    # documents fixture arrives in ONE file split — spread the Arrow
+    # codec stage across the cluster before it runs
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    media = M.synthesize_images(docs, fmt="jpeg")
+    copies = media.withColumn(
+        "media_id", F.col("media_id") + F.lit(10000000)
+    )
+    return M.image_near_dup_pairs(
+        media.unionByName(copies), max_hamming=2, max_bucket=1000
     )
 
 
