@@ -1167,16 +1167,28 @@ def _decode_avi(buf: bytes):
 
 
 def demux_video(media: DataFrame) -> DataFrame:
-    """Demux AVI payloads into per-frame pixel rows — one input row
+    """Demux video payloads into per-frame pixel rows — one input row
     fans out to n_frames output rows inside the Arrow batch (the
     real-container version of :func:`sample_frames`'s fan-out shape).
+    Container sniffed per row: RIFF/AVI or ISO BMFF (MP4) — mixed
+    batches demux correctly, the decode_media precedent.
     Output: (media_id, frame_idx, width, height, pixels)."""
 
     def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, frames = _decode_avi(bytes(content))
+                b = bytes(content)
+                if b.startswith(b"RIFF"):
+                    w, h, frames = _decode_avi(b)
+                elif b[4:8] == b"ftyp":
+                    w, h, frames = _decode_mp4(b)
+                else:
+                    raise ValueError(
+                        f"media_id={media_id}: unknown video container "
+                        f"(magic {b[:4]!r}); supported: RIFF/AVI, "
+                        "ISO BMFF"
+                    )
                 for idx, px in enumerate(frames):
                     rows.append(
                         {
@@ -1251,6 +1263,320 @@ def _encode_avi(media_id: int, w: int, h: int, n_frames: int) -> bytes:
     )
     riff_body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi_body)
     return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO Base Media File Format (ISO/IEC 14496-12) — the web's
+# dominant video container, next to the RIFF/AVI demux above. Real
+# box walk + full sample-table resolution: stsd (dimensions + codec
+# fourcc), stts (durations), stsc (sample->chunk runs), stsz (fixed
+# or per-sample sizes), stco (chunk offsets). Fixture samples are raw
+# RGB frames under a private 'rgb ' sample entry, so the demuxed
+# bytes stay the closed-form _formula_frame and the oracle replays
+# them exactly; a real H.264 decode is out of scope by design (the
+# codec slot is the same mapInPandas boundary a PyAV/ffmpeg build
+# drops into).
+# --------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def _encode_mp4(media_id: int, w: int, h: int, n_frames: int) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + mdat (raw formula frames) +
+    moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl)))). Exercises
+    the decoder's whole table surface: samples split across TWO
+    chunks when n_frames >= 3 (real stsc run logic), per-sample stsz
+    table on odd media_ids vs the fixed-size field on even, and an
+    unknown 'free' box the walker must skip."""
+    frames = [
+        _formula_frame(media_id, f, w, h).tobytes() for f in range(n_frames)
+    ]
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp41")
+    free = _mp4_box(b"free", b"synthetic-padding")
+    mdat_payload = b"".join(frames)
+    # chunk layout: 2 chunks when possible (first holds 2 samples)
+    if n_frames >= 3:
+        chunk_sizes = [2, n_frames - 2]
+    else:
+        chunk_sizes = [n_frames]
+    mdat_pos = len(ftyp) + len(free) + 8  # offset of mdat payload
+    offsets, acc = [], mdat_pos
+    si = 0
+    for csz in chunk_sizes:
+        offsets.append(acc)
+        acc += sum(len(frames[si + j]) for j in range(csz))
+        si += csz
+    fsize = w * h * 3
+
+    def full(btype: bytes, body: bytes, version: int = 0) -> bytes:
+        return _mp4_box(btype, bytes([version, 0, 0, 0]) + body)
+
+    mvhd = full(
+        b"mvhd",
+        (0).to_bytes(4, "big") * 2
+        + (1000).to_bytes(4, "big")
+        + (n_frames * 40).to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")
+        + (0x0100).to_bytes(2, "big")
+        + b"\x00" * 10
+        + b"".join(
+            v.to_bytes(4, "big")
+            for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        )
+        + (0).to_bytes(4, "big") * 6
+        + (2).to_bytes(4, "big"),
+    )
+    tkhd = full(
+        b"tkhd",
+        (0).to_bytes(4, "big") * 2
+        + (1).to_bytes(4, "big")
+        + (0).to_bytes(4, "big")
+        + (n_frames * 40).to_bytes(4, "big")
+        + (0).to_bytes(4, "big") * 2
+        + (0).to_bytes(2, "big") * 4
+        + b"".join(
+            v.to_bytes(4, "big")
+            for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        )
+        + (w << 16).to_bytes(4, "big")
+        + (h << 16).to_bytes(4, "big"),
+        version=0,
+    )
+    mdhd = full(
+        b"mdhd",
+        (0).to_bytes(4, "big") * 2
+        + (1000).to_bytes(4, "big")
+        + (n_frames * 40).to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")  # 'und' language
+        + (0).to_bytes(2, "big"),
+    )
+    hdlr = full(
+        b"hdlr",
+        (0).to_bytes(4, "big") + b"vide" + (0).to_bytes(4, "big") * 3
+        + b"raw rgb\x00",
+    )
+    # VisualSampleEntry under a private 'rgb ' fourcc
+    entry = (
+        b"\x00" * 6
+        + (1).to_bytes(2, "big")  # data_reference_index
+        + (0).to_bytes(2, "big") * 2
+        + (0).to_bytes(4, "big") * 3
+        + w.to_bytes(2, "big")
+        + h.to_bytes(2, "big")
+        + (0x00480000).to_bytes(4, "big") * 2  # 72 dpi
+        + (0).to_bytes(4, "big")
+        + (1).to_bytes(2, "big")  # frame count
+        + b"\x00" * 32  # compressorname
+        + (24).to_bytes(2, "big")  # depth
+        + (0xFFFF).to_bytes(2, "big"),
+    )[0]
+    stsd = full(
+        b"stsd", (1).to_bytes(4, "big") + _mp4_box(b"rgb ", entry)
+    )
+    stts = full(
+        b"stts",
+        (1).to_bytes(4, "big")
+        + n_frames.to_bytes(4, "big")
+        + (40).to_bytes(4, "big"),
+    )
+    stsc_entries = []
+    first = 1
+    run_start = 0
+    while run_start < len(chunk_sizes):
+        run_len = 1
+        while (
+            run_start + run_len < len(chunk_sizes)
+            and chunk_sizes[run_start + run_len] == chunk_sizes[run_start]
+        ):
+            run_len += 1
+        stsc_entries.append((first, chunk_sizes[run_start]))
+        first += run_len
+        run_start += run_len
+    stsc = full(
+        b"stsc",
+        len(stsc_entries).to_bytes(4, "big")
+        + b"".join(
+            fc.to_bytes(4, "big") + spc.to_bytes(4, "big")
+            + (1).to_bytes(4, "big")
+            for fc, spc in stsc_entries
+        ),
+    )
+    if media_id % 2 == 1:
+        stsz = full(
+            b"stsz",
+            (0).to_bytes(4, "big")
+            + n_frames.to_bytes(4, "big")
+            + b"".join(len(f).to_bytes(4, "big") for f in frames),
+        )
+    else:
+        stsz = full(
+            b"stsz",
+            fsize.to_bytes(4, "big") + n_frames.to_bytes(4, "big"),
+        )
+    stco = full(
+        b"stco",
+        len(offsets).to_bytes(4, "big")
+        + b"".join(o.to_bytes(4, "big") for o in offsets),
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + free + _mp4_box(b"mdat", mdat_payload) + moov
+
+
+def _decode_mp4(buf: bytes):
+    """ISO BMFF → (width, height, [flat RGB frame arrays]). Real
+    demux: top-level and container box walk (64-bit largesize
+    handled, unknown boxes skipped), stsd sample-entry parse
+    (dimensions + codec fourcc — only the fixture's raw 'rgb ' entry
+    decodes; compressed codecs fail loudly, naming the fourcc), then
+    sample placement resolved through the stsc run table, stsz
+    (both forms) and stco, and each sample read at its absolute
+    offset. Validates every sample is exactly w*h*3 raw bytes."""
+    import numpy as np
+
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (missing ftyp)")
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            body_lo = pos + 8
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body_lo = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError(f"malformed box {btype!r} at {pos}")
+            yield btype, body_lo, pos + size
+            pos += size
+
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    tables: dict[bytes, tuple[int, int]] = {}
+
+    def walk(lo: int, hi: int) -> None:
+        for btype, blo, bhi in boxes(lo, hi):
+            if btype in containers:
+                walk(blo, bhi)
+            elif btype in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+                tables[btype] = (blo, bhi)
+
+    walk(0, len(buf))
+    missing = [
+        t.decode()
+        for t in (b"stsd", b"stsc", b"stsz", b"stco")
+        if t not in tables
+    ]
+    if missing:
+        raise ValueError(f"MP4 missing sample tables: {missing}")
+
+    def be32(p: int) -> int:
+        return int.from_bytes(buf[p : p + 4], "big")
+
+    # stsd: first sample entry
+    lo, hi = tables[b"stsd"]
+    entry_lo = lo + 8  # version/flags + entry_count
+    esize = be32(entry_lo)
+    fourcc = buf[entry_lo + 4 : entry_lo + 8]
+    if fourcc != b"rgb ":
+        raise ValueError(
+            f"unsupported MP4 codec {fourcc!r} (raw 'rgb ' only; a real "
+            "video decoder plugs into this mapInPandas slot)"
+        )
+    w = int.from_bytes(buf[entry_lo + 32 : entry_lo + 34], "big")
+    h = int.from_bytes(buf[entry_lo + 34 : entry_lo + 36], "big")
+    # stsz
+    lo, hi = tables[b"stsz"]
+    fixed = be32(lo + 4)
+    n_samples = be32(lo + 8)
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        sizes = [be32(lo + 12 + 4 * i) for i in range(n_samples)]
+    # stsc runs -> samples per chunk
+    lo, hi = tables[b"stsc"]
+    n_runs = be32(lo + 4)
+    runs = [
+        (be32(lo + 8 + 12 * i), be32(lo + 12 + 12 * i))
+        for i in range(n_runs)
+    ]
+    # stco
+    lo, hi = tables[b"stco"]
+    n_chunks = be32(lo + 4)
+    offsets = [be32(lo + 8 + 4 * i) for i in range(n_chunks)]
+    per_chunk = []
+    for ci in range(1, n_chunks + 1):
+        spc = None
+        for fc, s in runs:
+            if fc <= ci:
+                spc = s
+        if spc is None:
+            raise ValueError("stsc run table does not cover chunk 1")
+        per_chunk.append(spc)
+    frames, si = [], 0
+    for ci, off in enumerate(offsets):
+        pos = off
+        for _ in range(per_chunk[ci]):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            if size != w * h * 3:
+                raise ValueError(
+                    f"sample {si} is {size} bytes; raw {w}x{h} RGB "
+                    f"needs {w * h * 3}"
+                )
+            if pos + size > len(buf):
+                raise ValueError(f"sample {si} extends past file end")
+            frames.append(
+                np.frombuffer(buf, np.uint8, count=size, offset=pos).copy()
+            )
+            pos += size
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"sample tables resolve {si} of {n_samples} samples"
+        )
+    return w, h, frames
+
+
+def synthesize_mp4s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real MP4 (ISO BMFF) files keyed by ``id_col``:
+    the same dims/frames formula as :func:`synthesize_videos`
+    (w = id%6+2, h = id%4+2, n_frames = id%5+2, formula frame
+    pixels), so the SAME oracle arithmetic replays both containers."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, n = mid % 6 + 2, mid % 4 + 2, mid % 5 + 2
+                content = _encode_mp4(mid, w, h, n)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": "video/mp4",
+                        "content": content,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "n_bytes": len(content),
+                            "format": "mp4",
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(synth, MEDIA_SCHEMA)
 
 
 def synthesize_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

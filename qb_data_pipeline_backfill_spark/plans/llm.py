@@ -1152,6 +1152,64 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_frame_stats",
+    # Same frame formula as the AVI twin (frames are raw in both
+    # containers), different slice — what this gates is the ISO BMFF
+    # side: box walk, stsd dimensions, and sample placement resolved
+    # through stsc runs + stsz (both forms: per-sample table on odd
+    # media_ids, fixed field on even) + stco across 1- and 2-chunk
+    # layouts. A one-off offset or a mis-resolved run misreads mdat
+    # bytes and flips the hash red.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 6 + 2) AS width,
+               (doc_id % 4 + 2) AS height,
+               (doc_id % 5 + 2) AS n_frames
+        FROM documents WHERE doc_id % 20 = 4
+    ),
+    fr AS (
+        SELECT media_id, width, height, CAST(f AS INTEGER) AS frame_idx
+        FROM m, LATERAL unnest(generate_series(0, n_frames - 1)) AS t(f)
+    ),
+    px AS (
+        SELECT media_id, frame_idx, width, height,
+               (media_id * 31 + frame_idx * 7 + i) % 256 AS v
+        FROM fr, LATERAL unnest(generate_series(0, width * height * 3 - 1)) AS u(i)
+    )
+    SELECT media_id, frame_idx, width, height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v) * 10000 // COUNT(*) AS BIGINT) AS mean_bp
+    FROM px
+    GROUP BY media_id, frame_idx, width, height
+    """,
+    doc="REAL MP4 demux, oracle-gated (operators/multimodal.py "
+    "_decode_mp4 — ISO/IEC 14496-12): synthesize genuine ISO BMFF "
+    "files (ftyp/mdat/moov with full mvhd/tkhd/mdhd/hdlr/stbl sample "
+    "tables), demux via the box walk + stsc/stsz/stco sample "
+    "resolution inside Arrow mapInPandas, aggregate per-frame pixel "
+    "stats. Extends the container family (PPM/BMP/PNG/JPEG image, "
+    "WAV audio, AVI video) with the web's dominant video container; "
+    "compressed codecs fail loudly by design — the raw sample entry "
+    "is the certified plumbing a PyAV/ffmpeg decode drops into.",
+)
+def multimodal_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(20)) == 4
+    )
+    frames = M.demux_video(M.synthesize_mp4s(docs))
+    pixel_sum = F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        pixel_sum.cast("long").alias("pixel_sum"),
+        F.floor(pixel_sum * 10000 / F.size("pixels")).cast("long").alias("mean_bp"),
+    )
+
+
+@register(
     "multimodal_audio_stats",
     # Synthetic WAV sample i is ((media_id*17 + i*31) % 65536) - 32768
     # (operators/multimodal.py:_formula_samples), so the oracle

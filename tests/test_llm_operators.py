@@ -411,6 +411,43 @@ def test_decode_bmp_equals_ppm_decode(docs):
     assert p == b and len(p) > 0
 
 
+def test_mp4_demux_round_trip_and_mixed_containers(spark, docs):
+    """ISO BMFF driver-side pins: decode(encode) recovers every
+    formula frame across both stsz forms (per-sample table on odd
+    ids, fixed field on even) and both chunk layouts; a mixed
+    AVI+MP4 batch demuxes per-row through the sniffing demux_video;
+    unsupported codec fourccs and non-BMFF bytes fail loudly."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _decode_mp4,
+        _encode_mp4,
+        _formula_frame,
+    )
+
+    for mid in (2, 3, 5, 8, 11):  # covers n_frames 2..6, both parities
+        w, h, n = mid % 6 + 2, mid % 4 + 2, mid % 5 + 2
+        dw, dh, frames = _decode_mp4(_encode_mp4(mid, w, h, n))
+        assert (dw, dh, len(frames)) == (w, h, n)
+        for f, px in enumerate(frames):
+            assert np.array_equal(px, _formula_frame(mid, f, w, h))
+    with pytest.raises(ValueError, match="ftyp"):
+        _decode_mp4(b"\x00\x00\x00\x08abcdefgh")
+    bad = bytearray(_encode_mp4(3, 4, 3, 4))
+    i = bytes(bad).index(b"rgb ")
+    bad[i : i + 4] = b"avc1"
+    with pytest.raises(ValueError, match="avc1"):
+        _decode_mp4(bytes(bad))
+    # mixed containers in one batch
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    mixed = M.synthesize_videos(half).unionByName(M.synthesize_mp4s(other))
+    out = M.demux_video(mixed)
+    assert out.count() == (
+        M.demux_video(M.synthesize_videos(docs)).count()
+    )
+
+
 def test_decode_png_equals_ppm_decode(docs):
     """The stdlib PNG codec (filtered + deflated scanlines, CRC'd
     chunk walk) decodes to the identical pixels as the raw PPM payload
