@@ -1047,6 +1047,209 @@ def train_bpe(
     )
 
 
+def train_wordpiece(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Distributed WordPiece trainer (Schuster & Nakajima 2012; the
+    BERT tokenizer family — the third trainer next to BPE and
+    unigram-LM): ``n_merges`` rounds of merge-the-argmax where the
+    objective is the LIKELIHOOD score ``count(pair) / (count(left) ·
+    count(right))`` rather than BPE's raw pair count — the pair whose
+    fusion most increases corpus likelihood under a unigram factor-
+    ization. Non-initial symbols carry the ``##`` continuation prefix
+    (merging A+B yields ``A + B-without-##``), so the learned vocab
+    is directly usable by greedy longest-match encoding.
+
+    Returns (rank, left, right, pair_count, denom) with ``denom =
+    count(left)·count(right)`` — the score ships as an EXACT integer
+    rational (pair_count/denom), so the oracle replay compares
+    integers, never floats.
+
+    Distribution shape = ``train_bpe``'s vocab-reduction scaffold:
+    corpus collapses once to the distinct-word frequency table; per
+    round one map-side-combined pair count, one symbol count (both
+    over |vocab| rows), a 3-way broadcast-scale join for the score,
+    ONE collected argmax row, and the same codegen greedy fold
+    applies the merge. Ordering: score DESC (double ratio — counts
+    are far below the 2^52 scale where two DISTINCT small-integer
+    rationals could collide in double), then lexicographic — fully
+    deterministic."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            F.concat(
+                F.array(F.substring("w", 1, 1)),
+                F.transform(
+                    F.split(F.expr("substring(w, 2)"), ""),
+                    lambda c: F.concat(F.lit("##"), c),
+                ),
+            ).alias("syms"),
+            "f",
+        )
+        .select(
+            F.filter("syms", lambda s: s != F.lit("##")).alias("syms"), "f"
+        )
+    )
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pair_idx = gram_positions(F.col("syms"), 2)
+        pairs = words.select(
+            F.explode(pair_idx).alias("i"), "syms", "f"
+        ).select(
+            F.get("syms", F.col("i")).alias("s1"),
+            F.get("syms", F.col("i") + 1).alias("s2"),
+            "f",
+        )
+        pc = pairs.groupBy("s1", "s2").agg(F.sum("f").alias("c"))
+        sc = (
+            words.select(F.explode("syms").alias("s"), "f")
+            .groupBy("s")
+            .agg(F.sum("f").alias("sf"))
+        )
+        top = (
+            pc.join(sc.withColumnRenamed("s", "s1"), "s1")
+            .withColumnRenamed("sf", "f1")
+            .join(sc.withColumnRenamed("s", "s2"), "s2")
+            .withColumnRenamed("sf", "f2")
+            .select(
+                "s1",
+                "s2",
+                "c",
+                (F.col("f1") * F.col("f2")).alias("denom"),
+                (F.col("c") / (F.col("f1") * F.col("f2"))).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        s1, s2 = top[0]["s1"], top[0]["s2"]
+        merges.append(
+            (rank, s1, s2, int(top[0]["c"]), int(top[0]["denom"]))
+        )
+        merged = s1 + (s2[2:] if s2.startswith("##") else s2)
+        step = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == s1)
+                & (x == s2),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(step.alias("syms"), "f")
+        if (rank + 1) % 4 == 0:
+            words = words.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, pair_count bigint, "
+        "denom bigint",
+    )
+
+
+def wordpiece_vocab(
+    df: DataFrame, merges_df: DataFrame, text_col: str = "text"
+) -> list[str]:
+    """The vocabulary a trained WordPiece model encodes with: every
+    initial/continuation single-character form present in the corpus
+    plus each merge's output token. Bounded model artifact (the
+    BPE-merge-table pattern): one distinct-character collect."""
+    chars = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            F.explode(
+                F.concat(
+                    F.array(F.substring("w", 1, 1)),
+                    F.transform(
+                        F.split(F.expr("substring(w, 2)"), ""),
+                        lambda c: F.concat(F.lit("##"), c),
+                    ),
+                )
+            ).alias("s")
+        )
+        .filter(F.col("s") != "##")
+        .distinct()
+        .collect()
+    )
+    vocab = {r["s"] for r in chars}
+    for r in merges_df.orderBy("rank").collect():
+        right = r["right"]
+        vocab.add(r["left"] + (right[2:] if right.startswith("##") else right))
+    return sorted(vocab)
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding (the BERT
+    tokenizer's runtime algorithm): per word, repeatedly take the
+    longest vocabulary prefix (``##``-prefixed after the first
+    piece); a word with no match at any position becomes one
+    ``[UNK]``. Emits per-document (n_subwords, n_distinct_subwords,
+    n_unk) — the same Arrow pandas_udf + per-batch word cache shape
+    as :func:`bpe_encode` (segmentation is inherently sequential per
+    word; cost tracks DISTINCT words, the Zipf exploit)."""
+    from pyspark.sql.functions import pandas_udf
+
+    vset = frozenset(vocab)
+
+    def segment(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        out: list[str] = []
+        i = 0
+        while i < len(word):
+            end, piece = len(word), None
+            while end > i:
+                cand = word[i:end] if i == 0 else "##" + word[i:end]
+                if cand in vset:
+                    piece = cand
+                    break
+                end -= 1
+            if piece is None:
+                out = ["[UNK]"]
+                break
+            out.append(piece)
+            i = end
+        cache[word] = out
+        return out
+
+    @pandas_udf("n_subwords long, n_distinct_subwords long, n_unk long")
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        cache: dict = {}
+        n, nd, nu = [], [], []
+        for t in texts:
+            words = " ".join((t or "").lower().strip().split()).split(" ")
+            subs: list[str] = []
+            for w in words:
+                if w:
+                    subs.extend(segment(w, cache))
+            n.append(len(subs))
+            nd.append(len(set(subs)))
+            nu.append(sum(1 for s in subs if s == "[UNK]"))
+        return pd.DataFrame(
+            {"n_subwords": n, "n_distinct_subwords": nd, "n_unk": nu}
+        )
+
+    out = df.select(F.col(id_col), stats(F.col(text_col)).alias("s"))
+    return out.select(
+        id_col, "s.n_subwords", "s.n_distinct_subwords", "s.n_unk"
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],

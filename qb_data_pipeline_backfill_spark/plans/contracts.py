@@ -780,6 +780,74 @@ def contract_bpe_encode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contract_wordpiece_merge_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, '##c', '##k', CAST(2 AS BIGINT), CAST(4 AS BIGINT)),
+        (1, 'q', '##u', 2, 4),
+        (2, 't', '##h', 3, 9),
+        (3, '##i', '##ck', 2, 10),
+        (4, 'qu', '##ick', 2, 4),
+        (5, 'w', '##i', 3, 9),
+        (6, 'wi', '##d', 3, 15),
+        (7, 'l', '##o', 7, 56),
+        (8, '##r', '##o', 1, 3),
+        (9, 'b', '##ro', 1, 6)
+    ) AS t(rank, left_sym, right_sym, pair_count, denom)
+    """,
+    doc="Oracle twin for the WordPiece trainer (operators/text.py "
+    "train_wordpiece — Schuster & Nakajima 2012, the BERT tokenizer; "
+    "third trainer family next to BPE and unigram-LM): the full "
+    "10-round merge trajectory on the pinned micro-corpus must equal "
+    "an independent exact-Fraction replay, pinned as VALUES. The "
+    "likelihood objective count(pair)/(count(l)*count(r)) ships as "
+    "an exact integer rational (pair_count, denom), so the gate "
+    "compares integers; the trajectory deliberately DIVERGES from "
+    "BPE's frequency argmax on the same corpus (rare-but-cohesive "
+    "'##c'+'##k' first), pinning the objective itself.",
+)
+def contract_wordpiece_merge_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    return X.train_wordpiece(_bpe_pin_corpus(spark), n_merges=10).select(
+        "rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "pair_count",
+        "denom",
+    )
+
+
+@register(
+    "contract_wordpiece_encode_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(66 AS BIGINT), CAST(8 AS BIGINT),
+         CAST(0 AS BIGINT)),
+        (1, 29, 4, 0),
+        (2, 21, 8, 0)
+    ) AS t(doc_id, n_subwords, n_distinct_subwords, n_unk)
+    """,
+    doc="Oracle twin for wordpiece_encode_stats: greedy longest-"
+    "match-first encoding of the pinned micro-corpus under its own "
+    "10-merge vocabulary (single-char initial/continuation forms + "
+    "merge outputs) must reproduce the independently replayed "
+    "per-document stats, [UNK] count included — certifying the "
+    "train -> vocab -> encode loop end to end.",
+)
+def contract_wordpiece_encode_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    corpus = _bpe_pin_corpus(spark)
+    merges = X.train_wordpiece(corpus, n_merges=10)
+    return X.wordpiece_encode(corpus, X.wordpiece_vocab(corpus, merges))
+
+
+@register(
     "contract_heavy_hitters",
     oracle="""
     WITH hk AS (

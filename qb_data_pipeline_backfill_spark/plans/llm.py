@@ -459,6 +459,29 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordpiece_encode_stats",
+    oracle=None,  # trained-vocab greedy encode is the same iterative
+    # non-SQL shape as the BPE/unigram corpus runs; certified by the
+    # oracle-green contract_wordpiece_merge_replay /
+    # contract_wordpiece_encode_replay pinned-trajectory twins.
+    doc="Corpus statistics under the TRAINED WordPiece tokenizer "
+    "(operators/text.py train_wordpiece + wordpiece_encode — the "
+    "BERT family, completing the BPE/unigram/WordPiece trainer "
+    "trio): train 10 likelihood-scored merges over the documents "
+    "corpus, build the vocab (char forms + merge outputs, a bounded "
+    "broadcast artifact), then greedy longest-match-first encode "
+    "every document with the per-batch distinct-word cache and emit "
+    "per-doc subword/distinct/[UNK] counts. Rows-only; the full "
+    "trajectory arithmetic is pinned by the two oracle-green "
+    "contract twins.",
+)
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    merges = X.train_wordpiece(docs, n_merges=10)
+    return X.wordpiece_encode(docs, X.wordpiece_vocab(docs, merges))
+
+
+@register(
     "dedup_cluster_resolution",
     oracle=r"""
     WITH RECURSIVE toks AS (%s),

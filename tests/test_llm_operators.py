@@ -1067,6 +1067,86 @@ def test_bpe_encode_no_merges_is_char_count(spark):
     assert (r["n_subwords"], r["n_distinct_subwords"]) == (3, 3)
 
 
+def test_train_wordpiece_matches_exact_fraction_reference(spark):
+    """The distributed WordPiece trainer's full trajectory vs an
+    independent exact-Fraction reference on 60 fixture docs — pinning
+    the likelihood objective count(pair)/(count(l)·count(r)), the
+    ##-continuation bookkeeping, and the deterministic tie-break.
+    Also pins that the objective genuinely differs from BPE's
+    frequency argmax on the same corpus, and that greedy
+    longest-match encode matches a reference (incl. [UNK] for a word
+    whose characters left the vocab... none here — UNK pinned via a
+    crafted vocab below)."""
+    from fractions import Fraction
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"], r["denom"])
+        for r in X.train_wordpiece(docs, n_merges=8).orderBy("rank").collect()
+    ]
+
+    words: dict = {}
+    for r in docs.collect():
+        for w in r["text"].lower().strip().split():
+            words[w] = words.get(w, 0) + 1
+    segs = {w: [w[0]] + ["##" + c for c in w[1:]] for w in words}
+    want = []
+    for rank in range(8):
+        pc: dict = {}
+        sc: dict = {}
+        for w, f in words.items():
+            syms = segs[w]
+            for s in syms:
+                sc[s] = sc.get(s, 0) + f
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + f
+        best = None
+        for (s1, s2), c in pc.items():
+            score = Fraction(c, sc[s1] * sc[s2])
+            if (
+                best is None
+                or score > best[0]
+                or (score == best[0] and (s1, s2) < (best[1], best[2]))
+            ):
+                best = (score, s1, s2, c, sc[s1] * sc[s2])
+        _, s1, s2, c, denom = best
+        want.append((rank, s1, s2, c, denom))
+        merged = s1 + (s2[2:] if s2.startswith("##") else s2)
+        for w in segs:
+            syms, out, i = segs[w], [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (s1, s2):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    assert got == want
+    bpe_first = X.train_bpe(docs, n_merges=1).collect()[0]
+    assert (bpe_first["left"], bpe_first["right"]) != (got[0][1], got[0][2])
+
+
+def test_wordpiece_encode_greedy_and_unk(spark):
+    df = spark.createDataFrame(
+        [(0, "unbearable unbearable zap")], ["doc_id", "text"]
+    )
+    # crafted vocab: 'unbear' wins over 'un' (longest match first);
+    # 'zap' has no 'z' so the whole word collapses to one [UNK]
+    vocab = [
+        "un", "unbear", "##able", "##bear", "##a", "##b", "##e", "##l",
+        "##n", "##r", "##u", "u", "##p",
+    ]
+    [r] = X.wordpiece_encode(df, vocab).collect()
+    # unbearable -> [unbear, ##able] x2; zap -> [UNK]
+    assert (r["n_subwords"], r["n_distinct_subwords"], r["n_unk"]) == (
+        5, 3, 1,
+    )
+
+
 def _pdocs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
