@@ -821,34 +821,75 @@ def ngram_lm_scores(
     order words. Columns are suffix-positioned (level k holds
     w{order−k+1}..w{order}), so at order=3 this is bit-for-bit the
     engine's original trigram plan."""
+    inst = ngram_instances(df, order, text_col=text_col, id_col=id_col)
+    probs = ngram_nll_table(
+        df, order, text_col=text_col, id_col=id_col, discount=discount
+    )
+    wn = [f"w{j}" for j in range(1, order + 1)]
+    terms = inst.join(probs, wn).select(F.col(id_col), "nll")
+    return terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum("nll").alias("nll_micro"),
+        F.floor(F.sum("nll") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("nll_micro_avg"),
+    )
+
+
+def ngram_instances(
+    df: DataFrame,
+    order: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document order-gram instance table ``(id, w1..wn)`` —
+    stateless per-row extraction, so it runs unchanged on a stream
+    (the scoring half of the fit-offline/apply-on-ingest split)."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    n = order
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    cols = [F.get("t", F.col("i") + j).alias(f"w{j + 1}") for j in range(n)]
+    return toks.select(
+        F.col(id_col),
+        F.explode(gram_positions(F.col("t"), n)).alias("i"),
+        "t",
+    ).select(F.col(id_col), *cols)
+
+
+def ngram_nll_table(
+    df: DataFrame,
+    order: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """The FIT half of :func:`ngram_lm_scores`: the distinct-gram NLL
+    table ``(w1..wn, nll)`` for the corpus — the model artifact a
+    streaming scorer joins against (stream-static join; see
+    streaming_fivegram_perplexity)."""
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
     n = order
     toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
 
-    def grams(k: int, with_id: bool) -> DataFrame:
+    def grams(k: int) -> DataFrame:
         # level-k instance table; suffix column naming w{n-k+1}..w{n}
         cols = [
             F.get("t", F.col("i") + j).alias(f"w{n - k + 1 + j}")
             for j in range(k)
         ]
-        base = toks.select(
-            *([F.col(id_col)] if with_id else []),
-            F.explode(gram_positions(F.col("t"), k)).alias("i"),
-            "t",
-        )
-        return base.select(*([F.col(id_col)] if with_id else []), *cols)
+        return toks.select(
+            F.explode(gram_positions(F.col("t"), k)).alias("i"), "t"
+        ).select(*cols)
 
     def wcols(k: int) -> list[str]:
         return [f"w{j}" for j in range(n - k + 1, n + 1)]
 
-    inst = grams(n, with_id=True)
-    # distinct k-gram count tables, k = n..2; level n reuses the
-    # instance extraction (projection pruning drops the id)
+    # distinct k-gram count tables, k = n..2
     counts: dict[int, DataFrame] = {}
     for k in range(n, 1, -1):
-        src = inst.select(*wcols(k)) if k == n else grams(k, with_id=False)
-        counts[k] = src.groupBy(*wcols(k)).agg(
+        counts[k] = grams(k).groupBy(*wcols(k)).agg(
             F.count(F.lit(1)).alias(f"c{k}")
         )
     hists = {
@@ -893,14 +934,7 @@ def ngram_lm_scores(
             .join(probs, wcols(k - 1))
             .select(*wcols(k), out_col)
         )
-    terms = inst.join(probs, wcols(n)).select(F.col(id_col), "nll")
-    return terms.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum("nll").alias("nll_micro"),
-        F.floor(F.sum("nll") / F.count(F.lit(1)) + F.lit(0.5))
-        .cast("long")
-        .alias("nll_micro_avg"),
-    )
+    return probs
 
 
 def trigram_lm_scores(

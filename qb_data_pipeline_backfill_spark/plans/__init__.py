@@ -39,9 +39,13 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # rotate out (one-to-three rounds old) and every query is still
 # re-verified in the local full sweep (tools/check_correctness.py,
 # sf0.01) each round regardless. Next-oldest names left outside the
-# 50 (for the r15 window): dedup_image_dhash_jpeg (late r14 addition,
-# sweep-verified; its certification twin contract_jpeg_decode_replay
-# IS in this window), running_total_per_customer, status_priority_cube,
+# 50 (for the r15 window): the late r14 additions
+# dedup_image_dhash_jpeg, multimodal_mp4_frame_stats,
+# contract_wordpiece_merge_replay, contract_wordpiece_encode_replay,
+# wordpiece_encode_stats, streaming_fivegram_perplexity (all
+# sweep-verified this round; the JPEG family's certification twin
+# contract_jpeg_decode_replay IS in this window), then
+# running_total_per_customer, status_priority_cube,
 # topk_orders_per_customer, tumbling_window_events, then the r7 block
 # alphabetically.
 prioritize(

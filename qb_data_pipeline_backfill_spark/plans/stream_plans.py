@@ -741,6 +741,65 @@ from qb_data_pipeline_backfill_spark.plans.llm import (  # noqa: E402
 )
 
 
+from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG_EARLY,
+)
+
+
+@register(
+    "streaming_fivegram_perplexity",
+    # batch-fit model, stream-applied (the streaming_dsir_scores
+    # protocol at 5-gram KN strength): the distinct-5-gram NLL table
+    # fits ONCE over the FULL batch corpus (+edge — the registered
+    # fivegram oracle spliced verbatim), the stream's instances join
+    # it stream-static, and only the scored rows restrict to the
+    # streamed subset. Complete-mode aggregate over the bounded file
+    # stream rebuilds each doc's (count, sum, avg) per micro-batch.
+    oracle="""
+    SELECT f.doc_id, f.n_ngrams, f.nll_micro, f.nll_micro_avg
+    FROM (%s) f
+    JOIN documents d ON d.doc_id = f.doc_id
+    WHERE f.doc_id %% 4 = 1
+    """
+    % _REG_EARLY["text_fivegram_perplexity"].oracle.replace("%", "%%"),
+    doc="5-gram KN perplexity scoring under Structured Streaming: "
+    "the interpolated-KN NLL table (operators/text.py "
+    "ngram_nll_table) fits once on the batch corpus — the model "
+    "artifact — and every micro-batch of the documents file stream "
+    "scores via a stateless instance explode + ONE stream-static "
+    "join + a complete-mode per-doc aggregate. The deploy shape of "
+    "CCNet quality filtering: fit the LM offline, score documents "
+    "on the ingest stream. Oracle = the full fivegram replay "
+    "restricted to the streamed subset.",
+)
+def streaming_fivegram_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import text as X
+    from qb_data_pipeline_backfill_spark.plans.llm import _docs_edge
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+        run_available_now,
+    )
+
+    probs = X.ngram_nll_table(_docs_edge(spark, sf_dir), 5)
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 1
+    )
+    inst = X.ngram_instances(docs, 5)
+    wn = [f"w{j}" for j in range(1, 6)]
+    terms = inst.join(probs, wn).select("doc_id", "nll")
+    out = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum("nll").alias("nll_micro"),
+        F.floor(F.sum("nll") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("nll_micro_avg"),
+    )
+    return run_available_now(out, output_mode="complete")
+
+
+
 @register(
     "streaming_dsir_scores",
     # batch-fit model, stream-applied: the λ CTEs fit over the FULL
