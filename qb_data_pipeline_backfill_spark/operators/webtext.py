@@ -820,6 +820,59 @@ def warc_parse(df: DataFrame, blob_col: str = "warc") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def gunzip_members(buf: bytes) -> bytes:
+    """Decompress a MULTI-MEMBER gzip stream (RFC 1952 allows any
+    number of concatenated members; CommonCrawl's ``.warc.gz`` files
+    compress each record as its own member so readers can
+    random-access records). stdlib zlib: one decompressobj per
+    member, ``unused_data`` carries the next member's offset. Fails
+    loudly on a non-gzip prefix or a truncated member — a shard that
+    inflates halfway is a silent-partial crawl extract."""
+    import zlib
+
+    out: list[bytes] = []
+    pos_total = 0
+    while buf:
+        if buf[:2] != b"\x1f\x8b":
+            raise ValueError(
+                f"not a gzip member at stream offset {pos_total} "
+                f"(magic {buf[:2]!r})"
+            )
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(buf))
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member at stream offset {pos_total}"
+            )
+        consumed = len(buf) - len(d.unused_data)
+        pos_total += consumed
+        buf = d.unused_data
+    return b"".join(out)
+
+
+def warc_parse_gz(df: DataFrame, blob_col: str = "warc_gz") -> DataFrame:
+    """``.warc.gz`` → record rows: inflate the multi-member gzip
+    stream (the CommonCrawl on-disk layout — one member per record or
+    per record group), then the SAME strict ``parse_warc`` grammar as
+    the uncompressed face. Two narrow Arrow stages (inflate →
+    fan-out); nothing but the inflated text crosses between them. At
+    100 TB the unit stays the whole ``.warc.gz`` file (binaryFile
+    read), so members never straddle a task boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def gunzip(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None
+            if b is None
+            else gunzip_members(bytes(b)).decode("utf-8")
+        )
+
+    return warc_parse(
+        df.withColumn(blob_col, gunzip(F.col(blob_col))), blob_col
+    )
+
+
 # --------------------------------------------------------------------------
 # blocklist-word filtering (C4 §2.2's "bad words" page filter)
 # --------------------------------------------------------------------------

@@ -42,7 +42,8 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # 50 (for the r15 window): the late r14 additions
 # dedup_image_dhash_jpeg, multimodal_mp4_frame_stats,
 # contract_wordpiece_merge_replay, contract_wordpiece_encode_replay,
-# wordpiece_encode_stats, streaming_fivegram_perplexity (all
+# wordpiece_encode_stats, streaming_fivegram_perplexity,
+# warc_gzip_parse (all
 # sweep-verified this round; the JPEG family's certification twin
 # contract_jpeg_decode_replay IS in this window), then
 # running_total_per_customer, status_priority_cube,

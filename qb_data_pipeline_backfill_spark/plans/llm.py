@@ -2532,6 +2532,70 @@ def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG_WARC,
+)
+
+
+@register(
+    "warc_gzip_parse",
+    # identical record set to warc_record_parse — what THIS gate adds
+    # is the compressed container: every seg blob becomes its own
+    # gzip MEMBER (mtime=0: deterministic bytes), members concatenate
+    # into multi-member "files" (seg % 5), and the engine must split
+    # members via unused_data, inflate each fully, and re-enter the
+    # same octet-exact WARC grammar. The oracle is the uncompressed
+    # gate's oracle verbatim (registry splice).
+    oracle=_REG_WARC["warc_record_parse"].oracle,
+    doc="CommonCrawl's on-disk layout (.warc.gz — RFC 1952 multi-"
+    "member gzip, one member per record group) parsed end to end: "
+    "stdlib inflate with member splitting via unused_data "
+    "(operators/webtext.py gunzip_members + warc_parse_gz), then the "
+    "same Content-Length-advancing WARC grammar as "
+    "warc_record_parse. Truncated members and non-gzip prefixes fail "
+    "loudly. Oracle = the uncompressed gate's closed-form field "
+    "derivation, so a member mis-split that drops or duplicates one "
+    "record goes hash-red.",
+)
+def warc_gzip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd_  # noqa: F811
+
+    blobs = _warc_blobs(spark, sf_dir).select(
+        F.pmod(F.col("seg"), F.lit(5)).alias("g"), "seg", "warc"
+    )
+    grouped = blobs.groupBy("g").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seg", "warc"))
+        ).alias("rs")
+    )
+
+    def compress(batches):
+        import gzip
+
+        for pdf in batches:
+            rows = []
+            for g, rs in zip(pdf["g"], pdf["rs"]):
+                content = b"".join(
+                    gzip.compress(r["warc"].encode("utf-8"), mtime=0)
+                    for r in rs
+                )
+                rows.append({"g": int(g), "warc_gz": content})
+            yield pd_.DataFrame(rows, columns=["g", "warc_gz"])
+
+    files = grouped.mapInPandas(compress, "g int, warc_gz binary")
+    parsed = W.warc_parse_gz(files, "warc_gz")
+    return parsed.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("record_id", "<urn:doc:(-?\\d+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "warc_date",
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_length",
+        "body",
+    )
+
+
 @register(
     "sample_global_shuffle",
     oracle=f"""

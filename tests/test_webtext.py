@@ -570,3 +570,64 @@ def test_fast_tokenizer_fuzz_parity():
             n_fast += 1
             assert p.result() == _stdlib_extract(doc), repr(doc)
     assert n_fast > 50  # fast path engages on a real fraction
+
+
+def test_gunzip_members_multi_member_and_rejections():
+    """RFC 1952 multi-member stream handling (the .warc.gz layout):
+    concatenated members inflate in order; a non-gzip prefix, a
+    mid-stream non-gzip byte, and a truncated final member each fail
+    loudly with the stream offset."""
+    import gzip
+
+    import pytest as _pytest
+
+    from qb_data_pipeline_backfill_spark.operators.webtext import (
+        gunzip_members,
+    )
+
+    parts = [b"alpha " * 10, b"beta", b"", b"gamma!"]
+    stream = b"".join(gzip.compress(p, mtime=0) for p in parts)
+    assert gunzip_members(stream) == b"".join(parts)
+    assert gunzip_members(b"") == b""
+    with _pytest.raises(ValueError, match="offset 0"):
+        gunzip_members(b"not-gzip")
+    one = gzip.compress(b"payload", mtime=0)
+    with _pytest.raises(ValueError, match="not a gzip member"):
+        gunzip_members(one + b"junk-after-member")
+    with _pytest.raises(ValueError, match="truncated"):
+        gunzip_members(stream[: len(stream) - 5])
+
+
+def test_warc_parse_gz_equals_uncompressed(spark):
+    """The compressed face yields the identical record rows as
+    warc_parse on the inflated text — per-record members AND one
+    whole-blob member both round-trip."""
+    import gzip
+
+    from qb_data_pipeline_backfill_spark.operators import webtext as W2
+
+    payload = "HTTP/1.1 200 OK\r\n\r\nbody text with trailing words"
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:doc:7>\r\n"
+        "WARC-Target-URI: http://x.test/a\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+    blob = rec + rec.replace("urn:doc:7", "urn:doc:8")
+    plain = spark.createDataFrame([(1, blob)], ["fid", "warc"])
+    want = sorted(
+        (r["record_id"], r["body"], r["content_length"])
+        for r in W2.warc_parse(plain, "warc").collect()
+    )
+    for members in ([rec, rec.replace("urn:doc:7", "urn:doc:8")], [blob]):
+        content = b"".join(
+            gzip.compress(m.encode(), mtime=0) for m in members
+        )
+        gz = spark.createDataFrame([(1, bytearray(content))], "fid int, warc_gz binary")
+        got = sorted(
+            (r["record_id"], r["body"], r["content_length"])
+            for r in W2.warc_parse_gz(gz, "warc_gz").collect()
+        )
+        assert got == want and len(got) == 2
