@@ -802,6 +802,8 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
             nxt = self.buf[self.pos + 1]
