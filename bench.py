@@ -321,6 +321,16 @@ def main() -> None:
             k: round(v, 1) for k, v in compact["queries"].items()
         }
         cline = json.dumps(compact, separators=(",", ":"))
+    if len(cline) > 1950:
+        # Last resort (ADVICE r14): drop per-query timings entirely so
+        # the stdout line can never truncate — the full dict is in the
+        # committed BENCH_full.json either way.
+        compact["queries"] = {}
+        compact["queries_note"] = (
+            "dropped from stdout (line-length cap); all %d in "
+            "BENCH_full.json" % len(timings)
+        )
+        cline = json.dumps(compact, separators=(",", ":"))
     print(cline)
 
 

@@ -806,6 +806,8 @@ class _BitReader:
             raise ValueError("truncated JPEG entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG entropy data")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed

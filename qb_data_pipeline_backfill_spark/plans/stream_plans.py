@@ -761,7 +761,7 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: E402
     JOIN documents d ON d.doc_id = f.doc_id
     WHERE f.doc_id %% 4 = 1
     """
-    % _REG_EARLY["text_fivegram_perplexity"].oracle.replace("%", "%%"),
+    % _REG_EARLY["text_fivegram_perplexity"].oracle,
     doc="5-gram KN perplexity scoring under Structured Streaming: "
     "the interpolated-KN NLL table (operators/text.py "
     "ngram_nll_table) fits once on the batch corpus — the model "
