@@ -626,21 +626,25 @@ def _jpeg_block_pixels(media_id: int, c: int, b: int):
     return out  # out[row][col]
 
 
-def _jpeg_expected_pixels(media_id: int, w: int, h: int):
+def _jpeg_expected_pixels(media_id: int, w: int, h: int,
+                          subsampling: str = "444"):
     """Expected RGB output of decoding the fixture JPEG — formula
-    coefficients through the pinned integer IDCT + color transform;
-    what the real decoder must reproduce bit-for-bit. Block index
-    b = by * n_bx + bx (MCU scan order)."""
+    coefficients through the pinned integer IDCT, nearest-neighbor
+    chroma upsample (full pixel (r,c) reads component sample
+    (r*vi//vmax, c*hi//hmax)), + integer color transform; what the
+    real decoder must reproduce bit-for-bit. Per-component block
+    index b = cby * (mcux*hi) + cbx (component-raster order)."""
     import numpy as np
 
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
+    samp = _JPEG_SAMPLING[subsampling]
+    mcux, mcuy, hmax, vmax = _jpeg_mcu_grid(w, h, subsampling)
     comps = []
-    for c in range(3):
-        plane = [[0] * (bw * 8) for _ in range(bh * 8)]
-        for by in range(bh):
-            for bx in range(bw):
-                blk = _jpeg_block_pixels(media_id, c, by * bw + bx)
+    for c, (hi, vi) in enumerate(samp):
+        nbx, nby = mcux * hi, mcuy * vi
+        plane = [[0] * (nbx * 8) for _ in range(nby * 8)]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = _jpeg_block_pixels(media_id, c, by * nbx + bx)
                 for r in range(8):
                     for col in range(8):
                         plane[by * 8 + r][bx * 8 + col] = blk[r][col]
@@ -649,12 +653,13 @@ def _jpeg_expected_pixels(media_id: int, w: int, h: int):
     def fl(t: int) -> int:
         return (t + (1 << 15)) >> 16
 
+    (h0, v0), (h1, v1), (h2, v2) = samp
     px = np.zeros(h * w * 3, dtype=np.uint8)
     for r in range(h):
         for col in range(w):
-            y = comps[0][r][col]
-            cb = comps[1][r][col] - 128
-            cr = comps[2][r][col] - 128
+            y = comps[0][r * v0 // vmax][col * h0 // hmax]
+            cb = comps[1][r * v1 // vmax][col * h1 // hmax] - 128
+            cr = comps[2][r * v2 // vmax][col * h2 // hmax] - 128
             rgb = (
                 y + fl(91881 * cr),
                 y - fl(22554 * cb + 46802 * cr),
@@ -720,16 +725,45 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _encode_jpeg(media_id: int, w: int, h: int) -> bytes:
+# per-component (h, v) sampling factors for the supported layouts.
+# "420" is the web's dominant layout: one chroma block covers a 16x16
+# luma area (2x2 luma blocks per MCU).
+_JPEG_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _jpeg_mcu_grid(w: int, h: int, subsampling: str):
+    """(mcux, mcuy, hmax, vmax) for a frame — shared by the encoder,
+    decoder ground truth, and the SQL oracle's closed-form replay."""
+    samp = _JPEG_SAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return mcux, mcuy, hmax, vmax
+
+
+def _encode_jpeg(media_id: int, w: int, h: int,
+                 subsampling: str = "444") -> bytes:
     """Baseline JFIF file whose quantized coefficients are
     ``_jpeg_coef``: SOI, APP0, two DQTs, SOF0 (8-bit, 3 components,
-    4:4:4), four DHTs, SOS, Huffman-coded interleaved MCUs with DC
-    differential coding and AC run-length (EOB/ZRL), byte stuffing,
-    EOI. No forward DCT — the fixture IS its coefficients."""
+    4:4:4 or 4:2:0), four DHTs, SOS, Huffman-coded interleaved MCUs
+    with DC differential coding and AC run-length (EOB/ZRL), byte
+    stuffing, EOI. No forward DCT — the fixture IS its coefficients.
+
+    Block index convention (shared with the SQL replay): for each
+    component the formula index ``b`` is the block's RASTER position
+    in that component's own block grid (``b = cby * mcux*hi + cbx``);
+    the entropy stream interleaves those blocks in T.81 MCU order
+    (per MCU: hi*vi luma blocks row-major, then Cb, then Cr)."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
+    samp = _JPEG_SAMPLING[subsampling]
+    mcux, mcuy, hmax, vmax = _jpeg_mcu_grid(w, h, subsampling)
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_tables()
     dc_codes = _huff_codes(dc_bits, dc_vals)
     ac_codes = _huff_codes(ac_bits, ac_vals)
@@ -739,8 +773,8 @@ def _encode_jpeg(media_id: int, w: int, h: int) -> bytes:
     for tid in (0, 1):
         out += seg(0xDB, bytes([tid]) + bytes(_JPEG_QT[tid]))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])  # h=v=1 (4:4:4)
+    for (cid, tq), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), samp):
+        sof += bytes([cid, (hi << 4) | vi, tq])
     out += seg(0xC0, sof)
     for tc_th, (bits, vals) in (
         (0x00, (dc_bits, dc_vals)),
@@ -756,7 +790,6 @@ def _encode_jpeg(media_id: int, w: int, h: int) -> bytes:
     out += seg(0xDA, sos)
 
     bw_ = _BitWriter()
-    n_bx, n_by = (w + 7) // 8, (h + 7) // 8
     prev_dc = [0, 0, 0]
 
     def put_val(v: int, size: int) -> None:
@@ -766,29 +799,36 @@ def _encode_jpeg(media_id: int, w: int, h: int) -> bytes:
     def size_of(v: int) -> int:
         return 0 if v == 0 else abs(v).bit_length()
 
-    for b in range(n_by * n_bx):
-        for c in range(3):
-            coefs = [_jpeg_coef(media_id, c, b, k) for k in range(64)]
-            diff = coefs[0] - prev_dc[c]
-            prev_dc[c] = coefs[0]
-            s = size_of(diff)
-            bw_.put(*dc_codes[s])
-            put_val(diff, s)
+    def put_block(c: int, b: int) -> None:
+        coefs = [_jpeg_coef(media_id, c, b, k) for k in range(64)]
+        diff = coefs[0] - prev_dc[c]
+        prev_dc[c] = coefs[0]
+        s = size_of(diff)
+        bw_.put(*dc_codes[s])
+        put_val(diff, s)
+        run = 0
+        for k in range(1, 64):
+            v = coefs[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                bw_.put(*ac_codes[0xF0])
+                run -= 16
+            sz = size_of(v)
+            bw_.put(*ac_codes[(run << 4) | sz])
+            put_val(v, sz)
             run = 0
-            for k in range(1, 64):
-                v = coefs[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    bw_.put(*ac_codes[0xF0])
-                    run -= 16
-                sz = size_of(v)
-                bw_.put(*ac_codes[(run << 4) | sz])
-                put_val(v, sz)
-                run = 0
-            if run:
-                bw_.put(*ac_codes[0x00])  # EOB
+        if run:
+            bw_.put(*ac_codes[0x00])  # EOB
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (hi, vi) in enumerate(samp):
+                nbx_c = mcux * hi
+                for vy in range(vi):
+                    for vx in range(hi):
+                        put_block(c, (my * vi + vy) * nbx_c + mx * hi + vx)
     out += bw_.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -841,11 +881,12 @@ def _decode_jpeg(buf: bytes):
     """Baseline JPEG → (width, height, flat RGB uint8). Real decode:
     marker walk, DQT/DHT/SOF0/SOS parse, DHT-driven Huffman with byte
     unstuffing, DC prediction, EXTEND sign recovery, dequantize,
-    de-zigzag, the pinned integer IDCT, level shift, integer
-    YCbCr→RGB, crop. Supports the standardized subset a 100 TB image
-    pipeline normalizes to — 8-bit baseline, 3 components, 4:4:4, no
+    de-zigzag, the pinned integer IDCT, level shift, per-component
+    chroma upsampling (nearest-neighbor), integer YCbCr→RGB, crop.
+    Supports 8-bit baseline, 3 components, sampling factors 1-2 per
+    axis (4:4:4 and the web-dominant 4:2:0, plus 4:2:2/4:4:0), no
     restart intervals — and fails loudly on progressive (SOF2),
-    subsampling, 12-bit, arithmetic coding, or DRI."""
+    12-bit, arithmetic coding, or DRI."""
     import numpy as np
 
     if buf[:2] != b"\xff\xd8":
@@ -915,62 +956,90 @@ def _decode_jpeg(buf: bytes):
         )
     for i in range(nc):
         cid, hv, tq = sof[6 + 3 * i : 9 + 3 * i]
-        if hv != 0x11:
-            raise ValueError("only 4:4:4 (no subsampling) supported")
+        hi, vi = hv >> 4, hv & 0xF
+        if hi not in (1, 2) or vi not in (1, 2):
+            raise ValueError(
+                f"unsupported sampling factors {hi}x{vi} "
+                "(1 and 2 only: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
+            )
         comps.append((cid, hv, tq))
+    factors = [(hv >> 4, hv & 0xF) for _, hv, _ in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     rd = _BitReader(buf, pos)
-    n_bx, n_by = (w + 7) // 8, (h + 7) // 8
     planes = [
-        np.zeros((n_by * 8, n_bx * 8), dtype=np.int32) for _ in range(3)
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.int32)
+        for hi, vi in factors
     ]
-    prev_dc = [0, 0, 0]
+    prev_dc = [0] * nc
 
     def extend(v: int, t: int) -> int:
         return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
-    for by in range(n_by):
-        for bx in range(n_bx):
+    def read_block(ci: int, cby: int, cbx: int, td: int, ta: int,
+                   qt: list[int]) -> None:
+        dc_tab = huffs[td]  # DHT key: (class << 4) | id; DC class 0
+        ac_tab = huffs[0x10 | ta]
+        zz = [0] * 64
+        s = rd.huff(dc_tab)
+        diff = extend(rd.bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = rd.huff(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = extend(rd.bits(size), size)
+            k += 1
+        deq = [[0] * 8 for _ in range(8)]
+        for k2, (u, v) in enumerate(_JPEG_ZZ):
+            deq[u][v] = zz[k2] * qt[k2]
+        for x in range(8):
+            row = planes[ci][cby * 8 + x]
+            for y in range(8):
+                sacc = 0
+                for u in range(8):
+                    au = _JPEG_A[u][x]
+                    dr = deq[u]
+                    for v in range(8):
+                        sacc += au * _JPEG_A[v][y] * dr[v]
+                val = ((sacc + (1 << 25)) >> 26) + 128
+                row[cbx * 8 + y] = min(255, max(0, val))
+
+    # T.81 interleaved MCU order: per MCU, each scan component
+    # contributes its hi*vi blocks row-major before the next component
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, (cid, td, ta) in enumerate(scan):
-                tq = next(c[2] for c in comps if c[0] == cid)
-                qt = qts[tq]
-                dc_tab = huffs[td]  # DHT key: (class << 4) | id; DC class 0
-                ac_tab = huffs[0x10 | ta]
-                zz = [0] * 64
-                s = rd.huff(dc_tab)
-                diff = extend(rd.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = rd.huff(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = extend(rd.bits(size), size)
-                    k += 1
-                deq = [[0] * 8 for _ in range(8)]
-                for k2, (u, v) in enumerate(_JPEG_ZZ):
-                    deq[u][v] = zz[k2] * qt[k2]
-                for x in range(8):
-                    row = planes[ci][by * 8 + x]
-                    for y in range(8):
-                        sacc = 0
-                        for u in range(8):
-                            au = _JPEG_A[u][x]
-                            dr = deq[u]
-                            for v in range(8):
-                                sacc += au * _JPEG_A[v][y] * dr[v]
-                        val = ((sacc + (1 << 25)) >> 26) + 128
-                        row[bx * 8 + y] = min(255, max(0, val))
-    yp = planes[0][:h, :w].astype(np.int64)
-    cb = planes[1][:h, :w].astype(np.int64) - 128
-    cr = planes[2][:h, :w].astype(np.int64) - 128
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                hi, vi = factors[idx]
+                qt = qts[comps[idx][2]]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        read_block(idx, my * vi + vy, mx * hi + vx,
+                                   td, ta, qt)
+
+    def full_res(ci: int) -> "np.ndarray":
+        # nearest-neighbor upsample to frame resolution + crop: full
+        # pixel (r, c) reads component sample (r*vi//vmax, c*hi//hmax)
+        hi, vi = factors[ci]
+        rows = (np.arange(h) * vi) // vmax
+        cols = (np.arange(w) * hi) // hmax
+        return planes[ci][np.ix_(rows, cols)].astype(np.int64)
+
+    yp = full_res(0)
+    cb = full_res(1) - 128
+    cr = full_res(2) - 128
 
     def fl(t):
         return (t + (1 << 15)) >> 16
@@ -1665,9 +1734,10 @@ def synthesize_images(
     form ``_jpeg_coef`` — decoded pixels follow the pinned integer
     IDCT + color pipeline, not the byte formula (lossy container)."""
 
-    if fmt not in ("ppm", "bmp", "png", "jpeg"):
+    if fmt not in ("ppm", "bmp", "png", "jpeg", "jpeg420"):
         raise ValueError(
-            f"fmt must be 'ppm', 'bmp', 'png' or 'jpeg', got {fmt!r}"
+            f"fmt must be 'ppm', 'bmp', 'png', 'jpeg' or 'jpeg420', "
+            f"got {fmt!r}"
         )
     if noise and fmt not in ("ppm", "png"):
         raise ValueError("noise pixels are generated for ppm/png only")
@@ -1683,13 +1753,22 @@ def synthesize_images(
             # lossy container: the fixture is its quantized
             # COEFFICIENTS (closed form), not the formula pixels
             enc = _encode_jpeg
+        elif fmt == "jpeg420":
+            def enc(mid, w, h):
+                return _encode_jpeg(mid, w, h, subsampling="420")
         else:
             enc = _encode_bmp
         for pdf in batches:
             rows = []
             for mid in pdf[id_col]:
                 mid = int(mid)
-                w, h = mid % 8 + 2, mid % 5 + 2
+                if fmt == "jpeg420":
+                    # bigger than one 16x16 MCU in each axis, with
+                    # non-multiple-of-16 sizes so the crop + chroma
+                    # upsample edge paths are exercised
+                    w, h = mid % 13 + 10, mid % 9 + 10
+                else:
+                    w, h = mid % 8 + 2, mid % 5 + 2
                 content = enc(mid, w, h)
                 rows.append(
                     {

@@ -526,8 +526,10 @@ def test_jpeg_codec_round_trip_and_rejections():
     formula coefficients -> pinned integer IDCT -> integer color) for
     every fixture dimension — certifying the marker walk, DHT Huffman
     build, byte unstuffing, DC prediction, EXTEND, and run/EOB/ZRL
-    handling end to end; (b) the supported-subset guards fail loudly
-    (bad SOI, progressive SOF2, DRI, 4:2:0 subsampling, truncation)."""
+    handling end to end — for 4:4:4 AND the web-dominant 4:2:0
+    (interleaved MCUs, chroma upsample, non-MCU-multiple crops);
+    (b) the supported-subset guards fail loudly (bad SOI, progressive
+    SOF2, DRI, sampling factors > 2, truncation)."""
     import numpy as np
 
     from qb_data_pipeline_backfill_spark.operators.multimodal import (
@@ -541,6 +543,16 @@ def test_jpeg_codec_round_trip_and_rejections():
         dw, dh, px = _decode_jpeg(_encode_jpeg(mid, w, h))
         assert (dw, dh) == (w, h)
         assert np.array_equal(px, _jpeg_expected_pixels(mid, w, h)), mid
+    # 4:2:0: interleaved-MCU entropy walk (4 luma + Cb + Cr per MCU,
+    # per-component DC prediction) + nearest chroma upsample; sizes
+    # deliberately not MCU multiples (crop + odd-edge upsample paths)
+    for mid in range(0, 26):
+        w, h = mid % 13 + 10, mid % 9 + 10
+        dw, dh, px = _decode_jpeg(_encode_jpeg(mid, w, h, subsampling="420"))
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(
+            px, _jpeg_expected_pixels(mid, w, h, subsampling="420")
+        ), mid
     with pytest.raises(ValueError, match="SOI"):
         _decode_jpeg(b"\x00\x00rubbish")
     good = bytearray(_encode_jpeg(5, 6, 4))
@@ -555,10 +567,10 @@ def test_jpeg_codec_round_trip_and_rejections():
     dri = bytes(good[:j]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(good[j:])
     with pytest.raises(ValueError, match="DRI|restart"):
         _decode_jpeg(dri)
-    # flip component 0 sampling to 0x22 (2x2 -> 4:2:0)
+    # flip component 0 sampling to 0x33 (3x3 — outside the 1-2 range)
     sub = bytearray(good)
-    sub[i + 11] = 0x22  # SOF payload: [len2][prec][h2][w2][nc][cid,hv,tq]
-    with pytest.raises(ValueError, match="subsampling|4:4:4"):
+    sub[i + 11] = 0x33  # SOF payload: [len2][prec][h2][w2][nc][cid,hv,tq]
+    with pytest.raises(ValueError, match="sampling factors"):
         _decode_jpeg(bytes(sub))
     with pytest.raises(Exception):
         _decode_jpeg(bytes(good[: len(good) // 2]))
