@@ -1222,3 +1222,167 @@ def streaming_incremental_substring(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _substring_stream_spans(spark, sf_dir)
+
+
+_IMAGE_STREAM_REV = "r15a"
+
+
+def _image_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated pairs table of the streamed image-dedup fixture:
+    bootstrap dHash band index = doc_id%24==11 noise PNGs (one batch
+    commit), then doc_id%24==23 — plus re-keyed copies of bootstrap
+    images arriving as fresh uploads — streamed in THREE micro-batches
+    keyed by (doc_id//24)%3 (file groups, maxFilesPerTrigger=1)
+    through ``stream_image_dedup``. Adopt/rebuild like the other
+    pinned scratch fixtures (marker file; deterministic build)."""
+    import os
+    import shutil
+    import time
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+    from qb_data_pipeline_backfill_spark.operators import txn
+    from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        stream_image_dedup,
+    )
+
+    parent = os.path.join(
+        _SCRATCH,
+        f"image_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    index_p = os.path.join(parent, "index")
+    pairs_p = os.path.join(parent, "pairs")
+    marker = os.path.join(parent, "BUILT")
+
+    def _current() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read().strip() == _IMAGE_STREAM_REV
+        except OSError:
+            return False
+
+    if not _current():
+        tmp = f"{parent}.building-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        t_index = os.path.join(tmp, "index")
+        t_pairs = os.path.join(tmp, "pairs")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.pmod("doc_id", F.lit(12)) == 11
+        ).select("doc_id")
+        boot = docs.filter(F.pmod("doc_id", F.lit(24)) == 11)
+        boot_media = M.synthesize_images(
+            boot, fmt="png", noise=True
+        ).select("media_id", "content")
+        txn.commit_append(
+            spark,
+            M.hash64_band_index(M.image_dhash(boot_media), max_hamming=2),
+            t_index,
+        )
+        work = os.path.join(tmp, "stream-work")
+        src, ck = os.path.join(work, "src"), os.path.join(work, "ck")
+        streamed = docs.filter(F.pmod("doc_id", F.lit(24)) == 23)
+        grp = F.pmod(F.floor(F.col("doc_id") / 24).cast("long"), F.lit(3))
+        for i in range(3):
+            part = M.synthesize_images(
+                streamed.filter(grp == i), fmt="png", noise=True
+            ).select("media_id", "content")
+            copies = M.synthesize_images(
+                boot.filter(grp == i), fmt="png", noise=True
+            ).select(
+                (F.col("media_id") + F.lit(10000000)).alias("media_id"),
+                "content",
+            )
+            part.unionByName(copies).coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}.parquet")
+            )
+        now = time.time()
+        for i in range(3):
+            d = os.path.join(src, f"b{i}.parquet")
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("media_id long, content binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = stream_image_dedup(
+            stream,
+            index_path=t_index,
+            pairs_path=t_pairs,
+            checkpoint_dir=ck,
+        )
+        q.awaitTermination()
+        head = txn.current_version(t_index)
+        if head != 3:
+            raise RuntimeError(
+                f"image stream fixture reached index head {head}, "
+                "expected 3 (bootstrap + three micro-batches)"
+            )
+        shutil.rmtree(work, ignore_errors=True)
+        with open(os.path.join(tmp, "BUILT"), "w") as f:
+            f.write(_IMAGE_STREAM_REV)
+        shutil.rmtree(parent, ignore_errors=True)
+        try:
+            os.rename(tmp, parent)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost an adopt race
+    from qb_data_pipeline_backfill_spark.operators import txn as _t
+
+    return _t.read_table(spark, pairs_p)
+
+
+from qb_data_pipeline_backfill_spark.plans.llm import (  # noqa: E402
+    _DHASH_NOISE_G_SQL as _NOISE_G,
+)
+
+
+@register(
+    "streaming_incremental_image",
+    # A qualifying pair is emitted exactly ONCE, at the batch of its
+    # LATER member (the earlier member is by then in the persisted
+    # index, or in the same batch) — so the accumulated pairs table
+    # equals the all-pairs ground truth restricted to pairs touching
+    # a streamed batch. Double emission (a replay slipping the txn
+    # fence, or probing against an index holding the batch's own
+    # rows) or a missed cross-batch pair flips the hash red.
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id %% 12 = 11
+    ),
+    ids AS (
+        SELECT doc_id AS media_id, doc_id AS src, 0 AS is_new
+        FROM ids0 WHERE doc_id %% 24 = 11
+        UNION ALL
+        SELECT doc_id, doc_id, 1 FROM ids0 WHERE doc_id %% 24 = 23
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, 1
+        FROM ids0 WHERE doc_id %% 24 = 11
+    ),
+    %s
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a
+    JOIN hashes b ON a.media_id < b.media_id
+    JOIN ids ia ON ia.media_id = a.media_id
+    JOIN ids ib ON ib.media_id = b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+      AND (ia.is_new = 1 OR ib.is_new = 1)
+    """
+    % _NOISE_G,
+    doc="Streaming incremental image near-dup, gated end to end "
+    "(streaming/jobs.py stream_image_dedup): doc_id%24==11 noise "
+    "PNGs bootstrap the persisted dHash band index; doc_id%24==23 "
+    "plus re-keyed copies of bootstrap images arrive in three "
+    "micro-batches, each decoding and hashing ONLY itself, probing "
+    "the index for pairs, and appending its own band rows so later "
+    "batches see earlier ones as history — history is never "
+    "re-decoded (the codec is the dominant image cost). Both "
+    "per-batch commits are fenced by writer-namespaced (txn_app, "
+    "batch_id) manifest watermarks, pairs before index rows. The "
+    "oracle replays the all-pairs ground truth closed-form "
+    "restricted to pairs touching a streamed batch.",
+)
+def streaming_incremental_image(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _image_stream_pairs(spark, sf_dir)

@@ -3838,6 +3838,80 @@ def dedup_image_dhash_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_image",
+    # Incremental ≡ one-shot, certified in ONE hash (the
+    # dedup_incremental_substring template): the oracle computes the
+    # FULL all-pairs ground truth over history ∪ new and restricts it
+    # to pairs touching the new batch — exactly what probing a
+    # persisted hash64_band_index with only the new batch's decoded
+    # hashes must produce. History images are never re-decoded on the
+    # engine side; a drifted index row, banding mismatch, or a cap
+    # counted over the wrong population flips the hash red.
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id %% 12 = 7
+    ),
+    ids AS (
+        SELECT doc_id AS media_id, doc_id AS src,
+               CASE WHEN doc_id %% 24 = 7 THEN 0 ELSE 1 END AS is_new
+        FROM ids0
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, 1
+        FROM ids0 WHERE doc_id %% 24 = 7
+    ),
+    %s
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a
+    JOIN hashes b ON a.media_id < b.media_id
+    JOIN ids ia ON ia.media_id = a.media_id
+    JOIN ids ib ON ib.media_id = b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+      AND (ia.is_new = 1 OR ib.is_new = 1)
+    """
+    % _DHASH_NOISE_G_SQL,
+    doc="Incremental image near-dup against a PERSISTED dHash band "
+    "index (operators/multimodal.py hash64_band_index / "
+    "incremental_hash64_pairs — VERDICT r14 missing #3): history "
+    "(every-24th document, md5-noise PNGs) is decoded once into a "
+    "band index; the new batch (the other half of the slice, plus "
+    "re-keyed copies of history images arriving as fresh uploads) "
+    "decodes only itself and probes the index on (band_idx, "
+    "band_hash). The oracle replays the full all-pairs ground truth "
+    "closed-form restricted to pairs touching the new batch — "
+    "incremental ≡ one-shot in one hash; none of history is "
+    "re-decoded, the codec being the dominant cost at 100 TB.",
+)
+def dedup_incremental_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(12)) == 7
+    )
+    # spread the Arrow codec stage before it runs (the documents
+    # fixture arrives in one file split — the dedup_image_dhash_jpeg
+    # precedent)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hist = docs.filter(F.pmod(F.col("doc_id"), F.lit(24)) == 7)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(24)) != 7)
+    hist_media = M.synthesize_images(hist, fmt="png", noise=True)
+    # materialize the 8-byte-per-image hash relations once: the index
+    # is a persisted TABLE in the deployed shape (read, not
+    # recomputed), and the probe plan references each side 2-3x —
+    # without truncation every reference re-runs the codec subtree
+    index = M.hash64_band_index(
+        M.image_dhash(hist_media), max_hamming=2
+    ).localCheckpoint()
+    new_media = M.synthesize_images(new, fmt="png", noise=True).unionByName(
+        M.synthesize_images(hist, fmt="png", noise=True).withColumn(
+            "media_id", F.col("media_id") + F.lit(10000000)
+        )
+    )
+    new_hashes = M.image_dhash(new_media).localCheckpoint()
+    return M.incremental_hash64_pairs(
+        index, new_hashes, max_hamming=2, max_bucket=1000
+    )
+
+
+@register(
     "text_trigram_perplexity",
     oracle=r"""
     WITH toks AS (%s),

@@ -603,3 +603,74 @@ def stream_substring_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_image_dedup(
+    source: DataFrame,
+    *,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    max_hamming: int = 2,
+    max_bucket: int = 1000,
+):
+    """Streaming perceptual image near-dup — the stream face of the
+    persisted dHash band index (operators/multimodal.py
+    hash64_band_index + incremental_hash64_pairs), mirroring
+    :func:`stream_minhash_dedup`'s protocol exactly: each micro-batch
+    of MEDIA rows (media_id, content binary) is decoded and hashed
+    ONCE, probes the persisted index for pairs (history is never
+    re-decoded — decisive for images, where the codec dominates the
+    cost), appends the pairs to one transactional table and its own
+    (band_idx, band_hash, media_id, dhash) rows to the index table,
+    so the next micro-batch sees it as history. Cross-batch,
+    within-batch, and batch-vs-bootstrap pairs surface exactly as the
+    cumulative one-shot run would emit them (gate:
+    streaming_incremental_image).
+
+    Exactly-once: both commits carry writer-namespaced ``(txn_app,
+    txn_version=batch_id)`` manifest watermarks on top of the
+    streaming checkpoint; pairs commit BEFORE index rows, so a crash
+    replay never probes a batch against an index already holding that
+    batch's own hashes. Same fresh-checkpoint lifecycle caveat as the
+    MinHash/ExactSubstr twins: appends are blind, so re-streaming
+    consumed input under a new checkpoint duplicates rows — rebuild
+    the tables or supply the old ``app_id``.
+
+    Returns the started query (availableNow trigger).
+    """
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+    from qb_data_pipeline_backfill_spark.operators import txn
+
+    ident = app_id or txn._checkpoint_writer_id(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # hash once, reuse for probe AND index append (the probe plan
+        # references the batch side 2-3x; without truncation every
+        # reference re-runs the codec)
+        hashes = M.image_dhash(batch_df).localCheckpoint()
+        try:
+            index = txn.read_table(spark, index_path)
+        except FileNotFoundError:
+            index = M.hash64_band_index(hashes.limit(0), max_hamming)
+        pairs = M.incremental_hash64_pairs(
+            index, hashes, max_hamming, max_bucket
+        )
+        txn.commit_append(
+            spark, pairs, pairs_path,
+            txn_app=f"{ident}-pairs", txn_version=int(batch_id),
+        )
+        rows = M.hash64_band_index(hashes, max_hamming)
+        txn.commit_append(
+            spark, rows, index_path,
+            txn_app=f"{ident}-index", txn_version=int(batch_id),
+        )
+
+    return (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

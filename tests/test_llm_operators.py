@@ -748,6 +748,38 @@ def test_incremental_minhash_equals_full_restricted(spark):
     assert incr == restricted
 
 
+def test_incremental_hash64_equals_full_restricted(spark):
+    """The image-hash analog of the minhash test above: probing a
+    persisted hash64_band_index with a new batch's hashes must emit
+    EXACTLY hash64_band_pairs over the full corpus restricted to
+    pairs touching the new batch — same banding, same exact Hamming,
+    same cap population."""
+    rows = []
+    for i in range(24):
+        base = (i * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF
+        rows.append((i, base))
+        # i+24 is a 1-bit-flipped near-dup of i: pairs cross the
+        # history (id<12) / new (id>=12) split both ways
+        rows.append((i + 24, base ^ (1 << (i % 60))))
+    hashes = spark.createDataFrame(rows, ["media_id", "dhash"])
+    full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.hash64_band_pairs(hashes, 2, 1000).collect()
+    }
+    restricted = {p: d for p, d in full.items() if p[0] >= 12 or p[1] >= 12}
+    assert restricted, "fixture must produce cross-split pairs"
+    index = M.hash64_band_index(
+        hashes.filter(F.col("media_id") < 12), max_hamming=2
+    )
+    incr = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.incremental_hash64_pairs(
+            index, hashes.filter(F.col("media_id") >= 12), 2, 1000
+        ).collect()
+    }
+    assert incr == restricted
+
+
 def test_ann_from_persisted_index_equals_direct(spark, vectors):
     """Probing a persisted rp_bucket_index must give bit-identical
     top-k to the direct corpus+queries run (same planes, same
