@@ -1221,6 +1221,74 @@ def wordpiece_vocab(
     return sorted(vocab)
 
 
+def _wp_segment(word: str, vset: frozenset, cache: dict) -> list[str]:
+    """Greedy longest-match-first WordPiece segmentation of one word
+    (the BERT runtime algorithm): repeatedly take the longest
+    vocabulary prefix (``##``-prefixed after the first piece); a word
+    with no match at any position becomes one ``[UNK]``. Shared by
+    the per-document encoder and the word->pieces model-artifact
+    builder so the two cannot drift."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    out: list[str] = []
+    i = 0
+    while i < len(word):
+        end, piece = len(word), None
+        while end > i:
+            cand = word[i:end] if i == 0 else "##" + word[i:end]
+            if cand in vset:
+                piece = cand
+                break
+            end -= 1
+        if piece is None:
+            out = ["[UNK]"]
+            break
+        out.append(piece)
+        i = end
+    cache[word] = out
+    return out
+
+
+def wordpiece_word_pieces(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """The WordPiece MODEL ARTIFACT in fit/apply-split form: one row
+    per (word, piece, cnt) over the corpus's DISTINCT words, where
+    ``cnt`` is how often ``piece`` occurs in the greedy segmentation
+    of ``word``. The tokenizer analog of ``ngram_nll_table`` — fit
+    once offline (cost scales with |distinct words|, the Zipf
+    exploit, not with tokens), then streamed encoding is a stateless
+    word explode + ONE stream-static join + a per-doc aggregate (see
+    plans/contracts.py streaming_wordpiece_encode). Streamed words
+    absent from the table are novel; the deploy convention is a left
+    join coalescing to one ``[UNK]`` piece."""
+    from pyspark.sql.functions import pandas_udf
+
+    vset = frozenset(vocab)
+
+    @pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return words.map(lambda w: _wp_segment(w, vset, cache))
+
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    pieces = words.select("word", F.explode(seg("word")).alias("piece"))
+    return pieces.groupBy("word", "piece").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
 def wordpiece_encode(
     df: DataFrame,
     vocab: list[str],
@@ -1239,28 +1307,6 @@ def wordpiece_encode(
 
     vset = frozenset(vocab)
 
-    def segment(word: str, cache: dict) -> list[str]:
-        hit = cache.get(word)
-        if hit is not None:
-            return hit
-        out: list[str] = []
-        i = 0
-        while i < len(word):
-            end, piece = len(word), None
-            while end > i:
-                cand = word[i:end] if i == 0 else "##" + word[i:end]
-                if cand in vset:
-                    piece = cand
-                    break
-                end -= 1
-            if piece is None:
-                out = ["[UNK]"]
-                break
-            out.append(piece)
-            i = end
-        cache[word] = out
-        return out
-
     @pandas_udf("n_subwords long, n_distinct_subwords long, n_unk long")
     def stats(texts: pd.Series) -> pd.DataFrame:
         cache: dict = {}
@@ -1270,7 +1316,7 @@ def wordpiece_encode(
             subs: list[str] = []
             for w in words:
                 if w:
-                    subs.extend(segment(w, cache))
+                    subs.extend(_wp_segment(w, vset, cache))
             n.append(len(subs))
             nd.append(len(set(subs)))
             nu.append(sum(1 for s in subs if s == "[UNK]"))

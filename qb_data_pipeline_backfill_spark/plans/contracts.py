@@ -1386,3 +1386,83 @@ def streaming_incremental_image(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _image_stream_pairs(spark, sf_dir)
+
+
+@register(
+    "streaming_wordpiece_encode",
+    # The tokenizer-encode analog of streaming_fivegram_perplexity's
+    # fit/apply split (VERDICT r14 next #8): the word->pieces table
+    # fits ONCE over the batch pin corpus (the model artifact,
+    # |distinct words|-bounded), and each micro-batch encodes via a
+    # stateless codegen word explode + ONE stream-static left join +
+    # a complete-mode per-doc aggregate — no segmenter Python runs on
+    # the stream at all. n_distinct_subwords needs a second
+    # aggregation level (unsupported in one streaming query), so the
+    # stream face emits (n_subwords, n_unk); both are pinned by the
+    # same exact replay that pins contract_wordpiece_encode_replay.
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(66 AS BIGINT), CAST(0 AS BIGINT)),
+        (1, 29, 0),
+        (2, 21, 0)
+    ) AS t(doc_id, n_subwords, n_unk)
+    """,
+    doc="WordPiece encoding under Structured Streaming, gated "
+    "(operators/text.py wordpiece_word_pieces): train 10 "
+    "likelihood-scored merges on the pinned micro-corpus, collapse "
+    "the tokenizer into a (word, piece, cnt) model artifact over "
+    "distinct words — the Zipf exploit: fit cost tracks vocabulary, "
+    "not tokens — then stream the same corpus one document per "
+    "micro-batch; encoding is a stateless word explode + "
+    "stream-static left join (novel words coalesce to [UNK]) + "
+    "complete-mode per-doc aggregate. The deploy shape of "
+    "tokenizer-aware ingest measurement: fit offline, measure the "
+    "stream with zero stream-side Python.",
+)
+def streaming_wordpiece_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from qb_data_pipeline_backfill_spark.operators import text as X
+    from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        run_available_now,
+    )
+
+    corpus = _bpe_pin_corpus(spark)
+    merges = X.train_wordpiece(corpus, n_merges=10)
+    table = X.wordpiece_word_pieces(
+        corpus, X.wordpiece_vocab(corpus, merges)
+    )
+    # bounded file-stream source: one parquet file per document so
+    # maxFilesPerTrigger=1 yields one micro-batch per doc (idempotent
+    # deterministic rebuild; no cross-run state — memory sink)
+    src = os.path.join(_SCRATCH, "wordpiece_stream_src")
+    for i in range(3):
+        corpus.filter(F.col("doc_id") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    inst = stream.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    joined = inst.join(table, "word", "left").select(
+        "doc_id",
+        F.coalesce("cnt", F.lit(1)).alias("cnt"),
+        F.coalesce("piece", F.lit("[UNK]")).alias("piece"),
+    )
+    out = joined.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_subwords"),
+        F.sum(
+            F.when(F.col("piece") == "[UNK]", F.col("cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_unk"),
+    )
+    return run_available_now(out, output_mode="complete")

@@ -748,6 +748,47 @@ def test_incremental_minhash_equals_full_restricted(spark):
     assert incr == restricted
 
 
+def test_wordpiece_word_pieces_agrees_with_encode(spark):
+    """The fit/apply-split artifact (word -> pieces with counts) must
+    reproduce wordpiece_encode's per-doc n_subwords and n_unk when
+    applied by explode + join + aggregate — the streaming face's
+    algebra — including a word NOT segmentable by the vocab ([UNK])."""
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(0, "aba bab abab zzz"), (1, "ab ab ba zzz zzz")],
+        ["doc_id", "text"],
+    )
+    vocab = ["a", "b", "##a", "##b", "##ab", "ab"]
+    direct = {
+        r["doc_id"]: (r["n_subwords"], r["n_unk"])
+        for r in X.wordpiece_encode(docs, vocab).collect()
+    }
+    table = X.wordpiece_word_pieces(docs, vocab)
+    inst = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    joined = inst.join(table, "word", "left").select(
+        "doc_id",
+        F.coalesce("cnt", F.lit(1)).alias("cnt"),
+        F.coalesce("piece", F.lit("[UNK]")).alias("piece"),
+    )
+    via_table = {
+        r["doc_id"]: (r["n"], r["u"])
+        for r in joined.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.when(F.col("piece") == "[UNK]", F.col("cnt")).otherwise(0)
+            ).alias("u"),
+        )
+        .collect()
+    }
+    assert via_table == direct
+    assert direct[0][1] > 0  # the zzz word really exercises [UNK]
+
+
 def test_incremental_hash64_equals_full_restricted(spark):
     """The image-hash analog of the minhash test above: probing a
     persisted hash64_band_index with a new batch's hashes must emit
