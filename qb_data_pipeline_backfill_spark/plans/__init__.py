@@ -25,89 +25,80 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-14 rotation (VERDICT r13 #1/#8): (a) the queries NEW in r14
-# (PNG decode replay + PNG perceptual dedup, 5-gram KN perplexity,
-# incremental ExactSubstr) and every query whose code or oracle r14
-# touched (perplexity_buckets re-pointed at order 5; the trigram
-# query now runs through the generalized recursion;
-# exact_substring/_cut after the skew_safe refactor; html_extract
-# after the interpreter-certification gate); (b) the four rows-only
-# stragglers VERDICT r13 #8 named; (c) MECHANICAL OLDEST-FIRST fill
-# from per-name last-graded rounds computed over CORRECTNESS_r01..13
-# — the reference-surface core (envelope/integrity/probe/REST/CSV
-# r5-r6 block) that had gone 6+ rounds ungraded. The r11-r13 blocks
-# rotate out (one-to-three rounds old) and every query is still
-# re-verified in the local full sweep (tools/check_correctness.py,
-# sf0.01) each round regardless. Next-oldest names left outside the
-# 50 (for the r15 window): the late r14 additions
-# dedup_image_dhash_jpeg, multimodal_mp4_frame_stats,
-# contract_wordpiece_merge_replay, contract_wordpiece_encode_replay,
-# wordpiece_encode_stats, streaming_fivegram_perplexity,
-# warc_gzip_parse (all
-# sweep-verified this round; the JPEG family's certification twin
-# contract_jpeg_decode_replay IS in this window), then
-# running_total_per_customer, status_priority_cube,
-# topk_orders_per_customer, tumbling_window_events, then the r7 block
-# alphabetically.
+# Round-15 rotation, exactly as pre-committed in the r14 window note
+# and ordered by VERDICT r14 #1: (a) the queries NEW in r15 (JPEG
+# 4:2:0 contract, GIF contract + GIF perceptual dedup, the persisted
+# image-index incremental + streaming faces, streaming WordPiece
+# encode) plus contract_jpeg_decode_replay, whose decoder/encoder the
+# 4:2:0 generalization rewrote; (b) the seven r14-late queries that
+# have NEVER received a driver grade (streaming_fivegram_perplexity
+# also had its oracle-splice escaping fixed this round); (c)
+# dedup_simhash, which yielded its r14 slot; (d) MECHANICAL
+# OLDEST-FIRST fill from per-name last-graded rounds computed over
+# CORRECTNESS_r01..14 — the r6 stragglers, the full r7 block, then
+# the r9 block alphabetically as far as the 50 reach
+# (udtf_term_counts and value_histogram are next, queued for r16).
+# Every registered query is still re-verified in the local full
+# sweep (tools/check_correctness.py, sf0.01) each round regardless.
 prioritize(
     [
-        # --- (a) new in r14 / r14-code-or-oracle-touched ---
-        "contract_png_decode_replay",
+        # --- (a) new in r15 / r15-code-touched ---
+        "contract_jpeg420_decode_replay",
+        "contract_gif_decode_replay",
+        "dedup_image_dhash_gif",
+        "dedup_incremental_image",
+        "streaming_incremental_image",
+        "streaming_wordpiece_encode",
         "contract_jpeg_decode_replay",
-        "dedup_image_dhash_png",
-        "text_fivegram_perplexity",
-        "text_perplexity_buckets",
-        "dedup_incremental_substring",
-        "streaming_incremental_substring",
-        "dedup_exact_substring",
-        "dedup_exact_substring_cut",
-        "text_trigram_perplexity",
-        "text_html_extract",
-        # --- (b) VERDICT r13 #8 rows-only stragglers (dedup_simhash,
-        # also named there, turned out to be r11-graded — the least
-        # stale name in the draft window — so it yields its slot to
-        # the new JPEG contract and rotates to r15) ---
-        "bpe_encode_stats",
-        "dedup_embedding_lsh",
-        "dedup_minhash_lsh",
-        # --- (c) oldest-first: last graded r5 ---
-        "bpe_pair_counts",
-        "corpus_dup_gram_stats",
-        "dedup_edit_distance",
-        "dedup_embedding_cosine",
-        "dedup_incremental_minhash",
-        "dedup_ngram_jaccard",
-        "dup_detection_having",
-        "envelope_projection",
-        "hypertable_ohlc_bars",
-        "hypertable_time_weighted",
-        "ingest_validate_dedup",
-        "integrity_report",
-        "invoice_line_explode",
-        "multimodal_audio_stats",
-        "multimodal_video_frame_stats",
-        "pandas_udaf_cents_sum",
-        "set_ops_report",
-        "similarity_cosine_topk",
-        "upper_median_by_segment",
-        "volumetry_unionall",
-        # --- (c) oldest-first: last graded r6 ---
-        "asof_join_last_order",
-        "bpe_train_merges",
-        "contract_embedding_lsh_recall",
-        "contract_minhash_recall",
-        "contract_substring_hash_parity",
-        "csv_http_scan",
-        "date_window_filter",
-        "decontamination_overlap",
-        "dedup_repeated_substrings",
-        "filtered_aggregates",
-        "kmeans_codebook",
-        "minmax_dates",
-        "pivot_status_by_priority",
-        "pricing_summary",
-        "rest_source_filtered",
-        "rest_source_scan",
+        # --- (b) r14-late, first driver grade (VERDICT r14 #1) ---
+        "dedup_image_dhash_jpeg",
+        "multimodal_mp4_frame_stats",
+        "contract_wordpiece_merge_replay",
+        "contract_wordpiece_encode_replay",
+        "wordpiece_encode_stats",
+        "streaming_fivegram_perplexity",
+        "warc_gzip_parse",
+        # --- (c) yielded its r14 slot ---
+        "dedup_simhash",
+        # --- (d) oldest-first: last graded r6 ---
+        "running_total_per_customer",
+        "status_priority_cube",
+        "topk_orders_per_customer",
+        "tumbling_window_events",
+        # --- (d) oldest-first: last graded r7 ---
+        "anti_join_idempotence",
+        "coalesce_filter_key",
+        "decontamination_bloom_prefilter",
+        "dedup_semantic_prune",
+        "doc_chunking",
+        "equidepth_histogram",
+        "exists_correlated_orders",
+        "full_outer_reconciliation",
+        "group_percentiles",
+        "grouping_sets_report",
+        "having_fraction_of_total",
+        "isin_predicate",
+        "json_extract_props",
+        "multimodal_byte_features",
+        "outlier_report",
+        "pq_encode_codes",
+        "semi_join_probe",
+        "session_windows_events",
+        "training_shard_manifest",
+        "txn_bloom_point_lookup",
+        "validate_dedup_first_wins",
+        "vocab_build",
+        "vocab_coverage_oov",
+        "zorder_clustering_key",
+        # --- (d) oldest-first: last graded r9 (alphabetical; the
+        # remaining two rotate to r16) ---
+        "incremental_rollup_merge",
+        "multimodal_frame_alignment",
+        "quality_band_filter",
+        "range_join_attribution",
+        "retention_cohorts",
+        "rolling_user_window",
+        "score_normalize_per_lang",
     ]
 )
 
