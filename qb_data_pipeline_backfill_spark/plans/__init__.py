@@ -37,7 +37,8 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # OLDEST-FIRST fill from per-name last-graded rounds computed over
 # CORRECTNESS_r01..14 — the r6 stragglers, the full r7 block, then
 # the r9 block alphabetically as far as the 50 reach
-# (udtf_term_counts and value_histogram are next, queued for r16).
+# (score_normalize_per_lang, udtf_term_counts and value_histogram
+# are next, queued for r16).
 # Every registered query is still re-verified in the local full
 # sweep (tools/check_correctness.py, sf0.01) each round regardless.
 prioritize(
@@ -46,6 +47,7 @@ prioritize(
         "contract_jpeg420_decode_replay",
         "contract_gif_decode_replay",
         "dedup_image_dhash_gif",
+        "dedup_image_dhash_jpeg420",
         "dedup_incremental_image",
         "streaming_incremental_image",
         "streaming_wordpiece_encode",
@@ -98,7 +100,6 @@ prioritize(
         "range_join_attribution",
         "retention_cohorts",
         "rolling_user_window",
-        "score_normalize_per_lang",
     ]
 )
 
