@@ -720,10 +720,22 @@ class _BitWriter:
             if byte == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
+        """1-fill to the next byte boundary (T.81 B.1.1.5) without
+        ending the stream — the byte-alignment before a restart
+        marker; a pad byte that lands on 0xFF is stuffed by put()."""
         if self.n:
             pad = 8 - self.n
-            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+            self.put((1 << pad) - 1, pad)
+
+    def marker(self, m: int) -> None:
+        """Emit a raw (unstuffed) marker into the entropy stream —
+        RSTn markers are real markers, not data bytes."""
+        self.pad()
+        self.buf += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.buf)
 
 
@@ -748,12 +760,17 @@ def _jpeg_mcu_grid(w: int, h: int, subsampling: str):
 
 
 def _encode_jpeg(media_id: int, w: int, h: int,
-                 subsampling: str = "444") -> bytes:
+                 subsampling: str = "444",
+                 restart_interval: int | None = None) -> bytes:
     """Baseline JFIF file whose quantized coefficients are
     ``_jpeg_coef``: SOI, APP0, two DQTs, SOF0 (8-bit, 3 components,
     4:4:4 or 4:2:0), four DHTs, SOS, Huffman-coded interleaved MCUs
     with DC differential coding and AC run-length (EOB/ZRL), byte
-    stuffing, EOI. No forward DCT — the fixture IS its coefficients.
+    stuffing, EOI. With ``restart_interval``, a DRI segment plus
+    RSTn markers every Ri MCUs (byte-aligned, modulo-8 sequence, DC
+    predictors reset) — the error-resilience layout camera and web
+    JPEGs commonly carry. No forward DCT — the fixture IS its
+    coefficients.
 
     Block index convention (shared with the SQL replay): for each
     component the formula index ``b`` is the block's RASTER position
@@ -774,6 +791,8 @@ def _encode_jpeg(media_id: int, w: int, h: int,
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid in (0, 1):
         out += seg(0xDB, bytes([tid]) + bytes(_JPEG_QT[tid]))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
     for (cid, tq), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), samp):
         sof += bytes([cid, (hi << 4) | vi, tq])
@@ -824,13 +843,21 @@ def _encode_jpeg(media_id: int, w: int, h: int,
         if run:
             bw_.put(*ac_codes[0x00])  # EOB
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c, (hi, vi) in enumerate(samp):
-                nbx_c = mcux * hi
-                for vy in range(vi):
-                    for vx in range(hi):
-                        put_block(c, (my * vi + vy) * nbx_c + mx * hi + vx)
+    n_mcu = mcux * mcuy
+    for mi in range(n_mcu):
+        my, mx = divmod(mi, mcux)
+        for c, (hi, vi) in enumerate(samp):
+            nbx_c = mcux * hi
+            for vy in range(vi):
+                for vx in range(hi):
+                    put_block(c, (my * vi + vy) * nbx_c + mx * hi + vx)
+        if (
+            restart_interval
+            and (mi + 1) % restart_interval == 0
+            and mi + 1 < n_mcu
+        ):
+            bw_.marker(0xD0 + ((mi + 1) // restart_interval - 1) % 8)
+            prev_dc[:] = [0, 0, 0]
     out += bw_.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -869,6 +896,23 @@ class _BitReader:
         v = (self.acc >> self.n) & ((1 << k) - 1)
         return v
 
+    def restart(self, expected: int) -> None:
+        """Byte-align (discarding the 1-fill pad bits), then consume
+        the expected RSTn marker. Wrong sequence number or a missing
+        marker fails loudly — a desynced restart chain silently
+        corrupts every following MCU."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("truncated JPEG entropy data at restart")
+        if self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] != expected:
+            raise ValueError(
+                f"expected restart marker 0xFF{expected:02X} at "
+                f"{self.pos}, found 0x{self.buf[self.pos]:02X}"
+                f"{self.buf[self.pos + 1]:02X}"
+            )
+        self.pos += 2
+
     def huff(self, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
         while length <= 16:
@@ -886,14 +930,16 @@ def _decode_jpeg(buf: bytes):
     de-zigzag, the pinned integer IDCT, level shift, per-component
     chroma upsampling (nearest-neighbor), integer YCbCr→RGB, crop.
     Supports 8-bit baseline, 3 components, sampling factors 1-2 per
-    axis (4:4:4 and the web-dominant 4:2:0, plus 4:2:2/4:4:0), no
-    restart intervals — and fails loudly on progressive (SOF2),
-    12-bit, arithmetic coding, or DRI."""
+    axis (4:4:4 and the web-dominant 4:2:0, plus 4:2:2/4:4:0), and
+    restart intervals (DRI + RSTn sequence verification, DC reset) —
+    and fails loudly on progressive (SOF2), 12-bit, or arithmetic
+    coding."""
     import numpy as np
 
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
+    dri = 0
     qts: dict[int, list[int]] = {}
     huffs: dict[int, dict[tuple[int, int], int]] = {}
     sof = None
@@ -937,7 +983,7 @@ def _decode_jpeg(buf: bytes):
                 "(baseline sequential only)"
             )
         elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) not supported")
+            dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:
             ns = body[0]
             for i in range(ns):
@@ -1019,17 +1065,23 @@ def _decode_jpeg(buf: bytes):
                 row[cbx * 8 + y] = min(255, max(0, val))
 
     # T.81 interleaved MCU order: per MCU, each scan component
-    # contributes its hi*vi blocks row-major before the next component
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (cid, td, ta) in enumerate(scan):
-                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
-                hi, vi = factors[idx]
-                qt = qts[comps[idx][2]]
-                for vy in range(vi):
-                    for vx in range(hi):
-                        read_block(idx, my * vi + vy, mx * hi + vx,
-                                   td, ta, qt)
+    # contributes its hi*vi blocks row-major before the next component;
+    # with DRI, every Ri MCUs a byte-aligned RSTn marker (modulo-8
+    # sequence) resets the DC predictors
+    n_mcu = mcux * mcuy
+    for mi in range(n_mcu):
+        my, mx = divmod(mi, mcux)
+        for ci, (cid, td, ta) in enumerate(scan):
+            idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+            hi, vi = factors[idx]
+            qt = qts[comps[idx][2]]
+            for vy in range(vi):
+                for vx in range(hi):
+                    read_block(idx, my * vi + vy, mx * hi + vx,
+                               td, ta, qt)
+        if dri and (mi + 1) % dri == 0 and mi + 1 < n_mcu:
+            rd.restart(0xD0 + ((mi + 1) // dri - 1) % 8)
+            prev_dc[:] = [0] * nc
 
     def full_res(ci: int) -> "np.ndarray":
         # nearest-neighbor upsample to frame resolution + crop: full
@@ -2027,11 +2079,21 @@ def synthesize_images(
                 return _encode_png(mid, w, h, noise=noise)
         elif fmt == "jpeg":
             # lossy container: the fixture is its quantized
-            # COEFFICIENTS (closed form), not the formula pixels
-            enc = _encode_jpeg
+            # COEFFICIENTS (closed form), not the formula pixels.
+            # Every 3rd-and-not-0th id carries a restart interval
+            # (Ri = mid % 3), so the SAME hash gates that pin the
+            # pixels also certify the DRI/RSTn path — restart markers
+            # change bytes, never pixels.
+            def enc(mid, w, h):
+                return _encode_jpeg(
+                    mid, w, h, restart_interval=mid % 3 or None
+                )
         elif fmt == "jpeg420":
             def enc(mid, w, h):
-                return _encode_jpeg(mid, w, h, subsampling="420")
+                return _encode_jpeg(
+                    mid, w, h, subsampling="420",
+                    restart_interval=mid % 3 or None,
+                )
         elif fmt == "gif":
             # lossless indexed container: pixels = palette[LZW indices]
             def enc(mid, w, h):

@@ -562,11 +562,27 @@ def test_jpeg_codec_round_trip_and_rejections():
     prog[i + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         _decode_jpeg(bytes(prog))
-    # inject a DRI segment right after APP0
-    j = bytes(good).index(b"\xff\xdb")
-    dri = bytes(good[:j]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(good[j:])
-    with pytest.raises(ValueError, match="DRI|restart"):
-        _decode_jpeg(dri)
+    # restart intervals: byte-aligned RSTn chain, DC reset, modulo-8
+    # sequence (an 80x40 frame at Ri=1 runs 49 markers through the
+    # wraparound), identical pixels to the unrestarted stream — and a
+    # wrong-sequence marker fails loudly
+    for mid, w, h, ri in ((5, 6, 4, 1), (7, 9, 6, 2), (3, 80, 40, 1)):
+        dw, dh, px = _decode_jpeg(
+            _encode_jpeg(mid, w, h, restart_interval=ri)
+        )
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, _jpeg_expected_pixels(mid, w, h)), (mid, ri)
+        ddw, ddh, px420 = _decode_jpeg(
+            _encode_jpeg(mid, w, h, subsampling="420", restart_interval=ri)
+        )
+        assert np.array_equal(
+            px420, _jpeg_expected_pixels(mid, w, h, subsampling="420")
+        ), (mid, ri)
+    rst = bytearray(_encode_jpeg(3, 40, 8, restart_interval=1))
+    k = bytes(rst).index(b"\xff\xd0")
+    rst[k + 1] = 0xD6
+    with pytest.raises(ValueError, match="restart marker"):
+        _decode_jpeg(bytes(rst))
     # flip component 0 sampling to 0x33 (3x3 — outside the 1-2 range)
     sub = bytearray(good)
     sub[i + 11] = 0x33  # SOF payload: [len2][prec][h2][w2][nc][cid,hv,tq]
