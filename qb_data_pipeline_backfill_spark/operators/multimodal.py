@@ -1271,8 +1271,21 @@ def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
         prev = entry
 
 
+def _gif_interlace_rows(h: int) -> list[int]:
+    """The GIF89a 4-pass interlace row order (8/0, 8/4, 4/2, 2/1):
+    position i of the stored index stream holds actual row
+    order[i] — shared by the fixture encoder and the decoder's
+    de-interlace so the two cannot drift."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def _encode_gif(media_id: int, w: int, h: int, noise: bool = False,
-                frames: int = 1) -> bytes:
+                frames: int = 1, interlace: bool = False) -> bytes:
     """Real GIF89a file: logical screen descriptor, 256-entry global
     color table, a Graphic Control Extension per frame (exercises the
     decoder's extension skip), image descriptors,real LZW-compressed
@@ -1288,11 +1301,15 @@ def _encode_gif(media_id: int, w: int, h: int, noise: bool = False,
         out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
         out += b"\x2c" + (0).to_bytes(2, "little") * 2
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-        out += bytes([0])  # no LCT, not interlaced
+        out += bytes([0x40 if interlace else 0])  # LCT absent
         out += bytes([8])  # LZW minimum code size
-        data = _gif_lzw_compress(
-            _gif_indices(media_id + 1000 * fr, w, h, noise), 8
-        )
+        idx = _gif_indices(media_id + 1000 * fr, w, h, noise)
+        if interlace:
+            rows = _gif_interlace_rows(h)
+            idx = [
+                idx[r * w + c] for r in rows for c in range(w)
+            ]
+        data = _gif_lzw_compress(idx, 8)
         for i in range(0, len(data), 255):
             chunk = data[i : i + 255]
             out += bytes([len(chunk)]) + chunk
@@ -1305,8 +1322,8 @@ def _decode_gif(buf: bytes):
     """GIF -> (width, height, flat RGB uint8) of the FIRST frame.
     Real walk: header, logical screen descriptor, global color table,
     extension blocks skipped by sub-block grammar, image descriptor
-    (local color table honored, interlace rejected loudly), sub-block
-    reassembly, variable-width LZW decode, palette mapping. Index
+    (local color table honored, 4-pass interlace de-interlaced),
+    sub-block reassembly, variable-width LZW decode, palette mapping. Index
     count must equal the frame's pixel count — no silent partials."""
     import numpy as np
 
@@ -1340,8 +1357,6 @@ def _decode_gif(buf: bytes):
             ih = int.from_bytes(buf[pos + 7 : pos + 9], "little")
             iflags = buf[pos + 9]
             pos += 10
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
             pal = palette
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -1369,6 +1384,14 @@ def _decode_gif(buf: bytes):
                     f"GIF LZW yielded {len(idx)} indices for "
                     f"{iw}x{ih} frame"
                 )
+            if iflags & 0x40:  # de-interlace (4-pass row order)
+                rows = _gif_interlace_rows(ih)
+                out_idx = [0] * (iw * ih)
+                for i, r in enumerate(rows):
+                    out_idx[r * iw : (r + 1) * iw] = idx[
+                        i * iw : (i + 1) * iw
+                    ]
+                idx = out_idx
             arr = np.frombuffer(bytes(pal), dtype=np.uint8).reshape(-1, 3)
             px = arr[np.asarray(idx, dtype=np.int64)].reshape(-1)
             return iw, ih, px
@@ -2095,9 +2118,15 @@ def synthesize_images(
                     restart_interval=mid % 3 or None,
                 )
         elif fmt == "gif":
-            # lossless indexed container: pixels = palette[LZW indices]
+            # lossless indexed container: pixels = palette[LZW
+            # indices]. Every 3rd id is INTERLACED (4-pass row
+            # order), so the same hash gates that pin the pixels
+            # also certify the de-interlace — row order changes
+            # bytes, never pixels.
             def enc(mid, w, h):
-                return _encode_gif(mid, w, h, noise=noise)
+                return _encode_gif(
+                    mid, w, h, noise=noise, interlace=mid % 3 == 1
+                )
         else:
             enc = _encode_bmp
         for pdf in batches:

@@ -597,10 +597,11 @@ def test_gif_codec_round_trip_and_rejections():
     palette[index-formula] for formula AND md5-noise fixtures — the
     LZW fixture streams have runs, so dictionary entries and KwKwK
     really occur; (b) a multi-frame (animated) file decodes to its
-    FIRST frame; (c) the loud-failure guards: bad header, interlace
-    flag, truncated LZW stream, out-of-range code; (d) the raw LZW
-    pair stays synchronized through width growth AND a 12-bit
-    table-full clear."""
+    FIRST frame; (c) 4-pass interlace de-interlaces to identical
+    pixels; (d) the loud-failure guards: bad header, truncated LZW
+    stream, out-of-range code; (e) the raw LZW pair stays
+    synchronized through width growth AND a 12-bit table-full
+    clear."""
     import numpy as np
 
     from qb_data_pipeline_backfill_spark.operators.multimodal import (
@@ -631,14 +632,15 @@ def test_gif_codec_round_trip_and_rejections():
     with pytest.raises(ValueError, match="bad header"):
         _decode_gif(b"NOTGIF" + b"\x00" * 20)
     good = bytearray(_encode_gif(5, 6, 4))
-    inter = bytearray(good)
-    # the image descriptor follows the 8-byte GCE block (0x2C can also
-    # occur inside palette bytes, so anchor on the GCE magic)
-    i = bytes(good).index(b"\x21\xf9") + 8
-    assert good[i] == 0x2C
-    inter[i + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        _decode_gif(bytes(inter))
+    # interlace: the 4-pass row order de-interlaces to identical
+    # pixels (a 37-row image exercises all four passes)
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _gif_interlace_rows,
+    )
+
+    assert sorted(_gif_interlace_rows(37)) == list(range(37))
+    gw, gh, px = _decode_gif(_encode_gif(2, 5, 37, interlace=True))
+    assert (gw, gh, px.tolist()) == (5, 37, expected(2, 5, 37, False).tolist())
     with pytest.raises(ValueError, match="truncated|trailer|ended"):
         _decode_gif(bytes(good[: len(good) - 8]))
     # LZW pair survives width growth to 12 bits and the full-table clear
