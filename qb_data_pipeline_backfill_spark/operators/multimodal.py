@@ -683,11 +683,16 @@ def _jpeg_huff_tables():
     dc_bits[3] = 12  # 12 codes of length 4 (index 3 = length 4)
     dc_vals = list(range(12))
     ac_bits = [0] * 16
-    ac_bits[7] = 162  # length 8
-    ac_vals = [0x00] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ] + [0xF0]
-    ac_vals = sorted(set(ac_vals))
+    ac_vals = sorted(
+        set(
+            [0x00, 0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+            # EOBn symbols (r<<4)|0 for r=1..14: progressive AC scans
+            # code cross-block EOB runs up to 32767 with these
+            + [r << 4 for r in range(1, 15)]
+        )
+    )
+    ac_bits[7] = len(ac_vals)  # 176 codes of length 8 (Kraft 0.69 < 1)
     return (dc_bits, dc_vals), (ac_bits, ac_vals)
 
 
@@ -923,34 +928,515 @@ class _BitReader:
         raise ValueError("invalid Huffman code in entropy data")
 
 
+def _encode_jpeg_progressive(
+    media_id: int, w: int, h: int, subsampling: str = "444"
+) -> bytes:
+    """Progressive (SOF2) twin of ``_encode_jpeg``: the SAME formula
+    coefficients re-serialized as a 10-scan spectral-selection +
+    successive-approximation schedule — DC first (Al=1) interleaved,
+    per-component AC first scans split into two spectral bands
+    (1-5, 6-63) for luma at Al=1, then DC refinement (Ah=1) and
+    per-component AC refinement scans (Ah=1, Al=0) with cross-block
+    EOB runs, buffered correction bits, ZRL-with-corrections, and
+    the non-interleaved ceil(samples/8) block grid for AC scans.
+    Decoded pixels are BIT-IDENTICAL to the sequential encoding (the
+    coefficients are the same), so every existing JPEG hash gate
+    certifies the progressive path with zero oracle change."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+            2, "big"
+        ) + payload
+
+    samp = _JPEG_SAMPLING[subsampling]
+    mcux, mcuy, hmax, vmax = _jpeg_mcu_grid(w, h, subsampling)
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_tables()
+    dc_codes = _huff_codes(dc_bits, dc_vals)
+    ac_codes = _huff_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid in (0, 1):
+        out += seg(0xDB, bytes([tid]) + bytes(_JPEG_QT[tid]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for (cid, tq), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), samp):
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    for tc_th, (bits, vals) in (
+        (0x00, (dc_bits, dc_vals)),
+        (0x10, (ac_bits, ac_vals)),
+        (0x01, (dc_bits, dc_vals)),
+        (0x11, (ac_bits, ac_vals)),
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    def size_of(v: int) -> int:
+        return 0 if v == 0 else abs(v).bit_length()
+
+    def coef(c: int, b: int, k: int) -> int:
+        return _jpeg_coef(media_id, c, b, k)
+
+    def real_blocks(c: int) -> tuple[int, int]:
+        hi, vi = samp[c]
+        sx = (w * hi + hmax - 1) // hmax
+        sy = (h * vi + vmax - 1) // vmax
+        return (sx + 7) // 8, (sy + 7) // 8
+
+    def sos(comps_tables: list[tuple[int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        body = bytes([len(comps_tables)])
+        for cid, tables in comps_tables:
+            body += bytes([cid, tables])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    # --- scan 1: DC first, interleaved, Al=1 -------------------------
+    out += sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for c, (hi, vi) in enumerate(samp):
+            nbx_c = mcux * hi
+            for vy in range(vi):
+                for vx in range(hi):
+                    b = (my * vi + vy) * nbx_c + mx * hi + vx
+                    v = coef(c, b, 0) >> 1  # DC: arithmetic shift
+                    diff = v - prev_dc[c]
+                    prev_dc[c] = v
+                    sz = size_of(diff)
+                    bw.put(*dc_codes[sz])
+                    if sz:
+                        bw.put(diff if diff >= 0 else diff - 1, sz)
+    out += bw.flush()
+
+    # --- AC first scans, Al=1 ---------------------------------------
+    def ac_first_scan(c: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        nbx_r, nby_r = real_blocks(c)
+        nbx_pad = mcux * samp[c][0]
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                bw.put(*ac_codes[r << 4])
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for ui in range(nbx_r * nby_r):
+            cby, cbx = divmod(ui, nbx_r)
+            b = cby * nbx_pad + cbx
+            # point transform truncates toward zero (T.81 G.1.2.2)
+            ts = []
+            for k in range(ss, se + 1):
+                v = coef(c, b, k)
+                t = abs(v) >> al
+                ts.append(t if v >= 0 else -t)
+            last = -1
+            for i, t in enumerate(ts):
+                if t:
+                    last = i
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(last + 1):
+                t = ts[i]
+                if t == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    bw.put(*ac_codes[0xF0])
+                    run -= 16
+                sz = size_of(t)
+                bw.put(*ac_codes[(run << 4) | sz])
+                bw.put(t if t >= 0 else t - 1, sz)
+                run = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    luma_bands = [(1, 5), (6, 63)]
+    for ssb, seb in luma_bands:
+        out += sos([(1, 0x10)], ssb, seb, 0, 1)
+        out += ac_first_scan(0, ssb, seb, 1)
+    for cid, c in ((2, 1), (3, 2)):
+        out += sos([(cid, 0x11)], 1, 63, 0, 1)
+        out += ac_first_scan(c, 1, 63, 1)
+
+    # --- DC refinement: interleaved, Ah=1, Al=0 ----------------------
+    out += sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for c, (hi, vi) in enumerate(samp):
+            nbx_c = mcux * hi
+            for vy in range(vi):
+                for vx in range(hi):
+                    b = (my * vi + vy) * nbx_c + mx * hi + vx
+                    bw.put(coef(c, b, 0) & 1, 1)
+    out += bw.flush()
+
+    # --- AC refinement scans, Ah=1, Al=0 -----------------------------
+    def ac_refine_scan(c: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        nbx_r, nby_r = real_blocks(c)
+        nbx_pad = mcux * samp[c][0]
+        eobrun = 0
+        pending: list[int] = []  # correction bits under the EOB run
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pending
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                bw.put(*ac_codes[r << 4])
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                for bit in pending:
+                    bw.put(bit, 1)
+                pending = []
+                eobrun = 0
+
+        for ui in range(nbx_r * nby_r):
+            cby, cbx = divmod(ui, nbx_r)
+            b = cby * nbx_pad + cbx
+            vs = [coef(c, b, k) for k in range(ss, se + 1)]
+            ts = [abs(v) >> al for v in vs]
+            eobpos = -1
+            for i, t in enumerate(ts):
+                if t == 1:
+                    eobpos = i
+            if eobpos >= 0:
+                flush_eob()
+                run = 0
+                br: list[int] = []
+                for i in range(eobpos + 1):
+                    t = ts[i]
+                    if t == 0:
+                        run += 1
+                        continue
+                    if t > 1:  # history-nonzero: correction bit only
+                        br.append(t & 1)
+                        continue
+                    # t == 1: newly significant
+                    while run >= 16:
+                        bw.put(*ac_codes[0xF0])
+                        for bit in br:
+                            bw.put(bit, 1)
+                        br = []
+                        run -= 16
+                    bw.put(*ac_codes[(run << 4) | 1])
+                    bw.put(1 if vs[i] > 0 else 0, 1)
+                    for bit in br:
+                        bw.put(bit, 1)
+                    br = []
+                    run = 0
+                tail = br
+                tail_start = eobpos + 1
+            else:
+                tail = []
+                tail_start = 0
+            # the remainder of the band rides the EOB run: its
+            # nonzero-history correction bits are buffered and
+            # emitted after the EOB symbol
+            tail_bits = list(tail)
+            for i in range(tail_start, len(ts)):
+                if ts[i] > 1:
+                    tail_bits.append(ts[i] & 1)
+            if eobpos >= 0 and tail_start > len(ts) - 1 and not tail_bits:
+                # block fully coded to Se with no trailing content
+                continue
+            if eobpos >= 0 and tail_start > len(ts) - 1:
+                for bit in tail_bits:
+                    bw.put(bit, 1)
+                continue
+            if eobpos >= 0 and not tail_bits and tail_start <= len(ts) - 1:
+                # trailing zeros only -> EOB covers them
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            if eobpos >= 0:
+                eobrun += 1
+                pending.extend(tail_bits)
+            else:
+                eobrun += 1
+                pending.extend(tail_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    for ssb, seb in luma_bands:
+        out += sos([(1, 0x10)], ssb, seb, 1, 0)
+        out += ac_refine_scan(0, ssb, seb, 0)
+    for cid, c in ((2, 1), (3, 2)):
+        out += sos([(cid, 0x11)], 1, 63, 1, 0)
+        out += ac_refine_scan(c, 1, 63, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_jpeg(buf: bytes):
-    """Baseline JPEG → (width, height, flat RGB uint8). Real decode:
-    marker walk, DQT/DHT/SOF0/SOS parse, DHT-driven Huffman with byte
+    """JPEG → (width, height, flat RGB uint8). Real decode: marker
+    walk, DQT/DHT/SOF/SOS parse, DHT-driven Huffman with byte
     unstuffing, DC prediction, EXTEND sign recovery, dequantize,
-    de-zigzag, the pinned integer IDCT, level shift, per-component
-    chroma upsampling (nearest-neighbor), integer YCbCr→RGB, crop.
-    Supports 8-bit baseline, 3 components, sampling factors 1-2 per
-    axis (4:4:4 and the web-dominant 4:2:0, plus 4:2:2/4:4:0), and
-    restart intervals (DRI + RSTn sequence verification, DC reset) —
-    and fails loudly on progressive (SOF2), 12-bit, or arithmetic
-    coding."""
+    de-zigzag, the pinned integer IDCT (vectorized, bit-identical to
+    the scalar definition), level shift, per-component chroma
+    upsampling (nearest-neighbor), integer YCbCr→RGB, crop.
+
+    Supports 8-bit, 3 components, sampling factors 1-2 per axis
+    (4:4:4 and the web-dominant 4:2:0, plus 4:2:2/4:4:0), restart
+    intervals (DRI + RSTn sequence verification; DC predictors and
+    EOB runs reset), and BOTH sequential baseline (SOF0) and
+    progressive (SOF2: spectral selection + successive approximation
+    — interleaved DC first/refine scans, single-component AC
+    first/refine scans with EOB runs, correction bits, and the
+    non-interleaved ceil(samples/8) block grid). Fails loudly on
+    12-bit, arithmetic coding, hierarchical, or lossless SOFs.
+
+    Architecture: every scan accumulates into per-component zigzag
+    COEFFICIENT buffers (the layout progressive demands); a single
+    vectorized dequant+IDCT pass follows — so baseline and
+    progressive share one reconstruction path and must land on
+    identical pixels for the same coefficients (the property the
+    oracle gates exploit: scan structure changes bytes, never
+    pixels)."""
     import numpy as np
 
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     dri = 0
+    progressive = False
     qts: dict[int, list[int]] = {}
     huffs: dict[int, dict[tuple[int, int], int]] = {}
-    sof = None
-    comps: list[tuple[int, int, int]] = []  # (cid, sampling, tq)
-    scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
-    while pos < len(buf):
+    comps: list[tuple[int, int, int]] = []  # (cid, hv, tq)
+    factors: list[tuple[int, int]] = []
+    coefs: list = []  # per component: int32 (nby_pad, nbx_pad, 64) zigzag
+    w = h = nc = 0
+    hmax = vmax = mcux = mcuy = 0
+    n_scans = 0
+
+    def extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    def parse_sof(body: bytes, prog: bool) -> None:
+        nonlocal comps, factors, coefs, w, h, nc
+        nonlocal hmax, vmax, mcux, mcuy, progressive
+        if coefs:
+            raise ValueError("multiple SOF segments")
+        progressive = prog
+        prec = body[0]
+        h_, w_ = int.from_bytes(body[1:3], "big"), int.from_bytes(
+            body[3:5], "big"
+        )
+        nc_ = body[5]
+        if prec != 8 or nc_ != 3:
+            raise ValueError(
+                f"only 8-bit 3-component supported (got {prec}-bit, "
+                f"{nc_} components)"
+            )
+        for i in range(nc_):
+            cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+            hi, vi = hv >> 4, hv & 0xF
+            if hi not in (1, 2) or vi not in (1, 2):
+                raise ValueError(
+                    f"unsupported sampling factors {hi}x{vi} "
+                    "(1 and 2 only: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
+                )
+            comps.append((cid, hv, tq))
+            factors.append((hi, vi))
+        w, h, nc = w_, h_, nc_
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        for hi, vi in factors:
+            coefs.append(
+                np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+            )
+
+    def comp_real_blocks(ci: int) -> tuple[int, int]:
+        # non-interleaved scans cover ceil(samples/8), NOT the
+        # MCU-padded grid (T.81 A.2.2 vs A.2.3)
+        hi, vi = factors[ci]
+        sx = (w * hi + hmax - 1) // hmax
+        sy = (h * vi + vmax - 1) // vmax
+        return (sx + 7) // 8, (sy + 7) // 8
+
+    def decode_scan(sc, ss, se, ah, al, rd) -> None:
+        idxs = [
+            next(i for i, c in enumerate(comps) if c[0] == cid)
+            for cid, _, _ in sc
+        ]
+        prev_dc = [0] * nc
+        state = {"eobrun": 0}
+
+        def refine_band(blk, k: int) -> None:
+            # correction bits for already-nonzero coefficients
+            while k <= se:
+                if blk[k] != 0 and rd.bits(1):
+                    blk[k] += (1 << al) if blk[k] > 0 else -(1 << al)
+                k += 1
+
+        def dc_unit(ci: int, cby: int, cbx: int, td: int) -> None:
+            blk = coefs[ci][cby, cbx]
+            if ah == 0:  # first DC scan (Al may be 0 = sequential DC)
+                s = rd.huff(huffs[td])
+                diff = extend(rd.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                blk[0] = prev_dc[ci] << al
+            else:  # DC refinement: one bit
+                if rd.bits(1):
+                    blk[0] |= 1 << al
+
+        def ac_seq(ci: int, cby: int, cbx: int, ta: int) -> None:
+            # baseline AC (within the single interleaved scan)
+            blk = coefs[ci][cby, cbx]
+            ac_tab = huffs[0x10 | ta]
+            k = 1
+            while k < 64:
+                sym = rd.huff(ac_tab)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                blk[k] = extend(rd.bits(size), size)
+                k += 1
+
+        def ac_first(ci: int, cby: int, cbx: int, ta: int) -> None:
+            blk = coefs[ci][cby, cbx]
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            ac_tab = huffs[0x10 | ta]
+            k = ss
+            while k <= se:
+                sym = rd.huff(ac_tab)
+                r, t = sym >> 4, sym & 0xF
+                if t == 0:
+                    if r < 15:  # EOBn
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = extend(rd.bits(t), t) << al
+                k += 1
+
+        def ac_refine(ci: int, cby: int, cbx: int, ta: int) -> None:
+            blk = coefs[ci][cby, cbx]
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                refine_band(blk, ss)
+                return
+            ac_tab = huffs[0x10 | ta]
+            k = ss
+            while k <= se:
+                sym = rd.huff(ac_tab)
+                r, t = sym >> 4, sym & 0xF
+                if t == 0:
+                    if r < 15:  # EOBn: refine the rest of this band
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        refine_band(blk, k)
+                        return
+                    newval = 0  # ZRL: 16 zero-history positions
+                elif t == 1:
+                    newval = (1 << al) if rd.bits(1) else -(1 << al)
+                else:
+                    raise ValueError("bad magnitude in AC refinement")
+                # walk past r zero-history coefficients, reading
+                # correction bits at nonzero-history positions
+                while k <= se:
+                    if blk[k] != 0:
+                        if rd.bits(1):
+                            blk[k] += (
+                                (1 << al) if blk[k] > 0 else -(1 << al)
+                            )
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("newly-significant past band end")
+                    blk[k] = newval
+                k += 1
+
+        def reset_restart(unit: int, total: int) -> None:
+            if dri and (unit + 1) % dri == 0 and unit + 1 < total:
+                rd.restart(0xD0 + ((unit + 1) // dri - 1) % 8)
+                prev_dc[:] = [0] * nc
+                state["eobrun"] = 0
+
+        if len(sc) > 1 or (ss == 0 and not progressive):
+            # interleaved over the MCU-padded grid: baseline full
+            # blocks, or a progressive DC scan
+            n_mcu = mcux * mcuy
+            for mi in range(n_mcu):
+                my, mx = divmod(mi, mcux)
+                for pos_i, (cid, td, ta) in enumerate(sc):
+                    ci = idxs[pos_i]
+                    hi, vi = factors[ci]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            cby, cbx = my * vi + vy, mx * hi + vx
+                            if not progressive:
+                                dc_unit(ci, cby, cbx, td)
+                                ac_seq(ci, cby, cbx, ta)
+                            else:
+                                dc_unit(ci, cby, cbx, td)
+                reset_restart(mi, n_mcu)
+        else:
+            # single-component scan: DC-only (rare) or AC band, over
+            # the component's REAL block grid
+            cid, td, ta = sc[0]
+            ci = idxs[0]
+            nbx_r, nby_r = comp_real_blocks(ci)
+            n_units = nbx_r * nby_r
+            for ui in range(n_units):
+                cby, cbx = divmod(ui, nbx_r)
+                if not progressive:
+                    # single-component sequential scan (legal, rare)
+                    dc_unit(ci, cby, cbx, td)
+                    ac_seq(ci, cby, cbx, ta)
+                elif ss == 0:
+                    dc_unit(ci, cby, cbx, td)
+                elif ah == 0:
+                    ac_first(ci, cby, cbx, ta)
+                else:
+                    ac_refine(ci, cby, cbx, ta)
+                reset_restart(ui, n_units)
+
+    while pos + 1 < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
-            raise ValueError("reached EOI before SOS entropy data")
+            break
         ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
         body = buf[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
@@ -974,114 +1460,65 @@ def _decode_jpeg(buf: bytes):
                     for val, (code, length) in codes.items()
                 }
                 i += 17 + nv
-        elif marker == 0xC0:
-            sof = body
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF1 (extended sequential) shares SOF0 semantics at
+            # 8-bit precision
+            parse_sof(body, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
-                "(baseline sequential only)"
+                "(baseline sequential and progressive only)"
             )
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:
+            if not coefs:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            sc = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cid, tt >> 4, tt & 0xF))
-            pos = pos + 2 + ln
-            break
-        pos += 2 + ln
-    if sof is None or not scan:
-        raise ValueError("JPEG missing SOF0/SOS")
-    prec, h, w, nc = sof[0], int.from_bytes(sof[1:3], "big"), int.from_bytes(
-        sof[3:5], "big"
-    ), sof[5]
-    if prec != 8 or nc != 3:
-        raise ValueError(
-            f"only 8-bit 3-component baseline supported (got {prec}-bit, "
-            f"{nc} components)"
-        )
-    for i in range(nc):
-        cid, hv, tq = sof[6 + 3 * i : 9 + 3 * i]
-        hi, vi = hv >> 4, hv & 0xF
-        if hi not in (1, 2) or vi not in (1, 2):
-            raise ValueError(
-                f"unsupported sampling factors {hi}x{vi} "
-                "(1 and 2 only: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
+                sc.append((cid, tt >> 4, tt & 0xF))
+            ss_, se_, a_ = (
+                body[1 + 2 * ns],
+                body[2 + 2 * ns],
+                body[3 + 2 * ns],
             )
-        comps.append((cid, hv, tq))
-    factors = [(hv >> 4, hv & 0xF) for _, hv, _ in comps]
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    rd = _BitReader(buf, pos)
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.int32)
-        for hi, vi in factors
-    ]
-    prev_dc = [0] * nc
+            if not progressive:
+                ss_, se_, a_ = 0, 63, 0
+            rd = _BitReader(buf, pos + 2 + ln)
+            decode_scan(sc, ss_, se_, a_ >> 4, a_ & 0xF, rd)
+            n_scans += 1
+            pos = rd.pos  # markers are byte-aligned after entropy data
+            continue
+        pos += 2 + ln
+    if not coefs or n_scans == 0:
+        raise ValueError("JPEG missing SOF/SOS")
 
-    def extend(v: int, t: int) -> int:
-        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
-
-    def read_block(ci: int, cby: int, cbx: int, td: int, ta: int,
-                   qt: list[int]) -> None:
-        dc_tab = huffs[td]  # DHT key: (class << 4) | id; DC class 0
-        ac_tab = huffs[0x10 | ta]
-        zz = [0] * 64
-        s = rd.huff(dc_tab)
-        diff = extend(rd.bits(s), s) if s else 0
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        k = 1
-        while k < 64:
-            sym = rd.huff(ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0xF
-            k += run
-            if k > 63:
-                raise ValueError("AC run past block end")
-            zz[k] = extend(rd.bits(size), size)
-            k += 1
-        deq = [[0] * 8 for _ in range(8)]
-        for k2, (u, v) in enumerate(_JPEG_ZZ):
-            deq[u][v] = zz[k2] * qt[k2]
-        for x in range(8):
-            row = planes[ci][cby * 8 + x]
-            for y in range(8):
-                sacc = 0
-                for u in range(8):
-                    au = _JPEG_A[u][x]
-                    dr = deq[u]
-                    for v in range(8):
-                        sacc += au * _JPEG_A[v][y] * dr[v]
-                val = ((sacc + (1 << 25)) >> 26) + 128
-                row[cbx * 8 + y] = min(255, max(0, val))
-
-    # T.81 interleaved MCU order: per MCU, each scan component
-    # contributes its hi*vi blocks row-major before the next component;
-    # with DRI, every Ri MCUs a byte-aligned RSTn marker (modulo-8
-    # sequence) resets the DC predictors
-    n_mcu = mcux * mcuy
-    for mi in range(n_mcu):
-        my, mx = divmod(mi, mcux)
-        for ci, (cid, td, ta) in enumerate(scan):
-            idx = next(i for i, c in enumerate(comps) if c[0] == cid)
-            hi, vi = factors[idx]
-            qt = qts[comps[idx][2]]
-            for vy in range(vi):
-                for vx in range(hi):
-                    read_block(idx, my * vi + vy, mx * hi + vx,
-                               td, ta, qt)
-        if dri and (mi + 1) % dri == 0 and mi + 1 < n_mcu:
-            rd.restart(0xD0 + ((mi + 1) // dri - 1) % 8)
-            prev_dc[:] = [0] * nc
+    # dequant + de-zigzag + the pinned integer IDCT, vectorized with
+    # exact int64 arithmetic (bit-identical to the scalar definition:
+    # out = ((sum_{u,v} A[u][x]*A[v][y]*deq[u,v] + 2^25) >> 26) + 128)
+    zz_u = np.array([u for u, v in _JPEG_ZZ])
+    zz_v = np.array([v for u, v in _JPEG_ZZ])
+    A = np.array(_JPEG_A, dtype=np.int64)
+    planes = []
+    for ci, (hi, vi) in enumerate(factors):
+        qt = np.array(qts[comps[ci][2]], dtype=np.int64)
+        c = coefs[ci].astype(np.int64)  # (nby, nbx, 64) zigzag
+        nby, nbx = c.shape[0], c.shape[1]
+        deq = np.zeros((nby * nbx, 8, 8), dtype=np.int64)
+        deq[:, zz_u, zz_v] = (c * qt).reshape(-1, 64)
+        tmp = np.einsum("ux,buv->bxv", A, deq)
+        out = np.einsum("vy,bxv->bxy", A, tmp)
+        vals = ((out + (1 << 25)) >> 26) + 128
+        vals = np.clip(vals, 0, 255)
+        plane = (
+            vals.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        planes.append(plane)
 
     def full_res(ci: int) -> "np.ndarray":
         # nearest-neighbor upsample to frame resolution + crop: full
@@ -2100,22 +2537,26 @@ def synthesize_images(
         elif fmt == "png":
             def enc(mid, w, h):
                 return _encode_png(mid, w, h, noise=noise)
-        elif fmt == "jpeg":
+        elif fmt in ("jpeg", "jpeg420"):
             # lossy container: the fixture is its quantized
             # COEFFICIENTS (closed form), not the formula pixels.
-            # Every 3rd-and-not-0th id carries a restart interval
-            # (Ri = mid % 3), so the SAME hash gates that pin the
-            # pixels also certify the DRI/RSTn path — restart markers
-            # change bytes, never pixels.
+            # Layout rotation by id — mid%3==0: PROGRESSIVE (SOF2,
+            # 10-scan spectral-selection + successive-approximation
+            # schedule); mid%3 in (1,2): sequential with a restart
+            # interval Ri = mid%3. All three layouts carry identical
+            # coefficients, so the SAME hash gates that pin the
+            # pixels certify the DRI/RSTn AND progressive paths —
+            # scan structure changes bytes, never pixels.
+            sub = "420" if fmt == "jpeg420" else "444"
+
             def enc(mid, w, h):
+                if mid % 3 == 0:
+                    return _encode_jpeg_progressive(
+                        mid, w, h, subsampling=sub
+                    )
                 return _encode_jpeg(
-                    mid, w, h, restart_interval=mid % 3 or None
-                )
-        elif fmt == "jpeg420":
-            def enc(mid, w, h):
-                return _encode_jpeg(
-                    mid, w, h, subsampling="420",
-                    restart_interval=mid % 3 or None,
+                    mid, w, h, subsampling=sub,
+                    restart_interval=mid % 3,
                 )
         elif fmt == "gif":
             # lossless indexed container: pixels = palette[LZW

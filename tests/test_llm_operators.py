@@ -556,12 +556,35 @@ def test_jpeg_codec_round_trip_and_rejections():
     with pytest.raises(ValueError, match="SOI"):
         _decode_jpeg(b"\x00\x00rubbish")
     good = bytearray(_encode_jpeg(5, 6, 4))
-    # SOF0 (0xFFC0) -> SOF2 (progressive)
+    # SOF0 (0xFFC0) -> SOF3 (lossless) must fail loudly; SOF2 is
+    # now SUPPORTED (see the progressive round trips below)
     i = bytes(good).index(b"\xff\xc0")
     prog = bytearray(good)
-    prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    prog[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="unsupported SOF"):
         _decode_jpeg(bytes(prog))
+    # progressive: the 10-scan SOF2 schedule (DC first/refine, split
+    # spectral bands, EOB runs, correction bits) decodes to pixels
+    # BIT-IDENTICAL to the sequential encoding of the same
+    # coefficients — 444 and 420, incl. frames where the
+    # non-interleaved real block grid diverges from the MCU-padded
+    # one (w=17 luma: 3 real vs 4 padded columns)
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _encode_jpeg_progressive,
+    )
+
+    for mid in range(0, 12):
+        w, h = mid % 8 + 2, mid % 5 + 2
+        dw, dh, px = _decode_jpeg(_encode_jpeg_progressive(mid, w, h))
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, _jpeg_expected_pixels(mid, w, h)), mid
+    for w, h, sub in ((17, 10, "420"), (33, 17, "444"), (17, 10, "444")):
+        dw, dh, px = _decode_jpeg(
+            _encode_jpeg_progressive(7, w, h, subsampling=sub)
+        )
+        assert np.array_equal(
+            px, _jpeg_expected_pixels(7, w, h, subsampling=sub)
+        ), (w, h, sub)
     # restart intervals: byte-aligned RSTn chain, DC reset, modulo-8
     # sequence (an 80x40 frame at Ri=1 runs 49 markers through the
     # wraparound), identical pixels to the unrestarted stream — and a
