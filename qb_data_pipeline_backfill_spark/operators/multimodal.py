@@ -724,6 +724,7 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1  # keep the live window bounded
 
     def pad(self) -> None:
         """1-fill to the next byte boundary (T.81 B.1.1.5) without
@@ -891,7 +892,9 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to the live window: without it acc grows into a bignum
+        # over the scan and every shift goes O(stream length)
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
         self.n += 8
 
     def bits(self, k: int) -> int:
@@ -918,7 +921,36 @@ class _BitReader:
             )
         self.pos += 2
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def _try_fill(self) -> bool:
+        # _fill that reports a byte-aligned stop (marker / stream end)
+        # instead of raising — used by the LUT peek, where needing
+        # fewer than 8 real bits at the scan tail is legitimate
+        if self.pos >= len(self.buf):
+            return False
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                return False
+            if self.buf[self.pos + 1] != 0x00:
+                return False  # a real marker: scan is ending
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
+        self.n += 8
+        return True
+
+    def huff(self, table: dict[tuple[int, int], int],
+             lut: list | None = None) -> int:
+        if lut is not None:
+            while self.n < 8:
+                if not self._try_fill():
+                    break
+            if self.n >= 8:
+                hit = lut[(self.acc >> (self.n - 8)) & 0xFF]
+                if hit is not None:
+                    self.n -= hit[1]
+                    return hit[0]
         code, length = 0, 0
         while length <= 16:
             code = (code << 1) | self.bits(1)
@@ -1221,6 +1253,7 @@ def _decode_jpeg(buf: bytes):
     progressive = False
     qts: dict[int, list[int]] = {}
     huffs: dict[int, dict[tuple[int, int], int]] = {}
+    luts: dict[int, list] = {}
     comps: list[tuple[int, int, int]] = []  # (cid, hv, tq)
     factors: list[tuple[int, int]] = []
     coefs: list = []  # per component: int32 (nby_pad, nbx_pad, 64) zigzag
@@ -1293,7 +1326,7 @@ def _decode_jpeg(buf: bytes):
         def dc_unit(ci: int, cby: int, cbx: int, td: int) -> None:
             blk = coefs[ci][cby, cbx]
             if ah == 0:  # first DC scan (Al may be 0 = sequential DC)
-                s = rd.huff(huffs[td])
+                s = rd.huff(huffs[td], luts.get(td))
                 diff = extend(rd.bits(s), s) if s else 0
                 prev_dc[ci] += diff
                 blk[0] = prev_dc[ci] << al
@@ -1304,10 +1337,10 @@ def _decode_jpeg(buf: bytes):
         def ac_seq(ci: int, cby: int, cbx: int, ta: int) -> None:
             # baseline AC (within the single interleaved scan)
             blk = coefs[ci][cby, cbx]
-            ac_tab = huffs[0x10 | ta]
+            ac_tab, ac_lut = huffs[0x10 | ta], luts.get(0x10 | ta)
             k = 1
             while k < 64:
-                sym = rd.huff(ac_tab)
+                sym = rd.huff(ac_tab, ac_lut)
                 if sym == 0x00:
                     break
                 if sym == 0xF0:
@@ -1325,10 +1358,10 @@ def _decode_jpeg(buf: bytes):
             if state["eobrun"] > 0:
                 state["eobrun"] -= 1
                 return
-            ac_tab = huffs[0x10 | ta]
+            ac_tab, ac_lut = huffs[0x10 | ta], luts.get(0x10 | ta)
             k = ss
             while k <= se:
-                sym = rd.huff(ac_tab)
+                sym = rd.huff(ac_tab, ac_lut)
                 r, t = sym >> 4, sym & 0xF
                 if t == 0:
                     if r < 15:  # EOBn
@@ -1350,10 +1383,10 @@ def _decode_jpeg(buf: bytes):
                 state["eobrun"] -= 1
                 refine_band(blk, ss)
                 return
-            ac_tab = huffs[0x10 | ta]
+            ac_tab, ac_lut = huffs[0x10 | ta], luts.get(0x10 | ta)
             k = ss
             while k <= se:
-                sym = rd.huff(ac_tab)
+                sym = rd.huff(ac_tab, ac_lut)
                 r, t = sym >> 4, sym & 0xF
                 if t == 0:
                     if r < 15:  # EOBn: refine the rest of this band
@@ -1459,6 +1492,15 @@ def _decode_jpeg(buf: bytes):
                     (length, code): val
                     for val, (code, length) in codes.items()
                 }
+                # one-level LUT: any code of <= 8 bits decodes with a
+                # single peek (codes > 8 bits fall back to the walk)
+                lut: list = [None] * 256
+                for val, (code, length) in codes.items():
+                    if length <= 8:
+                        base = code << (8 - length)
+                        for sfx in range(1 << (8 - length)):
+                            lut[base | sfx] = (val, length)
+                luts[tc_th] = lut
                 i += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):
             # SOF1 (extended sequential) shares SOF0 semantics at
