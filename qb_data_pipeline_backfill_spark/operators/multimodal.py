@@ -1917,18 +1917,26 @@ def _decode_wav(buf: bytes):
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if fmt_tag != 1:
-                raise ValueError(f"only PCM WAV supported (fmt tag {fmt_tag})")
+            if fmt_tag not in (1, 6, 7):
+                raise ValueError(
+                    f"only PCM / G.711 WAV supported (fmt tag {fmt_tag})"
+                )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    if bits != 16 or channels != 1:
-        raise ValueError(
-            f"only 16-bit mono PCM supported (bits={bits}, channels={channels})"
-        )
-    return rate, np.frombuffer(data, dtype="<i2")
+    if channels != 1:
+        raise ValueError(f"only mono WAV supported (channels={channels})")
+    if fmt_tag == 1:
+        if bits != 16:
+            raise ValueError(f"only 16-bit PCM supported (bits={bits})")
+        return rate, np.frombuffer(data, dtype="<i2")
+    if bits != 8:
+        raise ValueError(f"G.711 WAV must be 8-bit (bits={bits})")
+    table = _G711_ULAW_TABLE if fmt_tag == 7 else _G711_ALAW_TABLE
+    lut = np.asarray(table, dtype=np.int16)
+    return rate, lut[np.frombuffer(data, dtype=np.uint8)]
 
 
 def decode_audio(media: DataFrame) -> DataFrame:
@@ -1982,6 +1990,62 @@ def _noise_samples(media_id: int, n: int):
         for blk in range((2 * n + 15) // 16)
     )
     return np.frombuffer(digests[: 2 * n], dtype="<i2").copy()
+
+
+def _g711_ulaw_to_linear(u_val: int) -> int:
+    """ITU-T G.711 mu-law byte -> linear PCM (the SUN g711.c
+    public-domain reference arithmetic): complement, expand the
+    4-bit mantissa with the 0x84 bias through the 3-bit segment
+    shift, re-bias, apply sign."""
+    u = ~u_val & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _g711_alaw_to_linear(a_val: int) -> int:
+    """ITU-T G.711 A-law byte -> linear PCM (same reference): xor
+    0x55, segment-0 gets the +8 half-step, segments >= 1 expand
+    (mantissa<<4 + 0x108) << (seg-1); sign bit SET means positive."""
+    a = a_val ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_G711_ULAW_TABLE = [_g711_ulaw_to_linear(b) for b in range(256)]
+_G711_ALAW_TABLE = [_g711_alaw_to_linear(b) for b in range(256)]
+
+
+def _g711_bytes(media_id: int, n: int) -> bytes:
+    """Fixture G.711 byte stream: byte i = (id*31 + i*7) % 256 —
+    step 7 is coprime to 256, so every code (all 8 segments, both
+    signs) appears across a corpus. Closed form for the SQL oracle."""
+    return bytes((media_id * 31 + i * 7) % 256 for i in range(n))
+
+
+def _encode_wav_g711(media_id: int, n: int, rate: int, law: str) -> bytes:
+    """Real G.711 WAV: fmt tag 7 (mu-law) or 6 (A-law), 8-bit mono,
+    the same LIST-before-data chunk layout as the PCM fixture."""
+    tag = 7 if law == "ulaw" else 6
+    data = _g711_bytes(media_id, n)
+    info = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + tag.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")   # mono
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")  # byte rate (1 byte/sample)
+        + (1).to_bytes(2, "little")   # block align
+        + (8).to_bytes(2, "little")   # bits
+    )
+    chunks = fmt + info + b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
 def _encode_wav(
@@ -2513,13 +2577,19 @@ def synthesize_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synthesize_audio(
-    df: DataFrame, id_col: str = "doc_id", noise: bool = False
+    df: DataFrame, id_col: str = "doc_id", noise: bool = False,
+    fmt: str = "pcm",
 ) -> DataFrame:
     """Deterministic real WAV files keyed by ``id_col``: n_samples =
     id % 50 + 20, rate = 8000 + (id % 3) * 4000, formula samples (or
     the md5-noise samples of ``_noise_samples`` with ``noise=True`` —
     the near-dup fixture) — the audio fixture for
     :func:`decode_audio`, oracle-replayable either way."""
+
+    if fmt not in ("pcm", "ulaw", "alaw"):
+        raise ValueError(f"fmt must be 'pcm', 'ulaw' or 'alaw', got {fmt!r}")
+    if noise and fmt != "pcm":
+        raise ValueError("noise samples are generated for pcm only")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2528,7 +2598,10 @@ def synthesize_audio(
                 mid = int(mid)
                 n = mid % 50 + 20
                 rate = 8000 + (mid % 3) * 4000
-                content = _encode_wav(mid, n, rate, noise=noise)
+                if fmt == "pcm":
+                    content = _encode_wav(mid, n, rate, noise=noise)
+                else:
+                    content = _encode_wav_g711(mid, n, rate, fmt)
                 rows.append(
                     {
                         "media_id": mid,

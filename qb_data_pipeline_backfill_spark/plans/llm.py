@@ -1233,6 +1233,89 @@ def multimodal_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_g711_stats",
+    # G.711 byte i = (id*31 + i*7) % 256 (step 7 coprime to 256, so
+    # every code — all 8 segments, both signs — appears across the
+    # corpus); the oracle replays the ITU-T expansion arithmetic
+    # closed-form per byte: mu-law (even ids) complement + biased
+    # mantissa shift, A-law (odd ids) xor 0x55 + segment expansion
+    # with sign-bit-set-positive. A wrong segment shift, bias, or
+    # sign convention flips every aggregate.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 50 + 20) AS n,
+               CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate
+        FROM documents WHERE doc_id % 10 = 7
+    ),
+    b AS (
+        SELECT media_id, sample_rate, t.i,
+               (media_id * 31 + t.i * 7) % 256 AS byte
+        FROM m, LATERAL unnest(generate_series(0, n - 1)) AS t(i)
+    ),
+    s AS (
+        SELECT media_id, sample_rate, i,
+               CASE WHEN media_id % 2 = 0 THEN
+                   -- mu-law: u = ~byte; t = ((u&15)*8+132) << seg
+                   CASE WHEN (255 - byte) >= 128
+                        THEN 132 - (((255 - byte) & 15) * 8 + 132)
+                             * (1 << (((255 - byte) >> 4) & 7))
+                        ELSE (((255 - byte) & 15) * 8 + 132)
+                             * (1 << (((255 - byte) >> 4) & 7)) - 132
+                   END
+               ELSE
+                   -- A-law: a = byte ^ 0x55; seg 0: +8, else
+                   -- (t+0x108) << (seg-1); sign bit SET = positive
+                   CASE WHEN (xor(byte, 85) & 128) = 128 THEN 1 ELSE -1 END
+                   * CASE WHEN ((xor(byte, 85) >> 4) & 7) = 0
+                          THEN (xor(byte, 85) & 15) * 16 + 8
+                          ELSE ((xor(byte, 85) & 15) * 16 + 264)
+                               * (1 << (((xor(byte, 85) >> 4) & 7) - 1))
+                     END
+               END AS v
+        FROM b
+    )
+    SELECT media_id, sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS amp_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM s
+    GROUP BY media_id, sample_rate
+    """,
+    doc="REAL G.711 telephony-WAV decode, oracle-gated (operators/"
+    "multimodal.py _decode_wav fmt tags 7/6 — the mu-law and A-law "
+    "codecs carried by call-center and voicemail corpora): even-id "
+    "documents synthesize mu-law files, odd-id A-law, both through "
+    "the real RIFF chunk walk and the SUN-g711.c reference expansion "
+    "tables; the oracle replays the segment/bias/sign arithmetic "
+    "closed-form per byte, position-weighted checksum included. "
+    "Extends the audio family beyond linear PCM to the other two "
+    "formats 8 kHz speech corpora actually ship.",
+)
+def multimodal_audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 7
+    )
+    ul = M.synthesize_audio(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0), fmt="ulaw"
+    )
+    al = M.synthesize_audio(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 1), fmt="alaw"
+    )
+    decoded = M.decode_audio(ul.unionByName(al))
+    ex = decoded.select(
+        "media_id", "sample_rate", F.posexplode("samples").alias("i", "v")
+    )
+    return ex.groupBy("media_id", "sample_rate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("v").cast("long").alias("amp_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
+@register(
     "multimodal_audio_stats",
     # Synthetic WAV sample i is ((media_id*17 + i*31) % 65536) - 32768
     # (operators/multimodal.py:_formula_samples), so the oracle

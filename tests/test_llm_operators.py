@@ -673,6 +673,40 @@ def test_gif_codec_round_trip_and_rejections():
         _gif_lzw_decode(bytes([0xFF, 0xFF, 0xFF]), 2)
 
 
+def test_g711_wav_decode_reference_values():
+    """G.711 pins: the four canonical extremes of each law (SUN
+    g711.c reference), a byte-stream round trip, and the rejection
+    guards (unknown fmt tag, G.711 at 16 bits)."""
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav_g711,
+        _g711_alaw_to_linear,
+        _g711_bytes,
+        _g711_ulaw_to_linear,
+    )
+
+    assert _g711_ulaw_to_linear(0xFF) == 0
+    assert _g711_ulaw_to_linear(0x80) == 32124
+    assert _g711_ulaw_to_linear(0x00) == -32124
+    assert _g711_alaw_to_linear(0xD5) == 8
+    assert _g711_alaw_to_linear(0x55) == -8
+    assert _g711_alaw_to_linear(0xAA) == 32256
+    assert _g711_alaw_to_linear(0x2A) == -32256
+    for law, fn in (("ulaw", _g711_ulaw_to_linear), ("alaw", _g711_alaw_to_linear)):
+        rate, samples = _decode_wav(_encode_wav_g711(9, 40, 8000, law))
+        assert rate == 8000
+        assert samples.tolist() == [fn(b) for b in _g711_bytes(9, 40)]
+    bad = bytearray(_encode_wav_g711(9, 40, 8000, "ulaw"))
+    i = bytes(bad).index(b"fmt ")
+    bad[i + 8] = 2  # fmt tag 2 (ADPCM)
+    with pytest.raises(ValueError, match="PCM / G.711"):
+        _decode_wav(bytes(bad))
+    bad = bytearray(_encode_wav_g711(9, 40, 8000, "alaw"))
+    bad[i + 22] = 16  # bits field
+    with pytest.raises(ValueError, match="8-bit"):
+        _decode_wav(bytes(bad))
+
+
 def test_decode_mixed_format_batch_sniffs_per_row(spark, docs):
     mixed = M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 0), fmt="ppm").unionByName(
         M.synthesize_images(docs.filter(F.col("doc_id") % 2 == 1), fmt="bmp")
