@@ -2875,7 +2875,7 @@ def hash64_band_index(
     bucketed on band_hash via operators/layout.py), append each new
     batch's rows, and incremental image dedup never re-DECODES
     history — decisive here, because the codec is the dominant cost
-    (SCALING §15: pure-Python JPEG at 0.3 MB/s vs codegen'd banding).
+    (SCALING §15: the Python JPEG codec vs codegen'd banding).
 
     Banding matches ``hash64_band_pairs`` exactly: ``max_hamming+1``
     pigeonhole chunks of the 64-bit hash, so an index built at radius

@@ -3722,7 +3722,7 @@ def dedup_image_dhash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.pmod(F.col("doc_id"), F.lit(12)) == 2
     )
-    # the bit-serial Python decode is ~3 ms/image (SCALING §5) and the
+    # the Python codec decode is the dominant per-row cost and the
     # documents fixture arrives in ONE file split — spread the Arrow
     # codec stage across the cluster before it runs
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
