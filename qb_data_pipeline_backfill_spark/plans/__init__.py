@@ -37,8 +37,8 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # OLDEST-FIRST fill from per-name last-graded rounds computed over
 # CORRECTNESS_r01..14 — the r6 stragglers, the full r7 block, then
 # the r9 block alphabetically as far as the 50 reach
-# (rolling_user_window, score_normalize_per_lang, udtf_term_counts
-# and value_histogram are next, queued for r16).
+# (retention_cohorts, rolling_user_window, score_normalize_per_lang,
+# udtf_term_counts and value_histogram are next, queued for r16).
 # Every registered query is still re-verified in the local full
 # sweep (tools/check_correctness.py, sf0.01) each round regardless.
 prioritize(
@@ -48,6 +48,7 @@ prioritize(
         "contract_gif_decode_replay",
         "dedup_image_dhash_gif",
         "dedup_image_dhash_jpeg420",
+        "dedup_image_dhash_crossformat",
         "dedup_incremental_image",
         "streaming_incremental_image",
         "streaming_wordpiece_encode",
@@ -99,7 +100,6 @@ prioritize(
         "multimodal_frame_alignment",
         "quality_band_filter",
         "range_join_attribution",
-        "retention_cohorts",
     ]
 )
 

@@ -3296,6 +3296,55 @@ _DHASH_NOISE_G_SQL = """
 
 
 @register(
+    "dedup_image_dhash_crossformat",
+    # The re-encoded-image case a crawl dedup must catch: the SAME
+    # md5-noise pixels shipped in TWO different containers (binary
+    # PPM and a filtered+deflated PNG). decode_media sniffs per row,
+    # both decode to identical pixels, so each pair is an exact
+    # cross-format near-dup at Hamming 0 — and the oracle computes
+    # the closed-form all-pairs ground truth over the union.
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id %% 12 = 10
+    ),
+    ids AS (
+        SELECT doc_id AS media_id, doc_id AS src FROM ids0
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id FROM ids0
+    ),
+    %s
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """
+    % _DHASH_NOISE_G_SQL,
+    doc="CROSS-FORMAT image near-dup: every 12th document's md5-noise "
+    "pixels synthesized as a binary PPM AND (re-keyed) as a real "
+    "filtered+deflated PNG of the same pixels — one corpus, two "
+    "containers, per-row magic sniffing, one certified dHash+banding "
+    "pipeline. Each pair the engine reports is a Hamming-0 match "
+    "BETWEEN formats, the re-encoded-duplicate case a real crawl "
+    "dedup exists to catch; the oracle replays the pixels closed-"
+    "form (both containers are lossless) and computes the exact "
+    "all-pairs ground truth.",
+)
+def dedup_image_dhash_crossformat(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(12)) == 10
+    )
+    ppm = M.synthesize_images(docs, fmt="ppm", noise=True)
+    png = M.synthesize_images(docs, fmt="png", noise=True).withColumn(
+        "media_id", F.col("media_id") + F.lit(10000000)
+    )
+    return M.image_near_dup_pairs(
+        ppm.unionByName(png), max_hamming=2, max_bucket=1000
+    )
+
+
+@register(
     "dedup_image_dhash",
     oracle="""
     WITH ids0 AS (
