@@ -1979,6 +1979,54 @@ def unigram_encode(
     )
 
 
+def unigram_word_pieces(
+    df: DataFrame,
+    pieces_lp_micro: dict[str, int],
+    *,
+    max_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """The unigram-LM tokenizer MODEL ARTIFACT in fit/apply-split
+    form: one row per DISTINCT word with its Viterbi totals
+    ``(word, n_pieces, n_unk, score_micro)`` — the unigram analog of
+    ``wordpiece_word_pieces`` (and of ``ngram_nll_table``). Fit once
+    offline (cost scales with |distinct words|); streamed encoding is
+    then a stateless word explode + ONE stream-static join + a
+    per-doc aggregate with zero stream-side Python (see
+    plans/contracts.py streaming_unigram_encode). Uses the SAME
+    ``unigram_viterbi`` the batch encoder uses, so the two cannot
+    drift. Streamed words absent from the table are novel; the
+    deploy convention is a left join coalescing to one UNK piece at
+    ``UNIGRAM_UNK_MICRO``."""
+    from pyspark.sql.functions import pandas_udf
+
+    lp = dict(pieces_lp_micro)
+    ml = int(max_len)
+
+    @pandas_udf("n_pieces long, n_unk long, score_micro long")
+    def seg(words: pd.Series) -> pd.DataFrame:
+        n, nu, sc = [], [], []
+        for w in words:
+            pieces = unigram_viterbi(w, lp, ml)
+            n.append(len(pieces))
+            nu.append(sum(1 for p in pieces if p not in lp))
+            sc.append(sum(lp.get(p, UNIGRAM_UNK_MICRO) for p in pieces))
+        return pd.DataFrame({"n_pieces": n, "n_unk": nu, "score_micro": sc})
+
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    return words.select("word", seg("word").alias("s")).select(
+        "word", "s.n_pieces", "s.n_unk", "s.score_micro"
+    )
+
+
 # --------------------------------------------------------------------------
 # BM25 ranked retrieval (Robertson-Spärck Jones / Okapi)
 # --------------------------------------------------------------------------

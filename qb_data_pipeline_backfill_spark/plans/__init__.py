@@ -37,8 +37,9 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # OLDEST-FIRST fill from per-name last-graded rounds computed over
 # CORRECTNESS_r01..14 — the r6 stragglers, the full r7 block, then
 # the r9 block alphabetically as far as the 50 reach
-# (retention_cohorts, rolling_user_window, score_normalize_per_lang,
-# udtf_term_counts and value_histogram are next, queued for r16).
+# (range_join_attribution, retention_cohorts, rolling_user_window,
+# score_normalize_per_lang, udtf_term_counts and value_histogram are
+# next, queued for r16).
 # Every registered query is still re-verified in the local full
 # sweep (tools/check_correctness.py, sf0.01) each round regardless.
 prioritize(
@@ -52,6 +53,7 @@ prioritize(
         "dedup_incremental_image",
         "streaming_incremental_image",
         "streaming_wordpiece_encode",
+        "streaming_unigram_encode",
         "multimodal_audio_g711_stats",
         "contract_jpeg_decode_replay",
         # --- (b) r14-late, first driver grade (VERDICT r14 #1) ---
@@ -99,7 +101,6 @@ prioritize(
         "incremental_rollup_merge",
         "multimodal_frame_alignment",
         "quality_band_filter",
-        "range_join_attribution",
     ]
 )
 

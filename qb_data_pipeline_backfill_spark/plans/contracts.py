@@ -1466,3 +1466,94 @@ def streaming_wordpiece_encode(
         .alias("n_unk"),
     )
     return run_available_now(out, output_mode="complete")
+
+
+@register(
+    "streaming_unigram_encode",
+    # Completes the tokenizer trio's streaming story (WordPiece twin
+    # above): the per-distinct-word Viterbi totals fit ONCE as the
+    # model artifact, each micro-batch encodes via a stateless
+    # codegen word explode + ONE stream-static left join + a
+    # complete-mode per-doc aggregate. The empty document is kept by
+    # an explode_outer (null word contributes zeros) — same pinned
+    # rows as the batch replay, minus the distinct-pieces column
+    # (second aggregation level, unsupported in one streaming query).
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(-27100000 AS BIGINT)),
+        (1, 0, 0, 0),
+        (2, 6, 0, -11600000)
+    ) AS t(doc_id, n_pieces, n_unk, score_micro)
+    """,
+    doc="Unigram-LM Viterbi encoding under Structured Streaming, "
+    "gated (operators/text.py unigram_word_pieces): the pinned "
+    "integer piece table collapses to per-distinct-word totals — "
+    "the model artifact — then the pinned corpus streams one "
+    "document per micro-batch and encodes with zero stream-side "
+    "Python (explode + stream-static left join + complete-mode "
+    "aggregate; explode_outer keeps the empty document as a zeros "
+    "row). Exactly the pinned exact-Viterbi replay that gates "
+    "contract_unigram_encode_replay, in deploy shape.",
+)
+def streaming_unigram_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from qb_data_pipeline_backfill_spark.operators import text as X
+    from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
+    from qb_data_pipeline_backfill_spark.plans.llm import (
+        _UNIGRAM_ENC_PIECES,
+    )
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        run_available_now,
+    )
+
+    corpus = spark.sql(
+        "SELECT * FROM (VALUES "
+        "(CAST(0 AS BIGINT), 'ab abc xbc'), "
+        "(CAST(1 AS BIGINT), ''), "
+        "(CAST(2 AS BIGINT), 'cccc abab')"
+        ") AS t(doc_id, text)"
+    )
+    table = X.unigram_word_pieces(corpus, _UNIGRAM_ENC_PIECES, max_len=3)
+    src = os.path.join(_SCRATCH, "unigram_stream_src")
+    for i in range(3):
+        corpus.filter(F.col("doc_id") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    inst = stream.select(
+        "doc_id",
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    )
+    joined = inst.join(table, "word", "left").select(
+        "doc_id",
+        F.when(F.col("word").isNull(), F.lit(0))
+        .otherwise(F.coalesce("n_pieces", F.lit(1)))
+        .alias("np_"),
+        F.when(F.col("word").isNull(), F.lit(0))
+        .otherwise(F.coalesce("n_unk", F.lit(1)))
+        .alias("nu_"),
+        F.when(F.col("word").isNull(), F.lit(0))
+        .otherwise(
+            F.coalesce("score_micro", F.lit(X.UNIGRAM_UNK_MICRO))
+        )
+        .alias("sc_"),
+    )
+    out = joined.groupBy("doc_id").agg(
+        F.sum("np_").cast("long").alias("n_pieces"),
+        F.sum("nu_").cast("long").alias("n_unk"),
+        F.sum("sc_").cast("long").alias("score_micro"),
+    )
+    return run_available_now(out, output_mode="complete")
