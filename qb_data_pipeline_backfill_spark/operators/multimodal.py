@@ -961,7 +961,8 @@ class _BitReader:
 
 
 def _encode_jpeg_progressive(
-    media_id: int, w: int, h: int, subsampling: str = "444"
+    media_id: int, w: int, h: int, subsampling: str = "444",
+    restart_interval: int | None = None,
 ) -> bytes:
     """Progressive (SOF2) twin of ``_encode_jpeg``: the SAME formula
     coefficients re-serialized as a 10-scan spectral-selection +
@@ -970,8 +971,11 @@ def _encode_jpeg_progressive(
     (1-5, 6-63) for luma at Al=1, then DC refinement (Ah=1) and
     per-component AC refinement scans (Ah=1, Al=0) with cross-block
     EOB runs, buffered correction bits, ZRL-with-corrections, and
-    the non-interleaved ceil(samples/8) block grid for AC scans.
-    Decoded pixels are BIT-IDENTICAL to the sequential encoding (the
+    the non-interleaved ceil(samples/8) block grid for AC scans;
+    with ``restart_interval``, per-scan RSTn chains (EOB runs flushed
+    at each boundary, DC predictors reset, per-scan modulo-8
+    sequence). Decoded pixels are BIT-IDENTICAL to the sequential
+    encoding (the
     coefficients are the same), so every existing JPEG hash gate
     certifies the progressive path with zero oracle change."""
 
@@ -990,6 +994,8 @@ def _encode_jpeg_progressive(
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid in (0, 1):
         out += seg(0xDB, bytes([tid]) + bytes(_JPEG_QT[tid]))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
     for (cid, tq), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), samp):
         sof += bytes([cid, (hi << 4) | vi, tq])
@@ -1026,7 +1032,8 @@ def _encode_jpeg_progressive(
     out += sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for mi in range(mcux * mcuy):
+    n_mcu_t = mcux * mcuy
+    for mi in range(n_mcu_t):
         my, mx = divmod(mi, mcux)
         for c, (hi, vi) in enumerate(samp):
             nbx_c = mcux * hi
@@ -1040,6 +1047,13 @@ def _encode_jpeg_progressive(
                     bw.put(*dc_codes[sz])
                     if sz:
                         bw.put(diff if diff >= 0 else diff - 1, sz)
+        if (
+            restart_interval
+            and (mi + 1) % restart_interval == 0
+            and mi + 1 < n_mcu_t
+        ):
+            bw.marker(0xD0 + ((mi + 1) // restart_interval - 1) % 8)
+            prev_dc[:] = [0, 0, 0]
     out += bw.flush()
 
     # --- AC first scans, Al=1 ---------------------------------------
@@ -1058,7 +1072,20 @@ def _encode_jpeg_progressive(
                     bw.put(eobrun - (1 << r), r)
                 eobrun = 0
 
-        for ui in range(nbx_r * nby_r):
+        n_units = nbx_r * nby_r
+
+        def maybe_restart(ui: int) -> None:
+            # EOB runs cannot cross a restart boundary: flush, then
+            # emit the byte-aligned RSTn (per-scan modulo-8 sequence)
+            if (
+                restart_interval
+                and (ui + 1) % restart_interval == 0
+                and ui + 1 < n_units
+            ):
+                flush_eob()
+                bw.marker(0xD0 + ((ui + 1) // restart_interval - 1) % 8)
+
+        for ui in range(n_units):
             cby, cbx = divmod(ui, nbx_r)
             b = cby * nbx_pad + cbx
             # point transform truncates toward zero (T.81 G.1.2.2)
@@ -1075,6 +1102,7 @@ def _encode_jpeg_progressive(
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush_eob()
+                maybe_restart(ui)
                 continue
             flush_eob()
             run = 0
@@ -1094,6 +1122,7 @@ def _encode_jpeg_progressive(
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush_eob()
+            maybe_restart(ui)
         flush_eob()
         return bw.flush()
 
@@ -1108,7 +1137,7 @@ def _encode_jpeg_progressive(
     # --- DC refinement: interleaved, Ah=1, Al=0 ----------------------
     out += sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0)
     bw = _BitWriter()
-    for mi in range(mcux * mcuy):
+    for mi in range(n_mcu_t):
         my, mx = divmod(mi, mcux)
         for c, (hi, vi) in enumerate(samp):
             nbx_c = mcux * hi
@@ -1116,6 +1145,12 @@ def _encode_jpeg_progressive(
                 for vx in range(hi):
                     b = (my * vi + vy) * nbx_c + mx * hi + vx
                     bw.put(coef(c, b, 0) & 1, 1)
+        if (
+            restart_interval
+            and (mi + 1) % restart_interval == 0
+            and mi + 1 < n_mcu_t
+        ):
+            bw.marker(0xD0 + ((mi + 1) // restart_interval - 1) % 8)
     out += bw.flush()
 
     # --- AC refinement scans, Ah=1, Al=0 -----------------------------
@@ -1138,7 +1173,18 @@ def _encode_jpeg_progressive(
                 pending = []
                 eobrun = 0
 
-        for ui in range(nbx_r * nby_r):
+        n_units = nbx_r * nby_r
+
+        def maybe_restart(ui: int) -> None:
+            if (
+                restart_interval
+                and (ui + 1) % restart_interval == 0
+                and ui + 1 < n_units
+            ):
+                flush_eob()
+                bw.marker(0xD0 + ((ui + 1) // restart_interval - 1) % 8)
+
+        for ui in range(n_units):
             cby, cbx = divmod(ui, nbx_r)
             b = cby * nbx_pad + cbx
             vs = [coef(c, b, k) for k in range(ss, se + 1)]
@@ -1186,25 +1232,25 @@ def _encode_jpeg_progressive(
                     tail_bits.append(ts[i] & 1)
             if eobpos >= 0 and tail_start > len(ts) - 1 and not tail_bits:
                 # block fully coded to Se with no trailing content
+                maybe_restart(ui)
                 continue
             if eobpos >= 0 and tail_start > len(ts) - 1:
                 for bit in tail_bits:
                     bw.put(bit, 1)
+                maybe_restart(ui)
                 continue
             if eobpos >= 0 and not tail_bits and tail_start <= len(ts) - 1:
                 # trailing zeros only -> EOB covers them
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush_eob()
+                maybe_restart(ui)
                 continue
-            if eobpos >= 0:
-                eobrun += 1
-                pending.extend(tail_bits)
-            else:
-                eobrun += 1
-                pending.extend(tail_bits)
+            eobrun += 1
+            pending.extend(tail_bits)
             if eobrun == 0x7FFF:
                 flush_eob()
+            maybe_restart(ui)
         flush_eob()
         return bw.flush()
 

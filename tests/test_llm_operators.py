@@ -585,6 +585,13 @@ def test_jpeg_codec_round_trip_and_rejections():
         assert np.array_equal(
             px, _jpeg_expected_pixels(7, w, h, subsampling=sub)
         ), (w, h, sub)
+    # progressive + restart intervals: per-scan RSTn chains with EOB
+    # runs flushed at each boundary, all ten scans
+    for ri in (1, 2):
+        dw, dh, px = _decode_jpeg(
+            _encode_jpeg_progressive(3, 80, 40, restart_interval=ri)
+        )
+        assert np.array_equal(px, _jpeg_expected_pixels(3, 80, 40)), ri
     # restart intervals: byte-aligned RSTn chain, DC reset, modulo-8
     # sequence (an 80x40 frame at Ri=1 runs 49 markers through the
     # wraparound), identical pixels to the unrestarted stream — and a
