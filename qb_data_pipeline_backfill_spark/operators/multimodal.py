@@ -381,17 +381,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # bytes/pixel at depth 8
+
+
 def _decode_png(buf: bytes):
-    """8-bit truecolor PNG → (width, height, flat RGB uint8 array).
+    """8-bit PNG → (width, height, flat RGB uint8 array).
 
     A REAL decoder, stdlib only: signature + chunk walk with CRC-32
     verification on every chunk, IHDR validation, multi-IDAT
-    concatenation, zlib inflate, then per-scanline unfiltering of all
-    five spec filter types (None/Sub/Up/Average/Paeth). Supports the
-    subset the 100 TB image pipeline standardizes on before dHash —
-    bit depth 8, color type 2 (RGB), no interlace — and fails loudly
-    on anything else (palette/alpha/16-bit/Adam7), per the engine's
-    no-silent-partial policy."""
+    concatenation, zlib inflate, per-scanline unfiltering of all five
+    spec filter types (None/Sub/Up/Average/Paeth) at the color type's
+    own bytes-per-pixel, then conversion to RGB. Supports ALL FIVE
+    8-bit color types — 0 grayscale, 2 truecolor, 3 palette (PLTE
+    lookup), 4 gray+alpha, 6 RGBA (the type most wild web PNGs carry)
+    — with alpha DROPPED (the dedup pipeline treats opacity as
+    metadata, stated here rather than silently composited). Fails
+    loudly on 16-bit, Adam7 interlace, or a palette image without
+    PLTE, per the engine's no-silent-partial policy."""
     import zlib
 
     import numpy as np
@@ -399,6 +405,7 @@ def _decode_png(buf: bytes):
     if not buf.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat, seen_iend = len(_PNG_SIG), None, [], False
+    plte = None
     while pos < len(buf):
         if pos + 8 > len(buf):
             raise ValueError("truncated PNG chunk header")
@@ -412,32 +419,41 @@ def _decode_png(buf: bytes):
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             seen_iend = True
             break
-        # ancillary chunks (tEXt/pHYs/...) are skipped per spec
+        # ancillary chunks (tEXt/pHYs/tRNS/...) are skipped per spec;
+        # dropping tRNS is the alpha-dropped convention above
         pos += 12 + length
     if ihdr is None or not idat or not seen_iend:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
-            "only 8-bit truecolor non-interlaced PNG supported (got "
+            "only 8-bit non-interlaced PNG supported (got "
             f"depth={depth} color={color} comp={comp} filter={filt} "
             f"interlace={interlace})"
         )
+    if color not in _PNG_BPP:
+        raise ValueError(f"unknown PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * 3
+    bpp = _PNG_BPP[color]
+    stride = w * bpp
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG payload size mismatch: {len(raw)} != {h * (1 + stride)}"
         )
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = 3
     for y in range(h):
         ftype = raw[y * (1 + stride)]
         line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
@@ -462,7 +478,23 @@ def _decode_png(buf: bytes):
         else:
             raise ValueError(f"PNG scanline {y}: unknown filter {ftype}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-    return w, h, out.reshape(-1)
+    if color == 2:
+        return w, h, out.reshape(-1)
+    if color == 0:  # grayscale -> replicate
+        g = out.reshape(h, w)
+        return w, h, np.repeat(g.reshape(-1), 3)
+    if color == 4:  # gray + alpha -> drop alpha, replicate
+        ga = out.reshape(h, w, 2)
+        return w, h, np.repeat(ga[:, :, 0].reshape(-1), 3)
+    if color == 6:  # RGBA -> drop alpha
+        rgba = out.reshape(h, w, 4)
+        return w, h, rgba[:, :, :3].reshape(-1).copy()
+    # color == 3: palette lookup
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = out.reshape(-1).astype(np.int64)
+    if idx.max(initial=0) >= pal.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return w, h, pal[idx].reshape(-1)
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -476,8 +508,34 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+def _png_type_samples(media_id: int, w: int, h: int, color: int):
+    """Closed-form per-color-type sample bytes for the fixture
+    encoder (and the SQL oracle's replay): gray byte p is
+    (id*31+p) mod 256; palette index p is (id*31 + p*17) mod 256 over
+    the GIF formula palette; RGBA = the RGB formula bytes + alpha
+    (id*7 + p*11) mod 256 (dropped by the decoder); gray+alpha
+    analogous."""
+    import numpy as np
+
+    n = w * h
+    if color == 0:
+        return ((np.arange(n) + media_id * 31) % 256).astype(np.uint8)
+    if color == 3:
+        return ((media_id * 31 + np.arange(n) * 17) % 256).astype(np.uint8)
+    if color == 4:
+        g = (np.arange(n) + media_id * 31) % 256
+        a = (media_id * 7 + np.arange(n) * 11) % 256
+        return np.stack([g, a], axis=-1).reshape(-1).astype(np.uint8)
+    if color == 6:
+        rgb = _formula_pixels(media_id, w, h).reshape(n, 3)
+        a = ((media_id * 7 + np.arange(n) * 11) % 256).astype(np.uint8)
+        return np.concatenate([rgb, a[:, None]], axis=1).reshape(-1)
+    raise ValueError(f"no fixture sample formula for color type {color}")
+
+
 def _encode_png(
-    media_id: int, w: int, h: int, noise: bool = False
+    media_id: int, w: int, h: int, noise: bool = False,
+    color_type: int = 2,
 ) -> bytes:
     """Real PNG encoder for the synthetic fixtures. Deliberately
     exercises the decoder's whole surface: scanline y carries filter
@@ -486,12 +544,22 @@ def _encode_png(
     unfiltering, not just the happy None path — plus an ancillary
     tEXt chunk every 4th image (chunk-skip path) and the compressed
     stream split across two IDAT chunks every 3rd image (multi-IDAT
-    concatenation path). zlib level 6: deterministic bytes."""
+    concatenation path). zlib level 6: deterministic bytes.
+    ``color_type`` selects any of the five 8-bit layouts (0 gray, 2
+    RGB, 3 palette — PLTE = the formula palette shared with the GIF
+    fixtures — 4 gray+alpha, 6 RGBA); sample bytes per type are the
+    closed forms of ``_png_type_samples``."""
     import zlib
 
-    px = (_noise_pixels if noise else _formula_pixels)(media_id, w, h)
-    img = px.reshape(h, w * 3)
-    bpp, stride = 3, w * 3
+    if noise and color_type != 2:
+        raise ValueError("noise pixels are a color-type-2 fixture")
+    if color_type == 2:
+        px = (_noise_pixels if noise else _formula_pixels)(media_id, w, h)
+    else:
+        px = _png_type_samples(media_id, w, h, color_type)
+    bpp = _PNG_BPP[color_type]
+    stride = w * bpp
+    img = px.reshape(h, stride)
     raw = bytearray()
     for y in range(h):
         ftype = (media_id + y) % 5
@@ -515,7 +583,13 @@ def _encode_png(
                 v = x - _paeth(a, b, c)
             raw.append(v & 0xFF)
     ihdr = (
-        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    plte = (
+        _png_chunk(b"PLTE", _gif_palette(False))
+        if color_type == 3
+        else b""
     )
     comp = zlib.compress(bytes(raw), 6)
     if media_id % 3 == 0 and len(comp) > 1:
@@ -534,6 +608,7 @@ def _encode_png(
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + text
+        + plte
         + idat
         + _png_chunk(b"IEND", b"")
     )
@@ -2683,10 +2758,10 @@ def synthesize_images(
     form ``_jpeg_coef`` — decoded pixels follow the pinned integer
     IDCT + color pipeline, not the byte formula (lossy container)."""
 
-    if fmt not in ("ppm", "bmp", "png", "jpeg", "jpeg420", "gif"):
+    if fmt not in ("ppm", "bmp", "png", "pngx", "jpeg", "jpeg420", "gif"):
         raise ValueError(
-            f"fmt must be 'ppm', 'bmp', 'png', 'jpeg', 'jpeg420' or "
-            f"'gif', got {fmt!r}"
+            f"fmt must be 'ppm', 'bmp', 'png', 'pngx', 'jpeg', "
+            f"'jpeg420' or 'gif', got {fmt!r}"
         )
     if noise and fmt not in ("ppm", "png", "gif"):
         raise ValueError("noise pixels are generated for ppm/png/gif only")
@@ -2698,6 +2773,14 @@ def synthesize_images(
         elif fmt == "png":
             def enc(mid, w, h):
                 return _encode_png(mid, w, h, noise=noise)
+        elif fmt == "pngx":
+            # color-type rotation by id: 0 gray, 2 RGB, 3 palette,
+            # 4 gray+alpha, 6 RGBA — one corpus exercising every
+            # 8-bit layout the wild web ships
+            def enc(mid, w, h):
+                return _encode_png(
+                    mid, w, h, color_type=(0, 2, 3, 4, 6)[mid % 5]
+                )
         elif fmt in ("jpeg", "jpeg420"):
             # lossy container: the fixture is its quantized
             # COEFFICIENTS (closed form), not the formula pixels.

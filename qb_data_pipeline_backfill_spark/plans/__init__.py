@@ -37,15 +37,16 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # OLDEST-FIRST fill from per-name last-graded rounds computed over
 # CORRECTNESS_r01..14 — the r6 stragglers, the full r7 block, then
 # the r9 block alphabetically as far as the 50 reach
-# (range_join_attribution, retention_cohorts, rolling_user_window,
-# score_normalize_per_lang, udtf_term_counts and value_histogram are
-# next, queued for r16).
+# (quality_band_filter, range_join_attribution, retention_cohorts,
+# rolling_user_window, score_normalize_per_lang, udtf_term_counts and
+# value_histogram are next, queued for r16).
 # Every registered query is still re-verified in the local full
 # sweep (tools/check_correctness.py, sf0.01) each round regardless.
 prioritize(
     [
         # --- (a) new in r15 / r15-code-touched ---
         "contract_jpeg420_decode_replay",
+        "contract_png_types_decode_replay",
         "contract_gif_decode_replay",
         "dedup_image_dhash_gif",
         "dedup_image_dhash_jpeg420",
@@ -100,7 +101,6 @@ prioritize(
         # remaining two rotate to r16) ---
         "incremental_rollup_merge",
         "multimodal_frame_alignment",
-        "quality_band_filter",
     ]
 )
 

@@ -3443,6 +3443,78 @@ def contract_png_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contract_png_types_decode_replay",
+    # One fixture corpus rotating through ALL FIVE 8-bit PNG color
+    # types by id%5 (0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA
+    # — the type most wild web PNGs carry); the oracle replays each
+    # type's closed-form sample bytes through the decoder's stated
+    # RGB conversion (gray replicated, palette looked up in the
+    # formula PLTE, alpha DROPPED), position-weighted checksum. A
+    # wrong bytes-per-pixel in the unfilter loop, a mis-indexed
+    # palette, or alpha leaking into the pixel stream flips it red.
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+               (i % 8 + 2) AS w, (i % 5 + 2) AS h, (i % 5) AS tsel
+        FROM range(0, 60) t(i)
+    ),
+    flat AS (
+        SELECT media_id, w, h, tsel, f.i AS i, f.i // 3 AS p, f.i % 3 AS ch,
+               (src * 31 + (f.i // 3) * 17) % 256 AS idx,
+               (src * 31 + f.i // 3) % 256 AS g,
+               (src * 31 + f.i) % 256 AS rgb
+        FROM dims,
+        LATERAL unnest(generate_series(0, w * h * 3 - 1)) f(i)
+    ),
+    vals AS (
+        SELECT media_id, w, h, i,
+               CASE
+                   WHEN tsel IN (0, 3) THEN g  -- color types 0 and 4
+                   WHEN tsel IN (1, 4) THEN rgb  -- types 2 and 6
+                   ELSE CASE i % 3
+                       WHEN 0 THEN (idx * 37 + 11) % 256
+                       WHEN 1 THEN (idx * 73 + 29) % 256
+                       ELSE (idx * 101 + 47) % 256
+                   END  -- type 3: formula PLTE lookup
+               END AS v
+        FROM flat
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM vals
+    GROUP BY media_id, w, h
+    """,
+    doc="REAL PNG decode across ALL FIVE 8-bit color types, "
+    "oracle-gated (operators/multimodal.py _decode_png): 60 pinned "
+    "fixtures rotating 0/2/3/4/6 by id — grayscale replicated to "
+    "RGB, truecolor as-is, palette through a CRC-verified PLTE, "
+    "gray+alpha and RGBA with alpha dropped (the dedup pipeline's "
+    "stated opacity-as-metadata convention) — each still cycling all "
+    "five scanline filters at the type's own bytes-per-pixel. "
+    "Converts the PNG face from the type-2 subset to the layouts "
+    "wild web PNGs actually carry (type 6 dominates).",
+)
+def contract_png_types_decode_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ids = spark.range(60).withColumnRenamed("id", "doc_id")
+    decoded = M.decode_media(M.synthesize_images(ids, fmt="pngx"))
+    ex = decoded.select(
+        "media_id", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
 # JPEG replay constants — imported from the codec so the oracle and
 # the decoder share the SAME pinned integers verbatim (a drifted copy
 # would silently gate nothing)

@@ -622,6 +622,58 @@ def test_jpeg_codec_round_trip_and_rejections():
         _decode_jpeg(bytes(good[: len(good) // 2]))
 
 
+def test_png_color_types_round_trip_and_rejections():
+    """All five 8-bit PNG color types decode to the stated RGB
+    conversion (gray replicated, palette looked up, alpha dropped);
+    palette-without-PLTE and out-of-range indexes fail loudly."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+        _formula_pixels,
+        _gif_palette,
+        _png_chunk,
+    )
+
+    for mid in range(15):
+        w, h = mid % 8 + 2, mid % 5 + 2
+        n = w * h
+        g = np.repeat(((np.arange(n) + mid * 31) % 256), 3).astype(np.uint8)
+        for ct in (0, 4):
+            assert np.array_equal(
+                _decode_png(_encode_png(mid, w, h, color_type=ct))[2], g
+            ), (mid, ct)
+        pal = _gif_palette(False)
+        idx = (mid * 31 + np.arange(n) * 17) % 256
+        exp = np.array(
+            [pal[3 * int(i) + c] for i in idx for c in range(3)],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(
+            _decode_png(_encode_png(mid, w, h, color_type=3))[2], exp
+        ), mid
+        assert np.array_equal(
+            _decode_png(_encode_png(mid, w, h, color_type=6))[2],
+            _formula_pixels(mid, w, h),
+        ), mid
+    # palette image with its PLTE chunk stripped must fail loudly
+    buf = _encode_png(7, 6, 4, color_type=3)
+    i = buf.index(b"PLTE") - 4
+    ln = int.from_bytes(buf[i : i + 4], "big")
+    stripped = buf[:i] + buf[i + 12 + ln :]
+    with pytest.raises(ValueError, match="without PLTE"):
+        _decode_png(stripped)
+    # short PLTE -> out-of-range index
+    short = (
+        buf[:i]
+        + _png_chunk(b"PLTE", bytes(_gif_palette(False)[:30]))
+        + buf[i + 12 + ln :]
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        _decode_png(short)
+
+
 def test_gif_codec_round_trip_and_rejections():
     """Driver-side GIF pins: (a) decode(encode) equals
     palette[index-formula] for formula AND md5-noise fixtures — the
