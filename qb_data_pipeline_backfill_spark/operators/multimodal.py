@@ -842,7 +842,8 @@ def _jpeg_mcu_grid(w: int, h: int, subsampling: str):
 
 def _encode_jpeg(media_id: int, w: int, h: int,
                  subsampling: str = "444",
-                 restart_interval: int | None = None) -> bytes:
+                 restart_interval: int | None = None,
+                 gray: bool = False) -> bytes:
     """Baseline JFIF file whose quantized coefficients are
     ``_jpeg_coef``: SOI, APP0, two DQTs, SOF0 (8-bit, 3 components,
     4:4:4 or 4:2:0), four DHTs, SOS, Huffman-coded interleaved MCUs
@@ -862,7 +863,9 @@ def _encode_jpeg(media_id: int, w: int, h: int,
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
-    samp = _JPEG_SAMPLING[subsampling]
+    if gray and subsampling != "444":
+        raise ValueError("grayscale frames have no chroma to subsample")
+    samp = ((1, 1),) if gray else _JPEG_SAMPLING[subsampling]
     mcux, mcuy, hmax, vmax = _jpeg_mcu_grid(w, h, subsampling)
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_tables()
     dc_codes = _huff_codes(dc_bits, dc_vals)
@@ -874,8 +877,12 @@ def _encode_jpeg(media_id: int, w: int, h: int,
         out += seg(0xDB, bytes([tid]) + bytes(_JPEG_QT[tid]))
     if restart_interval:
         out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
-    for (cid, tq), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), samp):
+    ncomp = 1 if gray else 3
+    sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + bytes([ncomp]))
+    for (cid, tq), (hi, vi) in zip(
+        ((1, 0), (2, 1), (3, 1))[:ncomp], samp
+    ):
         sof += bytes([cid, (hi << 4) | vi, tq])
     out += seg(0xC0, sof)
     for tc_th, (bits, vals) in (
@@ -885,8 +892,8 @@ def _encode_jpeg(media_id: int, w: int, h: int,
         (0x11, (ac_bits, ac_vals)),
     ):
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
-    sos = bytes([3])
-    for cid, tables in ((1, 0x00), (2, 0x11), (3, 0x11)):
+    sos = bytes([ncomp])
+    for cid, tables in ((1, 0x00), (2, 0x11), (3, 0x11))[:ncomp]:
         sos += bytes([cid, tables])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
@@ -1396,13 +1403,17 @@ def _decode_jpeg(buf: bytes):
             body[3:5], "big"
         )
         nc_ = body[5]
-        if prec != 8 or nc_ != 3:
+        if prec != 8 or nc_ not in (1, 3):
             raise ValueError(
-                f"only 8-bit 3-component supported (got {prec}-bit, "
-                f"{nc_} components)"
+                f"only 8-bit 1- or 3-component supported (got "
+                f"{prec}-bit, {nc_} components)"
             )
         for i in range(nc_):
             cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+            if nc_ == 1:
+                # T.81 A.2.2: a single-component frame is scanned
+                # non-interleaved — sampling factors do not apply
+                hv = 0x11
             hi, vi = hv >> 4, hv & 0xF
             if hi not in (1, 2) or vi not in (1, 2):
                 raise ValueError(
@@ -1692,6 +1703,9 @@ def _decode_jpeg(buf: bytes):
         return planes[ci][np.ix_(rows, cols)].astype(np.int64)
 
     yp = full_res(0)
+    if nc == 1:  # grayscale: no color transform, luma replicated
+        px = np.repeat(yp.astype(np.uint8).reshape(-1), 3)
+        return w, h, px
     cb = full_res(1) - 128
     cr = full_res(2) - 128
 
@@ -2758,10 +2772,11 @@ def synthesize_images(
     form ``_jpeg_coef`` — decoded pixels follow the pinned integer
     IDCT + color pipeline, not the byte formula (lossy container)."""
 
-    if fmt not in ("ppm", "bmp", "png", "pngx", "jpeg", "jpeg420", "gif"):
+    if fmt not in ("ppm", "bmp", "png", "pngx", "jpeg", "jpeg420",
+                   "jpeggray", "gif"):
         raise ValueError(
             f"fmt must be 'ppm', 'bmp', 'png', 'pngx', 'jpeg', "
-            f"'jpeg420' or 'gif', got {fmt!r}"
+            f"'jpeg420', 'jpeggray' or 'gif', got {fmt!r}"
         )
     if noise and fmt not in ("ppm", "png", "gif"):
         raise ValueError("noise pixels are generated for ppm/png/gif only")
@@ -2780,6 +2795,13 @@ def synthesize_images(
             def enc(mid, w, h):
                 return _encode_png(
                     mid, w, h, color_type=(0, 2, 3, 4, 6)[mid % 5]
+                )
+        elif fmt == "jpeggray":
+            # 1-component frames: no color transform, luma replicated;
+            # same DRI rotation as the color fixtures
+            def enc(mid, w, h):
+                return _encode_jpeg(
+                    mid, w, h, gray=True, restart_interval=mid % 3 or None
                 )
         elif fmt in ("jpeg", "jpeg420"):
             # lossy container: the fixture is its quantized

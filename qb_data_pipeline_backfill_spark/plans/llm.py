@@ -3714,6 +3714,85 @@ _JPEG420_RGB_SQL = """
 
 
 @register(
+    "contract_jpeg_gray_decode_replay",
+    # Grayscale (1-component) JPEG — the other layout wild corpora
+    # carry: no interleave (T.81 A.2.2: sampling factors do not apply
+    # to single-component frames), no color transform, luma
+    # replicated to RGB. Same pinned integer IDCT fragment; a decoder
+    # that ran the YCbCr transform on a gray frame, or mis-gridded
+    # the single component, flips the checksum red.
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+               (i % 8 + 2) AS w, (i % 5 + 2) AS h
+        FROM range(0, 48) t(i)
+    ),
+    zz(k, u, v) AS (VALUES @ZZ@),
+    a(u, x, val) AS (VALUES @AV@),
+    blk AS (
+        SELECT media_id, src, w, h, bxx.x AS cbx, byy.x AS cby,
+               byy.x * ((w + 7) // 8) + bxx.x AS b
+        FROM dims,
+        LATERAL unnest(generate_series(0, (w + 7) // 8 - 1)) bxx(x),
+        LATERAL unnest(generate_series(0, (h + 7) // 8 - 1)) byy(x)
+    ),
+    coef AS (
+        SELECT media_id, w, h, cbx, cby, zz.u, zz.v,
+               ((src * 31 + b * 11 + zz.k * 5) % 19 - 9)
+               * (zz.k % 7 + 1) AS f
+        FROM blk, zz
+    ),
+    samp AS (
+        SELECT media_id, w, h,
+               cby * 8 + ax.x AS pr, cbx * 8 + ay.x AS pc,
+               least(255, greatest(0,
+                   CAST(FLOOR((SUM(ax.val * ay.val * coef.f) + 33554432)
+                        / 67108864.0) AS BIGINT) + 128)) AS s
+        FROM coef
+        JOIN a ax ON ax.u = coef.u
+        JOIN a ay ON ay.u = coef.v
+        GROUP BY media_id, w, h, cby, ax.x, cbx, ay.x
+    ),
+    flat AS (
+        SELECT media_id, w, h,
+               (pr * w + pc) * 3 + ch.c AS i, s AS v
+        FROM samp, (VALUES (0), (1), (2)) ch(c)
+        WHERE pr < h AND pc < w
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM flat
+    GROUP BY media_id, w, h
+    """.replace("@ZZ@", _JPEG_ZZ_VALUES).replace("@AV@", _JPEG_A_VALUES),
+    doc="REAL grayscale-JPEG decode, oracle-gated (operators/"
+    "multimodal.py _decode_jpeg with a 1-component SOF — the "
+    "scanned-document/archival layout): 48 pinned single-component "
+    "files (DRI rotation included) decode through the non-interleaved "
+    "grid with NO color transform — luma replicated to RGB — and must "
+    "land bit-exactly on the closed-form coefficient->pixel replay "
+    "with a position-weighted checksum.",
+)
+def contract_jpeg_gray_decode_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ids = spark.range(48).withColumnRenamed("id", "doc_id")
+    decoded = M.decode_media(M.synthesize_images(ids, fmt="jpeggray"))
+    ex = decoded.select(
+        "media_id", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
+@register(
     "contract_jpeg420_decode_replay",
     # Closes VERDICT r14 missing #2: real web JPEGs are overwhelmingly
     # 4:2:0. Same closed-form post-entropy replay as the 4:4:4

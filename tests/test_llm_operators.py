@@ -592,6 +592,25 @@ def test_jpeg_codec_round_trip_and_rejections():
             _encode_jpeg_progressive(3, 80, 40, restart_interval=ri)
         )
         assert np.array_equal(px, _jpeg_expected_pixels(3, 80, 40)), ri
+    # grayscale (1-component): no color transform, luma replicated;
+    # DRI path included
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _jpeg_block_pixels,
+    )
+
+    for mid, w, h, ri in ((5, 6, 4, None), (7, 9, 6, 1), (3, 40, 20, 2)):
+        dw, dh, px = _decode_jpeg(
+            _encode_jpeg(mid, w, h, gray=True, restart_interval=ri)
+        )
+        assert (dw, dh) == (w, h)
+        nbx = (w + 7) // 8
+        for r in range(h):
+            for c2 in range(w):
+                y = _jpeg_block_pixels(
+                    mid, 0, (r // 8) * nbx + c2 // 8
+                )[r % 8][c2 % 8]
+                p0 = (r * w + c2) * 3
+                assert list(px[p0 : p0 + 3]) == [y, y, y], (mid, r, c2)
     # restart intervals: byte-aligned RSTn chain, DC reset, modulo-8
     # sequence (an 80x40 frame at Ri=1 runs 49 markers through the
     # wraparound), identical pixels to the unrestarted stream — and a
