@@ -383,6 +383,67 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 _PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # bytes/pixel at depth 8
 
+# Adam7 pass grid (PNG spec 8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(w: int, h: int):
+    """Per-pass (cols, rows) of the seven Adam7 sub-images — shared
+    by the decoder's de-interlace and the fixture encoder."""
+    return [
+        ((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
+    """Unfilter one (sub-)image: ``height`` scanlines of
+    ``1 + width*bpp`` bytes, all five spec filter types. Factored out
+    so the sequential path and each Adam7 pass share one
+    implementation."""
+    import numpy as np
+
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG payload size mismatch: {len(raw)} != "
+            f"{height * (1 + stride)}"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"PNG scanline {y}: unknown filter {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out
+
 
 def _decode_png(buf: bytes):
     """8-bit PNG → (width, height, flat RGB uint8 array).
@@ -436,9 +497,9 @@ def _decode_png(buf: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
-            "only 8-bit non-interlaced PNG supported (got "
+            "only 8-bit sequential-or-Adam7 PNG supported (got "
             f"depth={depth} color={color} comp={comp} filter={filt} "
             f"interlace={interlace})"
         )
@@ -449,35 +510,30 @@ def _decode_png(buf: bytes):
     raw = zlib.decompress(b"".join(idat))
     bpp = _PNG_BPP[color]
     stride = w * bpp
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG payload size mismatch: {len(raw)} != {h * (1 + stride)}"
-        )
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (1 + stride)]
-        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
-        if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, int(prev[i]), c)) & 0xFF
-        else:
-            raise ValueError(f"PNG scanline {y}: unknown filter {ftype}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images scattered
+        # back onto the full grid (empty passes contribute nothing)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        pos2 = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(w, h)
+        ):
+            if pw <= 0 or ph <= 0:
+                continue
+            npass = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[pos2 : pos2 + npass], pw, ph, bpp)
+            pos2 += npass
+            sub = sub.reshape(ph, pw, bpp)
+            rows = y0 + np.arange(ph) * dy
+            cols = x0 + np.arange(pw) * dx
+            out.reshape(h, w, bpp)[np.ix_(rows, cols)] = sub
+        if pos2 != len(raw):
+            raise ValueError(
+                f"PNG Adam7 payload size mismatch: consumed {pos2} "
+                f"of {len(raw)}"
+            )
+    else:
+        out = _png_unfilter(raw, w, h, bpp)
     if color == 2:
         return w, h, out.reshape(-1)
     if color == 0:  # grayscale -> replicate
@@ -535,7 +591,7 @@ def _png_type_samples(media_id: int, w: int, h: int, color: int):
 
 def _encode_png(
     media_id: int, w: int, h: int, noise: bool = False,
-    color_type: int = 2,
+    color_type: int = 2, interlace: bool = False,
 ) -> bytes:
     """Real PNG encoder for the synthetic fixtures. Deliberately
     exercises the decoder's whole surface: scanline y carries filter
@@ -551,6 +607,8 @@ def _encode_png(
     closed forms of ``_png_type_samples``."""
     import zlib
 
+    import numpy as np
+
     if noise and color_type != 2:
         raise ValueError("noise pixels are a color-type-2 fixture")
     if color_type == 2:
@@ -558,33 +616,52 @@ def _encode_png(
     else:
         px = _png_type_samples(media_id, w, h, color_type)
     bpp = _PNG_BPP[color_type]
-    stride = w * bpp
-    img = px.reshape(h, stride)
-    raw = bytearray()
-    for y in range(h):
-        ftype = (media_id + y) % 5
-        line = img[y]
-        prev = img[y - 1] if y > 0 else [0] * stride
-        raw.append(ftype)
-        for i in range(stride):
-            x = int(line[i])
-            a = int(line[i - bpp]) if i >= bpp else 0
-            b = int(prev[i])
-            c = int(prev[i - bpp]) if i >= bpp else 0
-            if ftype == 0:
-                v = x
-            elif ftype == 1:
-                v = x - a
-            elif ftype == 2:
-                v = x - b
-            elif ftype == 3:
-                v = x - ((a + b) >> 1)
-            else:
-                v = x - _paeth(a, b, c)
-            raw.append(v & 0xFF)
+
+    def filter_image(img, width, height):
+        stride = width * bpp
+        raw = bytearray()
+        for y in range(height):
+            ftype = (media_id + y) % 5
+            line = img[y]
+            prev = img[y - 1] if y > 0 else [0] * stride
+            raw.append(ftype)
+            for i in range(stride):
+                x = int(line[i])
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ftype == 0:
+                    v = x
+                elif ftype == 1:
+                    v = x - a
+                elif ftype == 2:
+                    v = x - b
+                elif ftype == 3:
+                    v = x - ((a + b) >> 1)
+                else:
+                    v = x - _paeth(a, b, c)
+                raw.append(v & 0xFF)
+        return raw
+
+    if interlace:
+        # Adam7: each pass is extracted and filtered as its own
+        # sub-image (the spec's requirement the decoder must mirror)
+        full = px.reshape(h, w, bpp)
+        raw = bytearray()
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(w, h)
+        ):
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = y0 + np.arange(ph) * dy
+            cols = x0 + np.arange(pw) * dx
+            sub = full[np.ix_(rows, cols)].reshape(ph, pw * bpp)
+            raw += filter_image(sub, pw, ph)
+    else:
+        raw = filter_image(px.reshape(h, w * bpp), w, h)
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([8, color_type, 0, 0, int(interlace)])
     )
     plte = (
         _png_chunk(b"PLTE", _gif_palette(False))
@@ -2791,10 +2868,14 @@ def synthesize_images(
         elif fmt == "pngx":
             # color-type rotation by id: 0 gray, 2 RGB, 3 palette,
             # 4 gray+alpha, 6 RGBA — one corpus exercising every
-            # 8-bit layout the wild web ships
+            # 8-bit layout the wild web ships; odd ids are Adam7
+            # INTERLACED (seven independently-filtered passes), so
+            # the same hash gate certifies the de-interlace — pass
+            # structure changes bytes, never pixels
             def enc(mid, w, h):
                 return _encode_png(
-                    mid, w, h, color_type=(0, 2, 3, 4, 6)[mid % 5]
+                    mid, w, h, color_type=(0, 2, 3, 4, 6)[mid % 5],
+                    interlace=mid % 2 == 1,
                 )
         elif fmt == "jpeggray":
             # 1-component frames: no color transform, luma replicated;

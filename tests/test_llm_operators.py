@@ -683,6 +683,21 @@ def test_png_color_types_round_trip_and_rejections():
     stripped = buf[:i] + buf[i + 12 + ln :]
     with pytest.raises(ValueError, match="without PLTE"):
         _decode_png(stripped)
+    # Adam7 interlace: seven independently-filtered passes decode to
+    # pixels identical to the sequential encoding, every color type
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _adam7_pass_dims,
+    )
+
+    assert sum(
+        pw * ph for pw, ph in _adam7_pass_dims(23, 17) if pw > 0
+    ) == 23 * 17
+    for ct in (0, 2, 3, 4, 6):
+        seq = _decode_png(_encode_png(7, 23, 17, color_type=ct))[2]
+        inter = _decode_png(
+            _encode_png(7, 23, 17, color_type=ct, interlace=True)
+        )[2]
+        assert np.array_equal(seq, inter), ct
     # short PLTE -> out-of-range index
     short = (
         buf[:i]
