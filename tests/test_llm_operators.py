@@ -509,15 +509,16 @@ def test_png_codec_round_trip_and_structure():
         _decode_png(bytes(bad))
     with pytest.raises(ValueError, match="truncated|missing"):
         _decode_png(good[: len(good) - 15])
-    # unsupported: flip IHDR color type to 6 (RGBA), refresh its CRC
+    # unsupported: flip IHDR bit depth to 16, refresh its CRC (color
+    # type 6 is now SUPPORTED — see test_png_color_types... below)
     import zlib as _z
 
-    rgba = bytearray(good)
-    rgba[8 + 8 + 9] = 6
-    crc = _z.crc32(bytes(rgba[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
-    rgba[8 + 8 + 13 : 8 + 8 + 17] = crc.to_bytes(4, "big")
-    with pytest.raises(ValueError, match="truecolor"):
-        _decode_png(bytes(rgba))
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16
+    crc = _z.crc32(bytes(deep[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    deep[8 + 8 + 13 : 8 + 8 + 17] = crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="8-bit"):
+        _decode_png(bytes(deep))
 
 
 def test_jpeg_codec_round_trip_and_rejections():
