@@ -1361,16 +1361,25 @@ def _encode_jpeg_progressive(
                     if t == 0:
                         run += 1
                         continue
+                    # drain ZRLs at ANY nonzero coefficient (libjpeg's
+                    # rule): the decoder interleaves its correction-bit
+                    # reads with the 16-zero walks, so the buffered
+                    # bits must be flushed at each ZRL boundary IN
+                    # POSITION — deferring the drain to the next
+                    # newly-significant coefficient desyncs the stream
+                    # (caught by the randomized-coefficient fuzz; the
+                    # formula fixtures never produced a 16-zero run
+                    # interleaved with corrections)
+                    while run > 15:
+                        bw.put(*ac_codes[0xF0])
+                        run -= 16
+                        for bit in br:
+                            bw.put(bit, 1)
+                        br = []
                     if t > 1:  # history-nonzero: correction bit only
                         br.append(t & 1)
                         continue
                     # t == 1: newly significant
-                    while run >= 16:
-                        bw.put(*ac_codes[0xF0])
-                        for bit in br:
-                            bw.put(bit, 1)
-                        br = []
-                        run -= 16
                     bw.put(*ac_codes[(run << 4) | 1])
                     bw.put(1 if vs[i] > 0 else 0, 1)
                     for bit in br:

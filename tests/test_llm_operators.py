@@ -709,6 +709,59 @@ def test_png_color_types_round_trip_and_rejections():
         _decode_png(short)
 
 
+def test_jpeg_codec_fuzz_random_coefficients(monkeypatch):
+    """Randomized-coefficient fuzz: the formula fixtures only span
+    coefficient values -9..9; wild JPEGs carry magnitudes to the
+    Huffman table's size-10 capacity (|v| <= 1023) with long zero
+    runs. Patch the coefficient source with seeded random sparse
+    blocks and require decode(encode) == the decoder-independent
+    ground truth across sequential/420/DRI/progressive — exercising
+    ZRL chains, large EXTEND sizes, DC swings, and EOB-run shapes the
+    pinned formula never produces."""
+    import random
+
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+
+    rng = random.Random(20250816)
+    cache: dict = {}
+
+    def fuzz_coef(media_id: int, c: int, b: int, k: int) -> int:
+        key = (media_id, c, b, k)
+        hit = cache.get(key)
+        if hit is None:
+            r = rng.random()
+            if r < 0.65:
+                hit = 0  # sparse: real blocks are mostly zeros
+            elif r < 0.9:
+                hit = rng.randint(-30, 30)
+            else:
+                hit = rng.randint(-1000, 1000)
+            cache[key] = hit
+        return hit
+
+    monkeypatch.setattr(M, "_jpeg_coef", fuzz_coef)
+    for mid in (1, 2, 3):
+        w, h = 20 + mid, 15 + mid
+        exp = M._jpeg_expected_pixels(mid, w, h)
+        for enc in (
+            lambda: M._encode_jpeg(mid, w, h),
+            lambda: M._encode_jpeg(mid, w, h, restart_interval=2),
+            lambda: M._encode_jpeg_progressive(mid, w, h),
+        ):
+            dw, dh, px = M._decode_jpeg(enc())
+            assert (dw, dh) == (w, h)
+            assert np.array_equal(px, exp), mid
+        exp420 = M._jpeg_expected_pixels(mid, w, h, "420")
+        for enc in (
+            lambda: M._encode_jpeg(mid, w, h, "420", restart_interval=1),
+            lambda: M._encode_jpeg_progressive(mid, w, h, "420"),
+        ):
+            dw, dh, px = M._decode_jpeg(enc())
+            assert np.array_equal(px, exp420), mid
+
+
 def test_gif_codec_round_trip_and_rejections():
     """Driver-side GIF pins: (a) decode(encode) equals
     palette[index-formula] for formula AND md5-noise fixtures — the
