@@ -699,6 +699,13 @@ def test_png_color_types_round_trip_and_rejections():
             _encode_png(7, 23, 17, color_type=ct, interlace=True)
         )[2]
         assert np.array_equal(seq, inter), ct
+    # md5-noise pixels (adversarial for the filters) through Adam7
+    for mid in range(4):
+        seq = _decode_png(_encode_png(mid, 23, 17, noise=True))[2]
+        inter = _decode_png(
+            _encode_png(mid, 23, 17, noise=True, interlace=True)
+        )[2]
+        assert np.array_equal(seq, inter), mid
     # short PLTE -> out-of-range index
     short = (
         buf[:i]
