@@ -37,8 +37,8 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # OLDEST-FIRST fill from per-name last-graded rounds computed over
 # CORRECTNESS_r01..14 — the r6 stragglers, the full r7 block, then
 # the r9 block alphabetically as far as the 50 reach
-# (multimodal_frame_alignment, quality_band_filter,
-# range_join_attribution, retention_cohorts,
+# (incremental_rollup_merge, multimodal_frame_alignment,
+# quality_band_filter, range_join_attribution, retention_cohorts,
 # rolling_user_window, score_normalize_per_lang, udtf_term_counts and
 # value_histogram are next, queued for r16).
 # Every registered query is still re-verified in the local full
@@ -58,6 +58,7 @@ prioritize(
         "streaming_wordpiece_encode",
         "streaming_unigram_encode",
         "multimodal_audio_g711_stats",
+        "streaming_audio_g711",
         "contract_jpeg_decode_replay",
         # --- (b) r14-late, first driver grade (VERDICT r14 #1) ---
         "dedup_image_dhash_jpeg",
@@ -99,9 +100,6 @@ prioritize(
         "vocab_build",
         "vocab_coverage_oov",
         "zorder_clustering_key",
-        # --- (d) oldest-first: last graded r9 (alphabetical; the
-        # remaining two rotate to r16) ---
-        "incremental_rollup_merge",
     ]
 )
 

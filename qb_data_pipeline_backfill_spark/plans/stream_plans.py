@@ -1051,3 +1051,54 @@ def streaming_winnow_fingerprints(
     return run_available_now(
         X.winnow_fingerprints(docs, k=8, w=4), output_mode="complete"
     )
+
+
+from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG_G711,
+)
+
+
+@register(
+    "streaming_audio_g711",
+    # The registered batch oracle spliced verbatim (the
+    # streaming_media_decode protocol): G.711 expansion is
+    # deterministic and stateless, so the streamed run must land
+    # bit-identical to the batch twin.
+    oracle=_REG_G711["multimodal_audio_g711_stats"].oracle,
+    doc="G.711 telephony-WAV decode under Structured Streaming: the "
+    "documents file stream synthesizes mu-law (even ids) and A-law "
+    "(odd ids) RIFF files per micro-batch, decodes them through the "
+    "same Arrow mapInPandas G.711 expansion as the batch twin "
+    "(operators/multimodal.py _decode_wav fmt tags 7/6), and "
+    "aggregates per-clip stats in complete mode — the "
+    "continuous-ingest shape of a speech-corpus pipeline. Oracle = "
+    "the batch query's closed-form per-byte replay, verbatim.",
+)
+def streaming_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qb_data_pipeline_backfill_spark.operators import multimodal as M
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        documents_stream,
+        run_available_now,
+    )
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 7
+    )
+    ul = M.synthesize_audio(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0), fmt="ulaw"
+    )
+    al = M.synthesize_audio(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 1), fmt="alaw"
+    )
+    decoded = M.decode_audio(ul.unionByName(al))
+    ex = decoded.select(
+        "media_id", "sample_rate", F.posexplode("samples").alias("i", "v")
+    )
+    out = ex.groupBy("media_id", "sample_rate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("v").cast("long").alias("amp_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+    return run_available_now(out, output_mode="complete")
