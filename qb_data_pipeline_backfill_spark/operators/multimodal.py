@@ -262,11 +262,13 @@ def decode_media(
                     w, h, px = _decode_jpeg(b)
                 elif b.startswith(b"GIF8"):
                     w, h, px = _decode_gif(b)
+                elif b.startswith(b"II*\x00") or b.startswith(b"MM\x00*"):
+                    w, h, px = _decode_tiff(b)
                 else:
                     raise ValueError(
                         f"media_id={media_id}: undecodable payload "
                         f"(magic {b[:2]!r}); supported: PPM P6, BMP "
-                        "24-bit, PNG 8-bit RGB, baseline JPEG, GIF"
+                        "24-bit, PNG 8-bit, baseline JPEG, GIF, TIFF"
                     )
                 if (target_width is None) != (target_height is None):
                     raise ValueError(
@@ -1806,6 +1808,175 @@ def _decode_jpeg(buf: bytes):
 
 
 # --------------------------------------------------------------------------
+# Baseline TIFF (TIFF 6.0, Adobe/ISO 12639-adjacent public spec) — the
+# document/scan archival container. Pure stdlib: header + IFD walk in
+# BOTH byte orders (II little / MM big), inline-vs-offset tag values,
+# multi-strip assembly. Subset: uncompressed (Compression=1), 8-bit,
+# grayscale (Photometric=1) or RGB (Photometric=2); anything else —
+# LZW/PackBits/JPEG-in-TIFF, palettes, tiles, multi-IFD — fails
+# loudly. Closed-form fixtures, so the oracle replays pixels exactly.
+# --------------------------------------------------------------------------
+
+
+def _encode_tiff(media_id: int, w: int, h: int) -> bytes:
+    """Real TIFF fixture: byte order II for even ids / MM for odd,
+    grayscale (photometric 1, gray byte p = (id*31+p) mod 256) for
+    ids with id%4 < 2 and RGB (the formula pixels) otherwise, pixel
+    data split across TWO strips so StripOffsets/StripByteCounts are
+    really exercised, and one tag (BitsPerSample for RGB) stored
+    out-of-line to exercise the offset-vs-inline rule."""
+    big = media_id % 2 == 1
+    bo = "big" if big else "little"
+    gray = media_id % 4 < 2
+    spp = 1 if gray else 3
+    if gray:
+        data = bytes((media_id * 31 + p) % 256 for p in range(w * h))
+    else:
+        data = bytes(_formula_pixels(media_id, w, h))
+    rows1 = (h + 1) // 2
+    strip1, strip2 = data[: rows1 * w * spp], data[rows1 * w * spp :]
+
+    def u16(v):
+        return int(v).to_bytes(2, bo)
+
+    def u32(v):
+        return int(v).to_bytes(4, bo)
+
+    # layout: header(8) IFD [extra values] strip1 strip2
+    tags = []  # (tag, type, count, value_bytes_or_int, inline)
+    n_entries = 10
+    ifd_size = 2 + n_entries * 12 + 4
+    extra_off = 8 + ifd_size
+    extra = bytearray()
+    if gray:
+        bps_val = u16(8) + u16(0)
+        bps_count = 1
+        bps_inline = True
+        bps_off = None
+    else:
+        # 3 SHORTs = 6 bytes > 4: must live out-of-line
+        bps_count = 3
+        bps_inline = False
+        bps_off = extra_off + len(extra)
+        extra += u16(8) + u16(8) + u16(8)
+    so_off = extra_off + len(extra)
+    extra += u32(0) + u32(0)  # StripOffsets placeholder (2 LONGs)
+    sbc_off = extra_off + len(extra)
+    extra += u32(len(strip1)) + u32(len(strip2))
+    data_off = extra_off + len(extra)
+    # backfill strip offsets
+    extra[so_off - extra_off : so_off - extra_off + 8] = (
+        u32(data_off) + u32(data_off + len(strip1))
+    )
+
+    def entry(tag, typ, count, value4):
+        return u16(tag) + u16(typ) + u32(count) + value4
+
+    short_inline = lambda v: u16(v) + u16(0)  # noqa: E731
+    entries = [
+        entry(256, 3, 1, short_inline(w)),          # ImageWidth
+        entry(257, 3, 1, short_inline(h)),          # ImageLength
+        entry(258, 3, bps_count,
+              bps_val if gray else u32(bps_off)),    # BitsPerSample
+        entry(259, 3, 1, short_inline(1)),          # Compression: none
+        entry(262, 3, 1, short_inline(1 if gray else 2)),  # Photometric
+        entry(273, 4, 2, u32(so_off)),              # StripOffsets
+        entry(277, 3, 1, short_inline(spp)),        # SamplesPerPixel
+        entry(278, 3, 1, short_inline(rows1)),      # RowsPerStrip
+        entry(279, 4, 2, u32(sbc_off)),             # StripByteCounts
+        entry(296, 3, 1, short_inline(2)),          # ResolutionUnit
+    ]
+    assert len(entries) == n_entries
+    header = (b"MM" if big else b"II") + u16(42) + u32(8)
+    ifd = u16(n_entries) + b"".join(entries) + u32(0)
+    return header + ifd + bytes(extra) + strip1 + strip2
+
+
+def _decode_tiff(buf: bytes):
+    """Baseline TIFF → (width, height, flat RGB uint8). Real decode:
+    byte-order dispatch, magic 42, first-IFD walk with the
+    inline-vs-offset value rule (a value field holds the bytes
+    themselves iff type_size*count <= 4), strip assembly via
+    StripOffsets/StripByteCounts/RowsPerStrip, grayscale replicated
+    to RGB. Fails loudly on compression, non-8-bit, palettes, tiles,
+    or unknown photometrics."""
+    import numpy as np
+
+    if buf[:4] == b"II*\x00":
+        bo = "little"
+    elif buf[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF (bad byte-order/magic)")
+
+    def rd(off, n):
+        b = buf[off : off + n]
+        if len(b) != n:
+            raise ValueError(f"truncated TIFF at offset {off}")
+        return int.from_bytes(b, bo)
+
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    ifd_off = rd(4, 4)
+    n = rd(ifd_off, 2)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        tag, typ, count = rd(e, 2), rd(e + 2, 2), rd(e + 4, 4)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown field type: skip per spec
+        unit = size
+        total = unit * count
+        src = e + 8 if total <= 4 else rd(e + 8, 4)
+        vals = [rd(src + j * unit, unit) for j in range(count)]
+        tags[tag] = vals
+    nxt = rd(ifd_off + 2 + n * 12, 4)
+    if nxt != 0:
+        raise ValueError("multi-IFD (multi-page) TIFF not supported")
+
+    def one(tag, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is not None:
+            return default
+        raise ValueError(f"TIFF missing required tag {tag}")
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    if comp != 1:
+        raise ValueError(f"only uncompressed TIFF supported (comp {comp})")
+    photo = one(262)
+    if photo not in (1, 2):
+        raise ValueError(
+            f"only grayscale/RGB photometric supported (got {photo})"
+        )
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not supported")
+    spp = one(277, 1)
+    if (photo == 1 and spp != 1) or (photo == 2 and spp != 3):
+        raise ValueError(
+            f"photometric {photo} with {spp} samples/pixel unsupported"
+        )
+    if any(b != 8 for b in tags.get(258, [8] * spp)):
+        raise ValueError("only 8-bit TIFF supported")
+    offs = tags.get(273)
+    counts = tags.get(279)
+    if not offs or not counts or len(offs) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    data = b"".join(
+        buf[o : o + c] for o, c in zip(offs, counts)
+    )
+    if len(data) != w * h * spp:
+        raise ValueError(
+            f"TIFF strips hold {len(data)} bytes, need {w * h * spp}"
+        )
+    px = np.frombuffer(data, dtype=np.uint8)
+    if photo == 1:
+        px = np.repeat(px, 3)
+    return w, h, px
+
+
+# --------------------------------------------------------------------------
 # GIF (GIF87a/89a, CompuServe spec / RFC-adjacent public format) — the
 # remaining common crawl image container after PNG/JPEG (VERDICT r14
 # missing #4). Pure stdlib: header + logical-screen walk, global/local
@@ -2859,10 +3030,10 @@ def synthesize_images(
     IDCT + color pipeline, not the byte formula (lossy container)."""
 
     if fmt not in ("ppm", "bmp", "png", "pngx", "jpeg", "jpeg420",
-                   "jpeggray", "gif"):
+                   "jpeggray", "gif", "tiff"):
         raise ValueError(
             f"fmt must be 'ppm', 'bmp', 'png', 'pngx', 'jpeg', "
-            f"'jpeg420', 'jpeggray' or 'gif', got {fmt!r}"
+            f"'jpeg420', 'jpeggray', 'gif' or 'tiff', got {fmt!r}"
         )
     if noise and fmt not in ("ppm", "png", "gif"):
         raise ValueError("noise pixels are generated for ppm/png/gif only")
@@ -2914,6 +3085,9 @@ def synthesize_images(
                     mid, w, h, subsampling=sub,
                     restart_interval=mid % 3,
                 )
+        elif fmt == "tiff":
+            # II/MM by parity, gray/RGB by id%4, two strips each
+            enc = _encode_tiff
         elif fmt == "gif":
             # lossless indexed container: pixels = palette[LZW
             # indices]. Every 3rd id is INTERLACED (4-pass row

@@ -37,7 +37,8 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # OLDEST-FIRST fill from per-name last-graded rounds computed over
 # CORRECTNESS_r01..14 — the r6 stragglers, the full r7 block, then
 # the r9 block alphabetically as far as the 50 reach
-# (incremental_rollup_merge, multimodal_frame_alignment,
+# (session_windows_events, incremental_rollup_merge,
+# multimodal_frame_alignment,
 # quality_band_filter, range_join_attribution, retention_cohorts,
 # rolling_user_window, score_normalize_per_lang, udtf_term_counts and
 # value_histogram are next, queued for r16).
@@ -48,6 +49,7 @@ prioritize(
         # --- (a) new in r15 / r15-code-touched ---
         "contract_jpeg420_decode_replay",
         "contract_jpeg_gray_decode_replay",
+        "contract_tiff_decode_replay",
         "contract_png_types_decode_replay",
         "contract_gif_decode_replay",
         "dedup_image_dhash_gif",
@@ -93,7 +95,6 @@ prioritize(
         "outlier_report",
         "pq_encode_codes",
         "semi_join_probe",
-        "session_windows_events",
         "training_shard_manifest",
         "txn_bloom_point_lookup",
         "validate_dedup_first_wins",

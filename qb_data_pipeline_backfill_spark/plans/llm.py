@@ -3444,6 +3444,63 @@ def contract_png_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contract_tiff_decode_replay",
+    # Closed-form known-answer replay: gray fixtures (id%4 < 2)
+    # replicate (id*31+p)%256; RGB fixtures carry the formula bytes.
+    # What the gate exercises is the CONTAINER: byte-order dispatch
+    # (II even ids / MM odd), the inline-vs-offset tag rule (RGB
+    # BitsPerSample is 3 SHORTs, forced out-of-line), and two-strip
+    # assembly — a wrong strip offset or endian slip shifts bytes and
+    # flips the position-weighted checksum.
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+               (i % 8 + 2) AS w, (i % 5 + 2) AS h,
+               CASE WHEN i % 4 < 2 THEN 1 ELSE 0 END AS gray
+        FROM range(0, 48) t(i)
+    ),
+    flat AS (
+        SELECT media_id, w, h, f.i AS i,
+               CASE WHEN gray = 1
+                    THEN (src * 31 + f.i // 3) % 256
+                    ELSE (src * 31 + f.i) % 256
+               END AS v
+        FROM dims,
+        LATERAL unnest(generate_series(0, w * h * 3 - 1)) f(i)
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM flat
+    GROUP BY media_id, w, h
+    """,
+    doc="REAL baseline-TIFF decode, oracle-gated (operators/"
+    "multimodal.py _decode_tiff — TIFF 6.0 subset: uncompressed "
+    "8-bit grayscale/RGB, both byte orders): 48 pinned fixtures walk "
+    "the IFD in II and MM ordering, resolve inline vs out-of-line "
+    "tag values, and assemble two strips per image; decoded pixels "
+    "must equal the closed form with a position-weighted checksum. "
+    "The document/scan archival container joins the certified image "
+    "input surface.",
+)
+def contract_tiff_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.range(48).withColumnRenamed("id", "doc_id")
+    decoded = M.decode_media(M.synthesize_images(ids, fmt="tiff"))
+    ex = decoded.select(
+        "media_id", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
+@register(
     "contract_png_types_decode_replay",
     # One fixture corpus rotating through ALL FIVE 8-bit PNG color
     # types by id%5 (0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA

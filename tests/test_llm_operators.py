@@ -769,6 +769,57 @@ def test_jpeg_codec_fuzz_random_coefficients(monkeypatch):
             assert np.array_equal(px, exp420), mid
 
 
+def test_tiff_codec_round_trip_and_rejections():
+    """TIFF pins: (a) II/MM x gray/RGB x two-strip round trips vs the
+    closed-form bytes; (b) loud rejection of compression, 16-bit,
+    tiles, multi-IFD, bad magic, truncation."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _decode_tiff,
+        _encode_tiff,
+        _formula_pixels,
+    )
+
+    for mid in range(16):
+        w, h = mid % 8 + 2, mid % 5 + 2
+        dw, dh, px = _decode_tiff(_encode_tiff(mid, w, h))
+        assert (dw, dh) == (w, h)
+        if mid % 4 < 2:
+            exp = np.repeat(
+                ((np.arange(w * h) + mid * 31) % 256).astype(np.uint8), 3
+            )
+        else:
+            exp = _formula_pixels(mid, w, h)
+        assert np.array_equal(px, exp), mid
+    with pytest.raises(ValueError, match="byte-order|magic"):
+        _decode_tiff(b"XX\x00*rubbish")
+    good = bytearray(_encode_tiff(2, 6, 4))  # II, gray
+    # Compression tag (259) entry: find by tag id in the IFD
+    n = int.from_bytes(good[8:10], "little")
+    for i in range(n):
+        e = 10 + i * 12
+        tag = int.from_bytes(good[e : e + 2], "little")
+        if tag == 259:
+            comp = bytearray(good)
+            comp[e + 8] = 5  # LZW
+            with pytest.raises(ValueError, match="uncompressed"):
+                _decode_tiff(bytes(comp))
+        if tag == 258:
+            deep = bytearray(good)
+            deep[e + 8] = 16
+            with pytest.raises(ValueError, match="8-bit"):
+                _decode_tiff(bytes(deep))
+    # non-zero next-IFD pointer -> multi-page rejection
+    multi = bytearray(good)
+    nxt_off = 10 + n * 12
+    multi[nxt_off : nxt_off + 4] = (8).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="multi-IFD"):
+        _decode_tiff(bytes(multi))
+    with pytest.raises(ValueError, match="truncated|strips"):
+        _decode_tiff(bytes(good[: len(good) - 10]))
+
+
 def test_gif_codec_round_trip_and_rejections():
     """Driver-side GIF pins: (a) decode(encode) equals
     palette[index-formula] for formula AND md5-noise fixtures — the
