@@ -1101,6 +1101,31 @@ def test_incremental_hash64_equals_full_restricted(spark):
     assert incr == restricted
 
 
+def test_incremental_audio_pairs_equals_full_restricted(spark):
+    """The audio face of the format-generic hash64 band index
+    (VERDICT r15 missing #2): decoding + waveform-dHashing only the
+    NEW clip batch and probing a persisted index must emit exactly
+    the one-shot audio_near_dup_pairs result restricted to pairs
+    touching the new batch — history clips never re-decoded."""
+    ids = spark.range(16).withColumnRenamed("id", "doc_id")
+    media = M.synthesize_audio(ids, noise=True)
+    copies = media.withColumn("media_id", F.col("media_id") + F.lit(100))
+    corpus = media.unionByName(copies)
+    full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.audio_near_dup_pairs(corpus, 2, 1000).collect()
+    }
+    # history = originals, new = the re-keyed copies
+    restricted = {p: d for p, d in full.items() if p[0] >= 100 or p[1] >= 100}
+    assert restricted, "fixture must produce cross-split pairs"
+    index = M.hash64_band_index(M.audio_dhash(media), max_hamming=2)
+    incr = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.incremental_audio_pairs(index, copies, 2, 1000).collect()
+    }
+    assert incr == restricted
+
+
 def test_ann_from_persisted_index_equals_direct(spark, vectors):
     """Probing a persisted rp_bucket_index must give bit-identical
     top-k to the direct corpus+queries run (same planes, same
