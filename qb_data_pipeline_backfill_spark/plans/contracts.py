@@ -1545,6 +1545,79 @@ def streaming_incremental_audio(
 
 
 @register(
+    "streaming_bpe_encode",
+    # Completes the fit-offline/encode-on-stream trio (VERDICT r15
+    # missing #3: WordPiece and unigram had streaming encode twins,
+    # BPE's encode was batch-only): n_subwords per doc is pinned by
+    # contract_bpe_encode_replay's certified 29/15/28, and n_merged
+    # derives from the SAME _bpe_segment segmentations through the
+    # bpe_word_pieces artifact.
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(29 AS BIGINT), CAST(16 AS BIGINT)),
+        (1, 15, 9),
+        (2, 28, 6)
+    ) AS t(doc_id, n_subwords, n_merged)
+    """,
+    doc="BPE encoding under Structured Streaming, gated "
+    "(operators/text.py bpe_word_pieces): train 10 frequency-argmax "
+    "merges on the pinned micro-corpus, collapse the tokenizer into "
+    "a (word, piece, cnt) model artifact over distinct words — fit "
+    "cost tracks vocabulary, not tokens — then stream the same "
+    "corpus one document per micro-batch; encoding is a stateless "
+    "word explode + stream-static left join (a novel word coalesces "
+    "to length(word) single-char pieces, computable codegen-side) + "
+    "complete-mode per-doc aggregate emitting (n_subwords, n_merged "
+    "= pieces the merge table actually fused). Zero stream-side "
+    "Python — the deploy shape, completing the BPE/WordPiece/unigram "
+    "fit/apply trio.",
+)
+def streaming_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from qb_data_pipeline_backfill_spark.operators import text as X
+    from qb_data_pipeline_backfill_spark.plans.formats import _SCRATCH
+    from qb_data_pipeline_backfill_spark.streaming.jobs import (
+        run_available_now,
+    )
+
+    corpus = _bpe_pin_corpus(spark)
+    merges = [
+        (r["left"], r["right"])
+        for r in X.train_bpe(corpus, n_merges=10).orderBy("rank").collect()
+    ]
+    table = X.bpe_word_pieces(corpus, merges)
+    src = os.path.join(_SCRATCH, "bpe_stream_src")
+    for i in range(3):
+        corpus.filter(F.col("doc_id") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    inst = stream.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    joined = inst.join(table, "word", "left").select(
+        "doc_id",
+        F.coalesce("cnt", F.length("word")).alias("cnt"),
+        F.coalesce("piece", F.lit("")).alias("piece"),
+    )
+    out = joined.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_subwords"),
+        F.sum(
+            F.when(F.length("piece") > 1, F.col("cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_merged"),
+    )
+    return run_available_now(out, output_mode="complete")
+
+
+@register(
     "streaming_wordpiece_encode",
     # The tokenizer-encode analog of streaming_fivegram_perplexity's
     # fit/apply split (VERDICT r14 next #8): the word->pieces table

@@ -1028,6 +1028,47 @@ def test_incremental_minhash_equals_full_restricted(spark):
     assert incr == restricted
 
 
+def test_bpe_word_pieces_agrees_with_encode(spark):
+    """The BPE fit/apply-split artifact must reproduce bpe_encode's
+    per-doc n_subwords when applied by explode + join + aggregate —
+    the streaming face's algebra — and a novel word must coalesce to
+    length(word) single-char pieces (the deploy convention: no
+    applicable merge)."""
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    train = spark.createDataFrame(
+        [(0, "low lower lowest low"), (1, "newest newer new")],
+        ["doc_id", "text"],
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in X.train_bpe(train, n_merges=5).orderBy("rank").collect()
+    ]
+    # apply corpus includes a word absent from training ("zq"): its
+    # letters share no trained merge, so char-split is exact here
+    docs = spark.createDataFrame(
+        [(0, "low newest zq"), (1, "lowest new new")], ["doc_id", "text"]
+    )
+    direct = {
+        r["doc_id"]: r["n_subwords"]
+        for r in X.bpe_encode(docs, merges).collect()
+    }
+    table = X.bpe_word_pieces(train, merges)
+    inst = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    via_table = {
+        r["doc_id"]: r["n"]
+        for r in inst.join(table, "word", "left")
+        .select("doc_id", F.coalesce("cnt", F.length("word")).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    assert via_table == direct
+
+
 def test_wordpiece_word_pieces_agrees_with_encode(spark):
     """The fit/apply-split artifact (word -> pieces with counts) must
     reproduce wordpiece_encode's per-doc n_subwords and n_unk when
