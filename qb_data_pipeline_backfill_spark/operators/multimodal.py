@@ -1818,23 +1818,239 @@ def _decode_jpeg(buf: bytes):
 # --------------------------------------------------------------------------
 
 
-def _encode_tiff(media_id: int, w: int, h: int) -> bytes:
+def _tiff_packbits_encode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9 / the Apple RLE scheme): header byte
+    n in 0..127 copies n+1 literal bytes; n in 129..255 repeats the
+    next byte 257-n times; 128 is a no-op. Runs >= 2 are run-coded,
+    literals break when a 3-repeat begins."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if (
+                    k + 2 < n
+                    and data[k + 1] == data[k]
+                    and data[k + 2] == data[k]
+                ):
+                    break
+                k += 1
+            seg = data[i:k]
+            out += bytes([len(seg) - 1]) + seg
+            i = k
+    return bytes(out)
+
+
+def _tiff_packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits decode of ONE strip; must yield exactly ``expected``
+    bytes (TIFF decompresses per strip). Truncation or overrun fails
+    loudly."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[i]
+        i += 1
+        if n < 128:
+            seg = data[i : i + n + 1]
+            if len(seg) != n + 1:
+                raise ValueError("truncated PackBits literal")
+            out += seg
+            i += n + 1
+        elif n == 128:
+            continue  # no-op per spec
+        else:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip yielded {len(out)} bytes, need {expected}"
+        )
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW for one strip: MSB-first bit packing, ClearCode
+    256 / EOI 257, first free slot 258, initial width 9, and the
+    spec's EARLY CHANGE — the encoder bumps when the just-added code
+    equals 2^width - 1 (one slot earlier than the GIF convention in
+    ``_gif_lzw_compress``; the famous 511/1023/2047 switch points),
+    emitting Clear one slot before the 12-bit table would overflow."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def fresh() -> dict:
+        return {bytes([c]): c for c in range(256)}
+
+    table = fresh()
+    next_code = 258
+    width = 9
+    put(256, width)
+    wseq = b""
+    for b in data:
+        nseq = wseq + bytes([b])
+        if nseq in table:
+            wseq = nseq
+            continue
+        put(table[wseq], width)
+        table[nseq] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:
+            put(256, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+        wseq = bytes([b])
+    if wseq:
+        put(table[wseq], width)
+    put(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 LZW decode of one strip: MSB-first, clear/EOI,
+    KwKwK, and early change on the DECODER side — whose table lags
+    the encoder's by exactly one entry at read time, so it bumps
+    when ITS just-added code equals 2^width - 2 (table entry
+    510/1022/2046, one earlier than ``_gif_lzw_decode``'s rule; the
+    pair stays bit-synchronized and matches wild TIFF-LZW files).
+    The bit accumulator is masked every code — the r15 JPEG
+    unbounded-accumulator lesson (SCALING §5)."""
+    clear, eoi = 256, 257
+    acc = nbits = pos = 0
+    width = 9
+    table: list[bytes | None] = []
+    prev: bytes | None = None
+    out = bytearray()
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([c]) for c in range(256)] + [None, None]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream (no EOI)")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"bad first TIFF LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if entry is None:
+                raise ValueError(f"bad TIFF LZW code {code}")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError(
+                f"TIFF LZW code {code} beyond table size {len(table)}"
+            )
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW strip yielded {len(out)} bytes, need {expected}"
+        )
+    return bytes(out)
+
+
+def _encode_tiff(
+    media_id: int,
+    w: int,
+    h: int,
+    compression: int = 1,
+    predictor: int = 1,
+    run_pixels: bool = False,
+) -> bytes:
     """Real TIFF fixture: byte order II for even ids / MM for odd,
     grayscale (photometric 1, gray byte p = (id*31+p) mod 256) for
     ids with id%4 < 2 and RGB (the formula pixels) otherwise, pixel
     data split across TWO strips so StripOffsets/StripByteCounts are
     really exercised, and one tag (BitsPerSample for RGB) stored
-    out-of-line to exercise the offset-vs-inline rule."""
+    out-of-line to exercise the offset-vs-inline rule.
+
+    ``compression``: 1 none, 5 LZW, 32773 PackBits — strips are
+    compressed independently, as the spec requires. ``predictor=2``
+    applies horizontal differencing before compression (tag 317, the
+    classic scanned-doc LZW combo). ``run_pixels`` swaps the byte
+    formula to (id*31 + p//5) mod 256 — runs of 5 — so PackBits'
+    run-coding path is really exercised (the increment formula would
+    be all literals)."""
     big = media_id % 2 == 1
     bo = "big" if big else "little"
     gray = media_id % 4 < 2
     spp = 1 if gray else 3
-    if gray:
+    if run_pixels:
+        data = bytes(
+            (media_id * 31 + p // 5) % 256 for p in range(w * h * spp)
+        )
+    elif gray:
         data = bytes((media_id * 31 + p) % 256 for p in range(w * h))
     else:
         data = bytes(_formula_pixels(media_id, w, h))
+    if predictor == 2:
+        import numpy as np
+
+        a = np.frombuffer(data, np.uint8).astype(np.int16).reshape(
+            h, w, spp
+        )
+        d = a.copy()
+        d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 256
+        data = d.astype(np.uint8).tobytes()
+    elif predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
     rows1 = (h + 1) // 2
     strip1, strip2 = data[: rows1 * w * spp], data[rows1 * w * spp :]
+    if compression == 5:
+        strip1, strip2 = _tiff_lzw_encode(strip1), _tiff_lzw_encode(strip2)
+    elif compression == 32773:
+        strip1 = _tiff_packbits_encode(strip1)
+        strip2 = _tiff_packbits_encode(strip2)
+    elif compression != 1:
+        raise ValueError(f"unsupported compression {compression}")
 
     def u16(v):
         return int(v).to_bytes(2, bo)
@@ -1843,8 +2059,7 @@ def _encode_tiff(media_id: int, w: int, h: int) -> bytes:
         return int(v).to_bytes(4, bo)
 
     # layout: header(8) IFD [extra values] strip1 strip2
-    tags = []  # (tag, type, count, value_bytes_or_int, inline)
-    n_entries = 10
+    n_entries = 10 + (1 if predictor == 2 else 0)
     ifd_size = 2 + n_entries * 12 + 4
     extra_off = 8 + ifd_size
     extra = bytearray()
@@ -1878,7 +2093,7 @@ def _encode_tiff(media_id: int, w: int, h: int) -> bytes:
         entry(257, 3, 1, short_inline(h)),          # ImageLength
         entry(258, 3, bps_count,
               bps_val if gray else u32(bps_off)),    # BitsPerSample
-        entry(259, 3, 1, short_inline(1)),          # Compression: none
+        entry(259, 3, 1, short_inline(compression)),  # Compression
         entry(262, 3, 1, short_inline(1 if gray else 2)),  # Photometric
         entry(273, 4, 2, u32(so_off)),              # StripOffsets
         entry(277, 3, 1, short_inline(spp)),        # SamplesPerPixel
@@ -1886,6 +2101,9 @@ def _encode_tiff(media_id: int, w: int, h: int) -> bytes:
         entry(279, 4, 2, u32(sbc_off)),             # StripByteCounts
         entry(296, 3, 1, short_inline(2)),          # ResolutionUnit
     ]
+    if predictor == 2:
+        # 317 > 296 keeps the IFD's required ascending tag order
+        entries.append(entry(317, 3, 1, short_inline(2)))  # Predictor
     assert len(entries) == n_entries
     header = (b"MM" if big else b"II") + u16(42) + u32(8)
     ifd = u16(n_entries) + b"".join(entries) + u32(0)
@@ -1943,8 +2161,14 @@ def _decode_tiff(buf: bytes):
 
     w, h = one(256), one(257)
     comp = one(259, 1)
-    if comp != 1:
-        raise ValueError(f"only uncompressed TIFF supported (comp {comp})")
+    if comp not in (1, 5, 32773):
+        raise ValueError(
+            f"only none/LZW/PackBits TIFF compression supported "
+            f"(comp {comp})"
+        )
+    pred = one(317, 1)
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {pred}")
     photo = one(262)
     if photo not in (1, 2):
         raise ValueError(
@@ -1963,14 +2187,33 @@ def _decode_tiff(buf: bytes):
     counts = tags.get(279)
     if not offs or not counts or len(offs) != len(counts):
         raise ValueError("TIFF missing strip offsets/byte counts")
-    data = b"".join(
-        buf[o : o + c] for o, c in zip(offs, counts)
-    )
+    rps = one(278, h)
+    parts = []
+    for s, (o, c) in enumerate(zip(offs, counts)):
+        raw = buf[o : o + c]
+        if len(raw) != c:
+            raise ValueError(f"truncated TIFF strip {s}")
+        # strips decompress independently; the last strip may be short
+        n_rows = min(rps, h - s * rps)
+        if n_rows <= 0:
+            raise ValueError("TIFF has more strips than rows cover")
+        expected = n_rows * w * spp
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw, expected)
+        elif comp == 32773:
+            raw = _tiff_packbits_decode(raw, expected)
+        parts.append(raw)
+    data = b"".join(parts)
     if len(data) != w * h * spp:
         raise ValueError(
             f"TIFF strips hold {len(data)} bytes, need {w * h * spp}"
         )
     px = np.frombuffer(data, dtype=np.uint8)
+    if pred == 2:
+        # horizontal differencing: undo per row per channel (rows
+        # never cross strips, so the full-image cumsum is exact)
+        a = px.reshape(h, w, spp).astype(np.int64)
+        px = (np.cumsum(a, axis=1) % 256).astype(np.uint8).reshape(-1)
     if photo == 1:
         px = np.repeat(px, 3)
     return w, h, px
@@ -3030,10 +3273,11 @@ def synthesize_images(
     IDCT + color pipeline, not the byte formula (lossy container)."""
 
     if fmt not in ("ppm", "bmp", "png", "pngx", "jpeg", "jpeg420",
-                   "jpeggray", "gif", "tiff"):
+                   "jpeggray", "gif", "tiff", "tiffc"):
         raise ValueError(
             f"fmt must be 'ppm', 'bmp', 'png', 'pngx', 'jpeg', "
-            f"'jpeg420', 'jpeggray', 'gif' or 'tiff', got {fmt!r}"
+            f"'jpeg420', 'jpeggray', 'gif', 'tiff' or 'tiffc', "
+            f"got {fmt!r}"
         )
     if noise and fmt not in ("ppm", "png", "gif"):
         raise ValueError("noise pixels are generated for ppm/png/gif only")
@@ -3086,8 +3330,29 @@ def synthesize_images(
                     restart_interval=mid % 3,
                 )
         elif fmt == "tiff":
-            # II/MM by parity, gray/RGB by id%4, two strips each
-            enc = _encode_tiff
+            # II/MM by parity, gray/RGB by id%4, two strips each;
+            # compression rotates by id%3 — none / LZW / PackBits —
+            # so every TIFF consumer exercises compressed strips
+            # (compression changes bytes, never pixels: the same
+            # hash gates keep certifying)
+            def enc(mid, w, h):
+                return _encode_tiff(
+                    mid, w, h, compression=(1, 5, 32773)[mid % 3]
+                )
+        elif fmt == "tiffc":
+            # LARGE compressed fixtures: strips sized to cross the
+            # 9->10-bit early-change LZW width switch (the 511/510
+            # boundary small fixtures never reach); mid%3==0 LZW,
+            # ==1 PackBits over run-friendly bytes (exercises run
+            # coding), ==2 LZW + horizontal-differencing predictor
+            def enc(mid, w, h):
+                k = mid % 3
+                return _encode_tiff(
+                    mid, w, h,
+                    compression=32773 if k == 1 else 5,
+                    predictor=2 if k == 2 else 1,
+                    run_pixels=k == 1,
+                )
         elif fmt == "gif":
             # lossless indexed container: pixels = palette[LZW
             # indices]. Every 3rd id is INTERLACED (4-pass row
@@ -3109,6 +3374,11 @@ def synthesize_images(
                     # non-multiple-of-16 sizes so the crop + chroma
                     # upsample edge paths are exercised
                     w, h = mid % 13 + 10, mid % 9 + 10
+                elif fmt == "tiffc":
+                    # a gray strip = ceil(h/2)*w must exceed ~510
+                    # formula bytes so LZW's early-change width
+                    # switch really fires inside one strip
+                    w, h = mid % 8 + 40, mid % 5 + 26
                 else:
                     w, h = mid % 8 + 2, mid % 5 + 2
                 content = enc(mid, w, h)

@@ -3449,9 +3449,13 @@ def contract_png_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replicate (id*31+p)%256; RGB fixtures carry the formula bytes.
     # What the gate exercises is the CONTAINER: byte-order dispatch
     # (II even ids / MM odd), the inline-vs-offset tag rule (RGB
-    # BitsPerSample is 3 SHORTs, forced out-of-line), and two-strip
-    # assembly — a wrong strip offset or endian slip shifts bytes and
-    # flips the position-weighted checksum.
+    # BitsPerSample is 3 SHORTs, forced out-of-line), two-strip
+    # assembly — and, since r16, per-strip DECOMPRESSION (id%3
+    # rotates none / LZW / PackBits; compression changes bytes,
+    # never pixels, so the SAME hashes certify it). A wrong strip
+    # offset, endian slip, or codec drift shifts bytes and flips the
+    # position-weighted checksum. Width-change LZW streams live in
+    # contract_tiff_compressed_replay's larger fixtures.
     oracle="""
     WITH dims AS (
         SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
@@ -3487,6 +3491,73 @@ def contract_png_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contract_tiff_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = spark.range(48).withColumnRenamed("id", "doc_id")
     decoded = M.decode_media(M.synthesize_images(ids, fmt="tiff"))
+    ex = decoded.select(
+        "media_id", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
+@register(
+    "contract_tiff_compressed_replay",
+    # The compressed-TIFF width-change gate (VERDICT r15 missing #4):
+    # 24 LARGE fixtures whose strips cross LZW's early-change 9->10
+    # (gray) and 10->11 (RGB) code-width switches — the 511/510
+    # boundary the small contract_tiff_decode_replay fixtures never
+    # reach — plus run-coded PackBits (run-friendly byte formula
+    # v=(src*31+p//5)%256, runs of 5) and the classic scanned-doc
+    # LZW + horizontal-differencing-predictor combo (tag 317). The
+    # oracle replays pixels closed-form; compression and predictor
+    # change stored bytes, never pixels, so one hash certifies all
+    # three codec paths end to end.
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+               (i % 8 + 40) AS w, (i % 5 + 26) AS h,
+               CASE WHEN i % 4 < 2 THEN 1 ELSE 0 END AS gray,
+               CASE WHEN i % 3 = 1 THEN 1 ELSE 0 END AS runp
+        FROM range(0, 24) t(i)
+    ),
+    flat AS (
+        SELECT media_id, w, h, f.i AS i,
+               CASE WHEN gray = 1 AND runp = 1
+                        THEN (src * 31 + (f.i // 3) // 5) % 256
+                    WHEN gray = 1 THEN (src * 31 + f.i // 3) % 256
+                    WHEN runp = 1 THEN (src * 31 + f.i // 5) % 256
+                    ELSE (src * 31 + f.i) % 256
+               END AS v
+        FROM dims,
+        LATERAL unnest(generate_series(0, w * h * 3 - 1)) f(i)
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM flat
+    GROUP BY media_id, w, h
+    """,
+    doc="Compressed-TIFF decode, oracle-gated (operators/"
+    "multimodal.py _tiff_lzw_decode / _tiff_packbits_decode — TIFF "
+    "6.0 LZW is the GIF algorithm MSB-first with the spec's EARLY "
+    "CHANGE, both sides shifted one slot from the certified GIF "
+    "pair's convention): 24 large fixtures rotate LZW, run-coded "
+    "PackBits, and LZW+predictor-2 across both byte orders and "
+    "gray/RGB, with strips sized so the 9->10 and 10->11 code-width "
+    "switches really fire inside a strip. Real scanned-document "
+    "archives are mostly LZW/PackBits TIFFs; this closes the gap "
+    "with the existing closed-form pixel replay.",
+)
+def contract_tiff_compressed_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ids = spark.range(24).withColumnRenamed("id", "doc_id")
+    decoded = M.decode_media(M.synthesize_images(ids, fmt="tiffc"))
     ex = decoded.select(
         "media_id", "width", "height",
         F.posexplode("pixels").alias("i", "v"),

@@ -771,8 +771,9 @@ def test_jpeg_codec_fuzz_random_coefficients(monkeypatch):
 
 def test_tiff_codec_round_trip_and_rejections():
     """TIFF pins: (a) II/MM x gray/RGB x two-strip round trips vs the
-    closed-form bytes; (b) loud rejection of compression, 16-bit,
-    tiles, multi-IFD, bad magic, truncation."""
+    closed-form bytes, uncompressed AND LZW AND PackBits AND
+    LZW+predictor-2; (b) loud rejection of unsupported compression,
+    16-bit, tiles, multi-IFD, bad magic, truncation."""
     import numpy as np
 
     from qb_data_pipeline_backfill_spark.operators.multimodal import (
@@ -783,15 +784,18 @@ def test_tiff_codec_round_trip_and_rejections():
 
     for mid in range(16):
         w, h = mid % 8 + 2, mid % 5 + 2
-        dw, dh, px = _decode_tiff(_encode_tiff(mid, w, h))
-        assert (dw, dh) == (w, h)
         if mid % 4 < 2:
             exp = np.repeat(
                 ((np.arange(w * h) + mid * 31) % 256).astype(np.uint8), 3
             )
         else:
             exp = _formula_pixels(mid, w, h)
-        assert np.array_equal(px, exp), mid
+        for comp, pred in ((1, 1), (5, 1), (32773, 1), (5, 2)):
+            dw, dh, px = _decode_tiff(
+                _encode_tiff(mid, w, h, compression=comp, predictor=pred)
+            )
+            assert (dw, dh) == (w, h)
+            assert np.array_equal(px, exp), (mid, comp, pred)
     with pytest.raises(ValueError, match="byte-order|magic"):
         _decode_tiff(b"XX\x00*rubbish")
     good = bytearray(_encode_tiff(2, 6, 4))  # II, gray
@@ -802,8 +806,8 @@ def test_tiff_codec_round_trip_and_rejections():
         tag = int.from_bytes(good[e : e + 2], "little")
         if tag == 259:
             comp = bytearray(good)
-            comp[e + 8] = 5  # LZW
-            with pytest.raises(ValueError, match="uncompressed"):
+            comp[e + 8] = 7  # JPEG-in-TIFF: still unsupported
+            with pytest.raises(ValueError, match="compression"):
                 _decode_tiff(bytes(comp))
         if tag == 258:
             deep = bytearray(good)
@@ -818,6 +822,48 @@ def test_tiff_codec_round_trip_and_rejections():
         _decode_tiff(bytes(multi))
     with pytest.raises(ValueError, match="truncated|strips"):
         _decode_tiff(bytes(good[: len(good) - 10]))
+
+
+def test_tiff_lzw_packbits_primitives():
+    """Strip-codec pins: (a) LZW round trips across data shapes that
+    force the early-change 9->10->11 width switches, KwKwK chains,
+    and the full-table clear; (b) the width switch really FIRES for
+    a tiffc-sized strip (not just small streams that stay 9-bit);
+    (c) PackBits round trips literals + runs and both codecs fail
+    loudly on truncation."""
+    import random
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        _tiff_packbits_decode,
+        _tiff_packbits_encode,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"\x00",
+        bytes(range(256)) * 6,                      # width growth
+        bytes([0]) * 5000,                          # KwKwK chain
+        bytes(rng.randrange(4) for _ in range(8000)),   # deep table
+        bytes(rng.randrange(256) for _ in range(6000)),  # noise
+    ]
+    for data in cases:
+        enc = _tiff_lzw_encode(data)
+        assert _tiff_lzw_decode(enc, len(data)) == data
+    # (b) a 520-byte gray tiffc strip crosses 511 table entries, so a
+    # decoder WITHOUT early change desyncs and cannot reproduce it
+    strip = bytes((5 * 31 + p) % 256 for p in range(520))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(strip), 520) == strip
+    with pytest.raises(ValueError, match="truncated"):
+        _tiff_lzw_decode(_tiff_lzw_encode(strip)[:-4], 520)
+    for data in (b"", b"abc", b"aaaaaaabcd" * 40, bytes(range(256))):
+        enc = _tiff_packbits_encode(data)
+        assert _tiff_packbits_decode(enc, len(data)) == data
+    assert _tiff_packbits_encode(b"x" * 300)[0] >= 128  # run-coded
+    with pytest.raises(ValueError, match="truncated"):
+        _tiff_packbits_decode(b"\x05ab", 6)
 
 
 def test_gif_codec_round_trip_and_rejections():
