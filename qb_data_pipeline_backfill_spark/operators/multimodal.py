@@ -292,6 +292,58 @@ def decode_media(
     return media.select("media_id", "content").mapInPandas(decode, DECODED_SCHEMA)
 
 
+DECODED_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def decode_gif_frames(media: DataFrame) -> DataFrame:
+    """Decode ANIMATED GIFs to one row per composited frame:
+    ``(media_id, frame_idx, width, height, pixels)`` where pixels is
+    the viewer-visible logical-screen canvas after that frame draws
+    (``_decode_gif_frames``: rect offsets, transparency punch-
+    through, disposal 1/2/3 between frames). The frame-level input
+    surface for video-ish dedup — feed the result through
+    :func:`dhash_from_decoded` keyed by a frame id and the standard
+    hash64 banding applies unchanged. Non-GIF payloads fail loudly;
+    same Arrow mapInPandas codec slot as :func:`decode_media`."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                if not b.startswith(b"GIF8"):
+                    raise ValueError(
+                        f"media_id={media_id}: decode_gif_frames needs "
+                        f"a GIF payload (magic {b[:2]!r})"
+                    )
+                sw, sh, frames = _decode_gif_frames(b)
+                for fi, px in enumerate(frames):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": fi,
+                            "width": sw,
+                            "height": sh,
+                            "pixels": px.astype("float32"),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_FRAMES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode, DECODED_FRAMES_SCHEMA
+    )
+
+
 def _formula_pixels(media_id: int, w: int, h: int):
     """The synthetic image: byte i of the RGB payload is
     ``(media_id * 31 + i) % 256`` — closed-form, so a SQL oracle can
@@ -2399,29 +2451,52 @@ def _gif_interlace_rows(h: int) -> list[int]:
 
 
 def _encode_gif(media_id: int, w: int, h: int, noise: bool = False,
-                frames: int = 1, interlace: bool = False) -> bytes:
+                frames: int = 1, interlace: bool = False,
+                animate: bool = False) -> bytes:
     """Real GIF89a file: logical screen descriptor, 256-entry global
     color table, a Graphic Control Extension per frame (exercises the
-    decoder's extension skip), image descriptors,real LZW-compressed
+    decoder's extension skip), image descriptors, real LZW-compressed
     index sub-blocks, trailer. ``frames > 1`` appends extra image
-    blocks (re-keyed by ``media_id + 1000*frame``) — the decoder must
-    return the FIRST frame only."""
+    blocks (re-keyed by ``media_id + 1000*frame``) — the first-frame
+    face (``_decode_gif``) must ignore them; the animation face
+    (``_decode_gif_frames``) composites all of them.
+
+    ``animate=True`` turns frames >= 1 into REAL animation deltas:
+    frame 0 stays full-screen opaque with disposal 1 (leave), and
+    every later frame is a SUB-RECTANGLE (rw = w//2+1, rh = h//2+1
+    at left = (id+fr) % (w-rw+1), top = (id+2fr) % (h-rh+1)) whose
+    GCE sets transparent index 7 — formula indices equal to 7 punch
+    through to the canvas — with disposal 2 (restore-to-background)
+    on frame 1 and disposal 1 on the rest. All parameters are closed
+    form, so the composited canvas replays in SQL."""
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries, bg idx 0
     out += _gif_palette(noise)
     for fr in range(frames):
-        # GCE: disposal none, no transparency, 0 delay
-        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
-        out += b"\x2c" + (0).to_bytes(2, "little") * 2
-        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        if animate and fr >= 1:
+            fw, fh = w // 2 + 1, h // 2 + 1
+            left = (media_id + fr) % (w - fw + 1)
+            top = (media_id + 2 * fr) % (h - fh + 1)
+            disposal = 2 if fr == 1 else 1
+            # flags: disposal in bits 2-4, transparency flag bit 0
+            out += bytes(
+                [0x21, 0xF9, 4, (disposal << 2) | 1, 0, 0, 7, 0]
+            )
+        else:
+            fw, fh, left, top = w, h, 0, 0
+            disposal = 1 if animate else 0
+            out += bytes([0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0])
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
         out += bytes([0x40 if interlace else 0])  # LCT absent
         out += bytes([8])  # LZW minimum code size
-        idx = _gif_indices(media_id + 1000 * fr, w, h, noise)
+        idx = _gif_indices(media_id + 1000 * fr, fw, fh, noise)
         if interlace:
-            rows = _gif_interlace_rows(h)
+            rows = _gif_interlace_rows(fh)
             idx = [
-                idx[r * w + c] for r in rows for c in range(w)
+                idx[r * fw + c] for r in rows for c in range(fw)
             ]
         data = _gif_lzw_compress(idx, 8)
         for i in range(0, len(data), 255):
@@ -2432,20 +2507,21 @@ def _encode_gif(media_id: int, w: int, h: int, noise: bool = False,
     return bytes(out)
 
 
-def _decode_gif(buf: bytes):
-    """GIF -> (width, height, flat RGB uint8) of the FIRST frame.
-    Real walk: header, logical screen descriptor, global color table,
-    extension blocks skipped by sub-block grammar, image descriptor
-    (local color table honored, 4-pass interlace de-interlaced),
-    sub-block reassembly, variable-width LZW decode, palette mapping. Index
-    count must equal the frame's pixel count — no silent partials."""
-    import numpy as np
-
+def _gif_parse(buf: bytes):
+    """Shared GIF89a/87a container walk: header, logical screen
+    descriptor, global color table, extension grammar (capturing each
+    Graphic Control Extension's disposal/transparency for the frame
+    it precedes), image descriptors with local color tables, sub-block
+    reassembly, LZW decode, de-interlace. Returns ``(screen_w,
+    screen_h, bg_idx, global_palette, frames)`` where each frame is a
+    dict with left/top/iw/ih/pal/idx/disposal/trans_idx. Truncation,
+    index-count mismatch, or unknown blocks fail loudly."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad header)")
     sw = int.from_bytes(buf[6:8], "little")
     sh = int.from_bytes(buf[8:10], "little")
     flags = buf[10]
+    bg_idx = buf[11]
     pos = 13
     palette = None
     if flags & 0x80:
@@ -2454,19 +2530,33 @@ def _decode_gif(buf: bytes):
         if len(palette) < 3 * n:
             raise ValueError("truncated global color table")
         pos += 3 * n
-    del sw, sh  # frame dims come from the image descriptor
+    frames = []
+    disposal, trans_idx = 0, None
     while pos < len(buf):
         b = buf[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            label = buf[pos + 1] if pos + 1 < len(buf) else None
             pos += 2
+            first = True
             while True:
                 if pos >= len(buf):
                     raise ValueError("truncated GIF extension")
                 sz = buf[pos]
+                if label == 0xF9 and first and sz == 4:
+                    # Graphic Control Extension: disposal in bits
+                    # 2-4, transparency flag bit 0, index in byte 3
+                    gflags = buf[pos + 1]
+                    disposal = (gflags >> 2) & 0x07
+                    trans_idx = (
+                        buf[pos + 4] if gflags & 1 else None
+                    )
+                first = False
                 pos += 1 + sz
                 if sz == 0:
                     break
         elif b == 0x2C:  # image descriptor
+            left = int.from_bytes(buf[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(buf[pos + 3 : pos + 5], "little")
             iw = int.from_bytes(buf[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(buf[pos + 7 : pos + 9], "little")
             iflags = buf[pos + 9]
@@ -2506,14 +2596,86 @@ def _decode_gif(buf: bytes):
                         i * iw : (i + 1) * iw
                     ]
                 idx = out_idx
-            arr = np.frombuffer(bytes(pal), dtype=np.uint8).reshape(-1, 3)
-            px = arr[np.asarray(idx, dtype=np.int64)].reshape(-1)
-            return iw, ih, px
+            frames.append(
+                {
+                    "left": left, "top": top, "iw": iw, "ih": ih,
+                    "pal": pal, "idx": idx,
+                    "disposal": disposal, "trans_idx": trans_idx,
+                }
+            )
+            # a GCE applies to exactly one following image block
+            disposal, trans_idx = 0, None
         elif b == 0x3B:
-            raise ValueError("GIF trailer reached before any image")
+            if not frames:
+                raise ValueError("GIF trailer reached before any image")
+            return sw, sh, bg_idx, palette, frames
         else:
             raise ValueError(f"unknown GIF block 0x{b:02X} at {pos}")
     raise ValueError("GIF ended without trailer or image")
+
+
+def _decode_gif(buf: bytes):
+    """GIF -> (width, height, flat RGB uint8) of the FIRST frame's
+    own rectangle (the still-image face ``decode_media`` uses; the
+    animation face is :func:`_decode_gif_frames`). Index count must
+    equal the frame's pixel count — no silent partials."""
+    import numpy as np
+
+    _, _, _, _, frames = _gif_parse(buf)
+    fr = frames[0]
+    arr = np.frombuffer(bytes(fr["pal"]), dtype=np.uint8).reshape(-1, 3)
+    px = arr[np.asarray(fr["idx"], dtype=np.int64)].reshape(-1)
+    return fr["iw"], fr["ih"], px
+
+
+def _decode_gif_frames(buf: bytes):
+    """Animated GIF -> (screen_w, screen_h, [composited flat RGB
+    frames]) — the viewer-visible canvas after each image block, per
+    the GIF89a compositing model: the canvas starts as the background
+    color, each frame draws its rectangle (transparent-index pixels
+    punch through to the existing canvas), and BETWEEN frames the
+    previous frame's disposal applies — 0/1 leave, 2 restore its
+    rectangle to the background color, 3 restore the pre-draw canvas.
+    Frame rectangles must fit the logical screen; fails loudly
+    otherwise."""
+    import numpy as np
+
+    sw, sh, bg_idx, palette, frames = _gif_parse(buf)
+    if palette is None:
+        raise ValueError("animated GIF compositing needs a global palette")
+    gpal = np.frombuffer(bytes(palette), dtype=np.uint8).reshape(-1, 3)
+    bg = gpal[bg_idx] if bg_idx < len(gpal) else np.zeros(3, np.uint8)
+    canvas = np.tile(bg.astype(np.uint8), (sh, sw, 1))
+    out = []
+    prev_rect = None  # (left, top, iw, ih, disposal, saved_canvas)
+    for fr in frames:
+        if prev_rect is not None:
+            pl, pt, piw, pih, pdisp, saved = prev_rect
+            if pdisp == 2:
+                canvas[pt : pt + pih, pl : pl + piw] = bg
+            elif pdisp == 3:
+                canvas = saved
+        left, top, iw, ih = fr["left"], fr["top"], fr["iw"], fr["ih"]
+        if left + iw > sw or top + ih > sh:
+            raise ValueError(
+                f"GIF frame rect {iw}x{ih}+{left}+{top} exceeds "
+                f"{sw}x{sh} logical screen"
+            )
+        saved = canvas.copy() if fr["disposal"] == 3 else None
+        pal = np.frombuffer(bytes(fr["pal"]), dtype=np.uint8).reshape(
+            -1, 3
+        )
+        idx = np.asarray(fr["idx"], dtype=np.int64).reshape(ih, iw)
+        rgb = pal[idx]
+        region = canvas[top : top + ih, left : left + iw]
+        if fr["trans_idx"] is not None:
+            mask = idx != fr["trans_idx"]
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        out.append(canvas.reshape(-1).copy())
+        prev_rect = (left, top, iw, ih, fr["disposal"], saved)
+    return sw, sh, out
 
 
 DECODED_AUDIO_SCHEMA = T.StructType(
@@ -3273,14 +3435,17 @@ def synthesize_images(
     IDCT + color pipeline, not the byte formula (lossy container)."""
 
     if fmt not in ("ppm", "bmp", "png", "pngx", "jpeg", "jpeg420",
-                   "jpeggray", "gif", "tiff", "tiffc"):
+                   "jpeggray", "gif", "gifanim", "gifseq", "tiff",
+                   "tiffc"):
         raise ValueError(
             f"fmt must be 'ppm', 'bmp', 'png', 'pngx', 'jpeg', "
-            f"'jpeg420', 'jpeggray', 'gif', 'tiff' or 'tiffc', "
-            f"got {fmt!r}"
+            f"'jpeg420', 'jpeggray', 'gif', 'gifanim', 'gifseq', "
+            f"'tiff' or 'tiffc', got {fmt!r}"
         )
-    if noise and fmt not in ("ppm", "png", "gif"):
-        raise ValueError("noise pixels are generated for ppm/png/gif only")
+    if noise and fmt not in ("ppm", "png", "gif", "gifseq"):
+        raise ValueError(
+            "noise pixels are generated for ppm/png/gif/gifseq only"
+        )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if fmt == "ppm":
@@ -3363,6 +3528,22 @@ def synthesize_images(
                 return _encode_gif(
                     mid, w, h, noise=noise, interlace=mid % 3 == 1
                 )
+        elif fmt == "gifanim":
+            # REAL animation deltas: frame 0 full-screen, frames 1-2
+            # sub-rect + transparent-index-7 punch-through, disposal
+            # 2 (restore-bg) on frame 1 — the compositing fixture for
+            # decode_gif_frames (every 3rd id also interlaced)
+            def enc(mid, w, h):
+                return _encode_gif(
+                    mid, w, h, noise=noise, frames=3, animate=True,
+                    interlace=mid % 3 == 1,
+                )
+        elif fmt == "gifseq":
+            # 3 full-screen OPAQUE frames (no deltas): composited
+            # frame f is exactly the noise image keyed mid+1000*f —
+            # the frame-level near-dup fixture, closed-form per frame
+            def enc(mid, w, h):
+                return _encode_gif(mid, w, h, noise=noise, frames=3)
         else:
             enc = _encode_bmp
         for pdf in batches:
@@ -3428,11 +3609,21 @@ def image_dhash(media: DataFrame, grid_w: int = 8, grid_h: int = 8) -> DataFrame
     Bit 63 folds into the BIGINT sign bit, the signature convention
     the SimHash chunks already use (dedup.py:_simhash_chunks_agg).
     """
+    return dhash_from_decoded(decode_media(media), grid_w, grid_h)
+
+
+def dhash_from_decoded(
+    d: DataFrame, grid_w: int = 8, grid_h: int = 8
+) -> DataFrame:
+    """:func:`image_dhash`'s codegen expressions over an ALREADY
+    decoded ``(media_id, width, height, pixels)`` relation — shared
+    with sources whose decode step differs (e.g. composited animated-
+    GIF frames keyed by a frame id). Extra input columns are dropped;
+    output is ``(media_id, width, height, dhash)``."""
     if grid_w * grid_h != 64:
         raise ValueError(
             f"grid must cover exactly 64 bits, got {grid_w}x{grid_h}"
         )
-    d = decode_media(media)
     w, h = F.col("width").cast("long"), F.col("height").cast("long")
 
     def src(t: int, n: int, dim) -> "F.Column":

@@ -4168,6 +4168,106 @@ def contract_gif_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contract_gif_frames_replay",
+    # Closed-form replay of the FULL GIF89a animation model (VERDICT
+    # r15 next #8): 24 three-frame fixtures where frame 0 is
+    # full-screen, frames 1-2 are sub-rectangles with transparent
+    # index 7 punching through to the canvas, and frame 1 carries
+    # disposal 2 (restore-to-background before frame 2 draws) — every
+    # 3rd fixture also interlaced. The oracle composites each
+    # viewer-visible canvas with nested CASEs: a wrong rect offset,
+    # transparency slip, or disposal drift shifts pixels and flips
+    # the per-frame position-weighted checksum.
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+               (i % 8 + 2) AS w, (i % 5 + 2) AS h,
+               (i % 8 + 2) // 2 + 1 AS rw, (i % 5 + 2) // 2 + 1 AS rh
+        FROM range(0, 24) t(i)
+    ),
+    geo AS (
+        SELECT *,
+               (src + 1) % (w - rw + 1) AS l1,
+               (src + 2) % (h - rh + 1) AS t1,
+               (src + 2) % (w - rw + 1) AS l2,
+               (src + 4) % (h - rh + 1) AS t2
+        FROM dims
+    ),
+    pix AS (
+        SELECT media_id, src, w, h, rw, rh, l1, t1, l2, t2,
+               f.f AS frame_idx, g.i AS i,
+               (g.i // 3) // w AS y, (g.i // 3) % w AS x, g.i % 3 AS c
+        FROM geo,
+        LATERAL unnest(generate_series(0, 2)) f(f),
+        LATERAL unnest(generate_series(0, w * h * 3 - 1)) g(i)
+    ),
+    jsel AS (
+        SELECT media_id, frame_idx, w, h, i, c,
+               CASE
+                 WHEN frame_idx = 0 THEN j0
+                 WHEN frame_idx = 1 THEN
+                   CASE WHEN in1 AND j1 <> 7 THEN j1 ELSE j0 END
+                 ELSE
+                   CASE WHEN in2 AND j2 <> 7 THEN j2
+                        WHEN in1 THEN 0
+                        ELSE j0 END
+               END AS j
+        FROM (
+            SELECT *,
+                   (src * 31 + ((y * w + x) // 3) * 17) % 256 AS j0,
+                   (x >= l1 AND x < l1 + rw
+                    AND y >= t1 AND y < t1 + rh) AS in1,
+                   ((src + 1000) * 31
+                    + (((y - t1) * rw + (x - l1)) // 3) * 17) % 256 AS j1,
+                   (x >= l2 AND x < l2 + rw
+                    AND y >= t2 AND y < t2 + rh) AS in2,
+                   ((src + 2000) * 31
+                    + (((y - t2) * rw + (x - l2)) // 3) * 17) % 256 AS j2
+            FROM pix
+        )
+    ),
+    flat AS (
+        SELECT media_id, frame_idx, w, h, i,
+               CASE c WHEN 0 THEN (j * 37 + 11) % 256
+                      WHEN 1 THEN (j * 73 + 29) % 256
+                      ELSE (j * 101 + 47) % 256 END AS v
+        FROM jsel
+    )
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           w AS width, h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM flat
+    GROUP BY media_id, frame_idx, w, h
+    """,
+    doc="Animated-GIF compositing, oracle-gated (operators/"
+    "multimodal.py _decode_gif_frames / decode_gif_frames — GIF89a "
+    "frame rectangles, transparent-index punch-through, disposal "
+    "restore-to-background between frames, per-frame de-interlace): "
+    "72 composited canvases replayed closed-form per frame. The "
+    "first real multi-frame container in the certified decode "
+    "surface (AVI/MP4 are demux-only), feeding frame-level dedup.",
+)
+def contract_gif_frames_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ids = spark.range(24).withColumnRenamed("id", "doc_id")
+    frames = M.decode_gif_frames(M.synthesize_images(ids, fmt="gifanim"))
+    ex = frames.select(
+        "media_id", "frame_idx", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "frame_idx", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
+@register(
     "dedup_image_dhash_jpeg420",
     # Same full-ground-truth shape as dedup_image_dhash_jpeg, but the
     # fixtures are 4:2:0 — the layout real web crawls overwhelmingly
@@ -4329,6 +4429,64 @@ def dedup_image_dhash_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_near_dup_pairs(
         media.unionByName(copies), max_hamming=2, max_bucket=1000
     )
+
+
+@register(
+    "dedup_gif_frames",
+    # FRAME-level near-dup over animated GIFs (VERDICT r15 next #8's
+    # second half): gifseq fixtures carry 3 full-screen opaque noise
+    # frames keyed src=doc_id+1000*f, so composited frame f IS the
+    # noise image of that key — SQL-replayable with the SAME gif
+    # noise block, with ids = one row per (frame_key, frame source).
+    # src+1000f preserves src%8 and src%5 (1000 = 0 mod 8 and mod 5),
+    # so the dims formula carries over unchanged.
+    oracle="""
+    WITH ids0 AS (
+        SELECT doc_id FROM documents WHERE doc_id %% 12 = 3
+    ),
+    ids AS (
+        SELECT doc_id * 8 + f AS media_id, doc_id + 1000 * f AS src
+        FROM ids0, range(0, 3) t(f)
+        UNION ALL
+        SELECT (doc_id + 10000000) * 8 + f, doc_id + 1000 * f
+        FROM ids0, range(0, 3) t(f)
+    ),
+    %s
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """
+    % _DHASH_GIF_NOISE_G_SQL,
+    doc="Frame-level video-ish near-dup (operators/multimodal.py "
+    "decode_gif_frames + dhash_from_decoded + the family's shared "
+    "pigeonhole banding): every-12th document's 3-frame noise GIF "
+    "plus a re-keyed copy; each composited frame hashes under key "
+    "media_id*8+frame_idx and the banded result must equal the "
+    "closed-form all-pairs ground truth at radius 2 — planted "
+    "copies collide frame-for-frame, unrelated frames stay apart. "
+    "The multi-frame container feeding the same 64-bit index the "
+    "image/audio members use.",
+)
+def dedup_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(12)) == 3
+    )
+    media = M.synthesize_images(docs, fmt="gifseq", noise=True)
+    copies = media.withColumn(
+        "media_id", F.col("media_id") + F.lit(10000000)
+    )
+    frames = M.decode_gif_frames(media.unionByName(copies))
+    keyed = frames.select(
+        (F.col("media_id") * 8 + F.col("frame_idx"))
+        .cast("long")
+        .alias("media_id"),
+        "width",
+        "height",
+        "pixels",
+    )
+    hashes = M.dhash_from_decoded(keyed).select("media_id", "dhash")
+    return M.hash64_band_pairs(hashes, max_hamming=2, max_bucket=1000)
 
 
 @register(

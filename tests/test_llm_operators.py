@@ -866,6 +866,85 @@ def test_tiff_lzw_packbits_primitives():
         _tiff_packbits_decode(b"\x05ab", 6)
 
 
+def test_gif_frames_compositing():
+    """Animated-GIF pins: composited canvases equal an independent
+    reference compositor for (a) animate fixtures — sub-rects,
+    transparent index 7, disposal-2 restore between frames 1 and 2,
+    interlaced every 3rd id — and (b) gifseq fixtures (full-screen
+    opaque frames == their own noise images). The first-frame face
+    (_decode_gif) stays stable on animated files, and rect overflow
+    fails loudly."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _decode_gif,
+        _decode_gif_frames,
+        _encode_gif,
+        _gif_indices,
+        _gif_palette,
+    )
+
+    def pal_rgb(noise):
+        return np.frombuffer(_gif_palette(noise), np.uint8).reshape(-1, 3)
+
+    def ref_frames(mid, w, h, noise, animate):
+        pal = pal_rgb(noise)
+        canvas = np.tile(pal[0], (h, w, 1)).astype(np.uint8)
+        outs, prev = [], None
+        for fr in range(3):
+            if prev is not None and prev[4] == 2:
+                pl, pt, pw2, ph2, _ = prev
+                canvas[pt : pt + ph2, pl : pl + pw2] = pal[0]
+            if animate and fr >= 1:
+                fw, fh = w // 2 + 1, h // 2 + 1
+                left = (mid + fr) % (w - fw + 1)
+                top = (mid + 2 * fr) % (h - fh + 1)
+                tidx, disp = 7, 2 if fr == 1 else 1
+            else:
+                fw, fh, left, top, tidx, disp = w, h, 0, 0, None, 1
+            idx = np.array(
+                _gif_indices(mid + 1000 * fr, fw, fh, noise), np.int64
+            ).reshape(fh, fw)
+            rgb = pal[idx]
+            region = canvas[top : top + fh, left : left + fw]
+            if tidx is not None:
+                m = idx != tidx
+                region[m] = rgb[m]
+            else:
+                region[:] = rgb
+            outs.append(canvas.reshape(-1).copy())
+            prev = (left, top, fw, fh, disp)
+        return outs
+
+    for mid in range(12):
+        w, h = mid % 8 + 2, mid % 5 + 2
+        for noise, animate in ((False, True), (True, False)):
+            buf = _encode_gif(
+                mid, w, h, noise=noise, frames=3, animate=animate,
+                interlace=(mid % 3 == 1 and animate),
+            )
+            sw, sh, frames = _decode_gif_frames(buf)
+            assert (sw, sh) == (w, h) and len(frames) == 3
+            for f, want in enumerate(ref_frames(mid, w, h, noise, animate)):
+                assert np.array_equal(frames[f], want), (mid, animate, f)
+        # first-frame face: still the frame's own rect, animation ignored
+        buf = _encode_gif(mid, w, h, frames=3, animate=True)
+        dw, dh, px = _decode_gif(buf)
+        pal = pal_rgb(False)
+        idx = np.array(_gif_indices(mid, w, h, False), np.int64)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, pal[idx].reshape(-1))
+    # rect overflow: hand-build a frame whose rect exceeds the screen
+    bad = bytearray(_encode_gif(0, 4, 4, frames=2, animate=True))
+    # the second image descriptor follows the LAST 8-byte GCE; bump
+    # its left coordinate past the screen edge
+    pos = bad.rfind(b"\x21\xf9\x04") + 8
+    assert bad[pos] == 0x2C
+    bad[pos + 1] = 4
+    with pytest.raises(ValueError, match="exceeds"):
+        _decode_gif_frames(bytes(bad))
+
+
 def test_gif_codec_round_trip_and_rejections():
     """Driver-side GIF pins: (a) decode(encode) equals
     palette[index-formula] for formula AND md5-noise fixtures — the
