@@ -344,6 +344,46 @@ def decode_gif_frames(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_tiff_pages(media: DataFrame) -> DataFrame:
+    """Decode MULTI-PAGE TIFFs to one row per page: ``(media_id,
+    frame_idx, width, height, pixels)`` — the scanned-document
+    container face (``_decode_tiff_pages``: chained-IFD walk with
+    per-page compression/predictor), sharing the composited-frame
+    schema with :func:`decode_gif_frames` so page relations feed
+    :func:`dhash_from_decoded` + hash64 banding unchanged. Non-TIFF
+    payloads fail loudly; same Arrow mapInPandas codec slot."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                if not (
+                    b.startswith(b"II*\x00") or b.startswith(b"MM\x00*")
+                ):
+                    raise ValueError(
+                        f"media_id={media_id}: decode_tiff_pages needs "
+                        f"a TIFF payload (magic {b[:2]!r})"
+                    )
+                for pi, (w, h, px) in enumerate(_decode_tiff_pages(b)):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": pi,
+                            "width": w,
+                            "height": h,
+                            "pixels": px.astype("float32"),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_FRAMES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode, DECODED_FRAMES_SCHEMA
+    )
+
+
 def _formula_pixels(media_id: int, w: int, h: int):
     """The synthetic image: byte i of the RGB payload is
     ``(media_id * 31 + i) % 256`` — closed-form, so a SQL oracle can
@@ -2056,6 +2096,7 @@ def _encode_tiff(
     compression: int = 1,
     predictor: int = 1,
     run_pixels: bool = False,
+    pages: int = 1,
 ) -> bytes:
     """Real TIFF fixture: byte order II for even ids / MM for odd,
     grayscale (photometric 1, gray byte p = (id*31+p) mod 256) for
@@ -2070,39 +2111,16 @@ def _encode_tiff(
     classic scanned-doc LZW combo). ``run_pixels`` swaps the byte
     formula to (id*31 + p//5) mod 256 — runs of 5 — so PackBits'
     run-coding path is really exercised (the increment formula would
-    be all literals)."""
+    be all literals).
+
+    ``pages > 1`` emits a REAL multi-page TIFF (a chained IFD per
+    page — the scanned-document container shape): page p's bytes are
+    keyed ``media_id + 1000*p`` (the multi-frame family convention)
+    and its compression rotates ``(media_id + p) % 3`` over
+    none/LZW/PackBits, so one file chains mixed-compression IFDs."""
     big = media_id % 2 == 1
     bo = "big" if big else "little"
     gray = media_id % 4 < 2
-    spp = 1 if gray else 3
-    if run_pixels:
-        data = bytes(
-            (media_id * 31 + p // 5) % 256 for p in range(w * h * spp)
-        )
-    elif gray:
-        data = bytes((media_id * 31 + p) % 256 for p in range(w * h))
-    else:
-        data = bytes(_formula_pixels(media_id, w, h))
-    if predictor == 2:
-        import numpy as np
-
-        a = np.frombuffer(data, np.uint8).astype(np.int16).reshape(
-            h, w, spp
-        )
-        d = a.copy()
-        d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 256
-        data = d.astype(np.uint8).tobytes()
-    elif predictor != 1:
-        raise ValueError(f"unsupported predictor {predictor}")
-    rows1 = (h + 1) // 2
-    strip1, strip2 = data[: rows1 * w * spp], data[rows1 * w * spp :]
-    if compression == 5:
-        strip1, strip2 = _tiff_lzw_encode(strip1), _tiff_lzw_encode(strip2)
-    elif compression == 32773:
-        strip1 = _tiff_packbits_encode(strip1)
-        strip2 = _tiff_packbits_encode(strip2)
-    elif compression != 1:
-        raise ValueError(f"unsupported compression {compression}")
 
     def u16(v):
         return int(v).to_bytes(2, bo)
@@ -2110,74 +2128,118 @@ def _encode_tiff(
     def u32(v):
         return int(v).to_bytes(4, bo)
 
-    # layout: header(8) IFD [extra values] strip1 strip2
-    n_entries = 10 + (1 if predictor == 2 else 0)
-    ifd_size = 2 + n_entries * 12 + 4
-    extra_off = 8 + ifd_size
-    extra = bytearray()
-    if gray:
-        bps_val = u16(8) + u16(0)
-        bps_count = 1
-        bps_inline = True
-        bps_off = None
-    else:
-        # 3 SHORTs = 6 bytes > 4: must live out-of-line
-        bps_count = 3
-        bps_inline = False
-        bps_off = extra_off + len(extra)
-        extra += u16(8) + u16(8) + u16(8)
-    so_off = extra_off + len(extra)
-    extra += u32(0) + u32(0)  # StripOffsets placeholder (2 LONGs)
-    sbc_off = extra_off + len(extra)
-    extra += u32(len(strip1)) + u32(len(strip2))
-    data_off = extra_off + len(extra)
-    # backfill strip offsets
-    extra[so_off - extra_off : so_off - extra_off + 8] = (
-        u32(data_off) + u32(data_off + len(strip1))
-    )
+    def page_block(src: int, comp: int, base: int, last: bool) -> bytes:
+        """One [IFD, out-of-line values, strips] segment placed at
+        absolute offset ``base``; the IFD's next pointer chains to
+        the byte right after the segment unless ``last``."""
+        spp = 1 if gray else 3
+        if run_pixels:
+            data = bytes(
+                (src * 31 + p // 5) % 256 for p in range(w * h * spp)
+            )
+        elif gray:
+            data = bytes((src * 31 + p) % 256 for p in range(w * h))
+        else:
+            data = bytes(_formula_pixels(src, w, h))
+        if predictor == 2:
+            import numpy as np
 
-    def entry(tag, typ, count, value4):
-        return u16(tag) + u16(typ) + u32(count) + value4
+            a = np.frombuffer(data, np.uint8).astype(np.int16).reshape(
+                h, w, spp
+            )
+            d = a.copy()
+            d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 256
+            data = d.astype(np.uint8).tobytes()
+        elif predictor != 1:
+            raise ValueError(f"unsupported predictor {predictor}")
+        rows1 = (h + 1) // 2
+        strip1, strip2 = data[: rows1 * w * spp], data[rows1 * w * spp :]
+        if comp == 5:
+            strip1 = _tiff_lzw_encode(strip1)
+            strip2 = _tiff_lzw_encode(strip2)
+        elif comp == 32773:
+            strip1 = _tiff_packbits_encode(strip1)
+            strip2 = _tiff_packbits_encode(strip2)
+        elif comp != 1:
+            raise ValueError(f"unsupported compression {comp}")
 
-    short_inline = lambda v: u16(v) + u16(0)  # noqa: E731
-    entries = [
-        entry(256, 3, 1, short_inline(w)),          # ImageWidth
-        entry(257, 3, 1, short_inline(h)),          # ImageLength
-        entry(258, 3, bps_count,
-              bps_val if gray else u32(bps_off)),    # BitsPerSample
-        entry(259, 3, 1, short_inline(compression)),  # Compression
-        entry(262, 3, 1, short_inline(1 if gray else 2)),  # Photometric
-        entry(273, 4, 2, u32(so_off)),              # StripOffsets
-        entry(277, 3, 1, short_inline(spp)),        # SamplesPerPixel
-        entry(278, 3, 1, short_inline(rows1)),      # RowsPerStrip
-        entry(279, 4, 2, u32(sbc_off)),             # StripByteCounts
-        entry(296, 3, 1, short_inline(2)),          # ResolutionUnit
-    ]
-    if predictor == 2:
-        # 317 > 296 keeps the IFD's required ascending tag order
-        entries.append(entry(317, 3, 1, short_inline(2)))  # Predictor
-    assert len(entries) == n_entries
-    header = (b"MM" if big else b"II") + u16(42) + u32(8)
-    ifd = u16(n_entries) + b"".join(entries) + u32(0)
-    return header + ifd + bytes(extra) + strip1 + strip2
+        # segment layout: IFD [extra values] strip1 strip2
+        n_entries = 10 + (1 if predictor == 2 else 0)
+        ifd_size = 2 + n_entries * 12 + 4
+        extra_off = base + ifd_size
+        extra = bytearray()
+        if gray:
+            bps_val = u16(8) + u16(0)
+            bps_count = 1
+            bps_off = None
+        else:
+            # 3 SHORTs = 6 bytes > 4: must live out-of-line
+            bps_count = 3
+            bps_off = extra_off + len(extra)
+            extra += u16(8) + u16(8) + u16(8)
+        so_off = extra_off + len(extra)
+        extra += u32(0) + u32(0)  # StripOffsets placeholder (2 LONGs)
+        sbc_off = extra_off + len(extra)
+        extra += u32(len(strip1)) + u32(len(strip2))
+        data_off = extra_off + len(extra)
+        # backfill strip offsets
+        extra[so_off - extra_off : so_off - extra_off + 8] = (
+            u32(data_off) + u32(data_off + len(strip1))
+        )
+
+        def entry(tag, typ, count, value4):
+            return u16(tag) + u16(typ) + u32(count) + value4
+
+        short_inline = lambda v: u16(v) + u16(0)  # noqa: E731
+        entries = [
+            entry(256, 3, 1, short_inline(w)),          # ImageWidth
+            entry(257, 3, 1, short_inline(h)),          # ImageLength
+            entry(258, 3, bps_count,
+                  bps_val if gray else u32(bps_off)),    # BitsPerSample
+            entry(259, 3, 1, short_inline(comp)),       # Compression
+            entry(262, 3, 1, short_inline(1 if gray else 2)),  # Photometric
+            entry(273, 4, 2, u32(so_off)),              # StripOffsets
+            entry(277, 3, 1, short_inline(spp)),        # SamplesPerPixel
+            entry(278, 3, 1, short_inline(rows1)),      # RowsPerStrip
+            entry(279, 4, 2, u32(sbc_off)),             # StripByteCounts
+            entry(296, 3, 1, short_inline(2)),          # ResolutionUnit
+        ]
+        if predictor == 2:
+            # 317 > 296 keeps the IFD's required ascending tag order
+            entries.append(entry(317, 3, 1, short_inline(2)))  # Predictor
+        assert len(entries) == n_entries
+        seg_len = ifd_size + len(extra) + len(strip1) + len(strip2)
+        nxt = 0 if last else base + seg_len
+        ifd = u16(n_entries) + b"".join(entries) + u32(nxt)
+        return ifd + bytes(extra) + strip1 + strip2
+
+    out = bytearray((b"MM" if big else b"II") + u16(42) + u32(8))
+    for pg in range(pages):
+        src = media_id + 1000 * pg
+        comp = (
+            compression
+            if pages == 1
+            else (1, 5, 32773)[(media_id + pg) % 3]
+        )
+        out += page_block(src, comp, len(out), last=pg == pages - 1)
+    return bytes(out)
 
 
-def _decode_tiff(buf: bytes):
-    """Baseline TIFF → (width, height, flat RGB uint8). Real decode:
-    byte-order dispatch, magic 42, first-IFD walk with the
-    inline-vs-offset value rule (a value field holds the bytes
-    themselves iff type_size*count <= 4), strip assembly via
-    StripOffsets/StripByteCounts/RowsPerStrip, grayscale replicated
-    to RGB. Fails loudly on compression, non-8-bit, palettes, tiles,
-    or unknown photometrics."""
-    import numpy as np
-
+def _tiff_byte_order(buf: bytes) -> str:
     if buf[:4] == b"II*\x00":
-        bo = "little"
-    elif buf[:4] == b"MM\x00*":
-        bo = "big"
-    else:
-        raise ValueError("not a TIFF (bad byte-order/magic)")
+        return "little"
+    if buf[:4] == b"MM\x00*":
+        return "big"
+    raise ValueError("not a TIFF (bad byte-order/magic)")
+
+
+def _tiff_read_ifd(buf: bytes, bo: str, ifd_off: int):
+    """Parse and decode ONE IFD (one page): the inline-vs-offset tag
+    rule, per-strip decompression (none/LZW/PackBits), predictor-2
+    undo, grayscale replication. Returns ``(w, h, flat RGB uint8,
+    next_ifd_offset)``. Fails loudly on non-8-bit, palettes, tiles,
+    unknown photometrics, or unsupported compression."""
+    import numpy as np
 
     def rd(off, n):
         b = buf[off : off + n]
@@ -2186,7 +2248,6 @@ def _decode_tiff(buf: bytes):
         return int.from_bytes(b, bo)
 
     _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
-    ifd_off = rd(4, 4)
     n = rd(ifd_off, 2)
     tags: dict[int, list[int]] = {}
     for i in range(n):
@@ -2201,8 +2262,6 @@ def _decode_tiff(buf: bytes):
         vals = [rd(src + j * unit, unit) for j in range(count)]
         tags[tag] = vals
     nxt = rd(ifd_off + 2 + n * 12, 4)
-    if nxt != 0:
-        raise ValueError("multi-IFD (multi-page) TIFF not supported")
 
     def one(tag, default=None):
         if tag in tags:
@@ -2241,12 +2300,12 @@ def _decode_tiff(buf: bytes):
         raise ValueError("TIFF missing strip offsets/byte counts")
     rps = one(278, h)
     parts = []
-    for s, (o, c) in enumerate(zip(offs, counts)):
+    for st, (o, c) in enumerate(zip(offs, counts)):
         raw = buf[o : o + c]
         if len(raw) != c:
-            raise ValueError(f"truncated TIFF strip {s}")
+            raise ValueError(f"truncated TIFF strip {st}")
         # strips decompress independently; the last strip may be short
-        n_rows = min(rps, h - s * rps)
+        n_rows = min(rps, h - st * rps)
         if n_rows <= 0:
             raise ValueError("TIFF has more strips than rows cover")
         expected = n_rows * w * spp
@@ -2268,7 +2327,56 @@ def _decode_tiff(buf: bytes):
         px = (np.cumsum(a, axis=1) % 256).astype(np.uint8).reshape(-1)
     if photo == 1:
         px = np.repeat(px, 3)
+    return w, h, px, nxt
+
+
+def _decode_tiff(buf: bytes):
+    """Single-page TIFF → (width, height, flat RGB uint8) — the
+    still-image face ``decode_media`` uses. Multi-IFD (multi-page)
+    files are REJECTED here by the no-silent-partial policy (a page-1
+    crop of an N-page scan is data loss); the multi-page face is
+    :func:`_decode_tiff_pages` / :func:`decode_tiff_pages`."""
+    bo = _tiff_byte_order(buf)
+
+    def rd(off, n):
+        b = buf[off : off + n]
+        if len(b) != n:
+            raise ValueError(f"truncated TIFF at offset {off}")
+        return int.from_bytes(b, bo)
+
+    w, h, px, nxt = _tiff_read_ifd(buf, bo, rd(4, 4))
+    if nxt != 0:
+        raise ValueError(
+            "multi-IFD (multi-page) TIFF not supported by the "
+            "single-image face; use decode_tiff_pages"
+        )
     return w, h, px
+
+
+def _decode_tiff_pages(buf: bytes):
+    """Multi-page TIFF → list of (width, height, flat RGB uint8),
+    one per chained IFD — the scanned-document container walk. A
+    cyclic or absurdly long chain fails loudly."""
+    bo = _tiff_byte_order(buf)
+
+    def rd(off, n):
+        b = buf[off : off + n]
+        if len(b) != n:
+            raise ValueError(f"truncated TIFF at offset {off}")
+        return int.from_bytes(b, bo)
+
+    pages = []
+    seen: set[int] = set()
+    off = rd(4, 4)
+    while off != 0:
+        if off in seen or len(seen) > 10000:
+            raise ValueError("cyclic or runaway TIFF IFD chain")
+        seen.add(off)
+        w, h, px, off = _tiff_read_ifd(buf, bo, off)
+        pages.append((w, h, px))
+    if not pages:
+        raise ValueError("TIFF has no IFDs")
+    return pages
 
 
 # --------------------------------------------------------------------------
@@ -3436,11 +3544,11 @@ def synthesize_images(
 
     if fmt not in ("ppm", "bmp", "png", "pngx", "jpeg", "jpeg420",
                    "jpeggray", "gif", "gifanim", "gifseq", "tiff",
-                   "tiffc"):
+                   "tiffc", "tiffp"):
         raise ValueError(
             f"fmt must be 'ppm', 'bmp', 'png', 'pngx', 'jpeg', "
             f"'jpeg420', 'jpeggray', 'gif', 'gifanim', 'gifseq', "
-            f"'tiff' or 'tiffc', got {fmt!r}"
+            f"'tiff', 'tiffc' or 'tiffp', got {fmt!r}"
         )
     if noise and fmt not in ("ppm", "png", "gif", "gifseq"):
         raise ValueError(
@@ -3518,6 +3626,12 @@ def synthesize_images(
                     predictor=2 if k == 2 else 1,
                     run_pixels=k == 1,
                 )
+        elif fmt == "tiffp":
+            # MULTI-PAGE files: 3 chained IFDs keyed mid+1000*page,
+            # per-page compression rotating (mid+page)%3 over
+            # none/LZW/PackBits — the scanned-document batch shape
+            def enc(mid, w, h):
+                return _encode_tiff(mid, w, h, pages=3)
         elif fmt == "gif":
             # lossless indexed container: pixels = palette[LZW
             # indices]. Every 3rd id is INTERLACED (4-pass row

@@ -34,7 +34,7 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 # pre-named in the r15 note; (c) MECHANICAL OLDEST-FIRST fill from
 # per-name last-graded rounds computed over CORRECTNESS_r01..15 —
 # the full r10 block (20), then the r11 block alphabetically as far
-# as the 50 reach (the remaining r11 names — sequence_packing through
+# as the 50 reach (the remaining r11 names — scalar_subquery_max_qty through
 # window_function_suite — are next, queued for r17).
 # Every registered query is still re-verified in the local full
 # sweep (tools/check_correctness.py, sf0.01) each round regardless.
@@ -46,6 +46,7 @@ prioritize(
         "streaming_bpe_encode",
         "contract_tiff_decode_replay",
         "contract_tiff_compressed_replay",
+        "contract_tiff_pages_replay",
         "contract_gif_frames_replay",
         "dedup_gif_frames",
         # --- (b) the ten r7/r9-stale queries (VERDICT r15 next #1) ---
@@ -93,7 +94,6 @@ prioritize(
         "region_nation_rollup",
         "salted_collect_stats",
         "salted_join_segment_revenue",
-        "scalar_subquery_max_qty",
     ]
 )
 

@@ -3572,6 +3572,72 @@ def contract_tiff_compressed_replay(
 
 
 @register(
+    "contract_tiff_pages_replay",
+    # Multi-page TIFF (the scanned-document container): 24 files of
+    # 3 chained IFDs each, page p keyed media_id + 1000*p with
+    # per-page compression rotating (media_id+p) % 3 over
+    # none/LZW/PackBits — one file chains mixed-compression pages.
+    # The oracle replays every page's pixels closed-form; a wrong
+    # next-IFD offset, page-order slip, or per-page codec drift
+    # flips the per-page position-weighted checksum. The single-image
+    # face keeps REJECTING multi-IFD files (no-silent-partial), so
+    # decode_media cannot quietly return page 1 of an N-page scan.
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(i AS BIGINT) AS media_id,
+               (i % 8 + 2) AS w, (i % 5 + 2) AS h,
+               CASE WHEN i % 4 < 2 THEN 1 ELSE 0 END AS gray
+        FROM range(0, 24) t(i)
+    ),
+    pages AS (
+        SELECT media_id, w, h, gray,
+               CAST(p.p AS INTEGER) AS frame_idx,
+               media_id + 1000 * p.p AS src
+        FROM dims, LATERAL unnest(generate_series(0, 2)) p(p)
+    ),
+    flat AS (
+        SELECT media_id, frame_idx, w, h, f.i AS i,
+               CASE WHEN gray = 1
+                    THEN (src * 31 + f.i // 3) % 256
+                    ELSE (src * 31 + f.i) % 256
+               END AS v
+        FROM pages,
+        LATERAL unnest(generate_series(0, w * h * 3 - 1)) f(i)
+    )
+    SELECT media_id, frame_idx, w AS width, h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS pos_checksum
+    FROM flat
+    GROUP BY media_id, frame_idx, w, h
+    """,
+    doc="Multi-page TIFF decode, oracle-gated (operators/"
+    "multimodal.py _decode_tiff_pages / decode_tiff_pages — chained-"
+    "IFD walk with cycle detection, per-page strips + compression): "
+    "72 pages replayed closed-form. With GIF frames this completes "
+    "the multi-image container pair — animation for the web crawl, "
+    "page chains for the scanned-document archive — both feeding "
+    "the shared frame schema and hash64 banding.",
+)
+def contract_tiff_pages_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ids = spark.range(24).withColumnRenamed("id", "doc_id")
+    pages = M.decode_tiff_pages(M.synthesize_images(ids, fmt="tiffp"))
+    ex = pages.select(
+        "media_id", "frame_idx", "width", "height",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    return ex.groupBy("media_id", "frame_idx", "width", "height").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.sum(F.col("v") * (F.pmod(F.col("i"), F.lit(97)) + 1))
+        .cast("long")
+        .alias("pos_checksum"),
+    )
+
+
+@register(
     "contract_png_types_decode_replay",
     # One fixture corpus rotating through ALL FIVE 8-bit PNG color
     # types by id%5 (0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA

@@ -824,6 +824,48 @@ def test_tiff_codec_round_trip_and_rejections():
         _decode_tiff(bytes(good[: len(good) - 10]))
 
 
+def test_tiff_multipage_chain():
+    """Multi-page pins: 3-IFD chains round trip per page (page p
+    keyed id+1000p, per-page compression rotation), the single-image
+    face rejects multi-IFD files loudly (no silent page-1 crops),
+    and a cyclic IFD chain fails instead of looping."""
+    import numpy as np
+
+    from qb_data_pipeline_backfill_spark.operators.multimodal import (
+        _decode_tiff,
+        _decode_tiff_pages,
+        _encode_tiff,
+        _formula_pixels,
+    )
+
+    for mid in (0, 1, 2, 3, 7, 10):
+        w, h = mid % 8 + 2, mid % 5 + 2
+        buf = _encode_tiff(mid, w, h, pages=3)
+        pages = _decode_tiff_pages(buf)
+        assert len(pages) == 3
+        gray = mid % 4 < 2
+        for pg, (pw, ph, px) in enumerate(pages):
+            src = mid + 1000 * pg
+            assert (pw, ph) == (w, h)
+            if gray:
+                exp = np.repeat(
+                    ((np.arange(w * h) + src * 31) % 256).astype(np.uint8),
+                    3,
+                )
+            else:
+                exp = _formula_pixels(src, w, h)
+            assert np.array_equal(px, exp), (mid, pg)
+        with pytest.raises(ValueError, match="multi-IFD"):
+            _decode_tiff(buf)
+    # cyclic chain: point the first IFD's next pointer back at itself
+    buf = bytearray(_encode_tiff(0, 4, 3, pages=2))
+    n = int.from_bytes(buf[8:10], "little")
+    nxt_off = 10 + n * 12
+    buf[nxt_off : nxt_off + 4] = (8).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="cyclic"):
+        _decode_tiff_pages(bytes(buf))
+
+
 def test_tiff_lzw_packbits_primitives():
     """Strip-codec pins: (a) LZW round trips across data shapes that
     force the early-change 9->10->11 width switches, KwKwK chains,
