@@ -230,6 +230,29 @@ def _resize_nearest(px, w: int, h: int, tw: int, th: int):
     return img[ys][:, xs].reshape(-1)
 
 
+def _decode_any(media_id, b: bytes):
+    """Per-row magic-byte dispatch shared by :func:`decode_media` and
+    the fused decode+hash pass of :func:`image_dhash` — one sniffing
+    rule so the two paths cannot drift. Returns ``(w, h, pixels)``."""
+    if b.startswith(b"P6"):
+        return _decode_ppm(b)
+    if b.startswith(b"BM"):
+        return _decode_bmp(b)
+    if b.startswith(_PNG_SIG):
+        return _decode_png(b)
+    if b.startswith(b"\xff\xd8"):
+        return _decode_jpeg(b)
+    if b.startswith(b"GIF8"):
+        return _decode_gif(b)
+    if b.startswith(b"II*\x00") or b.startswith(b"MM\x00*"):
+        return _decode_tiff(b)
+    raise ValueError(
+        f"media_id={media_id}: undecodable payload "
+        f"(magic {b[:2]!r}); supported: PPM P6, BMP "
+        "24-bit, PNG 8-bit, baseline JPEG, GIF, TIFF"
+    )
+
+
 def decode_media(
     media: DataFrame,
     target_width: int | None = None,
@@ -251,25 +274,7 @@ def decode_media(
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(content)
-                if b.startswith(b"P6"):
-                    w, h, px = _decode_ppm(b)
-                elif b.startswith(b"BM"):
-                    w, h, px = _decode_bmp(b)
-                elif b.startswith(_PNG_SIG):
-                    w, h, px = _decode_png(b)
-                elif b.startswith(b"\xff\xd8"):
-                    w, h, px = _decode_jpeg(b)
-                elif b.startswith(b"GIF8"):
-                    w, h, px = _decode_gif(b)
-                elif b.startswith(b"II*\x00") or b.startswith(b"MM\x00*"):
-                    w, h, px = _decode_tiff(b)
-                else:
-                    raise ValueError(
-                        f"media_id={media_id}: undecodable payload "
-                        f"(magic {b[:2]!r}); supported: PPM P6, BMP "
-                        "24-bit, PNG 8-bit, baseline JPEG, GIF, TIFF"
-                    )
+                w, h, px = _decode_any(media_id, bytes(content))
                 if (target_width is None) != (target_height is None):
                     raise ValueError(
                         "resize needs BOTH target_width and target_height "
@@ -381,6 +386,60 @@ def decode_tiff_pages(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         decode, DECODED_FRAMES_SCHEMA
+    )
+
+
+GIF_FRAMES_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def gif_frames_dhash(media: DataFrame) -> DataFrame:
+    """FUSED :func:`decode_gif_frames` + per-frame dHash: one Arrow
+    ``mapInPandas`` pass composites every animated-GIF frame and
+    hashes it in numpy (:func:`_dhash64_np` — the :func:`image_dhash`
+    fusion applied to the frame face), so only (id, frame_idx, w, h,
+    hash) rows ever cross the Python boundary instead of full
+    per-frame canvases feeding a 216-``get`` JVM expression tree.
+    Output: ``(media_id, frame_idx, width, height, dhash)`` —
+    equivalent to ``dhash_from_decoded(decode_gif_frames(media))``
+    carried per frame, certified by the dedup_gif_frames oracle."""
+
+    def decode_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fis, ws, hs, dh = [], [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                if not b.startswith(b"GIF8"):
+                    raise ValueError(
+                        f"media_id={media_id}: gif_frames_dhash needs "
+                        f"a GIF payload (magic {b[:2]!r})"
+                    )
+                sw, sh, frames = _decode_gif_frames(b)
+                for fi, px in enumerate(frames):
+                    ids.append(media_id)
+                    fis.append(fi)
+                    ws.append(sw)
+                    hs.append(sh)
+                    dh.append(_dhash64_np(px, sw, sh))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": fis,
+                    "width": ws,
+                    "height": hs,
+                    "dhash": dh,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode_hash, GIF_FRAMES_DHASH_SCHEMA
     )
 
 
@@ -3713,6 +3772,47 @@ def synthesize_images(
 # grayscale sums, and all 64 bit comparisons are codegen expressions
 # over the pixels array — SQL-replayable, so the oracle gate can
 # recompute the hash bit-for-bit from the formula pixels.
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def _dhash64_np(px, w: int, h: int, grid_w: int = 8, grid_h: int = 8) -> int:
+    """:func:`dhash_from_decoded`'s arithmetic over one decoded pixel
+    array, vectorized in numpy — the fused decode+hash pass computes
+    the hash where the pixels already live instead of shipping every
+    pixel to the JVM for a 216-element-access expression tree
+    (optimization guide §4.2: batch work belongs in native code
+    inside the Python pass; §2.3: shuffle/transfer metadata, not
+    payloads). Bit-identical by construction: same nearest-neighbor
+    index math (``min(dim-1, t*dim // n)``), same channel-sum
+    grayscale (sums ≤ 765 are exact in every numeric type involved),
+    same bit-63 sign fold. Pinned by
+    test_image_dhash_matches_formula_reference and the
+    contract_image_dhash_replay oracle."""
+    import numpy as np
+
+    p = np.asarray(px, dtype=np.int64)
+    sy = np.minimum(h - 1, np.arange(grid_h, dtype=np.int64) * h // grid_h)
+    sx = np.minimum(
+        w - 1, np.arange(grid_w + 1, dtype=np.int64) * w // (grid_w + 1)
+    )
+    i0 = (sy[:, None] * w + sx[None, :]) * 3
+    g = p[i0] + p[i0 + 1] + p[i0 + 2]
+    bits = (g[:, :-1] > g[:, 1:]).reshape(-1)
+    val = 0
+    for b in np.nonzero(bits)[0]:
+        val |= 1 << int(b)
+    if val & (1 << 63):
+        val -= 1 << 64
+    return val
+
+
 def image_dhash(media: DataFrame, grid_w: int = 8, grid_h: int = 8) -> DataFrame:
     """64-bit dHash per image: ``(media_id, width, height, dhash)``.
 
@@ -3722,8 +3822,39 @@ def image_dhash(media: DataFrame, grid_w: int = 8, grid_h: int = 8) -> DataFrame
     preserving) at sampled cell (y, x) exceeds its right neighbor.
     Bit 63 folds into the BIGINT sign bit, the signature convention
     the SimHash chunks already use (dedup.py:_simhash_chunks_agg).
-    """
-    return dhash_from_decoded(decode_media(media), grid_w, grid_h)
+
+    FUSED decode+hash: one Arrow ``mapInPandas`` pass decodes each
+    payload (:func:`_decode_any`, the same dispatcher
+    :func:`decode_media` uses) and hashes it in numpy
+    (:func:`_dhash64_np`) — only 24 bytes/row ever cross the Python
+    boundary, versus the previous shape that shipped the full pixel
+    array to the JVM and evaluated a 72-column × 3-``get`` expression
+    tree (measured ~4 s of driver-side plan construction per query
+    plus the transfer; OPTIMIZATION_r16.md §image-dhash). Equivalent
+    output is certified by the contract_image_dhash_replay oracle and
+    the formula-reference pytest. Stateless per row, so it runs
+    unchanged on streaming inputs (streaming_image_dhash)."""
+    if grid_w * grid_h != 64:
+        raise ValueError(
+            f"grid must cover exactly 64 bits, got {grid_w}x{grid_h}"
+        )
+
+    def decode_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, dh = [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, px = _decode_any(media_id, bytes(content))
+                ids.append(media_id)
+                ws.append(w)
+                hs.append(h)
+                dh.append(_dhash64_np(px, w, h, grid_w, grid_h))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "dhash": dh}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode_hash, DHASH_SCHEMA
+    )
 
 
 def dhash_from_decoded(
@@ -4016,32 +4147,51 @@ def audio_dhash(media: DataFrame, n_points: int = 65) -> DataFrame:
     into the BIGINT sign bit (the family convention)."""
     if n_points != 65:
         raise ValueError("the 64-bit layout requires n_points=65")
-    d = decode_audio(media)
-    n = F.size("samples").cast("long")
 
-    def point(j: int) -> "F.Column":
-        idx = F.least(n - 1, F.floor((F.lit(j) * n) / F.lit(65)).cast("long"))
-        return F.get(F.col("samples"), idx.cast("int"))
-
-    pts = d.select(
-        "media_id",
-        n.alias("n_samples"),
-        *[point(j).alias(f"_p_{j}") for j in range(65)],
+    AUDIO_DHASH_SCHEMA = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
     )
-    bits = []
-    for j in range(64):
-        val = -(1 << 63) if j == 63 else 1 << j
-        bits.append(
-            F.when(
-                F.col(f"_p_{j}") > F.col(f"_p_{j + 1}"),
-                F.lit(val).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-    dhash = bits[0]
-    for t in bits[1:]:
-        dhash = dhash + t
-    return pts.select(
-        "media_id", "n_samples", dhash.cast("bigint").alias("dhash")
+
+    def decode_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # FUSED decode+hash (the image_dhash move, guide §4.2): the
+        # WAV codec already holds the samples in numpy; resample and
+        # compare there instead of shipping the waveform to the JVM
+        # for a 65-element-access expression tree. Same index math
+        # (min(n-1, j*n // 65)), same sign-of-difference bits, same
+        # bit-63 fold — pinned by contract_audio_dhash_replay and
+        # test_audio_dhash_matches_reference_and_finds_copies.
+        import numpy as np
+
+        jj = np.arange(65, dtype=np.int64)
+        for pdf in batches:
+            ids, ns, dh = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                _, samples = _decode_wav(bytes(content))
+                n = len(samples)
+                val = 0
+                if n > 0:  # n == 0: every point NULL in the old
+                    # expression form -> no comparison holds -> 0
+                    pts = np.asarray(samples, dtype=np.int64)[
+                        np.minimum(n - 1, jj * n // 65)
+                    ]
+                    bits = pts[:-1] > pts[1:]
+                    for b in np.nonzero(bits)[0]:
+                        val |= 1 << int(b)
+                    if val & (1 << 63):
+                        val -= 1 << 64
+                ids.append(media_id)
+                ns.append(n)
+                dh.append(val)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": ns, "dhash": dh}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode_hash, AUDIO_DHASH_SCHEMA
     )
 
 

@@ -4542,16 +4542,17 @@ def dedup_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = media.withColumn(
         "media_id", F.col("media_id") + F.lit(10000000)
     )
-    frames = M.decode_gif_frames(media.unionByName(copies))
-    keyed = frames.select(
+    # fused decode+hash (gif_frames_dhash): identical hashes to the
+    # previous decode_gif_frames → dhash_from_decoded chain — the
+    # oracle's closed-form all-pairs ground truth is unchanged — but
+    # per-frame canvases never leave the Python codec pass
+    frames = M.gif_frames_dhash(media.unionByName(copies))
+    hashes = frames.select(
         (F.col("media_id") * 8 + F.col("frame_idx"))
         .cast("long")
         .alias("media_id"),
-        "width",
-        "height",
-        "pixels",
+        "dhash",
     )
-    hashes = M.dhash_from_decoded(keyed).select("media_id", "dhash")
     return M.hash64_band_pairs(hashes, max_hamming=2, max_bucket=1000)
 
 
