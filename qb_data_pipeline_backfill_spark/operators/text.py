@@ -20,15 +20,59 @@ boundary policy as the media codecs).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from qb_data_pipeline_backfill_spark.functions import int_ratio
+
+# Driver-side fit fast path (optimization round 16, guide §1.2 step 1 /
+# §3.1 spirit — pick the strategy from the MEASURED size): every
+# tokenizer trainer starts from the distinct-word frequency table, a
+# model-artifact-scale relation (Zipf: |word types| ≪ corpus tokens).
+# When that table fits under this row cap, the merge/EM rounds replay
+# in plain Python on the collected rows — bit-identical arithmetic,
+# zero per-round Spark jobs — instead of paying tens of sequential
+# driver-coordinated jobs whose per-round data is a few thousand rows.
+# Above the cap the distributed round loop below runs unchanged (the
+# 100 TB shape). 1M word types ≈ tens of MB collected — the same
+# budget class as a broadcast-join build side.
+_FIT_DRIVER_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_FIT_DRIVER_MAX", "1000000")
+)
+
+
+def _collect_word_types(words: DataFrame, max_rows: int | None) -> list[Row] | None:
+    """Limit-probe collect of a word-type table: ONE job; returns all
+    rows when the table has at most ``max_rows`` of them, else ``None``
+    (caller falls back to the distributed loop). ``limit(max_rows + 1)``
+    bounds the transfer, so an over-cap vocabulary costs one truncated
+    fetch, never an unbounded collect."""
+    cap = _FIT_DRIVER_MAX_ROWS if max_rows is None else max_rows
+    if cap <= 0:
+        return None
+    rows = words.limit(cap + 1).collect()
+    return None if len(rows) > cap else rows
+
+
+def _apply_merge_py(syms: list[str], s1: str, s2: str, merged: str) -> list[str]:
+    """The driver replay of the trainers' codegen greedy fold: scan
+    left to right, fuse ``(s1, s2)`` into ``merged`` whenever the
+    accumulator's last element is ``s1`` and the next symbol is ``s2``
+    — the freshly merged cell (== merged ≠ s1) never chain-merges
+    within the round, exactly the Spark ``aggregate`` semantics."""
+    acc: list[str] = []
+    for x in syms:
+        if acc and acc[-1] == s1 and x == s2:
+            acc[-1] = merged
+        else:
+            acc.append(x)
+    return acc
 
 # Tiny public stopword profiles (top function words per language) used
 # by the n-gram-free language-ID heuristic and the quality score.
@@ -1003,8 +1047,40 @@ def perplexity_buckets(
     )
 
 
+def _bpe_merge_rounds_py(
+    syms_f: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple]:
+    """Driver replay of ``train_bpe``'s round loop over collected word
+    types. Integer pair counts are order-free sums, the argmax order
+    is (count desc, s1 asc, s2 asc) — Python str comparison is code-
+    point order, identical to Spark's binary UTF-8 string ordering —
+    and the merge applies through :func:`_apply_merge_py`, so every
+    round lands on the same merge row as the distributed loop."""
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, f in syms_f:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + f
+        if not pc:
+            break
+        (s1, s2), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, s1, s2, int(c)))
+        merged = s1 + s2
+        syms_f = [
+            (_apply_merge_py(s, s1, s2, merged), f) for s, f in syms_f
+        ]
+    return merges
+
+
 def train_bpe(
-    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    driver_fit_max_rows: int | None = None,
 ) -> DataFrame:
     """Distributed byte-pair-encoding trainer (Sennrich et al. 2016):
     ``n_merges`` rounds of count-adjacent-pairs → merge-the-argmax,
@@ -1031,6 +1107,22 @@ def train_bpe(
         .agg(F.count(F.lit(1)).alias("f"))
         .select(F.split("w", "").alias("syms"), "f")
     )
+    spark = df.sparkSession
+    # Size-gated driver replay (see _FIT_DRIVER_MAX_ROWS): the whole
+    # round loop runs on the collected word-type table in ONE job
+    # instead of n_merges sequential count+argmax jobs. Bit-identical
+    # (pinned by contract_bpe_merge/encode replays and the pytest
+    # fast-vs-distributed equivalence test); over-cap vocabularies
+    # take the distributed loop below unchanged.
+    fit_rows = _collect_word_types(words, driver_fit_max_rows)
+    if fit_rows is not None:
+        return spark.createDataFrame(
+            _bpe_merge_rounds_py(
+                [(list(r["syms"]), int(r["f"])) for r in fit_rows],
+                n_merges,
+            ),
+            "rank int, left string, right string, pair_count bigint",
+        )
     merges: list[tuple] = []
     for rank in range(n_merges):
         pair_idx = gram_positions(F.col("syms"), 2)
@@ -1081,8 +1173,48 @@ def train_bpe(
     )
 
 
+def _wordpiece_merge_rounds_py(
+    syms_f: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple]:
+    """Driver replay of ``train_wordpiece``'s round loop (the
+    :func:`_bpe_merge_rounds_py` scaffold with the likelihood score).
+    The score is computed as ``float(c) / float(f1 * f2)`` — the same
+    long→double casts and one double division the Spark expression
+    performs — so the (score desc, s1, s2) argmax is bit-identical."""
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        sf: dict[str, int] = {}
+        for syms, f in syms_f:
+            for x in syms:
+                sf[x] = sf.get(x, 0) + f
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + f
+        if not pc:
+            break
+        (s1, s2), c = min(
+            pc.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / float(sf[kv[0][0]] * sf[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        denom = sf[s1] * sf[s2]
+        merges.append((rank, s1, s2, int(c), int(denom)))
+        merged = s1 + (s2[2:] if s2.startswith("##") else s2)
+        syms_f = [
+            (_apply_merge_py(s, s1, s2, merged), f) for s, f in syms_f
+        ]
+    return merges
+
+
 def train_wordpiece(
-    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    driver_fit_max_rows: int | None = None,
 ) -> DataFrame:
     """Distributed WordPiece trainer (Schuster & Nakajima 2012; the
     BERT tokenizer family — the third trainer next to BPE and
@@ -1127,6 +1259,20 @@ def train_wordpiece(
             F.filter("syms", lambda s: s != F.lit("##")).alias("syms"), "f"
         )
     )
+    spark = df.sparkSession
+    # Size-gated driver replay — see train_bpe; same cap, same
+    # equivalence argument, likelihood score replayed with the exact
+    # long→double cast sequence.
+    fit_rows = _collect_word_types(words, driver_fit_max_rows)
+    if fit_rows is not None:
+        return spark.createDataFrame(
+            _wordpiece_merge_rounds_py(
+                [(list(r["syms"]), int(r["f"])) for r in fit_rows],
+                n_merges,
+            ),
+            "rank int, left string, right string, pair_count bigint, "
+            "denom bigint",
+        )
     merges: list[tuple] = []
     for rank in range(n_merges):
         pair_idx = gram_positions(F.col("syms"), 2)
@@ -1730,6 +1876,47 @@ def seed_unigram_pieces(
     )
 
 
+def _round_half_up_i(x: float) -> int:
+    """Spark's ``ROUND(double, 0)`` exactly: the double's shortest
+    decimal representation (``repr`` — the same string
+    ``Double.toString`` produces) rounded HALF_UP via ``Decimal``,
+    matching the JVM's ``BigDecimal.valueOf(x).setScale(0, HALF_UP)``.
+    Python's builtin ``round`` is half-EVEN and would drift on exact
+    .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _seed_unigram_py(
+    wf: list[tuple[str, int]], *, max_len: int, seed_size: int
+) -> dict[str, int]:
+    """Driver replay of :func:`seed_unigram_pieces` over collected word
+    types: substring counts with word multiplicity, top ``seed_size``
+    by (count desc, piece asc) plus every single character, log-probs
+    quantized with Spark's HALF_UP round. Returns {piece: lp_micro}."""
+    import math
+
+    cnt: dict[str, int] = {}
+    for w, f in wf:
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_len, n - i) + 1):
+                p = w[i : i + ln]
+                cnt[p] = cnt.get(p, 0) + f
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {p for p, _ in ranked[:seed_size]} | {
+        p for p in cnt if len(p) == 1
+    }
+    tot = sum(c for p, c in cnt.items() if p in kept)
+    return {
+        p: _round_half_up_i(math.log(float(cnt[p]) / float(tot)) * 1e6)
+        for p in kept
+    }
+
+
 def _logaddexp(a: float, b: float) -> float:
     import math
 
@@ -1880,6 +2067,7 @@ def train_unigram(
     em_rounds: int = 3,
     shrink: float = 0.75,
     text_col: str = "text",
+    driver_fit_max_rows: int | None = None,
 ) -> DataFrame:
     """Train the unigram-LM piece vocabulary; returns ``(piece,
     e_micro, lp_micro)`` — final expected counts and quantized
@@ -1893,6 +2081,40 @@ def train_unigram(
     if em_rounds < 1 or vocab_size < 1:
         raise ValueError("em_rounds and vocab_size must be >= 1")
     spark = df.sparkSession
+    # Size-gated driver replay — see train_bpe. The E-step already
+    # quantizes per WORD TYPE to integer micro-units before summing
+    # (order-free), and the lattice code is the SAME Python function
+    # the distributed mapInPandas face batches, so replaying seed +
+    # E-steps over the collected word-type table is bit-identical.
+    fit_rows = _collect_word_types(
+        word_frequencies(df, text_col), driver_fit_max_rows
+    )
+    if fit_rows is not None:
+        wf = [(r["w"], int(r["f"])) for r in fit_rows]
+        pieces = _seed_unigram_py(wf, max_len=max_len, seed_size=seed_size)
+        e_final: dict[str, int] = {}
+        for rnd in range(em_rounds):
+            lp = {p: m / 1e6 for p, m in pieces.items()}
+            e: dict[str, int] = {}
+            for w, f in wf:
+                for p, ev in unigram_expected_counts(w, lp, max_len).items():
+                    m = int(round(ev * f * 1e6))
+                    if m:
+                        e[p] = e.get(p, 0) + m
+            pieces, e_final = _unigram_mstep(
+                e,
+                pieces,
+                vocab_size=vocab_size,
+                shrink=shrink,
+                final_round=rnd == em_rounds - 1,
+            )
+        rows = [
+            (p, e_final.get(p, 0), lp)
+            for p, lp in sorted(pieces.items())
+        ]
+        return spark.createDataFrame(
+            rows, "piece string, e_micro long, lp_micro long"
+        )
     words = word_frequencies(df, text_col).persist()
     try:
         seed = seed_unigram_pieces(

@@ -2621,3 +2621,36 @@ def test_audio_dhash_gain_invariance_and_validation(spark):
 
     with _pytest.raises(ValueError, match="n_points"):
         M.audio_dhash(mdf, n_points=33)
+
+
+# --------------------------------------------------------------------------
+# r16 optimization: trainer driver fast path ≡ distributed round loop
+# --------------------------------------------------------------------------
+def test_trainer_driver_fast_path_matches_distributed_loop(spark):
+    # a corpus with score ties, ##-continuations, and repeated symbols
+    rows = [
+        (0, "low low low lower lowest"),
+        (1, "newest newest widest wide wide"),
+        (2, "aaa abab baba aa bb"),
+        (3, "mixed CASE Mixed case"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn in (X.train_bpe, X.train_wordpiece):
+        fast = [tuple(r) for r in fn(df, n_merges=6).orderBy("rank").collect()]
+        slow = [
+            tuple(r)
+            for r in fn(df, n_merges=6, driver_fit_max_rows=0)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert fast == slow, fn.__name__
+    fast_u = [
+        tuple(r) for r in X.train_unigram(df).orderBy("piece").collect()
+    ]
+    slow_u = [
+        tuple(r)
+        for r in X.train_unigram(df, driver_fit_max_rows=0)
+        .orderBy("piece")
+        .collect()
+    ]
+    assert fast_u == slow_u
