@@ -511,25 +511,45 @@ def ngram_jaccard_pairs(
     Exact — and therefore quadratic in the worst case; at 100 TB run it
     only on LSH candidates (``minhash_lsh_pairs``), not the full corpus.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
+    # r16 optimization (guide §2.4): the per-doc gram count is the SIZE
+    # of the distinct-gram array, so carry it through the explode (8
+    # bytes per gram row) instead of re-scanning + re-aggregating the
+    # corpus twice for the old sa/sb join-backs — 4 scans/explodes
+    # become 2 and two joins disappear; the count is functionally
+    # dependent on the doc id, so adding it to the pair groupBy changes
+    # no groups and the jaccard arithmetic is bit-identical.
+    # explode_OUTER + a post-filter on the generated column, not plain
+    # explode: InferFiltersFromGenerate would otherwise pin a
+    # size(..)>0 filter under the Generate and push it through the
+    # projection, INLINING the whole gram-array expression twice more
+    # per row at the scan (measured 4x slower). A null gram row only
+    # arises from an empty/null array (word_ngrams never emits null
+    # elements), so the filter reproduces plain-explode semantics.
+    grams = (
+        df.select(
+            F.col(id_col), word_ngrams(tokens(text_col), n).alias("__grams")
+        )
+        .select(
+            F.col(id_col),
+            F.size("__grams").alias("__ng"),
+            F.explode_outer("__grams").alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
     )
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
         a.join(b, "gram")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.__ng").alias("na"),
+            F.col("b.__ng").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        shared.select(
             "doc_a",
             "doc_b",
             "shared",

@@ -21,8 +21,64 @@ grow exponentially with iterations.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Driver fast path (optimization round 16): candidate-pair edge lists
+# are usually tiny relative to the corpus, yet the iterative loops pay
+# 2+ Spark jobs per round (hook/jump + fixpoint checksum) regardless of
+# size. When the MEASURED symmetrized edge count fits under this cap,
+# the fixpoint computes driver-side (union-find / integer power
+# iteration) on the collected edges — exact same result, one job.
+# Above the cap the distributed loops run unchanged (the 100 TB shape).
+# 2M edges matches the module's existing per-partition working-set
+# constant; a collected edge row is two ids.
+_CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_MAX", "2000000")
+)
+
+
+def _min_label_components_py(
+    rows: list, spark, node_type: T.DataType
+) -> DataFrame:
+    """Union-find over collected symmetric edges, labeling every node
+    with the MINIMUM node id reachable from it — the exact fixpoint
+    the distributed hook/jump loop converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    mins: dict = {}
+    for x in parent:
+        rt = find(x)
+        m = mins.get(rt)
+        if m is None or x < m:
+            mins[rt] = x
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("cluster_id", node_type, False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(x, mins[find(x)]) for x in parent], schema
+    )
 
 
 def connected_components(
@@ -30,6 +86,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
@@ -58,6 +115,15 @@ def connected_components(
     # fixed per-task cost every round. ~2M edges per partition keeps
     # one task's working set in memory at any scale.
     n_edges = sym.count()
+    # Size-gated driver fixpoint (see _CC_DRIVER_MAX_EDGES): the count
+    # is already measured and the checkpoint already materialized the
+    # edges, so the gate is free; union-find lands on the identical
+    # min-reachable-label assignment in one collect.
+    cap = _CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if n_edges <= cap:
+        return _min_label_components_py(
+            sym.collect(), edges.sparkSession, sym.schema["u"].dataType
+        )
     parts = max(1, min(n_edges // 2_000_000 + 1, sym.rdd.getNumPartitions()))
     if parts < sym.rdd.getNumPartitions():
         sym = sym.repartition(parts, "v").localCheckpoint(eager=True)
@@ -152,6 +218,7 @@ def pagerank_exact(
     dst: str = "dst",
     iters: int = 3,
     damping_pct: int = 85,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Deterministic PageRank: ``iters`` fixed power iterations in
     exact integer micro-units, so every engine lands on identical
@@ -188,6 +255,35 @@ def pagerank_exact(
     # round for nothing.
     sym = sym.localCheckpoint(eager=True)
     n_edges = sym.count()
+    teleport_i = (100 - damping_pct) * 1_000_000 // 100
+    # Size-gated driver power iteration (see _CC_DRIVER_MAX_EDGES):
+    # the arithmetic spec is all-BIGINT truncating division on
+    # non-negative values, so the Python replay is exact — identical
+    # ranks, one collect instead of iters unrolled join+agg rounds.
+    cap = _CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if n_edges <= cap:
+        es = [(r["u"], r["v"]) for r in sym.collect()]
+        deg_d: dict = {}
+        for u, _v in es:
+            deg_d[u] = deg_d.get(u, 0) + 1
+        ranks_d = {n: 1_000_000 for n in deg_d}
+        for _ in range(iters):
+            s: dict = {}
+            for u, v in es:
+                s[v] = s.get(v, 0) + ranks_d[u] // deg_d[u]
+            ranks_d = {
+                n: teleport_i + (damping_pct * s.get(n, 0)) // 100
+                for n in deg_d
+            }
+        schema = T.StructType(
+            [
+                T.StructField("node", sym.schema["u"].dataType, False),
+                T.StructField("rank", T.LongType(), False),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            list(ranks_d.items()), schema
+        )
     parts = max(1, min(n_edges // 2_000_000 + 1, sym.rdd.getNumPartitions()))
     if parts < sym.rdd.getNumPartitions():
         sym = sym.repartition(parts, "u").localCheckpoint(eager=True)

@@ -63,9 +63,12 @@ def test_cc_empty_edges_yield_empty_result(spark):
 
 
 def test_cc_raises_when_iteration_capped(spark):
+    # max_iter guards the DISTRIBUTED loop; pin that path explicitly
+    # (driver_max_edges=0), since the r16 size-gated driver fixpoint
+    # has no iterations to cap on a graph this small.
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, driver_max_edges=0)
 
 
 # --------------------------------------------------------------------------
@@ -141,3 +144,31 @@ def test_connected_components_string_ids(spark):
     }
     assert {got[n] for n in "abcde"} == {"a"}  # one 5-node chain
     assert got["x"] == got["y"] == "x"
+
+
+def test_graph_driver_fast_path_matches_distributed_loop(spark):
+    """r16 optimization: the size-gated driver fixpoint (union-find /
+    integer power iteration) must land on exactly the distributed
+    loops' labels and ranks — same min-reachable cluster ids, same
+    BIGINT truncating-division rank trajectory."""
+    from qb_data_pipeline_backfill_spark.operators.graph import (
+        connected_components,
+        pagerank_exact,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (5, 4), (20, 21), (21, 22),
+         (22, 20), (7, 8), (8, 9), (9, 7), (30, 31)],
+        "src long, dst long",
+    )
+    cc_fast = sorted(tuple(r) for r in connected_components(edges).collect())
+    cc_slow = sorted(
+        tuple(r)
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    )
+    assert cc_fast == cc_slow
+    pr_fast = sorted(tuple(r) for r in pagerank_exact(edges).collect())
+    pr_slow = sorted(
+        tuple(r) for r in pagerank_exact(edges, driver_max_edges=0).collect()
+    )
+    assert pr_fast == pr_slow
