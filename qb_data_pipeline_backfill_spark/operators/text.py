@@ -917,25 +917,45 @@ def ngram_nll_table(
     n = order
     toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
 
-    def grams(k: int) -> DataFrame:
-        # level-k instance table; suffix column naming w{n-k+1}..w{n}
-        cols = [
-            F.get("t", F.col("i") + j).alias(f"w{n - k + 1 + j}")
-            for j in range(k)
-        ]
-        return toks.select(
-            F.explode(gram_positions(F.col("t"), k)).alias("i"), "t"
-        ).select(*cols)
-
     def wcols(k: int) -> list[str]:
         return [f"w{j}" for j in range(n - k + 1, n + 1)]
 
-    # distinct k-gram count tables, k = n..2
-    counts: dict[int, DataFrame] = {}
-    for k in range(n, 1, -1):
-        counts[k] = grams(k).groupBy(*wcols(k)).agg(
-            F.count(F.lit(1)).alias(f"c{k}")
+    # Distinct k-gram count tables, k = n..2 — all derived from ONE
+    # corpus pass (r16 optimization, guide §2.4): explode the BIGRAM
+    # positions once, padding each row to n columns (p{j} = token at
+    # offset j, NULL past the document end), and aggregate to the
+    # null-padded n-gram group table G. A position holds a valid
+    # k-gram iff p{k-1} is non-null, so every level-k count is a
+    # cheap rollup of G — the big scan+explode+shuffle happens once
+    # (Catalyst reuses G's exchange across the consumers) instead of
+    # once per order. Counts are identical integers; the recursion
+    # below is untouched, so at order=3 this still reproduces the
+    # original trigram plan's values bit-for-bit.
+    pcols = [F.get("t", F.col("i") + j).alias(f"p{j}") for j in range(n)]
+    padded = toks.select(
+        F.explode(gram_positions(F.col("t"), 2)).alias("i"), "t"
+    ).select(*pcols)
+    G = padded.groupBy(*[f"p{j}" for j in range(n)]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def level_counts(k: int) -> DataFrame:
+        renames = [
+            F.col(f"p{j}").alias(f"w{n - k + 1 + j}") for j in range(k)
+        ]
+        if k == n:
+            sel = G if k == 2 else G.filter(F.col(f"p{k - 1}").isNotNull())
+            return sel.select(*renames, F.col("cnt").alias(f"c{k}"))
+        sel = G if k == 2 else G.filter(F.col(f"p{k - 1}").isNotNull())
+        return (
+            sel.groupBy(*[f"p{j}" for j in range(k)])
+            .agg(F.sum("cnt").alias(f"c{k}"))
+            .select(*renames, f"c{k}")
         )
+
+    counts: dict[int, DataFrame] = {
+        k: level_counts(k) for k in range(n, 1, -1)
+    }
     hists = {
         k: counts[k]
         .groupBy(*wcols(k)[:-1])
