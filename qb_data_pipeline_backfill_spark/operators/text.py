@@ -421,57 +421,54 @@ def winnow_fingerprints(
     no fingerprints."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1 (got k={k}, w={w})")
-    # guard: Spark's sequence(0, negative) counts DOWN — short docs
-    # must yield an empty gram list, not a descending explosion
-    gram_positions_seq = F.when(
-        F.length(text_col) >= k,
-        F.sequence(F.lit(0), F.length(text_col) - F.lit(k)),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
-        F.col(id_col),
-        F.explode(gram_positions_seq).alias("pos"),
-        F.col(text_col),
-    ).select(
-        F.col(id_col),
-        "pos",
-        F.md5(
-            F.substring(F.col(text_col), F.col("pos") + 1, k)
-        ).alias("gh"),
-    )
-    per_doc = grams.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "gh"))),
-            lambda s: s.getField("gh"),
-        ).alias("hs")
-    )
-    hs = F.col("hs")
-    n = F.size(hs)
+    # r16 optimization (guide §2.4/§4.2): winnowing is a purely
+    # per-document computation, but the old shape exploded one row PER
+    # CHARACTER, hashed it, and shuffled (doc, pos, 32-hex) rows into a
+    # collect_list just to reassemble per-doc arrays for the window
+    # scan — ~40 shuffle bytes per corpus character for zero cross-doc
+    # work. The fused form runs the gram-hash + window-min scan in one
+    # Arrow mapInPandas pass (the media-codec slot): no shuffle at all,
+    # and only the selected fingerprints (~2/(w+1) density) leave
+    # Python. hashlib.md5 hex over UTF-8 bytes of the code-point slice
+    # is exactly F.md5(F.substring(...)); the rightmost-min tie rule
+    # and per-doc (pos, fp) dedupe replay the published algorithm
+    # unchanged (oracle + pytest pinned).
+    import hashlib
 
-    def window_pick(j: Column) -> Column:
-        win = F.slice(hs, j + 1, w)
-        minv = F.array_min(win)
-        cand = F.filter(
-            F.sequence(j, j + F.lit(w - 1)),
-            lambda p: F.get(hs, p) == minv,
-        )
-        return F.struct(
-            F.array_max(cand).alias("pos"), minv.alias("fp")
-        )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("pos", T.LongType(), True),
+            T.StructField("fp", T.StringType(), True),
+        ]
+    )
+    src = df.select(F.col(id_col), F.col(text_col).alias("__txt"))
 
-    window_starts = F.when(
-        n >= w, F.sequence(F.lit(0), n - F.lit(w))
-    ).otherwise(F.array().cast("array<int>"))
-    picked = per_doc.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.transform(window_starts, window_pick))
-        ).alias("sel"),
-    )
-    return picked.select(
-        F.col(id_col),
-        F.col("sel.pos").cast("long").alias("pos"),
-        F.col("sel.fp").alias("fp"),
-    )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            fps: list = []
+            for did, txt in zip(pdf[id_col], pdf["__txt"]):
+                if txt is None or len(txt) < k + w - 1:
+                    continue
+                hs = [
+                    hashlib.md5(txt[i : i + k].encode("utf-8")).hexdigest()
+                    for i in range(len(txt) - k + 1)
+                ]
+                seen: set = set()
+                for j in range(len(hs) - w + 1):
+                    win = hs[j : j + w]
+                    m = min(win)
+                    p = j + max(i for i in range(w) if win[i] == m)
+                    if (p, m) not in seen:
+                        seen.add((p, m))
+                        ids.append(did)
+                        poss.append(p)
+                        fps.append(m)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+
+    return src.mapInPandas(run, schema)
 
 
 def winnow_overlap_pairs(

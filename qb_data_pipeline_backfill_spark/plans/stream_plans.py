@@ -1028,12 +1028,11 @@ def streaming_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     % _REG["text_winnow_fingerprints"].oracle,
     doc="Winnowing fingerprints under Structured Streaming "
     "(operators/text.py winnow_fingerprints): per-document selection "
-    "is per-document, so the stream fingerprints via its per-doc "
-    "aggregation in complete mode "
-    "through the same expressions as the batch twin — the ingest-"
-    "time fingerprinting half of MOSS matching (the pair phase joins "
-    "against an accumulating index downstream). Oracle shared with "
-    "the batch twin, restricted to the streamed subset.",
+    "is per-document and (since r16) fully stateless — the fused "
+    "Arrow pass fingerprints each micro-batch in append mode, the "
+    "ingest-time fingerprinting half of MOSS matching (the pair "
+    "phase joins against an accumulating index downstream). Oracle "
+    "shared with the batch twin, restricted to the streamed subset.",
 )
 def streaming_winnow_fingerprints(
     spark: SparkSession, sf_dir: str
@@ -1046,10 +1045,12 @@ def streaming_winnow_fingerprints(
     docs = documents_stream(spark, sf_dir).filter(
         F.pmod(F.col("doc_id"), F.lit(6)) == 0
     )
-    # the per-doc hash-array rebuild is a streaming aggregation:
-    # complete mode (no watermark — the bounded file stream finishes)
+    # r16: the fused winnow pass is stateless per document, so the
+    # stream appends each micro-batch's fingerprints (each doc lands
+    # in exactly one batch — the union equals the old complete-mode
+    # final state, oracle-pinned); no aggregation state at all.
     return run_available_now(
-        X.winnow_fingerprints(docs, k=8, w=4), output_mode="complete"
+        X.winnow_fingerprints(docs, k=8, w=4), output_mode="append"
     )
 
 
