@@ -305,42 +305,78 @@ def incremental_minhash_pairs(
     never by pair side (r7 review: the old wording invited deleting
     the historical keeper).
     """
+    # r16 optimization (guide §2.4): the old shape probed the index
+    # with two hash joins (new ⋈ bucket-sizes ⋈ index∪new), whose
+    # THREE references to the signature subtrees were not exchange-
+    # reused at runtime (final adaptive plan: 10 parquet scans,
+    # 0 ReusedExchange — history AND the new batch were re-shingled
+    # per reference). One bucket groupBy over index ∪ flagged-new
+    # computes each side's signatures exactly once and replaces both
+    # joins: candidate pairs are generated within each bucket's
+    # collected members (the _bucket_pairs shape), kept only when at
+    # least one side is new. The signature-agreement estimate is a
+    # symmetric integer count, so every emitted (doc_a, doc_b, est)
+    # is bit-identical to the join form; the skew cap still counts
+    # TOTAL membership (history + new), and all-history buckets are
+    # dropped before pair generation rather than after.
     new_rows = minhash_band_index(
         new_docs, text_col, id_col, num_hashes, bands, shingle_k
     )
-    all_rows = index.unionByName(new_rows)
-    # Skew cap identical to _bucket_pairs: buckets whose TOTAL
-    # membership (history + new) exceeds max_bucket are skipped.
-    sizes = all_rows.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n")
+    all_rows = index.withColumn("__new", F.lit(False)).unionByName(
+        new_rows.withColumn("__new", F.lit(True))
     )
-    ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select(
-        "band_idx", "band_hash"
-    )
-    n = new_rows.select(
-        "band_idx",
-        "band_hash",
-        F.col(id_col).alias("__nid"),
-        F.col("sig").alias("__nsig"),
-    )
-    h = all_rows.select(
-        "band_idx",
-        "band_hash",
-        F.col(id_col).alias("__hid"),
-        F.col("sig").alias("__hsig"),
-    )
-    est = _est_jaccard(num_hashes)
-    cand = (
-        n.join(ok, ["band_idx", "band_hash"])
-        .join(h, ["band_idx", "band_hash"])
-        .filter(F.col("__hid") != F.col("__nid"))
-        .select(
-            F.least("__hid", "__nid").alias("doc_a"),
-            F.greatest("__hid", "__nid").alias("doc_b"),
-            est(F.col("__hsig"), F.col("__nsig")).alias("est"),
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col("sig").alias("s"),
+                F.col("__new").alias("n"),
+            )
         )
     )
-    out = cand.groupBy("doc_a", "doc_b").agg(F.first("est").alias("est"))
+    buckets = (
+        all_rows.groupBy("band_idx", "band_hash")
+        .agg(members.alias("members"))
+        .filter(
+            (F.size("members") >= 2)
+            & (F.size("members") <= max_bucket)
+            & F.exists("members", lambda m: m.getField("n"))
+        )
+    )
+    est = _est_jaccard(num_hashes)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(
+                                F.col("members"),
+                                i + F.lit(2),
+                                F.size(F.col("members")),
+                            ),
+                            lambda y: F.struct(
+                                x.getField("i").alias("doc_a"),
+                                y.getField("i").alias("doc_b"),
+                                est(x.getField("s"), y.getField("s")).alias(
+                                    "est"
+                                ),
+                                (x.getField("n") | y.getField("n")).alias(
+                                    "touches_new"
+                                ),
+                            ),
+                        ),
+                        lambda p: p.getField("touches_new"),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.est")
+    # a doc_id present in BOTH index and new batch would meet itself
+    # in its bucket; the join form's hid != nid filter dropped that
+    pairs = pairs.filter(F.col("doc_a") != F.col("doc_b"))
+    out = pairs.groupBy("doc_a", "doc_b").agg(F.first("est").alias("est"))
     return out.filter(F.col("est") >= threshold).select(
         "doc_a", "doc_b", F.col("est").alias("est_jaccard")
     )

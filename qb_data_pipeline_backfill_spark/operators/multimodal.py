@@ -4056,39 +4056,72 @@ def incremental_hash64_pairs(
     incremental and full results compare set-equal. Canonical
     ordering doc_a < doc_b; distance is exact bit_count on the
     carried hashes."""
+    # r16 optimization (guide §2.4, the incremental_minhash_pairs
+    # twin): the join form referenced the new batch's band rows three
+    # times (union, probe side, size count) and the runtime never
+    # exchange-reused them — for the image/audio faces that re-ran
+    # the Arrow DECODE of the new batch once per reference. One
+    # bucket groupBy over index ∪ flagged-new computes each side once
+    # and replaces both joins; pair distance is a symmetric integer
+    # bit_count, so the output is bit-identical (gated by the
+    # dedup_incremental_image/audio oracles). The skew cap still
+    # counts TOTAL membership; all-history buckets are dropped before
+    # pair generation.
     new_rows = hash64_band_index(new_hashes, max_hamming, hash_col, id_col)
-    all_rows = index.unionByName(new_rows)
-    sizes = all_rows.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n")
+    all_rows = index.withColumn("__new", F.lit(False)).unionByName(
+        new_rows.withColumn("__new", F.lit(True))
     )
-    ok = sizes.filter(
-        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket)
-    ).select("band_idx", "band_hash")
-    n = new_rows.select(
-        "band_idx",
-        "band_hash",
-        F.col(id_col).alias("__nid"),
-        F.col(hash_col).alias("__nh"),
-    )
-    h = all_rows.select(
-        "band_idx",
-        "band_hash",
-        F.col(id_col).alias("__hid"),
-        F.col(hash_col).alias("__hh"),
-    )
-    cand = (
-        n.join(ok, ["band_idx", "band_hash"])
-        .join(h, ["band_idx", "band_hash"])
-        .filter(F.col("__hid") != F.col("__nid"))
-        .select(
-            F.least("__hid", "__nid").alias("doc_a"),
-            F.greatest("__hid", "__nid").alias("doc_b"),
-            F.bit_count(
-                F.col("__hh").bitwiseXOR(F.col("__nh"))
-            ).alias("__d"),
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col(hash_col).alias("h"),
+                F.col("__new").alias("n"),
+            )
         )
     )
-    out = cand.groupBy("doc_a", "doc_b").agg(F.first("__d").alias("__d"))
+    buckets = (
+        all_rows.groupBy("band_idx", "band_hash")
+        .agg(members.alias("members"))
+        .filter(
+            (F.size("members") >= 2)
+            & (F.size("members") <= max_bucket)
+            & F.exists("members", lambda m: m.getField("n"))
+        )
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(
+                                F.col("members"),
+                                i + F.lit(2),
+                                F.size(F.col("members")),
+                            ),
+                            lambda y: F.struct(
+                                x.getField("i").alias("doc_a"),
+                                y.getField("i").alias("doc_b"),
+                                F.bit_count(
+                                    x.getField("h").bitwiseXOR(y.getField("h"))
+                                ).alias("d"),
+                                (x.getField("n") | y.getField("n")).alias(
+                                    "touches_new"
+                                ),
+                            ),
+                        ),
+                        lambda p: p.getField("touches_new"),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", F.col("p.d").alias("__d"))
+    # an id present in BOTH index and new batch would meet itself in
+    # its bucket; the join form's hid != nid filter dropped that
+    pairs = pairs.filter(F.col("doc_a") != F.col("doc_b"))
+    out = pairs.groupBy("doc_a", "doc_b").agg(F.first("__d").alias("__d"))
     return out.filter(F.col("__d") <= max_hamming).select(
         "doc_a", "doc_b", F.col("__d").cast("int").alias("hamming")
     )
