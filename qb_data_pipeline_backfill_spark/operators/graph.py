@@ -40,6 +40,19 @@ _CC_DRIVER_MAX_EDGES = int(
     os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_MAX", "2000000")
 )
 
+# Broadcast gate for triangle_counts (optimization round 17, guide §3.1):
+# when the MEASURED deduplicated edge count fits under this cap, the
+# degree table and the closing-edge set are broadcast instead of
+# shuffle-joined — the wedge stream (the E^1.5 term) then never
+# crosses an exchange; only the 3-rows-per-triangle explode does.
+# 4M oriented edges ≈ 64 MB of key bytes (two longs) — comfortably
+# inside the guide's few-hundred-MB broadcast budget; above the cap
+# the shuffle plan below runs unchanged (the 100 TB shape, where the
+# closing-edge set no longer fits every executor).
+_TRI_BROADCAST_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_MAX", "4000000")
+)
+
 
 def _edge_tuples(sym: DataFrame) -> list:
     """Collected (u, v) tuples of a symmetric edge frame, via the
@@ -328,7 +341,10 @@ def pagerank_exact(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_max_edges: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered compact-forward
     enumeration (Latapy 2008; the MapReduce shape is Suri & Vassilvitskii
@@ -355,6 +371,25 @@ def triangle_counts(
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
     )
+    # Materialize the deduplicated edge list once (the CC/pagerank
+    # move): it is referenced by the degree aggregate, both wedge
+    # sides and the closing-edge set, and the measured count gates the
+    # broadcast plan below for free. Spread it over the session's
+    # parallelism first: AQE coalesces the small distinct output to a
+    # handful of partitions, and under the broadcast plan the wedge
+    # generation (the E^1.5 compute term) inherits the CHECKPOINT's
+    # partitioning — a 1-partition checkpoint would run it on one core.
+    # Hash on (u, v) — deterministic, uniform, no sort-before-
+    # repartition cost (guide §2.5).
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(parallelism, "u", "v").localCheckpoint(eager=True)
+    n_edges = e.count()
+    cap = (
+        _TRI_BROADCAST_MAX_EDGES
+        if broadcast_max_edges is None
+        else broadcast_max_edges
+    )
+    small = n_edges <= cap
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -363,6 +398,14 @@ def triangle_counts(
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # Under the cap (guide §3.1): the degree table (≤ 2·|E| nodes) and
+    # the closing-edge set are broadcast, so the orientation join and
+    # the wedge join/semi-join all happen map-side — the E^1.5 wedge
+    # stream never crosses an exchange; the only shuffle left is the
+    # 3-rows-per-triangle count. Same joins, same rows, bit-identical
+    # counts — only the join strategy changes.
+    if small:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     ranked = e.join(du, "u").join(dv, "v")
     lower_first = F.struct("du", "u") < F.struct("dv", "v")
     r_v = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
@@ -372,6 +415,49 @@ def triangle_counts(
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower_first, r_v).otherwise(r_u).alias("rb"),
     )
+    if small:
+        # Adjacency-intersection form (guide §2.4 — remove the wedge
+        # shuffle outright): a triangle a→b, a→c, b→c is found exactly
+        # once, at its source edge (a, b), as c ∈ N⁺(a) ∩ N⁺(b). The
+        # out-adjacency arrays are capped at O(√E) by the orientation
+        # (the same compact-forward bound), the whole array table is
+        # |nodes| rows, and the E^1.5 wedge stream never exists as
+        # rows — it is the array_intersect work inside one codegen
+        # stage. The arrays are checkpointed once (they are broadcast
+        # twice) and the only exchange left is the 3-rows-per-triangle
+        # count. Emitted triangles are the identical (a, b, c) set the
+        # wedge/semi-join form produces, so counts are bit-identical.
+        adj = (
+            oriented.groupBy("a")
+            .agg(F.collect_list("b").alias("nbs"))
+            .localCheckpoint(eager=True)
+        )
+        nb = F.broadcast(
+            adj.select(F.col("a").alias("b"), F.col("nbs").alias("nbl"))
+        )
+        # The probe side re-derives each oriented edge (a, b) from the
+        # adjacency table itself (explode), carrying N⁺(a) along — so
+        # the whole enumeration is one scan of adj plus ONE broadcast
+        # join for N⁺(b). Nodes with no out-edges simply don't appear
+        # in adj, which the inner join reproduces.
+        tris = (
+            adj.select(
+                "a", F.explode("nbs").alias("b"), F.col("nbs").alias("na")
+            )
+            .join(nb, "b")
+            .select(
+                "a", "b", F.explode(F.array_intersect("na", "nbl")).alias("c")
+            )
+        )
+        return (
+            tris.select(
+                F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                    "node"
+                )
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
     o1 = oriented.select("a", F.col("b").alias("x"), F.col("rb").alias("rx"))
     o2 = oriented.select("a", F.col("b").alias("y"), F.col("rb").alias("ry"))
     wedges = o1.join(o2, "a").filter(F.col("rx") < F.col("ry")).select(

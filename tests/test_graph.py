@@ -172,3 +172,28 @@ def test_graph_driver_fast_path_matches_distributed_loop(spark):
         tuple(r) for r in pagerank_exact(edges, driver_max_edges=0).collect()
     )
     assert pr_fast == pr_slow
+
+
+def test_triangle_broadcast_path_matches_shuffle_plan(spark):
+    """r17 optimization: the size-gated adjacency-intersection form
+    (broadcast N⁺ arrays, no wedge shuffle) must produce exactly the
+    wedge/semi-join shuffle plan's per-node counts."""
+    import itertools
+    import random
+
+    from qb_data_pipeline_backfill_spark.operators.graph import triangle_counts
+
+    rng = random.Random(13)
+    nodes = list(range(30))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.25
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = sorted(tuple(r) for r in triangle_counts(df).collect())
+    slow = sorted(
+        tuple(r)
+        for r in triangle_counts(df, broadcast_max_edges=0).collect()
+    )
+    assert fast == slow and len(fast) > 0
