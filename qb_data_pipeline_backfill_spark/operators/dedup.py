@@ -206,17 +206,24 @@ def _minhash_sigs(
     shingled = df.select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("s")
     ).select(F.col(id_col), F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
+    # The k min-mix aggregates are built as ONE parsed SQL string per
+    # aggregate (r17, guide §1.2 step 2 applied to the DRIVER): the
+    # Column-API form issued ~80 py4j round trips per hash function
+    # (~5 s of measured plan-construction latency per signature tree at
+    # k=64); F.expr parses the identical expression JVM-side in one
+    # call. Analyzed trees are the same — same integer literals, same
+    # pmod/min — so plans and results are bit-identical.
     mins = shingled.groupBy(id_col).agg(
         *[
-            F.min(
-                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
-            ).alias(f"_m{j}")
+            F.expr(f"min(pmod(h * {a} + {b}, {_MERSENNE_P})) AS _m{j}")
             for j, (a, b) in enumerate(_mix_constants(num_hashes))
         ]
     )
     return mins.select(
         F.col(id_col),
-        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ",".join(f"_m{j}" for j in range(num_hashes)) + ") AS sig"
+        ),
     )
 
 
@@ -229,12 +236,14 @@ def _band_exprs(num_hashes: int, bands: int) -> list[Column]:
             "nothing)"
         )
     rows_per_band = num_hashes // bands
+    # One parsed SQL struct per band instead of ~10 py4j calls each
+    # (same r17 build-latency move as _minhash_sigs) — identical
+    # analyzed expression: int literals, slice, two-arg xxhash64.
     return [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.xxhash64(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), F.lit(b)
-            ).alias("band_hash"),
+        F.expr(
+            f"struct({b} AS band_idx, "
+            f"xxhash64(slice(sig, {b * rows_per_band + 1}, {rows_per_band}), "
+            f"{b}) AS band_hash)"
         )
         for b in range(bands)
     ]
@@ -420,30 +429,40 @@ def _simhash_chunks_agg(
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     ).select(F.col(id_col), F.xxhash64("t").alias("h"))
+    # Vote and chunk trees parsed as one SQL string each (r17 driver-
+    # latency move, see _minhash_sigs): identical analyzed expressions
+    # — CASE WHEN bit-test votes, CASE WHEN weighted bit sums — built
+    # in ~70 py4j calls instead of ~2,000. The j=63 weight is written
+    # shiftleft(1, 63) because the parser rejects the min-long literal;
+    # it constant-folds to the same -(1 << 63) value.
     votes = tok.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), pos).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_v{pos}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {pos}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS _v{pos}"
+            )
             for pos in range(n_bits)
         ]
     )
-    chunks = []
+    chunk_sqls = []
     for start, width in bounds:
-        bit_terms = [
-            F.when(
-                F.col(f"_v{start + j}") > 0,
-                F.lit(-(1 << 63) if j == 63 else 1 << j).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
+        terms = [
+            (
+                f"CASE WHEN _v{start + j} > 0 THEN "
+                + (
+                    "shiftleft(CAST(1 AS BIGINT), 63)"
+                    if j == 63
+                    else f"CAST({1 << j} AS BIGINT)"
+                )
+                + " ELSE CAST(0 AS BIGINT) END"
+            )
             for j in range(width)
         ]
-        chunk = bit_terms[0]
-        for t in bit_terms[1:]:
-            chunk = chunk + t
-        chunks.append(chunk.cast("bigint"))
-    return votes.select(F.col(id_col), F.array(*chunks).alias("sig"))
+        chunk_sqls.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    return votes.select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(chunk_sqls) + ") AS sig"),
+    )
 
 
 def simhash_near_dup_pairs(
