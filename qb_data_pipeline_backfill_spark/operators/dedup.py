@@ -640,18 +640,28 @@ def dup_gram_doc_fraction(
     kept as the raw string here so the DuckDB oracle can replay it
     exactly.
     """
+    from pyspark.sql.window import Window
+
     from qb_data_pipeline_backfill_spark.operators.text import tokens, word_ngrams
 
     grams = df.select(
         F.col(id_col),
         F.explode(word_ngrams(tokens(text_col), n)).alias("gram"),
     )
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    # r17 (guide §2.4): the old groupBy(gram)+join-back referenced the
+    # gram table twice with DIFFERENT exchanges (one partial-agg, one
+    # raw probe), so the corpus was scanned/tokenized/exploded twice
+    # and shuffled twice. A count window over the gram partition is the
+    # same per-gram document count from ONE exchange and one sort — no
+    # join, one corpus pass. Skew exposure is unchanged: the join form
+    # also co-located every instance of a hot gram in one partition on
+    # the probe side.
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     dup = F.sum(
         F.when(F.col("n_docs") >= min_docs, F.lit(1)).otherwise(F.lit(0))
     ).cast("long")
     return (
-        grams.join(counts, "gram")
+        grams.select(F.col(id_col), n_docs.alias("n_docs"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
