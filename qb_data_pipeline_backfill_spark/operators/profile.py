@@ -52,10 +52,19 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     ).select("s.col_name", "s.value")
 
     m = micro_units("value")
-    agg = melted.groupBy("col_name").agg(
+    # r17 (guide §2.3): with countDistinct inline, Spark's one-pass
+    # two-phase distinct plan keys phase 1 on (col_name, value) and
+    # drags every partial buffer — three decimal(38) sums among them —
+    # through the exchange once per DISTINCT (column, value) pair.
+    # Splitting lets the plain statistics partial-aggregate down to
+    # one buffer per column (a metadata-sized exchange) and the
+    # distinct count shuffle bare (col_name, value) pairs with no
+    # payload; the rejoin is |cols| rows, broadcast. Two melt passes,
+    # but the melt is a codegen'd Generate over one scan — measured
+    # cheaper than the wide distinct exchange.
+    stats = melted.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
-        F.countDistinct("value").alias("n_distinct"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         decimal_sum("value").alias("sum_value"),
@@ -64,6 +73,10 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         F.sum(m).cast("decimal(38,0)").alias("_s1"),
         F.sum(m * m).cast("decimal(38,0)").alias("_s2"),
     )
+    nd = melted.groupBy("col_name").agg(
+        F.countDistinct("value").alias("n_distinct")
+    )
+    agg = stats.join(F.broadcast(nd), "col_name")
     n = F.col("_n").cast("decimal(38,0)")
     # Population variance, exact: (n·Σm² − (Σm)²) / n² in micro²-units,
     # floor-truncated to 4dp of value² via one exact integer division.
