@@ -328,6 +328,19 @@ def incremental_minhash_pairs(
     # is bit-identical to the join form; the skew cap still counts
     # TOTAL membership (history + new), and all-history buckets are
     # dropped before pair generation rather than after.
+    #
+    # ACCEPTED TRADEOFF (ADVICE r16): the size filter runs AFTER
+    # collect_list materializes a bucket's member array, so one
+    # aggregation buffer briefly holds a hot bucket before it is
+    # dropped — bounded per member at num_hashes longs + id (~0.5 KB
+    # at k=64), i.e. ~0.5 MB per 1,000-member bucket and linear
+    # beyond. A count-first pre-filter would bound that, but its
+    # count aggregate is a SECOND exchange over the same band rows
+    # whose canonical plan differs from the collect exchange, so the
+    # runtime re-executes the full signature/decode map side per
+    # reference — exactly the 3× recompute this r16 rewrite removed.
+    # If num_hashes or expected hot-bucket mass ever grows, revisit
+    # with an eagerly materialized band table feeding both aggregates.
     new_rows = minhash_band_index(
         new_docs, text_col, id_col, num_hashes, bands, shingle_k
     )
@@ -353,30 +366,31 @@ def incremental_minhash_pairs(
         )
     )
     est = _est_jaccard(num_hashes)
+    # candidates are filtered on (x.new | y.new) BEFORE the struct is
+    # built (ADVICE r16), so the signature-agreement fold never runs
+    # for the history-history pairs a large mostly-history bucket is
+    # dominated by — same kept pairs, same est arithmetic.
     pairs = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
                     F.col("members"),
-                    lambda x, i: F.filter(
-                        F.transform(
+                    lambda x, i: F.transform(
+                        F.filter(
                             F.slice(
                                 F.col("members"),
                                 i + F.lit(2),
                                 F.size(F.col("members")),
                             ),
-                            lambda y: F.struct(
-                                x.getField("i").alias("doc_a"),
-                                y.getField("i").alias("doc_b"),
-                                est(x.getField("s"), y.getField("s")).alias(
-                                    "est"
-                                ),
-                                (x.getField("n") | y.getField("n")).alias(
-                                    "touches_new"
-                                ),
+                            lambda y: x.getField("n") | y.getField("n"),
+                        ),
+                        lambda y: F.struct(
+                            x.getField("i").alias("doc_a"),
+                            y.getField("i").alias("doc_b"),
+                            est(x.getField("s"), y.getField("s")).alias(
+                                "est"
                             ),
                         ),
-                        lambda p: p.getField("touches_new"),
                     ),
                 )
             )

@@ -60,9 +60,18 @@ def _edge_tuples(sym: DataFrame) -> list:
     Arrow driver transfers) — measured 2.39M edges: collect + row
     unpack 10.8 s vs toPandas + tolist 3.5 s, identical tuples
     (`.tolist()` converts int64→int and object→str exactly). Falls
-    back to the row-based non-Arrow conversion automatically under a
-    vanilla session (slower, still correct)."""
-    pdf = sym.toPandas()
+    back to the row-based collect when pandas/pyarrow are absent
+    (pyspark declares neither as a hard dependency) or the session
+    runs Arrow-disabled (slower, still correct).
+
+    Precondition: no null u/v (both call sites drop them via the
+    u != v filter). pandas would coerce a nullable int64 column to
+    float64, yielding float labels that break the LongType
+    createDataFrame in _min_label_components_py."""
+    try:
+        pdf = sym.toPandas()
+    except ImportError:  # no pandas/pyarrow in this interpreter
+        return [(r["u"], r["v"]) for r in sym.collect()]
     return list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
 
 

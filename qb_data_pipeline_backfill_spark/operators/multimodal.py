@@ -4089,30 +4089,30 @@ def incremental_hash64_pairs(
             & F.exists("members", lambda m: m.getField("n"))
         )
     )
+    # candidates filtered on (x.new | y.new) BEFORE the struct is
+    # built (ADVICE r16): the bit_count distance never runs for
+    # history-history pairs — same kept pairs, same arithmetic.
     pairs = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
                     F.col("members"),
-                    lambda x, i: F.filter(
-                        F.transform(
+                    lambda x, i: F.transform(
+                        F.filter(
                             F.slice(
                                 F.col("members"),
                                 i + F.lit(2),
                                 F.size(F.col("members")),
                             ),
-                            lambda y: F.struct(
-                                x.getField("i").alias("doc_a"),
-                                y.getField("i").alias("doc_b"),
-                                F.bit_count(
-                                    x.getField("h").bitwiseXOR(y.getField("h"))
-                                ).alias("d"),
-                                (x.getField("n") | y.getField("n")).alias(
-                                    "touches_new"
-                                ),
-                            ),
+                            lambda y: x.getField("n") | y.getField("n"),
                         ),
-                        lambda p: p.getField("touches_new"),
+                        lambda y: F.struct(
+                            x.getField("i").alias("doc_a"),
+                            y.getField("i").alias("doc_b"),
+                            F.bit_count(
+                                x.getField("h").bitwiseXOR(y.getField("h"))
+                            ).alias("d"),
+                        ),
                     ),
                 )
             )
