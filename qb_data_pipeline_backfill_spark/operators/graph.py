@@ -157,8 +157,16 @@ def connected_components(
         return _min_label_components_py(
             _edge_tuples(sym), edges.sparkSession, sym.schema["u"].dataType
         )
-    parts = max(1, min(n_edges // 2_000_000 + 1, sym.rdd.getNumPartitions()))
-    if parts < sym.rdd.getNumPartitions():
+    # Working-set AND parallelism sizing (r17): ~2M edges per task
+    # bounds one task's memory at any scale, but the floor is the
+    # session's core count — the checkpointed distinct output arrives
+    # AQE-coalesced into a handful of partitions (often ONE at a few
+    # tens of MB), which would run every hook/jump round nearly
+    # serially. Labels are a deterministic fixpoint, so partitioning
+    # cannot change results.
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    parts = max(n_edges // 2_000_000 + 1, min(parallelism, max(n_edges, 1)))
+    if parts != sym.rdd.getNumPartitions():
         sym = sym.repartition(parts, "v").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -317,8 +325,13 @@ def pagerank_exact(
         return edges.sparkSession.createDataFrame(
             list(ranks_d.items()), schema
         )
-    parts = max(1, min(n_edges // 2_000_000 + 1, sym.rdd.getNumPartitions()))
-    if parts < sym.rdd.getNumPartitions():
+    # same working-set/parallelism sizing as connected_components
+    # (r17): floor at the session's cores — the AQE-coalesced
+    # checkpoint would otherwise run all power iterations on 1-2
+    # partitions. Integer rank arithmetic is partitioning-independent.
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    parts = max(n_edges // 2_000_000 + 1, min(parallelism, max(n_edges, 1)))
+    if parts != sym.rdd.getNumPartitions():
         sym = sym.repartition(parts, "u").localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("node"))

@@ -44,3 +44,38 @@ def test_contract_shape():
     assert qs, "queries() must not be empty"
     unknown = set(oracles) - set(qs)
     assert not unknown, f"oracle_sql has keys not in queries(): {unknown}"
+
+
+# --------------------------------------------------------------------------
+# VERDICT r16 item 10: the size-gated driver fast paths must stay
+# oracle-green THROUGH THEIR DISTRIBUTED FALLBACKS — force every gate
+# to 0 and replay the gated families' oracle queries end to end.
+# --------------------------------------------------------------------------
+_GATED_FALLBACK_QUERIES = [
+    # tokenizer-trainer gate (text._FIT_DRIVER_MAX_ROWS)
+    "contract_bpe_merge_replay",
+    "contract_wordpiece_merge_replay",
+    "contract_unigram_em_replay",
+    # graph driver-fixpoint gate (graph._CC_DRIVER_MAX_EDGES)
+    "dedup_cluster_resolution",
+    "leakage_safe_splits",
+    "pagerank_parts",
+    # triangle broadcast gate (graph._TRI_BROADCAST_MAX_EDGES, r17)
+    "triangle_counts_parts",
+]
+
+
+@pytest.mark.parametrize("name", _GATED_FALLBACK_QUERIES)
+def test_gated_query_matches_oracle_through_fallback(
+    spark, sf_dir, oracle_con, name, monkeypatch
+):
+    from qb_data_pipeline_backfill_spark.operators import graph as G
+    from qb_data_pipeline_backfill_spark.operators import text as X
+
+    monkeypatch.setattr(X, "_FIT_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(G, "_CC_DRIVER_MAX_EDGES", 0)
+    monkeypatch.setattr(G, "_TRI_BROADCAST_MAX_EDGES", 0)
+    query = plans.REGISTRY[name]
+    df = query.spark(spark, sf_dir)
+    ok, detail = compare(df, oracle_con, query.oracle)
+    assert ok, f"{name} (fallback path): {detail}"
