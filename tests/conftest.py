@@ -17,7 +17,15 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", shuffle_partitions=8)
+    # 4g driver heap (default 1g): one JVM serves ~790 tests whose
+    # checkpoint/state-store residue accumulates — the bench and the
+    # correctness sweep make the same move (VERDICT r16 item 2: the
+    # suite must finish inside the external driver's pytest budget).
+    s = get_spark(
+        "pytest",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
     yield s
     # leave the session up; the JVM teardown is slower than the suite
 

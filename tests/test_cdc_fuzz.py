@@ -16,6 +16,7 @@ every face is exercised many times."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -34,7 +35,16 @@ def _as_set(df):
     return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
 
 
-@pytest.mark.parametrize("seed", range(25))
+# Default matrix is 5 seeds so the whole suite fits the external
+# driver's pytest time budget (VERDICT r16 item 2 — the full 25-seed
+# run measured ~9 of the suite's 34 minutes); every seed is still a
+# fixed deterministic history, and SPARK_GRAFT_FULL_TESTS=1 restores
+# the full matrix for local hardening runs (used after touching any
+# commit-path code).
+_N_FUZZ_SEEDS = 25 if os.environ.get("SPARK_GRAFT_FULL_TESTS") else 5
+
+
+@pytest.mark.parametrize("seed", range(_N_FUZZ_SEEDS))
 def test_cdc_column_mapping_clone_fuzz(spark, tmp_path, seed):
     rng = random.Random(1000 + seed)
     path = str(tmp_path / "t")
