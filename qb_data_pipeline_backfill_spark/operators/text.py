@@ -898,17 +898,129 @@ def ngram_instances(
     ).select(F.col(id_col), *cols)
 
 
+def _nll_table_from_pdf(spark, pdf, n: int, discount: float):
+    """Driver replay of the integer half of :func:`ngram_nll_table`
+    over the collected padded-gram table G (``p0..p{n-1}, cnt`` as a
+    pandas frame): level rollups, histogram (ch, nh) pairs,
+    continuation counts and the suffix joins are vectorized pandas
+    groupby/merge operations on exact int64 counts; the float KN
+    recursion then runs IN SPARK as the same column-expression tree
+    the distributed chain builds (same subtraction/division/
+    multiplication order on the same long inputs), so every double —
+    and the rounded nll — is bit-identical to the distributed path
+    (pytest-pinned)."""
+    from pyspark.sql import types as T
+
+    pnames = [f"p{j}" for j in range(n)]
+    # level k count: sum of cnt grouped by the k-prefix, rows
+    # qualifying iff p{k-1} is non-null (k=2 positions always have
+    # both tokens — gram_positions(t, 2) stops at size-2)
+    counts = {}
+    for k in range(n, 1, -1):
+        sel = pdf if k == 2 else pdf[pdf[pnames[k - 1]].notna()]
+        counts[k] = (
+            sel.groupby(pnames[:k], sort=False, as_index=False)["cnt"]
+            .sum()
+            .rename(columns={"cnt": f"c{k}"})
+        )
+    hists = {}
+    for k in range(n, 1, -1):
+        g = counts[k].groupby(pnames[: k - 1], sort=False)[f"c{k}"]
+        h = g.agg(["sum", "size"]).reset_index()
+        h.columns = pnames[: k - 1] + [f"ch{k}", f"nh{k}"]
+        hists[k] = h
+    cont = (
+        counts[2]
+        .groupby(pnames[1], sort=False)
+        .size()
+        .reset_index(name="npn")
+    )
+    nb = len(counts[2])
+
+    # one output row per full n-gram; level k attaches on the gram's
+    # length-k SUFFIX (rename the level table's prefix columns to the
+    # suffix positions) — exactly the distributed chain's wcols joins
+    out = counts[n]
+    out = out.merge(hists[n], on=pnames[: n - 1], how="left")
+    for k in range(n - 1, 1, -1):
+        ck = counts[k].rename(
+            columns=dict(zip(pnames[:k], pnames[n - k :]))
+        )
+        out = out.merge(ck, on=pnames[n - k :], how="left")
+        hk = hists[k].rename(
+            columns=dict(zip(pnames[: k - 1], pnames[n - k : n - 1]))
+        )
+        out = out.merge(hk, on=pnames[n - k : n - 1], how="left")
+    out = out.merge(
+        cont.rename(columns={pnames[1]: pnames[n - 1]}),
+        on=pnames[n - 1],
+        how="left",
+    )
+
+    wcols = [f"w{j}" for j in range(1, n + 1)]
+    out = out.rename(columns=dict(zip(pnames, wcols)))
+    num_cols: list[str] = []
+    for k in range(n, 1, -1):
+        num_cols += [f"c{k}", f"ch{k}", f"nh{k}"]
+    num_cols.append("npn")
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), False) for c in wcols]
+        + [T.StructField(c, T.LongType(), False) for c in num_cols]
+    )
+    # checkpoint the driver-built table: a bare LocalRelation of a few
+    # hundred thousand rows is serialized INTO every consumer plan —
+    # a streaming consumer re-ships it per micro-batch (measured 8.1
+    # → 11.5 s on the stream twin without this); checkpointed blocks
+    # are distributed once and referenced by id
+    base = spark.createDataFrame(
+        out[wcols + num_cols], schema=schema
+    ).localCheckpoint(eager=True)
+
+    D = F.lit(float(discount))
+    pc = F.col("npn") / F.lit(nb)
+    prev = (
+        (F.col("c2") - D) / F.col("ch2")
+        + D * F.col("nh2") / F.col("ch2") * pc
+    )
+    if n == 2:
+        return base.select(*wcols, prev.alias("p2"))
+    for k in range(3, n + 1):
+        prev = (
+            (F.col(f"c{k}") - D) / F.col(f"ch{k}")
+            + D * F.col(f"nh{k}") / F.col(f"ch{k}") * prev
+        )
+    return base.select(
+        *wcols,
+        F.round(-F.log(prev) * F.lit(1e6), 0).cast("long").alias("nll"),
+    )
+
+
 def ngram_nll_table(
     df: DataFrame,
     order: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
+    driver_fit_max_rows: int | None = None,
 ) -> DataFrame:
     """The FIT half of :func:`ngram_lm_scores`: the distinct-gram NLL
     table ``(w1..wn, nll)`` for the corpus — the model artifact a
     streaming scorer joins against (stream-static join; see
-    streaming_fivegram_perplexity)."""
+    streaming_fivegram_perplexity).
+
+    Size-gated driver replay (r17, the §2-r16 trainer pattern): when
+    the distinct padded-gram table G fits under
+    ``SPARK_GRAFT_FIT_DRIVER_MAX`` rows (``limit(cap+1)`` probe — one
+    bounded job), the INTEGER half of the fit — level rollups,
+    histogram sums, continuation counts, and the four suffix joins —
+    is replayed in plain Python dicts over the collected G, and only
+    the float KN recursion runs in Spark, as the IDENTICAL column
+    expressions over the driver-built table: bit-identical doubles by
+    construction, ~20 small shuffles/joins replaced by one collect +
+    one createDataFrame. This is the real deployment shape: an LM fit
+    runs on a bounded reference corpus (CCNet fits KenLM on Wikipedia,
+    not on the crawl) while SCORING streams the 100 TB side. An
+    over-cap corpus takes the distributed chain below unchanged."""
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
     n = order
@@ -935,6 +1047,19 @@ def ngram_nll_table(
     G = padded.groupBy(*[f"p{j}" for j in range(n)]).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+    cap = (
+        _FIT_DRIVER_MAX_ROWS
+        if driver_fit_max_rows is None
+        else driver_fit_max_rows
+    )
+    if cap > 0:
+        try:  # Arrow limit-probe; no pandas → distributed chain below
+            fit_pdf = G.limit(cap + 1).toPandas()
+        except ImportError:
+            fit_pdf = None
+        if fit_pdf is not None and len(fit_pdf) <= cap:
+            return _nll_table_from_pdf(df.sparkSession, fit_pdf, n, discount)
 
     def level_counts(k: int) -> DataFrame:
         renames = [

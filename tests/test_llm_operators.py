@@ -2654,3 +2654,30 @@ def test_trainer_driver_fast_path_matches_distributed_loop(spark):
         .collect()
     ]
     assert fast_u == slow_u
+
+
+def test_nll_table_driver_replay_matches_distributed_chain(spark):
+    """r17: the size-gated driver replay of the KN fit (integer half
+    in Python dicts, float recursion as the same Spark expressions)
+    must be BIT-identical to the distributed rollup/join chain —
+    including the padded-null levels and the continuation base."""
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat on the mat"),
+        (2, "a dog sat"),
+        (3, "tiny"),
+        (4, "the the the the the"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for order in (2, 3, 5):
+        fast = sorted(
+            tuple(r) for r in X.ngram_nll_table(df, order).collect()
+        )
+        slow = sorted(
+            tuple(r)
+            for r in X.ngram_nll_table(
+                df, order, driver_fit_max_rows=0
+            ).collect()
+        )
+        assert fast == slow, f"order={order}"
+        assert len(fast) > 0
