@@ -25,75 +25,76 @@ from qb_data_pipeline_backfill_spark.plans.registry import (  # noqa: F401
 )
 
 # The driver's correctness gate covers the first 50 registry entries.
-# Round-16 rotation, exactly as pre-committed in the r15 window note
-# and ordered by VERDICT r15 next #1: (a) the queries NEW in r16
-# (incremental + streaming audio near-dup on the format-generic
-# hash64 band index, streaming BPE encode, multi-frame GIF) plus
-# contract_tiff_decode_replay, whose decoder grew LZW + PackBits
-# strip decompression this round; (b) the ten r7/r9-stale queries
-# pre-named in the r15 note; (c) MECHANICAL OLDEST-FIRST fill from
-# per-name last-graded rounds computed over CORRECTNESS_r01..15 —
-# the full r10 block (20), then the r11 block alphabetically as far
-# as the 50 reach (the remaining r11 names — scalar_subquery_max_qty through
-# window_function_suite — are next, queued for r17).
+# Round-17 rotation (VERDICT r16 next #5): (a) queries whose operator
+# code this optimization round TOUCHED, so the driver re-grades them
+# (triangle adjacency-intersection, dup-gram window rewrite,
+# numeric-profile split, minhash/simhash expr-string trees, LM-fit
+# driver replay, pagerank broadcast loop, DSIR literal); several of
+# the touched contract twins are already in (b)/(c). (b) the full
+# r11 remainder — scalar_subquery_max_qty through
+# window_function_suite, last graded round 11 (oldest-first fill
+# from per-name last-graded rounds over CORRECTNESS_r01..16).
+# (c) the r12 block alphabetically as far as the 50 reach (the
+# remaining r12 names — min_cost_supplier onwards — are next,
+# queued for r18).
 # Every registered query is still re-verified in the local full
 # sweep (tools/check_correctness.py, sf0.01) each round regardless.
 prioritize(
     [
-        # --- (a) new in r16 / r16-code-touched ---
-        "dedup_incremental_audio",
-        "streaming_incremental_audio",
-        "streaming_bpe_encode",
-        "contract_tiff_decode_replay",
-        "contract_tiff_compressed_replay",
-        "contract_tiff_pages_replay",
-        "contract_gif_frames_replay",
-        "dedup_gif_frames",
-        # --- (b) the ten r7/r9-stale queries (VERDICT r15 next #1) ---
-        "session_windows_events",
-        "incremental_rollup_merge",
-        "multimodal_frame_alignment",
-        "quality_band_filter",
-        "range_join_attribution",
-        "retention_cohorts",
-        "rolling_user_window",
-        "score_normalize_per_lang",
-        "udtf_term_counts",
-        "value_histogram",
-        # --- (c) oldest-first: the full r10 block ---
-        "cdc_latest_state",
-        "drift_psi_report",
-        "funnel_conversion",
-        "jsonl_roundtrip_scan",
-        "leakage_safe_splits",
-        "pii_scrub",
-        "sample_domain_quota",
-        "sample_eval_holdout",
-        "sample_stratified_rebalance",
-        "sample_temperature_mixture",
-        "sample_weighted_by_length",
-        "scd2_intervals",
-        "timeseries_gap_fill",
-        "txn_cdf_log_feed",
-        "txn_cdf_log_net_feed",
-        "txn_cdf_rollup_maintenance",
-        "txn_mor_delete_read",
-        "txn_restore_rollback",
-        "txn_table_history",
-        "txn_zorder_compact",
-        # --- (c) oldest-first: r11 block, alphabetical ---
-        "constraint_report",
-        "contract_bpe_encode_replay",
-        "contract_bpe_merge_replay",
-        "corpus_curation",
-        "dedup_paragraph_rewrite",
-        "local_supplier_revenue",
-        "numeric_covariance",
+        # --- (a) r17-touched operators (oracled members) ---
+        "triangle_counts_parts",
+        "corpus_dup_gram_stats",
         "numeric_profile",
-        "recursive_reachability",
-        "region_nation_rollup",
-        "salted_collect_stats",
-        "salted_join_segment_revenue",
+        "contract_minhash_recall",
+        "pagerank_parts",
+        "text_trigram_perplexity",
+        "text_fivegram_perplexity",
+        "text_perplexity_buckets",
+        "streaming_fivegram_perplexity",
+        # --- (b) oldest-first: the full r11 remainder ---
+        "scalar_subquery_max_qty",
+        "sequence_packing",
+        "streaming_dedup_exactly_once",
+        "streaming_drift_psi",
+        "streaming_enriched_rollup",
+        "streaming_interval_join_outer",
+        "streaming_media_decode",
+        "streaming_session_window",
+        "streaming_sliding_window",
+        "streaming_stateful_counts",
+        "streaming_stream_stream_join",
+        "streaming_top_users",
+        "streaming_tumbling_window",
+        "streaming_txn_cdf",
+        "text_fingerprint",
+        "text_lang_corpus_stats",
+        "text_language_scores",
+        "text_ngram_topk",
+        "text_quality_scores",
+        "text_repetition_scores",
+        "text_tfidf_topk",
+        "text_token_stats",
+        "top_revenue_orders",
+        "txn_cdf_feed",
+        "txn_count_where",
+        "txn_maintenance_cycle",
+        "txn_merge_cdc_read",
+        "txn_replace_where_read",
+        "txn_snapshot_minmax",
+        "txn_type_widening",
+        "txn_widening_lanes",
+        "unpivot_measures",
+        "window_function_suite",
+        # --- (c) oldest-first: r12 block, alphabetical ---
+        "contract_heavy_hitters",
+        "contract_incremental_minhash",
+        "contract_simhash_recall",
+        "disjunctive_brand_revenue",
+        "dormant_customer_balances",
+        "dsir_select_topk",
+        "excess_stock_suppliers",
+        "important_stock_parts",
+        "large_qty_order_customers",
     ]
 )
 
